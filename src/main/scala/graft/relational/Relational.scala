@@ -1,0 +1,202 @@
+package graft.relational
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables.t
+
+/** Core relational operators over the testdata star schema: scan+filter
+  * with pushdown, hash/broadcast joins, partial aggregation, top-k,
+  * window functions, sessionization.
+  *
+  * All plans are declarative DataFrame ops so Catalyst applies predicate
+  * pushdown, column pruning and join selection; small dimensions are
+  * explicitly `broadcast()` so the 100 TB plan has no shuffle on the
+  * dimension side.
+  */
+object Relational {
+
+  /** TPC-H Q1-style aggregate: map-side partial agg then 6-group final. */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_discount") <= lit(0.08))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 1).as("sum_base"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 1).as("sum_disc"),
+        count(lit(1)).as("cnt"))
+
+  /** Row-level filter + projection; predicate and the two-column read
+    * schema must both reach the parquet scan (PushedFilters). */
+  def scanFilter(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_quantity") >= lit(45.0) && col("l_discount") > lit(0.07))
+      .select(
+        col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("net_price"))
+
+  /** Fact-to-dim join: orders joined to customer, grouped by segment.
+    * customer is small relative to orders -> broadcast at scale. */
+  def joinCustOrders(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .join(broadcast(t(spark, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(
+        countDistinct("c_custkey").as("n_cust"),
+        count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 1).as("revenue"))
+
+  /** Star join across 4 tables; every dimension broadcast, so the only
+    * shuffle is the final aggregation on (r_name, n_name). */
+  def joinMulti(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .join(broadcast(t(spark, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(spark, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(spark, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 1).as("revenue"))
+
+  /** Top-k by ordered limit — Spark's TakeOrderedAndProject keeps only k
+    * rows per partition then merges, no global sort materialized. */
+  def topkParts(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part")
+      .orderBy(col("p_retailprice").desc, col("p_partkey").asc)
+      .limit(10)
+      .select("p_partkey", "p_name", "p_retailprice")
+
+  /** Window function: top-3 orders per customer by totalprice. */
+  def windowRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    t(spark, dir, "orders")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+  }
+
+  /** Distinct aggregation per group (expands to two-phase agg). */
+  def aggDistinct(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct("l_partkey").as("n_parts"),
+        countDistinct("l_suppkey").as("n_supps"),
+        count(lit(1)).as("n_rows"))
+
+  /** Tumbling-hour aggregation over the events stream table (batch
+    * equivalent of the streaming windowed count). */
+  def eventsHourly(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
+
+  /** Gap-based sessionization: a new session starts when a user is idle
+    * > 30 min. Window lag + running sum, partitioned by user, so at
+    * scale this shuffles once on user_id. */
+  def eventsSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    t(spark, dir, "events")
+      .withColumn("prev_ts", lag("ts", 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          col("ts") > col("prev_ts") + expr("INTERVAL 30 MINUTES"), 1).otherwise(0))
+      .withColumn("session_id", sum("new_sess").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min("ts").as("sess_start"),
+        max("ts").as("sess_end"),
+        round(sum("value"), 4).as("sum_value"))
+  }
+
+  /** JSON extraction from the events props column + aggregation. */
+  def eventsJson(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), sum("k").as("sum_k"), round(avg("k"), 6).as("avg_k"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> (q1Agg _),
+    "scan_filter" -> (scanFilter _),
+    "join_cust_orders" -> (joinCustOrders _),
+    "join_multi" -> (joinMulti _),
+    "topk_parts" -> (topkParts _),
+    "window_rank" -> (windowRank _),
+    "agg_distinct" -> (aggDistinct _),
+    "events_hourly" -> (eventsHourly _),
+    "events_sessionize" -> (eventsSessionize _),
+    "events_json" -> (eventsJson _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 1) AS sum_base,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 1) AS sum_disc,
+        |  count(*) AS cnt
+        |FROM lineitem WHERE l_discount <= 0.08
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "scan_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        |  l_extendedprice * (1.0 - l_discount) AS net_price
+        |FROM lineitem WHERE l_quantity >= 45.0 AND l_discount > 0.07""".stripMargin,
+    "join_cust_orders" ->
+      """SELECT c_mktsegment,
+        |  count(DISTINCT c_custkey) AS n_cust,
+        |  count(*) AS n_orders,
+        |  round(sum(o_totalprice), 1) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+    "join_multi" ->
+      """SELECT r_name, n_name, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 1) AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+    "topk_parts" ->
+      """SELECT p_partkey, p_name, p_retailprice FROM part
+        |ORDER BY p_retailprice DESC, p_partkey ASC LIMIT 10""".stripMargin,
+    "window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+        |  FROM orders) WHERE rk <= 3""".stripMargin,
+    "agg_distinct" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        |  count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "events_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        |), sessions AS (
+        |  SELECT user_id, ts, value,
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(ts) AS sess_start, max(ts) AS sess_end,
+        |  round(sum(value), 4) AS sum_value
+        |FROM sessions GROUP BY user_id, session_id""".stripMargin,
+    "events_json" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k
+        |FROM events GROUP BY event_type""".stripMargin)
+}
