@@ -15,10 +15,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    relational.Relational.queries
+    relational.Relational.queries ++
+      clustering.KMeans.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    relational.Relational.oracleSql
+    relational.Relational.oracleSql ++
+      clustering.KMeans.oracleSql
 }

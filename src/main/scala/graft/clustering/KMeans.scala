@@ -1,0 +1,194 @@
+package graft.clustering
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed Lloyd's k-means, re-expressing kmeans.java:91-202
+  * (spark_kmeans) Spark-first:
+  *
+  *  - the point set stays a cached DataFrame on executors; only the K
+  *    centers move through the driver per iteration (the reference
+  *    instead re-parallelizes and re-broadcasts the whole dataset and
+  *    collects every assignment each iteration — kmeans.java:94-101,
+  *    184 — which is a driver OOM at scale);
+  *  - assign is a flat codegen'd expression (K distances + argmin), no
+  *    UDF, no shuffle;
+  *  - the centroid update is one partial-aggregating groupBy(k) — the
+  *    map-side combine the reference hand-wrote with combineByKey
+  *    (kmeans.java:124-185);
+  *  - empty clusters keep their previous center (deterministic variant
+  *    of the reference's random reseed, kmeans.java:192-195).
+  *
+  * Centers are rounded to 6 decimals each iteration on BOTH the Spark
+  * and the oracle side, so cross-engine float summation order cannot
+  * drift the trajectories apart (SURVEY.md §4).
+  */
+object KMeans {
+  import Points.{dims, distTo, ptsSql}
+
+  /** Add `k` (nearest-center index, ties -> lowest k, matching the
+    * reference's strict-> compare at kmeans.java:113) and `dist`. */
+  def assign(points: DataFrame, centers: Array[Array[Double]]): DataFrame = {
+    val distArr = array(centers.map(distTo): _*)
+    points
+      .withColumn("dist_arr", distArr)
+      .withColumn("dist", array_min(col("dist_arr")))
+      .withColumn("k", (array_position(col("dist_arr"), col("dist")) - 1).cast("int"))
+      .drop("dist_arr")
+  }
+
+  /** Per-cluster size + mean center (round 6 = the determinism spec). */
+  def update(assigned: DataFrame): DataFrame =
+    assigned.groupBy("k").agg(
+      count(lit(1)).as("n"),
+      dims.zipWithIndex.map { case (d, i) =>
+        round(avg(col(d)), 6).as(s"c${i + 1}")
+      }: _*)
+
+  /** Full Lloyd loop. Returns the final per-cluster summary
+    * (k, n, c1..c4). One Spark job per iteration; the collected
+    * per-iteration state is K*(dims+1) doubles. */
+  def lloyd(points: DataFrame, k: Int, iters: Int): DataFrame = {
+    val pts = points.cache()
+    var centers = Points.firstKCenters(pts, k)
+    var lastUpdate: DataFrame = null
+    for (_ <- 1 to iters) {
+      lastUpdate = update(assign(pts, centers))
+      val byK = lastUpdate.collect()
+        .map(r => r.getAs[Int]("k") ->
+          dims.indices.map(i => r.getDouble(2 + i)).toArray).toMap
+      // deterministic reseed: an empty cluster keeps its previous center
+      centers = Array.tabulate(k)(i => byK.getOrElse(i, centers(i)))
+    }
+    lastUpdate
+  }
+
+  // ---- driver-contract queries ----------------------------------------
+
+  private val K = 4
+  private val ITERS = 5
+
+  def qAssign(spark: SparkSession, dir: String): DataFrame = {
+    val pts = Points.lineitem4d(spark, dir)
+    assign(pts, Points.firstKCenters(pts, K)).select("pid", "k", "dist")
+  }
+
+  def qUpdate(spark: SparkSession, dir: String): DataFrame = {
+    val pts = Points.lineitem4d(spark, dir)
+    update(assign(pts, Points.firstKCenters(pts, K)))
+  }
+
+  /** SSE objective of the first-K assignment, reported scale-safely as
+    * (n, avg distance): avg keeps cross-engine float error ~1e-11
+    * relative where a raw 1e9-magnitude sum would not round stably.
+    * Reference tracks sum-of-min-dist (kmeans.java:186-191); avg = sse/n. */
+  def qSse(spark: SparkSession, dir: String): DataFrame = {
+    val pts = Points.lineitem4d(spark, dir)
+    assign(pts, Points.firstKCenters(pts, K))
+      .agg(count(lit(1)).as("n"), round(avg(col("dist")), 3).as("avg_dist"))
+  }
+
+  def qFull(spark: SparkSession, dir: String): DataFrame =
+    lloyd(Points.lineitem4d(spark, dir), K, ITERS)
+
+  // ---- oracle SQL ------------------------------------------------------
+  //
+  // The oracles never rely on a unique row id (pid has duplicates in
+  // the testdata): centers are pivoted into ONE wide row, cross-joined
+  // (a 1-row broadcast), and the argmin is a first-min CASE chain —
+  // one output row per input row, duplicates preserved.
+
+  private val orderCols = ("pid" +: dims).mkString(", ")
+
+  /** Centers CTE c0: first K points by (pid, dims). */
+  private def c0Sql: String =
+    s"""c0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY $orderCols) - 1 AS INT) AS k,
+       |         ${dims.zipWithIndex.map { case (d, i) => s"$d AS c${i + 1}" }.mkString(", ")}
+       |  FROM (SELECT * FROM pts ORDER BY $orderCols LIMIT $K))""".stripMargin
+
+  /** Pivot a (k, c1..cD) centers CTE into one wide row k{k}_{j}. */
+  private def widenSql(cIn: String, out: String): String =
+    s"$out AS (SELECT " +
+      (0 until K).flatMap(k => dims.indices.map(j =>
+        s"max(CASE WHEN k = $k THEN c${j + 1} END) AS k${k}_${j + 1}")).mkString(", ") +
+      s" FROM $cIn)"
+
+  /** Euclidean distance to wide-row center k, matching distTo's op order. */
+  private def distExprSql(k: Int): String =
+    "sqrt(" + dims.zipWithIndex.map { case (d, j) =>
+      s"($d - k${k}_${j + 1}) * ($d - k${k}_${j + 1})"
+    }.mkString(" + ") + ")"
+
+  /** One assign stage over wide centers: nearest-center k (ties ->
+    * lowest k) and its distance, one row per input row. */
+  private def assignSql(cwIn: String, out: String): String = {
+    val ds = (0 until K).map(k => s"${distExprSql(k)} AS d$k").mkString(", ")
+    val caseArm = (0 until K - 1).map(i =>
+      "WHEN " + (i + 1 until K).map(j => s"d$i <= d$j").mkString(" AND ") + s" THEN $i").mkString(" ")
+    s"""${out}_d AS (
+       |  SELECT p.*, $ds FROM pts p CROSS JOIN $cwIn),
+       |$out AS (
+       |  SELECT *, least(${(0 until K).map("d" + _).mkString(", ")}) AS dist,
+       |    CASE $caseArm ELSE ${K - 1} END AS k
+       |  FROM ${out}_d)""".stripMargin
+  }
+
+  /** One update stage: per-cluster mean (round 6) from an assignment. */
+  private def updateSql(aIn: String, out: String): String =
+    s"""$out AS (
+       |  SELECT k, count(*) AS n,
+       |         ${dims.zipWithIndex.map { case (d, i) => s"round(avg($d), 6) AS c${i + 1}" }.mkString(", ")}
+       |  FROM $aIn GROUP BY k)""".stripMargin
+
+  val oracleAssign: String =
+    s"""WITH pts AS ($ptsSql),
+       |$c0Sql,
+       |${widenSql("c0", "c0w")},
+       |${assignSql("c0w", "a1")}
+       |SELECT pid, k, dist FROM a1""".stripMargin
+
+  val oracleUpdate: String =
+    s"""WITH pts AS ($ptsSql),
+       |$c0Sql,
+       |${widenSql("c0", "c0w")},
+       |${assignSql("c0w", "a1")},
+       |${updateSql("a1", "u1")}
+       |SELECT * FROM u1""".stripMargin
+
+  val oracleSse: String =
+    s"""WITH pts AS ($ptsSql),
+       |$c0Sql,
+       |${widenSql("c0", "c0w")},
+       |${assignSql("c0w", "a1")}
+       |SELECT count(*) AS n, round(avg(dist), 3) AS avg_dist FROM a1""".stripMargin
+
+  /** The full Lloyd loop, unrolled into widen/assign/update CTE sets. */
+  val oracleFull: String = {
+    val stages = (1 to ITERS).map { i =>
+      val cIn = if (i == 1) "c0" else s"u${i - 1}"
+      s"${widenSql(cIn, s"${cIn}w")},\n${assignSql(s"${cIn}w", s"a$i")},\n${updateSql(s"a$i", s"u$i")}"
+    }.mkString(",\n")
+    s"""WITH pts AS ($ptsSql),
+       |$c0Sql,
+       |$stages
+       |SELECT * FROM u$ITERS""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dataset_stats" -> (Points.stats _),
+    "kmeans_assign" -> (qAssign _),
+    "kmeans_update" -> (qUpdate _),
+    "kmeans_sse" -> (qSse _),
+    "kmeans_full" -> (qFull _))
+
+  val oracleSql: Map[String, String] = Map(
+    "dataset_stats" ->
+      ("SELECT count(*) AS n, " +
+        dims.map(d => s"min($d) AS min_$d, max($d) AS max_$d").mkString(", ") +
+        s" FROM ($ptsSql)"),
+    "kmeans_assign" -> oracleAssign,
+    "kmeans_update" -> oracleUpdate,
+    "kmeans_sse" -> oracleSse,
+    "kmeans_full" -> oracleFull)
+}

@@ -1,0 +1,63 @@
+package graft.clustering
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** Numeric point-set views over the testdata tables, playing the role
+  * of the reference's CSV ingestion (kmeans.java:203-239 readDataset)
+  * — but as a distributed DataFrame, never a driver array.
+  *
+  * pid = l_orderkey*10 + l_linenumber is unique and computable per-row,
+  * so we get a stable point id with NO global sort / zipWithIndex —
+  * at 100 TB a row_number() over a global order would be a
+  * single-partition bottleneck.
+  */
+object Points {
+
+  /** Dimension column names for the lineitem 4-D point set. */
+  val dims: Seq[String] = Seq("x1", "x2", "x3", "x4")
+
+  def lineitem4d(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem").select(
+      (col("l_orderkey") * 10 + col("l_linenumber")).as("pid"),
+      col("l_quantity").as("x1"),
+      col("l_extendedprice").as("x2"),
+      col("l_discount").as("x3"),
+      col("l_tax").as("x4"))
+
+  /** Per-dimension min/max + count — the stats the reference computes
+    * while reading (kmeans.java:219-230), as one distributed agg. */
+  def stats(spark: SparkSession, dir: String): DataFrame = {
+    val p = lineitem4d(spark, dir)
+    p.agg(
+      count(lit(1)).as("n"),
+      dims.flatMap(d => Seq(min(col(d)).as(s"min_$d"), max(col(d)).as(s"max_$d"))): _*)
+  }
+
+  /** Squared-sum Euclidean distance from the point's dim columns to a
+    * fixed center, mirrored operation-for-operation by the SQL oracles
+    * (left-fold adds, x*x not pow) so results match bitwise.
+    * Reference: kmeans.java:254-260 compute_dist. */
+  def distTo(center: Array[Double]): Column =
+    sqrt(dims.zip(center).map { case (d, cj) =>
+      val diff = col(d) - lit(cj); diff * diff
+    }.reduce(_ + _))
+
+  /** The first k points by (pid, dims) — deterministic replacement for
+    * the reference's random center init (kmeans.java:240-248); the dim
+    * tie-break keeps the choice stable because pid alone is not unique
+    * in the testdata. Only k rows cross to the driver (TakeOrdered, no
+    * full sort). */
+  def firstKCenters(points: DataFrame, k: Int): Array[Array[Double]] =
+    points.orderBy(col("pid") +: dims.map(col): _*).limit(k)
+      .select(dims.map(col): _*)
+      .collect()
+      .map(r => dims.indices.map(r.getDouble).toArray)
+
+  /** SQL fragment shared by the clustering oracles: the point set. */
+  val ptsSql: String =
+    "SELECT l_orderkey*10 + l_linenumber AS pid, l_quantity AS x1, " +
+      "l_extendedprice AS x2, l_discount AS x3, l_tax AS x4 FROM lineitem"
+
+}
