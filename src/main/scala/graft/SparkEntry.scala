@@ -16,11 +16,15 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     relational.Relational.queries ++
-      clustering.KMeans.queries
+      clustering.KMeans.queries ++
+      clustering.GKA.queries ++
+      clustering.PSO.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     relational.Relational.oracleSql ++
-      clustering.KMeans.oracleSql
+      clustering.KMeans.oracleSql ++
+      clustering.GKA.oracleSql ++
+      clustering.PSO.oracleSql
 }

@@ -1,0 +1,48 @@
+package graft.clustering
+
+/** Shared oracle-SQL generators for the clustering queries.
+  *
+  * Design constraint (SURVEY.md §4): the testdata has duplicate rows
+  * per pid, so no oracle may rely on a unique row id. Centers are
+  * pivoted into ONE wide row, cross-joined (a 1-row broadcast), and
+  * argmin is a first-min CASE chain — one output row per input row.
+  */
+private[clustering] object ClusterSql {
+  import Points.dims
+
+  val orderCols: String = ("pid" +: dims).mkString(", ")
+
+  /** Pivot a (k, c1..cD) centers CTE into one wide row k{k}_{j}. */
+  def widenSql(k: Int, cIn: String, out: String): String =
+    s"$out AS (SELECT " +
+      (0 until k).flatMap(ki => dims.indices.map(j =>
+        s"max(CASE WHEN k = $ki THEN c${j + 1} END) AS k${ki}_${j + 1}")).mkString(", ") +
+      s" FROM $cIn)"
+
+  /** Euclidean distance to wide-row center k, matching Points.distTo's
+    * operation order (left-fold adds, x*x). */
+  def distExprSql(ki: Int, prefix: String = "k"): String =
+    "sqrt(" + dims.zipWithIndex.map { case (d, j) =>
+      s"($d - $prefix${ki}_${j + 1}) * ($d - $prefix${ki}_${j + 1})"
+    }.mkString(" + ") + ")"
+
+  /** One assign stage over wide centers: nearest-center k (ties ->
+    * lowest k) and its distance, one row per input row of `src`. */
+  def assignSql(k: Int, cwIn: String, out: String, src: String = "pts"): String = {
+    val ds = (0 until k).map(ki => s"${distExprSql(ki)} AS d$ki").mkString(", ")
+    val caseArm = (0 until k - 1).map(i =>
+      "WHEN " + (i + 1 until k).map(j => s"d$i <= d$j").mkString(" AND ") + s" THEN $i").mkString(" ")
+    s"""${out}_d AS (
+       |  SELECT p.*, $ds FROM $src p CROSS JOIN $cwIn),
+       |$out AS (
+       |  SELECT *, least(${(0 until k).map("d" + _).mkString(", ")}) AS dist,
+       |    CASE $caseArm ELSE ${k - 1} END AS k
+       |  FROM ${out}_d)""".stripMargin
+  }
+
+  /** Per-class mean centers (round 6) from an assignment column. */
+  def centersSql(solCol: String, src: String, out: String): String =
+    s"""$out AS (
+       |  SELECT $solCol AS k, ${dims.zipWithIndex.map { case (d, j) => s"round(avg($d), 6) AS c${j + 1}" }.mkString(", ")}
+       |  FROM $src GROUP BY $solCol)""".stripMargin
+}

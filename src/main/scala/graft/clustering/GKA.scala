@@ -1,0 +1,217 @@
+package graft.clustering
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Genetic k-means (GKA), re-expressing gka.java Spark-first.
+  *
+  * The reference ships each chromosome (a full per-point assignment
+  * array) through the driver and broadcasts the whole dataset every
+  * generation (gka.java:106, 251, 368) — at scale both are driver
+  * OOMs. Here the point set is a cached DataFrame, each chromosome is
+  * an assignment COLUMN (s0..sP-1), and a generation is:
+  *
+  *  - transition+fitness (gka.java:104-251 spark_transition_fitness):
+  *    per-class mean centers from each chromosome's assignment (ONE
+  *    exploded groupBy for all chromosomes), then reassign via a flat
+  *    argmin expression; fitness = avg min-dist (scale-stable SSE/n);
+  *  - selection (gka.java:253-304 spark_selection): roulette wheel
+  *    over 1/fitness — P scalars, legitimately driver-side;
+  *  - mutation (gka.java:165-237): with prob Pm per chromosome pick
+  *    ONE gene by roulette over (Cm*dmax - dist) — distributed via
+  *    Roulette.pickByPrefix (no single-partition window) — and flip
+  *    it to a random class.
+  */
+object GKA {
+  import Points.{dims, distTo}
+
+  val K = 4
+
+  /** Per-class mean centers (round 6, SURVEY.md §4) from an assignment
+    * column; classes absent from the assignment are dropped. */
+  def centersFromAssign(pts: DataFrame, sol: Column): Array[Array[Double]] = {
+    val rows = pts.groupBy(sol.cast("int").as("sol"))
+      .agg(dims.zipWithIndex.map { case (d, j) => round(avg(col(d)), 6).as(s"c${j + 1}") }.head,
+        dims.zipWithIndex.tail.map { case (d, j) => round(avg(col(d)), 6).as(s"c${j + 1}") }: _*)
+      .collect()
+      .map(r => r.getInt(0) -> dims.indices.map(j => r.getDouble(1 + j)).toArray)
+      .toMap
+    rows.toSeq.sortBy(_._1).map(_._2).toArray
+  }
+
+  /** Min distance to any of the centers — the fitness kernel
+    * (gka.java:149-164), one codegen'd expression, no shuffle. */
+  def minDist(centers: Array[Array[Double]]): Column =
+    array_min(array(centers.map(distTo): _*))
+
+  /** One exploded groupBy computing per-(chromosome, class) centers
+    * for ALL chromosomes in a single pass. */
+  def allCenters(state: DataFrame, p: Int): Map[Int, Array[Array[Double]]] = {
+    val packed = explode(array((0 until p).map(i =>
+      struct(lit(i).as("p"), col(s"s$i").as("sol"))): _*)).as("ps")
+    val rows = state.select(packed +: dims.map(col): _*)
+      .select(Seq(col("ps.p").as("p"), col("ps.sol").as("sol")) ++ dims.map(col): _*)
+      .groupBy("p", "sol")
+      .agg(dims.zipWithIndex.map { case (d, j) => round(avg(col(d)), 6).as(s"c${j + 1}") }.head,
+        dims.zipWithIndex.tail.map { case (d, j) => round(avg(col(d)), 6).as(s"c${j + 1}") }: _*)
+      .collect()
+    rows.groupBy(_.getInt(0)).map { case (pi, rs) =>
+      pi -> rs.map(r => r.getInt(1) -> dims.indices.map(j => r.getDouble(2 + j)).toArray)
+        .sortBy(_._1).map(_._2)
+    }
+  }
+
+  // ---- driver-contract queries ----------------------------------------
+
+  /** Deterministic chromosome fitness: sol = pid % K, centers from the
+    * assignment, reassign, report per-new-class (k, n, avg_dist). */
+  def qFitness(spark: SparkSession, dir: String): DataFrame = {
+    val pts = Points.lineitem4d(spark, dir)
+    val centers = centersFromAssign(pts, pmod(col("pid"), lit(K)))
+    KMeans.assign(pts, centers)
+      .groupBy("k")
+      .agg(count(lit(1)).as("n"), round(avg(col("dist")), 3).as("avg_dist"))
+  }
+
+  /** Deterministic roulette wheel over P chromosome fitnesses
+    * (sol_p = (pid+p) % K): p, fitness (round 3), cumulative
+    * normalized 1/fitness weight (round 6). gka.java:264-273. */
+  def qSelectionWheel(spark: SparkSession, dir: String): DataFrame = {
+    val P = 6
+    val pts = Points.lineitem4d(spark, dir).cache()
+    try {
+      val fits = (0 until P).map { p =>
+        val centers = centersFromAssign(pts, pmod(col("pid") + lit(p), lit(K)))
+        val d = pts.select(minDist(centers).as("d"))
+          .agg(round(avg(col("d")), 3).as("f")).head.getDouble(0)
+        d
+      }
+      val iv = fits.map(1.0 / _)
+      val tot = iv.sum
+      val cums = iv.scanLeft(0.0)(_ + _).tail.map(_ / tot)
+      val rows = (0 until P).map(p => (p, fits(p), BigDecimal(cums(p))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      import spark.implicits._
+      rows.toDF("p", "fitness", "cum_w")
+    } finally { pts.unpersist(); () }
+  }
+
+  /** Full seeded GA loop (gka.java:88-102): P chromosomes, ITERS
+    * generations of selection -> transition+fitness -> mutation.
+    * RNG-bearing, so registered rows-only (SURVEY.md §4).
+    * Output: one row per generation (iter, best). */
+  def qFull(spark: SparkSession, dir: String): DataFrame = {
+    val P = 4
+    val ITERS = 3
+    val Pm = 0.5
+    val Cm = 2.0
+    val rng = new scala.util.Random(42)
+
+    val pts = Points.withRid(Points.lineitem4d(spark, dir))
+    // init: deterministic pseudo-random assignment per chromosome
+    var state = pts.select(
+      (col("rid") +: dims.map(col)) ++
+        (0 until P).map(i => pmod(xxhash64(col("rid"), lit(i), lit(42)), lit(K)).cast("int").as(s"s$i")): _*)
+      .cache()
+    state.count()
+
+    val out = scala.collection.mutable.ListBuffer.empty[(Int, Double)]
+    var best = Double.MaxValue
+
+    for (iter <- 1 to ITERS) {
+      // transition: centers per chromosome (one pass), reassign + dist
+      val centers = allCenters(state, P)
+      var next = state
+      for (i <- 0 until P) {
+        val cs = centers(i)
+        val distArr = array(cs.map(distTo): _*)
+        next = next
+          .withColumn(s"d$i", array_min(distArr))
+          .withColumn(s"s$i", (array_position(array(cs.map(distTo): _*), col(s"d$i")) - 1).cast("int"))
+      }
+      val prev = state
+      val mid = next.cache()
+      state = mid
+      // fitness + dmax in one distributed agg
+      val aggRow = state.agg(
+        avg(col("d0")).as("f0"),
+        (1 until P).map(i => avg(col(s"d$i")).as(s"f$i")) ++
+          (0 until P).map(i => max(col(s"d$i")).as(s"m$i")): _*).head
+      val fitness = (0 until P).map(i => aggRow.getDouble(i)).toArray
+      val dmax = (0 until P).map(i => aggRow.getDouble(P + i)).toArray
+      best = math.min(best, fitness.min)
+      out += ((iter, best))
+
+      // mutation (gka.java:165-237): roulette-pick one gene, flip it
+      var mutated = state
+      for (i <- 0 until P if rng.nextDouble() < Pm) {
+        val w = lit(Cm) * lit(dmax(i)) - col(s"d$i")
+        val total = state.select(sum(w).as("t")).head.getDouble(0)
+        val rid = Roulette.pickByPrefix(state.withColumn("w", w), "rid", "w",
+          rng.nextDouble() * total)
+        mutated = mutated.withColumn(s"s$i",
+          when(col("rid") === lit(rid), lit(rng.nextInt(K))).otherwise(col(s"s$i")))
+      }
+      // selection (gka.java:253-304): wheel over 1/fitness, P darts
+      val iv = fitness.map(1.0 / _)
+      val tot = iv.sum
+      val cum = iv.scanLeft(0.0)(_ + _).tail.map(_ / tot)
+      val picks = (0 until P).map { _ =>
+        val f = rng.nextDouble()
+        cum.indexWhere(f < _) match { case -1 => P - 1; case j => j }
+      }
+      val reselected = mutated.select(
+        (col("rid") +: dims.map(col)) ++
+          (0 until P).map(i => col(s"s${picks(i)}").as(s"s$i")): _*)
+      state = reselected.cache()
+      state.count()
+      prev.unpersist()
+      mid.unpersist()
+    }
+    import spark.implicits._
+    out.toSeq.toDF("iter", "best")
+  }
+
+  // ---- oracle SQL ------------------------------------------------------
+
+  import ClusterSql._
+
+  val oracleFitness: String =
+    s"""WITH pts AS (${Points.ptsSql}),
+       |s AS (SELECT *, CAST(pid % $K AS INT) AS sol FROM pts),
+       |${centersSql("sol", "s", "cent")},
+       |${widenSql(K, "cent", "centw")},
+       |${assignSql(K, "centw", "a1")}
+       |SELECT k, count(*) AS n, round(avg(dist), 3) AS avg_dist FROM a1 GROUP BY k""".stripMargin
+
+  val oracleSelectionWheel: String = {
+    val P = 6
+    val blocks = (0 until P).map { p =>
+      s"""s$p AS (SELECT *, CAST((pid + $p) % $K AS INT) AS sol FROM pts),
+         |${centersSql("sol", s"s$p", s"cent$p")},
+         |${widenSql(K, s"cent$p", s"centw$p")},
+         |${assignSql(K, s"centw$p", s"a$p")},
+         |f$p AS (SELECT round(avg(dist), 3) AS fitness FROM a$p)""".stripMargin
+    }.mkString(",\n")
+    val union = (0 until P).map(p =>
+      s"SELECT $p AS p, (SELECT fitness FROM f$p) AS fitness").mkString(" UNION ALL ")
+    s"""WITH pts AS (${Points.ptsSql}),
+       |$blocks,
+       |fits AS ($union),
+       |w AS (SELECT p, fitness, 1.0 / fitness AS iv FROM fits)
+       |SELECT p, fitness,
+       |  round(sum(iv) OVER (ORDER BY p ROWS UNBOUNDED PRECEDING)
+       |        / (SELECT sum(iv) FROM w), 6) AS cum_w
+       |FROM w ORDER BY p""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "gka_fitness" -> (qFitness _),
+    "gka_selection_wheel" -> (qSelectionWheel _),
+    "gka_full" -> (qFull _))
+
+  val oracleSql: Map[String, String] = Map(
+    "gka_fitness" -> oracleFitness,
+    "gka_selection_wheel" -> oracleSelectionWheel)
+}

@@ -91,14 +91,12 @@ object KMeans {
   def qFull(spark: SparkSession, dir: String): DataFrame =
     lloyd(Points.lineitem4d(spark, dir), K, ITERS)
 
-  // ---- oracle SQL ------------------------------------------------------
-  //
-  // The oracles never rely on a unique row id (pid has duplicates in
-  // the testdata): centers are pivoted into ONE wide row, cross-joined
-  // (a 1-row broadcast), and the argmin is a first-min CASE chain —
-  // one output row per input row, duplicates preserved.
+  // ---- oracle SQL (see ClusterSql for the shared generators) ----------
 
-  private val orderCols = ("pid" +: dims).mkString(", ")
+  import ClusterSql.{assignSql => asg, widenSql => wid, orderCols}
+
+  private def assignSql(cwIn: String, out: String): String = asg(K, cwIn, out)
+  private def widenSql(cIn: String, out: String): String = wid(K, cIn, out)
 
   /** Centers CTE c0: first K points by (pid, dims). */
   private def c0Sql: String =
@@ -106,33 +104,6 @@ object KMeans {
        |  SELECT CAST(row_number() OVER (ORDER BY $orderCols) - 1 AS INT) AS k,
        |         ${dims.zipWithIndex.map { case (d, i) => s"$d AS c${i + 1}" }.mkString(", ")}
        |  FROM (SELECT * FROM pts ORDER BY $orderCols LIMIT $K))""".stripMargin
-
-  /** Pivot a (k, c1..cD) centers CTE into one wide row k{k}_{j}. */
-  private def widenSql(cIn: String, out: String): String =
-    s"$out AS (SELECT " +
-      (0 until K).flatMap(k => dims.indices.map(j =>
-        s"max(CASE WHEN k = $k THEN c${j + 1} END) AS k${k}_${j + 1}")).mkString(", ") +
-      s" FROM $cIn)"
-
-  /** Euclidean distance to wide-row center k, matching distTo's op order. */
-  private def distExprSql(k: Int): String =
-    "sqrt(" + dims.zipWithIndex.map { case (d, j) =>
-      s"($d - k${k}_${j + 1}) * ($d - k${k}_${j + 1})"
-    }.mkString(" + ") + ")"
-
-  /** One assign stage over wide centers: nearest-center k (ties ->
-    * lowest k) and its distance, one row per input row. */
-  private def assignSql(cwIn: String, out: String): String = {
-    val ds = (0 until K).map(k => s"${distExprSql(k)} AS d$k").mkString(", ")
-    val caseArm = (0 until K - 1).map(i =>
-      "WHEN " + (i + 1 until K).map(j => s"d$i <= d$j").mkString(" AND ") + s" THEN $i").mkString(" ")
-    s"""${out}_d AS (
-       |  SELECT p.*, $ds FROM pts p CROSS JOIN $cwIn),
-       |$out AS (
-       |  SELECT *, least(${(0 until K).map("d" + _).mkString(", ")}) AS dist,
-       |    CASE $caseArm ELSE ${K - 1} END AS k
-       |  FROM ${out}_d)""".stripMargin
-  }
 
   /** One update stage: per-cluster mean (round 6) from an assignment. */
   private def updateSql(aIn: String, out: String): String =

@@ -2,6 +2,7 @@ package graft.clustering
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables.t
 
 /** Numeric point-set views over the testdata tables, playing the role
@@ -54,6 +55,15 @@ object Points {
       .select(dims.map(col): _*)
       .collect()
       .map(r => dims.indices.map(r.getDouble).toArray)
+
+  /** Add a unique row id without any global sort: pid collides only
+    * within tiny groups, so a pid-partitioned row_number (cheap, scales
+    * — every partition is a handful of rows) disambiguates. Used by the
+    * GA/PSO loops that must address a single gene/row. */
+  def withRid(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy("pid").orderBy(dims.map(col): _*)
+    df.withColumn("rid", col("pid") * 100 + row_number().over(w))
+  }
 
   /** SQL fragment shared by the clustering oracles: the point set. */
   val ptsSql: String =

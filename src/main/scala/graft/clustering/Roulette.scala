@@ -1,0 +1,51 @@
+package graft.clustering
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** Distributed roulette-wheel gene pick for GKA mutation
+  * (gka.java:206-236): find the row, in rid order, where the running
+  * sum of weights crosses a target.
+  *
+  * The reference builds the whole cumulative wheel in one driver array
+  * (gka.java:212-214). A single-partition window would be the Spark
+  * equivalent — and a scale-killer. Instead: range-partition by rid,
+  * per-partition presums (one tiny collect), broadcast the offsets,
+  * then scan only the one partition containing the target.
+  */
+object Roulette {
+
+  /** @return rid of the first row (by rid order) whose prefix sum of
+    *         `wCol` exceeds target; the last rid if none does. */
+  def pickByPrefix(df: DataFrame, ridCol: String, wCol: String,
+                   target: Double, parts: Int = 32): Long = {
+    val sorted = df.select(col(ridCol).cast("long").as("rid"), col(wCol).cast("double").as("w"))
+      .repartitionByRange(parts, col("rid"))
+      .sortWithinPartitions("rid")
+      .cache()
+    try {
+      val sums = sorted.rdd
+        .mapPartitionsWithIndex { case (i, it) =>
+          var s = 0.0; var n = 0L
+          it.foreach { r => s += r.getDouble(1); n += 1 }
+          Iterator((i, s, n))
+        }.collect().sortBy(_._1)
+      val offsets = sums.scanLeft(0.0)(_ + _._2)
+      val pi = sums.indices
+        .find(i => sums(i)._3 > 0 && offsets(i + 1) > target)
+        .getOrElse(sums.indices.reverse.find(sums(_)._3 > 0).getOrElse(0))
+      val base = offsets(pi)
+      sorted.rdd.mapPartitionsWithIndex { case (i, it) =>
+        if (i != pi) Iterator.empty
+        else {
+          var acc = base; var res = -1L; var last = -1L
+          while (it.hasNext && res < 0) {
+            val r = it.next(); acc += r.getDouble(1); last = r.getLong(0)
+            if (acc > target) res = last
+          }
+          Iterator(if (res >= 0) res else last)
+        }
+      }.collect().headOption.getOrElse(-1L)
+    } finally sorted.unpersist()
+  }
+}

@@ -1,0 +1,55 @@
+package graft.clustering
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class GkaPsoSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+  private val sf = "/root/testdata/sf0.001"
+
+  test("roulette prefix pick lands on the weight-proportional row") {
+    val df = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 4.0)).toDF("rid", "w")
+    // prefix sums: 1, 3, 6, 10
+    assert(Roulette.pickByPrefix(df, "rid", "w", 0.5) == 1L)
+    assert(Roulette.pickByPrefix(df, "rid", "w", 2.9) == 2L)
+    assert(Roulette.pickByPrefix(df, "rid", "w", 3.0) == 3L)
+    assert(Roulette.pickByPrefix(df, "rid", "w", 9.99) == 4L)
+    assert(Roulette.pickByPrefix(df, "rid", "w", 99.0) == 4L, "past-total falls to last row")
+  }
+
+  test("withRid disambiguates duplicate pids deterministically") {
+    val pts = Points.withRid(Points.lineitem4d(spark, sf)).cache()
+    val n = pts.count()
+    assert(pts.select("rid").distinct().count() == n, "rid must be unique")
+    pts.unpersist()
+  }
+
+  test("gka centersFromAssign matches a direct groupBy") {
+    val pts = Points.lineitem4d(spark, sf)
+    val centers = GKA.centersFromAssign(pts, pmod(col("pid"), lit(4)))
+    assert(centers.length == 4)
+    val direct = pts.filter(pmod(col("pid"), lit(4)) === 0)
+      .agg(round(avg("x1"), 6)).as[Double].head()
+    assert(centers(0)(0) == direct)
+  }
+
+  test("gka full GA improves best objective monotonically") {
+    val out = GKA.qFull(spark, sf).orderBy("iter").select("best").as[Double].collect()
+    assert(out.length == 3)
+    assert(out.zip(out.tail).forall { case (a, b) => b <= a + 1e-9 }, out.mkString(","))
+  }
+
+  test("pso objectives: one agg returns every particle's objective") {
+    val pts = Points.lineitem4d(spark, sf)
+    val particles = PSO.initParticles(pts, 3)
+    val (n, objs) = PSO.objectives(pts, particles)
+    assert(n == 6000L && objs.length == 3 && objs.forall(_ > 0))
+  }
+
+  test("pso full loop: gbest never worsens") {
+    val out = PSO.qFull(spark, sf).orderBy("iter").select("best").as[Double].collect()
+    assert(out.length == 4)
+    assert(out.zip(out.tail).forall { case (a, b) => b <= a + 1e-9 })
+  }
+}
