@@ -18,7 +18,9 @@ object SparkEntry {
     relational.Relational.queries ++
       clustering.KMeans.queries ++
       clustering.GKA.queries ++
-      clustering.PSO.queries
+      clustering.PSO.queries ++
+      dedup.Dedup.queries ++
+      search.SimSearch.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -26,5 +28,7 @@ object SparkEntry {
     relational.Relational.oracleSql ++
       clustering.KMeans.oracleSql ++
       clustering.GKA.oracleSql ++
-      clustering.PSO.oracleSql
+      clustering.PSO.oracleSql ++
+      dedup.Dedup.oracleSql ++
+      search.SimSearch.oracleSql
 }

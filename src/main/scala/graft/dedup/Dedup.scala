@@ -1,0 +1,205 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+import graft.functions.VectorOps
+
+/** Deduplication operators for a training-data pipeline, over the
+  * `documents` corpus (and `embeddings` for vector near-dup).
+  *
+  * Scale rules (SURVEY.md §5): signatures/fingerprints are computed
+  * with codegen'd HOFs — zero shuffle per document; candidate pairs
+  * come ONLY from LSH band buckets or sign buckets (equi-joins on
+  * bucket keys); there is no all-pairs CartesianProduct anywhere.
+  */
+object Dedup {
+
+  /** Hash-family member i of word w: md5("i:w") — deterministic and
+    * identical in DuckDB, standing in for the usual (a*x+b) mod p
+    * permutations. Min over the word set = the MinHash signature. */
+  private def mhExpr(i: Int): Column =
+    expr(s"array_min(transform(split(text, ' '), w -> md5(concat('$i:', w))))").as(s"mh_$i")
+
+  val H = 8 // signature length
+  val BANDS = 4 // 2 rows per band
+
+  // ---- exact dedup -----------------------------------------------------
+
+  /** Exact dedup: content hash -> keeper id + multiplicity. One
+    * partial-aggregating shuffle on the hash; keep-first = min id. */
+  def qExact(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+
+  // ---- MinHash + LSH ---------------------------------------------------
+
+  def signatures(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id") +: (0 until H).map(mhExpr): _*)
+
+  def qMinhash(spark: SparkSession, dir: String): DataFrame =
+    signatures(t(spark, dir, "documents"))
+
+  /** Long-format (doc_id, band, band_hash): md5 over each band's 2
+    * signature rows. */
+  def bands(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"), explode(array((0 until BANDS).map(b =>
+      struct(lit(b).as("band"),
+        md5(concat(col(s"mh_${2 * b}"), col(s"mh_${2 * b + 1}"))).as("bh"))): _*)).as("e"))
+      .select(col("doc_id"), col("e.band").as("band"), col("e.bh").as("bh"))
+
+  /** Candidate pairs: docs sharing any band bucket. Equi-join on
+    * (band, bh) — shuffle is on the bucket key, pairs only form inside
+    * buckets. */
+  def candidates(spark: SparkSession, dir: String): DataFrame = {
+    val b = bands(signatures(t(spark, dir, "documents")))
+    b.as("a").join(b.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
+      .distinct()
+  }
+
+  private def wordSets(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("ws"))
+
+  /** LSH near-dup: exact word-set Jaccard >= 0.8 over band candidates.
+    * Candidates (small) join back to word sets by id — the word arrays
+    * are never carried through the pair explosion. */
+  def qMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val w = wordSets(spark, dir)
+    candidates(spark, dir)
+      .join(w.select(col("doc_id").as("ia"), col("ws").as("wa")), "ia")
+      .join(w.select(col("doc_id").as("ib"), col("ws").as("wb")), "ib")
+      .withColumn("j",
+        size(array_intersect(col("wa"), col("wb"))).cast("double") /
+          size(array_union(col("wa"), col("wb"))))
+      .filter(col("j") >= 0.8)
+      .select("ia", "ib", "j")
+  }
+
+  /** Char-5-gram Jaccard over the same banded candidates (>= 0.6). */
+  def qNgram(spark: SparkSession, dir: String): DataFrame = {
+    val g = t(spark, dir, "documents").select(col("doc_id"),
+      expr("array_distinct(transform(sequence(1, length(text) - 4), i -> substring(text, i, 5)))").as("gs"))
+    candidates(spark, dir)
+      .join(g.select(col("doc_id").as("ia"), col("gs").as("ga")), "ia")
+      .join(g.select(col("doc_id").as("ib"), col("gs").as("gb")), "ib")
+      .withColumn("jg",
+        size(array_intersect(col("ga"), col("gb"))).cast("double") /
+          size(array_union(col("ga"), col("gb"))))
+      .filter(col("jg") >= 0.6)
+      .select("ia", "ib", "jg")
+  }
+
+  // ---- SimHash ---------------------------------------------------------
+
+  /** 64-bit SimHash as a '0'/'1' bitstring: per distinct word, md5's
+    * first 16 hex nibbles give 64 bits; sum +/-1 per position; sign ->
+    * bit. One HOF fold per document, no shuffle at all. */
+  def qSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val bitsOfW =
+      "transform(sequence(0, 63), b -> " +
+        "(shiftright(instr('0123456789abcdef', substr(md5(w), (b div 4) + 1, 1)) - 1, " +
+        "3 - (b % 4)) & 1) * 2 - 1)"
+    val counts =
+      s"aggregate(array_distinct(split(text, ' ')), transform(sequence(0, 63), b -> 0), " +
+        s"(acc, w) -> zip_with(acc, $bitsOfW, (x, y) -> x + y))"
+    t(spark, dir, "documents").select(col("doc_id"),
+      expr(s"array_join(transform($counts, c -> CASE WHEN c > 0 THEN '1' ELSE '0' END), '')")
+        .as("simhash"))
+  }
+
+  // ---- embedding near-dup ----------------------------------------------
+
+  /** Vector near-dup: sign-LSH bucket join, cosine >= 0.35 within
+    * buckets. */
+  def qEmbed(spark: SparkSession, dir: String): DataFrame = {
+    val b = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), VectorOps.signBucket("embedding", 4).as("bk"))
+    b.as("a").join(b.as("b"),
+        col("a.bk") === col("b.bk") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("ia"), col("b.vec_id").as("ib"),
+        VectorOps.cosine("a.embedding", "b.embedding").as("cs"))
+      .filter(col("cs") >= 0.35)
+  }
+
+  // ---- oracle SQL ------------------------------------------------------
+
+  private def mhSql(i: Int): String =
+    s"list_aggregate(list_transform(string_split(text, ' '), w -> md5(concat('$i:', w))), 'min') AS mh_$i"
+
+  private val sigSql =
+    s"sig AS (SELECT doc_id, ${(0 until H).map(mhSql).mkString(", ")} FROM documents)"
+
+  private val bandsSql =
+    "bands AS (" + (0 until BANDS).map(b =>
+      s"SELECT doc_id, $b AS band, md5(concat(mh_${2 * b}, mh_${2 * b + 1})) AS bh FROM sig")
+      .mkString(" UNION ALL ") + ")"
+
+  private val candsSql =
+    """cands AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+      |  FROM bands a JOIN bands b
+      |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> (qExact _),
+    "dedup_minhash" -> (qMinhash _),
+    "dedup_minhash_lsh" -> (qMinhashLsh _),
+    "dedup_ngram" -> (qNgram _),
+    "dedup_simhash" -> (qSimhash _),
+    "dedup_embed" -> (qEmbed _))
+
+  val oracleSql: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+        |  count(*) AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+    "dedup_minhash" ->
+      s"SELECT doc_id, ${(0 until H).map(mhSql).mkString(", ")} FROM documents",
+    "dedup_minhash_lsh" ->
+      s"""WITH $sigSql,
+         |$bandsSql,
+         |$candsSql,
+         |w AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM documents)
+         |SELECT ia, ib, j FROM (
+         |  SELECT ia, ib,
+         |    CAST(len(list_intersect(wa.ws, wb.ws)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(wa.ws, wb.ws))) AS j
+         |  FROM cands JOIN w wa ON ia = wa.doc_id JOIN w wb ON ib = wb.doc_id)
+         |WHERE j >= 0.8""".stripMargin,
+    "dedup_ngram" ->
+      s"""WITH $sigSql,
+         |$bandsSql,
+         |$candsSql,
+         |g AS (SELECT doc_id, list_distinct(list_transform(range(1, len(text) - 3),
+         |        i -> substr(text, CAST(i AS INT), 5))) AS gs FROM documents)
+         |SELECT ia, ib, jg FROM (
+         |  SELECT ia, ib,
+         |    CAST(len(list_intersect(ga.gs, gb.gs)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(ga.gs, gb.gs))) AS jg
+         |  FROM cands JOIN g ga ON ia = ga.doc_id JOIN g gb ON ib = gb.doc_id)
+         |WHERE jg >= 0.6""".stripMargin,
+    "dedup_simhash" ->
+      """WITH wd AS (
+        |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w FROM documents),
+        |h AS (SELECT doc_id, md5(w) AS hx FROM wd),
+        |bits AS (
+        |  SELECT doc_id, b,
+        |    sum(((instr('0123456789abcdef', substr(hx, CAST(b // 4 AS INT) + 1, 1)) - 1
+        |          >> CAST(3 - (b % 4) AS INT)) & 1) * 2 - 1) AS cnt
+        |  FROM h, (SELECT unnest(range(64)) AS b) GROUP BY doc_id, b)
+        |SELECT doc_id,
+        |  string_agg(CASE WHEN cnt > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash
+        |FROM bits GROUP BY doc_id""".stripMargin,
+    "dedup_embed" ->
+      s"""WITH b AS (SELECT vec_id, embedding,
+         |  ${VectorOps.signBucketSql("embedding", 4)} AS bk FROM embeddings)
+         |SELECT ia, ib, cs FROM (
+         |  SELECT a.vec_id AS ia, b2.vec_id AS ib,
+         |    ${VectorOps.cosineSql("a.embedding", "b2.embedding")} AS cs
+         |  FROM b a JOIN b b2 ON a.bk = b2.bk AND a.vec_id < b2.vec_id)
+         |WHERE cs >= 0.35""".stripMargin)
+}

@@ -1,0 +1,53 @@
+package graft.dedup
+
+import graft.clustering.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+  private val sf = "/root/testdata/sf0.001"
+
+  test("exact dedup keeps the lowest doc_id per content hash") {
+    val out = Dedup.qExact(spark, sf)
+    assert(out.count() > 0)
+    assert(out.filter($"n_copies" < 1).count() == 0)
+  }
+
+  test("minhash signature is invariant to word order and duplication") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq((1L, "a b c"), (2L, "c b a a")).toDF("doc_id", "text")
+    val sig = Dedup.signatures(docs).collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(sig(1L) == sig(2L), "same word set must give identical signatures")
+  }
+
+  test("identical texts share every LSH band bucket") {
+    val docs = Seq((1L, "x y z w"), (2L, "x y z w"), (3L, "totally different words here"))
+      .toDF("doc_id", "text")
+    val b = Dedup.bands(Dedup.signatures(docs))
+    val shared = b.as("a").join(b.as("b"),
+      org.apache.spark.sql.functions.col("a.band") === org.apache.spark.sql.functions.col("b.band") &&
+        org.apache.spark.sql.functions.col("a.bh") === org.apache.spark.sql.functions.col("b.bh") &&
+        org.apache.spark.sql.functions.col("a.doc_id") < org.apache.spark.sql.functions.col("b.doc_id"))
+    assert(shared.count() == Dedup.BANDS, "pair (1,2) in all bands, 3 in none")
+  }
+
+  test("near-dup candidates have high jaccard on real data") {
+    val out = Dedup.qMinhashLsh(spark, sf)
+    assert(out.count() > 0)
+    assert(out.filter($"j" < 0.8).count() == 0)
+  }
+
+  test("simhash is 64 bits and deterministic") {
+    val out = Dedup.qSimhash(spark, sf).limit(5).collect()
+    assert(out.forall(_.getString(1).length == 64))
+    assert(out.forall(_.getString(1).forall(c => c == '0' || c == '1')))
+  }
+
+  test("no physical plan in the dedup family contains a cartesian product") {
+    for ((_, fn) <- Dedup.queries) {
+      val plan = fn(spark, sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), plan.take(400))
+    }
+  }
+}

@@ -1,0 +1,33 @@
+package graft.search
+
+import graft.clustering.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class SimSearchSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+  private val sf = "/root/testdata/sf0.001"
+
+  test("brute-force topk returns k ranked neighbors per query") {
+    val out = SimSearch.qTopK(spark, sf).cache()
+    val perQ = out.groupBy("q_id").count().select("count").as[Long].collect()
+    assert(perQ.forall(_ == 10))
+    // ranks are 1..10 and cosine non-increasing with rank
+    val one = out.filter($"q_id" === 1).orderBy("rank").select("cs").as[Double].collect()
+    assert(one.zip(one.tail).forall { case (a, b) => b <= a })
+    out.unpersist()
+  }
+
+  test("ann results are a subset of the query's sign bucket") {
+    val out = SimSearch.qAnn(spark, sf)
+    assert(out.count() > 0)
+    assert(out.filter($"rank" > 5).count() == 0)
+  }
+
+  test("cosine of a vector with itself is 1") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(Tuple1(Array(1.0f, 2.0f, 3.0f))).toDF("embedding")
+    val cs = df.select(graft.functions.VectorOps.cosine("embedding", "embedding")).as[Double].head()
+    assert(math.abs(cs - 1.0) < 1e-9)
+  }
+}
