@@ -20,7 +20,9 @@ object SparkEntry {
       clustering.GKA.queries ++
       clustering.PSO.queries ++
       dedup.Dedup.queries ++
-      search.SimSearch.queries
+      search.SimSearch.queries ++
+      text.TextAnalysis.queries ++
+      multimodal.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -30,5 +32,7 @@ object SparkEntry {
       clustering.GKA.oracleSql ++
       clustering.PSO.oracleSql ++
       dedup.Dedup.oracleSql ++
-      search.SimSearch.oracleSql
+      search.SimSearch.oracleSql ++
+      text.TextAnalysis.oracleSql ++
+      multimodal.Multimodal.oracleSql
 }

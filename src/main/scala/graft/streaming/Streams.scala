@@ -1,0 +1,66 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over the events stream shape —
+  * streaming twins of the batch events_hourly / events_sessionize
+  * queries.
+  *
+  * State design for scale: hourly counts carry a watermark so state is
+  * bounded; sessionization keeps ONE small open-session record per
+  * user key in the state store, never the raw events.
+  */
+object Streams {
+
+  case class Ev(user_id: Long, ts: Timestamp, value: Double)
+  case class OpenSession(startMs: Long, lastMs: Long, n: Long, sum: Double)
+  case class SessionOut(user_id: Long, sess_start: Timestamp, sess_end: Timestamp,
+                        n_events: Long, sum_value: Double)
+
+  val GapMs: Long = 30 * 60 * 1000L
+
+  /** Tumbling-hour windowed aggregation with a 2h watermark. Works on
+    * a streaming OR batch DataFrame with (ts, event_type, value). */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      .select(col("w.start").as("hour"), col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Gap-based sessionization (30 min idle closes a session) via
+    * flatMapGroupsWithState. Emits a session when a later event
+    * arrives past the gap; the open session stays in state. */
+  def sessionize(events: Dataset[Ev]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(updateSessions)
+  }
+
+  private[streaming] def updateSessions(
+      userId: Long, events: Iterator[Ev],
+      state: GroupState[OpenSession]): Iterator[SessionOut] = {
+    val sorted = events.toSeq.sortBy(e => (e.ts.getTime, e.value))
+    var open = state.getOption
+    val closed = scala.collection.mutable.ListBuffer.empty[SessionOut]
+    for (e <- sorted) {
+      val t = e.ts.getTime
+      open match {
+        case Some(s) if t - s.lastMs <= GapMs =>
+          open = Some(s.copy(lastMs = t, n = s.n + 1, sum = s.sum + e.value))
+        case Some(s) =>
+          closed += SessionOut(userId, new Timestamp(s.startMs), new Timestamp(s.lastMs), s.n, s.sum)
+          open = Some(OpenSession(t, t, 1, e.value))
+        case None =>
+          open = Some(OpenSession(t, t, 1, e.value))
+      }
+    }
+    open.foreach(state.update)
+    closed.iterator
+  }
+}

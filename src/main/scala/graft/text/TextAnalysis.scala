@@ -1,0 +1,160 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables.t
+
+/** Text-analysis operators over the documents corpus: quality
+  * scoring, language-ID heuristic, token counting, canonical
+  * fingerprinting, TF-IDF.
+  *
+  * Everything per-document is a codegen'd HOF over the split word
+  * array — no shuffle until an explicit corpus-level aggregation
+  * (TF-IDF's document-frequency join).
+  */
+object TextAnalysis {
+
+  private val STOP = Seq("the", "and", "of", "to", "in", "is")
+
+  private val MARKERS: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "nicht", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "est"),
+    "es" -> Seq("el", "los", "las", "y", "es", "de"),
+    "zh" -> Seq("的", "是", "在", "了", "我", "有"))
+
+  private def inList(ws: Seq[String]): String =
+    ws.map(w => s"'$w'").mkString("array(", ", ", ")")
+
+  /** Quality scoring: length, vocabulary richness, stopword density. */
+  def qQuality(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .withColumn("ws", split(col("text"), " "))
+      .select(
+        col("doc_id"),
+        size(col("ws")).cast("long").as("n_words"),
+        size(array_distinct(col("ws"))).cast("long").as("n_distinct"),
+        round(expr("aggregate(ws, 0, (a, w) -> a + length(w))").cast("double") / size(col("ws")), 6)
+          .as("avg_word_len"),
+        round(expr(s"size(filter(ws, w -> array_contains(${inList(STOP)}, w)))").cast("double")
+          / size(col("ws")), 6).as("stop_ratio"),
+        round(size(array_distinct(col("ws"))).cast("double") / size(col("ws")), 6).as("ttr"))
+
+  /** Marker-word language ID; argmax with fixed tie order, 'und' when
+    * nothing matches. (The synthetic corpus shares one vocabulary, so
+    * this exercises the operator, not real-language accuracy.) */
+  def qLangId(spark: SparkSession, dir: String): DataFrame = {
+    val scored = t(spark, dir, "documents")
+      .withColumn("ws", split(col("text"), " "))
+    val withScores = MARKERS.foldLeft(scored) { case (df, (l, ms)) =>
+      df.withColumn(s"s_$l",
+        expr(s"size(filter(ws, w -> array_contains(${inList(ms)}, w)))").cast("long"))
+    }
+    val langs = MARKERS.map(_._1)
+    val best = langs.init.zipWithIndex.foldRight(lit(langs.last): org.apache.spark.sql.Column) {
+      case ((l, i), els) =>
+        when(langs.drop(i + 1).map(o => col(s"s_$l") >= col(s"s_$o")).reduce(_ && _), lit(l))
+          .otherwise(els)
+    }
+    withScores.select(
+      Seq(col("doc_id")) ++ langs.map(l => col(s"s_$l")) :+
+        when(greatest(langs.map(l => col(s"s_$l")): _*) === 0, lit("und"))
+          .otherwise(best).as("pred_lang"): _*)
+  }
+
+  /** Token counting: whitespace tokens, alphabetic tokens, and a
+    * BPE-ish subtoken estimate (ceil(len/4) pieces per word). */
+  def qTokens(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .withColumn("ws", split(col("text"), " "))
+      .select(
+        col("doc_id"),
+        size(col("ws")).cast("long").as("n_tokens"),
+        expr("size(filter(ws, w -> w rlike '^[a-z]+$'))").cast("long").as("n_alpha"),
+        expr("aggregate(ws, CAST(0 AS BIGINT), (a, w) -> a + ((length(w) + 3) div 4))")
+          .as("n_subtokens"))
+
+  /** Canonical fingerprint: md5 of the sorted distinct vocabulary —
+    * word-order- and duplication-invariant document identity. */
+  def qFingerprint(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").select(col("doc_id"),
+      md5(array_join(array_sort(array_distinct(split(col("text"), " "))), " ")).as("fp"))
+
+  /** TF-IDF: top-3 terms per document by tf * ln(N/df), ordered on the
+    * rounded score for cross-engine rank stability. */
+  def qTfidf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val n = docs.count()
+    val tf = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val scored = tf.join(df, "word")
+      .withColumn("tfidf", round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
+    val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("word").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select("doc_id", "word", "tf", "df", "tfidf", "rk")
+  }
+
+  // ---- oracle SQL ------------------------------------------------------
+
+  private def inListSql(ws: Seq[String]): String =
+    ws.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_quality" -> (qQuality _),
+    "text_langid" -> (qLangId _),
+    "text_tokens" -> (qTokens _),
+    "text_fingerprint" -> (qFingerprint _),
+    "text_tfidf" -> (qTfidf _))
+
+  val oracleSql: Map[String, String] = {
+    val langs = MARKERS.map(_._1)
+    val scoreCols = MARKERS.map { case (l, ms) =>
+      s"CAST(len(list_filter(ws, w -> list_contains(${inListSql(ms)}, w))) AS BIGINT) AS s_$l"
+    }.mkString(", ")
+    val caseArm = langs.init.zipWithIndex.map { case (l, i) =>
+      "WHEN " + langs.drop(i + 1).map(o => s"s_$l >= s_$o").mkString(" AND ") + s" THEN '$l'"
+    }.mkString(" ")
+    Map(
+      "text_quality" ->
+        """SELECT doc_id,
+          |  CAST(len(ws) AS BIGINT) AS n_words,
+          |  CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct,
+          |  round(CAST(list_sum(list_transform(ws, w -> len(w))) AS DOUBLE) / len(ws), 6) AS avg_word_len,
+          |  round(CAST(len(list_filter(ws, w -> list_contains(['the', 'and', 'of', 'to', 'in', 'is'], w))) AS DOUBLE) / len(ws), 6) AS stop_ratio,
+          |  round(CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 6) AS ttr
+          |FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)""".stripMargin,
+      "text_langid" ->
+        s"""SELECT doc_id, ${langs.map(l => s"s_$l").mkString(", ")},
+           |  CASE WHEN greatest(${langs.map(l => s"s_$l").mkString(", ")}) = 0 THEN 'und'
+           |       $caseArm ELSE '${langs.last}' END AS pred_lang
+           |FROM (SELECT doc_id, $scoreCols
+           |      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))""".stripMargin,
+      "text_tokens" ->
+        """SELECT doc_id,
+          |  CAST(len(ws) AS BIGINT) AS n_tokens,
+          |  CAST(len(list_filter(ws, w -> regexp_matches(w, '^[a-z]+$'))) AS BIGINT) AS n_alpha,
+          |  CAST(list_sum(list_transform(ws, w -> (len(w) + 3) // 4)) AS BIGINT) AS n_subtokens
+          |FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)""".stripMargin,
+      "text_fingerprint" ->
+        """SELECT doc_id,
+          |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+          |FROM documents""".stripMargin,
+      "text_tfidf" ->
+        """WITH tf AS (
+          |  SELECT doc_id, word, count(*) AS tf FROM (
+          |    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+          |  GROUP BY doc_id, word),
+          |df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+          |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+          |scored AS (
+          |  SELECT doc_id, tf.word AS word, tf, df,
+          |    round(tf * ln((SELECT n FROM n) / df), 6) AS tfidf
+          |  FROM tf JOIN df ON tf.word = df.word),
+          |r AS (SELECT *, CAST(row_number() OVER (
+          |  PARTITION BY doc_id ORDER BY tfidf DESC, word ASC) AS INT) AS rk FROM scored)
+          |SELECT doc_id, word, tf, df, tfidf, rk FROM r WHERE rk <= 3""".stripMargin)
+  }
+}

@@ -1,0 +1,63 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.clustering.SparkTestSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ts(min: Long) = new Timestamp(1700000000000L + min * 60000L)
+
+  test("streaming sessionize splits on a 30-minute gap across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streams.Ev]
+    val q = Streams.sessionize(input.toDS())
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: two events 5 min apart (one open session)
+      input.addData(Streams.Ev(1L, ts(0), 1.0), Streams.Ev(1L, ts(5), 2.0))
+      q.processAllAvailable()
+      assert(spark.table("sess_out").count() == 0, "session still open")
+      // batch 2: an event 40 min later -> closes the first session
+      input.addData(Streams.Ev(1L, ts(45), 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("sess_out").as[Streams.SessionOut].collect()
+      assert(rows.length == 1)
+      assert(rows.head.n_events == 2 && rows.head.sum_value == 3.0)
+      assert(rows.head.sess_start == ts(0) && rows.head.sess_end == ts(5))
+    } finally q.stop()
+  }
+
+  test("streaming hourly counts over a memory stream match the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val df = input.toDF().toDF("ts", "event_type", "value")
+    val q = Streams.hourlyCounts(df)
+      .writeStream.format("memory").queryName("hourly_out")
+      .outputMode(OutputMode.Update).start()
+    try {
+      input.addData((ts(0), "click", 1.0), (ts(10), "click", 2.0), (ts(70), "view", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("hourly_out")
+        .select("event_type", "n_events", "sum_value")
+        .as[(String, Long, Double)].collect().toSet
+      assert(rows == Set(("click", 2L, 3.0), ("view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("batch events_hourly and streaming hourlyCounts agree on real data") {
+    val batch = graft.Tables.t(spark, "/root/testdata/sf0.001", "events")
+      .select($"ts", $"event_type", $"value")
+    val viaStreamOp = Streams.hourlyCounts(batch)
+      .groupBy("event_type").count().as[(String, Long)].collect().toMap
+    val direct = graft.relational.Relational.eventsHourly(spark, "/root/testdata/sf0.001")
+      .groupBy("event_type").count().as[(String, Long)].collect().toMap
+    assert(viaStreamOp == direct)
+  }
+}
