@@ -81,12 +81,26 @@ object GKA {
     val P = 6
     val pts = Points.lineitem4d(spark, dir).cache()
     try {
-      val fits = (0 until P).map { p =>
-        val centers = centersFromAssign(pts, pmod(col("pid") + lit(p), lit(K)))
-        val d = pts.select(minDist(centers).as("d"))
-          .agg(round(avg(col("d")), 3).as("f")).head.getDouble(0)
-        d
+      // centers for ALL chromosomes in one exploded groupBy, then all
+      // P fitnesses in ONE aggregate — 2 jobs total, not 2 per p
+      val packed = explode(array((0 until P).map(p =>
+        struct(lit(p).as("p"), pmod(col("pid") + lit(p), lit(K)).cast("int").as("sol"))): _*)).as("ps")
+      val centerRows = pts.select(packed +: dims.map(col): _*)
+        .select(Seq(col("ps.p").as("p"), col("ps.sol").as("sol")) ++ dims.map(col): _*)
+        .groupBy("p", "sol")
+        .agg(dims.zipWithIndex.map { case (d, j) => round(avg(col(d)), 6).as(s"c${j + 1}") }.head,
+          dims.zipWithIndex.tail.map { case (d, j) => round(avg(col(d)), 6).as(s"c${j + 1}") }: _*)
+        .collect()
+      val centersByP = centerRows.groupBy(_.getInt(0)).map { case (pi, rs) =>
+        pi -> rs.map(r => r.getInt(1) -> dims.indices.map(j => r.getDouble(2 + j)).toArray)
+          .sortBy(_._1).map(_._2)
       }
+      val aggRow = pts
+        .select((0 until P).map(p => minDist(centersByP(p)).as(s"d$p")): _*)
+        .agg(round(avg(col("d0")), 3).as("f0"),
+          (1 until P).map(p => round(avg(col(s"d$p")), 3).as(s"f$p")): _*)
+        .head
+      val fits = (0 until P).map(aggRow.getDouble)
       val iv = fits.map(1.0 / _)
       val tot = iv.sum
       val cums = iv.scanLeft(0.0)(_ + _).tail.map(_ / tot)
@@ -133,22 +147,25 @@ object GKA {
       val prev = state
       val mid = next.cache()
       state = mid
-      // fitness + dmax in one distributed agg
+      // fitness + dmax + n in one distributed agg
       val aggRow = state.agg(
-        avg(col("d0")).as("f0"),
-        (1 until P).map(i => avg(col(s"d$i")).as(s"f$i")) ++
+        count(lit(1)).as("n"),
+        (0 until P).map(i => avg(col(s"d$i")).as(s"f$i")) ++
           (0 until P).map(i => max(col(s"d$i")).as(s"m$i")): _*).head
-      val fitness = (0 until P).map(i => aggRow.getDouble(i)).toArray
-      val dmax = (0 until P).map(i => aggRow.getDouble(P + i)).toArray
+      val n = aggRow.getLong(0)
+      val fitness = (0 until P).map(i => aggRow.getDouble(1 + i)).toArray
+      val dmax = (0 until P).map(i => aggRow.getDouble(1 + P + i)).toArray
       best = math.min(best, fitness.min)
       out += ((iter, best))
 
-      // mutation (gka.java:165-237): roulette-pick one gene, flip it
+      // mutation (gka.java:165-237): roulette-pick one gene, flip it.
+      // Wheel total = sum(Cm*dmax - d) = n*(Cm*dmax - avg d): derived
+      // from the agg above, no extra pass over the data.
       var mutated = state
       for (i <- 0 until P if rng.nextDouble() < Pm) {
         val w = lit(Cm) * lit(dmax(i)) - col(s"d$i")
-        val total = state.select(sum(w).as("t")).head.getDouble(0)
-        val rid = Roulette.pickByPrefix(state.withColumn("w", w), "rid", "w",
+        val total = n * (Cm * dmax(i) - fitness(i))
+        val rid = Roulette.pickByPrefixInPlace(state.withColumn("w", w), "rid", "w",
           rng.nextDouble() * total)
         mutated = mutated.withColumn(s"s$i",
           when(col("rid") === lit(rid), lit(rng.nextInt(K))).otherwise(col(s"s$i")))
@@ -161,13 +178,12 @@ object GKA {
         val f = rng.nextDouble()
         cum.indexWhere(f < _) match { case -1 => P - 1; case j => j }
       }
-      val reselected = mutated.select(
+      // selection is a pure column remap — left lazy on top of the
+      // cached mid state; no extra materialization pass
+      state = mutated.select(
         (col("rid") +: dims.map(col)) ++
           (0 until P).map(i => col(s"s${picks(i)}").as(s"s$i")): _*)
-      state = reselected.cache()
-      state.count()
       prev.unpersist()
-      mid.unpersist()
     }
     import spark.implicits._
     out.toSeq.toDF("iter", "best")

@@ -15,6 +15,37 @@ import org.apache.spark.sql.functions.col
   */
 object Roulette {
 
+  /** In-place variant: prefix order = (partition index, row order
+    * within the cached partition) — deterministic for a cached input,
+    * and NO shuffle/sort at all: two narrow passes. Weight-proportional
+    * selection only needs *a* fixed order, not a sorted one. */
+  def pickByPrefixInPlace(df: DataFrame, ridCol: String, wCol: String,
+                          target: Double): Long = {
+    val slim = df.select(col(ridCol).cast("long").as("rid"), col(wCol).cast("double").as("w"))
+    val sums = slim.rdd
+      .mapPartitionsWithIndex { case (i, it) =>
+        var s = 0.0; var n = 0L
+        it.foreach { r => s += r.getDouble(1); n += 1 }
+        Iterator((i, s, n))
+      }.collect().sortBy(_._1)
+    val offsets = sums.scanLeft(0.0)(_ + _._2)
+    val pi = sums.indices
+      .find(i => sums(i)._3 > 0 && offsets(i + 1) > target)
+      .getOrElse(sums.indices.reverse.find(sums(_)._3 > 0).getOrElse(0))
+    val base = offsets(pi)
+    slim.rdd.mapPartitionsWithIndex { case (i, it) =>
+      if (i != pi) Iterator.empty
+      else {
+        var acc = base; var res = -1L; var last = -1L
+        while (it.hasNext && res < 0) {
+          val r = it.next(); acc += r.getDouble(1); last = r.getLong(0)
+          if (acc > target) res = last
+        }
+        Iterator(if (res >= 0) res else last)
+      }
+    }.collect().headOption.getOrElse(-1L)
+  }
+
   /** @return rid of the first row (by rid order) whose prefix sum of
     *         `wCol` exceeds target; the last rid if none does. */
   def pickByPrefix(df: DataFrame, ridCol: String, wCol: String,

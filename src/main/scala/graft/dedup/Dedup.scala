@@ -49,15 +49,18 @@ object Dedup {
         md5(concat(col(s"mh_${2 * b}"), col(s"mh_${2 * b + 1}"))).as("bh"))): _*)).as("e"))
       .select(col("doc_id"), col("e.band").as("band"), col("e.bh").as("bh"))
 
-  /** Candidate pairs: docs sharing any band bucket. Equi-join on
-    * (band, bh) — shuffle is on the bucket key, pairs only form inside
-    * buckets. */
+  /** Candidate pairs: STAR-shaped within each band bucket — every doc
+    * pairs only with its bucket's min doc_id (the keeper). All-pairs
+    * within a bucket is quadratic and explodes on degenerate near-dup
+    * families (a single sf0.1 bucket holds 3k docs = 5M pairs); the
+    * star is linear in corpus size, which is also the right semantics
+    * for dedup keeper-selection. Equi-join on (band, bh) only. */
   def candidates(spark: SparkSession, dir: String): DataFrame = {
-    val b = bands(signatures(t(spark, dir, "documents")))
-    b.as("a").join(b.as("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
+    val b = bands(signatures(t(spark, dir, "documents"))).cache()
+    val mins = b.groupBy("band", "bh").agg(min("doc_id").as("ia"))
+    b.join(mins, Seq("band", "bh"))
+      .filter(col("doc_id") > col("ia"))
+      .select(col("ia"), col("doc_id").as("ib"))
       .distinct()
   }
 
@@ -114,15 +117,19 @@ object Dedup {
 
   // ---- embedding near-dup ----------------------------------------------
 
-  /** Vector near-dup: sign-LSH bucket join, cosine >= 0.35 within
-    * buckets. */
+  /** Vector near-dup: sign-LSH bucket join, cosine >= 0.35, star-shaped
+    * within buckets (each vector vs its bucket's min id) — linear in
+    * corpus size like the text candidates. */
   def qEmbed(spark: SparkSession, dir: String): DataFrame = {
     val b = t(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"), VectorOps.signBucket("embedding", 4).as("bk"))
-    b.as("a").join(b.as("b"),
-        col("a.bk") === col("b.bk") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("ia"), col("b.vec_id").as("ib"),
-        VectorOps.cosine("a.embedding", "b.embedding").as("cs"))
+      .cache()
+    val mins = b.groupBy("bk").agg(min("vec_id").as("ia"))
+    val keepers = b.select(col("vec_id").as("ia"), col("embedding").as("ea"))
+    b.join(mins, "bk").filter(col("vec_id") > col("ia"))
+      .join(keepers, "ia")
+      .select(col("ia"), col("vec_id").as("ib"),
+        VectorOps.cosine("ea", "embedding").as("cs"))
       .filter(col("cs") >= 0.35)
   }
 
@@ -140,9 +147,10 @@ object Dedup {
       .mkString(" UNION ALL ") + ")"
 
   private val candsSql =
-    """cands AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
-      |  FROM bands a JOIN bands b
-      |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)""".stripMargin
+    """mins AS (SELECT band, bh, min(doc_id) AS ia FROM bands GROUP BY band, bh),
+      |cands AS (SELECT DISTINCT ia, b.doc_id AS ib
+      |  FROM bands b JOIN mins m ON b.band = m.band AND b.bh = m.bh
+      |  WHERE b.doc_id > m.ia)""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (qExact _),
@@ -196,10 +204,13 @@ object Dedup {
         |FROM bits GROUP BY doc_id""".stripMargin,
     "dedup_embed" ->
       s"""WITH b AS (SELECT vec_id, embedding,
-         |  ${VectorOps.signBucketSql("embedding", 4)} AS bk FROM embeddings)
+         |  ${VectorOps.signBucketSql("embedding", 4)} AS bk FROM embeddings),
+         |mins AS (SELECT bk, min(vec_id) AS ia FROM b GROUP BY bk),
+         |k AS (SELECT vec_id AS ia, embedding AS ea FROM b)
          |SELECT ia, ib, cs FROM (
-         |  SELECT a.vec_id AS ia, b2.vec_id AS ib,
-         |    ${VectorOps.cosineSql("a.embedding", "b2.embedding")} AS cs
-         |  FROM b a JOIN b b2 ON a.bk = b2.bk AND a.vec_id < b2.vec_id)
+         |  SELECT m.ia, b.vec_id AS ib,
+         |    ${VectorOps.cosineSql("k.ea", "b.embedding")} AS cs
+         |  FROM b JOIN mins m ON b.bk = m.bk JOIN k ON k.ia = m.ia
+         |  WHERE b.vec_id > m.ia)
          |WHERE cs >= 0.35""".stripMargin)
 }
