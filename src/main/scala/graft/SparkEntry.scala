@@ -17,6 +17,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     relational.Relational.queries ++
       clustering.KMeans.queries ++
+      clustering.MLlibBridge.queries ++
       clustering.GKA.queries ++
       clustering.PSO.queries ++
       dedup.Dedup.queries ++

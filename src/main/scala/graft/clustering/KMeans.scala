@@ -146,14 +146,38 @@ object KMeans {
        |SELECT * FROM u$ITERS""".stripMargin
   }
 
+  /** Min-max normalization of the point set — completing the
+    * reference's read-time min/max stats (kmeans.java:219-230, which
+    * computes but never applies them). The 1-row stats aggregate is
+    * cross-joined (broadcast) so scaling is a pure per-row projection;
+    * identical arithmetic on identical min/max makes the oracle match
+    * bitwise with no rounding. */
+  def qNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val pts = Points.lineitem4d(spark, dir)
+    val statsRow = Points.stats(spark, dir)
+    pts.crossJoin(broadcast(statsRow))
+      .select(col("pid") +: dims.map(d =>
+        ((col(d) - col(s"min_$d")) / (col(s"max_$d") - col(s"min_$d"))).as(s"n_$d")): _*)
+  }
+
+  private val normalizeSql: String = {
+    val stats = dims.map(d => s"min($d) AS min_$d, max($d) AS max_$d").mkString(", ")
+    val scaled = dims.map(d => s"($d - min_$d) / (max_$d - min_$d) AS n_$d").mkString(", ")
+    s"""WITH pts AS ($ptsSql),
+       |st AS (SELECT $stats FROM pts)
+       |SELECT pid, $scaled FROM pts CROSS JOIN st""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dataset_stats" -> (Points.stats _),
+    "dataset_normalize" -> (qNormalize _),
     "kmeans_assign" -> (qAssign _),
     "kmeans_update" -> (qUpdate _),
     "kmeans_sse" -> (qSse _),
     "kmeans_full" -> (qFull _))
 
   val oracleSql: Map[String, String] = Map(
+    "dataset_normalize" -> normalizeSql,
     "dataset_stats" ->
       ("SELECT count(*) AS n, " +
         dims.map(d => s"min($d) AS min_$d, max($d) AS max_$d").mkString(", ") +

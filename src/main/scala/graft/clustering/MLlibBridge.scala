@@ -1,0 +1,41 @@
+package graft.clustering
+
+import org.apache.spark.ml.clustering.{KMeans => MLKMeans}
+import org.apache.spark.ml.feature.VectorAssembler
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Native MLlib mapping of the reference's clustering capability
+  * (BASELINE.json: "directly maps to MLlib"): the same lineitem point
+  * set through spark.ml's k-means|| implementation.
+  *
+  * Kept alongside the hand-rolled Lloyd's loop (KMeans.scala) because
+  * the latter is oracle-checkable step by step; this entry proves the
+  * library surface interoperates with spark.ml pipelines. Seeded but
+  * init is k-means|| (randomized), so registered rows-only.
+  */
+object MLlibBridge {
+
+  def qKmeansMllib(spark: SparkSession, dir: String): DataFrame = {
+    val pts = Points.lineitem4d(spark, dir)
+    val assembled = new VectorAssembler()
+      .setInputCols(Points.dims.toArray)
+      .setOutputCol("features")
+      .transform(pts)
+      .cache()
+    try {
+      val model = new MLKMeans()
+        .setK(4).setSeed(42L).setMaxIter(5)
+        .setFeaturesCol("features").setPredictionCol("k")
+        .fit(assembled)
+      model.transform(assembled)
+        .groupBy("k")
+        .agg(count(lit(1)).as("n"))
+    } finally { assembled.unpersist(); () }
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kmeans_mllib" -> (qKmeansMllib _))
+
+  val oracleSql: Map[String, String] = Map.empty
+}

@@ -118,6 +118,47 @@ object Relational {
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_events"), sum("k").as("sum_k"), round(avg("k"), 6).as("avg_k"))
 
+  /** Left anti join: customers with no large order (every customer has
+    * SOME order in the testdata, so the predicate keeps the result
+    * non-trivial). */
+  def joinAnti(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .join(t(spark, dir, "orders"),
+        col("c_custkey") === col("o_custkey") && col("o_totalprice") > 300000.0,
+        "left_anti")
+      .select("c_custkey", "c_name")
+
+  /** Left semi join: suppliers that shipped at least one lineitem. */
+  def joinSemi(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "supplier")
+      .join(t(spark, dir, "lineitem"), col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select("s_suppkey", "s_name")
+
+  /** ROLLUP hierarchy totals (region -> nation -> grand total), via the
+    * SQL API (DataFrame .rollup over this join trips Spark's ambiguous
+    * self-join attribute check in the Expand it generates). */
+  def rollupRevenue(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders")
+      .join(broadcast(t(spark, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(spark, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(spark, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .select("r_name", "n_name", "o_totalprice")
+      .createOrReplaceTempView("rollup_src")
+    spark.sql(
+      """SELECT coalesce(r_name, 'ALL') AS r_name, coalesce(n_name, 'ALL') AS n_name,
+        |  count(*) AS n_orders, round(sum(o_totalprice), 1) AS revenue
+        |FROM rollup_src GROUP BY ROLLUP(r_name, n_name)""".stripMargin)
+  }
+
+  /** Exact interpolated percentiles per group. */
+  def percentileQty(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
+        round(expr("percentile(l_quantity, 0.9)"), 6).as("p90"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 6).as("price_p50"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "scan_filter" -> (scanFilter _),
@@ -128,7 +169,11 @@ object Relational {
     "agg_distinct" -> (aggDistinct _),
     "events_hourly" -> (eventsHourly _),
     "events_sessionize" -> (eventsSessionize _),
-    "events_json" -> (eventsJson _))
+    "events_json" -> (eventsJson _),
+    "join_anti" -> (joinAnti _),
+    "join_semi" -> (joinSemi _),
+    "rollup_revenue" -> (rollupRevenue _),
+    "percentile_qty" -> (percentileQty _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -198,5 +243,26 @@ object Relational {
       """SELECT event_type, count(*) AS n_events,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k
-        |FROM events GROUP BY event_type""".stripMargin)
+        |FROM events GROUP BY event_type""".stripMargin,
+    "join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)""".stripMargin,
+    "join_semi" ->
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)""".stripMargin,
+    "rollup_revenue" ->
+      """SELECT coalesce(r_name, 'ALL') AS r_name, coalesce(n_name, 'ALL') AS n_name,
+        |  count(*) AS n_orders, round(sum(o_totalprice), 1) AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)""".stripMargin,
+    "percentile_qty" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+        |  round(quantile_cont(l_quantity, 0.9), 6) AS p90,
+        |  round(quantile_cont(l_extendedprice, 0.5), 6) AS price_p50
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin)
 }
