@@ -8,12 +8,12 @@ package graft.clustering
   * argmin is a first-min CASE chain — one output row per input row.
   */
 private[clustering] object ClusterSql {
-  import Points.dims
 
-  val orderCols: String = ("pid" +: dims).mkString(", ")
+  val orderCols: String = ("pid" +: Points.dims).mkString(", ")
 
   /** Pivot a (k, c1..cD) centers CTE into one wide row k{k}_{j}. */
-  def widenSql(k: Int, cIn: String, out: String): String =
+  def widenSql(k: Int, cIn: String, out: String,
+               dims: Seq[String] = Points.dims): String =
     s"$out AS (SELECT " +
       (0 until k).flatMap(ki => dims.indices.map(j =>
         s"max(CASE WHEN k = $ki THEN c${j + 1} END) AS k${ki}_${j + 1}")).mkString(", ") +
@@ -21,15 +21,17 @@ private[clustering] object ClusterSql {
 
   /** Euclidean distance to wide-row center k, matching Points.distTo's
     * operation order (left-fold adds, x*x). */
-  def distExprSql(ki: Int, prefix: String = "k"): String =
+  def distExprSql(ki: Int, prefix: String = "k",
+                  dims: Seq[String] = Points.dims): String =
     "sqrt(" + dims.zipWithIndex.map { case (d, j) =>
       s"($d - $prefix${ki}_${j + 1}) * ($d - $prefix${ki}_${j + 1})"
     }.mkString(" + ") + ")"
 
   /** One assign stage over wide centers: nearest-center k (ties ->
     * lowest k) and its distance, one row per input row of `src`. */
-  def assignSql(k: Int, cwIn: String, out: String, src: String = "pts"): String = {
-    val ds = (0 until k).map(ki => s"${distExprSql(ki)} AS d$ki").mkString(", ")
+  def assignSql(k: Int, cwIn: String, out: String, src: String = "pts",
+                dims: Seq[String] = Points.dims): String = {
+    val ds = (0 until k).map(ki => s"${distExprSql(ki, "k", dims)} AS d$ki").mkString(", ")
     val caseArm = (0 until k - 1).map(i =>
       "WHEN " + (i + 1 until k).map(j => s"d$i <= d$j").mkString(" AND ") + s" THEN $i").mkString(" ")
     s"""${out}_d AS (
@@ -41,8 +43,42 @@ private[clustering] object ClusterSql {
   }
 
   /** Per-class mean centers (round 6) from an assignment column. */
-  def centersSql(solCol: String, src: String, out: String): String =
+  def centersSql(solCol: String, src: String, out: String,
+                 dims: Seq[String] = Points.dims): String =
     s"""$out AS (
        |  SELECT $solCol AS k, ${dims.zipWithIndex.map { case (d, j) => s"round(avg($d), 6) AS c${j + 1}" }.mkString(", ")}
        |  FROM $src GROUP BY $solCol)""".stripMargin
+
+  /** Whole-oracle generators, parametric in the point set and dims. */
+  def c0Sql(k: Int, ptsSql: String, dims: Seq[String]): String = {
+    val oc = ("pid" +: dims).mkString(", ")
+    s"""c0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY $oc) - 1 AS INT) AS k,
+       |         ${dims.zipWithIndex.map { case (d, i) => s"$d AS c${i + 1}" }.mkString(", ")}
+       |  FROM (SELECT * FROM pts ORDER BY $oc LIMIT $k))""".stripMargin
+  }
+
+  def updateSql(aIn: String, out: String, dims: Seq[String]): String =
+    s"""$out AS (
+       |  SELECT k, count(*) AS n,
+       |         ${dims.zipWithIndex.map { case (d, i) => s"round(avg($d), 6) AS c${i + 1}" }.mkString(", ")}
+       |  FROM $aIn GROUP BY k)""".stripMargin
+
+  def fullLloydSql(k: Int, iters: Int, ptsSql: String, dims: Seq[String]): String = {
+    val stages = (1 to iters).map { i =>
+      val cIn = if (i == 1) "c0" else s"u${i - 1}"
+      s"${widenSql(k, cIn, s"${cIn}w", dims)},\n${assignSql(k, s"${cIn}w", s"a$i", "pts", dims)},\n${updateSql(s"a$i", s"u$i", dims)}"
+    }.mkString(",\n")
+    s"""WITH pts AS ($ptsSql),
+       |${c0Sql(k, ptsSql, dims)},
+       |$stages
+       |SELECT * FROM u$iters""".stripMargin
+  }
+
+  def assignOnlySql(k: Int, ptsSql: String, dims: Seq[String]): String =
+    s"""WITH pts AS ($ptsSql),
+       |${c0Sql(k, ptsSql, dims)},
+       |${widenSql(k, "c0", "c0w", dims)},
+       |${assignSql(k, "c0w", "a1", "pts", dims)}
+       |SELECT pid, k, dist FROM a1""".stripMargin
 }

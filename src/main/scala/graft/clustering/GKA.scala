@@ -43,7 +43,7 @@ object GKA {
   /** Min distance to any of the centers — the fitness kernel
     * (gka.java:149-164), one codegen'd expression, no shuffle. */
   def minDist(centers: Array[Array[Double]]): Column =
-    array_min(array(centers.map(distTo): _*))
+    array_min(array(centers.map(c => distTo(c)): _*))
 
   /** One exploded groupBy computing per-(chromosome, class) centers
     * for ALL chromosomes in a single pass. */
@@ -139,10 +139,10 @@ object GKA {
       var next = state
       for (i <- 0 until P) {
         val cs = centers(i)
-        val distArr = array(cs.map(distTo): _*)
+        val distArr = array(cs.map(c => distTo(c)): _*)
         next = next
           .withColumn(s"d$i", array_min(distArr))
-          .withColumn(s"s$i", (array_position(array(cs.map(distTo): _*), col(s"d$i")) - 1).cast("int"))
+          .withColumn(s"s$i", (array_position(array(cs.map(c => distTo(c)): _*), col(s"d$i")) - 1).cast("int"))
       }
       val prev = state
       val mid = next.cache()

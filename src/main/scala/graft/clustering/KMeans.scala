@@ -27,9 +27,11 @@ object KMeans {
   import Points.{dims, distTo, ptsSql}
 
   /** Add `k` (nearest-center index, ties -> lowest k, matching the
-    * reference's strict-> compare at kmeans.java:113) and `dist`. */
-  def assign(points: DataFrame, centers: Array[Array[Double]]): DataFrame = {
-    val distArr = array(centers.map(distTo): _*)
+    * reference's strict-> compare at kmeans.java:113) and `dist`.
+    * Generic over the dimension column set. */
+  def assign(points: DataFrame, centers: Array[Array[Double]],
+             ds: Seq[String] = dims): DataFrame = {
+    val distArr = array(centers.map(c => distTo(c, ds)): _*)
     points
       .withColumn("dist_arr", distArr)
       .withColumn("dist", array_min(col("dist_arr")))
@@ -38,25 +40,26 @@ object KMeans {
   }
 
   /** Per-cluster size + mean center (round 6 = the determinism spec). */
-  def update(assigned: DataFrame): DataFrame =
+  def update(assigned: DataFrame, ds: Seq[String] = dims): DataFrame =
     assigned.groupBy("k").agg(
       count(lit(1)).as("n"),
-      dims.zipWithIndex.map { case (d, i) =>
+      ds.zipWithIndex.map { case (d, i) =>
         round(avg(col(d)), 6).as(s"c${i + 1}")
       }: _*)
 
   /** Full Lloyd loop. Returns the final per-cluster summary
-    * (k, n, c1..c4). One Spark job per iteration; the collected
-    * per-iteration state is K*(dims+1) doubles. */
-  def lloyd(points: DataFrame, k: Int, iters: Int): DataFrame = {
+    * (k, n, c1..cD). One Spark job per iteration; the collected
+    * per-iteration state is K*(D+1) doubles. */
+  def lloyd(points: DataFrame, k: Int, iters: Int,
+            ds: Seq[String] = dims): DataFrame = {
     val pts = points.cache()
-    var centers = Points.firstKCenters(pts, k)
+    var centers = Points.firstKCenters(pts, k, ds)
     var lastUpdate: DataFrame = null
     for (_ <- 1 to iters) {
-      lastUpdate = update(assign(pts, centers))
+      lastUpdate = update(assign(pts, centers, ds), ds)
       val byK = lastUpdate.collect()
         .map(r => r.getAs[Int]("k") ->
-          dims.indices.map(i => r.getDouble(2 + i)).toArray).toMap
+          ds.indices.map(i => r.getDouble(2 + i)).toArray).toMap
       // deterministic reseed: an empty cluster keeps its previous center
       centers = Array.tabulate(k)(i => byK.getOrElse(i, centers(i)))
     }
@@ -93,17 +96,13 @@ object KMeans {
 
   // ---- oracle SQL (see ClusterSql for the shared generators) ----------
 
-  import ClusterSql.{assignSql => asg, widenSql => wid, orderCols}
+  import ClusterSql.{assignSql => asg, widenSql => wid}
 
   private def assignSql(cwIn: String, out: String): String = asg(K, cwIn, out)
   private def widenSql(cIn: String, out: String): String = wid(K, cIn, out)
 
   /** Centers CTE c0: first K points by (pid, dims). */
-  private def c0Sql: String =
-    s"""c0 AS (
-       |  SELECT CAST(row_number() OVER (ORDER BY $orderCols) - 1 AS INT) AS k,
-       |         ${dims.zipWithIndex.map { case (d, i) => s"$d AS c${i + 1}" }.mkString(", ")}
-       |  FROM (SELECT * FROM pts ORDER BY $orderCols LIMIT $K))""".stripMargin
+  private def c0Sql: String = ClusterSql.c0Sql(K, ptsSql, dims)
 
   /** One update stage: per-cluster mean (round 6) from an assignment. */
   private def updateSql(aIn: String, out: String): String =
@@ -168,13 +167,30 @@ object KMeans {
        |SELECT pid, $scaled FROM pts CROSS JOIN st""".stripMargin
   }
 
+  // ---- 64-dim embeddings through the SAME generic operator -----------
+
+  private val EMBED_ITERS = 2
+
+  /** Nearest-center assignment over the 64-dim embeddings corpus. */
+  def qEmbedAssign(spark: SparkSession, dir: String): DataFrame = {
+    val pts = Points.embeddings64(spark, dir)
+    assign(pts, Points.firstKCenters(pts, K, Points.embedDims), Points.embedDims)
+      .select("pid", "k", "dist")
+  }
+
+  /** Two Lloyd iterations over the embeddings corpus; final centers. */
+  def qEmbedFull(spark: SparkSession, dir: String): DataFrame =
+    lloyd(Points.embeddings64(spark, dir), K, EMBED_ITERS, Points.embedDims)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dataset_stats" -> (Points.stats _),
     "dataset_normalize" -> (qNormalize _),
     "kmeans_assign" -> (qAssign _),
     "kmeans_update" -> (qUpdate _),
     "kmeans_sse" -> (qSse _),
-    "kmeans_full" -> (qFull _))
+    "kmeans_full" -> (qFull _),
+    "kmeans_embed_assign" -> (qEmbedAssign _),
+    "kmeans_embed_full" -> (qEmbedFull _))
 
   val oracleSql: Map[String, String] = Map(
     "dataset_normalize" -> normalizeSql,
@@ -185,5 +201,9 @@ object KMeans {
     "kmeans_assign" -> oracleAssign,
     "kmeans_update" -> oracleUpdate,
     "kmeans_sse" -> oracleSse,
-    "kmeans_full" -> oracleFull)
+    "kmeans_full" -> oracleFull,
+    "kmeans_embed_assign" ->
+      ClusterSql.assignOnlySql(K, Points.embedPtsSql, Points.embedDims),
+    "kmeans_embed_full" ->
+      ClusterSql.fullLloydSql(K, EMBED_ITERS, Points.embedPtsSql, Points.embedDims))
 }

@@ -26,7 +26,7 @@ object PSO {
   /** All P particle objectives (avg min-dist) in one distributed agg. */
   def objectives(pts: DataFrame, particles: Seq[Array[Array[Double]]]): (Long, Array[Double]) = {
     val dcols = particles.zipWithIndex.map { case (cs, p) =>
-      array_min(array(cs.map(distTo): _*)).as(s"d$p")
+      array_min(array(cs.map(c => distTo(c)): _*)).as(s"d$p")
     }
     val row = pts.select(dcols: _*)
       .agg(count(lit(1)).as("n"),

@@ -40,21 +40,36 @@ object Points {
     * fixed center, mirrored operation-for-operation by the SQL oracles
     * (left-fold adds, x*x not pow) so results match bitwise.
     * Reference: kmeans.java:254-260 compute_dist. */
-  def distTo(center: Array[Double]): Column =
-    sqrt(dims.zip(center).map { case (d, cj) =>
+  def distTo(center: Array[Double], ds: Seq[String] = dims): Column =
+    sqrt(ds.zip(center).map { case (d, cj) =>
       val diff = col(d) - lit(cj); diff * diff
     }.reduce(_ + _))
+
+  /** 64-dim point view over the embeddings table: one double column per
+    * dimension (cast float->double, exact) so the SAME generic k-means
+    * operates on it. */
+  val embedDims: Seq[String] = (1 to 64).map(i => s"e$i")
+
+  def embeddings64(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings").select(
+      col("vec_id").as("pid") +:
+        (1 to 64).map(i => expr(s"CAST(element_at(embedding, $i) AS DOUBLE)").as(s"e$i")): _*)
+
+  val embedPtsSql: String =
+    "SELECT vec_id AS pid, " +
+      (1 to 64).map(i => s"CAST(embedding[$i] AS DOUBLE) AS e$i").mkString(", ") +
+      " FROM embeddings"
 
   /** The first k points by (pid, dims) — deterministic replacement for
     * the reference's random center init (kmeans.java:240-248); the dim
     * tie-break keeps the choice stable because pid alone is not unique
     * in the testdata. Only k rows cross to the driver (TakeOrdered, no
     * full sort). */
-  def firstKCenters(points: DataFrame, k: Int): Array[Array[Double]] =
-    points.orderBy(col("pid") +: dims.map(col): _*).limit(k)
-      .select(dims.map(col): _*)
+  def firstKCenters(points: DataFrame, k: Int, ds: Seq[String] = dims): Array[Array[Double]] =
+    points.orderBy(col("pid") +: ds.map(col): _*).limit(k)
+      .select(ds.map(col): _*)
       .collect()
-      .map(r => dims.indices.map(r.getDouble).toArray)
+      .map(r => ds.indices.map(r.getDouble).toArray)
 
   /** Add a unique row id without any global sort: pid collides only
     * within tiny groups, so a pid-partitioned row_number (cheap, scales
