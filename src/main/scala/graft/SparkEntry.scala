@@ -23,7 +23,8 @@ object SparkEntry {
       dedup.Dedup.queries ++
       search.SimSearch.queries ++
       text.TextAnalysis.queries ++
-      multimodal.Multimodal.queries
+      multimodal.Multimodal.queries ++
+      pipeline.CleanCorpus.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -35,5 +36,6 @@ object SparkEntry {
       dedup.Dedup.oracleSql ++
       search.SimSearch.oracleSql ++
       text.TextAnalysis.oracleSql ++
-      multimodal.Multimodal.oracleSql
+      multimodal.Multimodal.oracleSql ++
+      pipeline.CleanCorpus.oracleSql
 }

@@ -45,21 +45,23 @@ object GKA {
   def minDist(centers: Array[Array[Double]]): Column =
     array_min(array(centers.map(c => distTo(c)): _*))
 
-  /** One exploded groupBy computing per-(chromosome, class) centers
-    * for ALL chromosomes in a single pass. */
+  /** Per-(chromosome, class) centers for ALL chromosomes in ONE flat
+    * conditional aggregation — avg(when(s_i = k, x_j)) for every
+    * (i, k, j) — so the "shuffle" is P*K*D partial values per
+    * partition, not an exploded copy of the data. Empty classes (null
+    * avg) are dropped, matching the groupBy semantics. */
   def allCenters(state: DataFrame, p: Int): Map[Int, Array[Array[Double]]] = {
-    val packed = explode(array((0 until p).map(i =>
-      struct(lit(i).as("p"), col(s"s$i").as("sol"))): _*)).as("ps")
-    val rows = state.select(packed +: dims.map(col): _*)
-      .select(Seq(col("ps.p").as("p"), col("ps.sol").as("sol")) ++ dims.map(col): _*)
-      .groupBy("p", "sol")
-      .agg(dims.zipWithIndex.map { case (d, j) => round(avg(col(d)), 6).as(s"c${j + 1}") }.head,
-        dims.zipWithIndex.tail.map { case (d, j) => round(avg(col(d)), 6).as(s"c${j + 1}") }: _*)
-      .collect()
-    rows.groupBy(_.getInt(0)).map { case (pi, rs) =>
-      pi -> rs.map(r => r.getInt(1) -> dims.indices.map(j => r.getDouble(2 + j)).toArray)
-        .sortBy(_._1).map(_._2)
-    }
+    val aggs = for (i <- 0 until p; k <- 0 until K; (d, j) <- dims.zipWithIndex)
+      yield round(avg(when(col(s"s$i") === k, col(d))), 6).as(s"c_${i}_${k}_$j")
+    val row = state.agg(aggs.head, aggs.tail: _*).head
+    (0 until p).map { i =>
+      val centers = (0 until K).flatMap { k =>
+        val base = (i * K + k) * dims.length
+        if (row.isNullAt(base)) None
+        else Some(dims.indices.map(j => row.getDouble(base + j)).toArray)
+      }.toArray
+      i -> centers
+    }.toMap
   }
 
   // ---- driver-contract queries ----------------------------------------
@@ -81,20 +83,18 @@ object GKA {
     val P = 6
     val pts = Points.lineitem4d(spark, dir).cache()
     try {
-      // centers for ALL chromosomes in one exploded groupBy, then all
-      // P fitnesses in ONE aggregate — 2 jobs total, not 2 per p
-      val packed = explode(array((0 until P).map(p =>
-        struct(lit(p).as("p"), pmod(col("pid") + lit(p), lit(K)).cast("int").as("sol"))): _*)).as("ps")
-      val centerRows = pts.select(packed +: dims.map(col): _*)
-        .select(Seq(col("ps.p").as("p"), col("ps.sol").as("sol")) ++ dims.map(col): _*)
-        .groupBy("p", "sol")
-        .agg(dims.zipWithIndex.map { case (d, j) => round(avg(col(d)), 6).as(s"c${j + 1}") }.head,
-          dims.zipWithIndex.tail.map { case (d, j) => round(avg(col(d)), 6).as(s"c${j + 1}") }: _*)
-        .collect()
-      val centersByP = centerRows.groupBy(_.getInt(0)).map { case (pi, rs) =>
-        pi -> rs.map(r => r.getInt(1) -> dims.indices.map(j => r.getDouble(2 + j)).toArray)
-          .sortBy(_._1).map(_._2)
-      }
+      // centers for ALL chromosomes in one flat conditional agg, then
+      // all P fitnesses in ONE aggregate — 2 near-map-only jobs
+      val aggs = for (p <- 0 until P; k <- 0 until K; (d, j) <- dims.zipWithIndex)
+        yield round(avg(when(pmod(col("pid") + lit(p), lit(K)) === k, col(d))), 6)
+          .as(s"c_${p}_${k}_$j")
+      val crow = pts.agg(aggs.head, aggs.tail: _*).head
+      val centersByP = (0 until P).map { p =>
+        p -> (0 until K).map { k =>
+          val base = (p * K + k) * dims.length
+          dims.indices.map(j => crow.getDouble(base + j)).toArray
+        }.toArray
+      }.toMap
       val aggRow = pts
         .select((0 until P).map(p => minDist(centersByP(p)).as(s"d$p")): _*)
         .agg(round(avg(col("d0")), 3).as("f0"),

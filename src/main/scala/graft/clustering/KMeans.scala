@@ -167,6 +167,32 @@ object KMeans {
        |SELECT pid, $scaled FROM pts CROSS JOIN st""".stripMargin
   }
 
+  /** Per-iteration metrics, matching the reference's print_best output
+    * (kmeans.java:261-270: iter, best objective, map/reduce/iter
+    * timings). Wall-times are nondeterministic -> rows-only entry. */
+  def qMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val pts = Points.lineitem4d(spark, dir).cache()
+    try {
+      var centers = Points.firstKCenters(pts, K)
+      var best = Double.MaxValue
+      val out = scala.collection.mutable.ListBuffer.empty[(Int, Double, Double, Long)]
+      for (iter <- 1 to ITERS) {
+        val t0 = System.nanoTime()
+        val assigned = assign(pts, centers)
+        val u = update(assigned)
+        val rows = u.collect()
+        val sse = assigned.agg(sum(col("dist"))).head.getDouble(0)
+        if (sse < best) best = sse
+        val byK = rows.map(r => r.getAs[Int]("k") ->
+          dims.indices.map(i => r.getDouble(2 + i)).toArray).toMap
+        centers = Array.tabulate(K)(i => byK.getOrElse(i, centers(i)))
+        out += ((iter, sse, best, (System.nanoTime() - t0) / 1000000L))
+      }
+      import spark.implicits._
+      out.toSeq.toDF("iter", "sse", "best_sse", "iter_ms")
+    } finally { pts.unpersist(); () }
+  }
+
   // ---- 64-dim embeddings through the SAME generic operator -----------
 
   private val EMBED_ITERS = 2
@@ -190,7 +216,8 @@ object KMeans {
     "kmeans_sse" -> (qSse _),
     "kmeans_full" -> (qFull _),
     "kmeans_embed_assign" -> (qEmbedAssign _),
-    "kmeans_embed_full" -> (qEmbedFull _))
+    "kmeans_embed_full" -> (qEmbedFull _),
+    "kmeans_metrics" -> (qMetrics _))
 
   val oracleSql: Map[String, String] = Map(
     "dataset_normalize" -> normalizeSql,
