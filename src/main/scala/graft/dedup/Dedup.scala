@@ -115,6 +115,20 @@ object Dedup {
         .as("simhash"))
   }
 
+  /** SimHash near-dup pairs: band candidates scored by the NATIVE
+    * codegen'd hamming expression (graft.functions.HammingDistance)
+    * over the 64-bit fingerprints; pairs within 12 bits are near-dups.
+    */
+  def qSimhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val fp = qSimhash(spark, dir)
+    candidates(spark, dir)
+      .join(fp.select(col("doc_id").as("ia"), col("simhash").as("fa")), "ia")
+      .join(fp.select(col("doc_id").as("ib"), col("simhash").as("fb")), "ib")
+      .withColumn("hd", graft.functions.GraftFunctions.hamming(col("fa"), col("fb")))
+      .filter(col("hd") <= 12)
+      .select("ia", "ib", "hd")
+  }
+
   // ---- embedding near-dup ----------------------------------------------
 
   /** Vector near-dup: sign-LSH bucket join, cosine >= 0.35, star-shaped
@@ -158,6 +172,7 @@ object Dedup {
     "dedup_minhash_lsh" -> (qMinhashLsh _),
     "dedup_ngram" -> (qNgram _),
     "dedup_simhash" -> (qSimhash _),
+    "dedup_simhash_pairs" -> (qSimhashPairs _),
     "dedup_embed" -> (qEmbed _))
 
   val oracleSql: Map[String, String] = Map(
@@ -202,6 +217,29 @@ object Dedup {
         |SELECT doc_id,
         |  string_agg(CASE WHEN cnt > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash
         |FROM bits GROUP BY doc_id""".stripMargin,
+    "dedup_simhash_pairs" -> {
+      val simhashQ = // same computation as the dedup_simhash oracle
+        """SELECT doc_id,
+          |  string_agg(CASE WHEN cnt > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash
+          |FROM (
+          |  SELECT doc_id, b,
+          |    sum(((instr('0123456789abcdef', substr(hx, CAST(b // 4 AS INT) + 1, 1)) - 1
+          |          >> CAST(3 - (b % 4) AS INT)) & 1) * 2 - 1) AS cnt
+          |  FROM (SELECT doc_id, md5(w) AS hx FROM (
+          |          SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w FROM documents)),
+          |       (SELECT unnest(range(64)) AS b) GROUP BY doc_id, b)
+          |GROUP BY doc_id""".stripMargin
+      s"""WITH $sigSql,
+         |$bandsSql,
+         |$candsSql,
+         |fp AS ($simhashQ)
+         |SELECT ia, ib, hd FROM (
+         |  SELECT ia, ib,
+         |    CAST(len(list_filter(range(1, 65),
+         |      i -> substr(fa.simhash, CAST(i AS INT), 1) != substr(fb.simhash, CAST(i AS INT), 1))) AS INT) AS hd
+         |  FROM cands JOIN fp fa ON ia = fa.doc_id JOIN fp fb ON ib = fb.doc_id)
+         |WHERE hd <= 12""".stripMargin
+    },
     "dedup_embed" ->
       s"""WITH b AS (SELECT vec_id, embedding,
          |  ${VectorOps.signBucketSql("embedding", 4)} AS bk FROM embeddings),

@@ -1,0 +1,32 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point registering this library's
+  * native expressions, so `spark.sql("SELECT hamming(a, b)")` works
+  * when sessions are built with
+  * `.withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.functions.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("hamming"),
+      new ExpressionInfo(classOf[HammingDistance].getName, "hamming"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "hamming(a, b) takes exactly 2 arguments")
+        HammingDistance(children.head, children(1))
+      }))
+  }
+}
+
+/** Column-API access to the native expressions (no registration
+  * needed). */
+object GraftFunctions {
+  import org.apache.spark.sql.GraftBridge
+
+  def hamming(a: Column, b: Column): Column =
+    GraftBridge.column(HammingDistance(GraftBridge.expression(a), GraftBridge.expression(b)))
+}

@@ -1,0 +1,14 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Minimal bridge to Spark's private[sql] Column<->Expression
+  * converters, so graft's native Catalyst expressions can be exposed
+  * through the public Column API. This is the standard extension-point
+  * shim pattern for libraries shipping custom expressions; nothing
+  * else in the engine lives under the Spark namespace.
+  */
+object GraftBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
