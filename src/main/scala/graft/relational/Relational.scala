@@ -159,6 +159,34 @@ object Relational {
         round(expr("percentile(l_quantity, 0.9)"), 6).as("p90"),
         round(expr("percentile(l_extendedprice, 0.5)"), 6).as("price_p50"))
 
+  /** As-of join composed Spark-first (no inequality join): attribute
+    * each error event to the user's most recent click at-or-before it,
+    * via one partitioned window with last(ignoreNulls) — a single
+    * shuffle on user_id, the scalable as-of shape. */
+  def eventsAsof(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(spark, dir, "events")
+      .withColumn("last_click_ts",
+        last(when(col("event_type") === "click", col("ts")), ignoreNulls = true).over(w))
+      .withColumn("last_click_value",
+        last(when(col("event_type") === "click", col("value")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "error" && col("last_click_ts").isNotNull)
+      .select("event_id", "user_id", "ts", "last_click_ts", "last_click_value")
+  }
+
+  /** Skew-safe two-phase (salted) aggregation: partial agg on
+    * (key, salt) spreads a hot key over 16 reducers, final agg merges.
+    * Result is identical to the direct aggregation — the oracle IS the
+    * unsalted query. */
+  def aggSalted(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .withColumn("salt", pmod(xxhash64(col("event_id")), lit(16)))
+      .groupBy("event_type", "salt")
+      .agg(count(lit(1)).as("c"), sum("value").as("s"))
+      .groupBy("event_type")
+      .agg(sum("c").as("n_events"), round(sum("s"), 4).as("sum_value"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "scan_filter" -> (scanFilter _),
@@ -173,7 +201,9 @@ object Relational {
     "join_anti" -> (joinAnti _),
     "join_semi" -> (joinSemi _),
     "rollup_revenue" -> (rollupRevenue _),
-    "percentile_qty" -> (percentileQty _))
+    "percentile_qty" -> (percentileQty _),
+    "events_asof" -> (eventsAsof _),
+    "agg_salted" -> (aggSalted _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -264,5 +294,20 @@ object Relational {
         |  round(quantile_cont(l_quantity, 0.5), 6) AS p50,
         |  round(quantile_cont(l_quantity, 0.9), 6) AS p90,
         |  round(quantile_cont(l_extendedprice, 0.5), 6) AS price_p50
-        |FROM lineitem GROUP BY l_returnflag""".stripMargin)
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "events_asof" ->
+      """SELECT event_id, user_id, ts, last_click_ts, last_click_value FROM (
+        |  SELECT event_id, user_id, ts, event_type,
+        |    last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+        |      OVER w AS last_click_ts,
+        |    last_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
+        |      OVER w AS last_click_value
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |               ROWS UNBOUNDED PRECEDING))
+        |WHERE event_type = 'error' AND last_click_ts IS NOT NULL""".stripMargin,
+    "agg_salted" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY event_type""".stripMargin)
 }

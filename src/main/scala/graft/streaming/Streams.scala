@@ -32,6 +32,16 @@ object Streams {
       .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
       .select(col("w.start").as("hour"), col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Streaming exact dedup: first occurrence of each content key wins;
+    * the watermark bounds the dedup state store (keys older than the
+    * horizon are evicted), which is what makes this viable on an
+    * unbounded 100 TB-scale stream. Works on any frame with
+    * (ts, content_hash). */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** Gap-based sessionization (30 min idle closes a session) via
     * flatMapGroupsWithState. Emits a session when a later event
     * arrives past the gap; the open session stays in state. */

@@ -51,6 +51,25 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup keeps the first occurrence within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val df = input.toDF().toDF("ts", "content_hash", "value")
+    val q = Streams.dedupStream(df)
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData((ts(0), "h1", 1.0), (ts(1), "h1", 2.0), (ts(2), "h2", 3.0))
+      q.processAllAvailable()
+      input.addData((ts(3), "h1", 4.0), (ts(4), "h3", 5.0))
+      q.processAllAvailable()
+      val vals = spark.table("dedup_out").select("content_hash", "value")
+        .as[(String, Double)].collect().toMap
+      assert(vals.keySet == Set("h1", "h2", "h3"))
+      assert(vals("h1") == 1.0, "first h1 must win")
+    } finally q.stop()
+  }
+
   test("batch events_hourly and streaming hourlyCounts agree on real data") {
     val batch = graft.Tables.t(spark, "/root/testdata/sf0.001", "events")
       .select($"ts", $"event_type", $"value")
