@@ -7,7 +7,7 @@ package graft.clustering
   * pivoted into ONE wide row, cross-joined (a 1-row broadcast), and
   * argmin is a first-min CASE chain — one output row per input row.
   */
-private[clustering] object ClusterSql {
+private[graft] object ClusterSql {
 
   val orderCols: String = ("pid" +: Points.dims).mkString(", ")
 

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables.t
+import graft.clustering.{ClusterSql, KMeans, Points}
 import graft.functions.VectorOps
 
 /** Similarity search over the embeddings corpus.
@@ -49,11 +50,104 @@ object SimSearch {
       .select("q_id", "vec_id", "rank", "cs")
   }
 
+  // ---- IVF: k-means coarse quantizer + probed-cell search -------------
+
+  private val CELLS = 8
+  private val NPROBE = 2
+  private val IVF_ITERS = 2
+  private val IVF_TOPK = 5
+
+  /** IVF ANN: the 100 TB scale path. A coarse quantizer (the SAME
+    * generic Lloyd operator, 2 iterations, deterministic init) buckets
+    * every vector into one of 8 cells; a query scores candidates only
+    * in its NPROBE nearest cells. Entirely deterministic, so the whole
+    * pipeline — training included — is oracled in SQL. */
+  def qIvf(spark: SparkSession, dir: String): DataFrame = {
+    val ed = Points.embedDims
+    val pts = Points.embeddings64(spark, dir).cache()
+    // 1. train the coarse quantizer (centers move through the driver,
+    //    data does not)
+    var centers = Points.firstKCenters(pts, CELLS, ed)
+    for (_ <- 1 to IVF_ITERS) {
+      val byK = KMeans.update(KMeans.assign(pts, centers, ed), ed).collect()
+        .map(r => r.getAs[Int]("k") -> ed.indices.map(i => r.getDouble(2 + i)).toArray).toMap
+      centers = Array.tabulate(CELLS)(i => byK.getOrElse(i, centers(i)))
+    }
+    // 2. build the index: the cell assignment is MATERIALIZED (cached)
+    //    — that's what an IVF index IS, and it also keeps the final
+    //    query plan free of the 8x64-term assign expression trees
+    //    (collapsing them through the join/window plan OOMs Catalyst)
+    val cells = KMeans.assign(pts, centers, ed).select(col("pid"), col("k")).cache()
+    // 3. probe: each query's NPROBE nearest cells -> tiny literal frame
+    val qd = pts.filter(col("pid") <= QN).select(
+      col("pid").as("q_id") +:
+        centers.indices.map(i => Points.distTo(centers(i), ed).as(s"d$i")): _*)
+    val probeLong = qd.select(col("q_id"), explode(array(centers.indices.map(i =>
+      struct(lit(i).as("cell"), col(s"d$i").as("dist"))): _*)).as("e"))
+      .select(col("q_id"), col("e.cell").as("cell"), col("e.dist").as("dist"))
+      .filter(col("dist").isNotNull)
+    val wp = Window.partitionBy("q_id").orderBy(col("dist").asc, col("cell").asc)
+    val probedRows = probeLong.withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= NPROBE).select("q_id", "cell")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    import spark.implicits._
+    val probed = probedRows.toDF("q_id", "cell")
+    cells.count() // materialize the index, then the point cache can go
+    pts.unpersist()
+    // 4. candidates = vectors in probed cells; score; top-k
+    val e = t(spark, dir, "embeddings")
+    val cand = broadcast(probed).join(cells, probed("cell") === cells("k"))
+      .filter(col("pid") =!= col("q_id"))
+      .select(col("q_id"), col("pid").as("vec_id"))
+    val scored = cand
+      .join(e.select(col("vec_id").as("q_id"), col("embedding").as("qe")), "q_id")
+      .join(e, "vec_id")
+      .select(col("q_id"), col("vec_id"), VectorOps.cosine("qe", "embedding").as("cs"))
+    val wr = Window.partitionBy("q_id").orderBy(col("cs").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= IVF_TOPK)
+      .select("q_id", "vec_id", "rank", "cs")
+  }
+
+  private val ivfOracle: String = {
+    val ed = Points.embedDims
+    val stages = (1 to IVF_ITERS).map { i =>
+      val cIn = if (i == 1) "c0" else s"u${i - 1}"
+      s"${ClusterSql.widenSql(CELLS, cIn, s"${cIn}w", ed)},\n" +
+        s"${ClusterSql.assignSql(CELLS, s"${cIn}w", s"a$i", "pts", ed)},\n" +
+        s"${ClusterSql.updateSql(s"a$i", s"u$i", ed)}"
+    }.mkString(",\n")
+    val probeUnion = (0 until CELLS).map(k =>
+      s"SELECT pid AS q_id, $k AS cell, d$k AS dist FROM acell_d WHERE pid <= $QN")
+      .mkString(" UNION ALL ")
+    s"""WITH pts AS (${Points.embedPtsSql}),
+       |${ClusterSql.c0Sql(CELLS, Points.embedPtsSql, ed)},
+       |$stages,
+       |${ClusterSql.widenSql(CELLS, s"u$IVF_ITERS", "cw", ed)},
+       |${ClusterSql.assignSql(CELLS, "cw", "acell", "pts", ed)},
+       |probe AS (SELECT * FROM ($probeUnion) WHERE dist IS NOT NULL),
+       |pr AS (SELECT q_id, cell FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY dist, cell) AS rn
+       |  FROM probe) WHERE rn <= $NPROBE),
+       |cand AS (SELECT pr.q_id, a.pid AS vec_id
+       |  FROM pr JOIN acell a ON a.k = pr.cell WHERE a.pid != pr.q_id),
+       |scored AS (SELECT cand.q_id, cand.vec_id,
+       |  ${VectorOps.cosineSql("qe.embedding", "ce.embedding")} AS cs
+       |  FROM cand JOIN embeddings qe ON qe.vec_id = cand.q_id
+       |            JOIN embeddings ce ON ce.vec_id = cand.vec_id)
+       |SELECT q_id, vec_id, rank, cs FROM (
+       |  SELECT *, CAST(row_number() OVER (
+       |    PARTITION BY q_id ORDER BY cs DESC, vec_id ASC) AS INT) AS rank
+       |  FROM scored) WHERE rank <= $IVF_TOPK""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "simsearch_topk" -> (qTopK _),
-    "simsearch_ann" -> (qAnn _))
+    "simsearch_ann" -> (qAnn _),
+    "simsearch_ivf" -> (qIvf _))
 
   val oracleSql: Map[String, String] = Map(
+    "simsearch_ivf" -> ivfOracle,
     "simsearch_topk" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id <= $QN),
          |c AS (SELECT q_id, vec_id,
