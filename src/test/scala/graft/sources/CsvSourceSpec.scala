@@ -1,0 +1,40 @@
+package graft.sources
+
+import graft.clustering.{KMeans, SparkTestSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Runs the engine against the reference's OWN dataset files — the
+  * exact end-to-end path a user of the reference would migrate. */
+class CsvSourceSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+  private val iris = "/root/reference/dataset/iris.txt"
+
+  test("reads the reference's iris.txt with stable line-order pids") {
+    val df = CsvNumericSource.read(spark, iris, 4).cache()
+    assert(df.count() == 150)
+    assert(df.select("pid").distinct().count() == 150)
+    val first = df.orderBy("pid").limit(1).select("x1", "x2", "x3", "x4")
+      .as[(Double, Double, Double, Double)].head()
+    assert(first == ((5.1, 3.5, 1.4, 0.2)))
+    df.unpersist()
+  }
+
+  test("per-dim stats match the known iris ranges") {
+    val df = CsvNumericSource.read(spark, iris, 4)
+    val s = CsvNumericSource.stats(df, 4).head()
+    assert(s.getAs[Long]("n") == 150)
+    assert(s.getAs[Double]("min_x1") == 4.3 && s.getAs[Double]("max_x1") == 7.9)
+    assert(s.getAs[Double]("min_x4") == 0.1 && s.getAs[Double]("max_x4") == 2.5)
+  }
+
+  test("the generic k-means clusters iris into sane partitions") {
+    val df = CsvNumericSource.read(spark, iris, 4)
+    val out = KMeans.lloyd(df, 3, 10).collect()
+    assert(out.map(_.getAs[Long]("n")).sum == 150)
+    assert(out.length == 3, "three non-empty clusters expected on iris")
+    // total SSE after 10 iterations should be in the known k=3 range
+    val centers = out.map(r => (0 until 4).map(i => r.getDouble(2 + i)).toArray)
+    assert(centers.forall(_.forall(v => v > 0 && v < 10)))
+  }
+}
