@@ -193,6 +193,69 @@ object KMeans {
     } finally { pts.unpersist(); () }
   }
 
+  /** Best-of-runs tracking (kmeans.java:57-62 num_run loop +
+    * :199-200 best_objectvalue): RUNS restarts from different
+    * deterministic inits (run r seeds from points ranked
+    * [r*K, r*K+K)), each runs RUN_ITERS Lloyd iterations; output one
+    * row per run with its final objective and the running best.
+    * Deterministic end to end -> fully oracled. */
+  private val RUNS = 2
+  private val RUN_ITERS = 2
+
+  def qBestOfRuns(spark: SparkSession, dir: String): DataFrame = {
+    val pts = Points.lineitem4d(spark, dir).cache()
+    try {
+      val seedPool = Points.firstKCenters(pts, RUNS * K)
+      val results = (0 until RUNS).map { r =>
+        var centers = seedPool.slice(r * K, r * K + K)
+        for (_ <- 1 to RUN_ITERS) {
+          val byK = update(assign(pts, centers)).collect()
+            .map(row => row.getAs[Int]("k") ->
+              dims.indices.map(i => row.getDouble(2 + i)).toArray).toMap
+          centers = Array.tabulate(K)(i => byK.getOrElse(i, centers(i)))
+        }
+        val a = assign(pts, centers)
+          .agg(count(lit(1)).as("n"), round(avg(col("dist")), 3).as("avg_dist")).head
+        (r, a.getLong(0), a.getDouble(1))
+      }
+      val best = results.scanLeft(Double.MaxValue) { case (b, (_, _, d)) => math.min(b, d) }.tail
+      import spark.implicits._
+      results.zip(best).map { case ((r, n, d), b) => (r, n, d, b) }
+        .toDF("run", "n", "avg_dist", "best_avg_dist")
+    } finally { pts.unpersist(); () }
+  }
+
+  /** Oracle: one unrolled Lloyd chain per run (init offset r*K), then
+    * a union with a running min over run order. */
+  private val bestOfRunsSql: String = {
+    val runs = (0 until RUNS).map { r =>
+      val c0 =
+        s"""r${r}c0 AS (
+           |  SELECT CAST(row_number() OVER (ORDER BY ${ClusterSql.orderCols}) - 1 - ${r * K} AS INT) AS k,
+           |         ${dims.zipWithIndex.map { case (d, i) => s"$d AS c${i + 1}" }.mkString(", ")}
+           |  FROM (SELECT * FROM pts ORDER BY ${ClusterSql.orderCols} LIMIT ${(r + 1) * K})
+           |  QUALIFY row_number() OVER (ORDER BY ${ClusterSql.orderCols}) > ${r * K})""".stripMargin
+      val stages = (1 to RUN_ITERS).map { i =>
+        val cIn = if (i == 1) s"r${r}c0" else s"r${r}u${i - 1}"
+        s"${ClusterSql.widenSql(K, cIn, s"${cIn}w")},\n" +
+          s"${ClusterSql.assignSql(K, s"${cIn}w", s"r${r}a$i")},\n" +
+          s"${ClusterSql.updateSql(s"r${r}a$i", s"r${r}u$i", dims)}"
+      }.mkString(",\n")
+      val finalAssign =
+        s"${ClusterSql.widenSql(K, s"r${r}u$RUN_ITERS", s"r${r}fw")},\n" +
+          s"${ClusterSql.assignSql(K, s"r${r}fw", s"r${r}fa")},\n" +
+          s"r${r}res AS (SELECT $r AS run, count(*) AS n, round(avg(dist), 3) AS avg_dist FROM r${r}fa)"
+      s"$c0,\n$stages,\n$finalAssign"
+    }.mkString(",\n")
+    val union = (0 until RUNS).map(r => s"SELECT * FROM r${r}res").mkString(" UNION ALL ")
+    s"""WITH pts AS ($ptsSql),
+       |$runs,
+       |allruns AS ($union)
+       |SELECT run, n, avg_dist,
+       |  min(avg_dist) OVER (ORDER BY run ROWS UNBOUNDED PRECEDING) AS best_avg_dist
+       |FROM allruns""".stripMargin
+  }
+
   // ---- 64-dim embeddings through the SAME generic operator -----------
 
   private val EMBED_ITERS = 2
@@ -217,7 +280,8 @@ object KMeans {
     "kmeans_full" -> (qFull _),
     "kmeans_embed_assign" -> (qEmbedAssign _),
     "kmeans_embed_full" -> (qEmbedFull _),
-    "kmeans_metrics" -> (qMetrics _))
+    "kmeans_metrics" -> (qMetrics _),
+    "kmeans_best_of_runs" -> (qBestOfRuns _))
 
   val oracleSql: Map[String, String] = Map(
     "dataset_normalize" -> normalizeSql,
@@ -232,5 +296,6 @@ object KMeans {
     "kmeans_embed_assign" ->
       ClusterSql.assignOnlySql(K, Points.embedPtsSql, Points.embedDims),
     "kmeans_embed_full" ->
-      ClusterSql.fullLloydSql(K, EMBED_ITERS, Points.embedPtsSql, Points.embedDims))
+      ClusterSql.fullLloydSql(K, EMBED_ITERS, Points.embedPtsSql, Points.embedDims),
+    "kmeans_best_of_runs" -> bestOfRunsSql)
 }

@@ -24,6 +24,15 @@ class SimSearchSpec extends AnyFunSuite {
     assert(out.filter($"rank" > 5).count() == 0)
   }
 
+  test("ivf search returns ranked results from probed cells only") {
+    val out = SimSearch.qIvf(spark, sf).cache()
+    assert(out.count() > 0)
+    assert(out.filter($"rank" > 5 || $"rank" < 1).count() == 0)
+    val one = out.filter($"q_id" === 1).orderBy("rank").select("cs").as[Double].collect()
+    assert(one.zip(one.tail).forall { case (a, b) => b <= a }, "cosine non-increasing in rank")
+    out.unpersist()
+  }
+
   test("cosine of a vector with itself is 1") {
     import org.apache.spark.sql.functions._
     val df = Seq(Tuple1(Array(1.0f, 2.0f, 3.0f))).toDF("embedding")
