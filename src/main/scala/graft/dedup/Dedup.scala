@@ -129,6 +129,20 @@ object Dedup {
       .select("ia", "ib", "hd")
   }
 
+  /** Edit-distance near-dup: levenshtein over 40-char prefixes of the
+    * banded candidates (prefix cap bounds the O(n*m) DP per pair —
+    * the standard trick before paying full edit distance at scale). */
+  def qEditDistance(spark: SparkSession, dir: String): DataFrame = {
+    val pre = t(spark, dir, "documents")
+      .select(col("doc_id"), substring(col("text"), 1, 40).as("pre"))
+    candidates(spark, dir)
+      .join(pre.select(col("doc_id").as("ia"), col("pre").as("pa")), "ia")
+      .join(pre.select(col("doc_id").as("ib"), col("pre").as("pb")), "ib")
+      .withColumn("ed", levenshtein(col("pa"), col("pb")))
+      .filter(col("ed") <= 15)
+      .select("ia", "ib", "ed")
+  }
+
   // ---- embedding near-dup ----------------------------------------------
 
   /** Vector near-dup: sign-LSH bucket join, cosine >= 0.35, star-shaped
@@ -173,6 +187,7 @@ object Dedup {
     "dedup_ngram" -> (qNgram _),
     "dedup_simhash" -> (qSimhash _),
     "dedup_simhash_pairs" -> (qSimhashPairs _),
+    "dedup_edit_distance" -> (qEditDistance _),
     "dedup_embed" -> (qEmbed _))
 
   val oracleSql: Map[String, String] = Map(
@@ -240,6 +255,15 @@ object Dedup {
          |  FROM cands JOIN fp fa ON ia = fa.doc_id JOIN fp fb ON ib = fb.doc_id)
          |WHERE hd <= 12""".stripMargin
     },
+    "dedup_edit_distance" ->
+      s"""WITH $sigSql,
+         |$bandsSql,
+         |$candsSql,
+         |pre AS (SELECT doc_id, substr(text, 1, 40) AS p FROM documents)
+         |SELECT ia, ib, ed FROM (
+         |  SELECT ia, ib, CAST(levenshtein(pa.p, pb.p) AS INT) AS ed
+         |  FROM cands JOIN pre pa ON ia = pa.doc_id JOIN pre pb ON ib = pb.doc_id)
+         |WHERE ed <= 15""".stripMargin,
     "dedup_embed" ->
       s"""WITH b AS (SELECT vec_id, embedding,
          |  ${VectorOps.signBucketSql("embedding", 4)} AS bk FROM embeddings),

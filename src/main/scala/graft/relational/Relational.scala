@@ -187,6 +187,20 @@ object Relational {
       .groupBy("event_type")
       .agg(sum("c").as("n_events"), round(sum("s"), 4).as("sum_value"))
 
+  /** Set operations: building-segment customers who never placed a
+    * medium order, plus (distinct union) machinery-segment customers
+    * who did. EXCEPT/INTERSECT/UNION distinct semantics. */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer")
+    val orders = t(spark, dir, "orders")
+    val building = cust.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val machinery = cust.filter(col("c_mktsegment") === "MACHINERY").select("c_custkey")
+    val bigBuyers = orders.filter(col("o_totalprice") > 150000.0)
+      .select(col("o_custkey").as("c_custkey"))
+    // .distinct() mirrors SQL UNION (Dataset.union is UNION ALL)
+    building.except(bigBuyers).union(machinery.intersect(bigBuyers)).distinct()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "scan_filter" -> (scanFilter _),
@@ -203,7 +217,8 @@ object Relational {
     "rollup_revenue" -> (rollupRevenue _),
     "percentile_qty" -> (percentileQty _),
     "events_asof" -> (eventsAsof _),
-    "agg_salted" -> (aggSalted _))
+    "agg_salted" -> (aggSalted _),
+    "set_ops" -> (setOps _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -309,5 +324,13 @@ object Relational {
     "agg_salted" ->
       """SELECT event_type, count(*) AS n_events,
         |  round(sum(value), 4) AS sum_value
-        |FROM events GROUP BY event_type""".stripMargin)
+        |FROM events GROUP BY event_type""".stripMargin,
+    "set_ops" ->
+      """(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        | EXCEPT
+        | SELECT o_custkey FROM orders WHERE o_totalprice > 150000.0)
+        |UNION
+        |(SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+        | INTERSECT
+        | SELECT o_custkey FROM orders WHERE o_totalprice > 150000.0)""".stripMargin)
 }
