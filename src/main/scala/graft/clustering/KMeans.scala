@@ -193,6 +193,20 @@ object KMeans {
     } finally { pts.unpersist(); () }
   }
 
+  /** Lloyd's over the min-max normalized point set — the composition
+    * the reference's unused read-time stats clearly intend. Same
+    * generic operator, normalized dim columns. */
+  private val normDims = dims.map(d => s"n_$d")
+
+  def qNormalizedKmeans(spark: SparkSession, dir: String): DataFrame =
+    lloyd(qNormalize(spark, dir), K, 3, normDims)
+
+  private val normPtsSubquery: String = {
+    val stats = dims.map(d => s"min($d) AS min_$d, max($d) AS max_$d").mkString(", ")
+    val scaled = dims.map(d => s"($d - min_$d) / (max_$d - min_$d) AS n_$d").mkString(", ")
+    s"SELECT pid, $scaled FROM ($ptsSql) p CROSS JOIN (SELECT $stats FROM ($ptsSql)) st"
+  }
+
   /** Best-of-runs tracking (kmeans.java:57-62 num_run loop +
     * :199-200 best_objectvalue): RUNS restarts from different
     * deterministic inits (run r seeds from points ranked
@@ -281,7 +295,8 @@ object KMeans {
     "kmeans_embed_assign" -> (qEmbedAssign _),
     "kmeans_embed_full" -> (qEmbedFull _),
     "kmeans_metrics" -> (qMetrics _),
-    "kmeans_best_of_runs" -> (qBestOfRuns _))
+    "kmeans_best_of_runs" -> (qBestOfRuns _),
+    "kmeans_normalized" -> (qNormalizedKmeans _))
 
   val oracleSql: Map[String, String] = Map(
     "dataset_normalize" -> normalizeSql,
@@ -297,5 +312,7 @@ object KMeans {
       ClusterSql.assignOnlySql(K, Points.embedPtsSql, Points.embedDims),
     "kmeans_embed_full" ->
       ClusterSql.fullLloydSql(K, EMBED_ITERS, Points.embedPtsSql, Points.embedDims),
-    "kmeans_best_of_runs" -> bestOfRunsSql)
+    "kmeans_best_of_runs" -> bestOfRunsSql,
+    "kmeans_normalized" ->
+      ClusterSql.fullLloydSql(K, 3, normPtsSubquery, normDims))
 }

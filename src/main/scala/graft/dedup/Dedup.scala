@@ -102,7 +102,10 @@ object Dedup {
   /** 64-bit SimHash as a '0'/'1' bitstring: per distinct word, md5's
     * first 16 hex nibbles give 64 bits; sum +/-1 per position; sign ->
     * bit. One HOF fold per document, no shuffle at all. */
-  def qSimhash(spark: SparkSession, dir: String): DataFrame = {
+  def qSimhash(spark: SparkSession, dir: String): DataFrame =
+    simhashOf(t(spark, dir, "documents"))
+
+  def simhashOf(docs: DataFrame): DataFrame = {
     val bitsOfW =
       "transform(sequence(0, 63), b -> " +
         "(shiftright(instr('0123456789abcdef', substr(md5(w), (b div 4) + 1, 1)) - 1, " +
@@ -110,7 +113,7 @@ object Dedup {
     val counts =
       s"aggregate(array_distinct(split(text, ' ')), transform(sequence(0, 63), b -> 0), " +
         s"(acc, w) -> zip_with(acc, $bitsOfW, (x, y) -> x + y))"
-    t(spark, dir, "documents").select(col("doc_id"),
+    docs.select(col("doc_id"),
       expr(s"array_join(transform($counts, c -> CASE WHEN c > 0 THEN '1' ELSE '0' END), '')")
         .as("simhash"))
   }
