@@ -32,6 +32,13 @@ object Streams {
       .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
       .select(col("w.start").as("hour"), col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Stream-static enrichment: join a stream against a broadcast
+    * dimension frame — the standard pattern for decorating an event
+    * stream with slowly-changing reference data (dim re-read per
+    * micro-batch, no stream-side state). */
+  def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(org.apache.spark.sql.functions.broadcast(dim), key)
+
   /** Streaming exact dedup: first occurrence of each content key wins;
     * the watermark bounds the dedup state store (keys older than the
     * horizon are evicted), which is what makes this viable on an

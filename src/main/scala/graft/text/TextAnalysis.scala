@@ -97,6 +97,40 @@ object TextAnalysis {
       .select("doc_id", "word", "tf", "df", "tfidf", "rk")
   }
 
+  /** BM25 keyword ranking over the corpus for a fixed query — the
+    * lexical-search complement of the vector simsearch operators.
+    * avgdl is exact cross-engine (integer sum / count), idf/score
+    * formulas are mirrored term-for-term, ranks order on the rounded
+    * score. k1=1.2, b=0.75 (standard Robertson parameters). */
+  private val BM25_TERMS = Seq("hash", "table", "join")
+  private val BM25_K1 = 1.2
+  private val BM25_B = 0.75
+
+  def qBm25(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val n = docs.count().toDouble
+    val words = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    val dl = docs.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("dl"))
+    val avgdl = dl.agg(sum("dl").as("s"), count(lit(1)).as("c")).head match {
+      case r => r.getLong(0).toDouble / r.getLong(1)
+    }
+    val tf = words.filter(col("word").isin(BM25_TERMS: _*))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val scored = tf.join(df, "word").join(dl, "doc_id")
+      .withColumn("idf", log((lit(n) - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("part",
+        col("idf") * (col("tf") * lit(BM25_K1 + 1.0)) /
+          (col("tf") + lit(BM25_K1) * (lit(1.0 - BM25_B) + lit(BM25_B) * col("dl") / avgdl)))
+      .groupBy("doc_id").agg(round(sum("part"), 6).as("score"))
+    // TakeOrdered first (no full-corpus single-partition window), then
+    // rank the surviving 10 rows
+    val top = scored.orderBy(col("score").desc, col("doc_id").asc).limit(10)
+    val w = Window.orderBy(col("score").desc, col("doc_id").asc)
+    top.withColumn("rank", row_number().over(w))
+      .select("doc_id", "score", "rank")
+  }
+
   // ---- oracle SQL ------------------------------------------------------
 
   private def inListSql(ws: Seq[String]): String =
@@ -107,7 +141,8 @@ object TextAnalysis {
     "text_langid" -> (qLangId _),
     "text_tokens" -> (qTokens _),
     "text_fingerprint" -> (qFingerprint _),
-    "text_tfidf" -> (qTfidf _))
+    "text_tfidf" -> (qTfidf _),
+    "text_bm25" -> (qBm25 _))
 
   val oracleSql: Map[String, String] = {
     val langs = MARKERS.map(_._1)
@@ -142,6 +177,26 @@ object TextAnalysis {
         """SELECT doc_id,
           |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
           |FROM documents""".stripMargin,
+      "text_bm25" ->
+        """WITH words AS (
+          |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+          |dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents),
+          |avgdl AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS a FROM dl),
+          |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+          |tf AS (SELECT doc_id, word, count(*) AS tf FROM words
+          |       WHERE word IN ('hash', 'table', 'join') GROUP BY doc_id, word),
+          |df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+          |scored AS (
+          |  SELECT tf.doc_id,
+          |    round(sum(
+          |      ln(((SELECT n FROM n) - df + 0.5) / (df + 0.5) + 1.0)
+          |        * (tf * (1.2 + 1.0))
+          |        / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / (SELECT a FROM avgdl)))), 6) AS score
+          |  FROM tf JOIN df ON tf.word = df.word JOIN dl ON tf.doc_id = dl.doc_id
+          |  GROUP BY tf.doc_id)
+          |SELECT doc_id, score, rank FROM (
+          |  SELECT *, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+          |  FROM scored) WHERE rank <= 10""".stripMargin,
       "text_tfidf" ->
         """WITH tf AS (
           |  SELECT doc_id, word, count(*) AS tf FROM (

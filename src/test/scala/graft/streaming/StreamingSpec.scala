@@ -70,6 +70,23 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static enrichment joins the broadcast dimension per batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Double)]
+    val stream = input.toDF().toDF("user_id", "value")
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val q = Streams.enrich(stream, dim, "user_id")
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData((1L, 10.0), (2L, 20.0), (3L, 30.0))
+      q.processAllAvailable()
+      val rows = spark.table("enrich_out").select("user_id", "tier")
+        .as[(Long, String)].collect().toSet
+      assert(rows == Set((1L, "gold"), (2L, "basic")), "inner join drops unknown user 3")
+    } finally q.stop()
+  }
+
   test("batch events_hourly and streaming hourlyCounts agree on real data") {
     val batch = graft.Tables.t(spark, "/root/testdata/sf0.001", "events")
       .select($"ts", $"event_type", $"value")
