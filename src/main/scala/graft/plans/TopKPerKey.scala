@@ -1,0 +1,114 @@
+package graft.plans
+
+import scala.collection.mutable
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, GraftBridge}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, BindReferences, Expression, GenericInternalRow, JoinedRow, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+import org.apache.spark.sql.types.IntegerType
+
+/** Whole-operator extension (SURVEY.md §6a, guide category (c)): per-key
+  * top-k as a first-class plan node.
+  *
+  * Why a custom operator: the declarative formulation
+  * (row_number window + filter) sorts every key group in full and
+  * cannot combine map-side — at 100 TB the window sort dominates.
+  * This node declares ClusteredDistribution(keys), so EnsureRequirements
+  * inserts exactly one hash shuffle, and the exec keeps only a bounded
+  * k-row buffer per key while streaming each partition once.
+  *
+  * Semantics (mirrored by the SQL oracle): rank rows per key by
+  * (value DESC, tie ASC), keep rank <= k, rank is 1-based row_number.
+  */
+case class TopKPerKeyNode(
+    keys: Seq[Expression], value: Expression, tie: Expression, k: Int,
+    child: LogicalPlan,
+    rankAttr: AttributeReference = AttributeReference("rank", IntegerType, nullable = false)())
+  extends UnaryNode {
+  override def output: Seq[Attribute] = child.output :+ rankAttr
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(rankAttr)
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKeyNode =
+    copy(child = newChild)
+}
+
+case class TopKPerKeyExec(
+    keys: Seq[Expression], value: Expression, tie: Expression, k: Int,
+    rankAttr: AttributeReference, child: SparkPlan)
+  extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output :+ rankAttr
+
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(rankAttr)
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(keys) :: Nil
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
+    copy(child = newChild)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val childOutput = child.output
+    val kLocal = k
+    child.execute().mapPartitions { it =>
+      val keyProj = UnsafeProjection.create(keys, childOutput)
+      val valEval = BindReferences.bindReference(value, childOutput)
+      val tieEval = BindReferences.bindReference(tie, childOutput)
+      val rowCopy = UnsafeProjection.create(childOutput.map(_.dataType).toArray)
+      // per key: buffer of (value, tie, row) kept <= 2k, pruned to top-k
+      val buffers = mutable.LinkedHashMap.empty[UnsafeRow, mutable.ArrayBuffer[(Double, Long, UnsafeRow)]]
+      def prune(b: mutable.ArrayBuffer[(Double, Long, UnsafeRow)]): Unit = {
+        val kept = b.sortBy { case (v, t, _) => (-v, t) }.take(kLocal)
+        b.clear(); b ++= kept
+      }
+      it.foreach { row =>
+        val key = keyProj(row).copy()
+        val buf = buffers.getOrElseUpdate(key, mutable.ArrayBuffer.empty)
+        buf += ((valEval.eval(row).asInstanceOf[Double],
+          tieEval.eval(row).asInstanceOf[Long], rowCopy(row).copy()))
+        if (buf.length > 2 * kLocal) prune(buf)
+      }
+      val outProj = UnsafeProjection.create(output.map(_.dataType).toArray)
+      val joined = new JoinedRow
+      buffers.iterator.flatMap { case (_, buf) =>
+        prune(buf)
+        buf.iterator.zipWithIndex.map { case ((_, _, row), i) =>
+          outProj(joined(row, new GenericInternalRow(Array[Any](i + 1))))
+        }
+      }
+    }
+  }
+}
+
+object TopKPerKeyStrategy extends org.apache.spark.sql.execution.SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKeyNode(keys, value, tie, k, child, rankAttr) =>
+      TopKPerKeyExec(keys, value, tie, k, rankAttr, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}
+
+object TopKPerKey {
+  /** Per-key top-k of `df` by (value DESC, tie ASC) with a 1-based
+    * rank column. Columns are named (resolved here against the child's
+    * analyzed output — the node carries only resolved attributes, so
+    * no analyzer rule is needed). Registers the planner strategy on
+    * first use. */
+  def apply(df: DataFrame, keys: Seq[String], value: String, tie: String, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKPerKeyStrategy
+    val plan = GraftBridge.analyzedPlan(df)
+    def attr(name: String): Attribute = plan.output.find(_.name == name)
+      .getOrElse(throw new IllegalArgumentException(
+        s"column $name not in ${plan.output.map(_.name).mkString(", ")}"))
+    val node = TopKPerKeyNode(keys.map(attr), attr(value), attr(tie), k, plan)
+    GraftBridge.ofRows(spark, node)
+  }
+}

@@ -201,6 +201,15 @@ object Relational {
     building.except(bigBuyers).union(machinery.intersect(bigBuyers)).distinct()
   }
 
+  /** Per-customer top-3 orders through the CUSTOM TopKPerKey physical
+    * operator (graft.plans) — one hash shuffle, bounded k-row buffers,
+    * no per-group full sort. The oracle is the declarative window
+    * formulation, so the custom exec is verified row-for-row. */
+  def topkPerKey(spark: SparkSession, dir: String): DataFrame =
+    graft.plans.TopKPerKey(
+      t(spark, dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice"),
+      Seq("o_custkey"), "o_totalprice", "o_orderkey", 3)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "scan_filter" -> (scanFilter _),
@@ -218,7 +227,8 @@ object Relational {
     "percentile_qty" -> (percentileQty _),
     "events_asof" -> (eventsAsof _),
     "agg_salted" -> (aggSalted _),
-    "set_ops" -> (setOps _))
+    "set_ops" -> (setOps _),
+    "topk_per_key" -> (topkPerKey _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -325,6 +335,12 @@ object Relational {
       """SELECT event_type, count(*) AS n_events,
         |  round(sum(value), 4) AS sum_value
         |FROM events GROUP BY event_type""".stripMargin,
+    "topk_per_key" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rank
+        |  FROM orders) WHERE rank <= 3""".stripMargin,
     "set_ops" ->
       """(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
         | EXCEPT

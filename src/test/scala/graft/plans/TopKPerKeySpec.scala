@@ -1,0 +1,47 @@
+package graft.plans
+
+import graft.clustering.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class TopKPerKeySpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("custom exec matches the window formulation exactly") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (1L, 10L, 5.0), (1L, 11L, 7.0), (1L, 12L, 7.0), (1L, 13L, 1.0),
+      (2L, 20L, 3.0), (3L, 30L, 9.0)).toDF("key", "id", "v")
+    val custom = TopKPerKey(df, Seq("key"), "v", "id", 2)
+      .select("key", "id", "rank").as[(Long, Long, Int)].collect().toSet
+    val w = Window.partitionBy("key").orderBy(col("v").desc, col("id").asc)
+    val declarative = df.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 2)
+      .select("key", "id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(custom == declarative)
+    // ties: key 1 has v=7.0 twice -> lower id wins rank 1
+    assert(custom.contains((1L, 11L, 1)) && custom.contains((1L, 12L, 2)))
+  }
+
+  test("physical plan contains the custom exec and exactly one shuffle") {
+    val df = graft.Tables.t(spark, "/root/testdata/sf0.001", "orders")
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+    val plan = TopKPerKey(df, Seq("o_custkey"), "o_totalprice", "o_orderkey", 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), plan.take(300))
+    assert("Exchange".r.findAllIn(plan).size == 1, "exactly one hash shuffle expected")
+  }
+
+  test("buffer pruning keeps results correct when groups exceed 2k rows") {
+    val rng = new scala.util.Random(5)
+    val rows = (1 to 500).map(i => (i % 3L, i.toLong, rng.nextDouble()))
+    val df = rows.toDF("key", "id", "v")
+    val custom = TopKPerKey(df, Seq("key"), "v", "id", 4)
+      .select("key", "id").as[(Long, Long)].collect().toSet
+    val expect = rows.groupBy(_._1).toSeq.flatMap { case (k, g) =>
+      g.sortBy(r => (-r._3, r._2)).take(4).map(r => (k, r._2))
+    }.toSet
+    assert(custom == expect)
+  }
+}
