@@ -210,6 +210,16 @@ object Relational {
       t(spark, dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice"),
       Seq("o_custkey"), "o_totalprice", "o_orderkey", 3)
 
+  /** Distributional statistics per group (sample variance / stddev). */
+  def aggStats(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg("l_quantity"), 6).as("mean_qty"),
+        round(var_samp("l_quantity"), 4).as("var_qty"),
+        round(stddev_samp("l_extendedprice"), 2).as("sd_price"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "scan_filter" -> (scanFilter _),
@@ -228,7 +238,8 @@ object Relational {
     "events_asof" -> (eventsAsof _),
     "agg_salted" -> (aggSalted _),
     "set_ops" -> (setOps _),
-    "topk_per_key" -> (topkPerKey _))
+    "topk_per_key" -> (topkPerKey _),
+    "agg_stats" -> (aggStats _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -335,6 +346,12 @@ object Relational {
       """SELECT event_type, count(*) AS n_events,
         |  round(sum(value), 4) AS sum_value
         |FROM events GROUP BY event_type""".stripMargin,
+    "agg_stats" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(avg(l_quantity), 6) AS mean_qty,
+        |  round(var_samp(l_quantity), 4) AS var_qty,
+        |  round(stddev_samp(l_extendedprice), 2) AS sd_price
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "topk_per_key" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
