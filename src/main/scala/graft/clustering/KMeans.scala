@@ -28,12 +28,31 @@ object KMeans {
 
   /** Add `k` (nearest-center index, ties -> lowest k, matching the
     * reference's strict-> compare at kmeans.java:113) and `dist`.
-    * Generic over the dimension column set. */
+    * Generic over the dimension column set.
+    *
+    * High-dim point sets (> 16 dims) switch from unrolled per-dim
+    * expressions to a HOF fold over a packed array: the fold is the
+    * same left-to-right add order (bitwise-identical result, oracle
+    * unchanged) but keeps generated code linear in K instead of K*D —
+    * 8 centers x 64 dims unrolled was a multi-second codegen compile
+    * per stage. */
   def assign(points: DataFrame, centers: Array[Array[Double]],
              ds: Seq[String] = dims): DataFrame = {
-    val distArr = array(centers.map(c => distTo(c, ds)): _*)
-    points
-      .withColumn("dist_arr", distArr)
+    val assigned =
+      if (ds.length <= 16) {
+        points.withColumn("dist_arr", array(centers.map(c => distTo(c, ds)): _*))
+      } else {
+        val hofDist = centers.map { c =>
+          val diffs = zip_with(col("__xs"), typedLit(c), (x, cj) => {
+            val d = x - cj; d * d
+          })
+          sqrt(aggregate(diffs, lit(0.0), (acc, v) => acc + v))
+        }
+        points.withColumn("__xs", array(ds.map(col): _*))
+          .withColumn("dist_arr", array(hofDist: _*))
+          .drop("__xs")
+      }
+    assigned
       .withColumn("dist", array_min(col("dist_arr")))
       .withColumn("k", (array_position(col("dist_arr"), col("dist")) - 1).cast("int"))
       .drop("dist_arr")

@@ -33,6 +33,19 @@ object Dedup {
       .groupBy(md5(col("text")).as("content_hash"))
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Exact dedup over the events stream table: content = the payload
+    * columns (not the event id/time), keeper = first occurrence by
+    * (ts, event_id). */
+  def qExactEvents(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      // value goes through a fixed-point long: double->string rendering
+      // is NOT portable across engines, integers are
+      .groupBy(md5(concat_ws("|",
+        col("user_id"), col("event_type"),
+        round(col("value") * 1000000).cast("long"), col("props"))).as("content_hash"))
+      .agg(min(struct(col("ts"), col("event_id"))).getField("event_id").as("keep_id"),
+        count(lit(1)).as("n_copies"))
+
   // ---- MinHash + LSH ---------------------------------------------------
 
   def signatures(docs: DataFrame): DataFrame =
@@ -185,6 +198,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (qExact _),
+    "dedup_exact_events" -> (qExactEvents _),
     "dedup_minhash" -> (qMinhash _),
     "dedup_minhash_lsh" -> (qMinhashLsh _),
     "dedup_ngram" -> (qNgram _),
@@ -198,6 +212,16 @@ object Dedup {
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
         |  count(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,
+    "dedup_exact_events" ->
+      """SELECT content_hash, keep_id, n_copies FROM (
+        |  SELECT content_hash, event_id AS keep_id,
+        |    row_number() OVER (PARTITION BY content_hash ORDER BY ts, event_id) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY content_hash) AS BIGINT) AS n_copies
+        |  FROM (SELECT event_id, ts,
+        |          md5(concat_ws('|', user_id, event_type,
+        |            CAST(round(value * 1000000) AS BIGINT), props)) AS content_hash
+        |        FROM events))
+        |WHERE rn = 1""".stripMargin,
     "dedup_minhash" ->
       s"SELECT doc_id, ${(0 until H).map(mhSql).mkString(", ")} FROM documents",
     "dedup_minhash_lsh" ->
