@@ -28,6 +28,23 @@ class CsvSourceSpec extends AnyFunSuite {
     assert(s.getAs[Double]("min_x4") == 0.1 && s.getAs[Double]("max_x4") == 2.5)
   }
 
+  test("GKA fitness kernel runs on the reference's iris points") {
+    import org.apache.spark.sql.functions._
+    val df = CsvNumericSource.read(spark, iris, 4)
+    val centers = graft.clustering.GKA.centersFromAssign(df, pmod(col("pid"), lit(4)))
+    assert(centers.length == 4)
+    val obj = df.select(graft.clustering.GKA.minDist(centers).as("d"))
+      .agg(avg("d")).as[Double].head()
+    assert(obj > 0 && obj < 10, s"iris-scale objective expected, got $obj")
+  }
+
+  test("PSO objectives evaluate on the reference's iris points") {
+    val df = CsvNumericSource.read(spark, iris, 4)
+    val particles = graft.clustering.PSO.initParticles(df, 2)
+    val (n, objs) = graft.clustering.PSO.objectives(df, particles)
+    assert(n == 150 && objs.length == 2 && objs.forall(o => o > 0 && o < 10))
+  }
+
   test("the generic k-means clusters iris into sane partitions") {
     val df = CsvNumericSource.read(spark, iris, 4)
     val out = KMeans.lloyd(df, 3, 10).collect()
