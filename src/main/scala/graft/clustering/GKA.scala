@@ -28,16 +28,25 @@ object GKA {
 
   val K = 4
 
+  /** Sentinel center for a class nobody is assigned to: +inf in every
+    * dim, so its distance is +inf and argmin never picks it — the
+    * exact behavior of the SQL oracle, where a missing class pivots to
+    * NULL columns whose CASE arms evaluate false. Class INDICES are
+    * preserved (compacting would silently renumber every later class).
+    */
+  private def emptyClass: Array[Double] =
+    Array.fill(dims.length)(Double.PositiveInfinity)
+
   /** Per-class mean centers (round 6, SURVEY.md §4) from an assignment
-    * column; classes absent from the assignment are dropped. */
+    * column; empty classes become the +inf sentinel. */
   def centersFromAssign(pts: DataFrame, sol: Column): Array[Array[Double]] = {
-    val rows = pts.groupBy(sol.cast("int").as("sol"))
+    val byClass = pts.groupBy(sol.cast("int").as("sol"))
       .agg(dims.zipWithIndex.map { case (d, j) => round(avg(col(d)), 6).as(s"c${j + 1}") }.head,
         dims.zipWithIndex.tail.map { case (d, j) => round(avg(col(d)), 6).as(s"c${j + 1}") }: _*)
       .collect()
       .map(r => r.getInt(0) -> dims.indices.map(j => r.getDouble(1 + j)).toArray)
       .toMap
-    rows.toSeq.sortBy(_._1).map(_._2).toArray
+    Array.tabulate(K)(k => byClass.getOrElse(k, emptyClass))
   }
 
   /** Min distance to any of the centers — the fitness kernel
@@ -49,16 +58,16 @@ object GKA {
     * conditional aggregation — avg(when(s_i = k, x_j)) for every
     * (i, k, j) — so the "shuffle" is P*K*D partial values per
     * partition, not an exploded copy of the data. Empty classes (null
-    * avg) are dropped, matching the groupBy semantics. */
+    * avg) become the +inf sentinel, preserving class indices. */
   def allCenters(state: DataFrame, p: Int): Map[Int, Array[Array[Double]]] = {
     val aggs = for (i <- 0 until p; k <- 0 until K; (d, j) <- dims.zipWithIndex)
       yield round(avg(when(col(s"s$i") === k, col(d))), 6).as(s"c_${i}_${k}_$j")
     val row = state.agg(aggs.head, aggs.tail: _*).head
     (0 until p).map { i =>
-      val centers = (0 until K).flatMap { k =>
+      val centers = (0 until K).map { k =>
         val base = (i * K + k) * dims.length
-        if (row.isNullAt(base)) None
-        else Some(dims.indices.map(j => row.getDouble(base + j)).toArray)
+        if (row.isNullAt(base)) emptyClass
+        else dims.indices.map(j => row.getDouble(base + j)).toArray
       }.toArray
       i -> centers
     }.toMap
@@ -92,7 +101,8 @@ object GKA {
       val centersByP = (0 until P).map { p =>
         p -> (0 until K).map { k =>
           val base = (p * K + k) * dims.length
-          dims.indices.map(j => crow.getDouble(base + j)).toArray
+          if (crow.isNullAt(base)) emptyClass
+          else dims.indices.map(j => crow.getDouble(base + j)).toArray
         }.toArray
       }.toMap
       val aggRow = pts
@@ -129,6 +139,7 @@ object GKA {
         (0 until P).map(i => pmod(xxhash64(col("rid"), lit(i), lit(42)), lit(K)).cast("int").as(s"s$i")): _*)
       .cache()
     state.count()
+    var liveCache = state
 
     val out = scala.collection.mutable.ListBuffer.empty[(Int, Double)]
     var best = Double.MaxValue
@@ -144,7 +155,6 @@ object GKA {
           .withColumn(s"d$i", array_min(distArr))
           .withColumn(s"s$i", (array_position(array(cs.map(c => distTo(c)): _*), col(s"d$i")) - 1).cast("int"))
       }
-      val prev = state
       val mid = next.cache()
       state = mid
       // fitness + dmax + n in one distributed agg
@@ -157,6 +167,11 @@ object GKA {
       val dmax = (0 until P).map(i => aggRow.getDouble(1 + P + i)).toArray
       best = math.min(best, fitness.min)
       out += ((iter, best))
+      // mid is materialized by the agg above: release the previous
+      // generation's cache (unpersist on a lazy projection is a no-op,
+      // so track the actual cached frame)
+      liveCache.unpersist()
+      liveCache = mid
 
       // mutation (gka.java:165-237): roulette-pick one gene, flip it.
       // Wheel total = sum(Cm*dmax - d) = n*(Cm*dmax - avg d): derived
@@ -183,8 +198,8 @@ object GKA {
       state = mutated.select(
         (col("rid") +: dims.map(col)) ++
           (0 until P).map(i => col(s"s${picks(i)}").as(s"s$i")): _*)
-      prev.unpersist()
     }
+    liveCache.unpersist() // output below is a literal frame; release the last generation
     import spark.implicits._
     out.toSeq.toDF("iter", "best")
   }

@@ -72,17 +72,26 @@ object KMeans {
   def lloyd(points: DataFrame, k: Int, iters: Int,
             ds: Seq[String] = dims): DataFrame = {
     val pts = points.cache()
-    var centers = Points.firstKCenters(pts, k, ds)
-    var lastUpdate: DataFrame = null
-    for (_ <- 1 to iters) {
-      lastUpdate = update(assign(pts, centers, ds), ds)
-      val byK = lastUpdate.collect()
-        .map(r => r.getAs[Int]("k") ->
-          ds.indices.map(i => r.getDouble(2 + i)).toArray).toMap
-      // deterministic reseed: an empty cluster keeps its previous center
-      centers = Array.tabulate(k)(i => byK.getOrElse(i, centers(i)))
-    }
-    lastUpdate
+    try {
+      var centers = Points.firstKCenters(pts, k, ds)
+      var lastRows: Array[org.apache.spark.sql.Row] = Array.empty
+      var schema: org.apache.spark.sql.types.StructType = null
+      for (_ <- 1 to iters) {
+        val u = update(assign(pts, centers, ds), ds)
+        schema = u.schema
+        lastRows = u.collect()
+        val byK = lastRows
+          .map(r => r.getAs[Int]("k") ->
+            ds.indices.map(i => r.getDouble(2 + i)).toArray).toMap
+        // deterministic reseed: an empty cluster keeps its previous center
+        centers = Array.tabulate(k)(i => byK.getOrElse(i, centers(i)))
+      }
+      // the result is K rows and already on the driver: return a literal
+      // frame so the point cache can be released immediately (a lazy
+      // plan over the cache would leak it for the caller's lifetime)
+      val spark = points.sparkSession
+      spark.createDataFrame(spark.sparkContext.parallelize(lastRows.toSeq, 1), schema)
+    } finally { points.unpersist(); () }
   }
 
   // ---- driver-contract queries ----------------------------------------
@@ -125,10 +134,7 @@ object KMeans {
 
   /** One update stage: per-cluster mean (round 6) from an assignment. */
   private def updateSql(aIn: String, out: String): String =
-    s"""$out AS (
-       |  SELECT k, count(*) AS n,
-       |         ${dims.zipWithIndex.map { case (d, i) => s"round(avg($d), 6) AS c${i + 1}" }.mkString(", ")}
-       |  FROM $aIn GROUP BY k)""".stripMargin
+    ClusterSql.updateSql(aIn, out, dims)
 
   val oracleAssign: String =
     s"""WITH pts AS ($ptsSql),
@@ -197,10 +203,16 @@ object KMeans {
       val out = scala.collection.mutable.ListBuffer.empty[(Int, Double, Double, Long)]
       for (iter <- 1 to ITERS) {
         val t0 = System.nanoTime()
-        val assigned = assign(pts, centers)
-        val u = update(assigned)
-        val rows = u.collect()
-        val sse = assigned.agg(sum(col("dist"))).head.getDouble(0)
+        // one pass: fold the SSE term into the centroid groupBy so the
+        // K-distance projection isn't evaluated twice per iteration
+        val rows = assign(pts, centers)
+          .groupBy("k")
+          .agg(count(lit(1)).as("n"),
+            dims.zipWithIndex.map { case (d, i) =>
+              round(avg(col(d)), 6).as(s"c${i + 1}")
+            } :+ sum(col("dist")).as("sse_part"): _*)
+          .collect()
+        val sse = rows.map(_.getAs[Double]("sse_part")).sum
         if (sse < best) best = sse
         val byK = rows.map(r => r.getAs[Int]("k") ->
           dims.indices.map(i => r.getDouble(2 + i)).toArray).toMap

@@ -69,7 +69,10 @@ object Dedup {
     * star is linear in corpus size, which is also the right semantics
     * for dedup keeper-selection. Equi-join on (band, bh) only. */
   def candidates(spark: SparkSession, dir: String): DataFrame = {
-    val b = bands(signatures(t(spark, dir, "documents"))).cache()
+    // no cache: the bands projection is recomputed for the two plan
+    // branches (cheap md5 HOFs), which beats leaking a cached copy per
+    // calling query for the session's lifetime
+    val b = bands(signatures(t(spark, dir, "documents")))
     val mins = b.groupBy("band", "bh").agg(min("doc_id").as("ia"))
     b.join(mins, Seq("band", "bh"))
       .filter(col("doc_id") > col("ia"))
@@ -98,8 +101,13 @@ object Dedup {
 
   /** Char-5-gram Jaccard over the same banded candidates (>= 0.6). */
   def qNgram(spark: SparkSession, dir: String): DataFrame = {
+    // guard: sequence(1, n) DESCENDS for n < 1, so short texts need an
+    // explicit empty-gram case (the DuckDB range() mirror is already
+    // empty there)
     val g = t(spark, dir, "documents").select(col("doc_id"),
-      expr("array_distinct(transform(sequence(1, length(text) - 4), i -> substring(text, i, 5)))").as("gs"))
+      expr("CASE WHEN length(text) >= 5 THEN " +
+        "array_distinct(transform(sequence(1, length(text) - 4), i -> substring(text, i, 5))) " +
+        "ELSE array() END").as("gs"))
     candidates(spark, dir)
       .join(g.select(col("doc_id").as("ia"), col("gs").as("ga")), "ia")
       .join(g.select(col("doc_id").as("ib"), col("gs").as("gb")), "ib")
@@ -167,7 +175,6 @@ object Dedup {
   def qEmbed(spark: SparkSession, dir: String): DataFrame = {
     val b = t(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"), VectorOps.signBucket("embedding", 4).as("bk"))
-      .cache()
     val mins = b.groupBy("bk").agg(min("vec_id").as("ia"))
     val keepers = b.select(col("vec_id").as("ia"), col("embedding").as("ea"))
     b.join(mins, "bk").filter(col("vec_id") > col("ia"))

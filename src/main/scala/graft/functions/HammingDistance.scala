@@ -48,17 +48,18 @@ case class HammingDistance(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val ab = ctx.freshName("ab")
       val bb = ctx.freshName("bb")
+      val acc = ctx.freshName("acc")
       s"""
          |byte[] $ab = $a.getBytes();
          |byte[] $bb = $b.getBytes();
          |if ($ab.length != $bb.length) {
          |  ${ev.value} = -1;
          |} else {
-         |  int acc = 0;
+         |  int $acc = 0;
          |  for (int $i = 0; $i < $ab.length; $i++) {
-         |    if ($ab[$i] != $bb[$i]) acc++;
+         |    if ($ab[$i] != $bb[$i]) $acc++;
          |  }
-         |  ${ev.value} = acc;
+         |  ${ev.value} = $acc;
          |}
        """.stripMargin
     })

@@ -53,9 +53,12 @@ object Multimodal {
     val width = 64 + (n % 576).toInt
     val height = 64 + ((n * 7) % 576).toInt
     val frames = if (m.format == "webp") (n % 30).toInt + 1 else 1
-    // 4 deterministic pseudo-features from the first payload bytes
-    val feat = Array.tabulate(4)(i =>
-      (m.payload(i % m.payload.length) & 0xff) / 255.0f)
+    // 4 deterministic pseudo-features from the first payload bytes;
+    // empty/corrupt payloads are routine for a real codec, so they map
+    // to the zero feature rather than crashing the task
+    val feat =
+      if (m.payload.isEmpty) Array.fill(4)(0.0f)
+      else Array.tabulate(4)(i => (m.payload(i % m.payload.length) & 0xff) / 255.0f)
     MediaFeatures(m.doc_id, m.format, n, width, height, frames, feat)
   }
 

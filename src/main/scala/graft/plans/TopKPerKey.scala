@@ -69,8 +69,17 @@ case class TopKPerKeyExec(
       it.foreach { row =>
         val key = keyProj(row).copy()
         val buf = buffers.getOrElseUpdate(key, mutable.ArrayBuffer.empty)
-        buf += ((valEval.eval(row).asInstanceOf[Double],
-          tieEval.eval(row).asInstanceOf[Long], rowCopy(row).copy()))
+        // NULL value/tie sort last, matching the oracle's DESC NULLS
+        // LAST / ASC NULLS LAST window ordering
+        val v = valEval.eval(row) match {
+          case null => Double.NegativeInfinity
+          case d: java.lang.Double => d.doubleValue()
+        }
+        val t = tieEval.eval(row) match {
+          case null => Long.MaxValue
+          case l: java.lang.Long => l.longValue()
+        }
+        buf += ((v, t, rowCopy(row).copy()))
         if (buf.length > 2 * kLocal) prune(buf)
       }
       val outProj = UnsafeProjection.create(output.map(_.dataType).toArray)
@@ -108,7 +117,13 @@ object TopKPerKey {
     def attr(name: String): Attribute = plan.output.find(_.name == name)
       .getOrElse(throw new IllegalArgumentException(
         s"column $name not in ${plan.output.map(_.name).mkString(", ")}"))
-    val node = TopKPerKeyNode(keys.map(attr), attr(value), attr(tie), k, plan)
+    val (v, t) = (attr(value), attr(tie))
+    // fail fast on types the exec's eval path would miscast at runtime
+    require(v.dataType == org.apache.spark.sql.types.DoubleType,
+      s"value column $value must be double, got ${v.dataType}")
+    require(t.dataType == org.apache.spark.sql.types.LongType,
+      s"tie column $tie must be bigint, got ${t.dataType}")
+    val node = TopKPerKeyNode(keys.map(attr), v, t, k, plan)
     GraftBridge.ofRows(spark, node)
   }
 }

@@ -25,8 +25,12 @@ object CsvNumericSource {
       .filter(_.trim.nonEmpty)
       .zipWithIndex()
     val rows = lines.map { case (line, idx) =>
-      val vals = line.split(",").map(_.trim.toDouble)
-      org.apache.spark.sql.Row.fromSeq(idx +: vals.take(numDims).toSeq)
+      // take the dims FIRST: trailing columns (e.g. class labels) must
+      // not be parsed; then fail loudly on genuinely short lines
+      val fields = line.split(",").take(numDims)
+      require(fields.length == numDims,
+        s"line ${idx + 1} has ${fields.length} fields, expected >= $numDims: $line")
+      org.apache.spark.sql.Row.fromSeq(idx +: fields.map(_.trim.toDouble).toSeq)
     }
     val full = StructType(StructField("pid", org.apache.spark.sql.types.LongType,
       nullable = false) +: schema.fields)
