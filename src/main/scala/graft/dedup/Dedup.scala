@@ -99,15 +99,17 @@ object Dedup {
       .select("ia", "ib", "j")
   }
 
+  /** Distinct char-5-grams of the text column. Guard: sequence(1, n)
+    * DESCENDS for n < 1, so short texts need an explicit empty-gram
+    * case (the DuckDB range() mirror is already empty there). */
+  val gramsExpr: Column =
+    expr("CASE WHEN length(text) >= 5 THEN " +
+      "array_distinct(transform(sequence(1, length(text) - 4), i -> substring(text, i, 5))) " +
+      "ELSE array() END")
+
   /** Char-5-gram Jaccard over the same banded candidates (>= 0.6). */
   def qNgram(spark: SparkSession, dir: String): DataFrame = {
-    // guard: sequence(1, n) DESCENDS for n < 1, so short texts need an
-    // explicit empty-gram case (the DuckDB range() mirror is already
-    // empty there)
-    val g = t(spark, dir, "documents").select(col("doc_id"),
-      expr("CASE WHEN length(text) >= 5 THEN " +
-        "array_distinct(transform(sequence(1, length(text) - 4), i -> substring(text, i, 5))) " +
-        "ELSE array() END").as("gs"))
+    val g = t(spark, dir, "documents").select(col("doc_id"), gramsExpr.as("gs"))
     candidates(spark, dir)
       .join(g.select(col("doc_id").as("ia"), col("gs").as("ga")), "ia")
       .join(g.select(col("doc_id").as("ib"), col("gs").as("gb")), "ib")

@@ -34,6 +34,20 @@ class GkaPsoSpec extends AnyFunSuite {
     assert(centers(0)(0) == direct)
   }
 
+  test("gka empty classes keep their index via +inf sentinels") {
+    import org.apache.spark.sql.functions._
+    val pts = Points.lineitem4d(spark, sf)
+    // everyone assigned to class 2 -> classes 0,1,3 are empty
+    val centers = GKA.centersFromAssign(pts, lit(2))
+    assert(centers.length == 4, "class indices must be preserved")
+    assert(centers(0).forall(_.isPosInfinity) && centers(3).forall(_.isPosInfinity))
+    assert(centers(2).forall(v => !v.isInfinity), "the populated class has a real center")
+    // argmin never picks a sentinel class
+    val ks = KMeans.assign(pts, centers).select("k").distinct()
+      .as[Int].collect().toSet
+    assert(ks == Set(2))
+  }
+
   test("gka full GA improves best objective monotonically") {
     val out = GKA.qFull(spark, sf).orderBy("iter").select("best").as[Double].collect()
     assert(out.length == 3)

@@ -44,6 +44,16 @@ class DedupSpec extends AnyFunSuite {
     assert(out.forall(_.getString(1).forall(c => c == '0' || c == '1')))
   }
 
+  test("char-5-grams of short texts are empty, not descending-sequence garbage") {
+    val docs = Seq((1L, "abc"), (2L, "abcd"), (3L, "abcde"), (4L, "abcdef"))
+      .toDF("doc_id", "text")
+    val out = docs.select($"doc_id", Dedup.gramsExpr.as("gs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(out(1L).isEmpty && out(2L).isEmpty)
+    assert(out(3L) == Seq("abcde"))
+    assert(out(4L) == Seq("abcde", "bcdef"))
+  }
+
   test("no physical plan in the dedup family contains a cartesian product") {
     for ((_, fn) <- Dedup.queries) {
       val plan = fn(spark, sf).queryExecution.executedPlan.toString

@@ -24,6 +24,28 @@ class TopKPerKeySpec extends AnyFunSuite {
     assert(custom.contains((1L, 11L, 1)) && custom.contains((1L, 12L, 2)))
   }
 
+  test("null values rank last, matching the window's DESC NULLS LAST") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, 10L, Some(5.0)), (1L, 11L, None), (1L, 12L, Some(-3.0)))
+      .toDF("key", "id", "v")
+    val custom = TopKPerKey(df, Seq("key"), "v", "id", 3)
+      .select("id", "rank").as[(Long, Int)].collect().toMap
+    val w = Window.partitionBy("key").orderBy(col("v").desc_nulls_last, col("id").asc)
+    val declarative = df.withColumn("rank", row_number().over(w))
+      .select("id", "rank").as[(Long, Int)].collect().toMap
+    assert(custom == declarative)
+    assert(custom(11L) == 3, "null sorts after the negative value")
+  }
+
+  test("non-double value column fails fast with a clear message") {
+    val df = Seq((1L, 2L, 3)).toDF("key", "id", "v")
+    val e = intercept[IllegalArgumentException] {
+      TopKPerKey(df, Seq("key"), "v", "id", 1)
+    }
+    assert(e.getMessage.contains("must be double"))
+  }
+
   test("physical plan contains the custom exec and exactly one shuffle") {
     val df = graft.Tables.t(spark, "/root/testdata/sf0.001", "orders")
       .select("o_custkey", "o_orderkey", "o_totalprice")
