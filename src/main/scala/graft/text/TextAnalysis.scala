@@ -136,7 +136,16 @@ object TextAnalysis {
   private def inListSql(ws: Seq[String]): String =
     ws.map(w => s"'$w'").mkString("[", ", ", "]")
 
+  /** Order/duplication-invariant dedup: group by the canonical
+    * fingerprint — catches shuffled/reworded-duplicate docs that exact
+    * content hashing misses. */
+  def qFingerprintDedup(spark: SparkSession, dir: String): DataFrame =
+    qFingerprint(spark, dir)
+      .groupBy("fp")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_docs"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_fingerprint_dedup" -> (qFingerprintDedup _),
     "text_quality" -> (qQuality _),
     "text_langid" -> (qLangId _),
     "text_tokens" -> (qTokens _),
@@ -177,6 +186,11 @@ object TextAnalysis {
         """SELECT doc_id,
           |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
           |FROM documents""".stripMargin,
+      "text_fingerprint_dedup" ->
+        """SELECT fp, min(doc_id) AS keep_id, count(*) AS n_docs FROM (
+          |  SELECT doc_id,
+          |    md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+          |  FROM documents) GROUP BY fp""".stripMargin,
       "text_bm25" ->
         """WITH words AS (
           |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
