@@ -50,6 +50,18 @@ object SimSearch {
       .select("q_id", "vec_id", "rank", "cs")
   }
 
+  /** Radius (range) search: every corpus vector within a cosine
+    * threshold of each query — same broadcast-query scan shape as
+    * qTopK, unbounded result per query. */
+  def qRange(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    val q = e.filter(col("vec_id") <= QN)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    e.join(broadcast(q), col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"), VectorOps.cosine("qe", "embedding").as("cs"))
+      .filter(col("cs") >= 0.3)
+  }
+
   // ---- IVF: k-means coarse quantizer + probed-cell search -------------
 
   private val CELLS = 8
@@ -144,9 +156,16 @@ object SimSearch {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "simsearch_topk" -> (qTopK _),
     "simsearch_ann" -> (qAnn _),
-    "simsearch_ivf" -> (qIvf _))
+    "simsearch_ivf" -> (qIvf _),
+    "simsearch_range" -> (qRange _))
 
   val oracleSql: Map[String, String] = Map(
+    "simsearch_range" ->
+      s"""SELECT q_id, vec_id, cs FROM (
+         |  SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+         |    ${VectorOps.cosineSql("q.embedding", "e.embedding")} AS cs
+         |  FROM embeddings q JOIN embeddings e ON q.vec_id <= $QN AND q.vec_id != e.vec_id)
+         |WHERE cs >= 0.3""".stripMargin,
     "simsearch_ivf" -> ivfOracle,
     "simsearch_topk" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id <= $QN),
