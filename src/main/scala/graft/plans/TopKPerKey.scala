@@ -60,33 +60,34 @@ case class TopKPerKeyExec(
       val valEval = BindReferences.bindReference(value, childOutput)
       val tieEval = BindReferences.bindReference(tie, childOutput)
       val rowCopy = UnsafeProjection.create(childOutput.map(_.dataType).toArray)
-      // per key: buffer of (value, tie, row) kept <= 2k, pruned to top-k
-      val buffers = mutable.LinkedHashMap.empty[UnsafeRow, mutable.ArrayBuffer[(Double, Long, UnsafeRow)]]
-      def prune(b: mutable.ArrayBuffer[(Double, Long, UnsafeRow)]): Unit = {
-        val kept = b.sortBy { case (v, t, _) => (-v, t) }.take(kLocal)
+      // Sort key matching Spark's desc_nulls_last exactly: NaN is the
+      // LARGEST double (group 0, first under DESC), then real values by
+      // -v, then NULLs last (group 2) — sentinel-value mapping (-Inf
+      // for null) would misorder genuine -Inf/NaN data.
+      def rankKey(v: java.lang.Double, t: java.lang.Long): (Int, Double, Long) = {
+        val tt = if (t == null) Long.MaxValue else t.longValue()
+        if (v == null) (2, 0.0, tt)
+        else if (v.isNaN) (0, 0.0, tt)
+        else (1, -v.doubleValue(), tt)
+      }
+      // per key: buffer of (sortKey, row) kept <= 2k, pruned to top-k
+      val buffers = mutable.LinkedHashMap.empty[UnsafeRow, mutable.ArrayBuffer[((Int, Double, Long), UnsafeRow)]]
+      def prune(b: mutable.ArrayBuffer[((Int, Double, Long), UnsafeRow)]): Unit = {
+        val kept = b.sortBy(_._1).take(kLocal)
         b.clear(); b ++= kept
       }
       it.foreach { row =>
         val key = keyProj(row).copy()
         val buf = buffers.getOrElseUpdate(key, mutable.ArrayBuffer.empty)
-        // NULL value/tie sort last, matching the oracle's DESC NULLS
-        // LAST / ASC NULLS LAST window ordering
-        val v = valEval.eval(row) match {
-          case null => Double.NegativeInfinity
-          case d: java.lang.Double => d.doubleValue()
-        }
-        val t = tieEval.eval(row) match {
-          case null => Long.MaxValue
-          case l: java.lang.Long => l.longValue()
-        }
-        buf += ((v, t, rowCopy(row).copy()))
+        buf += ((rankKey(valEval.eval(row).asInstanceOf[java.lang.Double],
+          tieEval.eval(row).asInstanceOf[java.lang.Long]), rowCopy(row).copy()))
         if (buf.length > 2 * kLocal) prune(buf)
       }
       val outProj = UnsafeProjection.create(output.map(_.dataType).toArray)
       val joined = new JoinedRow
       buffers.iterator.flatMap { case (_, buf) =>
         prune(buf)
-        buf.iterator.zipWithIndex.map { case ((_, _, row), i) =>
+        buf.iterator.zipWithIndex.map { case ((_, row), i) =>
           outProj(joined(row, new GenericInternalRow(Array[Any](i + 1))))
         }
       }

@@ -22,15 +22,21 @@ object SimSearch {
   private val ANN_TOPK = 5
   private val BITS = 4
 
-  /** Brute-force cosine top-k per query vector. */
-  def qTopK(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared brute-force shape: broadcast the small query set against
+    * the corpus, score every (query, vector) pair by cosine. */
+  private def scoredAgainstQueries(spark: SparkSession, dir: String): DataFrame = {
     val e = t(spark, dir, "embeddings")
     val q = e.filter(col("vec_id") <= QN)
       .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
-    val scored = e.join(broadcast(q), col("q_id") =!= col("vec_id"))
+    e.join(broadcast(q), col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id"), VectorOps.cosine("qe", "embedding").as("cs"))
+  }
+
+  /** Brute-force cosine top-k per query vector. */
+  def qTopK(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("q_id").orderBy(col("cs").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w))
+    scoredAgainstQueries(spark, dir)
+      .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= TOPK)
       .select("q_id", "vec_id", "rank", "cs")
   }
@@ -51,16 +57,13 @@ object SimSearch {
   }
 
   /** Radius (range) search: every corpus vector within a cosine
-    * threshold of each query — same broadcast-query scan shape as
-    * qTopK, unbounded result per query. */
-  def qRange(spark: SparkSession, dir: String): DataFrame = {
-    val e = t(spark, dir, "embeddings")
-    val q = e.filter(col("vec_id") <= QN)
-      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
-    e.join(broadcast(q), col("q_id") =!= col("vec_id"))
-      .select(col("q_id"), col("vec_id"), VectorOps.cosine("qe", "embedding").as("cs"))
-      .filter(col("cs") >= 0.3)
-  }
+    * threshold of each query. Thresholding a rounded float carries the
+    * inherent 1-ulp boundary risk SURVEY.md §4 documents for all
+    * similarity cutoffs (a pair landing exactly on a x.xxxxx5 edge
+    * could round apart across engines) — data-dependent and not
+    * observed at any tested scale factor. */
+  def qRange(spark: SparkSession, dir: String): DataFrame =
+    scoredAgainstQueries(spark, dir).filter(col("cs") >= 0.3)
 
   // ---- IVF: k-means coarse quantizer + probed-cell search -------------
 

@@ -24,18 +24,22 @@ class TopKPerKeySpec extends AnyFunSuite {
     assert(custom.contains((1L, 11L, 1)) && custom.contains((1L, 12L, 2)))
   }
 
-  test("null values rank last, matching the window's DESC NULLS LAST") {
+  test("null, NaN and -Infinity order exactly like the window's DESC NULLS LAST") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
-    val df = Seq((1L, 10L, Some(5.0)), (1L, 11L, None), (1L, 12L, Some(-3.0)))
+    val df = Seq(
+      (1L, 10L, Some(5.0)), (1L, 11L, None), (1L, 12L, Some(-3.0)),
+      (1L, 13L, Some(Double.NegativeInfinity)), (1L, 14L, Some(Double.NaN)))
       .toDF("key", "id", "v")
-    val custom = TopKPerKey(df, Seq("key"), "v", "id", 3)
+    val custom = TopKPerKey(df, Seq("key"), "v", "id", 5)
       .select("id", "rank").as[(Long, Int)].collect().toMap
     val w = Window.partitionBy("key").orderBy(col("v").desc_nulls_last, col("id").asc)
     val declarative = df.withColumn("rank", row_number().over(w))
       .select("id", "rank").as[(Long, Int)].collect().toMap
-    assert(custom == declarative)
-    assert(custom(11L) == 3, "null sorts after the negative value")
+    assert(custom == declarative, s"custom $custom vs window $declarative")
+    assert(custom(14L) == 1, "NaN is the largest double under Spark DESC")
+    assert(custom(13L) == 4, "-Inf is a real value, before null")
+    assert(custom(11L) == 5, "null sorts last")
   }
 
   test("non-double value column fails fast with a clear message") {
