@@ -28,10 +28,17 @@ private[graft] object ClusterSql {
     }.mkString(" + ") + ")"
 
   /** One assign stage over wide centers: nearest-center k (ties ->
-    * lowest k) and its distance, one row per input row of `src`. */
+    * lowest k) and its distance, one row per input row of `src`.
+    *
+    * An EMPTY class pivots to NULL center columns; its distance is
+    * coalesced to +infinity so both the CASE-chain argmin and least()
+    * behave exactly like the Spark side's +inf sentinel (a raw NULL
+    * d$i would NULL-out whole CASE arms and fall through to ELSE k-1,
+    * silently assigning the wrong class). */
   def assignSql(k: Int, cwIn: String, out: String, src: String = "pts",
                 dims: Seq[String] = Points.dims): String = {
-    val ds = (0 until k).map(ki => s"${distExprSql(ki, "k", dims)} AS d$ki").mkString(", ")
+    val ds = (0 until k).map(ki =>
+      s"coalesce(${distExprSql(ki, "k", dims)}, CAST('infinity' AS DOUBLE)) AS d$ki").mkString(", ")
     val caseArm = (0 until k - 1).map(i =>
       "WHEN " + (i + 1 until k).map(j => s"d$i <= d$j").mkString(" AND ") + s" THEN $i").mkString(" ")
     s"""${out}_d AS (

@@ -31,9 +31,9 @@ object GKA {
   /** Sentinel center for a class nobody is assigned to: +inf in every
     * dim, so its distance is +inf and argmin never picks it — the
     * exact behavior of the SQL oracle, where a missing class pivots to
-    * NULL columns whose CASE arms evaluate false. Class INDICES are
-    * preserved (compacting would silently renumber every later class).
-    */
+    * NULL columns whose distance is coalesced to +infinity
+    * (ClusterSql.assignSql). Class INDICES are preserved (compacting
+    * would silently renumber every later class). */
   private def emptyClass: Array[Double] =
     Array.fill(dims.length)(Double.PositiveInfinity)
 
@@ -150,10 +150,15 @@ object GKA {
       var next = state
       for (i <- 0 until P) {
         val cs = centers(i)
-        val distArr = array(cs.map(c => distTo(c)): _*)
+        // ONE materialized distance-array column per chromosome; min and
+        // argmin both read it (round 4 — previously the identical array
+        // expression was rebuilt inside array_position, betting on
+        // codegen subexpression elimination across withColumns)
         next = next
-          .withColumn(s"d$i", array_min(distArr))
-          .withColumn(s"s$i", (array_position(array(cs.map(c => distTo(c)): _*), col(s"d$i")) - 1).cast("int"))
+          .withColumn(s"__da$i", array(cs.map(c => distTo(c)): _*))
+          .withColumn(s"d$i", array_min(col(s"__da$i")))
+          .withColumn(s"s$i", (array_position(col(s"__da$i"), col(s"d$i")) - 1).cast("int"))
+          .drop(s"__da$i")
       }
       val mid = next.cache()
       state = mid

@@ -74,10 +74,20 @@ object Points {
   /** Add a unique row id without any global sort: pid collides only
     * within tiny groups, so a pid-partitioned row_number (cheap, scales
     * — every partition is a handful of rows) disambiguates. Used by the
-    * GA/PSO loops that must address a single gene/row. */
+    * GA/PSO loops that must address a single gene/row.
+    *
+    * The *100 encoding holds 99 duplicates per pid; a larger group
+    * would silently collide rids (and GKA's mutation would flip the
+    * wrong gene), so the row fails LOUDLY instead of encoding. */
   def withRid(df: DataFrame): DataFrame = {
     val w = Window.partitionBy("pid").orderBy(dims.map(col): _*)
-    df.withColumn("rid", col("pid") * 100 + row_number().over(w))
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("rid",
+        when(col("__rn") <= 99, col("pid") * 100 + col("__rn"))
+          .otherwise(raise_error(concat(
+            lit("pid group exceeds 99 rows, rid encoding would collide: pid="),
+            col("pid").cast("string")))))
+      .drop("__rn")
   }
 
   /** SQL fragment shared by the clustering oracles: the point set. */

@@ -129,13 +129,19 @@ object Dedup {
     simhashOf(t(spark, dir, "documents"))
 
   def simhashOf(docs: DataFrame): DataFrame = {
-    val bitsOfW =
-      "transform(sequence(0, 63), b -> " +
-        "(shiftright(instr('0123456789abcdef', substr(md5(w), (b div 4) + 1, 1)) - 1, " +
-        "3 - (b % 4)) & 1) * 2 - 1)"
+    // md5 runs ONCE per distinct word (round 4: it previously sat inside
+    // the per-bit lambda = 64 hashes + 64 string ops per word, the
+    // measured 56.8 s in dedup_simhash_pairs at sf0.1). The digest's
+    // first 16 hex chars become four 16-bit integer chunks via conv, so
+    // the per-bit work inside the fold is a pure integer shift/mask.
+    val wordChunks =
+      "transform(array_distinct(split(text, ' ')), w -> " +
+        "transform(sequence(0, 3), c -> cast(conv(substr(md5(w), c * 4 + 1, 4), 16, 10) as int)))"
     val counts =
-      s"aggregate(array_distinct(split(text, ' ')), transform(sequence(0, 63), b -> 0), " +
-        s"(acc, w) -> zip_with(acc, $bitsOfW, (x, y) -> x + y))"
+      s"aggregate($wordChunks, transform(sequence(0, 63), b -> 0), " +
+        "(acc, ch) -> zip_with(acc, transform(sequence(0, 63), b -> " +
+        "(shiftright(element_at(ch, cast(b div 16 as int) + 1), 15 - (b % 16)) & 1) * 2 - 1), " +
+        "(x, y) -> x + y))"
     docs.select(col("doc_id"),
       expr(s"array_join(transform($counts, c -> CASE WHEN c > 0 THEN '1' ELSE '0' END), '')")
         .as("simhash"))

@@ -23,6 +23,8 @@ import org.apache.spark.sql.types.IntegerType
   *
   * Semantics (mirrored by the SQL oracle): rank rows per key by
   * (value DESC, tie ASC), keep rank <= k, rank is 1-based row_number.
+  * Null ordering follows Spark's defaults for those directions: value
+  * desc = NULLS LAST, tie asc = NULLS FIRST.
   */
 case class TopKPerKeyNode(
     keys: Seq[Expression], value: Expression, tie: Expression, k: Int,
@@ -60,19 +62,21 @@ case class TopKPerKeyExec(
       val valEval = BindReferences.bindReference(value, childOutput)
       val tieEval = BindReferences.bindReference(tie, childOutput)
       val rowCopy = UnsafeProjection.create(childOutput.map(_.dataType).toArray)
-      // Sort key matching Spark's desc_nulls_last exactly: NaN is the
-      // LARGEST double (group 0, first under DESC), then real values by
-      // -v, then NULLs last (group 2) — sentinel-value mapping (-Inf
-      // for null) would misorder genuine -Inf/NaN data.
-      def rankKey(v: java.lang.Double, t: java.lang.Long): (Int, Double, Long) = {
-        val tt = if (t == null) Long.MaxValue else t.longValue()
-        if (v == null) (2, 0.0, tt)
-        else if (v.isNaN) (0, 0.0, tt)
-        else (1, -v.doubleValue(), tt)
+      // Sort key matching Spark's (value desc_nulls_last, tie asc)
+      // exactly: NaN is the LARGEST double (group 0, first under DESC),
+      // then real values by -v, then NULLs last (group 2); the tie gets
+      // its own null group — asc in Spark is NULLS FIRST — so a null
+      // tie sorts before every long (a Long.MaxValue sentinel would
+      // both misplace nulls and collide with genuine MaxValue ties).
+      def rankKey(v: java.lang.Double, t: java.lang.Long): (Int, Double, Int, Long) = {
+        val (tg, tt) = if (t == null) (0, 0L) else (1, t.longValue())
+        if (v == null) (2, 0.0, tg, tt)
+        else if (v.isNaN) (0, 0.0, tg, tt)
+        else (1, -v.doubleValue(), tg, tt)
       }
       // per key: buffer of (sortKey, row) kept <= 2k, pruned to top-k
-      val buffers = mutable.LinkedHashMap.empty[UnsafeRow, mutable.ArrayBuffer[((Int, Double, Long), UnsafeRow)]]
-      def prune(b: mutable.ArrayBuffer[((Int, Double, Long), UnsafeRow)]): Unit = {
+      val buffers = mutable.LinkedHashMap.empty[UnsafeRow, mutable.ArrayBuffer[((Int, Double, Int, Long), UnsafeRow)]]
+      def prune(b: mutable.ArrayBuffer[((Int, Double, Int, Long), UnsafeRow)]): Unit = {
         val kept = b.sortBy(_._1).take(kLocal)
         b.clear(); b ++= kept
       }

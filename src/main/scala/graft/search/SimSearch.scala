@@ -93,22 +93,27 @@ object SimSearch {
     //    query plan free of the 8x64-term assign expression trees
     //    (collapsing them through the join/window plan OOMs Catalyst)
     val cells = KMeans.assign(pts, centers, ed).select(col("pid"), col("k")).cache()
-    // 3. probe: each query's NPROBE nearest cells -> tiny literal frame
-    val qd = pts.filter(col("pid") <= QN).select(
-      col("pid").as("q_id") +:
-        centers.indices.map(i => Points.distTo(centers(i), ed).as(s"d$i")): _*)
-    val probeLong = qd.select(col("q_id"), explode(array(centers.indices.map(i =>
-      struct(lit(i).as("cell"), col(s"d$i").as("dist"))): _*)).as("e"))
-      .select(col("q_id"), col("e.cell").as("cell"), col("e.dist").as("dist"))
-      .filter(col("dist").isNotNull)
-    val wp = Window.partitionBy("q_id").orderBy(col("dist").asc, col("cell").asc)
-    val probedRows = probeLong.withColumn("rn", row_number().over(wp))
-      .filter(col("rn") <= NPROBE).select("q_id", "cell")
-      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
-    import spark.implicits._
-    val probed = probedRows.toDF("q_id", "cell")
     cells.count() // materialize the index, then the point cache can go
     pts.unpersist()
+    // 3. probe DRIVER-SIDE: QN query vectors x CELLS centers is tiny
+    //    state (round 4 — the previous Spark-job probe re-derived the
+    //    8x64-dim distance trees for one more codegen'd stage). The
+    //    left-fold add order matches Points.distTo exactly, so the
+    //    distances — and the oracle — are bitwise unchanged.
+    val qvecs = t(spark, dir, "embeddings").filter(col("vec_id") <= QN)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    val probedRows = qvecs.toSeq.flatMap { case (qid, v) =>
+      centers.indices.map { i =>
+        val d = math.sqrt(ed.indices.map { j =>
+          val df = v(j) - centers(i)(j); df * df
+        }.reduce(_ + _))
+        (i, d)
+      }.sortBy { case (cell, dist) => (dist, cell) }
+        .take(NPROBE).map { case (cell, _) => (qid, cell) }
+    }
+    import spark.implicits._
+    val probed = probedRows.toDF("q_id", "cell")
     // 4. candidates = vectors in probed cells; score; top-k
     val e = t(spark, dir, "embeddings")
     val cand = broadcast(probed).join(cells, probed("cell") === cells("k"))
@@ -119,9 +124,17 @@ object SimSearch {
       .join(e, "vec_id")
       .select(col("q_id"), col("vec_id"), VectorOps.cosine("qe", "embedding").as("cs"))
     val wr = Window.partitionBy("q_id").orderBy(col("cs").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(wr))
+    val result = scored.withColumn("rank", row_number().over(wr))
       .filter(col("rank") <= IVF_TOPK)
       .select("q_id", "vec_id", "rank", "cs")
+    // the result is QN*IVF_TOPK rows and already needs a driver pass:
+    // return a literal frame (KMeans.lloyd's trick) so the index cache
+    // is released NOW — the old lazy return leaked a cached `cells`
+    // per invocation for the session's lifetime
+    val rows = result.collect()
+    val schema = result.schema
+    cells.unpersist()
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1), schema)
   }
 
   private val ivfOracle: String = {

@@ -25,6 +25,18 @@ class GkaPsoSpec extends AnyFunSuite {
     pts.unpersist()
   }
 
+  test("withRid fails loudly when a pid group exceeds the 99-row encoding") {
+    val big = (1 to 120).map(_ => (7L, 1.0, 2.0, 3.0, 4.0))
+      .toDF("pid", "x1", "x2", "x3", "x4")
+    // count() would let Catalyst prune the rid column; aggregate it so
+    // the guard expression actually evaluates
+    val e = intercept[Exception] { Points.withRid(big).agg(max("rid")).head() }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("rid encoding would collide")),
+      s"expected a loud rid-collision error, got: ${e.getMessage}")
+  }
+
   test("gka centersFromAssign matches a direct groupBy") {
     val pts = Points.lineitem4d(spark, sf)
     val centers = GKA.centersFromAssign(pts, pmod(col("pid"), lit(4)))

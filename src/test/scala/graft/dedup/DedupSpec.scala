@@ -44,6 +44,29 @@ class DedupSpec extends AnyFunSuite {
     assert(out.forall(_.getString(1).forall(c => c == '0' || c == '1')))
   }
 
+  test("simhash bits match an independent JVM md5 reference") {
+    // pins the bit-extraction semantics (MSB-first over the digest's
+    // first 16 hex chars) so the hoisted-md5 formulation can never
+    // silently drift from the documented rule / the DuckDB oracle
+    def refSimhash(text: String): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val counts = new Array[Int](64)
+      text.split(" ").distinct.foreach { w =>
+        val hex = md.digest(w.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        for (b <- 0 until 64) {
+          val nib = Integer.parseInt(hex.charAt(b / 4).toString, 16)
+          counts(b) += (((nib >> (3 - b % 4)) & 1) * 2 - 1)
+        }
+      }
+      counts.map(c => if (c > 0) '1' else '0').mkString
+    }
+    val texts = Seq((1L, "the quick brown fox"), (2L, "lorem ipsum dolor sit amet"),
+      (3L, "a"), (4L, "x y z x y z"))
+    val got = Dedup.simhashOf(texts.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    texts.foreach { case (id, txt) => assert(got(id) == refSimhash(txt), s"doc $id") }
+  }
+
   test("char-5-grams of short texts are empty, not descending-sequence garbage") {
     val docs = Seq((1L, "abc"), (2L, "abcd"), (3L, "abcde"), (4L, "abcdef"))
       .toDF("doc_id", "text")

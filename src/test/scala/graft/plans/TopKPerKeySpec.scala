@@ -42,6 +42,25 @@ class TopKPerKeySpec extends AnyFunSuite {
     assert(custom(11L) == 5, "null sorts last")
   }
 
+  test("null ties order like the window's tie ASC (Spark NULLS FIRST)") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // equal values, one null tie, plus a genuine Long.MaxValue tie that
+    // must NOT collide with any null sentinel
+    val df = Seq(
+      (1L, Some(10L), 5.0), (1L, None, 5.0), (1L, Some(Long.MaxValue), 5.0),
+      (1L, Some(2L), 5.0))
+      .toDF("key", "id", "v")
+    val custom = TopKPerKey(df, Seq("key"), "v", "id", 4)
+      .select("id", "rank").as[(Option[Long], Int)].collect().toMap
+    val w = Window.partitionBy("key").orderBy(col("v").desc, col("id").asc)
+    val declarative = df.withColumn("rank", row_number().over(w))
+      .select("id", "rank").as[(Option[Long], Int)].collect().toMap
+    assert(custom == declarative, s"custom $custom vs window $declarative")
+    assert(custom(None) == 1, "null tie sorts FIRST under Spark asc")
+    assert(custom(Some(Long.MaxValue)) == 4, "genuine MaxValue tie sorts last, after real ties")
+  }
+
   test("non-double value column fails fast with a clear message") {
     val df = Seq((1L, 2L, 3)).toDF("key", "id", "v")
     val e = intercept[IllegalArgumentException] {

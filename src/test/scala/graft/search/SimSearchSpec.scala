@@ -33,6 +33,12 @@ class SimSearchSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("ivf releases every cache it creates (no index leak)") {
+    SimSearch.qIvf(spark, sf).count()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "qIvf must unpersist its point and cell caches before returning")
+  }
+
   test("cosine of a vector with itself is 1") {
     import org.apache.spark.sql.functions._
     val df = Seq(Tuple1(Array(1.0f, 2.0f, 3.0f))).toDF("embedding")
