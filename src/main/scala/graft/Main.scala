@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.SparkConf
+import org.apache.spark.sql.SparkSession
+
+import graft.clustering.{GKA, KMeans, PSO, Points}
+import graft.sources.CsvNumericSource
+
+/** Runnable CLI matching the reference programs' UX: read a headerless
+  * numeric CSV, run a clustering algorithm, write per-iteration metrics
+  * to an output file (kmeans.java:40-48 / gka.java:47-57 /
+  * pso.java:54-62 arg contracts, print_best output shape).
+  *
+  * Usage (first arg selects the algorithm; the rest mirror the
+  * reference's positional args):
+  *
+  *   kmeans <dataset_path> <num_iter> <num_k> <output_path> <num_run>
+  *   gka    <dataset_path> <num_iter> <num_k> <output_path> <num_run> \
+  *          <num_cms> <Pm> <Cm>
+  *   pso    <dataset_path> <num_iter> <num_k> <output_path> <num_run> \
+  *          <num_particle> <c1> <c2> <w_max> <w_min>
+  *
+  * The dimension count is inferred from the first line of the dataset
+  * (the reference's readDataset parses every comma-separated column as
+  * a double, kmeans.java:203-239). Each run r uses seed BASE+r, so
+  * num_run > 1 is a genuine multi-restart with best-of tracking like
+  * the reference's run loop (kmeans.java:57-62).
+  *
+  * Output lines per iteration: run,iter,objective,best_objective,iter_ms
+  * and a trailing total "<ms>ms" line, like print_best
+  * (kmeans.java:261-270).
+  */
+object Main {
+
+  private val usage =
+    """usage:
+      |  kmeans <dataset_path> <num_iter> <num_k> <output_path> <num_run>
+      |  gka    <dataset_path> <num_iter> <num_k> <output_path> <num_run> <num_cms> <Pm> <Cm>
+      |  pso    <dataset_path> <num_iter> <num_k> <output_path> <num_run> <num_particle> <c1> <c2> <w_max> <w_min>""".stripMargin
+
+  def main(args: Array[String]): Unit = {
+    if (args.length < 6) { System.err.println(usage); sys.exit(2) }
+    val algo = args(0)
+    val datasetPath = args(1)
+    val numIter = args(2).toInt
+    val numK = args(3).toInt
+    val outputPath = args(4)
+    val numRun = args(5).toInt
+
+    val spark = SparkSession.builder()
+      .config(new SparkConf().setIfMissing("spark.master", "local[*]")
+        .setIfMissing("spark.sql.shuffle.partitions",
+          Runtime.getRuntime.availableProcessors().toString))
+      .appName(s"graft-$algo")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, algo, datasetPath, numIter, numK, outputPath, numRun,
+      args.drop(6))
+    finally spark.stop()
+  }
+
+  /** Testable core: everything main does minus session lifecycle. */
+  def run(spark: SparkSession, algo: String, datasetPath: String,
+          numIter: Int, numK: Int, outputPath: String, numRun: Int,
+          rest: Array[String]): Unit = {
+    // dims = columns of the first non-empty line, like readDataset
+    val numDims = spark.sparkContext.textFile(datasetPath)
+      .filter(_.trim.nonEmpty).first().split(",").length
+    val ds = (1 to numDims).map(i => s"x$i")
+    val pts = CsvNumericSource.read(spark, datasetPath, numDims)
+
+    val fw = new java.io.FileWriter(outputPath)
+    val t0 = System.currentTimeMillis()
+    try {
+      for (r <- 0 until numRun) {
+        val seed = 42L + r
+        algo match {
+          case "kmeans" =>
+            // run r seeds from hash-ranked random centers, the
+            // reproducible analog of create_center per restart
+            val metrics = KMeans.metricsRun(pts, numK, numIter, ds,
+              p => Points.randomCenters(p, numK, seed, ds))
+            metrics.foreach { case (iter, sse, best, ms) =>
+              fw.write(s"$r,$iter,$sse,$best,$ms\n")
+            }
+          case "gka" =>
+            val (numCms, pm, cm) = rest match {
+              case Array(a, b, c, _*) => (a.toInt, b.toDouble, c.toDouble)
+              case _ => sys.error("gka needs <num_cms> <Pm> <Cm>\n" + usage)
+            }
+            GKA.full(Points.withRid(pts, ds), numK, numCms, numIter, pm, cm,
+                seed, ds)
+              .collect().foreach { row =>
+                fw.write(s"$r,${row.getInt(0)},${row.getDouble(1)},${row.getDouble(1)},${row.getLong(2)}\n")
+              }
+          case "pso" =>
+            val (numParticle, c1, c2, wMax, wMin) = rest match {
+              case Array(a, b, c, d, e, _*) =>
+                (a.toInt, b.toDouble, c.toDouble, d.toDouble, e.toDouble)
+              case _ => sys.error("pso needs <num_particle> <c1> <c2> <w_max> <w_min>\n" + usage)
+            }
+            PSO.full(pts, numK, numParticle, numIter, wMax, wMin, c1, c2,
+                seed, ds)
+              .collect().foreach { row =>
+                fw.write(s"$r,${row.getInt(0)},${row.getDouble(1)},${row.getDouble(1)},${row.getLong(2)}\n")
+              }
+          case other => sys.error(s"unknown algorithm '$other'\n" + usage)
+        }
+      }
+      fw.write(s"${System.currentTimeMillis() - t0}ms\n")
+    } finally fw.close()
+  }
+}

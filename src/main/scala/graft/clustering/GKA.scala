@@ -34,40 +34,42 @@ object GKA {
     * NULL columns whose distance is coalesced to +infinity
     * (ClusterSql.assignSql). Class INDICES are preserved (compacting
     * would silently renumber every later class). */
-  private def emptyClass: Array[Double] =
-    Array.fill(dims.length)(Double.PositiveInfinity)
+  private def emptyClass(ds: Seq[String] = dims): Array[Double] =
+    Array.fill(ds.length)(Double.PositiveInfinity)
 
   /** Per-class mean centers (round 6, SURVEY.md §4) from an assignment
     * column; empty classes become the +inf sentinel. */
-  def centersFromAssign(pts: DataFrame, sol: Column): Array[Array[Double]] = {
+  def centersFromAssign(pts: DataFrame, sol: Column, k: Int = K,
+                        ds: Seq[String] = dims): Array[Array[Double]] = {
     val byClass = pts.groupBy(sol.cast("int").as("sol"))
-      .agg(dims.zipWithIndex.map { case (d, j) => round(avg(col(d)), 6).as(s"c${j + 1}") }.head,
-        dims.zipWithIndex.tail.map { case (d, j) => round(avg(col(d)), 6).as(s"c${j + 1}") }: _*)
+      .agg(ds.zipWithIndex.map { case (d, j) => round(avg(col(d)), 6).as(s"c${j + 1}") }.head,
+        ds.zipWithIndex.tail.map { case (d, j) => round(avg(col(d)), 6).as(s"c${j + 1}") }: _*)
       .collect()
-      .map(r => r.getInt(0) -> dims.indices.map(j => r.getDouble(1 + j)).toArray)
+      .map(r => r.getInt(0) -> ds.indices.map(j => r.getDouble(1 + j)).toArray)
       .toMap
-    Array.tabulate(K)(k => byClass.getOrElse(k, emptyClass))
+    Array.tabulate(k)(ki => byClass.getOrElse(ki, emptyClass(ds)))
   }
 
   /** Min distance to any of the centers — the fitness kernel
     * (gka.java:149-164), one codegen'd expression, no shuffle. */
-  def minDist(centers: Array[Array[Double]]): Column =
-    array_min(array(centers.map(c => distTo(c)): _*))
+  def minDist(centers: Array[Array[Double]], ds: Seq[String] = dims): Column =
+    array_min(array(centers.map(c => distTo(c, ds)): _*))
 
   /** Per-(chromosome, class) centers for ALL chromosomes in ONE flat
     * conditional aggregation — avg(when(s_i = k, x_j)) for every
     * (i, k, j) — so the "shuffle" is P*K*D partial values per
     * partition, not an exploded copy of the data. Empty classes (null
     * avg) become the +inf sentinel, preserving class indices. */
-  def allCenters(state: DataFrame, p: Int): Map[Int, Array[Array[Double]]] = {
-    val aggs = for (i <- 0 until p; k <- 0 until K; (d, j) <- dims.zipWithIndex)
-      yield round(avg(when(col(s"s$i") === k, col(d))), 6).as(s"c_${i}_${k}_$j")
+  def allCenters(state: DataFrame, p: Int, k: Int = K,
+                 ds: Seq[String] = dims): Map[Int, Array[Array[Double]]] = {
+    val aggs = for (i <- 0 until p; ki <- 0 until k; (d, j) <- ds.zipWithIndex)
+      yield round(avg(when(col(s"s$i") === ki, col(d))), 6).as(s"c_${i}_${ki}_$j")
     val row = state.agg(aggs.head, aggs.tail: _*).head
     (0 until p).map { i =>
-      val centers = (0 until K).map { k =>
-        val base = (i * K + k) * dims.length
-        if (row.isNullAt(base)) emptyClass
-        else dims.indices.map(j => row.getDouble(base + j)).toArray
+      val centers = (0 until k).map { ki =>
+        val base = (i * k + ki) * ds.length
+        if (row.isNullAt(base)) emptyClass(ds)
+        else ds.indices.map(j => row.getDouble(base + j)).toArray
       }.toArray
       i -> centers
     }.toMap
@@ -101,7 +103,7 @@ object GKA {
       val centersByP = (0 until P).map { p =>
         p -> (0 until K).map { k =>
           val base = (p * K + k) * dims.length
-          if (crow.isNullAt(base)) emptyClass
+          if (crow.isNullAt(base)) emptyClass()
           else dims.indices.map(j => crow.getDouble(base + j)).toArray
         }.toArray
       }.toMap
@@ -121,41 +123,42 @@ object GKA {
     } finally { pts.unpersist(); () }
   }
 
-  /** Full seeded GA loop (gka.java:88-102): P chromosomes, ITERS
+  /** Full seeded GA loop (gka.java:88-102): p chromosomes, `iters`
     * generations of selection -> transition+fitness -> mutation.
-    * RNG-bearing, so registered rows-only (SURVEY.md §4).
-    * Output: one row per generation (iter, best). */
-  def qFull(spark: SparkSession, dir: String): DataFrame = {
-    val P = 4
-    val ITERS = 3
-    val Pm = 0.5
-    val Cm = 2.0
-    val rng = new scala.util.Random(42)
+    * Parametric over everything the reference takes as args
+    * (gka.java:47-57: num_iter, num_k, num_cms, Pm, Cm); `pts0` must
+    * carry a unique `rid` (Points.withRid) plus the `ds` dim columns.
+    * Output: one row per generation (iter, best, iter_ms). */
+  def full(pts0: DataFrame, k: Int = K, p: Int = 4, iters: Int = 3,
+           pm: Double = 0.5, cm: Double = 2.0, seed: Long = 42,
+           ds: Seq[String] = dims): DataFrame = {
+    val spark = pts0.sparkSession
+    val rng = new scala.util.Random(seed)
 
-    val pts = Points.withRid(Points.lineitem4d(spark, dir))
     // init: deterministic pseudo-random assignment per chromosome
-    var state = pts.select(
-      (col("rid") +: dims.map(col)) ++
-        (0 until P).map(i => pmod(xxhash64(col("rid"), lit(i), lit(42)), lit(K)).cast("int").as(s"s$i")): _*)
+    var state = pts0.select(
+      (col("rid") +: ds.map(col)) ++
+        (0 until p).map(i => pmod(xxhash64(col("rid"), lit(i), lit(seed)), lit(k)).cast("int").as(s"s$i")): _*)
       .cache()
     state.count()
     var liveCache = state
 
-    val out = scala.collection.mutable.ListBuffer.empty[(Int, Double)]
+    val out = scala.collection.mutable.ListBuffer.empty[(Int, Double, Long)]
     var best = Double.MaxValue
 
-    for (iter <- 1 to ITERS) {
+    for (iter <- 1 to iters) {
+      val t0 = System.nanoTime()
       // transition: centers per chromosome (one pass), reassign + dist
-      val centers = allCenters(state, P)
+      val centers = allCenters(state, p, k, ds)
       var next = state
-      for (i <- 0 until P) {
+      for (i <- 0 until p) {
         val cs = centers(i)
         // ONE materialized distance-array column per chromosome; min and
         // argmin both read it (round 4 — previously the identical array
         // expression was rebuilt inside array_position, betting on
         // codegen subexpression elimination across withColumns)
         next = next
-          .withColumn(s"__da$i", array(cs.map(c => distTo(c)): _*))
+          .withColumn(s"__da$i", array(cs.map(c => distTo(c, ds)): _*))
           .withColumn(s"d$i", array_min(col(s"__da$i")))
           .withColumn(s"s$i", (array_position(col(s"__da$i"), col(s"d$i")) - 1).cast("int"))
           .drop(s"__da$i")
@@ -165,13 +168,12 @@ object GKA {
       // fitness + dmax + n in one distributed agg
       val aggRow = state.agg(
         count(lit(1)).as("n"),
-        (0 until P).map(i => avg(col(s"d$i")).as(s"f$i")) ++
-          (0 until P).map(i => max(col(s"d$i")).as(s"m$i")): _*).head
+        (0 until p).map(i => avg(col(s"d$i")).as(s"f$i")) ++
+          (0 until p).map(i => max(col(s"d$i")).as(s"m$i")): _*).head
       val n = aggRow.getLong(0)
-      val fitness = (0 until P).map(i => aggRow.getDouble(1 + i)).toArray
-      val dmax = (0 until P).map(i => aggRow.getDouble(1 + P + i)).toArray
+      val fitness = (0 until p).map(i => aggRow.getDouble(1 + i)).toArray
+      val dmax = (0 until p).map(i => aggRow.getDouble(1 + p + i)).toArray
       best = math.min(best, fitness.min)
-      out += ((iter, best))
       // mid is materialized by the agg above: release the previous
       // generation's cache (unpersist on a lazy projection is a no-op,
       // so track the actual cached frame)
@@ -182,32 +184,39 @@ object GKA {
       // Wheel total = sum(Cm*dmax - d) = n*(Cm*dmax - avg d): derived
       // from the agg above, no extra pass over the data.
       var mutated = state
-      for (i <- 0 until P if rng.nextDouble() < Pm) {
-        val w = lit(Cm) * lit(dmax(i)) - col(s"d$i")
-        val total = n * (Cm * dmax(i) - fitness(i))
+      for (i <- 0 until p if rng.nextDouble() < pm) {
+        val w = lit(cm) * lit(dmax(i)) - col(s"d$i")
+        val total = n * (cm * dmax(i) - fitness(i))
         val rid = Roulette.pickByPrefixInPlace(state.withColumn("w", w), "rid", "w",
           rng.nextDouble() * total)
         mutated = mutated.withColumn(s"s$i",
-          when(col("rid") === lit(rid), lit(rng.nextInt(K))).otherwise(col(s"s$i")))
+          when(col("rid") === lit(rid), lit(rng.nextInt(k))).otherwise(col(s"s$i")))
       }
-      // selection (gka.java:253-304): wheel over 1/fitness, P darts
+      // selection (gka.java:253-304): wheel over 1/fitness, p darts
       val iv = fitness.map(1.0 / _)
       val tot = iv.sum
       val cum = iv.scanLeft(0.0)(_ + _).tail.map(_ / tot)
-      val picks = (0 until P).map { _ =>
+      val picks = (0 until p).map { _ =>
         val f = rng.nextDouble()
-        cum.indexWhere(f < _) match { case -1 => P - 1; case j => j }
+        cum.indexWhere(f < _) match { case -1 => p - 1; case j => j }
       }
       // selection is a pure column remap — left lazy on top of the
       // cached mid state; no extra materialization pass
       state = mutated.select(
-        (col("rid") +: dims.map(col)) ++
-          (0 until P).map(i => col(s"s${picks(i)}").as(s"s$i")): _*)
+        (col("rid") +: ds.map(col)) ++
+          (0 until p).map(i => col(s"s${picks(i)}").as(s"s$i")): _*)
+      out += ((iter, best, (System.nanoTime() - t0) / 1000000L))
     }
     liveCache.unpersist() // output below is a literal frame; release the last generation
     import spark.implicits._
-    out.toSeq.toDF("iter", "best")
+    out.toSeq.toDF("iter", "best", "iter_ms")
   }
+
+  /** Driver-contract entry: the GA loop with the round-3 literals
+    * bound (RNG-bearing -> registered rows-only, SURVEY.md §4). */
+  def qFull(spark: SparkSession, dir: String): DataFrame =
+    full(Points.withRid(Points.lineitem4d(spark, dir)))
+      .select("iter", "best")
 
   // ---- oracle SQL ------------------------------------------------------
 

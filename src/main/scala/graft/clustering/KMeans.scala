@@ -70,10 +70,16 @@ object KMeans {
     * (k, n, c1..cD). One Spark job per iteration; the collected
     * per-iteration state is K*(D+1) doubles. */
   def lloyd(points: DataFrame, k: Int, iters: Int,
-            ds: Seq[String] = dims): DataFrame = {
+            ds: Seq[String] = dims): DataFrame =
+    lloydWith(points, p => Points.firstKCenters(p, k, ds), k, iters, ds)
+
+  /** Lloyd with a pluggable center init (deterministic first-K or
+    * Points.randomCenters — kmeans.java:240-248's create_center). */
+  def lloydWith(points: DataFrame, init: DataFrame => Array[Array[Double]],
+                k: Int, iters: Int, ds: Seq[String] = dims): DataFrame = {
     val pts = points.cache()
     try {
-      var centers = Points.firstKCenters(pts, k, ds)
+      var centers = init(pts)
       var lastRows: Array[org.apache.spark.sql.Row] = Array.empty
       var schema: org.apache.spark.sql.types.StructType = null
       for (_ <- 1 to iters) {
@@ -192,37 +198,56 @@ object KMeans {
        |SELECT pid, $scaled FROM pts CROSS JOIN st""".stripMargin
   }
 
-  /** Per-iteration metrics, matching the reference's print_best output
-    * (kmeans.java:261-270: iter, best objective, map/reduce/iter
-    * timings). Wall-times are nondeterministic -> rows-only entry. */
-  def qMetrics(spark: SparkSession, dir: String): DataFrame = {
-    val pts = Points.lineitem4d(spark, dir).cache()
+  /** Per-iteration Lloyd run with metrics, matching the reference's
+    * print_best output (kmeans.java:261-270: iter, best objective,
+    * timings). Generic over k/iters/dims/init — the CLI composes it
+    * over CSV datasets. One fused pass per iteration: the SSE term is
+    * folded into the centroid groupBy so the K-distance projection is
+    * evaluated once. */
+  def metricsRun(points: DataFrame, k: Int, iters: Int,
+                 ds: Seq[String] = dims,
+                 init: DataFrame => Array[Array[Double]] = null)
+      : Seq[(Int, Double, Double, Long)] = {
+    val pts = points.cache()
     try {
-      var centers = Points.firstKCenters(pts, K)
+      var centers =
+        if (init == null) Points.firstKCenters(pts, k, ds) else init(pts)
       var best = Double.MaxValue
       val out = scala.collection.mutable.ListBuffer.empty[(Int, Double, Double, Long)]
-      for (iter <- 1 to ITERS) {
+      for (iter <- 1 to iters) {
         val t0 = System.nanoTime()
-        // one pass: fold the SSE term into the centroid groupBy so the
-        // K-distance projection isn't evaluated twice per iteration
-        val rows = assign(pts, centers)
+        val rows = assign(pts, centers, ds)
           .groupBy("k")
           .agg(count(lit(1)).as("n"),
-            dims.zipWithIndex.map { case (d, i) =>
+            ds.zipWithIndex.map { case (d, i) =>
               round(avg(col(d)), 6).as(s"c${i + 1}")
             } :+ sum(col("dist")).as("sse_part"): _*)
           .collect()
         val sse = rows.map(_.getAs[Double]("sse_part")).sum
         if (sse < best) best = sse
         val byK = rows.map(r => r.getAs[Int]("k") ->
-          dims.indices.map(i => r.getDouble(2 + i)).toArray).toMap
-        centers = Array.tabulate(K)(i => byK.getOrElse(i, centers(i)))
+          ds.indices.map(i => r.getDouble(2 + i)).toArray).toMap
+        centers = Array.tabulate(k)(i => byK.getOrElse(i, centers(i)))
         out += ((iter, sse, best, (System.nanoTime() - t0) / 1000000L))
       }
-      import spark.implicits._
-      out.toSeq.toDF("iter", "sse", "best_sse", "iter_ms")
-    } finally { pts.unpersist(); () }
+      out.toSeq
+    } finally { points.unpersist(); () }
   }
+
+  /** Wall-times are nondeterministic -> rows-only entry. */
+  def qMetrics(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    metricsRun(Points.lineitem4d(spark, dir), K, ITERS)
+      .toDF("iter", "sse", "best_sse", "iter_ms")
+  }
+
+  /** Lloyd from SEEDED-RANDOM centers (kmeans.java:240-248
+    * create_center) — the reference's init made reproducible. The
+    * trajectory depends on the hash-ranked draw, so the entry is
+    * registered rows-only like the other RNG-bearing loops. */
+  def qRandomInit(spark: SparkSession, dir: String): DataFrame =
+    lloydWith(Points.lineitem4d(spark, dir),
+      p => Points.randomCenters(p, K, seed = 42), K, 3)
 
   /** Lloyd's over the min-max normalized point set — the composition
     * the reference's unused read-time stats clearly intend. Same
@@ -327,7 +352,8 @@ object KMeans {
     "kmeans_embed_full" -> (qEmbedFull _),
     "kmeans_metrics" -> (qMetrics _),
     "kmeans_best_of_runs" -> (qBestOfRuns _),
-    "kmeans_normalized" -> (qNormalizedKmeans _))
+    "kmeans_normalized" -> (qNormalizedKmeans _),
+    "kmeans_random_init" -> (qRandomInit _))
 
   val oracleSql: Map[String, String] = Map(
     "dataset_normalize" -> normalizeSql,

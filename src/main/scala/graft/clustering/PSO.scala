@@ -24,9 +24,10 @@ object PSO {
   val K = 4
 
   /** All P particle objectives (avg min-dist) in one distributed agg. */
-  def objectives(pts: DataFrame, particles: Seq[Array[Array[Double]]]): (Long, Array[Double]) = {
+  def objectives(pts: DataFrame, particles: Seq[Array[Array[Double]]],
+                 ds: Seq[String] = dims): (Long, Array[Double]) = {
     val dcols = particles.zipWithIndex.map { case (cs, p) =>
-      array_min(array(cs.map(c => distTo(c)): _*)).as(s"d$p")
+      array_min(array(cs.map(c => distTo(c, ds)): _*)).as(s"d$p")
     }
     val row = pts.select(dcols: _*)
       .agg(count(lit(1)).as("n"),
@@ -36,8 +37,9 @@ object PSO {
   }
 
   /** First P*K points by (pid, dims), grouped into P particles. */
-  def initParticles(pts: DataFrame, p: Int): Seq[Array[Array[Double]]] =
-    Points.firstKCenters(pts, p * K).grouped(K).toSeq
+  def initParticles(pts: DataFrame, p: Int, k: Int = K,
+                    ds: Seq[String] = dims): Seq[Array[Array[Double]]] =
+    Points.firstKCenters(pts, p * k, ds).grouped(k).toSeq
 
   // ---- driver-contract queries ----------------------------------------
 
@@ -57,37 +59,43 @@ object PSO {
   }
 
   /** Full seeded PSO loop (pso.java:87-109): transit + evaluate per
-    * generation, pbest/gbest tracking. RNG-bearing -> rows-only.
-    * Output: one row per generation (iter, best). */
-  def qFull(spark: SparkSession, dir: String): DataFrame = {
-    val P = 4
-    val ITERS = 4
-    val (wMax, wMin) = (0.9, 0.4)
-    val (c1, c2) = (2.0, 2.0)
-    val rng = new scala.util.Random(42)
+    * generation, pbest/gbest tracking. Parametric over everything the
+    * reference takes as args (pso.java:54-62: num_iter, num_k,
+    * num_particle, c1, c2, w_max, w_min). RNG-bearing -> rows-only.
+    * Output: one row per generation (iter, best, iter_ms). */
+  def full(pts0: DataFrame, k: Int = K, p0: Int = 4, iters: Int = 4,
+           wMax: Double = 0.9, wMin: Double = 0.4,
+           c1: Double = 2.0, c2: Double = 2.0, seed: Long = 42,
+           ds: Seq[String] = dims): DataFrame = {
+    val spark = pts0.sparkSession
+    val P = p0
+    val rng = new scala.util.Random(seed)
 
-    val pts = Points.lineitem4d(spark, dir).cache()
+    val pts = pts0.cache()
     try {
       // velocity clamp from per-dim range (the reference computes
-      // min/max on read, kmeans.java:219-230)
-      val st = Points.stats(spark, dir).head
-      val vMax = dims.indices.map(j =>
+      // min/max on read, kmeans.java:219-230); same layout as
+      // Points.stats: n, then (min, max) per dim
+      val st = pts.agg(count(lit(1)).as("n"),
+        ds.flatMap(d => Seq(min(col(d)).as(s"min_$d"), max(col(d)).as(s"max_$d"))): _*).head
+      val vMax = ds.indices.map(j =>
         (st.getDouble(2 + 2 * j) - st.getDouble(1 + 2 * j)) / 10.0).toArray
 
-      val D = dims.length
-      var pos = initParticles(pts, P).map(_.map(_.clone)).toArray
-      val vel = Array.fill(P, K, D)(0.0)
-      var (n0, objs) = objectives(pts, pos.toSeq)
+      val D = ds.length
+      var pos = initParticles(pts, P, k, ds).map(_.map(_.clone)).toArray
+      val vel = Array.fill(P, k, D)(0.0)
+      var (n0, objs) = objectives(pts, pos.toSeq, ds)
       var pbest = pos.map(_.map(_.clone))
       var pbestObj = objs.clone()
       var gbestIdx = objs.indices.minBy(objs)
       var gbest = pos(gbestIdx).map(_.clone)
       var gbestObj = objs(gbestIdx)
 
-      val out = scala.collection.mutable.ListBuffer.empty[(Int, Double)]
-      for (iter <- 1 to ITERS) {
-        val w = wMax - (wMax - wMin) / ITERS * (iter - 1)
-        for (p <- 0 until P; i <- 0 until K; j <- 0 until D) {
+      val out = scala.collection.mutable.ListBuffer.empty[(Int, Double, Long)]
+      for (iter <- 1 to iters) {
+        val t0 = System.nanoTime()
+        val w = wMax - (wMax - wMin) / iters * (iter - 1)
+        for (p <- 0 until P; i <- 0 until k; j <- 0 until D) {
           var v = w * vel(p)(i)(j) +
             c1 * rng.nextDouble() * (pbest(p)(i)(j) - pos(p)(i)(j)) +
             c2 * rng.nextDouble() * (gbest(i)(j) - pos(p)(i)(j))
@@ -95,7 +103,7 @@ object PSO {
           vel(p)(i)(j) = v
           pos(p)(i)(j) += v
         }
-        val (_, newObjs) = objectives(pts, pos.toSeq)
+        val (_, newObjs) = objectives(pts, pos.toSeq, ds)
         for (p <- 0 until P) {
           if (newObjs(p) < pbestObj(p)) {
             pbestObj(p) = newObjs(p); pbest(p) = pos(p).map(_.clone)
@@ -104,12 +112,17 @@ object PSO {
             gbestObj = newObjs(p); gbest = pos(p).map(_.clone)
           }
         }
-        out += ((iter, gbestObj))
+        out += ((iter, gbestObj, (System.nanoTime() - t0) / 1000000L))
       }
       import spark.implicits._
-      out.toSeq.toDF("iter", "best")
-    } finally { pts.unpersist(); () }
+      out.toSeq.toDF("iter", "best", "iter_ms")
+    } finally { pts0.unpersist(); () }
   }
+
+  /** Driver-contract entry: the PSO loop with the round-3 literals
+    * bound (RNG-bearing -> registered rows-only, SURVEY.md §4). */
+  def qFull(spark: SparkSession, dir: String): DataFrame =
+    full(Points.lineitem4d(spark, dir)).select("iter", "best")
 
   // ---- oracle SQL ------------------------------------------------------
 

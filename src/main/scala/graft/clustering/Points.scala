@@ -71,6 +71,21 @@ object Points {
       .collect()
       .map(r => ds.indices.map(r.getDouble).toArray)
 
+  /** Seeded-random center init — the distributed, reproducible analog
+    * of the reference's create_center (kmeans.java:240-248, k
+    * Math.random() draws from the dataset array): rank every row by a
+    * seeded hash of its coordinates and take the first k. k distinct
+    * dataset points, deterministic per seed, and only k rows cross to
+    * the driver (TakeOrdered — no full sort, no driver-side dataset). */
+  def randomCenters(points: DataFrame, k: Int, seed: Long,
+                    ds: Seq[String] = dims): Array[Array[Double]] =
+    points.orderBy(xxhash64((lit(seed) +: ds.map(col)): _*) +:
+        (col("pid") +: ds.map(col)): _*)
+      .limit(k)
+      .select(ds.map(col): _*)
+      .collect()
+      .map(r => ds.indices.map(r.getDouble).toArray)
+
   /** Add a unique row id without any global sort: pid collides only
     * within tiny groups, so a pid-partitioned row_number (cheap, scales
     * — every partition is a handful of rows) disambiguates. Used by the
@@ -79,8 +94,8 @@ object Points {
     * The *100 encoding holds 99 duplicates per pid; a larger group
     * would silently collide rids (and GKA's mutation would flip the
     * wrong gene), so the row fails LOUDLY instead of encoding. */
-  def withRid(df: DataFrame): DataFrame = {
-    val w = Window.partitionBy("pid").orderBy(dims.map(col): _*)
+  def withRid(df: DataFrame, ds: Seq[String] = dims): DataFrame = {
+    val w = Window.partitionBy("pid").orderBy(ds.map(col): _*)
     df.withColumn("__rn", row_number().over(w))
       .withColumn("rid",
         when(col("__rn") <= 99, col("pid") * 100 + col("__rn"))

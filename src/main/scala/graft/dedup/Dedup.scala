@@ -48,19 +48,22 @@ object Dedup {
 
   // ---- MinHash + LSH ---------------------------------------------------
 
-  def signatures(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id") +: (0 until H).map(mhExpr): _*)
+  def signatures(docs: DataFrame, h: Int = H): DataFrame =
+    docs.select(col("doc_id") +: (0 until h).map(mhExpr): _*)
 
   def qMinhash(spark: SparkSession, dir: String): DataFrame =
     signatures(t(spark, dir, "documents"))
 
-  /** Long-format (doc_id, band, band_hash): md5 over each band's 2
-    * signature rows. */
-  def bands(sig: DataFrame): DataFrame =
-    sig.select(col("doc_id"), explode(array((0 until BANDS).map(b =>
+  /** Long-format (doc_id, band, band_hash): md5 over each band's
+    * h/nBands signature rows. */
+  def bands(sig: DataFrame, h: Int = H, nBands: Int = BANDS): DataFrame = {
+    val r = h / nBands
+    require(r * nBands == h, s"signature length $h must divide into $nBands bands")
+    sig.select(col("doc_id"), explode(array((0 until nBands).map(b =>
       struct(lit(b).as("band"),
-        md5(concat(col(s"mh_${2 * b}"), col(s"mh_${2 * b + 1}"))).as("bh"))): _*)).as("e"))
+        md5(concat((0 until r).map(j => col(s"mh_${r * b + j}")): _*)).as("bh"))): _*)).as("e"))
       .select(col("doc_id"), col("e.band").as("band"), col("e.bh").as("bh"))
+  }
 
   /** Candidate pairs: STAR-shaped within each band bucket — every doc
     * pairs only with its bucket's min doc_id (the keeper). All-pairs
@@ -68,11 +71,12 @@ object Dedup {
     * families (a single sf0.1 bucket holds 3k docs = 5M pairs); the
     * star is linear in corpus size, which is also the right semantics
     * for dedup keeper-selection. Equi-join on (band, bh) only. */
-  def candidates(spark: SparkSession, dir: String): DataFrame = {
+  def candidates(spark: SparkSession, dir: String,
+                 h: Int = H, nBands: Int = BANDS): DataFrame = {
     // no cache: the bands projection is recomputed for the two plan
     // branches (cheap md5 HOFs), which beats leaking a cached copy per
     // calling query for the session's lifetime
-    val b = bands(signatures(t(spark, dir, "documents")))
+    val b = bands(signatures(t(spark, dir, "documents"), h), h, nBands)
     val mins = b.groupBy("band", "bh").agg(min("doc_id").as("ia"))
     b.join(mins, Seq("band", "bh"))
       .filter(col("doc_id") > col("ia"))
@@ -84,41 +88,51 @@ object Dedup {
     t(spark, dir, "documents")
       .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("ws"))
 
-  /** LSH near-dup: exact word-set Jaccard >= 0.8 over band candidates.
-    * Candidates (small) join back to word sets by id — the word arrays
-    * are never carried through the pair explosion. */
-  def qMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+  /** LSH near-dup: exact word-set Jaccard >= threshold over band
+    * candidates. Candidates (small) join back to word sets by id — the
+    * word arrays are never carried through the pair explosion. */
+  def minhashLsh(spark: SparkSession, dir: String, h: Int = H,
+                 nBands: Int = BANDS, threshold: Double = 0.8): DataFrame = {
     val w = wordSets(spark, dir)
-    candidates(spark, dir)
+    candidates(spark, dir, h, nBands)
       .join(w.select(col("doc_id").as("ia"), col("ws").as("wa")), "ia")
       .join(w.select(col("doc_id").as("ib"), col("ws").as("wb")), "ib")
       .withColumn("j",
         size(array_intersect(col("wa"), col("wb"))).cast("double") /
           size(array_union(col("wa"), col("wb"))))
-      .filter(col("j") >= 0.8)
+      .filter(col("j") >= threshold)
       .select("ia", "ib", "j")
   }
+
+  def qMinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    minhashLsh(spark, dir)
 
   /** Distinct char-5-grams of the text column. Guard: sequence(1, n)
     * DESCENDS for n < 1, so short texts need an explicit empty-gram
     * case (the DuckDB range() mirror is already empty there). */
-  val gramsExpr: Column =
-    expr("CASE WHEN length(text) >= 5 THEN " +
-      "array_distinct(transform(sequence(1, length(text) - 4), i -> substring(text, i, 5))) " +
+  def grams(n: Int): Column =
+    expr(s"CASE WHEN length(text) >= $n THEN " +
+      s"array_distinct(transform(sequence(1, length(text) - ${n - 1}), i -> substring(text, i, $n))) " +
       "ELSE array() END")
 
-  /** Char-5-gram Jaccard over the same banded candidates (>= 0.6). */
-  def qNgram(spark: SparkSession, dir: String): DataFrame = {
-    val g = t(spark, dir, "documents").select(col("doc_id"), gramsExpr.as("gs"))
+  val gramsExpr: Column = grams(5)
+
+  /** Char-n-gram Jaccard over the same banded candidates. */
+  def ngramPairs(spark: SparkSession, dir: String, n: Int = 5,
+                 threshold: Double = 0.6): DataFrame = {
+    val g = t(spark, dir, "documents").select(col("doc_id"), grams(n).as("gs"))
     candidates(spark, dir)
       .join(g.select(col("doc_id").as("ia"), col("gs").as("ga")), "ia")
       .join(g.select(col("doc_id").as("ib"), col("gs").as("gb")), "ib")
       .withColumn("jg",
         size(array_intersect(col("ga"), col("gb"))).cast("double") /
           size(array_union(col("ga"), col("gb"))))
-      .filter(col("jg") >= 0.6)
+      .filter(col("jg") >= threshold)
       .select("ia", "ib", "jg")
   }
+
+  def qNgram(spark: SparkSession, dir: String): DataFrame =
+    ngramPairs(spark, dir)
 
   // ---- SimHash ---------------------------------------------------------
 
@@ -151,46 +165,58 @@ object Dedup {
     * codegen'd hamming expression (graft.functions.HammingDistance)
     * over the 64-bit fingerprints; pairs within 12 bits are near-dups.
     */
-  def qSimhashPairs(spark: SparkSession, dir: String): DataFrame = {
+  def simhashPairs(spark: SparkSession, dir: String,
+                   maxHamming: Int = 12): DataFrame = {
     val fp = qSimhash(spark, dir)
     candidates(spark, dir)
       .join(fp.select(col("doc_id").as("ia"), col("simhash").as("fa")), "ia")
       .join(fp.select(col("doc_id").as("ib"), col("simhash").as("fb")), "ib")
       .withColumn("hd", graft.functions.GraftFunctions.hamming(col("fa"), col("fb")))
-      .filter(col("hd") <= 12)
+      .filter(col("hd") <= maxHamming)
       .select("ia", "ib", "hd")
   }
+
+  def qSimhashPairs(spark: SparkSession, dir: String): DataFrame =
+    simhashPairs(spark, dir)
 
   /** Edit-distance near-dup: levenshtein over 40-char prefixes of the
     * banded candidates (prefix cap bounds the O(n*m) DP per pair —
     * the standard trick before paying full edit distance at scale). */
-  def qEditDistance(spark: SparkSession, dir: String): DataFrame = {
+  def editDistancePairs(spark: SparkSession, dir: String,
+                        prefixLen: Int = 40, maxEd: Int = 15): DataFrame = {
     val pre = t(spark, dir, "documents")
-      .select(col("doc_id"), substring(col("text"), 1, 40).as("pre"))
+      .select(col("doc_id"), substring(col("text"), 1, prefixLen).as("pre"))
     candidates(spark, dir)
       .join(pre.select(col("doc_id").as("ia"), col("pre").as("pa")), "ia")
       .join(pre.select(col("doc_id").as("ib"), col("pre").as("pb")), "ib")
       .withColumn("ed", levenshtein(col("pa"), col("pb")))
-      .filter(col("ed") <= 15)
+      .filter(col("ed") <= maxEd)
       .select("ia", "ib", "ed")
   }
+
+  def qEditDistance(spark: SparkSession, dir: String): DataFrame =
+    editDistancePairs(spark, dir)
 
   // ---- embedding near-dup ----------------------------------------------
 
   /** Vector near-dup: sign-LSH bucket join, cosine >= 0.35, star-shaped
     * within buckets (each vector vs its bucket's min id) — linear in
     * corpus size like the text candidates. */
-  def qEmbed(spark: SparkSession, dir: String): DataFrame = {
+  def embedPairs(spark: SparkSession, dir: String, bits: Int = 4,
+                 minCosine: Double = 0.35): DataFrame = {
     val b = t(spark, dir, "embeddings")
-      .select(col("vec_id"), col("embedding"), VectorOps.signBucket("embedding", 4).as("bk"))
+      .select(col("vec_id"), col("embedding"), VectorOps.signBucket("embedding", bits).as("bk"))
     val mins = b.groupBy("bk").agg(min("vec_id").as("ia"))
     val keepers = b.select(col("vec_id").as("ia"), col("embedding").as("ea"))
     b.join(mins, "bk").filter(col("vec_id") > col("ia"))
       .join(keepers, "ia")
       .select(col("ia"), col("vec_id").as("ib"),
         VectorOps.cosine("ea", "embedding").as("cs"))
-      .filter(col("cs") >= 0.35)
+      .filter(col("cs") >= minCosine)
   }
+
+  def qEmbed(spark: SparkSession, dir: String): DataFrame =
+    embedPairs(spark, dir)
 
   // ---- oracle SQL ------------------------------------------------------
 

@@ -1,0 +1,57 @@
+package graft
+
+import graft.clustering.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end CLI runs on the reference's own dataset files — a
+  * reference user's exact workflow (dataset csv in, metrics csv out). */
+class MainSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+
+  private def lines(path: String): Seq[String] =
+    scala.io.Source.fromFile(path).getLines().toSeq
+
+  test("kmeans CLI on iris.txt writes run,iter,sse,best,ms per iteration") {
+    val out = java.io.File.createTempFile("iris_kmeans", ".csv").getPath
+    Main.run(spark, "kmeans", "/root/reference/dataset/iris.txt",
+      numIter = 2, numK = 3, out, numRun = 2, rest = Array.empty)
+    val ls = lines(out)
+    assert(ls.length == 2 * 2 + 1, s"2 runs x 2 iters + total line: $ls")
+    assert(ls.last.endsWith("ms"))
+    val fields = ls.init.map(_.split(","))
+    assert(fields.forall(_.length == 5))
+    // objective never increases within a run's best column
+    val bests = fields.groupBy(_.head).values
+    assert(bests.forall(b => b.map(_(3).toDouble).sliding(2)
+      .forall { case Seq(a, c) => c <= a; case _ => true }))
+  }
+
+  test("gka CLI on iris.txt honors the reference's extra args") {
+    val out = java.io.File.createTempFile("iris_gka", ".csv").getPath
+    Main.run(spark, "gka", "/root/reference/dataset/iris.txt",
+      numIter = 2, numK = 3, out, numRun = 1,
+      rest = Array("3", "0.5", "2.0"))
+    val ls = lines(out)
+    assert(ls.length == 2 + 1)
+    assert(ls.head.split(",").length == 5)
+  }
+
+  test("pso CLI on iris.txt honors the reference's extra args") {
+    val out = java.io.File.createTempFile("iris_pso", ".csv").getPath
+    Main.run(spark, "pso", "/root/reference/dataset/iris.txt",
+      numIter = 2, numK = 3, out, numRun = 1,
+      rest = Array("3", "2.0", "2.0", "0.9", "0.4"))
+    val ls = lines(out)
+    assert(ls.length == 2 + 1)
+    assert(ls.head.split(",").length == 5)
+  }
+
+  test("unknown algorithm fails loudly") {
+    val out = java.io.File.createTempFile("bad", ".csv").getPath
+    val e = intercept[RuntimeException] {
+      Main.run(spark, "dbscan", "/root/reference/dataset/iris.txt",
+        1, 2, out, 1, Array.empty)
+    }
+    assert(e.getMessage.contains("unknown algorithm"))
+  }
+}

@@ -68,4 +68,27 @@ class KMeansSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s.getAs[Long]("n") == 6000L)
     assert(s.getAs[Double]("min_x3") >= 0.0 && s.getAs[Double]("max_x3") <= 0.2)
   }
+
+  test("randomCenters draws k distinct dataset points, reproducibly per seed") {
+    val pts = Points.lineitem4d(spark, sf).cache()
+    try {
+      val c1 = Points.randomCenters(pts, 4, seed = 7)
+      val c2 = Points.randomCenters(pts, 4, seed = 7)
+      val c3 = Points.randomCenters(pts, 4, seed = 8)
+      assert(c1.length == 4)
+      assert(c1.map(_.toSeq).toSet.size == 4, "centers must be distinct points")
+      assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq, "same seed, same draw")
+      assert(c1.map(_.toSeq).toSeq != c3.map(_.toSeq).toSeq, "different seed, different draw")
+      // every drawn center is an actual dataset point
+      val rows = pts.select(Points.dims.map(org.apache.spark.sql.functions.col): _*)
+        .collect().map(r => Points.dims.indices.map(r.getDouble).toList).toSet
+      assert(c1.forall(c => rows.contains(c.toList)))
+    } finally { pts.unpersist(); () }
+  }
+
+  test("lloyd from random centers converges like the deterministic init") {
+    val out = KMeans.qRandomInit(spark, sf).collect()
+    assert(out.map(_.getAs[Long]("n")).sum == 6000L)
+    assert(out.length <= 4 && out.nonEmpty)
+  }
 }

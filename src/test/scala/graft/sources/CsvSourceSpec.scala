@@ -45,6 +45,26 @@ class CsvSourceSpec extends AnyFunSuite {
     assert(n == 150 && objs.length == 2 && objs.forall(o => o > 0 && o < 10))
   }
 
+  test("wine.txt (13 dims) and shuttle.txt (10 dims) read with their real shapes") {
+    val wine = CsvNumericSource.read(spark, "/root/reference/dataset/wine.txt", 13)
+    assert(wine.columns.length == 14) // pid + x1..x13
+    assert(wine.count() == 178, "UCI wine has 178 rows")
+    val ws = CsvNumericSource.stats(wine, 13).head()
+    assert(ws.getAs[Double]("max_x5") > 100, "wine x5 (magnesium) is three-digit")
+
+    val shuttle = CsvNumericSource.read(spark, "/root/reference/dataset/shuttle.txt", 10)
+    assert(shuttle.columns.length == 11)
+    assert(shuttle.count() > 10000, "shuttle is the large reference set")
+  }
+
+  test("the generic k-means clusters wine end-to-end at its native 13 dims") {
+    val ds = (1 to 13).map(i => s"x$i")
+    val wine = CsvNumericSource.read(spark, "/root/reference/dataset/wine.txt", 13)
+    val out = KMeans.lloyd(wine, 3, 3, ds).collect()
+    assert(out.map(_.getAs[Long]("n")).sum == 178)
+    assert(out.length == 3)
+  }
+
   test("the generic k-means clusters iris into sane partitions") {
     val df = CsvNumericSource.read(spark, iris, 4)
     val out = KMeans.lloyd(df, 3, 10).collect()
