@@ -7,69 +7,160 @@ import graft.Tables.t
 /** Multimodal column plumbing: media as opaque `binary` payloads with
   * typed metadata, decoded per-partition in batches.
   *
-  * The image/audio codecs are NOT in this container, so `decode` is a
-  * clearly-marked deterministic stub — but everything Spark-side is
-  * real and tested: the typed schema, the binary column, the
-  * mapPartitions batch shape (one iterator pass, no per-row session
-  * setup — where a real decoder would amortize its codec context),
-  * and the downstream feature columns.
+  * The payloads are REAL image containers — P6 PPM and 24-bit BMP,
+  * both public formats simple enough to encode/decode with no codec
+  * library — generated deterministically from the documents corpus.
+  * `decode` sniffs the magic bytes and parses the actual header
+  * (dimensions from the container, not trusted metadata), then
+  * extracts byte-level channel features from the pixel data. Heavier
+  * codecs (JPEG audio/video) would slot into the same mapPartitions
+  * batch shape with a per-partition codec context.
   */
 object Multimodal {
 
   /** A media object: opaque bytes + declared container format. */
   case class MediaRecord(doc_id: Long, format: String, payload: Array[Byte])
 
-  /** Decoded (stub) features with the shape a real pipeline carries. */
+  /** Decoded features with the shape a real pipeline carries. */
   case class MediaFeatures(doc_id: Long, format: String, n_bytes: Long,
                            width: Int, height: Int, n_frames: Int,
                            feature: Array[Float])
 
-  /** Media view over documents: payload = utf-8 bytes standing in for
-    * image/audio bytes; format assigned round-robin. */
-  def mediaView(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
-    import spark.implicits._
-    t(spark, dir, "documents").select(
-      col("doc_id"),
-      when(pmod(col("doc_id"), lit(3)) === 0, lit("jpeg"))
-        .when(pmod(col("doc_id"), lit(3)) === 1, lit("png"))
-        .otherwise(lit("webp")).as("format"),
-      encode(col("text"), "UTF-8").as("payload"))
-      .as[MediaRecord]
+  // ---- encoders (used to build the corpus view and by specs) ----------
+
+  /** Binary P6 PPM: ASCII header, then w*h RGB byte triplets. */
+  def encodePpm(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == w * h * 3, s"need ${w * h * 3} bytes, got ${rgb.length}")
+    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    header ++ rgb
   }
 
-  /** STUB decode — deterministic fake in place of a codec call. A real
-    * deployment swaps `fakeDecode` for the codec; the iterator/batch
-    * structure, schema and partitioning stay identical. */
+  /** Minimal 24-bit uncompressed BMP (BITMAPINFOHEADER, bottom-up rows
+    * padded to 4 bytes, BGR order). */
+  def encodeBmp(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == w * h * 3, s"need ${w * h * 3} bytes, got ${rgb.length}")
+    val rowSize = (w * 3 + 3) / 4 * 4
+    val imageSize = rowSize * h
+    val fileSize = 54 + imageSize
+    val out = java.nio.ByteBuffer.allocate(fileSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put('B'.toByte).put('M'.toByte).putInt(fileSize)
+      .putShort(0).putShort(0).putInt(54) // reserved, pixel data offset
+    out.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(imageSize).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    for (y <- (h - 1) to 0 by -1) {
+      for (x <- 0 until w) {
+        val p = (y * w + x) * 3
+        out.put(rgb(p + 2)).put(rgb(p + 1)).put(rgb(p)) // BGR
+      }
+      for (_ <- 0 until rowSize - w * 3) out.put(0.toByte)
+    }
+    out.array()
+  }
+
+  // ---- decoder ---------------------------------------------------------
+
+  /** Parse a payload by its magic bytes. Returns the container's REAL
+    * dimensions plus 4 byte-level features (mean R/G/B of the pixel
+    * data present, aspect ratio). Corrupt or unknown payloads are
+    * routine for a real codec: they decode to (0, 0) dims and zero
+    * features rather than crashing the task. */
+  def decodeBytes(m: MediaRecord): MediaFeatures = {
+    val b = m.payload
+    def zero = MediaFeatures(m.doc_id, m.format, b.length.toLong, 0, 0, 0,
+      Array.fill(4)(0.0f))
+    def features(w: Int, h: Int, pixelAt: Int => (Int, Int, Int),
+                 nPix: Int): Array[Float] = {
+      if (nPix <= 0 || w <= 0 || h <= 0) return Array.fill(4)(0.0f)
+      var (r, g, bl) = (0L, 0L, 0L)
+      for (i <- 0 until nPix) {
+        val (pr, pg, pb) = pixelAt(i); r += pr; g += pg; bl += pb
+      }
+      Array((r.toDouble / nPix / 255.0).toFloat, (g.toDouble / nPix / 255.0).toFloat,
+        (bl.toDouble / nPix / 255.0).toFloat, (w.toDouble / h).toFloat)
+    }
+    try {
+      if (b.length >= 2 && b(0) == 'P' && b(1) == '6') {
+        // PPM: ASCII ints (w, h, maxval) separated by whitespace or
+        // #-comments, then ONE whitespace byte before binary pixels
+        var i = 2
+        def nextInt(): Int = {
+          while (i < b.length && (b(i).toChar.isWhitespace || b(i) == '#')) {
+            if (b(i) == '#') while (i < b.length && b(i) != '\n') i += 1
+            else i += 1
+          }
+          var v = 0
+          while (i < b.length && b(i).toChar.isDigit) { v = v * 10 + (b(i) - '0'); i += 1 }
+          v
+        }
+        val w = nextInt(); val h = nextInt(); nextInt() // maxval
+        i += 1 // the single whitespace after maxval
+        val avail = math.min(w * h, (b.length - i) / 3)
+        val base = i
+        MediaFeatures(m.doc_id, "ppm", b.length.toLong, w, h, 1,
+          features(w, h, p => ((b(base + p * 3) & 0xff),
+            (b(base + p * 3 + 1) & 0xff), (b(base + p * 3 + 2) & 0xff)), avail))
+      } else if (b.length >= 54 && b(0) == 'B' && b(1) == 'M') {
+        val buf = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val dataOffset = buf.getInt(10)
+        val w = buf.getInt(18)
+        val h = buf.getInt(22)
+        val bpp = buf.getShort(28)
+        if (bpp != 24 || w <= 0 || h <= 0) zero
+        else {
+          val rowSize = (w * 3 + 3) / 4 * 4
+          def pixelAt(p: Int): (Int, Int, Int) = {
+            val (x, y) = (p % w, p / w)
+            val off = dataOffset + (h - 1 - y) * rowSize + x * 3 // bottom-up, BGR
+            ((b(off + 2) & 0xff), (b(off + 1) & 0xff), (b(off) & 0xff))
+          }
+          val nPix = math.min(w * h,
+            math.max(0, (b.length - dataOffset) / rowSize * w))
+          MediaFeatures(m.doc_id, "bmp", b.length.toLong, w, h, 1,
+            features(w, h, pixelAt, nPix))
+        }
+      } else zero
+    } catch { case _: IndexOutOfBoundsException => zero }
+  }
+
+  /** Decode a media corpus per-partition — one iterator pass, no
+    * per-row setup; a heavier codec would open its context once per
+    * partition here. */
   def decode(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       // codec context would be opened once per partition here
-      it.map(fakeDecode)
+      it.map(decodeBytes)
     }
   }
 
-  private[multimodal] def fakeDecode(m: MediaRecord): MediaFeatures = {
-    val n = m.payload.length.toLong
-    val width = 64 + (n % 576).toInt
-    val height = 64 + ((n * 7) % 576).toInt
-    val frames = if (m.format == "webp") (n % 30).toInt + 1 else 1
-    // 4 deterministic pseudo-features from the first payload bytes;
-    // empty/corrupt payloads are routine for a real codec, so they map
-    // to the zero feature rather than crashing the task
-    val feat =
-      if (m.payload.isEmpty) Array.fill(4)(0.0f)
-      else Array.tabulate(4)(i => (m.payload(i % m.payload.length) & 0xff) / 255.0f)
-    MediaFeatures(m.doc_id, m.format, n, width, height, frames, feat)
+  /** Media view over documents: REAL binary images whose dimensions
+    * derive from doc_id and whose pixel bytes derive from the text —
+    * deterministic, so every downstream check is reproducible. Format
+    * alternates PPM/BMP per doc. */
+  def mediaView(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    t(spark, dir, "documents").select("doc_id", "text").as[(Long, String)]
+      .map { case (id, text) =>
+        val w = 4 + (id % 12).toInt
+        val h = 4 + ((id / 3) % 12).toInt
+        val seed = text.getBytes("UTF-8")
+        val rgb = Array.tabulate(w * h * 3)(i =>
+          if (seed.isEmpty) (id + i).toByte else seed(i % seed.length))
+        if (id % 2 == 0) MediaRecord(id, "ppm", encodePpm(w, h, rgb))
+        else MediaRecord(id, "bmp", encodeBmp(w, h, rgb))
+      }
   }
 
-  /** Oracled metadata query: the SQL-expressible half of the pipeline. */
+  /** Oracled metadata query: the SQL-expressible half of the pipeline
+    * (declared format + content identity). The binary payload sizes
+    * and dimensions live in the decode path, verified by spec. */
   def qMeta(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents").select(
       col("doc_id"),
-      when(pmod(col("doc_id"), lit(3)) === 0, lit("jpeg"))
-        .when(pmod(col("doc_id"), lit(3)) === 1, lit("png"))
-        .otherwise(lit("webp")).as("format"),
-      octet_length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"),
+      when(pmod(col("doc_id"), lit(2)) === 0, lit("ppm"))
+        .otherwise(lit("bmp")).as("format"),
+      octet_length(encode(col("text"), "UTF-8")).cast("long").as("n_text_bytes"),
       md5(col("text")).as("content_hash"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -78,9 +169,8 @@ object Multimodal {
   val oracleSql: Map[String, String] = Map(
     "multimodal_meta" ->
       """SELECT doc_id,
-        |  CASE WHEN doc_id % 3 = 0 THEN 'jpeg'
-        |       WHEN doc_id % 3 = 1 THEN 'png' ELSE 'webp' END AS format,
-        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'bmp' END AS format,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_text_bytes,
         |  md5(text) AS content_hash
         |FROM documents""".stripMargin)
 }

@@ -85,12 +85,15 @@ object TextAnalysis {
     * rounded score for cross-engine rank stability. */
   def qTfidf(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
-    val n = docs.count()
+    // N as a broadcast 1-row aggregate folded into the plan — no
+    // separate docs.count() job (round 4); the arithmetic sees the
+    // same exact double, so the oracle is unchanged
+    val nDf = docs.agg(count(lit(1)).cast("double").as("__n"))
     val tf = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
-    val scored = tf.join(df, "word")
-      .withColumn("tfidf", round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
+    val scored = tf.join(df, "word").crossJoin(broadcast(nDf))
+      .withColumn("tfidf", round(col("tf") * log(col("__n") / col("df")), 6))
     val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("word").asc)
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)
@@ -108,20 +111,23 @@ object TextAnalysis {
 
   def qBm25(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
-    val n = docs.count().toDouble
     val words = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
     val dl = docs.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("dl"))
-    val avgdl = dl.agg(sum("dl").as("s"), count(lit(1)).as("c")).head match {
-      case r => r.getLong(0).toDouble / r.getLong(1)
-    }
+    // N and avgdl as ONE broadcast 1-row aggregate folded into the plan
+    // — the old code paid two extra driver jobs (docs.count + avgdl
+    // agg) per invocation (round 4). Same division on the same exact
+    // doubles, so scores — and the oracle — are unchanged.
+    val statsDf = dl.agg(
+      count(lit(1)).cast("double").as("__n"),
+      (sum("dl").cast("double") / count(lit(1))).as("__avgdl"))
     val tf = words.filter(col("word").isin(BM25_TERMS: _*))
       .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
-    val scored = tf.join(df, "word").join(dl, "doc_id")
-      .withColumn("idf", log((lit(n) - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+    val scored = tf.join(df, "word").join(dl, "doc_id").crossJoin(broadcast(statsDf))
+      .withColumn("idf", log((col("__n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
       .withColumn("part",
         col("idf") * (col("tf") * lit(BM25_K1 + 1.0)) /
-          (col("tf") + lit(BM25_K1) * (lit(1.0 - BM25_B) + lit(BM25_B) * col("dl") / avgdl)))
+          (col("tf") + lit(BM25_K1) * (lit(1.0 - BM25_B) + lit(BM25_B) * col("dl") / col("__avgdl"))))
       .groupBy("doc_id").agg(round(sum("part"), 6).as("score"))
     // TakeOrdered first (no full-corpus single-partition window), then
     // rank the surviving 10 rows

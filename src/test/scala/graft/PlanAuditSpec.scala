@@ -1,0 +1,23 @@
+package graft
+
+import graft.clustering.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Blanket physical-plan audit over EVERY registered query — the
+  * SURVEY §5 scale rule "no CartesianProduct anywhere" enforced as a
+  * failing test for any future query, not just the dedup family. */
+class PlanAuditSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("no registered query plans a CartesianProduct") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      // driver-loop queries (lloyd, GKA, IVF...) run their inner jobs
+      // here and return a literal frame; their inner stages are audited
+      // by their own module specs — this asserts the returned plan
+      val plan = fn(spark, sf).queryExecution.executedPlan.toString
+      if (plan.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"cartesian products in: ${offenders.mkString(", ")}")
+  }
+}

@@ -8,10 +8,54 @@ class MultimodalSpec extends AnyFunSuite {
   import spark.implicits._
   private val sf = "/root/testdata/sf0.001"
 
-  test("media view carries binary payloads with typed metadata") {
+  test("media view carries real binary image payloads with typed metadata") {
     val m = Multimodal.mediaView(spark, sf).head()
     assert(m.payload.nonEmpty)
-    assert(Set("jpeg", "png", "webp").contains(m.format))
+    assert(Set("ppm", "bmp").contains(m.format))
+    // the payload IS the container: magic bytes match the format
+    val magic = new String(m.payload.take(2), "US-ASCII")
+    assert((m.format == "ppm" && magic == "P6") ||
+      (m.format == "bmp" && magic == "BM"))
+  }
+
+  test("decode parses real PPM bytes it writes itself") {
+    val rgb = Array.tabulate(6 * 4 * 3)(i => (i * 11 % 256).toByte)
+    val ppm = Multimodal.encodePpm(6, 4, rgb)
+    val f = Multimodal.decodeBytes(Multimodal.MediaRecord(1L, "ppm", ppm))
+    assert(f.width == 6 && f.height == 4 && f.n_frames == 1)
+    assert(f.n_bytes == ppm.length.toLong)
+    // channel means computed from the actual pixel bytes
+    val meanR = (0 until 24).map(p => rgb(p * 3) & 0xff).sum / 24.0 / 255.0
+    assert(math.abs(f.feature(0) - meanR) < 1e-6)
+    assert(f.feature(3) == 1.5f, "aspect ratio w/h")
+  }
+
+  test("decode parses real BMP bytes it writes itself (bottom-up, padded rows)") {
+    val rgb = Array.tabulate(5 * 3 * 3)(i => (i * 7 % 256).toByte) // w=5 forces row padding
+    val bmp = Multimodal.encodeBmp(5, 3, rgb)
+    val f = Multimodal.decodeBytes(Multimodal.MediaRecord(2L, "bmp", bmp))
+    assert(f.width == 5 && f.height == 3 && f.n_frames == 1)
+    val meanG = (0 until 15).map(p => rgb(p * 3 + 1) & 0xff).sum / 15.0 / 255.0
+    assert(math.abs(f.feature(1) - meanG) < 1e-6)
+  }
+
+  test("ppm and bmp of identical pixels decode to identical channel features") {
+    val rgb = Array.tabulate(8 * 8 * 3)(i => (i * 13 % 256).toByte)
+    val a = Multimodal.decodeBytes(Multimodal.MediaRecord(1L, "ppm", Multimodal.encodePpm(8, 8, rgb)))
+    val b = Multimodal.decodeBytes(Multimodal.MediaRecord(1L, "bmp", Multimodal.encodeBmp(8, 8, rgb)))
+    assert(a.feature.sameElements(b.feature),
+      s"${a.feature.toSeq} vs ${b.feature.toSeq}")
+  }
+
+  test("corrupt and unknown payloads decode to zeros, not crashes") {
+    val garbage = Multimodal.decodeBytes(
+      Multimodal.MediaRecord(3L, "ppm", Array[Byte](1, 2, 3)))
+    assert(garbage.width == 0 && garbage.feature.forall(_ == 0f))
+    val truncated = Multimodal.decodeBytes(Multimodal.MediaRecord(4L, "ppm",
+      Multimodal.encodePpm(4, 4, new Array[Byte](48)).take(20)))
+    assert(truncated.width == 4, "header still parses")
+    val empty = Multimodal.decodeBytes(Multimodal.MediaRecord(5L, "bmp", Array.empty))
+    assert(empty.width == 0 && empty.n_bytes == 0)
   }
 
   test("decode is deterministic, schema-stable and partition-preserving") {
@@ -22,16 +66,10 @@ class MultimodalSpec extends AnyFunSuite {
     val f = feats.filter(_.doc_id == 1L).head()
     val f2 = Multimodal.decode(media).filter(_.doc_id == 1L).head()
     assert(f.width == f2.width && f.height == f2.height)
-    assert(f.feature.length == 4 && f.feature.forall(x => x >= 0f && x <= 1f))
-    assert(f.width >= 64 && f.width < 640 && f.height >= 64 && f.height < 640)
+    assert(f.feature.take(3).forall(x => x >= 0f && x <= 1f))
+    // decoded dims match the view's generation rule — parsed from the
+    // container bytes, not carried metadata
+    assert(f.width == 4 + (1 % 12) && f.height == 4 + ((1 / 3) % 12))
     feats.unpersist()
-  }
-
-  test("fake decoder maps bytes deterministically") {
-    val r = Multimodal.MediaRecord(7L, "webp", "hello".getBytes("UTF-8"))
-    val a = Multimodal.fakeDecode(r)
-    val b = Multimodal.fakeDecode(r)
-    assert(a == b.copy(feature = a.feature) && a.feature.sameElements(b.feature))
-    assert(a.n_bytes == 5 && a.n_frames == 6)
   }
 }
