@@ -20,21 +20,28 @@ object Bench {
       catch { case _: Throwable => () }
     }
     val errors = scala.collection.mutable.ListBuffer.empty[String]
+    // two timed repetitions per query, report the MIN: a single-shot
+    // timing is hostage to GC pauses / host noise (observed 10x swings
+    // on identical plans); the min over reps estimates intrinsic cost
+    val REPS = 2
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() }
-      catch { case e: Throwable =>
-        // a crashing query must be VISIBLE, not timed as a fast success
-        errors += name
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      val times = (1 to REPS).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() }
+        catch { case e: Throwable =>
+          // a crashing query must be VISIBLE, not timed as a fast success
+          if (!errors.contains(name)) errors += name
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"reps":$REPS,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
