@@ -24,7 +24,8 @@ object SparkEntry {
       search.SimSearch.queries ++
       text.TextAnalysis.queries ++
       multimodal.Multimodal.queries ++
-      pipeline.CleanCorpus.queries
+      pipeline.CleanCorpus.queries ++
+      pipeline.Splits.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -37,5 +38,6 @@ object SparkEntry {
       search.SimSearch.oracleSql ++
       text.TextAnalysis.oracleSql ++
       multimodal.Multimodal.oracleSql ++
-      pipeline.CleanCorpus.oracleSql
+      pipeline.CleanCorpus.oracleSql ++
+      pipeline.Splits.oracleSql
 }

@@ -97,9 +97,12 @@ object Dedup {
     candidates(spark, dir, h, nBands)
       .join(w.select(col("doc_id").as("ia"), col("ws").as("wa")), "ia")
       .join(w.select(col("doc_id").as("ib"), col("ws").as("wb")), "ib")
+      // |A∪B| = |A|+|B|-|A∩B| on the distinct arrays: skips building
+      // the union array per pair (same integers -> same double -> the
+      // oracle is unchanged)
+      .withColumn("__i", size(array_intersect(col("wa"), col("wb"))))
       .withColumn("j",
-        size(array_intersect(col("wa"), col("wb"))).cast("double") /
-          size(array_union(col("wa"), col("wb"))))
+        col("__i").cast("double") / (size(col("wa")) + size(col("wb")) - col("__i")))
       .filter(col("j") >= threshold)
       .select("ia", "ib", "j")
   }
@@ -124,9 +127,11 @@ object Dedup {
     candidates(spark, dir)
       .join(g.select(col("doc_id").as("ia"), col("gs").as("ga")), "ia")
       .join(g.select(col("doc_id").as("ib"), col("gs").as("gb")), "ib")
+      // |A∪B| = |A|+|B|-|A∩B| on the distinct gram arrays (see
+      // minhashLsh) — halves the per-pair array work
+      .withColumn("__i", size(array_intersect(col("ga"), col("gb"))))
       .withColumn("jg",
-        size(array_intersect(col("ga"), col("gb"))).cast("double") /
-          size(array_union(col("ga"), col("gb"))))
+        col("__i").cast("double") / (size(col("ga")) + size(col("gb")) - col("__i")))
       .filter(col("jg") >= threshold)
       .select("ia", "ib", "jg")
   }

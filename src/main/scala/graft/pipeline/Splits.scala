@@ -1,0 +1,68 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** Deterministic dataset splitting and sampling — at 100 TB both must
+  * be pure per-row hash functions (no RNG state, no global sort, no
+  * sampling pass): every row decides its own fate from its key, so
+  * the split is stable across reruns, executors, and engines.
+  *
+  * The shared hash is the first 3 hex nibbles of md5(key) read as an
+  * integer (0..4095) — cheap, uniform enough for bucketing, and
+  * computable identically in Spark and DuckDB (both have md5/instr/
+  * substr; neither needs a hex-parse builtin).
+  */
+object Splits {
+
+  /** 0..4095 from the first 3 md5 nibbles of `keyExpr` (SQL string). */
+  private def nibbleHashSql(keyExpr: String): String =
+    (1 to 3).map(i =>
+      s"(instr('0123456789abcdef', substr(md5($keyExpr), $i, 1)) - 1) * ${math.pow(16, 3 - i).toInt}")
+      .mkString("(", " + ", ")")
+
+  private def nibbleHash(keyExpr: String): Column = expr(nibbleHashSql(keyExpr))
+
+  /** 80/10/10 train/val/test split of the documents corpus by content
+    * id hash; output is the per-split row count + id range (stable,
+    * small, and enough for the oracle to prove the assignment). */
+  def qSplit(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .withColumn("bucket", pmod(nibbleHash("cast(doc_id as string)"), lit(100)))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+
+  /** Deterministic ~10% sample of the events stream, stratum counts by
+    * event type — the hash gate is a pure row-local filter that pushes
+    * all the way down to the scan. */
+  def qSampleEvents(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .filter(pmod(nibbleHash("cast(event_id as string)"), lit(10)) === 0)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_sampled"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_split" -> (qSplit _),
+    "pipeline_sample_events" -> (qSampleEvents _))
+
+  val oracleSql: Map[String, String] = Map(
+    "pipeline_split" ->
+      s"""SELECT split, count(*) AS n_docs, min(doc_id) AS min_id, max(doc_id) AS max_id
+         |FROM (
+         |  SELECT doc_id,
+         |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+         |  FROM (SELECT doc_id,
+         |          ${nibbleHashSql("CAST(doc_id AS VARCHAR)")} % 100 AS b
+         |        FROM documents))
+         |GROUP BY split""".stripMargin,
+    "pipeline_sample_events" ->
+      s"""SELECT event_type, count(*) AS n_sampled FROM events
+         |WHERE ${nibbleHashSql("CAST(event_id AS VARCHAR)")} % 10 = 0
+         |GROUP BY event_type""".stripMargin)
+}

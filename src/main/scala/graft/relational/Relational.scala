@@ -220,7 +220,64 @@ object Relational {
         round(var_samp("l_quantity"), 4).as("var_qty"),
         round(stddev_samp("l_extendedprice"), 2).as("sd_price"))
 
+  /** Full CUBE over two dimensions — every subtotal combination in one
+    * pass (partial-aggregated like any groupBy; the dims are never
+    * null in the data, so coalesce labels the subtotal rows). */
+  def cubeRevenue(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 1).as("revenue"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+        col("n"), col("revenue"))
+
+  /** Pivot (long -> wide) with an explicit value list, so the output
+    * schema is static and the plan is a single conditional aggregation
+    * — no distinct-values pre-pass. */
+  def pivotQty(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(round(sum("l_quantity"), 2))
+
+  /** Skew-safe SALTED fact-fact join: the build side is replicated
+    * SALT ways and the probe side hashes into a salt, so one hot join
+    * key spreads over SALT reducers instead of one straggler — the
+    * standard remedy when AQE's skew split cannot kick in. Oracle =
+    * the plain (unsalted) join, proving salting changes the plan, not
+    * the result. */
+  private val JOIN_SALT = 8
+
+  def joinSalted(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .withColumn("salt",
+        pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(JOIN_SALT)).cast("int"))
+    val ord = t(spark, dir, "orders")
+      .withColumn("salt", explode(sequence(lit(0), lit(JOIN_SALT - 1))))
+    li.join(ord,
+        li("l_orderkey") === ord("o_orderkey") && li("salt") === ord("salt"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum("l_extendedprice"), 1).as("sum_price"))
+  }
+
+  /** Approximate distinct (HyperLogLog++) next to the exact count —
+    * the 100 TB cardinality path (constant memory per group vs a
+    * distinct shuffle). HLL sketches are engine-specific, so this is
+    * a rows-only entry; ApproxDistinctSpec bounds the relative error
+    * against the exact value. */
+  def aggApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("user_id")).as("approx_users"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cube_revenue" -> (cubeRevenue _),
+    "pivot_qty" -> (pivotQty _),
+    "join_salted" -> (joinSalted _),
+    "agg_approx_distinct" -> (aggApproxDistinct _),
     "q1_agg" -> (q1Agg _),
     "scan_filter" -> (scanFilter _),
     "join_cust_orders" -> (joinCustOrders _),
@@ -242,6 +299,22 @@ object Relational {
     "agg_stats" -> (aggStats _))
 
   val oracleSql: Map[String, String] = Map(
+    "cube_revenue" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS l_linestatus,
+        |  count(*) AS n,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 1) AS revenue
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+    "pivot_qty" ->
+      """SELECT l_returnflag,
+        |  round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS F,
+        |  round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS O
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "join_salted" ->
+      """SELECT o_orderstatus, count(*) AS n_items,
+        |  round(sum(l_extendedprice), 1) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

@@ -75,6 +75,35 @@ object TextAnalysis {
         expr("aggregate(ws, CAST(0 AS BIGINT), (a, w) -> a + ((length(w) + 3) div 4))")
           .as("n_subtokens"))
 
+  /** Normalization + PII scrubbing: lowercase, redact email addresses
+    * and long digit runs, collapse runs of spaces — the standard
+    * pre-training cleanup pass, all codegen'd regexp_replace (global
+    * replacement in both engines). */
+  def qScrub(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").select(
+      col("doc_id"),
+      trim(regexp_replace(regexp_replace(regexp_replace(lower(col("text")),
+        "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "<email>"),
+        "[0-9]{6,}", "<num>"),
+        "  +", " ")).as("clean"))
+
+  private val CHUNK = 50
+  private val STRIDE = 40
+
+  /** Overlapping fixed-size word chunks (50-word windows, stride 40)
+    * — how long documents become training sequences. One explode of
+    * the per-doc start offsets; the word array is sliced per chunk, no
+    * shuffle at all. */
+  def qChunk(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("ws"),
+        explode(expr(s"sequence(0, greatest(size(ws) - 1, 0), $STRIDE)")).as("st"))
+      .select(col("doc_id"),
+        expr(s"st div $STRIDE").cast("long").as("chunk_id"),
+        expr(s"array_join(slice(ws, st + 1, $CHUNK), ' ')").as("chunk"),
+        expr(s"size(slice(ws, st + 1, $CHUNK))").cast("long").as("n_words"))
+
   /** Canonical fingerprint: md5 of the sorted distinct vocabulary —
     * word-order- and duplication-invariant document identity. */
   def qFingerprint(spark: SparkSession, dir: String): DataFrame =
@@ -151,6 +180,8 @@ object TextAnalysis {
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_docs"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_scrub" -> (qScrub _),
+    "text_chunk" -> (qChunk _),
     "text_fingerprint_dedup" -> (qFingerprintDedup _),
     "text_quality" -> (qQuality _),
     "text_langid" -> (qLangId _),
@@ -168,6 +199,21 @@ object TextAnalysis {
       "WHEN " + langs.drop(i + 1).map(o => s"s_$l >= s_$o").mkString(" AND ") + s" THEN '$l'"
     }.mkString(" ")
     Map(
+      "text_scrub" ->
+        """SELECT doc_id,
+          |  trim(regexp_replace(regexp_replace(regexp_replace(lower(text),
+          |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<email>', 'g'),
+          |    '[0-9]{6,}', '<num>', 'g'),
+          |    '  +', ' ', 'g')) AS clean
+          |FROM documents""".stripMargin,
+      "text_chunk" ->
+        s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           |st AS (SELECT doc_id, ws,
+           |  CAST(unnest(range(0, greatest(len(ws), 1), $STRIDE)) AS INT) AS s FROM d)
+           |SELECT doc_id, CAST(s // $STRIDE AS BIGINT) AS chunk_id,
+           |  array_to_string(list_slice(ws, s + 1, s + $CHUNK), ' ') AS chunk,
+           |  CAST(len(list_slice(ws, s + 1, s + $CHUNK)) AS BIGINT) AS n_words
+           |FROM st""".stripMargin,
       "text_quality" ->
         """SELECT doc_id,
           |  CAST(len(ws) AS BIGINT) AS n_words,

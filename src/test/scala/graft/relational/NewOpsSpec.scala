@@ -1,0 +1,40 @@
+package graft.relational
+
+import graft.clustering.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class NewOpsSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+  private val sf = "/root/testdata/sf0.001"
+
+  test("approx distinct stays within 10% of the exact count per group") {
+    val rows = Relational.aggApproxDistinct(spark, sf)
+      .select("exact_users", "approx_users").as[(Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (exact, approx) =>
+      assert(math.abs(approx - exact).toDouble / exact < 0.10,
+        s"HLL error too large: approx $approx vs exact $exact")
+    }
+  }
+
+  test("salted join spreads one key over SALT partitions without changing results") {
+    import org.apache.spark.sql.functions._
+    val salted = Relational.joinSalted(spark, sf)
+      .orderBy("o_orderstatus").collect().map(_.toSeq)
+    val plain = graft.Tables.t(spark, sf, "lineitem")
+      .join(graft.Tables.t(spark, sf, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_items"), round(sum("l_extendedprice"), 1).as("sum_price"))
+      .orderBy("o_orderstatus").collect().map(_.toSeq)
+    assert(salted.toSeq == plain.toSeq)
+  }
+
+  test("cube emits every subtotal combination incl. the grand total") {
+    val out = Relational.cubeRevenue(spark, sf)
+      .select("l_returnflag", "l_linestatus").as[(String, String)].collect().toSet
+    assert(out.contains(("ALL", "ALL")), "grand total row")
+    assert(out.exists { case (f, s) => f != "ALL" && s == "ALL" }, "per-flag subtotal")
+    assert(out.exists { case (f, s) => f == "ALL" && s != "ALL" }, "per-status subtotal")
+  }
+}

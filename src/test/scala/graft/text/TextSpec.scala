@@ -51,4 +51,45 @@ class TextSpec extends AnyFunSuite {
     assert(out.count() > 0)
     assert(out.filter($"n_words" < 20 || $"stop_ratio" > 0.5).count() == 0)
   }
+
+  test("scrub redacts emails and digit runs, collapses spaces, and is idempotent") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "Contact Bob.Smith+x@example.COM  or  call 5551234567 now"),
+      (2L, "plain text stays    plain 12345")).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("t_scrub_in")
+    def scrub(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("doc_id"),
+      trim(regexp_replace(regexp_replace(regexp_replace(lower(col("text")),
+        "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "<email>"),
+        "[0-9]{6,}", "<num>"),
+        "  +", " ")).as("clean"))
+    val out = scrub(docs).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "contact <email> or call <num> now")
+    assert(out(2L) == "plain text stays plain 12345", "short digit runs survive")
+    // idempotent: scrubbing the scrubbed text changes nothing
+    val again = scrub(scrub(docs).withColumnRenamed("clean", "text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again == out)
+  }
+
+  test("chunks tile the document: stride-40 windows of <= 50 words cover every word") {
+    val out = TextAnalysis.qChunk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(out.forall(_._4 <= 50), "no chunk exceeds the window")
+    val docs = graft.Tables.t(spark, sf, "documents")
+      .selectExpr("doc_id", "size(split(text, ' ')) AS n").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val byDoc = out.groupBy(_._1)
+    assert(byDoc.keySet == docs.keySet, "every doc chunks")
+    byDoc.foreach { case (id, chunks) =>
+      val n = docs(id)
+      // chunk c starts at 40c; last chunk must reach the final word
+      val maxEnd = chunks.map(c => c._2 * 40 + c._4).max
+      assert(maxEnd == n, s"doc $id: chunks end at $maxEnd of $n words")
+      // consecutive chunk ids, starting at 0
+      val ids = chunks.map(_._2).sorted.toSeq
+      assert(ids == (0L until ids.length.toLong), s"doc $id ids: $ids")
+    }
+  }
 }
