@@ -19,6 +19,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, "hamming(a, b) takes exactly 2 arguments")
         HammingDistance(children.head, children(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "cosine_sim(a, b) takes exactly 2 arguments")
+        CosineSimilarity(children.head, children(1))
+      }))
   }
 }
 
@@ -29,4 +36,7 @@ object GraftFunctions {
 
   def hamming(a: Column, b: Column): Column =
     GraftBridge.column(HammingDistance(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  def cosineSim(a: Column, b: Column): Column =
+    GraftBridge.column(CosineSimilarity(GraftBridge.expression(a), GraftBridge.expression(b)))
 }

@@ -20,8 +20,18 @@ object VectorOps {
     s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
       "CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
 
-  /** Cosine similarity rounded to 6 decimals (SURVEY.md §4). */
+  /** Cosine similarity rounded to 6 decimals (SURVEY.md §4), through
+    * the NATIVE codegen'd expression (graft.functions.CosineSimilarity
+    * — one fused loop inside WholeStageCodegen; the HOF formulation
+    * above pays lambda dispatch + an intermediate array per pair). The
+    * expression reproduces the HOF fold order bitwise, so the DuckDB
+    * mirrors below are unchanged; CosineSpec asserts the equivalence. */
   def cosine(a: String, b: String): Column =
+    round(GraftFunctions.cosineSim(col(a), col(b)), 6)
+
+  /** The HOF formulation, kept as the reference for the equivalence
+    * spec (and for sessions without the extension registered). */
+  def cosineHof(a: String, b: String): Column =
     round(dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b))), 6)
 
   /** Sign-LSH bucket key from the first `bits` dimensions. At scale the
