@@ -182,15 +182,28 @@ object GKA {
 
       // mutation (gka.java:165-237): roulette-pick one gene, flip it.
       // Wheel total = sum(Cm*dmax - d) = n*(Cm*dmax - avg d): derived
-      // from the agg above, no extra pass over the data.
+      // from the agg above, no extra pass over the data. All of the
+      // generation's darts are thrown in ONE batched two-pass pick
+      // (round 4 — previously 2 jobs per mutating chromosome); the RNG
+      // draw order (gate, dart, flip per chromosome) is unchanged, so
+      // the picked genes are identical to the sequential version.
       var mutated = state
-      for (i <- 0 until p if rng.nextDouble() < pm) {
-        val w = lit(cm) * lit(dmax(i)) - col(s"d$i")
-        val total = n * (cm * dmax(i) - fitness(i))
-        val rid = Roulette.pickByPrefixInPlace(state.withColumn("w", w), "rid", "w",
-          rng.nextDouble() * total)
-        mutated = mutated.withColumn(s"s$i",
-          when(col("rid") === lit(rid), lit(rng.nextInt(k))).otherwise(col(s"s$i")))
+      val muts = (0 until p).flatMap { i =>
+        if (rng.nextDouble() < pm) {
+          val dart = rng.nextDouble() * (n * (cm * dmax(i) - fitness(i)))
+          Some((i, dart, rng.nextInt(k)))
+        } else None
+      }
+      if (muts.nonEmpty) {
+        val withW = state.select(col("rid") +: muts.map { case (i, _, _) =>
+          (lit(cm) * lit(dmax(i)) - col(s"d$i")).as(s"mw$i")
+        }: _*)
+        val rids = Roulette.pickManyByPrefixInPlace(withW, "rid",
+          muts.map { case (i, _, _) => s"mw$i" }, muts.map(_._2))
+        for (((i, _, flip), rid) <- muts.zip(rids)) {
+          mutated = mutated.withColumn(s"s$i",
+            when(col("rid") === lit(rid), lit(flip)).otherwise(col(s"s$i")))
+        }
       }
       // selection (gka.java:253-304): wheel over 1/fitness, p darts
       val iv = fitness.map(1.0 / _)

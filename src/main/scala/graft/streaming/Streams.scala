@@ -49,6 +49,33 @@ object Streams {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Watermarked stream-stream interval join: pair each click with the
+    * same user's views from the preceding 10 minutes. BOTH sides carry
+    * watermarks and the join condition bounds event-time distance, so
+    * Spark can evict join state — the only shape under which an
+    * unbounded stream-stream join is viable. Inputs need columns
+    * (c_user, click_ts) / (v_user, view_ts). */
+  def clickViewJoin(clicks: DataFrame, views: DataFrame): DataFrame =
+    clicks.withWatermark("click_ts", "30 minutes")
+      .join(views.withWatermark("view_ts", "30 minutes"),
+        expr("""c_user = v_user AND
+                view_ts >= click_ts - INTERVAL 10 MINUTES AND
+                view_ts <= click_ts"""))
+
+  /** Micro-batch parquet sink via foreachBatch: each batch lands in a
+    * batch-id directory, so a replayed batch overwrites its own output
+    * instead of duplicating it (idempotent-by-path — the standard
+    * exactly-once-ish recipe when the sink itself is not
+    * transactional). */
+  def parquetSink(df: DataFrame, path: String,
+                  checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batch.write.mode("overwrite").parquet(s"$path/batch_id=$id")
+      }
+      .start()
+
   /** Gap-based sessionization (30 min idle closes a session) via
     * flatMapGroupsWithState. Emits a session when a later event
     * arrives past the gap; the open session stays in state. */

@@ -18,6 +18,21 @@ class GkaPsoSpec extends AnyFunSuite {
     assert(Roulette.pickByPrefix(df, "rid", "w", 99.0) == 4L, "past-total falls to last row")
   }
 
+  test("batched roulette picks equal one-at-a-time picks on the same frame") {
+    val df = (1 to 500).map(i =>
+      (i.toLong, (i % 7 + 1).toDouble, ((i * 3) % 11 + 1).toDouble))
+      .toDF("rid", "w0", "w1").repartition(5).cache()
+    try {
+      df.count()
+      val targets = Seq(123.4, 777.7)
+      val batched = Roulette.pickManyByPrefixInPlace(df, "rid", Seq("w0", "w1"), targets)
+      val oneByOne = Seq(
+        Roulette.pickByPrefixInPlace(df.select("rid", "w0"), "rid", "w0", targets(0)),
+        Roulette.pickByPrefixInPlace(df.select("rid", "w1"), "rid", "w1", targets(1)))
+      assert(batched == oneByOne, s"$batched vs $oneByOne")
+    } finally { df.unpersist(); () }
+  }
+
   test("withRid disambiguates duplicate pids deterministically") {
     val pts = Points.withRid(Points.lineitem4d(spark, sf)).cache()
     val n = pts.count()

@@ -87,6 +87,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs clicks with recent views only") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val views = MemoryStream[(Long, Timestamp)]
+    val q = Streams.clickViewJoin(
+      clicks.toDF().toDF("c_user", "click_ts"),
+      views.toDF().toDF("v_user", "view_ts"))
+      .writeStream.format("memory").queryName("cv_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      views.addData((1L, ts(0)), (1L, ts(55)), (2L, ts(1)))
+      clicks.addData((1L, ts(5)), (1L, ts(60)))
+      q.processAllAvailable()
+      val rows = spark.table("cv_out").select("c_user", "click_ts", "view_ts")
+        .as[(Long, Timestamp, Timestamp)].collect().toSet
+      // click@5 pairs with view@0 (within 10 min); click@60 with view@55;
+      // user 2's view never pairs; click@60 does NOT reach back to view@0
+      assert(rows == Set((1L, ts(5), ts(0)), (1L, ts(60), ts(55))), rows.toString)
+    } finally q.stop()
+  }
+
+  test("foreachBatch parquet sink lands each micro-batch idempotently by id") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val input = MemoryStream[(Long, Double)]
+    val q = Streams.parquetSink(input.toDF().toDF("id", "v"),
+      s"$dir/data", s"$dir/ckpt")
+    try {
+      input.addData((1L, 1.0), (2L, 2.0))
+      q.processAllAvailable()
+      input.addData((3L, 3.0))
+      q.processAllAvailable()
+      val out = spark.read.parquet(s"$dir/data").select("id").as[Long].collect().toSet
+      assert(out == Set(1L, 2L, 3L))
+      val dirs = new java.io.File(s"$dir/data").listFiles().map(_.getName)
+        .filter(_.startsWith("batch_id=")).sorted.toSeq
+      assert(dirs.size >= 2, s"one dir per micro-batch: $dirs")
+    } finally q.stop()
+  }
+
   test("batch events_hourly and streaming hourlyCounts agree on real data") {
     val batch = graft.Tables.t(spark, "/root/testdata/sf0.001", "events")
       .select($"ts", $"event_type", $"value")
