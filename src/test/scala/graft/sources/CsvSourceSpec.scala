@@ -55,6 +55,11 @@ class CsvSourceSpec extends AnyFunSuite {
     val shuttle = CsvNumericSource.read(spark, "/root/reference/dataset/shuttle.txt", 10)
     assert(shuttle.columns.length == 11)
     assert(shuttle.count() > 10000, "shuttle is the large reference set")
+
+    val finland = CsvNumericSource.read(spark,
+      "/root/reference/dataset/User-locations-Finland_N13467-D2.txt", 2)
+    assert(finland.columns.length == 3)
+    assert(finland.count() == 13467, "Finland user-locations point count (per the filename)")
   }
 
   test("the generic k-means clusters wine end-to-end at its native 13 dims") {
