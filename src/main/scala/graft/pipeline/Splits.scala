@@ -39,8 +39,10 @@ object Splits {
         min("doc_id").as("min_id"), max("doc_id").as("max_id"))
 
   /** Deterministic ~10% sample of the events stream, stratum counts by
-    * event type — the hash gate is a pure row-local filter that pushes
-    * all the way down to the scan. */
+    * event type — the hash gate is a pure row-local filter evaluated
+    * before the partial aggregate (no sampling pass, no extra shuffle;
+    * being an expression it cannot become a parquet PushedFilter, but
+    * rows die in the scan's own stage). */
   def qSampleEvents(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "events")
       .filter(pmod(nibbleHash("cast(event_id as string)"), lit(10)) === 0)
