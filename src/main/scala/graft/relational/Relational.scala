@@ -253,8 +253,12 @@ object Relational {
     val li = t(spark, dir, "lineitem")
       .withColumn("salt",
         pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(JOIN_SALT)).cast("int"))
+    // shuffle_hash hint: at test scale Spark would broadcast the
+    // replicated side (where salting is moot); the hint keeps the
+    // shuffle path this operator exists to de-skew
     val ord = t(spark, dir, "orders")
       .withColumn("salt", explode(sequence(lit(0), lit(JOIN_SALT - 1))))
+      .hint("shuffle_hash")
     li.join(ord,
         li("l_orderkey") === ord("o_orderkey") && li("salt") === ord("salt"))
       .groupBy("o_orderstatus")
@@ -273,11 +277,24 @@ object Relational {
       .agg(countDistinct(col("user_id")).as("exact_users"),
         approx_count_distinct(col("user_id")).as("approx_users"))
 
+  /** Approximate percentile (Greenwald-Khanna sketch, rank error
+    * <= 1/accuracy) next to the exact interpolated percentile — at
+    * 100 TB the exact version's per-group full sort is the bottleneck,
+    * the sketch is one mergeable pass. Sketch merges are
+    * partitioning-dependent -> rows-only; spec bounds the error. */
+  def percentileApproxQty(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_approx"),
+        expr("percentile(l_extendedprice, 0.5)").as("p50_exact"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cube_revenue" -> (cubeRevenue _),
     "pivot_qty" -> (pivotQty _),
     "join_salted" -> (joinSalted _),
     "agg_approx_distinct" -> (aggApproxDistinct _),
+    "percentile_approx_qty" -> (percentileApproxQty _),
     "q1_agg" -> (q1Agg _),
     "scan_filter" -> (scanFilter _),
     "join_cust_orders" -> (joinCustOrders _),

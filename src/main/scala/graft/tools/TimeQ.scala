@@ -1,4 +1,4 @@
-package graft
+package graft.tools
 import org.apache.spark.sql.SparkSession
 object TimeQ {
   def main(args: Array[String]): Unit = {
@@ -11,10 +11,10 @@ object TimeQ {
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    Tables.names.foreach { n => try Tables.t(spark, sfDir, n).limit(1).count() catch { case _: Throwable => () } }
+    graft.Tables.names.foreach { n => try graft.Tables.t(spark, sfDir, n).limit(1).count() catch { case _: Throwable => () } }
     names.foreach { n =>
       val t0 = System.nanoTime()
-      val c = SparkEntry.queries(n)(spark, sfDir).count()
+      val c = graft.SparkEntry.queries(n)(spark, sfDir).count()
       println(f"TIMEQ $n%s rows=$c%d sec=${(System.nanoTime() - t0) / 1e9}%.2f")
     }
     spark.stop()

@@ -30,6 +30,22 @@ class NewOpsSpec extends AnyFunSuite {
     assert(salted.toSeq == plain.toSeq)
   }
 
+  test("approx percentile lands within 5% of the exact median per group") {
+    val rows = Relational.percentileApproxQty(spark, sf)
+      .select("p50_approx", "p50_exact").as[(Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (approx, exact) =>
+      assert(math.abs(approx - exact) / exact < 0.05,
+        s"approx $approx vs exact $exact")
+    }
+  }
+
+  test("salted join shuffles on (key, salt) rather than broadcasting the replicated side") {
+    val plan = Relational.joinSalted(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin"),
+      plan.take(500))
+  }
+
   test("cube emits every subtotal combination incl. the grand total") {
     val out = Relational.cubeRevenue(spark, sf)
       .select("l_returnflag", "l_linestatus").as[(String, String)].collect().toSet
