@@ -58,6 +58,56 @@ object Multimodal {
     out.array()
   }
 
+  /** Minimal multi-frame container (a stand-in for video): magic
+    * "GFV1", big-endian frame count, then length-prefixed frames, each
+    * itself a complete single-image payload (PPM here). Public-format
+    * thinking: the container carries opaque per-frame payloads, like
+    * any boxed media format. */
+  def encodeFrames(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val total = 8 + frames.map(4 + _.length).sum
+    val out = java.nio.ByteBuffer.allocate(total)
+    out.put("GFV1".getBytes("US-ASCII")).putInt(frames.length)
+    frames.foreach { f => out.putInt(f.length); out.put(f) }
+    out.array()
+  }
+
+  /** Frame-sampled decode of a GFV1 container: parse the header, walk
+    * the frame table, and fully decode only every `everyK`-th frame —
+    * the standard way video becomes training images without paying for
+    * every frame. Features = per-channel means over the SAMPLED frames
+    * only; width/height from the first sampled frame. */
+  def decodeFramesSampled(m: MediaRecord, everyK: Int): MediaFeatures = {
+    val b = m.payload
+    def zero = MediaFeatures(m.doc_id, m.format, b.length.toLong, 0, 0, 0,
+      Array.fill(4)(0.0f))
+    if (b.length < 8 || new String(b.take(4), "US-ASCII") != "GFV1") return zero
+    try {
+      val buf = java.nio.ByteBuffer.wrap(b)
+      buf.position(4)
+      val n = buf.getInt()
+      var i = 0
+      val sampled = scala.collection.mutable.ListBuffer.empty[MediaFeatures]
+      while (i < n && buf.remaining() >= 4) {
+        val len = buf.getInt()
+        val take = math.min(len, buf.remaining())
+        if (i % everyK == 0) {
+          val frame = new Array[Byte](take)
+          buf.get(frame)
+          sampled += decodeBytes(MediaRecord(m.doc_id, "frame", frame))
+        } else buf.position(buf.position() + take)
+        i += 1
+      }
+      if (sampled.isEmpty) zero.copy(n_frames = n)
+      else {
+        val head = sampled.head
+        val feat = Array.tabulate(4)(j =>
+          (sampled.map(_.feature(j).toDouble).sum / sampled.length).toFloat)
+        MediaFeatures(m.doc_id, m.format, b.length.toLong,
+          head.width, head.height, n, feat)
+      }
+    } catch { case _: Exception => zero }
+  }
+
   // ---- decoder ---------------------------------------------------------
 
   /** Parse a payload by its magic bytes. Returns the container's REAL

@@ -47,6 +47,31 @@ class MultimodalSpec extends AnyFunSuite {
       s"${a.feature.toSeq} vs ${b.feature.toSeq}")
   }
 
+  test("frame-sampled decode reads every k-th frame of a multi-frame container") {
+    def solidFrame(v: Int) =
+      Multimodal.encodePpm(4, 4, Array.fill(4 * 4 * 3)(v.toByte))
+    val anim = Multimodal.encodeFrames(Seq(solidFrame(10), solidFrame(250), solidFrame(30)))
+    val f = Multimodal.decodeFramesSampled(
+      Multimodal.MediaRecord(9L, "gfv", anim), everyK = 2)
+    assert(f.n_frames == 3, "container frame count from the header")
+    assert(f.width == 4 && f.height == 4)
+    // frames 0 and 2 sampled, frame 1 (value 250) skipped entirely
+    val expect = ((10 / 255.0) + (30 / 255.0)) / 2.0
+    assert(math.abs(f.feature(0) - expect) < 1e-6,
+      s"mean over sampled frames only: ${f.feature(0)} vs $expect")
+  }
+
+  test("truncated or foreign containers frame-decode to zeros") {
+    val garbage = Multimodal.decodeFramesSampled(
+      Multimodal.MediaRecord(1L, "gfv", Array[Byte](1, 2, 3)), 1)
+    assert(garbage.n_frames == 0 && garbage.feature.forall(_ == 0f))
+    val truncated = Multimodal.encodeFrames(
+      Seq(Multimodal.encodePpm(2, 2, new Array[Byte](12)))).take(10)
+    val t = Multimodal.decodeFramesSampled(
+      Multimodal.MediaRecord(2L, "gfv", truncated), 1)
+    assert(t.n_bytes == 10, "reports what it saw, does not crash")
+  }
+
   test("corrupt and unknown payloads decode to zeros, not crashes") {
     val garbage = Multimodal.decodeBytes(
       Multimodal.MediaRecord(3L, "ppm", Array[Byte](1, 2, 3)))
