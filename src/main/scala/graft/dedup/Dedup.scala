@@ -139,6 +139,29 @@ object Dedup {
   def qNgram(spark: SparkSession, dir: String): DataFrame =
     ngramPairs(spark, dir)
 
+  /** Benchmark decontamination: flag corpus documents sharing >=
+    * minShared char-5-grams with any document of a (small) benchmark
+    * set — the pre-training hygiene pass that keeps eval data out of
+    * the training corpus. Scale shape: the benchmark's exploded grams
+    * BROADCAST against the corpus's exploded grams (corpus side never
+    * shuffles until the per-(doc, bench) count), so cost is one corpus
+    * pass regardless of corpus size. */
+  def decontaminate(spark: SparkSession, dir: String, benchMaxId: Long = 5,
+                    n: Int = 5, minShared: Int = 20): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    def gramsOf(df: DataFrame, idAs: String): DataFrame =
+      df.select(col("doc_id").as(idAs), explode(grams(n)).as("g"))
+    val bench = gramsOf(docs.filter(col("doc_id") <= benchMaxId), "bench_id")
+    gramsOf(docs.filter(col("doc_id") > benchMaxId), "doc_id")
+      .join(broadcast(bench), "g")
+      .groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  def qDecontaminate(spark: SparkSession, dir: String): DataFrame =
+    decontaminate(spark, dir)
+
   // ---- SimHash ---------------------------------------------------------
 
   /** 64-bit SimHash as a '0'/'1' bitstring: per distinct word, md5's
@@ -248,6 +271,7 @@ object Dedup {
     "dedup_minhash" -> (qMinhash _),
     "dedup_minhash_lsh" -> (qMinhashLsh _),
     "dedup_ngram" -> (qNgram _),
+    "dedup_decontaminate" -> (qDecontaminate _),
     "dedup_simhash" -> (qSimhash _),
     "dedup_simhash_pairs" -> (qSimhashPairs _),
     "dedup_edit_distance" -> (qEditDistance _),
@@ -293,6 +317,15 @@ object Dedup {
          |      / len(list_distinct(list_concat(ga.gs, gb.gs))) AS jg
          |  FROM cands JOIN g ga ON ia = ga.doc_id JOIN g gb ON ib = gb.doc_id)
          |WHERE jg >= 0.6""".stripMargin,
+    "dedup_decontaminate" ->
+      """WITH gs AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(text) - 3), i -> substr(text, CAST(i AS INT), 5)))) AS g
+        |  FROM documents)
+        |SELECT c.doc_id, b.doc_id AS bench_id, count(*) AS n_shared
+        |FROM gs c JOIN gs b ON c.g = b.g
+        |WHERE b.doc_id <= 5 AND c.doc_id > 5
+        |GROUP BY c.doc_id, b.doc_id
+        |HAVING count(*) >= 20""".stripMargin,
     "dedup_simhash" ->
       """WITH wd AS (
         |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w FROM documents),

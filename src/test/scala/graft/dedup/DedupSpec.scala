@@ -77,6 +77,19 @@ class DedupSpec extends AnyFunSuite {
     assert(out(4L) == Seq("abcde", "bcdef"))
   }
 
+  test("decontamination flags only non-benchmark docs with enough shared grams") {
+    val out = Dedup.qDecontaminate(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.forall { case (doc, bench, n) => doc > 5 && bench <= 5 && n >= 20 })
+    // spot-check one flagged pair against a direct recompute
+    out.headOption.foreach { case (doc, bench, n) =>
+      val g = (id: Long) => spark.sql(
+        s"SELECT text FROM parquet.`$sf/documents.parquet` WHERE doc_id = $id")
+        .head().getString(0).sliding(5).toSet
+      assert(g(doc).intersect(g(bench)).size == n, s"pair ($doc, $bench)")
+    }
+  }
+
   test("no physical plan in the dedup family contains a cartesian product") {
     for ((_, fn) <- Dedup.queries) {
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
