@@ -87,6 +87,22 @@ object TextAnalysis {
         "[0-9]{6,}", "<num>"),
         "  +", " ")).as("clean"))
 
+  /** Character-distribution Shannon entropy per document — the classic
+    * cheap gibberish/boilerplate detector (natural prose sits ~4 bits,
+    * random base64 near 6, repeated padding near 0). Canonical
+    * explode -> count -> fold shape; n = length(text) rides along as a
+    * grouping column so no second pass or join is needed. */
+  def qEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val ch = t(spark, dir, "documents").select(
+      col("doc_id"),
+      length(col("text")).cast("double").as("n"),
+      explode(expr("transform(sequence(1, length(text)), i -> substring(text, i, 1))")).as("ch"))
+    ch.groupBy("doc_id", "n", "ch").agg(count(lit(1)).cast("double").as("c"))
+      .groupBy("doc_id")
+      .agg(round(-sum((col("c") / col("n")) * log2(col("c") / col("n"))), 6)
+        .as("char_entropy"))
+  }
+
   private val CHUNK = 50
   private val STRIDE = 40
 
@@ -182,6 +198,7 @@ object TextAnalysis {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_scrub" -> (qScrub _),
     "text_chunk" -> (qChunk _),
+    "text_entropy" -> (qEntropy _),
     "text_fingerprint_dedup" -> (qFingerprintDedup _),
     "text_quality" -> (qQuality _),
     "text_langid" -> (qLangId _),
@@ -214,6 +231,15 @@ object TextAnalysis {
            |  array_to_string(list_slice(ws, s + 1, s + $CHUNK), ' ') AS chunk,
            |  CAST(len(list_slice(ws, s + 1, s + $CHUNK)) AS BIGINT) AS n_words
            |FROM st""".stripMargin,
+      "text_entropy" ->
+        """WITH ch AS (SELECT doc_id, CAST(len(text) AS DOUBLE) AS n,
+          |    unnest(list_transform(range(1, len(text) + 1),
+          |      i -> substr(text, CAST(i AS INT), 1))) AS ch
+          |  FROM documents),
+          |cnt AS (SELECT doc_id, n, ch, CAST(count(*) AS DOUBLE) AS c
+          |        FROM ch GROUP BY doc_id, n, ch)
+          |SELECT doc_id, round(-sum((c / n) * log2(c / n)), 6) AS char_entropy
+          |FROM cnt GROUP BY doc_id""".stripMargin,
       "text_quality" ->
         """SELECT doc_id,
           |  CAST(len(ws) AS BIGINT) AS n_words,

@@ -73,6 +73,26 @@ class TextSpec extends AnyFunSuite {
     assert(again == out)
   }
 
+  test("char entropy separates uniform, natural and degenerate strings") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "aaaaaaaaaaaaaaaa"), // one symbol -> H = 0
+      (2L, "abababababababab"), // two equiprobable -> H = 1
+      (3L, "abcdefghijklmnop")) // 16 distinct -> H = 4
+      .toDF("doc_id", "text")
+    val ch = docs.select(col("doc_id"), length(col("text")).cast("double").as("n"),
+      explode(expr("transform(sequence(1, length(text)), i -> substring(text, i, 1))")).as("ch"))
+    val out = ch.groupBy("doc_id", "n", "ch").agg(count(lit(1)).cast("double").as("c"))
+      .groupBy("doc_id")
+      .agg(round(-sum((col("c") / col("n")) * log2(col("c") / col("n"))), 6).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(1L) == 0.0 && out(2L) == 1.0 && out(3L) == 4.0)
+    // and on the real corpus: word-soup text sits in a sane band
+    val real = TextAnalysis.qEntropy(spark, sf).select("char_entropy")
+      .collect().map(_.getDouble(0))
+    assert(real.forall(h => h > 2.0 && h < 6.0), s"range ${real.min}..${real.max}")
+  }
+
   test("chunks tile the document: stride-40 windows of <= 50 words cover every word") {
     val out = TextAnalysis.qChunk(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
