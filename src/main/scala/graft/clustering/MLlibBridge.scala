@@ -28,9 +28,15 @@ object MLlibBridge {
         .setK(4).setSeed(42L).setMaxIter(5)
         .setFeaturesCol("features").setPredictionCol("k")
         .fit(assembled)
-      model.transform(assembled)
+      // materialize the K-row summary BEFORE releasing the cache: the
+      // old lazy return referenced the unpersisted cache, so every
+      // caller re-assembled the vectors from scratch
+      val result = model.transform(assembled)
         .groupBy("k")
         .agg(count(lit(1)).as("n"))
+      val rows = result.collect()
+      val schema = result.schema
+      spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1), schema)
     } finally { assembled.unpersist(); () }
   }
 
