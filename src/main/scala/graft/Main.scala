@@ -50,7 +50,8 @@ object Main {
     val spark = SparkSession.builder()
       .config(new SparkConf().setIfMissing("spark.master", "local[*]")
         .setIfMissing("spark.sql.shuffle.partitions",
-          Runtime.getRuntime.availableProcessors().toString))
+          Runtime.getRuntime.availableProcessors().toString)
+        .setIfMissing("spark.sql.extensions", "graft.functions.GraftExtensions"))
       .appName(s"graft-$algo")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -20,4 +20,12 @@ class PlanAuditSpec extends AnyFunSuite {
     }
     assert(offenders.isEmpty, s"cartesian products in: ${offenders.mkString(", ")}")
   }
+
+  test("no registered query leaks a cached frame") {
+    // the previous test constructed every query (running each driver
+    // loop's internal jobs); any cache a query failed to release is
+    // still registered now
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "a query left a cached DataFrame behind")
+  }
 }
