@@ -70,6 +70,24 @@ class CsvSourceSpec extends AnyFunSuite {
     assert(out.length == 3)
   }
 
+  test("short or non-numeric lines fail loudly, not silently skew the points") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/bad_short.txt"),
+      "1.0,2.0,3.0,4.0\n5.0,6.0\n".getBytes)
+    val short = intercept[Exception] {
+      CsvNumericSource.read(spark, s"$dir/bad_short.txt", 4).count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(short).exists(_.contains("fields")), short.getMessage)
+
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/bad_alpha.txt"),
+      "1.0,2.0,x,4.0\n".getBytes)
+    intercept[Exception] {
+      CsvNumericSource.read(spark, s"$dir/bad_alpha.txt", 4).count()
+    }
+  }
+
   test("the generic k-means clusters iris into sane partitions") {
     val df = CsvNumericSource.read(spark, iris, 4)
     val out = KMeans.lloyd(df, 3, 10).collect()
