@@ -120,6 +120,17 @@ object TextAnalysis {
         expr(s"array_join(slice(ws, st + 1, $CHUNK), ' ')").as("chunk"),
         expr(s"size(slice(ws, st + 1, $CHUNK))").cast("long").as("n_words"))
 
+  /** Polynomial rolling hash (Rabin-Karp style) of the raw character
+    * stream: h = (h*31 + code) mod 1e9+7 — the order-SENSITIVE
+    * fingerprint complementing the order-invariant vocabulary hash
+    * below. The modulus keeps every intermediate < 2^35, so the fold
+    * is overflow-free under ANSI arithmetic in both engines. One HOF
+    * per document, zero shuffle. */
+  def qRollingHash(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").select(col("doc_id"),
+      expr("aggregate(transform(sequence(1, length(text)), i -> ascii(substring(text, i, 1))), " +
+        "CAST(0 AS BIGINT), (h, c) -> (h * 31 + c) % 1000000007)").as("rh"))
+
   /** Canonical fingerprint: md5 of the sorted distinct vocabulary —
     * word-order- and duplication-invariant document identity. */
   def qFingerprint(spark: SparkSession, dir: String): DataFrame =
@@ -199,6 +210,7 @@ object TextAnalysis {
     "text_scrub" -> (qScrub _),
     "text_chunk" -> (qChunk _),
     "text_entropy" -> (qEntropy _),
+    "text_rolling_hash" -> (qRollingHash _),
     "text_fingerprint_dedup" -> (qFingerprintDedup _),
     "text_quality" -> (qQuality _),
     "text_langid" -> (qLangId _),
@@ -231,6 +243,13 @@ object TextAnalysis {
            |  array_to_string(list_slice(ws, s + 1, s + $CHUNK), ' ') AS chunk,
            |  CAST(len(list_slice(ws, s + 1, s + $CHUNK)) AS BIGINT) AS n_words
            |FROM st""".stripMargin,
+      "text_rolling_hash" ->
+        """SELECT doc_id,
+          |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+          |    list_transform(range(1, len(text) + 1),
+          |      i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))),
+          |    (h, c) -> (h * 31 + c) % 1000000007) AS rh
+          |FROM documents""".stripMargin,
       "text_entropy" ->
         """WITH ch AS (SELECT doc_id, CAST(len(text) AS DOUBLE) AS n,
           |    unnest(list_transform(range(1, len(text) + 1),

@@ -73,6 +73,22 @@ class TextSpec extends AnyFunSuite {
     assert(again == out)
   }
 
+  test("rolling hash matches a direct JVM fold and is order-sensitive") {
+    def ref(s: String): Long =
+      s.foldLeft(0L)((h, c) => (h * 31 + c.toInt) % 1000000007L)
+    val docs = Seq((1L, "hello world"), (2L, "world hello"), (3L, "hello world"))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("t_rh")
+    import org.apache.spark.sql.functions._
+    val out = docs.select(col("doc_id"),
+      expr("aggregate(transform(sequence(1, length(text)), i -> ascii(substring(text, i, 1))), " +
+        "CAST(0 AS BIGINT), (h, c) -> (h * 31 + c) % 1000000007)").as("rh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == ref("hello world"))
+    assert(out(1L) == out(3L), "identical text, identical hash")
+    assert(out(1L) != out(2L), "order-sensitive, unlike the vocab fingerprint")
+  }
+
   test("char entropy separates uniform, natural and degenerate strings") {
     import org.apache.spark.sql.functions._
     val docs = Seq(
