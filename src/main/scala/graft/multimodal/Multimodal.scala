@@ -58,6 +58,55 @@ object Multimodal {
     out.array()
   }
 
+  /** Nearest-neighbor resize of a decodable single-image payload,
+    * re-encoded in its own container format — the standard image
+    * normalization step before feature extraction. Pure per-record
+    * compute (runs inside the same mapPartitions batch as decode);
+    * undecodable payloads pass through unchanged, like a real codec
+    * pipeline quarantines bad records instead of dying. */
+  def resize(m: MediaRecord, w2: Int, h2: Int): MediaRecord = {
+    require(w2 > 0 && h2 > 0, s"target dims must be positive: ${w2}x$h2")
+    val b = m.payload
+    val decoded = decodeBytes(m)
+    if (decoded.width <= 0 || decoded.height <= 0) return m
+    val (w, h) = (decoded.width, decoded.height)
+    // locate the pixel reader for the source container
+    val isPpm = b.length >= 2 && b(0) == 'P' && b(1) == '6'
+    def srcPixel(x: Int, y: Int): (Int, Int, Int) =
+      if (isPpm) {
+        var i = 2
+        def skip(): Unit = {
+          while (i < b.length && (b(i).toChar.isWhitespace || b(i) == '#')) {
+            if (b(i) == '#') while (i < b.length && b(i) != '\n') i += 1 else i += 1
+          }
+          while (i < b.length && b(i).toChar.isDigit) i += 1
+        }
+        skip(); skip(); skip(); i += 1 // w, h, maxval, single whitespace
+        val off = i + (y * w + x) * 3
+        ((b(off) & 0xff), (b(off + 1) & 0xff), (b(off + 2) & 0xff))
+      } else {
+        val buf = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val dataOffset = buf.getInt(10)
+        val rowSize = (w * 3 + 3) / 4 * 4
+        val off = dataOffset + (h - 1 - y) * rowSize + x * 3
+        ((b(off + 2) & 0xff), (b(off + 1) & 0xff), (b(off) & 0xff))
+      }
+    val rgb = new Array[Byte](w2 * h2 * 3)
+    for (y2 <- 0 until h2; x2 <- 0 until w2) {
+      val (r, g, bl) = srcPixel(x2 * w / w2, y2 * h / h2)
+      val p = (y2 * w2 + x2) * 3
+      rgb(p) = r.toByte; rgb(p + 1) = g.toByte; rgb(p + 2) = bl.toByte
+    }
+    val payload = if (isPpm) encodePpm(w2, h2, rgb) else encodeBmp(w2, h2, rgb)
+    m.copy(payload = payload)
+  }
+
+  /** Resize a media corpus per-partition (same batch shape as decode). */
+  def resizeAll(media: Dataset[MediaRecord], w2: Int, h2: Int): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(resize(_, w2, h2)))
+  }
+
   /** Minimal multi-frame container (a stand-in for video): magic
     * "GFV1", big-endian frame count, then length-prefixed frames, each
     * itself a complete single-image payload (PPM here). Public-format

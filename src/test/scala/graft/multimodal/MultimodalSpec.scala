@@ -47,6 +47,38 @@ class MultimodalSpec extends AnyFunSuite {
       s"${a.feature.toSeq} vs ${b.feature.toSeq}")
   }
 
+  test("resize re-encodes at the target dims in the source container format") {
+    // a half-red half-blue 8x8: downsizing must keep the split and means
+    val rgb = Array.tabulate(8 * 8 * 3) { i =>
+      val pix = i / 3
+      val left = pix % 8 < 4
+      ((i % 3, left) match {
+        case (0, true) => 200; case (2, false) => 200; case _ => 0
+      }).toByte
+    }
+    for (mk <- Seq(
+      Multimodal.MediaRecord(1L, "ppm", Multimodal.encodePpm(8, 8, rgb)),
+      Multimodal.MediaRecord(2L, "bmp", Multimodal.encodeBmp(8, 8, rgb)))) {
+      val small = Multimodal.resize(mk, 4, 4)
+      val f = Multimodal.decodeBytes(small)
+      assert(f.width == 4 && f.height == 4, s"${mk.format}: ${f.width}x${f.height}")
+      // half the pixels red 200, half blue 200 -> mean 100/255 each
+      assert(math.abs(f.feature(0) - 100 / 255.0) < 1e-6, s"${mk.format} red mean")
+      assert(math.abs(f.feature(2) - 100 / 255.0) < 1e-6, s"${mk.format} blue mean")
+    }
+    // undecodable payloads pass through unchanged
+    val junk = Multimodal.MediaRecord(3L, "ppm", Array[Byte](9, 9))
+    assert(Multimodal.resize(junk, 4, 4) eq junk)
+  }
+
+  test("resizeAll keeps the per-partition batch shape over the corpus view") {
+    val media = Multimodal.mediaView(spark, sf).repartition(4)
+    val resized = Multimodal.resizeAll(media, 6, 6)
+    assert(resized.rdd.getNumPartitions == 4, "no reshuffle")
+    val dims = Multimodal.decode(resized).collect()
+    assert(dims.forall(f => f.width == 6 && f.height == 6))
+  }
+
   test("frame-sampled decode reads every k-th frame of a multi-frame container") {
     def solidFrame(v: Int) =
       Multimodal.encodePpm(4, 4, Array.fill(4 * 4 * 3)(v.toByte))
