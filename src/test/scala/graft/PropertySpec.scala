@@ -54,6 +54,48 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("chunking tiles generated documents exactly (50-word windows, stride 40)") {
+    import org.apache.spark.sql.functions._
+    val longSentence = Gen.nonEmptyListOf(word).map(_.take(130).mkString(" "))
+    val texts = sample(Gen.listOfN(25, longSentence), 19L)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val out = df.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("ws"),
+        explode(expr("sequence(0, greatest(size(ws) - 1, 0), 40)")).as("st"))
+      .select(col("doc_id"), expr("st div 40").cast("long").as("chunk_id"),
+        expr("array_join(slice(ws, st + 1, 50), ' ')").as("chunk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .groupBy(_._1)
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val words = t.split(" ")
+      val chunks = out(i.toLong).sortBy(_._2)
+      chunks.foreach { case (_, cid, chunk) =>
+        val expect = words.slice(cid.toInt * 40, cid.toInt * 40 + 50).mkString(" ")
+        assert(chunk == expect, s"doc $i chunk $cid")
+      }
+      assert(chunks.map(_._2).toSeq == (0L until chunks.length.toLong),
+        s"doc $i: consecutive ids")
+    }
+  }
+
+  test("native cosine equals the HOF fold on generated vectors incl. edge values") {
+    import graft.functions.{GraftFunctions, VectorOps}
+    val edgeFloat = Gen.oneOf(
+      Gen.chooseNum(-10f, 10f), Gen.oneOf(0f, -0f, 1e30f, -1e30f, 1e-30f))
+    val vec = Gen.listOfN(8, edgeFloat).map(_.toArray)
+    val pairs = sample(Gen.listOfN(100, Gen.zip(vec, vec)), 23L)
+    val out = pairs.toDF("a", "b").select(
+      GraftFunctions.cosineSim($"a", $"b").as("native"),
+      VectorOps.cosineHof("a", "b").as("hof_rounded"),
+      org.apache.spark.sql.functions.round(
+        GraftFunctions.cosineSim($"a", $"b"), 6).as("native_rounded"))
+      .collect()
+    out.foreach { r =>
+      val (h, n) = (r.getDouble(1), r.getDouble(2))
+      assert((h.isNaN && n.isNaN) || h == n, s"native $n vs hof $h")
+    }
+  }
+
   test("simhash fingerprints are word-multiset-order invariant") {
     val texts = sample(Gen.listOfN(40, sentence), 17L)
     val rows = texts.zipWithIndex.flatMap { case (t, i) =>
