@@ -52,6 +52,17 @@ class GkaPsoSpec extends AnyFunSuite {
       s"expected a loud rid-collision error, got: ${e.getMessage}")
   }
 
+  test("gka and pso loops run at 64 dims through the same generic code path") {
+    val pts = Points.embeddings64(spark, sf)
+    val gka = GKA.full(Points.withRid(pts, Points.embedDims),
+      k = 2, p = 2, iters = 1, pm = 0.5, cm = 2.0, seed = 42,
+      ds = Points.embedDims).collect()
+    assert(gka.length == 1 && gka.head.getDouble(1) > 0, "one generation, positive objective")
+    val pso = PSO.full(pts, k = 2, p0 = 2, iters = 1, seed = 42,
+      ds = Points.embedDims).collect()
+    assert(pso.length == 1 && pso.head.getDouble(1) > 0)
+  }
+
   test("gka centersFromAssign matches a direct groupBy") {
     val pts = Points.lineitem4d(spark, sf)
     val centers = GKA.centersFromAssign(pts, pmod(col("pid"), lit(4)))
