@@ -91,6 +91,19 @@ object Relational {
       .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
 
+  /** SLIDING-window aggregation (1 h windows every 30 min): each event
+    * lands in exactly two overlapping windows. Spark's window() expands
+    * rows windows-per-event BEFORE the partial aggregate — the same
+    * one-shuffle shape as the tumbling twin, just 2x the partial rows.
+    * Completes the windowing family: tumbling (#22), sliding (this),
+    * session (#23 / streaming). */
+  def eventsSliding(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
+      .select(col("w.start").as("win_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
   /** Gap-based sessionization: a new session starts when a user is idle
     * > 30 min. Window lag + running sum, partitioned by user, so at
     * scale this shuffles once on user_id. */
@@ -303,6 +316,7 @@ object Relational {
     "window_rank" -> (windowRank _),
     "agg_distinct" -> (aggDistinct _),
     "events_hourly" -> (eventsHourly _),
+    "events_sliding" -> (eventsSliding _),
     "events_sessionize" -> (eventsSessionize _),
     "events_json" -> (eventsJson _),
     "join_anti" -> (joinAnti _),
@@ -378,6 +392,16 @@ object Relational {
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         |  count(*) AS n_events, round(sum(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "events_sliding" ->
+      """WITH e AS (SELECT event_type, value,
+        |    time_bucket(INTERVAL 30 MINUTE, ts) AS b FROM events),
+        |w AS (
+        |  SELECT event_type, value, b AS win_start FROM e
+        |  UNION ALL
+        |  SELECT event_type, value, b - INTERVAL 30 MINUTE AS win_start FROM e)
+        |SELECT win_start, event_type, count(*) AS n_events,
+        |  round(sum(value), 4) AS sum_value
+        |FROM w GROUP BY 1, 2""".stripMargin,
     "events_sessionize" ->
       """WITH flagged AS (
         |  SELECT user_id, ts, event_id, value,

@@ -46,6 +46,14 @@ class NewOpsSpec extends AnyFunSuite {
       plan.take(500))
   }
 
+  test("sliding windows count every event exactly twice (1h window, 30m slide)") {
+    import org.apache.spark.sql.functions._
+    val total = graft.Tables.t(spark, sf, "events").count()
+    val windowed = Relational.eventsSliding(spark, sf)
+      .agg(sum("n_events")).head().getLong(0)
+    assert(windowed == 2 * total, s"$windowed vs 2x$total")
+  }
+
   test("cube emits every subtotal combination incl. the grand total") {
     val out = Relational.cubeRevenue(spark, sf)
       .select("l_returnflag", "l_linestatus").as[(String, String)].collect().toSet
