@@ -26,6 +26,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, "cosine_sim(a, b) takes exactly 2 arguments")
         CosineSimilarity(children.head, children(1))
       }))
+    // declarative row_number-top-k rewrites to the bounded-heap
+    // operator; the strategy makes the node plannable in this session
+    ext.injectOptimizerRule(_ => graft.plans.TopKRewriteRule)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
   }
 }
 

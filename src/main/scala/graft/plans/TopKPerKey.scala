@@ -99,6 +99,65 @@ case class TopKPerKeyExec(
   }
 }
 
+/** Optimizer rule: rewrite the declarative per-key top-k idiom —
+  *
+  *   Filter(rank <= k,
+  *     Window([row_number() over (partition by K order by v DESC, t ASC)],
+  *            [optional WindowGroupLimit child]))
+  *
+  * — into TopKPerKeyNode, so users who write the window formulation
+  * get the bounded-heap exec (one hash shuffle, NO per-group sort)
+  * automatically. Spark's own InferWindowGroupLimit only prunes each
+  * group to k rows before the window SORT; this removes the sort
+  * entirely. Guards keep it exactly as strict as the exec's contract:
+  * non-empty partition keys, double value with DESC NULLS LAST, long
+  * tie with ASC NULLS FIRST, a lone row_number window expression, and
+  * a bare `rank <= literal` / `rank < literal` filter. Registered via
+  * GraftExtensions.injectOptimizerRule; every rewritten query is still
+  * oracle-exact (row_number semantics are reproduced bit-for-bit,
+  * incl. null ordering — TopKPerKeySpec).
+  */
+object TopKRewriteRule extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{Alias, LessThan, LessThanOrEqual, Literal, RowNumber, SortOrder, WindowExpression, WindowSpecDefinition}
+  import org.apache.spark.sql.catalyst.expressions.{Ascending, CurrentRow, Descending, NullsFirst, NullsLast, RowFrame, SpecifiedWindowFrame, UnboundedPreceding}
+  import org.apache.spark.sql.catalyst.plans.logical.{Filter, Window, WindowGroupLimit}
+  import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case f @ Filter(cond, w: Window) =>
+      rewrite(cond, w).getOrElse(f)
+  }
+
+  private def rewrite(cond: Expression, w: Window): Option[LogicalPlan] = {
+    val kOpt = cond match {
+      case LessThanOrEqual(a: AttributeReference, Literal(k: Int, IntegerType)) => Some((a, k))
+      case LessThan(a: AttributeReference, Literal(k: Int, IntegerType)) => Some((a, k - 1))
+      case _ => None
+    }
+    kOpt.flatMap { case (rankRef, k) =>
+      (w.windowExpressions, w.orderSpec) match {
+        case (Seq(alias @ Alias(WindowExpression(RowNumber(),
+                WindowSpecDefinition(_, _,
+                  SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))), _)),
+              Seq(SortOrder(v, Descending, NullsLast, _),
+                  SortOrder(t, Ascending, NullsFirst, _)))
+            if k > 0 && alias.exprId == rankRef.exprId &&
+              w.partitionSpec.nonEmpty &&
+              v.dataType == DoubleType && t.dataType == LongType =>
+          // drop Spark's WindowGroupLimit if present — the heap exec
+          // subsumes its pruning (and unlike it, needs no sort)
+          val child = w.child match {
+            case WindowGroupLimit(_, _, _, _, inner) => inner
+            case other => other
+          }
+          Some(TopKPerKeyNode(w.partitionSpec, v, t, k, child,
+            alias.toAttribute.asInstanceOf[AttributeReference]))
+        case _ => None
+      }
+    }
+  }
+}
+
 object TopKPerKeyStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKeyNode(keys, value, tie, k, child, rankAttr) =>

@@ -7,6 +7,19 @@ class TopKPerKeySpec extends AnyFunSuite {
   private val spark = SparkTestSession.spark
   import spark.implicits._
 
+  /** Run `f` with TopKRewriteRule excluded, so a window formulation
+    * stays a genuine INDEPENDENT oracle instead of being silently
+    * rewritten into the very operator under test. */
+  private def withoutRewrite[A](f: => A): A = {
+    val key = "spark.sql.optimizer.excludedRules"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "graft.plans.TopKRewriteRule")
+    try f finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("custom exec matches the window formulation exactly") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
@@ -16,9 +29,14 @@ class TopKPerKeySpec extends AnyFunSuite {
     val custom = TopKPerKey(df, Seq("key"), "v", "id", 2)
       .select("key", "id", "rank").as[(Long, Long, Int)].collect().toSet
     val w = Window.partitionBy("key").orderBy(col("v").desc, col("id").asc)
-    val declarative = df.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 2)
-      .select("key", "id", "rank").as[(Long, Long, Int)].collect().toSet
+    val declarative = withoutRewrite {
+      val q = df.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 2)
+        .select("key", "id", "rank")
+      assert(!q.queryExecution.executedPlan.toString.contains("TopKPerKey"),
+        "the reference must run as a real window, not the exec under test")
+      q.as[(Long, Long, Int)].collect().toSet
+    }
     assert(custom == declarative)
     // ties: key 1 has v=7.0 twice -> lower id wins rank 1
     assert(custom.contains((1L, 11L, 1)) && custom.contains((1L, 12L, 2)))
@@ -76,6 +94,39 @@ class TopKPerKeySpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TopKPerKey"), plan.take(300))
     assert("Exchange".r.findAllIn(plan).size == 1, "exactly one hash shuffle expected")
+  }
+
+  test("optimizer rule rewrites the declarative window idiom to the custom exec") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val df = graft.Tables.t(spark, "/root/testdata/sf0.001", "orders")
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val declarative = df.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+    val plan = declarative.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), plan.take(400))
+    assert(!plan.contains("WindowExec"), "the window (and its sort) must be gone")
+    // and the rewritten result equals the explicitly-constructed operator
+    val direct = TopKPerKey(df, Seq("o_custkey"), "o_totalprice", "o_orderkey", 3)
+    assert(declarative.collect().map(_.toSeq).toSet ==
+      direct.collect().map(_.toSeq).toSet)
+  }
+
+  test("optimizer rule leaves non-conforming windows alone (string tie, no partition)") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, "a", 2.0), (1L, "b", 1.0)).toDF("key", "name", "v")
+    val stringTie = df.withColumn("rank", row_number().over(
+        Window.partitionBy("key").orderBy(col("v").desc, col("name").asc)))
+      .filter(col("rank") <= 1)
+    assert(!stringTie.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+    assert(stringTie.collect().map(_.getString(1)).toSeq == Seq("a"))
+    val noPartition = df.withColumn("rank", row_number().over(
+        Window.orderBy(col("v").desc, col("key").asc)))
+      .filter(col("rank") <= 1)
+    assert(!noPartition.queryExecution.executedPlan.toString.contains("TopKPerKey"))
   }
 
   test("buffer pruning keeps results correct when groups exceed 2k rows") {
