@@ -162,6 +162,33 @@ object Dedup {
   def qDecontaminate(spark: SparkSession, dir: String): DataFrame =
     decontaminate(spark, dir)
 
+  /** Transitive duplicate CLUSTERS from the LSH candidate pairs:
+    * label propagation (each doc takes the min label among itself and
+    * its neighbors, `sweeps` fixed sweeps) — the canonical distributed
+    * connected-components shape (one join + one min-groupBy per sweep,
+    * no driver-side graph). The star-shaped candidates converge in 2
+    * sweeps (every edge touches its bucket keeper); a fixed sweep
+    * count keeps the whole computation oracle-expressible as unrolled
+    * SQL, mirroring how the kmeans oracle unrolls Lloyd iterations. */
+  def dedupClusters(spark: SparkSession, dir: String, sweeps: Int = 3): DataFrame = {
+    val e = candidates(spark, dir)
+    val edges = e.select(col("ia").as("s"), col("ib").as("d"))
+      .union(e.select(col("ib").as("s"), col("ia").as("d")))
+    val nodes = e.select(col("ia").as("doc_id")).union(e.select(col("ib")))
+      .distinct()
+    var labels = nodes.withColumn("lbl", col("doc_id"))
+    for (_ <- 1 to sweeps) {
+      labels = edges.join(labels, edges("s") === labels("doc_id"))
+        .select(col("d").as("doc_id"), col("lbl"))
+        .union(labels.select("doc_id", "lbl"))
+        .groupBy("doc_id").agg(min("lbl").as("lbl"))
+    }
+    labels.select(col("doc_id"), col("lbl").as("cluster_id"))
+  }
+
+  def qDedupClusters(spark: SparkSession, dir: String): DataFrame =
+    dedupClusters(spark, dir)
+
   // ---- SimHash ---------------------------------------------------------
 
   /** 64-bit SimHash as a '0'/'1' bitstring: per distinct word, md5's
@@ -272,6 +299,7 @@ object Dedup {
     "dedup_minhash_lsh" -> (qMinhashLsh _),
     "dedup_ngram" -> (qNgram _),
     "dedup_decontaminate" -> (qDecontaminate _),
+    "dedup_clusters" -> (qDedupClusters _),
     "dedup_simhash" -> (qSimhash _),
     "dedup_simhash_pairs" -> (qSimhashPairs _),
     "dedup_edit_distance" -> (qEditDistance _),
@@ -317,6 +345,24 @@ object Dedup {
          |      / len(list_distinct(list_concat(ga.gs, gb.gs))) AS jg
          |  FROM cands JOIN g ga ON ia = ga.doc_id JOIN g gb ON ib = gb.doc_id)
          |WHERE jg >= 0.6""".stripMargin,
+    "dedup_clusters" -> {
+      val sweep = (in: String, out: String) =>
+        s"""$out AS (SELECT doc_id, min(lbl) AS lbl FROM (
+           |  SELECT e2.d AS doc_id, p.lbl FROM e2 JOIN $in p ON p.doc_id = e2.s
+           |  UNION ALL SELECT doc_id, lbl FROM $in) GROUP BY doc_id)""".stripMargin
+      s"""WITH $sigSql,
+         |$bandsSql,
+         |$candsSql,
+         |e2 AS (SELECT ia AS s, ib AS d FROM cands
+         |       UNION ALL SELECT ib AS s, ia AS d FROM cands),
+         |nodes AS (SELECT DISTINCT doc_id FROM (
+         |  SELECT ia AS doc_id FROM cands UNION ALL SELECT ib FROM cands)),
+         |l0 AS (SELECT doc_id, doc_id AS lbl FROM nodes),
+         |${sweep("l0", "l1")},
+         |${sweep("l1", "l2")},
+         |${sweep("l2", "l3")}
+         |SELECT doc_id, lbl AS cluster_id FROM l3""".stripMargin
+    },
     "dedup_decontaminate" ->
       """WITH gs AS (SELECT doc_id, unnest(list_distinct(list_transform(
         |    range(1, len(text) - 3), i -> substr(text, CAST(i AS INT), 5)))) AS g

@@ -90,6 +90,20 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup clusters reach a fixpoint and label by their minimum member") {
+    val three = Dedup.dedupClusters(spark, sf, sweeps = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val four = Dedup.dedupClusters(spark, sf, sweeps = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(three == four, "star-shaped candidates must converge within 3 sweeps")
+    assert(three.forall { case (doc, c) => c <= doc }, "label = min member")
+    assert(three.values.toSet.subsetOf(three.keySet), "cluster ids are members")
+    // every candidate pair ends up in the same cluster
+    val pairs = Dedup.candidates(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.forall { case (a, b) => three(a) == three(b) })
+  }
+
   test("no physical plan in the dedup family contains a cartesian product") {
     for ((_, fn) <- Dedup.queries) {
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
