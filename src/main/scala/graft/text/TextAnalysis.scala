@@ -131,6 +131,24 @@ object TextAnalysis {
       expr("aggregate(transform(sequence(1, length(text)), i -> ascii(substring(text, i, 1))), " +
         "CAST(0 AS BIGINT), (h, c) -> (h * 31 + c) % 1000000007)").as("rh"))
 
+  private val PACK_BUDGET = 120
+
+  /** Sequence packing: assign each document's chunks to fixed
+    * word-budget bins by cumulative size (the training-data step that
+    * turns variable chunks into fixed-length training rows). The
+    * running sum windows PER DOCUMENT — never a global order — so the
+    * shuffle key is doc_id and the op scales like any per-key window.
+    * Output: one row per (doc, bin) with its chunk count and packed
+    * word total. */
+  def qPack(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("chunk_id")
+    qChunk(spark, dir)
+      .withColumn("cum", sum("n_words").over(w))
+      .withColumn("bin_id", expr(s"(cum - n_words) div $PACK_BUDGET"))
+      .groupBy("doc_id", "bin_id")
+      .agg(count(lit(1)).as("n_chunks"), sum("n_words").as("n_words_packed"))
+  }
+
   /** Canonical fingerprint: md5 of the sorted distinct vocabulary —
     * word-order- and duplication-invariant document identity. */
   def qFingerprint(spark: SparkSession, dir: String): DataFrame =
@@ -211,6 +229,7 @@ object TextAnalysis {
     "text_chunk" -> (qChunk _),
     "text_entropy" -> (qEntropy _),
     "text_rolling_hash" -> (qRollingHash _),
+    "pipeline_pack" -> (qPack _),
     "text_fingerprint_dedup" -> (qFingerprintDedup _),
     "text_quality" -> (qQuality _),
     "text_langid" -> (qLangId _),
@@ -243,6 +262,18 @@ object TextAnalysis {
            |  array_to_string(list_slice(ws, s + 1, s + $CHUNK), ' ') AS chunk,
            |  CAST(len(list_slice(ws, s + 1, s + $CHUNK)) AS BIGINT) AS n_words
            |FROM st""".stripMargin,
+      "pipeline_pack" ->
+        s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           |st AS (SELECT doc_id, ws,
+           |  CAST(unnest(range(0, greatest(len(ws), 1), 40)) AS INT) AS s FROM d),
+           |ch AS (SELECT doc_id, CAST(s // 40 AS BIGINT) AS chunk_id,
+           |  CAST(len(list_slice(ws, s + 1, s + 50)) AS BIGINT) AS n_words FROM st),
+           |cum AS (SELECT doc_id, chunk_id, n_words,
+           |  CAST(sum(n_words) OVER (PARTITION BY doc_id ORDER BY chunk_id
+           |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM ch)
+           |SELECT doc_id, CAST((cum - n_words) // $PACK_BUDGET AS BIGINT) AS bin_id,
+           |  count(*) AS n_chunks, CAST(sum(n_words) AS BIGINT) AS n_words_packed
+           |FROM cum GROUP BY doc_id, (cum - n_words) // $PACK_BUDGET""".stripMargin,
       "text_rolling_hash" ->
         """SELECT doc_id,
           |  list_reduce(list_prepend(CAST(0 AS BIGINT),

@@ -73,6 +73,20 @@ class TextSpec extends AnyFunSuite {
     assert(again == out)
   }
 
+  test("packing conserves words and orders bins consecutively per doc") {
+    import org.apache.spark.sql.functions._
+    val packed = TextAnalysis.qPack(spark, sf)
+    val packTotal = packed.agg(sum("n_words_packed")).head().getLong(0)
+    val chunkTotal = TextAnalysis.qChunk(spark, sf).agg(sum("n_words")).head().getLong(0)
+    assert(packTotal == chunkTotal, "every chunk word lands in exactly one bin")
+    val byDoc = packed.select("doc_id", "bin_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    byDoc.foreach { case (doc, bins) =>
+      val ids = bins.map(_._2).sorted.toSeq
+      assert(ids == (0L until ids.length.toLong), s"doc $doc bins: $ids")
+    }
+  }
+
   test("rolling hash matches a direct JVM fold and is order-sensitive") {
     def ref(s: String): Long =
       s.foldLeft(0L)((h, c) => (h * 31 + c.toInt) % 1000000007L)
