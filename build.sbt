@@ -17,6 +17,18 @@ run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
+// quarter of physical RAM, clamped to [4g, 28g]; 8g if unreadable
+val defaultHeap: String = {
+  val gb =
+    try {
+      val kb = scala.io.Source.fromFile("/proc/meminfo").getLines()
+        .collectFirst { case l if l.startsWith("MemTotal:") =>
+          l.trim.split("\\s+")(1).toLong }
+      kb.map(k => math.max(4L, math.min(28L, k / (1024L * 1024L * 4L)))).getOrElse(8L)
+    } catch { case _: Exception => 8L }
+  s"${gb}g"
+}
+
 val jdk17AddOpens = Seq(
   "java.base/java.lang", "java.base/java.lang.invoke",
   "java.base/java.lang.reflect", "java.base/java.io",
@@ -30,7 +42,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   // 8g forced GC thrash + cache spill at sf0.1 with 32 executor
-  // threads (bench totals swung 112s..166s run to run); the box has
-  // 128 GiB, so default the single-JVM heap well above the working set
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "28g")}",
+  // threads (bench totals swung 112s..166s run to run). Default to a
+  // quarter of physical RAM capped at 28g (the 128 GiB bench box gets
+  // the full 28g; a 16 GiB laptop gets 4g and still starts) —
+  // SPARK_DRIVER_MEM overrides either way.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", defaultHeap)}",
 )

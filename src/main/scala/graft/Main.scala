@@ -92,7 +92,7 @@ object Main {
             GKA.full(Points.withRid(pts, ds), numK, numCms, numIter, pm, cm,
                 seed, ds)
               .collect().foreach { row =>
-                fw.write(s"$r,${row.getInt(0)},${row.getDouble(1)},${row.getDouble(1)},${row.getLong(2)}\n")
+                fw.write(s"$r,${row.getInt(0)},${row.getDouble(1)},${row.getDouble(2)},${row.getLong(3)}\n")
               }
           case "pso" =>
             val (numParticle, c1, c2, wMax, wMin) = rest match {
@@ -103,7 +103,7 @@ object Main {
             PSO.full(pts, numK, numParticle, numIter, wMax, wMin, c1, c2,
                 seed, ds)
               .collect().foreach { row =>
-                fw.write(s"$r,${row.getInt(0)},${row.getDouble(1)},${row.getDouble(1)},${row.getLong(2)}\n")
+                fw.write(s"$r,${row.getInt(0)},${row.getDouble(1)},${row.getDouble(2)},${row.getLong(3)}\n")
               }
           case other => sys.error(s"unknown algorithm '$other'\n" + usage)
         }

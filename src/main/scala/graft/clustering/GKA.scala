@@ -143,7 +143,7 @@ object GKA {
     state.count()
     var liveCache = state
 
-    val out = scala.collection.mutable.ListBuffer.empty[(Int, Double, Long)]
+    val out = scala.collection.mutable.ListBuffer.empty[(Int, Double, Double, Long)]
     var best = Double.MaxValue
 
     for (iter <- 1 to iters) {
@@ -218,11 +218,13 @@ object GKA {
       state = mutated.select(
         (col("rid") +: ds.map(col)) ++
           (0 until p).map(i => col(s"s${picks(i)}").as(s"s$i")): _*)
-      out += ((iter, best, (System.nanoTime() - t0) / 1000000L))
+      // the iteration's own objective (this generation's best fitness)
+      // AND the running best — the reference's print_best reports both
+      out += ((iter, fitness.min, best, (System.nanoTime() - t0) / 1000000L))
     }
     liveCache.unpersist() // output below is a literal frame; release the last generation
     import spark.implicits._
-    out.toSeq.toDF("iter", "best", "iter_ms")
+    out.toSeq.toDF("iter", "objective", "best", "iter_ms")
   }
 
   /** Driver-contract entry: the GA loop with the round-3 literals

@@ -91,7 +91,7 @@ object PSO {
       var gbest = pos(gbestIdx).map(_.clone)
       var gbestObj = objs(gbestIdx)
 
-      val out = scala.collection.mutable.ListBuffer.empty[(Int, Double, Long)]
+      val out = scala.collection.mutable.ListBuffer.empty[(Int, Double, Double, Long)]
       for (iter <- 1 to iters) {
         val t0 = System.nanoTime()
         val w = wMax - (wMax - wMin) / iters * (iter - 1)
@@ -112,10 +112,12 @@ object PSO {
             gbestObj = newObjs(p); gbest = pos(p).map(_.clone)
           }
         }
-        out += ((iter, gbestObj, (System.nanoTime() - t0) / 1000000L))
+        // iteration's own swarm objective + running global best, both —
+        // the reference's print_best reports the pair
+        out += ((iter, newObjs.min, gbestObj, (System.nanoTime() - t0) / 1000000L))
       }
       import spark.implicits._
-      out.toSeq.toDF("iter", "best", "iter_ms")
+      out.toSeq.toDF("iter", "objective", "best", "iter_ms")
     } finally { pts0.unpersist(); () }
   }
 

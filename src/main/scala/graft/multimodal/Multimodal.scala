@@ -91,14 +91,20 @@ object Multimodal {
         val off = dataOffset + (h - 1 - y) * rowSize + x * 3
         ((b(off + 2) & 0xff), (b(off + 1) & 0xff), (b(off) & 0xff))
       }
-    val rgb = new Array[Byte](w2 * h2 * 3)
-    for (y2 <- 0 until h2; x2 <- 0 until w2) {
-      val (r, g, bl) = srcPixel(x2 * w / w2, y2 * h / h2)
-      val p = (y2 * w2 + x2) * 3
-      rgb(p) = r.toByte; rgb(p + 1) = g.toByte; rgb(p + 2) = bl.toByte
-    }
-    val payload = if (isPpm) encodePpm(w2, h2, rgb) else encodeBmp(w2, h2, rgb)
-    m.copy(payload = payload)
+    // A truncated payload can carry a valid header (decodeBytes caps its
+    // feature read via `avail`, so width/height come back positive) yet be
+    // missing pixel bytes — quarantine it like decodeBytes does instead of
+    // letting srcPixel read past the array and kill the task.
+    try {
+      val rgb = new Array[Byte](w2 * h2 * 3)
+      for (y2 <- 0 until h2; x2 <- 0 until w2) {
+        val (r, g, bl) = srcPixel(x2 * w / w2, y2 * h / h2)
+        val p = (y2 * w2 + x2) * 3
+        rgb(p) = r.toByte; rgb(p + 1) = g.toByte; rgb(p + 2) = bl.toByte
+      }
+      val payload = if (isPpm) encodePpm(w2, h2, rgb) else encodeBmp(w2, h2, rgb)
+      m.copy(payload = payload)
+    } catch { case _: IndexOutOfBoundsException => m }
   }
 
   /** Resize a media corpus per-partition (same batch shape as decode). */

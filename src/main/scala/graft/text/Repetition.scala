@@ -1,0 +1,88 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** Repetition / degeneracy quality filters in the style public LM
+  * training reports describe (Gopher/C4-family rules): documents
+  * dominated by one token, by repeated bigrams, or by symbol noise are
+  * boilerplate or spam, not prose, and get gated out before training.
+  *
+  * All three signals are per-document codegen'd HOFs over the split
+  * word array — zero shuffle, linear in corpus bytes, exactly the
+  * per-row shape that scales to 100 TB. The `keep` gate compares the
+  * ROUNDED ratios so the threshold decision is bit-identical across
+  * engines.
+  */
+object Repetition {
+
+  // gate thresholds (C4/Gopher-style magnitudes, bound as literals so
+  // the oracle is reproducible)
+  private val MAX_TOP_WORD_RATIO = 0.2
+  private val MAX_DUP_2GRAM_FRAC = 0.2
+  private val MAX_SYMBOL_RATIO = 0.1
+
+  def qRepetition(spark: SparkSession, dir: String): DataFrame =
+    repetitionOf(t(spark, dir, "documents"))
+
+  /** Repetition metrics over any (doc_id, text) frame.
+    *
+    * - top_word_ratio: count of the most frequent word / n_words —
+    *   catches "buy buy buy …" degenerate docs.
+    * - dup_2gram_frac: 1 - distinct bigrams / bigrams — catches looped
+    *   phrases that unigram stats miss.
+    * - symbol_ratio: non-[a-z0-9 space] chars / chars — catches markup
+    *   and encoding garbage.
+    *
+    * The bigram array guards the empty/one-word case explicitly:
+    * sequence(1, 0) DESCENDS in Spark (see Dedup.grams), so short docs
+    * must produce array(), matching DuckDB's empty range. */
+  def repetitionOf(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("g2", expr(
+        "CASE WHEN size(ws) >= 2 THEN transform(sequence(1, size(ws) - 1), " +
+          "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1))) " +
+          "ELSE array() END"))
+      .select(
+        col("doc_id"),
+        size(col("ws")).cast("long").as("n_words"),
+        round(expr("array_max(transform(array_distinct(ws), x -> size(filter(ws, w -> w = x))))")
+          .cast("double") / size(col("ws")), 6).as("top_word_ratio"),
+        round(when(size(col("g2")) > 0,
+          lit(1.0) - size(array_distinct(col("g2"))).cast("double") / size(col("g2")))
+          .otherwise(lit(0.0)), 6).as("dup_2gram_frac"),
+        round(when(length(col("text")) > 0,
+          length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast("double") / length(col("text")))
+          .otherwise(lit(0.0)), 6).as("symbol_ratio"))
+      .withColumn("keep",
+        col("top_word_ratio") <= MAX_TOP_WORD_RATIO &&
+          col("dup_2gram_frac") <= MAX_DUP_2GRAM_FRAC &&
+          col("symbol_ratio") <= MAX_SYMBOL_RATIO)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_repetition" -> (qRepetition _))
+
+  val oracleSql: Map[String, String] = Map(
+    "text_repetition" ->
+      s"""WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+         |g AS (SELECT doc_id, text, ws,
+         |  list_transform(range(1, len(ws)),
+         |    i -> ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT) + 1]) AS g2 FROM d),
+         |m AS (SELECT doc_id,
+         |  CAST(len(ws) AS BIGINT) AS n_words,
+         |  round(CAST(list_max(list_transform(list_distinct(ws),
+         |    x -> len(list_filter(ws, w -> w = x)))) AS DOUBLE) / len(ws), 6) AS top_word_ratio,
+         |  round(CASE WHEN len(g2) > 0
+         |    THEN 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2)
+         |    ELSE 0.0 END, 6) AS dup_2gram_frac,
+         |  round(CASE WHEN len(text) > 0
+         |    THEN CAST(len(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) / len(text)
+         |    ELSE 0.0 END, 6) AS symbol_ratio
+         |FROM g)
+         |SELECT doc_id, n_words, top_word_ratio, dup_2gram_frac, symbol_ratio,
+         |  (top_word_ratio <= $MAX_TOP_WORD_RATIO AND dup_2gram_frac <= $MAX_DUP_2GRAM_FRAC
+         |   AND symbol_ratio <= $MAX_SYMBOL_RATIO) AS keep
+         |FROM m""".stripMargin)
+}

@@ -92,11 +92,21 @@ object TextAnalysis {
     * random base64 near 6, repeated padding near 0). Canonical
     * explode -> count -> fold shape; n = length(text) rides along as a
     * grouping column so no second pass or join is needed. */
-  def qEntropy(spark: SparkSession, dir: String): DataFrame = {
-    val ch = t(spark, dir, "documents").select(
+  def qEntropy(spark: SparkSession, dir: String): DataFrame =
+    entropyOf(t(spark, dir, "documents"))
+
+  /** Entropy over any (doc_id, text) frame — split out so the
+    * empty-text guard is testable on a constructed corpus. */
+  def entropyOf(docs: DataFrame): DataFrame = {
+    val ch = docs.select(
       col("doc_id"),
       length(col("text")).cast("double").as("n"),
-      explode(expr("transform(sequence(1, length(text)), i -> substring(text, i, 1))")).as("ch"))
+      // guard: sequence(1, 0) DESCENDS in Spark (see Dedup.grams), so an
+      // empty text must yield an empty array — the explode then drops the
+      // doc, exactly as DuckDB's range(1, 1) does on the oracle side
+      explode(expr("CASE WHEN length(text) >= 1 THEN " +
+        "transform(sequence(1, length(text)), i -> substring(text, i, 1)) " +
+        "ELSE array() END")).as("ch"))
     ch.groupBy("doc_id", "n", "ch").agg(count(lit(1)).cast("double").as("c"))
       .groupBy("doc_id")
       .agg(round(-sum((col("c") / col("n")) * log2(col("c") / col("n"))), 6)
@@ -127,8 +137,16 @@ object TextAnalysis {
     * is overflow-free under ANSI arithmetic in both engines. One HOF
     * per document, zero shuffle. */
   def qRollingHash(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents").select(col("doc_id"),
-      expr("aggregate(transform(sequence(1, length(text)), i -> ascii(substring(text, i, 1))), " +
+    rollingHashOf(t(spark, dir, "documents"))
+
+  /** Rolling hash over any (doc_id, text) frame — same guard as
+    * entropyOf: empty text folds over an empty array (h = 0), never
+    * the descending sequence(1, 0). */
+  def rollingHashOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      expr("aggregate(CASE WHEN length(text) >= 1 THEN " +
+        "transform(sequence(1, length(text)), i -> ascii(substring(text, i, 1))) " +
+        "ELSE array() END, " +
         "CAST(0 AS BIGINT), (h, c) -> (h * 31 + c) % 1000000007)").as("rh"))
 
   private val PACK_BUDGET = 120

@@ -69,6 +69,15 @@ class MultimodalSpec extends AnyFunSuite {
     // undecodable payloads pass through unchanged
     val junk = Multimodal.MediaRecord(3L, "ppm", Array[Byte](9, 9))
     assert(Multimodal.resize(junk, 4, 4) eq junk)
+    // a TRUNCATED payload with a VALID header (decodeBytes still reports
+    // positive dims) must be quarantined, not crash the task
+    val cut = Multimodal.MediaRecord(4L, "ppm",
+      Multimodal.encodePpm(8, 8, Array.fill(8 * 8 * 3)(7.toByte)).take(30))
+    assert(Multimodal.decodeBytes(cut).width == 8, "header parses")
+    assert(Multimodal.resize(cut, 4, 4) eq cut, "truncated pixels -> pass through")
+    val cutBmp = Multimodal.MediaRecord(5L, "bmp",
+      Multimodal.encodeBmp(8, 8, Array.fill(8 * 8 * 3)(7.toByte)).take(60))
+    assert(Multimodal.resize(cutBmp, 4, 4) eq cutBmp)
   }
 
   test("resizeAll keeps the per-partition batch shape over the corpus view") {

@@ -20,6 +20,19 @@ class TextSpec extends AnyFunSuite {
     }
   }
 
+  test("entropy drops empty docs and rolling hash zeroes them (sequence(1,0) guard)") {
+    val docs = Seq((1L, ""), (2L, "aabb"), (3L, "x")).toDF("doc_id", "text")
+    val ent = TextAnalysis.entropyOf(docs).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // empty text yields NO row (matching DuckDB's empty range), not Infinity/NaN
+    assert(!ent.contains(1L))
+    assert(math.abs(ent(2L) - 1.0) < 1e-9)      // two symbols, equal counts
+    assert(ent(3L) == 0.0)                       // single symbol
+    val rh = TextAnalysis.rollingHashOf(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rh(1L) == 0L)                         // empty fold = zero element
+    assert(rh(3L) == 'x'.toLong)                 // h = 0*31 + ascii('x')
+    assert(rh(2L) == (((('a'.toLong * 31 + 'a') % 1000000007) * 31 + 'b') % 1000000007 * 31 + 'b') % 1000000007)
+  }
+
   test("fingerprint is word-order invariant") {
     import org.apache.spark.sql.functions._
     val a = Seq((1L, "alpha beta gamma"), (2L, "gamma alpha beta beta")).toDF("doc_id", "text")
