@@ -21,11 +21,16 @@ object SparkEntry {
       clustering.GKA.queries ++
       clustering.PSO.queries ++
       dedup.Dedup.queries ++
+      dedup.Bloom.queries ++
       search.SimSearch.queries ++
+      search.Quantized.queries ++
       text.TextAnalysis.queries ++
+      text.Repetition.queries ++
+      text.CorpusStats.queries ++
       multimodal.Multimodal.queries ++
       pipeline.CleanCorpus.queries ++
-      pipeline.Splits.queries
+      pipeline.Splits.queries ++
+      pipeline.Mix.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -35,9 +40,14 @@ object SparkEntry {
       clustering.GKA.oracleSql ++
       clustering.PSO.oracleSql ++
       dedup.Dedup.oracleSql ++
+      dedup.Bloom.oracleSql ++
       search.SimSearch.oracleSql ++
+      search.Quantized.oracleSql ++
       text.TextAnalysis.oracleSql ++
+      text.Repetition.oracleSql ++
+      text.CorpusStats.oracleSql ++
       multimodal.Multimodal.oracleSql ++
       pipeline.CleanCorpus.oracleSql ++
-      pipeline.Splits.oracleSql
+      pipeline.Splits.oracleSql ++
+      pipeline.Mix.oracleSql
 }

@@ -16,8 +16,10 @@ import graft.Tables.t
   */
 object Splits {
 
-  /** 0..4095 from the first 3 md5 nibbles of `keyExpr` (SQL string). */
-  private def nibbleHashSql(keyExpr: String): String =
+  /** 0..4095 from the first 3 md5 nibbles of `keyExpr` (SQL string).
+    * Shared with Mix — the one cross-engine row hash every
+    * deterministic gate in the pipeline uses. */
+  private[pipeline] def nibbleHashSql(keyExpr: String): String =
     (1 to 3).map(i =>
       s"(instr('0123456789abcdef', substr(md5($keyExpr), $i, 1)) - 1) * ${math.pow(16, 3 - i).toInt}")
       .mkString("(", " + ", ")")

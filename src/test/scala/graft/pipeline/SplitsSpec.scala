@@ -8,6 +8,26 @@ class SplitsSpec extends AnyFunSuite {
   import spark.implicits._
   private val sf = "/root/testdata/sf0.001"
 
+  test("mix gate downsamples odd sources below even ones, deterministically") {
+    val rows = Mix.qMix(spark, sf).collect()
+    assert(rows.length == 20, "one row per source")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_docs"))
+      val rate = r.getAs[Double]("realized_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+    def meanRate(parity: Int): Double = {
+      val rs = rows.filter(_.getAs[String]("source").drop(3).toInt % 2 == parity)
+        .map(_.getAs[Double]("realized_rate"))
+      rs.sum / rs.length
+    }
+    assert(meanRate(0) > meanRate(1) + 0.2,
+      s"even sources target 75%, odd 25%: even=${meanRate(0)} odd=${meanRate(1)}")
+    // pure hash gate: a second run is bit-identical
+    val again = Mix.qMix(spark, sf).collect()
+    assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
+
   test("train/val/test partitions every document exactly once, roughly 80/10/10") {
     val out = Splits.qSplit(spark, sf)
       .select("split", "n_docs").as[(String, Long)].collect().toMap

@@ -20,6 +20,35 @@ class TextSpec extends AnyFunSuite {
     }
   }
 
+  test("repetition filters flag degenerate docs and keep prose") {
+    val docs = Seq(
+      (1L, "spam spam spam spam spam"),              // one-word loop
+      (2L, "buy now buy now buy now buy now"),       // bigram loop
+      (3L, "the quick brown fox jumps over lazy dog"), // clean
+      (4L, "x")).toDF("doc_id", "text")               // one word: no bigrams
+    val m = Repetition.repetitionOf(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(m(1L).getAs[Double]("top_word_ratio") == 1.0 && !m(1L).getAs[Boolean]("keep"))
+    assert(m(2L).getAs[Double]("dup_2gram_frac") > 0.5 && !m(2L).getAs[Boolean]("keep"))
+    assert(m(3L).getAs[Boolean]("keep"))
+    assert(m(4L).getAs[Double]("dup_2gram_frac") == 0.0, "no bigrams -> no dup frac")
+  }
+
+  test("vocab head is complete, ordered, and consistent") {
+    val rows = CorpusStats.qVocabTopK(spark, sf).collect()
+    assert(rows.length == 20)
+    val occ = rows.map(_.getAs[Long]("n_occurrences"))
+    assert(occ.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
+    rows.foreach(r => assert(r.getAs[Long]("n_docs") <= r.getAs[Long]("n_occurrences")))
+  }
+
+  test("unigram logprob is negative and bounded by the corpus") {
+    val rows = CorpusStats.qUnigramLogprob(spark, sf).collect()
+    assert(rows.length == 500)
+    rows.foreach(r => assert(r.getAs[Double]("avg_log2p") < 0.0,
+      "every word probability < 1 -> mean log2 p < 0"))
+  }
+
   test("entropy drops empty docs and rolling hash zeroes them (sequence(1,0) guard)") {
     val docs = Seq((1L, ""), (2L, "aabb"), (3L, "x")).toDF("doc_id", "text")
     val ent = TextAnalysis.entropyOf(docs).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
