@@ -22,6 +22,7 @@ object SparkEntry {
       clustering.PSO.queries ++
       dedup.Dedup.queries ++
       dedup.Bloom.queries ++
+      dedup.Incremental.queries ++
       search.SimSearch.queries ++
       search.Quantized.queries ++
       text.TextAnalysis.queries ++
@@ -41,6 +42,7 @@ object SparkEntry {
       clustering.PSO.oracleSql ++
       dedup.Dedup.oracleSql ++
       dedup.Bloom.oracleSql ++
+      dedup.Incremental.oracleSql ++
       search.SimSearch.oracleSql ++
       search.Quantized.oracleSql ++
       text.TextAnalysis.oracleSql ++

@@ -169,13 +169,53 @@ object SimSearch {
        |  FROM scored) WHERE rank <= $IVF_TOPK""".stripMargin
   }
 
+  /** Recall@k of the LSH-ANN searcher against the brute-force truth —
+    * the measurement every ANN deployment reports before trading recall
+    * for speed. Truth = brute top-ANN_TOPK; recall = fraction of truth
+    * the ANN bucket search returned. Reuses both operators' plans
+    * unchanged; the join is per-(query, vec) on the tiny result sets. */
+  def qRecall(spark: SparkSession, dir: String): DataFrame = {
+    val truth = qTopK(spark, dir).filter(col("rank") <= ANN_TOPK)
+      .select(col("q_id"), col("vec_id"))
+    val ann = qAnn(spark, dir).select(col("q_id"), col("vec_id"), lit(1).as("hit"))
+    truth.join(ann, Seq("q_id", "vec_id"), "left")
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("k"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
+      .withColumn("recall_at_k", round(col("n_hit").cast("double") / col("k"), 6))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "simsearch_topk" -> (qTopK _),
     "simsearch_ann" -> (qAnn _),
     "simsearch_ivf" -> (qIvf _),
-    "simsearch_range" -> (qRange _))
+    "simsearch_range" -> (qRange _),
+    "simsearch_recall" -> (qRecall _))
 
   val oracleSql: Map[String, String] = Map(
+    "simsearch_recall" ->
+      s"""WITH c AS (SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+         |    ${VectorOps.cosineSql("q.embedding", "e.embedding")} AS cs
+         |  FROM embeddings q JOIN embeddings e ON q.vec_id <= $QN AND q.vec_id != e.vec_id),
+         |truth AS (SELECT q_id, vec_id FROM (
+         |  SELECT q_id, vec_id, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY cs DESC, vec_id ASC) AS rank FROM c)
+         |  WHERE rank <= $ANN_TOPK),
+         |b AS (SELECT vec_id, embedding,
+         |  ${VectorOps.signBucketSql("embedding", BITS)} AS bk FROM embeddings),
+         |ac AS (SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+         |    ${VectorOps.cosineSql("q.embedding", "e.embedding")} AS cs
+         |  FROM b q JOIN b e ON q.vec_id <= $QN AND q.bk = e.bk AND q.vec_id != e.vec_id),
+         |ann AS (SELECT q_id, vec_id FROM (
+         |  SELECT q_id, vec_id, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY cs DESC, vec_id ASC) AS rank FROM ac)
+         |  WHERE rank <= $ANN_TOPK)
+         |SELECT t.q_id, count(*) AS k,
+         |  CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+         |  round(CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*), 6) AS recall_at_k
+         |FROM truth t LEFT JOIN ann a ON t.q_id = a.q_id AND t.vec_id = a.vec_id
+         |GROUP BY t.q_id""".stripMargin,
     "simsearch_range" ->
       s"""SELECT q_id, vec_id, cs FROM (
          |  SELECT q.vec_id AS q_id, e.vec_id AS vec_id,

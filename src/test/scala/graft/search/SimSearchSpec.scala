@@ -39,6 +39,18 @@ class SimSearchSpec extends AnyFunSuite {
       "qIvf must unpersist its point and cell caches before returning")
   }
 
+  test("ann recall measurement is a valid fraction over the brute-force truth") {
+    val rows = SimSearch.qRecall(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("k") == 5, "truth is always brute top-5")
+      val hit = r.getAs[Long]("n_hit")
+      assert(hit >= 0 && hit <= 5)
+      val rec = r.getAs[Double]("recall_at_k")
+      assert(rec >= 0.0 && rec <= 1.0 && math.abs(rec - hit / 5.0) < 1e-9)
+    }
+  }
+
   test("cosine of a vector with itself is 1") {
     import org.apache.spark.sql.functions._
     val df = Seq(Tuple1(Array(1.0f, 2.0f, 3.0f))).toDF("embedding")
