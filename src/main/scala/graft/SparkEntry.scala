@@ -31,7 +31,8 @@ object SparkEntry {
       multimodal.Multimodal.queries ++
       pipeline.CleanCorpus.queries ++
       pipeline.Splits.queries ++
-      pipeline.Mix.queries
+      pipeline.Mix.queries ++
+      pipeline.Assembly.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -51,5 +52,6 @@ object SparkEntry {
       multimodal.Multimodal.oracleSql ++
       pipeline.CleanCorpus.oracleSql ++
       pipeline.Splits.oracleSql ++
-      pipeline.Mix.oracleSql
+      pipeline.Mix.oracleSql ++
+      pipeline.Assembly.oracleSql
 }

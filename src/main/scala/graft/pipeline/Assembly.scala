@@ -1,0 +1,63 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** Training-record assembly: the last mile where cleaned corpus parts
+  * become model-ready rows.
+  *
+  * - `events_sequences`: per-user temporally-ordered event sequences —
+  *   the training rows of any sequential/next-event model. One shuffle
+  *   on user_id; the per-user sort happens inside the aggregated array
+  *   (array_sort on (ts, event_id, type) structs), never as a global
+  *   sort. Emitted as a joined string so the cross-engine compare is a
+  *   scalar.
+  * - `pipeline_assemble`: documents joined with their embedding row
+  *   and media format into one multimodal training record — the
+  *   co-partitioned equi-join on the shared id (doc_id = vec_id).
+  *   At 100 TB both sides bucket on that id and the join is
+  *   shuffle-free; here Catalyst picks the join strategy.
+  */
+object Assembly {
+
+  def qEventSequences(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        array_join(
+          expr("transform(array_sort(collect_list(struct(ts, event_id, event_type))), x -> x.event_type)"),
+          " ").as("seq"))
+
+  def qAssemble(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val emb = t(spark, dir, "embeddings")
+      .select(col("vec_id"), size(col("embedding")).as("emb_dim"), col("label"))
+    docs.join(emb, docs("doc_id") === emb("vec_id"))
+      .select(
+        col("doc_id"), col("lang"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_words"),
+        when(pmod(col("doc_id"), lit(2)) === 0, lit("ppm"))
+          .otherwise(lit("bmp")).as("format"),
+        col("emb_dim").cast("long"), col("label").cast("long"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_sequences" -> (qEventSequences _),
+    "pipeline_assemble" -> (qAssemble _))
+
+  val oracleSql: Map[String, String] = Map(
+    "events_sequences" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  string_agg(event_type, ' '
+        |    ORDER BY CAST(ts AS TIMESTAMP), event_id) AS seq
+        |FROM events GROUP BY user_id""".stripMargin,
+    "pipeline_assemble" ->
+      """SELECT doc_id, lang, source,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'bmp' END AS format,
+        |  CAST(len(embedding) AS BIGINT) AS emb_dim,
+        |  CAST(label AS BIGINT) AS label
+        |FROM documents JOIN embeddings ON doc_id = vec_id""".stripMargin)
+}
