@@ -163,6 +163,107 @@ object Multimodal {
     } catch { case _: Exception => zero }
   }
 
+  // ---- audio (PCM WAV) -------------------------------------------------
+
+  /** An audio object: opaque bytes, typed separately from images
+    * because its decoded features are a different shape. */
+  case class AudioRecord(doc_id: Long, payload: Array[Byte])
+
+  /** Decoded audio features: container facts + signal statistics. */
+  case class AudioFeatures(doc_id: Long, n_bytes: Long, sample_rate: Int,
+                           n_channels: Int, n_samples: Long,
+                           rms: Float, peak: Float, zcr: Float)
+
+  /** Minimal canonical PCM WAV (RIFF): 44-byte header, 16-bit LE
+    * interleaved samples — straight from the public RIFF/WAVE spec. */
+  def encodeWav(sampleRate: Int, channels: Int, samples: Array[Short]): Array[Byte] = {
+    require(channels > 0 && samples.length % channels == 0, "interleaved frames")
+    val dataLen = samples.length * 2
+    val out = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * channels * 2) // byte rate
+      .putShort((channels * 2).toShort).putShort(16) // block align, bits
+    out.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(out.putShort)
+    out.array()
+  }
+
+  /** Parse a WAV payload by walking its RIFF chunks (fmt then data —
+    * any other chunks are skipped, like real files have). Truncated
+    * data is read as far as it goes; corrupt headers quarantine to
+    * zeros, never a task failure. Features: RMS and peak of the
+    * normalized signal, zero-crossing rate — the standard cheap audio
+    * quality/voice-activity signals. */
+  def decodeWavBytes(m: AudioRecord): AudioFeatures = {
+    val b = m.payload
+    def zero = AudioFeatures(m.doc_id, b.length.toLong, 0, 0, 0L, 0f, 0f, 0f)
+    if (b.length < 12 || new String(b.take(4), "US-ASCII") != "RIFF" ||
+      new String(b.slice(8, 12), "US-ASCII") != "WAVE") return zero
+    try {
+      val buf = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var pos = 12
+      var rate = 0; var channels = 0; var bits = 0
+      var dataOff = -1; var dataLen = 0
+      while (pos + 8 <= b.length) {
+        val id = new String(b.slice(pos, pos + 4), "US-ASCII")
+        val len = buf.getInt(pos + 4)
+        if (id == "fmt " && pos + 24 <= b.length) {
+          channels = buf.getShort(pos + 10)
+          rate = buf.getInt(pos + 12)
+          bits = buf.getShort(pos + 22)
+        } else if (id == "data") { dataOff = pos + 8; dataLen = len }
+        pos += 8 + len + (len & 1) // chunks are word-aligned
+      }
+      if (rate <= 0 || channels <= 0 || bits != 16 || dataOff < 0) return zero
+      val avail = math.min(dataLen, b.length - dataOff) / 2
+      var (sumSq, peak, crossings) = (0.0, 0.0, 0L)
+      var prevNeg = false
+      for (i <- 0 until avail) {
+        val s = buf.getShort(dataOff + i * 2) / 32768.0
+        sumSq += s * s
+        if (math.abs(s) > peak) peak = math.abs(s)
+        val neg = s < 0
+        if (i > 0 && neg != prevNeg) crossings += 1
+        prevNeg = neg
+      }
+      val n = avail / channels
+      AudioFeatures(m.doc_id, b.length.toLong, rate, channels, n.toLong,
+        if (avail > 0) math.sqrt(sumSq / avail).toFloat else 0f,
+        peak.toFloat,
+        if (avail > 1) (crossings.toDouble / (avail - 1)).toFloat else 0f)
+    } catch { case _: IndexOutOfBoundsException => zero }
+  }
+
+  /** Decode an audio corpus per-partition (same batch shape as the
+    * image decode — a real codec would open its context once here). */
+  def decodeAudio(audio: Dataset[AudioRecord]): Dataset[AudioFeatures] = {
+    import audio.sparkSession.implicits._
+    audio.mapPartitions(_.map(decodeWavBytes))
+  }
+
+  /** Audio view over documents: REAL WAV payloads whose samples derive
+    * deterministically from the text bytes (sample rate and channel
+    * count vary by doc_id so the decode paths all get exercised). */
+  def audioView(spark: SparkSession, dir: String): Dataset[AudioRecord] = {
+    import spark.implicits._
+    t(spark, dir, "documents").select("doc_id", "text").as[(Long, String)]
+      .map { case (id, text) =>
+        val rate = 8000 * (1 + (id % 3).toInt)
+        val channels = 1 + (id % 2).toInt
+        val seed = text.getBytes("UTF-8")
+        val samples = Array.tabulate(channels * (64 + (id % 64).toInt)) { i =>
+          val v = if (seed.isEmpty) (id + i).toInt else seed(i % seed.length).toInt
+          (v * 257).toShort // spread byte values over the 16-bit range
+        }
+        AudioRecord(id, encodeWav(rate, channels, samples))
+      }
+  }
+
   // ---- decoder ---------------------------------------------------------
 
   /** Parse a payload by its magic bytes. Returns the container's REAL

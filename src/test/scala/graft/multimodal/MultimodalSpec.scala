@@ -113,6 +113,46 @@ class MultimodalSpec extends AnyFunSuite {
     assert(t.n_bytes == 10, "reports what it saw, does not crash")
   }
 
+  test("wav audio round-trips: header facts and signal statistics") {
+    // a full-scale square wave: rms = peak = 1 (well, 32767/32768),
+    // crossing every sample
+    val square = Array.tabulate(1000)(i => if (i % 2 == 0) 32767 else -32768)
+      .map(_.toShort)
+    val f = Multimodal.decodeWavBytes(
+      Multimodal.AudioRecord(1L, Multimodal.encodeWav(16000, 1, square)))
+    assert(f.sample_rate == 16000 && f.n_channels == 1 && f.n_samples == 1000)
+    assert(math.abs(f.rms - 1.0f) < 1e-3, s"square-wave rms ~1: ${f.rms}")
+    assert(math.abs(f.peak - 1.0f) < 1e-3)
+    assert(math.abs(f.zcr - 1.0f) < 1e-3, s"alternating signal crosses every step: ${f.zcr}")
+    // stereo: frames = samples / channels
+    val st = Multimodal.decodeWavBytes(
+      Multimodal.AudioRecord(2L, Multimodal.encodeWav(8000, 2, new Array[Short](64))))
+    assert(st.n_channels == 2 && st.n_samples == 32)
+    assert(st.rms == 0f && st.zcr == 0f, "silence")
+  }
+
+  test("truncated and corrupt wav payloads quarantine to zeros") {
+    val good = Multimodal.encodeWav(8000, 1, Array.tabulate(100)(i => (i * 300).toShort))
+    val cut = Multimodal.decodeWavBytes(Multimodal.AudioRecord(3L, good.take(60)))
+    assert(cut.sample_rate == 8000, "header still parses")
+    assert(cut.n_samples == 8, "reads only the samples present")
+    val junk = Multimodal.decodeWavBytes(Multimodal.AudioRecord(4L, Array[Byte](1, 2, 3)))
+    assert(junk.sample_rate == 0 && junk.rms == 0f)
+    // a WAV fed to the IMAGE pipeline is quarantined, not mangled
+    val asImage = Multimodal.MediaRecord(5L, "wav", good)
+    assert(Multimodal.decodeBytes(asImage).width == 0)
+    assert(Multimodal.resize(asImage, 4, 4) eq asImage)
+  }
+
+  test("audio corpus view decodes per-partition with varied rates and channels") {
+    val audio = Multimodal.audioView(spark, sf).repartition(4)
+    val feats = Multimodal.decodeAudio(audio).collect()
+    assert(feats.nonEmpty)
+    assert(feats.forall(f => f.sample_rate > 0 && f.n_samples > 0))
+    assert(feats.map(_.sample_rate).distinct.sorted.toSeq == Seq(8000, 16000, 24000))
+    assert(feats.map(_.n_channels).distinct.sorted.toSeq == Seq(1, 2))
+  }
+
   test("corrupt and unknown payloads decode to zeros, not crashes") {
     val garbage = Multimodal.decodeBytes(
       Multimodal.MediaRecord(3L, "ppm", Array[Byte](1, 2, 3)))
