@@ -45,8 +45,19 @@ object CleanCorpus {
         round(col("stop_ratio"), 6).as("stop_ratio"))
   }
 
+  /** The full gate stack: everything qClean does PLUS the repetition/
+    * degeneracy gates (#46) — the composition a production run ships.
+    * The repetition metrics are per-row HOFs, so the extra gate adds
+    * no shuffle; it joins on doc_id against the same corpus scan. */
+  def qCleanFull(spark: SparkSession, dir: String): DataFrame = {
+    val repKeep = graft.text.Repetition.qRepetition(spark, dir)
+      .filter(col("keep")).select("doc_id")
+    qClean(spark, dir).join(repKeep, "doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "pipeline_clean_corpus" -> (qClean _))
+    "pipeline_clean_corpus" -> (qClean _),
+    "pipeline_clean_corpus_full" -> (qCleanFull _))
 
   val oracleSql: Map[String, String] = Map(
     "pipeline_clean_corpus" -> {
@@ -64,6 +75,25 @@ object CleanCorpus {
          |FROM q
          |WHERE doc_id IN (SELECT doc_id FROM keep)
          |  AND doc_id NOT IN (SELECT DISTINCT ib FROM near)
+         |  AND n_words >= 20 AND stop_ratio <= 0.5""".stripMargin
+    },
+    "pipeline_clean_corpus_full" -> {
+      val lsh = Dedup.oracleSql("dedup_minhash_lsh")
+      val rep = graft.text.Repetition.oracleSql("text_repetition")
+      s"""WITH near AS ($lsh),
+         |rep AS ($rep),
+         |keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         |q AS (
+         |  SELECT doc_id, ws,
+         |    CAST(len(ws) AS BIGINT) AS n_words,
+         |    CAST(len(list_filter(ws, w -> list_contains(['the', 'and', 'of', 'to', 'in', 'is'], w))) AS DOUBLE)
+         |      / len(ws) AS stop_ratio
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))
+         |SELECT doc_id, n_words, round(stop_ratio, 6) AS stop_ratio
+         |FROM q
+         |WHERE doc_id IN (SELECT doc_id FROM keep)
+         |  AND doc_id NOT IN (SELECT DISTINCT ib FROM near)
+         |  AND doc_id IN (SELECT doc_id FROM rep WHERE keep)
          |  AND n_words >= 20 AND stop_ratio <= 0.5""".stripMargin
     })
 }

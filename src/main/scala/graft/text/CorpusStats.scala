@@ -58,10 +58,30 @@ object CorpusStats {
         round(avg(col("n_chars")), 6).as("avg_chars"),
         countDistinct("lang").as("n_langs"))
 
+  /** Per-language adaptive quality thresholds: the median TTR of each
+    * language's documents becomes that language's gate (fixed global
+    * thresholds misfire across languages — the standard fix is
+    * per-stratum quantile cutoffs). Two aggregates: the per-lang
+    * median (exact interpolated percentile, tiny result joined back —
+    * Catalyst broadcasts it) and the below-threshold count. */
+  def qLangThresholds(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+      .withColumn("ws", split(col("text"), " "))
+      .select(col("doc_id"), col("lang"),
+        (size(array_distinct(col("ws"))).cast("double") / size(col("ws"))).as("ttr"))
+    val med = d.groupBy("lang").agg(expr("percentile(ttr, 0.5)").as("med"))
+    d.join(broadcast(med), "lang")
+      .groupBy("lang")
+      .agg(round(min("med"), 6).as("median_ttr"),
+        count(lit(1)).as("n_docs"),
+        sum(when(col("ttr") < col("med"), 1L).otherwise(0L)).as("n_below"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_vocab_topk" -> (qVocabTopK _),
     "text_unigram_logprob" -> (qUnigramLogprob _),
-    "pipeline_corpus_report" -> (qCorpusReport _))
+    "pipeline_corpus_report" -> (qCorpusReport _),
+    "text_lang_thresholds" -> (qLangThresholds _))
 
   val oracleSql: Map[String, String] = Map(
     "text_vocab_topk" ->
@@ -84,5 +104,13 @@ object CorpusStats {
         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_words,
         |  round(avg(n_chars), 6) AS avg_chars,
         |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
-        |FROM documents GROUP BY source""".stripMargin)
+        |FROM documents GROUP BY source""".stripMargin,
+    "text_lang_thresholds" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |    CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS ttr
+        |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents)),
+        |m AS (SELECT lang, quantile_cont(ttr, 0.5) AS med FROM d GROUP BY lang)
+        |SELECT lang, round(min(med), 6) AS median_ttr, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN ttr < med THEN 1 ELSE 0 END) AS BIGINT) AS n_below
+        |FROM d JOIN m USING (lang) GROUP BY lang""".stripMargin)
 }
