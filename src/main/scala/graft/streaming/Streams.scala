@@ -49,6 +49,18 @@ object Streams {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Streaming incremental dedup — the streaming twin of the batch
+    * dedup_incremental operator: arriving documents are dropped if
+    * their content hash exists in the STANDING corpus index (a static
+    * frame, re-read per micro-batch, broadcast — no stream-side state
+    * for the corpus side) and then exact-deduped WITHIN the stream by
+    * the watermark-bounded state store. The composition is the ingest
+    * front door: only genuinely new content survives to land. */
+  def incrementalDedupStream(stream: DataFrame, corpusIndex: DataFrame): DataFrame =
+    dedupStream(
+      stream.join(org.apache.spark.sql.functions.broadcast(corpusIndex),
+        Seq("content_hash"), "left_anti"))
+
   /** Watermarked stream-stream interval join: pair each click with the
     * same user's views from the preceding 10 minutes. BOTH sides carry
     * watermarks and the join condition bounds event-time distance, so

@@ -70,6 +70,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming incremental dedup drops corpus-known hashes then dedups within the stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val df = input.toDF().toDF("ts", "content_hash", "value")
+    val corpusIndex = Seq("h_old1", "h_old2").toDF("content_hash")
+    val q = Streams.incrementalDedupStream(df, corpusIndex)
+      .writeStream.format("memory").queryName("incdedup_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        (ts(0), "h_old1", 1.0), // known to the corpus: dropped
+        (ts(1), "h_new", 2.0),  // genuinely new: survives
+        (ts(2), "h_new", 3.0))  // in-stream duplicate: dropped
+      q.processAllAvailable()
+      input.addData((ts(3), "h_old2", 4.0), (ts(4), "h_new2", 5.0))
+      q.processAllAvailable()
+      val vals = spark.table("incdedup_out").select("content_hash", "value")
+        .as[(String, Double)].collect().toMap
+      assert(vals.keySet == Set("h_new", "h_new2"))
+      assert(vals("h_new") == 2.0, "first in-stream occurrence wins")
+    } finally q.stop()
+  }
+
   test("stream-static enrichment joins the broadcast dimension per batch") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Double)]
