@@ -32,7 +32,8 @@ object SparkEntry {
       pipeline.CleanCorpus.queries ++
       pipeline.Splits.queries ++
       pipeline.Mix.queries ++
-      pipeline.Assembly.queries
+      pipeline.Assembly.queries ++
+      pipeline.Upsert.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -53,5 +54,6 @@ object SparkEntry {
       pipeline.CleanCorpus.oracleSql ++
       pipeline.Splits.oracleSql ++
       pipeline.Mix.oracleSql ++
-      pipeline.Assembly.oracleSql
+      pipeline.Assembly.oracleSql ++
+      pipeline.Upsert.oracleSql
 }

@@ -1,0 +1,60 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** Latest-wins upsert merge — the standing-corpus maintenance shape:
+  * a daily updates batch lands against the accumulated corpus and each
+  * key keeps its newest version (SCD type 1).
+  *
+  * Scale shape: union + ONE partial-aggregated shuffle on the key with
+  * max_by picking the newest payload — no row_number window (a window
+  * materializes and sorts every version of every key per partition;
+  * max_by keeps one running winner per key in the hash aggregate, so
+  * map-side combine already collapses the history before the shuffle).
+  */
+object Upsert {
+
+  /** Merge `updates` into `standing`: per key, the row with the
+    * greatest version wins. Payload columns are everything except the
+    * key and version. */
+  def merge(standing: DataFrame, updates: DataFrame,
+            key: String, version: String): DataFrame = {
+    val unioned = standing.unionByName(updates)
+    val payload = unioned.columns.filterNot(c => c == key || c == version)
+    unioned.groupBy(key)
+      .agg(count(lit(1)).as("n_versions"),
+        max(col(version)).as(version) +:
+          payload.map(c => max_by(col(c), col(version)).as(c)): _*)
+  }
+
+  /** Driver query: the documents table is the standing corpus at
+    * version 1; every doc_id divisible by 7 arrives revised in the
+    * updates batch at version 2. Output carries the winning content
+    * hash so the oracle compares payloads, not just versions. */
+  def qUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val standing = docs.select(col("doc_id"), lit(1L).as("version"),
+      md5(col("text")).as("content_hash"))
+    val updates = docs.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"), lit(2L).as("version"),
+        md5(concat(col("text"), lit(" [rev2]"))).as("content_hash"))
+    merge(standing, updates, "doc_id", "version")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_upsert" -> (qUpsert _))
+
+  val oracleSql: Map[String, String] = Map(
+    "pipeline_upsert" ->
+      """WITH v AS (
+        |  SELECT doc_id, 1 AS version, md5(text) AS content_hash FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 2 AS version, md5(concat(text, ' [rev2]')) AS content_hash
+        |  FROM documents WHERE doc_id % 7 = 0)
+        |SELECT doc_id, count(*) AS n_versions,
+        |  CAST(max(version) AS BIGINT) AS version,
+        |  max_by(content_hash, version) AS content_hash
+        |FROM v GROUP BY doc_id""".stripMargin)
+}

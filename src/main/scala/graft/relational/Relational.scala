@@ -302,7 +302,35 @@ object Relational {
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_approx"),
         expr("percentile(l_extendedprice, 0.5)").as("p50_exact"))
 
+  /** Three-step event funnel (view -> click -> purchase): per user,
+    * the earliest greedy chain — first view, first click AFTER that
+    * view, first purchase AFTER that click — plus the depth reached.
+    * The product-analytics staple over an event stream.
+    *
+    * Scale shape: a ladder of FILTERED min-aggregations, each a
+    * partial-agg shuffle over only that step's events (the event-type
+    * filter reaches the scan), with the previous step's tiny per-user
+    * result joined back. No per-user event list is ever materialized,
+    * so a user with millions of events costs one running min per step
+    * — unlike a collect-and-walk formulation. */
+  def eventsFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val s1 = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val s2 = ev.filter(col("event_type") === "click").join(s1, "user_id")
+      .filter(col("ts") > col("t1"))
+      .groupBy("user_id").agg(min("ts").as("t2"))
+    val s3 = ev.filter(col("event_type") === "purchase").join(s2, "user_id")
+      .filter(col("ts") > col("t2"))
+      .groupBy("user_id").agg(min("ts").as("t3"))
+    s1.join(s2, Seq("user_id"), "left").join(s3, Seq("user_id"), "left")
+      .select(col("user_id"), col("t1"), col("t2"), col("t3"),
+        (lit(1) + when(col("t2").isNotNull, 1).otherwise(0)
+          + when(col("t3").isNotNull, 1).otherwise(0)).as("depth"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_funnel" -> (eventsFunnel _),
     "cube_revenue" -> (cubeRevenue _),
     "pivot_qty" -> (pivotQty _),
     "join_salted" -> (joinSalted _),
@@ -330,6 +358,17 @@ object Relational {
     "agg_stats" -> (aggStats _))
 
   val oracleSql: Map[String, String] = Map(
+    "events_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(ts) AS t2 FROM events e JOIN s1 USING (user_id)
+        |  WHERE event_type = 'click' AND ts > t1 GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(ts) AS t3 FROM events e JOIN s2 USING (user_id)
+        |  WHERE event_type = 'purchase' AND ts > t2 GROUP BY e.user_id)
+        |SELECT user_id, t1, t2, t3,
+        |  CAST(1 + (CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END)
+        |         + (CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS INT) AS depth
+        |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""".stripMargin,
     "cube_revenue" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
         |  coalesce(l_linestatus, 'ALL') AS l_linestatus,

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.t
 
@@ -47,6 +47,79 @@ object CorpusStats {
         round(avg(log2(col("c") / col("__t"))), 6).as("avg_log2p"))
   }
 
+  /** Minimum document frequency for a word 5-gram to count as
+    * corpus-frequent boilerplate. */
+  private val BP_MIN_DF = 3
+  private val BP_N = 5
+
+  /** Distinct word-5-grams of a `ws` word-array column. Guard: Spark's
+    * sequence(1, n) DESCENDS for n < 1 (the Dedup.grams pitfall), so
+    * short docs get an explicit empty array; the DuckDB range() mirror
+    * is already empty there. */
+  private val wordGrams: Column =
+    expr(s"CASE WHEN size(ws) >= $BP_N THEN " +
+      s"array_distinct(transform(sequence(1, size(ws) - ${BP_N - 1}), " +
+      s"i -> array_join(slice(ws, i, $BP_N), ' '))) ELSE array() END")
+
+  private def docGrams(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .withColumn("ws", split(col("text"), " "))
+      .select(col("doc_id"), explode(wordGrams).as("gram"))
+
+  /** Boilerplate span mining: word 5-grams appearing in >= BP_MIN_DF
+    * distinct documents — the repeated-span detector (CCNet-style
+    * pipelines drop or down-weight exactly these spans). One
+    * map-side-combined shuffle on the gram key; the frequent set is
+    * tiny relative to the corpus. */
+  def qBoilerplate(spark: SparkSession, dir: String): DataFrame =
+    docGrams(spark, dir)
+      .groupBy("gram")
+      .agg(countDistinct("doc_id").as("df"))
+      .filter(col("df") >= BP_MIN_DF)
+
+  /** Per-document boilerplate fraction: share of a doc's distinct
+    * 5-grams that are corpus-frequent — the gate signal for dropping
+    * template-heavy documents. The frequent-gram set (small) joins
+    * back broadcast, so the corpus is scanned twice but never
+    * shuffled on the doc side. */
+  def qBoilerplateFrac(spark: SparkSession, dir: String): DataFrame = {
+    val g = docGrams(spark, dir)
+    val freq = g.groupBy("gram")
+      .agg(countDistinct("doc_id").as("df"))
+      .filter(col("df") >= BP_MIN_DF)
+      .select(col("gram"), lit(1L).as("__f"))
+    g.join(broadcast(freq), Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__f"), lit(0L))).as("n_frequent"))
+      .withColumn("frequent_frac",
+        round(col("n_frequent").cast("double") / col("n_grams"), 6))
+  }
+
+  /** Bigram-LM document score: mean log2 MLE conditional probability
+    * c(w1 w2) / c(w1 ·) over the document's bigrams — the next step up
+    * from the unigram scorer, sensitive to word ORDER (shuffled text
+    * scores low even when its unigram profile is corpus-typical). Two
+    * word-count shuffles build the LM; scoring is two equi-joins on
+    * the bigram / head-word keys — co-partitioned, no broadcast, so it
+    * holds when the LM itself is huge. */
+  def qBigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val bg = t(spark, dir, "documents")
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ws) - 1), i -> named_struct(" +
+          "'w1', element_at(ws, i), " +
+          "'bg', concat(element_at(ws, i), ' ', element_at(ws, i + 1))))")).as("e"))
+      .select(col("doc_id"), col("e.w1").as("w1"), col("e.bg").as("bg"))
+    val bgCounts = bg.groupBy("bg").agg(count(lit(1)).as("cb"))
+    val headCounts = bg.groupBy("w1").agg(count(lit(1)).as("cu"))
+    bg.join(bgCounts, "bg").join(headCounts, "w1")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log2(col("cb").cast("double") / col("cu"))), 6).as("avg_log2p"))
+  }
+
   /** Per-source composition report: what a mix dashboard shows after
     * every pipeline stage. One partial-aggregated shuffle on source. */
   def qCorpusReport(spark: SparkSession, dir: String): DataFrame =
@@ -81,7 +154,10 @@ object CorpusStats {
     "text_vocab_topk" -> (qVocabTopK _),
     "text_unigram_logprob" -> (qUnigramLogprob _),
     "pipeline_corpus_report" -> (qCorpusReport _),
-    "text_lang_thresholds" -> (qLangThresholds _))
+    "text_lang_thresholds" -> (qLangThresholds _),
+    "text_boilerplate" -> (qBoilerplate _),
+    "text_boilerplate_frac" -> (qBoilerplateFrac _),
+    "text_bigram_logprob" -> (qBigramLogprob _))
 
   val oracleSql: Map[String, String] = Map(
     "text_vocab_topk" ->
@@ -105,6 +181,41 @@ object CorpusStats {
         |  round(avg(n_chars), 6) AS avg_chars,
         |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
         |FROM documents GROUP BY source""".stripMargin,
+    "text_boilerplate" ->
+      s"""WITH g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |    range(1, len(ws) - ${BP_N - 2}),
+         |    i -> array_to_string(ws[CAST(i AS INT):CAST(i + ${BP_N - 1} AS INT)], ' ')))) AS gram
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+         |  WHERE len(ws) >= $BP_N)
+         |SELECT gram, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+         |FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= $BP_MIN_DF""".stripMargin,
+    "text_boilerplate_frac" ->
+      s"""WITH g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |    range(1, len(ws) - ${BP_N - 2}),
+         |    i -> array_to_string(ws[CAST(i AS INT):CAST(i + ${BP_N - 1} AS INT)], ' ')))) AS gram
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+         |  WHERE len(ws) >= $BP_N),
+         |f AS (SELECT gram FROM g GROUP BY gram
+         |      HAVING count(DISTINCT doc_id) >= $BP_MIN_DF)
+         |SELECT doc_id, count(*) AS n_grams,
+         |  CAST(sum(CASE WHEN f.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_frequent,
+         |  round(CAST(sum(CASE WHEN f.gram IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |        / count(*), 6) AS frequent_frac
+         |FROM g LEFT JOIN f ON g.gram = f.gram
+         |GROUP BY doc_id""".stripMargin,
+    "text_bigram_logprob" ->
+      """WITH bg AS (SELECT doc_id, e.w1, e.bg FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+        |      i -> {'w1': ws[CAST(i AS INT)],
+        |            'bg': concat(ws[CAST(i AS INT)], ' ', ws[CAST(i + 1 AS INT)])})) AS e
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        |    WHERE len(ws) >= 2)),
+        |cb AS (SELECT bg, count(*) AS cb FROM bg GROUP BY bg),
+        |cu AS (SELECT w1, count(*) AS cu FROM bg GROUP BY w1)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(avg(log2(CAST(cb.cb AS DOUBLE) / cu.cu)), 6) AS avg_log2p
+        |FROM bg JOIN cb USING (bg) JOIN cu USING (w1)
+        |GROUP BY doc_id""".stripMargin,
     "text_lang_thresholds" ->
       """WITH d AS (SELECT doc_id, lang,
         |    CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS ttr
