@@ -88,6 +88,21 @@ object Streams {
       }
       .start()
 
+  /** Gap-based sessionization via the BUILT-IN session_window — the
+    * declarative twin of the flatMapGroupsWithState version below.
+    * Spark's native session state merges windows in the state store
+    * and emits a session once the watermark passes its close; prefer
+    * this when the per-session output is plain aggregates (sum/count),
+    * and the custom-state version when session logic needs arbitrary
+    * code. Input needs (user_id, ts, value). */
+  def sessionWindowCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      .select(col("user_id"), col("w.start").as("sess_start"),
+        col("w.end").as("sess_end"), col("n_events"), col("sum_value"))
+
   /** Gap-based sessionization (30 min idle closes a session) via
     * flatMapGroupsWithState. Emits a session when a later event
     * arrives past the gap; the open session stays in state. */

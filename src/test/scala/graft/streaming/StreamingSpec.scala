@@ -34,6 +34,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("built-in session_window closes a session once the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val df = input.toDF().toDF("user_id", "ts", "value")
+    val q = Streams.sessionWindowCounts(df)
+      .writeStream.format("memory").queryName("sesswin_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // one session: events 0 and 10 min (gap 30 min keeps them merged)
+      input.addData((1L, ts(0), 1.0), (1L, ts(10), 2.0))
+      q.processAllAvailable()
+      // far-future event pushes the watermark past the session's close
+      input.addData((1L, ts(300), 9.0))
+      q.processAllAvailable()
+      val rows = spark.table("sesswin_out")
+        .select("user_id", "sess_start", "sess_end", "n_events", "sum_value")
+        .as[(Long, Timestamp, Timestamp, Long, Double)].collect()
+      assert(rows.length == 1, s"exactly the closed session emits: ${rows.mkString}")
+      val r = rows.head
+      assert(r._1 == 1L && r._2 == ts(0) && r._3 == ts(40) && r._4 == 2L && r._5 == 3.0)
+    } finally q.stop()
+  }
+
   test("streaming hourly counts over a memory stream match the batch twin") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Double)]
