@@ -25,6 +25,7 @@ object SparkEntry {
       dedup.Incremental.queries ++
       search.SimSearch.queries ++
       search.Quantized.queries ++
+      search.PQ.queries ++
       text.TextAnalysis.queries ++
       text.Repetition.queries ++
       text.CorpusStats.queries ++
@@ -47,6 +48,7 @@ object SparkEntry {
       dedup.Incremental.oracleSql ++
       search.SimSearch.oracleSql ++
       search.Quantized.oracleSql ++
+      search.PQ.oracleSql ++
       text.TextAnalysis.oracleSql ++
       text.Repetition.oracleSql ++
       text.CorpusStats.oracleSql ++

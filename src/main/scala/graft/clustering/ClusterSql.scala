@@ -11,12 +11,14 @@ private[graft] object ClusterSql {
 
   val orderCols: String = ("pid" +: Points.dims).mkString(", ")
 
-  /** Pivot a (k, c1..cD) centers CTE into one wide row k{k}_{j}. */
+  /** Pivot a (k, c1..cD) centers CTE into one wide row {prefix}{k}_{j}.
+    * A non-default prefix keeps column names distinct when several
+    * widened codebooks join into one scope (the PQ ADC table). */
   def widenSql(k: Int, cIn: String, out: String,
-               dims: Seq[String] = Points.dims): String =
+               dims: Seq[String] = Points.dims, prefix: String = "k"): String =
     s"$out AS (SELECT " +
       (0 until k).flatMap(ki => dims.indices.map(j =>
-        s"max(CASE WHEN k = $ki THEN c${j + 1} END) AS k${ki}_${j + 1}")).mkString(", ") +
+        s"max(CASE WHEN k = $ki THEN c${j + 1} END) AS $prefix${ki}_${j + 1}")).mkString(", ") +
       s" FROM $cIn)"
 
   /** Euclidean distance to wide-row center k, matching Points.distTo's
@@ -57,9 +59,9 @@ private[graft] object ClusterSql {
        |  FROM $src GROUP BY $solCol)""".stripMargin
 
   /** Whole-oracle generators, parametric in the point set and dims. */
-  def c0Sql(k: Int, ptsSql: String, dims: Seq[String]): String = {
+  def c0Sql(k: Int, ptsSql: String, dims: Seq[String], out: String = "c0"): String = {
     val oc = ("pid" +: dims).mkString(", ")
-    s"""c0 AS (
+    s"""$out AS (
        |  SELECT CAST(row_number() OVER (ORDER BY $oc) - 1 AS INT) AS k,
        |         ${dims.zipWithIndex.map { case (d, i) => s"$d AS c${i + 1}" }.mkString(", ")}
        |  FROM (SELECT * FROM pts ORDER BY $oc LIMIT $k))""".stripMargin

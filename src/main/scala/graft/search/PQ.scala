@@ -1,0 +1,156 @@
+package graft.search
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables.t
+import graft.clustering.{ClusterSql, KMeans, Points}
+
+/** Product quantization (PQ) ANN — the classic FAISS-style memory path
+  * for billion-vector search, from its public description (Jégou et
+  * al., "Product Quantization for Nearest Neighbor Search"): split each
+  * 64-dim vector into M=8 subvectors, k-means each subspace into 16
+  * centroids, store each vector as 8 small codes (8 bytes instead of
+  * 256 — a 32x index compression), and score queries against the codes
+  * with an ADC lookup table (one squared-distance table per query,
+  * M x K' entries, computed once per query on the driver).
+  *
+  * Scale shape: training touches only K'*D doubles per subspace on the
+  * driver (at 100 TB you train the codebooks on a sample — the corpus
+  * never leaves the executors); the encode pass is one projection; the
+  * scored search is a broadcast of QN tiny lookup tables against the
+  * codes table — per corpus row, 8 array lookups + 7 adds, no vector
+  * math at query time at all.
+  *
+  * Fully deterministic (first-K init, fixed iteration count, round-6
+  * center means), so the ENTIRE pipeline — training, encoding, ADC
+  * scoring — is oracled in generated SQL, like simsearch_ivf.
+  * An empty training class keeps NaN centers on the Spark side and
+  * NULL-center columns in SQL: both render the class unassignable
+  * (NaN sorts above any real distance in array_min; the oracle
+  * coalesces NULL distances to +infinity), so the two engines agree.
+  */
+object PQ {
+
+  private val QN = 5 // query vectors: vec_id <= QN (the simsearch set)
+  private val M = 8 // subspaces
+  private val SUBD = 8 // dims per subspace
+  private val PQ_K = 16 // centroids per subspace codebook
+  private val PQ_TOPK = 5
+
+  private def sub(s: Int): Seq[String] = Points.embedDims.slice(s * SUBD, (s + 1) * SUBD)
+
+  def qPq(spark: SparkSession, dir: String): DataFrame = {
+    val pts = Points.embeddings64(spark, dir).cache()
+    // 1. train each subspace codebook: first-K init + 1 Lloyd iteration
+    //    (the same generic operators the clustering engine exposes)
+    val codebooks: Array[Array[Array[Double]]] = Array.tabulate(M) { s =>
+      val sd = sub(s)
+      val init = Points.firstKCenters(pts, PQ_K, sd)
+      val byK = KMeans.update(KMeans.assign(pts, init, sd), sd).collect()
+        .map(r => r.getAs[Int]("k") -> sd.indices.map(i => r.getDouble(2 + i)).toArray)
+        .toMap
+      Array.tabulate(PQ_K)(j => byK.getOrElse(j, Array.fill(SUBD)(Double.NaN)))
+    }
+    // 2. encode: 8 codes per vector, MATERIALIZED — this is the PQ
+    //    index (8 bytes/vector), and caching it keeps the 8x16-center
+    //    distance trees out of the downstream join/window plan
+    var enc = pts
+    for (s <- 0 until M)
+      enc = KMeans.assign(enc, codebooks(s), sub(s))
+        .withColumnRenamed("k", s"code_$s").drop("dist")
+    val codes = enc.select(col("pid") +: (0 until M).map(s => col(s"code_$s")): _*).cache()
+    codes.count()
+    pts.unpersist()
+    // 3. ADC lookup tables, driver-side: QN x M x PQ_K squared partial
+    //    distances, left-fold add order identical to the SQL oracle
+    val qvecs = t(spark, dir, "embeddings").filter(col("vec_id") <= QN)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    val qRows = qvecs.toSeq.map { case (qid, v) =>
+      val dtab = (0 until M).map { s =>
+        (0 until PQ_K).map { j =>
+          (0 until SUBD).map { d =>
+            val df = v(s * SUBD + d) - codebooks(s)(j)(d); df * df
+          }.reduce(_ + _)
+        }
+      }
+      (qid, dtab)
+    }
+    import spark.implicits._
+    val qdf = broadcast(qRows.toDF("q_id", "dtab"))
+    // 4. ADC scoring: per (query, vector), 8 table lookups + an add
+    //    chain; approx distance = sqrt of the summed partials
+    val ad = sqrt((0 until M).map(s =>
+      element_at(element_at(col("dtab"), s + 1), col(s"code_$s") + 1)).reduce(_ + _))
+    val scored = codes.crossJoin(qdf).filter(col("pid") =!= col("q_id"))
+      .select(col("q_id"), col("pid").as("vec_id"), ad.as("ad"))
+    val w = Window.partitionBy("q_id").orderBy(col("ad").asc, col("vec_id").asc)
+    val result = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= PQ_TOPK)
+      .select("q_id", "vec_id", "rank", "ad")
+    // literal-frame return (KMeans.lloyd's trick) so the codes cache is
+    // released now instead of leaking for the session's lifetime
+    val rows = result.collect()
+    val schema = result.schema
+    codes.unpersist()
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1), schema)
+  }
+
+  /** The whole pipeline as one generated SQL statement: per subspace,
+    * init + 1 Lloyd iteration + encode; then the ADC table per query
+    * and the scored top-k. */
+  private def pqOracle: String = {
+    val train = (0 until M).map { s =>
+      val sd = sub(s)
+      s"""${ClusterSql.c0Sql(PQ_K, Points.embedPtsSql, sd, s"c0_$s")},
+         |${ClusterSql.widenSql(PQ_K, s"c0_$s", s"c0w_$s", sd)},
+         |${ClusterSql.assignSql(PQ_K, s"c0w_$s", s"a1_$s", "pts", sd)},
+         |${ClusterSql.updateSql(s"a1_$s", s"u1_$s", sd)},
+         |${ClusterSql.widenSql(PQ_K, s"u1_$s", s"cw_$s", sd)},
+         |${ClusterSql.assignSql(PQ_K, s"cw_$s", s"enc_$s", "pts", sd)}""".stripMargin
+    }.mkString(",\n")
+    val codes = "codes AS (SELECT e0.pid, " +
+      (0 until M).map(s => s"e$s.k AS code_$s").mkString(", ") +
+      " FROM " + (0 until M).map(s => s"enc_$s e$s").mkString(", ") +
+      " WHERE " + (1 until M).map(s => s"e0.pid = e$s.pid").mkString(" AND ") + ")"
+    // one widened copy of each codebook with a per-subspace column
+    // prefix, so all 8 can share the ADC table's scope
+    val qWidens = (0 until M).map(s =>
+      ClusterSql.widenSql(PQ_K, s"u1_$s", s"cwq_$s", sub(s), s"q${s}x")).mkString(",\n")
+    val qtabCols = (0 until M).flatMap { s =>
+      val sd = sub(s)
+      (0 until PQ_K).map { j =>
+        sd.zipWithIndex.map { case (d, pos) =>
+          s"($d - q${s}x${j}_${pos + 1}) * ($d - q${s}x${j}_${pos + 1})"
+        }.mkString(" + ") + s" AS pd_${s}_$j"
+      }
+    }.mkString(",\n    ")
+    val qtab =
+      s"""qtab AS (SELECT pid AS q_id,
+         |    $qtabCols
+         |  FROM pts ${(0 until M).map(s => s"CROSS JOIN cwq_$s").mkString(" ")}
+         |  WHERE pid <= $QN)""".stripMargin
+    val adExpr = (0 until M).map { s =>
+      s"(CASE c.code_$s " +
+        (0 until PQ_K).map(j => s"WHEN $j THEN q.pd_${s}_$j").mkString(" ") + " END)"
+    }.mkString(" + ")
+    s"""WITH pts AS (${Points.embedPtsSql}),
+       |$train,
+       |$codes,
+       |$qWidens,
+       |$qtab,
+       |scored AS (SELECT q.q_id, c.pid AS vec_id, sqrt($adExpr) AS ad
+       |  FROM codes c CROSS JOIN qtab q WHERE c.pid != q.q_id)
+       |SELECT q_id, vec_id, rank, ad FROM (
+       |  SELECT *, CAST(row_number() OVER (
+       |    PARTITION BY q_id ORDER BY ad ASC, vec_id ASC) AS INT) AS rank
+       |  FROM scored) WHERE rank <= $PQ_TOPK""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "simsearch_pq" -> (qPq _))
+
+  val oracleSql: Map[String, String] = Map(
+    "simsearch_pq" -> pqOracle)
+}
