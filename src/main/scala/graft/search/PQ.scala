@@ -43,15 +43,43 @@ object PQ {
   def qPq(spark: SparkSession, dir: String): DataFrame = {
     val pts = Points.embeddings64(spark, dir).cache()
     // 1. train each subspace codebook: first-K init + 1 Lloyd iteration
-    //    (the same generic operators the clustering engine exposes)
-    val codebooks: Array[Array[Array[Double]]] = Array.tabulate(M) { s =>
-      val sd = sub(s)
-      val init = Points.firstKCenters(pts, PQ_K, sd)
-      val byK = KMeans.update(KMeans.assign(pts, init, sd), sd).collect()
-        .map(r => r.getAs[Int]("k") -> sd.indices.map(i => r.getDouble(2 + i)).toArray)
-        .toMap
-      Array.tabulate(PQ_K)(j => byK.getOrElse(j, Array.fill(SUBD)(Double.NaN)))
+    //    (the same generic operators the clustering engine exposes).
+    //    Job-count discipline: pid is unique, so ONE TakeOrdered collect
+    //    yields every subspace's first-K init (identical values to 8
+    //    per-subspace firstKCenters calls); ONE shared assign pass tags
+    //    all 8 subspace memberships; the 8 per-subspace mean-updates
+    //    are independent small aggregates, launched as CONCURRENT jobs
+    //    over the shared cached assignment — 3 job waves instead of 16
+    //    sequential driver round-trips.
+    val first = pts.orderBy(col("pid") +: Points.embedDims.map(col): _*).limit(PQ_K)
+      .select(Points.embedDims.map(col): _*).collect()
+      .map(r => Points.embedDims.indices.map(r.getDouble).toArray)
+    val inits = Array.tabulate(M)(s =>
+      Array.tabulate(PQ_K)(j => first(j).slice(s * SUBD, (s + 1) * SUBD)))
+    var a0 = pts
+    for (s <- 0 until M)
+      a0 = KMeans.assign(a0, inits(s), sub(s))
+        .withColumnRenamed("k", s"t_$s").drop("dist")
+    val assigned = a0.cache()
+    assigned.count()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val codebookFuts = (0 until M).map { s =>
+      Future {
+        val sd = sub(s)
+        // exactly KMeans.update's math over this subspace's assignment
+        val byK = KMeans.update(
+          assigned.select(col(s"t_$s").as("k") +: sd.map(col): _*), sd)
+          .collect()
+          .map(r => r.getAs[Int]("k") -> sd.indices.map(i => r.getDouble(2 + i)).toArray)
+          .toMap
+        Array.tabulate(PQ_K)(j => byK.getOrElse(j, Array.fill(SUBD)(Double.NaN)))
+      }
     }
+    val codebooks: Array[Array[Array[Double]]] =
+      codebookFuts.map(Await.result(_, Duration.Inf)).toArray
+    assigned.unpersist()
     // 2. encode: 8 codes per vector, MATERIALIZED — this is the PQ
     //    index (8 bytes/vector), and caching it keeps the 8x16-center
     //    distance trees out of the downstream join/window plan
