@@ -39,6 +39,21 @@ class SimSearchSpec extends AnyFunSuite {
       "qIvf must unpersist its point and cell caches before returning")
   }
 
+  test("pq search returns k ranked codes-scored rows per query and releases its caches") {
+    val out = PQ.queries("simsearch_pq")(spark, sf)
+    val rows = out.collect()
+    assert(rows.length > 0 && rows.length % 5 == 0, "5 ranked rows per query")
+    val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+    byQ.foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to 5))
+      val ads = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("ad"))
+      assert(ads.zip(ads.tail).forall { case (a, b) => a <= b },
+        "approx distance non-decreasing in rank")
+    }
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "qPq must unpersist its point/assignment/codes caches before returning")
+  }
+
   test("ann recall measurement is a valid fraction over the brute-force truth") {
     val rows = SimSearch.qRecall(spark, sf).collect()
     assert(rows.nonEmpty)
