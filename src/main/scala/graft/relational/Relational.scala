@@ -329,7 +329,74 @@ object Relational {
           + when(col("t3").isNotNull, 1).otherwise(0)).as("depth"))
   }
 
+  /** Daily cohort retention: users grouped by their FIRST event day;
+    * for every (cohort, day-offset) the fraction of the cohort active
+    * that day — the D1/D7/D30 dashboard behind every growth report.
+    *
+    * Scale shape: the cohort map is one min-aggregation per user (tiny
+    * result, co-partitioned join back on user_id); the retention grid
+    * is a distinct + one partial-agg shuffle on (cohort, offset). No
+    * window, no per-user event list. */
+  def eventsRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events").select(col("user_id"), to_date(col("ts")).as("day"))
+    val cohorts = ev.groupBy("user_id").agg(min("day").as("cohort"))
+    val sizes = cohorts.groupBy("cohort").agg(countDistinct("user_id").as("n_cohort"))
+    ev.join(cohorts, "user_id")
+      .select(col("user_id"), col("cohort"), datediff(col("day"), col("cohort")).as("offset"))
+      .distinct()
+      .groupBy("cohort", "offset")
+      .agg(countDistinct("user_id").as("n_active"))
+      .join(broadcast(sizes), "cohort")
+      .select(col("cohort"), col("offset"), col("n_active"), col("n_cohort"),
+        round(col("n_active").cast("double") / col("n_cohort"), 6).as("retention"))
+  }
+
+  /** Sliding row-frame moving average: per user, avg of the last 4
+    * event values (3 preceding + current) in (ts, event_id) order —
+    * the window-FRAME operator (events_sliding covers time-bucket
+    * windows; this covers row frames). One hash shuffle on user_id,
+    * per-partition sort, bounded 4-row frame state. */
+  def eventsMovingAvg(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-3, Window.currentRow)
+    t(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("ma4", round(avg("value").over(w), 6))
+      .select("user_id", "event_id", "ma4")
+  }
+
+  /** Fixed-width histogram of l_extendedprice — 5k-wide buckets, open
+    * top bucket. No width_bucket builtin needed: floor((x-lo)/w) is
+    * codegen'd arithmetic, one partial-agg shuffle on the bucket id. */
+  def histPrice(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .select((least(floor(col("l_extendedprice") / 5000.0), lit(21.0)))
+        .cast("int").as("bucket"), col("l_extendedprice"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        round(min("l_extendedprice"), 2).as("lo"),
+        round(max("l_extendedprice"), 2).as("hi"))
+
+  /** Full outer join: high-balance customers vs high-balance suppliers
+    * per nation — nations present on either side survive with NULL
+    * counts coalesced to 0. Completes the join-type inventory
+    * (inner/broadcast, multi-way, anti, semi, salted, as-of, outer). */
+  def joinOuter(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer").filter(col("c_acctbal") > 9000)
+      .groupBy(col("c_nationkey").as("nationkey")).agg(count(lit(1)).as("n_cust"))
+    val s = t(spark, dir, "supplier").filter(col("s_acctbal") > 9000)
+      .groupBy(col("s_nationkey").as("nationkey")).agg(count(lit(1)).as("n_supp"))
+    c.join(s, Seq("nationkey"), "full_outer")
+      .select(col("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_retention" -> (eventsRetention _),
+    "events_moving_avg" -> (eventsMovingAvg _),
+    "hist_price" -> (histPrice _),
+    "join_outer" -> (joinOuter _),
     "events_funnel" -> (eventsFunnel _),
     "cube_revenue" -> (cubeRevenue _),
     "pivot_qty" -> (pivotQty _),
@@ -358,6 +425,40 @@ object Relational {
     "agg_stats" -> (aggStats _))
 
   val oracleSql: Map[String, String] = Map(
+    "events_retention" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |c AS (SELECT user_id, min(day) AS cohort FROM ev GROUP BY user_id),
+        |sz AS (SELECT cohort, CAST(count(DISTINCT user_id) AS BIGINT) AS n_cohort
+        |       FROM c GROUP BY cohort),
+        |act AS (SELECT DISTINCT ev.user_id, cohort,
+        |          CAST(day - cohort AS INT) AS "offset"
+        |        FROM ev JOIN c USING (user_id)),
+        |g AS (SELECT cohort, "offset",
+        |        CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+        |      FROM act GROUP BY cohort, "offset")
+        |SELECT cohort, "offset", n_active, n_cohort,
+        |  round(CAST(n_active AS DOUBLE) / n_cohort, 6) AS retention
+        |FROM g JOIN sz USING (cohort)""".stripMargin,
+    "events_moving_avg" ->
+      """SELECT user_id, event_id,
+        |  round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS ma4
+        |FROM events""".stripMargin,
+    "hist_price" ->
+      """SELECT CAST(least(floor(l_extendedprice / 5000.0), 21.0) AS INT) AS bucket,
+        |  count(*) AS n,
+        |  round(min(l_extendedprice), 2) AS lo,
+        |  round(max(l_extendedprice), 2) AS hi
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "join_outer" ->
+      """WITH c AS (SELECT c_nationkey AS nationkey, count(*) AS n_cust
+        |  FROM customer WHERE c_acctbal > 9000 GROUP BY 1),
+        |s AS (SELECT s_nationkey AS nationkey, count(*) AS n_supp
+        |  FROM supplier WHERE s_acctbal > 9000 GROUP BY 1)
+        |SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+        |  CAST(coalesce(n_cust, 0) AS BIGINT) AS n_cust,
+        |  CAST(coalesce(n_supp, 0) AS BIGINT) AS n_supp
+        |FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey""".stripMargin,
     "events_funnel" ->
       """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
         |  WHERE event_type = 'view' GROUP BY user_id),

@@ -120,6 +120,27 @@ object CorpusStats {
         round(avg(log2(col("cb").cast("double") / col("cu"))), 6).as("avg_log2p"))
   }
 
+  /** Curriculum quality buckets: documents quartiled by their
+    * unigram-LM score — the binning step before quality-ordered
+    * (curriculum) training. NO global sort / ntile (a single-partition
+    * bottleneck at 100 TB): one exact-percentile aggregate computes
+    * the three cutoffs, the tiny cutoff row broadcasts back, and each
+    * doc's bucket is three codegen'd comparisons. */
+  def qCurriculum(spark: SparkSession, dir: String): DataFrame = {
+    val scores = qUnigramLogprob(spark, dir).select(col("doc_id"), col("avg_log2p"))
+    val cuts = scores.agg(
+      expr("percentile(avg_log2p, array(0.25D, 0.5D, 0.75D))").as("cs"))
+    scores.crossJoin(broadcast(cuts))
+      .withColumn("bucket",
+        (when(col("avg_log2p") >= element_at(col("cs"), 1), 1).otherwise(0)
+          + when(col("avg_log2p") >= element_at(col("cs"), 2), 1).otherwise(0)
+          + when(col("avg_log2p") >= element_at(col("cs"), 3), 1).otherwise(0)).cast("int"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        round(min("avg_log2p"), 6).as("min_score"),
+        round(max("avg_log2p"), 6).as("max_score"))
+  }
+
   /** Per-source composition report: what a mix dashboard shows after
     * every pipeline stage. One partial-aggregated shuffle on source. */
   def qCorpusReport(spark: SparkSession, dir: String): DataFrame =
@@ -155,6 +176,7 @@ object CorpusStats {
     "text_unigram_logprob" -> (qUnigramLogprob _),
     "pipeline_corpus_report" -> (qCorpusReport _),
     "text_lang_thresholds" -> (qLangThresholds _),
+    "pipeline_curriculum" -> (qCurriculum _),
     "text_boilerplate" -> (qBoilerplate _),
     "text_boilerplate_frac" -> (qBoilerplateFrac _),
     "text_bigram_logprob" -> (qBigramLogprob _))
@@ -181,6 +203,20 @@ object CorpusStats {
         |  round(avg(n_chars), 6) AS avg_chars,
         |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
         |FROM documents GROUP BY source""".stripMargin,
+    "pipeline_curriculum" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |t AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM w),
+        |v AS (SELECT word, count(*) AS c FROM w GROUP BY word),
+        |sc AS (SELECT doc_id, round(avg(log2(c / t)), 6) AS s
+        |       FROM w JOIN v USING (word) CROSS JOIN t GROUP BY doc_id),
+        |cu AS (SELECT quantile_cont(s, [0.25, 0.5, 0.75]) AS cs FROM sc)
+        |SELECT CAST((CASE WHEN s >= cs[1] THEN 1 ELSE 0 END)
+        |     + (CASE WHEN s >= cs[2] THEN 1 ELSE 0 END)
+        |     + (CASE WHEN s >= cs[3] THEN 1 ELSE 0 END) AS INT) AS bucket,
+        |  count(*) AS n_docs,
+        |  round(min(s), 6) AS min_score,
+        |  round(max(s), 6) AS max_score
+        |FROM sc CROSS JOIN cu GROUP BY 1""".stripMargin,
     "text_boilerplate" ->
       s"""WITH g AS (SELECT doc_id, unnest(list_distinct(list_transform(
          |    range(1, len(ws) - ${BP_N - 2}),
