@@ -245,6 +245,21 @@ object Relational {
         coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
         col("n"), col("revenue"))
 
+  /** GROUPING SETS with an explicit set list — the general form under
+    * rollup/cube: exactly the requested combinations (by flag, by
+    * status, grand total), one pass, no unneeded subtotal rows.
+    * grouping() disambiguates a real NULL from a subtotal row. */
+  def groupingSetsRevenue(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "lineitem").createOrReplaceTempView("__gs_lineitem")
+    spark.sql(
+      """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS l_linestatus,
+        |  count(*) AS n,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 1) AS revenue
+        |FROM __gs_lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin)
+  }
+
   /** Pivot (long -> wide) with an explicit value list, so the output
     * schema is static and the plan is a single conditional aggregation
     * — no distinct-values pre-pass. */
@@ -397,6 +412,7 @@ object Relational {
     "events_moving_avg" -> (eventsMovingAvg _),
     "hist_price" -> (histPrice _),
     "join_outer" -> (joinOuter _),
+    "grouping_sets_revenue" -> (groupingSetsRevenue _),
     "events_funnel" -> (eventsFunnel _),
     "cube_revenue" -> (cubeRevenue _),
     "pivot_qty" -> (pivotQty _),
@@ -450,6 +466,13 @@ object Relational {
         |  round(min(l_extendedprice), 2) AS lo,
         |  round(max(l_extendedprice), 2) AS hi
         |FROM lineitem GROUP BY 1""".stripMargin,
+    "grouping_sets_revenue" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS l_linestatus,
+        |  count(*) AS n,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 1) AS revenue
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
     "join_outer" ->
       """WITH c AS (SELECT c_nationkey AS nationkey, count(*) AS n_cust
         |  FROM customer WHERE c_acctbal > 9000 GROUP BY 1),

@@ -141,6 +141,25 @@ object CorpusStats {
         round(max("avg_log2p"), 6).as("max_score"))
   }
 
+  /** One-row dataset card: the headline numbers a corpus release ships
+    * with (doc/source/lang counts, token volume, exact-duplicate rate).
+    * One multi-aggregate pass; the distinct aggregates expand to the
+    * standard two-phase plan, everything partial-aggregated. */
+  def qDatasetCard(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .withColumn("ws", split(col("text"), " "))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct("source").as("n_sources"),
+        countDistinct("lang").as("n_langs"),
+        sum(size(col("ws"))).cast("long").as("n_words"),
+        round(avg(size(col("ws"))), 6).as("avg_doc_words"),
+        countDistinct(md5(col("text"))).as("n_unique"))
+      .select(col("n_docs"), col("n_sources"), col("n_langs"),
+        col("n_words"), col("avg_doc_words"),
+        round(lit(1.0) - col("n_unique").cast("double") / col("n_docs"), 6)
+          .as("exact_dup_rate"))
+
   /** Per-source composition report: what a mix dashboard shows after
     * every pipeline stage. One partial-aggregated shuffle on source. */
   def qCorpusReport(spark: SparkSession, dir: String): DataFrame =
@@ -177,6 +196,7 @@ object CorpusStats {
     "pipeline_corpus_report" -> (qCorpusReport _),
     "text_lang_thresholds" -> (qLangThresholds _),
     "pipeline_curriculum" -> (qCurriculum _),
+    "pipeline_dataset_card" -> (qDatasetCard _),
     "text_boilerplate" -> (qBoilerplate _),
     "text_boilerplate_frac" -> (qBoilerplateFrac _),
     "text_bigram_logprob" -> (qBigramLogprob _))
@@ -203,6 +223,15 @@ object CorpusStats {
         |  round(avg(n_chars), 6) AS avg_chars,
         |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
         |FROM documents GROUP BY source""".stripMargin,
+    "pipeline_dataset_card" ->
+      """SELECT count(*) AS n_docs,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_words,
+        |  round(avg(len(string_split(text, ' '))), 6) AS avg_doc_words,
+        |  round(1.0 - CAST(count(DISTINCT md5(text)) AS DOUBLE) / count(*), 6)
+        |    AS exact_dup_rate
+        |FROM documents""".stripMargin,
     "pipeline_curriculum" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
         |t AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM w),
