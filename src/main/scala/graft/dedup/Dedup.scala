@@ -170,8 +170,12 @@ object Dedup {
     * sweeps (every edge touches its bucket keeper); a fixed sweep
     * count keeps the whole computation oracle-expressible as unrolled
     * SQL, mirroring how the kmeans oracle unrolls Lloyd iterations. */
-  def dedupClusters(spark: SparkSession, dir: String, sweeps: Int = 3): DataFrame = {
-    val e = candidates(spark, dir)
+  /** Label-propagation connected components over an (ia, ib) pair
+    * frame: each node takes the min label among itself and its
+    * neighbors for `sweeps` fixed sweeps (one join + one min-groupBy
+    * per sweep, no driver-side graph). Shared by the text-LSH and the
+    * embedding (SemDeDup-style) cluster operators. */
+  private[dedup] def labelPropagate(e: DataFrame, sweeps: Int): DataFrame = {
     val edges = e.select(col("ia").as("s"), col("ib").as("d"))
       .union(e.select(col("ib").as("s"), col("ia").as("d")))
     val nodes = e.select(col("ia").as("doc_id")).union(e.select(col("ib")))
@@ -185,6 +189,23 @@ object Dedup {
     }
     labels.select(col("doc_id"), col("lbl").as("cluster_id"))
   }
+
+  def dedupClusters(spark: SparkSession, dir: String, sweeps: Int = 3): DataFrame =
+    labelPropagate(candidates(spark, dir), sweeps)
+
+  /** Semantic duplicate clusters (the SemDeDup shape, from its public
+    * description: group vectors whose embeddings are near-identical,
+    * keep one per group): connected components over the sign-LSH
+    * cosine near-dup pairs. Same star-shaped candidate generation, so
+    * linear in corpus size; 2 sweeps converge on star-shaped edges,
+    * 3 for margin (fixed count keeps the oracle unrollable). */
+  def embedClusters(spark: SparkSession, dir: String, sweeps: Int = 3): DataFrame =
+    labelPropagate(
+      embedPairs(spark, dir).select(col("ia"), col("ib")), sweeps)
+      .select(col("doc_id").as("vec_id"), col("cluster_id"))
+
+  def qEmbedClusters(spark: SparkSession, dir: String): DataFrame =
+    embedClusters(spark, dir)
 
   def qDedupClusters(spark: SparkSession, dir: String): DataFrame =
     dedupClusters(spark, dir)
@@ -303,7 +324,8 @@ object Dedup {
     "dedup_simhash" -> (qSimhash _),
     "dedup_simhash_pairs" -> (qSimhashPairs _),
     "dedup_edit_distance" -> (qEditDistance _),
-    "dedup_embed" -> (qEmbed _))
+    "dedup_embed" -> (qEmbed _),
+    "dedup_embed_clusters" -> (qEmbedClusters _))
 
   val oracleSql: Map[String, String] = Map(
     "dedup_exact" ->
@@ -416,6 +438,31 @@ object Dedup {
          |  SELECT ia, ib, CAST(levenshtein(pa.p, pb.p) AS INT) AS ed
          |  FROM cands JOIN pre pa ON ia = pa.doc_id JOIN pre pb ON ib = pb.doc_id)
          |WHERE ed <= 15""".stripMargin,
+    "dedup_embed_clusters" -> {
+      val sweep = (in: String, out: String) =>
+        s"""$out AS (SELECT doc_id, min(lbl) AS lbl FROM (
+           |  SELECT e2.d AS doc_id, p.lbl FROM e2 JOIN $in p ON p.doc_id = e2.s
+           |  UNION ALL SELECT doc_id, lbl FROM $in) GROUP BY doc_id)""".stripMargin
+      s"""WITH b AS (SELECT vec_id, embedding,
+         |  ${VectorOps.signBucketSql("embedding", 4)} AS bk FROM embeddings),
+         |mins AS (SELECT bk, min(vec_id) AS ia FROM b GROUP BY bk),
+         |k AS (SELECT vec_id AS ia, embedding AS ea FROM b),
+         |pairs AS (SELECT ia, ib FROM (
+         |  SELECT m.ia, b.vec_id AS ib,
+         |    ${VectorOps.cosineSql("k.ea", "b.embedding")} AS cs
+         |  FROM b JOIN mins m ON b.bk = m.bk JOIN k ON k.ia = m.ia
+         |  WHERE b.vec_id > m.ia)
+         |WHERE cs >= 0.35),
+         |e2 AS (SELECT ia AS s, ib AS d FROM pairs
+         |       UNION ALL SELECT ib AS s, ia AS d FROM pairs),
+         |nodes AS (SELECT DISTINCT doc_id FROM (
+         |  SELECT ia AS doc_id FROM pairs UNION ALL SELECT ib FROM pairs)),
+         |l0 AS (SELECT doc_id, doc_id AS lbl FROM nodes),
+         |${sweep("l0", "l1")},
+         |${sweep("l1", "l2")},
+         |${sweep("l2", "l3")}
+         |SELECT doc_id AS vec_id, lbl AS cluster_id FROM l3""".stripMargin
+    },
     "dedup_embed" ->
       s"""WITH b AS (SELECT vec_id, embedding,
          |  ${VectorOps.signBucketSql("embedding", 4)} AS bk FROM embeddings),

@@ -407,7 +407,25 @@ object Relational {
         coalesce(col("n_supp"), lit(0L)).as("n_supp"))
   }
 
+  /** Z-score anomaly flagging: events whose value sits more than 3
+    * rounded standard deviations from its type's rounded mean — the
+    * data-QC gate a pipeline runs before trusting a feed. Two-pass
+    * shape: a tiny per-type stats aggregate broadcast back over one
+    * corpus pass. Stats are round-6 BEFORE the comparison so the
+    * cut line is identical across engines (an unrounded mu/sd differs
+    * in the last ulp between Spark and the oracle). */
+  def eventsAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val stats = ev.groupBy("event_type")
+      .agg(round(avg("value"), 6).as("mu"), round(stddev_samp(col("value")), 6).as("sd"))
+    ev.join(broadcast(stats), "event_type")
+      .filter(abs(col("value") - col("mu")) > lit(3.0) * col("sd"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        round((col("value") - col("mu")) / col("sd"), 6).as("z"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_anomaly" -> (eventsAnomaly _),
     "events_retention" -> (eventsRetention _),
     "events_moving_avg" -> (eventsMovingAvg _),
     "hist_price" -> (histPrice _),
@@ -441,6 +459,13 @@ object Relational {
     "agg_stats" -> (aggStats _))
 
   val oracleSql: Map[String, String] = Map(
+    "events_anomaly" ->
+      """WITH s AS (SELECT event_type, round(avg(value), 6) AS mu,
+        |  round(stddev_samp(value), 6) AS sd FROM events GROUP BY event_type)
+        |SELECT event_id, event_type, value,
+        |  round((value - mu) / sd, 6) AS z
+        |FROM events JOIN s USING (event_type)
+        |WHERE abs(value - mu) > 3.0 * sd""".stripMargin,
     "events_retention" ->
       """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
         |c AS (SELECT user_id, min(day) AS cohort FROM ev GROUP BY user_id),
