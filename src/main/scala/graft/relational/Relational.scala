@@ -328,14 +328,13 @@ object Relational {
     * result joined back. No per-user event list is ever materialized,
     * so a user with millions of events costs one running min per step
     * — unlike a collect-and-walk formulation. */
-  def eventsFunnel(spark: SparkSession, dir: String): DataFrame = {
-    val ev = t(spark, dir, "events")
-    val s1 = ev.filter(col("event_type") === "view")
+  def funnel(ev: DataFrame, step1: String, step2: String, step3: String): DataFrame = {
+    val s1 = ev.filter(col("event_type") === step1)
       .groupBy("user_id").agg(min("ts").as("t1"))
-    val s2 = ev.filter(col("event_type") === "click").join(s1, "user_id")
+    val s2 = ev.filter(col("event_type") === step2).join(s1, "user_id")
       .filter(col("ts") > col("t1"))
       .groupBy("user_id").agg(min("ts").as("t2"))
-    val s3 = ev.filter(col("event_type") === "purchase").join(s2, "user_id")
+    val s3 = ev.filter(col("event_type") === step3).join(s2, "user_id")
       .filter(col("ts") > col("t2"))
       .groupBy("user_id").agg(min("ts").as("t3"))
     s1.join(s2, Seq("user_id"), "left").join(s3, Seq("user_id"), "left")
@@ -343,6 +342,9 @@ object Relational {
         (lit(1) + when(col("t2").isNotNull, 1).otherwise(0)
           + when(col("t3").isNotNull, 1).otherwise(0)).as("depth"))
   }
+
+  def eventsFunnel(spark: SparkSession, dir: String): DataFrame =
+    funnel(t(spark, dir, "events"), "view", "click", "purchase")
 
   /** Daily cohort retention: users grouped by their FIRST event day;
     * for every (cohort, day-offset) the fraction of the cohort active
@@ -352,8 +354,8 @@ object Relational {
     * result, co-partitioned join back on user_id); the retention grid
     * is a distinct + one partial-agg shuffle on (cohort, offset). No
     * window, no per-user event list. */
-  def eventsRetention(spark: SparkSession, dir: String): DataFrame = {
-    val ev = t(spark, dir, "events").select(col("user_id"), to_date(col("ts")).as("day"))
+  def retention(events: DataFrame): DataFrame = {
+    val ev = events.select(col("user_id"), to_date(col("ts")).as("day"))
     val cohorts = ev.groupBy("user_id").agg(min("day").as("cohort"))
     val sizes = cohorts.groupBy("cohort").agg(countDistinct("user_id").as("n_cohort"))
     ev.join(cohorts, "user_id")
@@ -365,6 +367,9 @@ object Relational {
       .select(col("cohort"), col("offset"), col("n_active"), col("n_cohort"),
         round(col("n_active").cast("double") / col("n_cohort"), 6).as("retention"))
   }
+
+  def eventsRetention(spark: SparkSession, dir: String): DataFrame =
+    retention(t(spark, dir, "events"))
 
   /** Sliding row-frame moving average: per user, avg of the last 4
     * event values (3 preceding + current) in (ts, event_id) order —
@@ -414,15 +419,17 @@ object Relational {
     * corpus pass. Stats are round-6 BEFORE the comparison so the
     * cut line is identical across engines (an unrounded mu/sd differs
     * in the last ulp between Spark and the oracle). */
-  def eventsAnomaly(spark: SparkSession, dir: String): DataFrame = {
-    val ev = t(spark, dir, "events")
+  def anomaly(ev: DataFrame, zThreshold: Double): DataFrame = {
     val stats = ev.groupBy("event_type")
       .agg(round(avg("value"), 6).as("mu"), round(stddev_samp(col("value")), 6).as("sd"))
     ev.join(broadcast(stats), "event_type")
-      .filter(abs(col("value") - col("mu")) > lit(3.0) * col("sd"))
+      .filter(abs(col("value") - col("mu")) > lit(zThreshold) * col("sd"))
       .select(col("event_id"), col("event_type"), col("value"),
         round((col("value") - col("mu")) / col("sd"), 6).as("z"))
   }
+
+  def eventsAnomaly(spark: SparkSession, dir: String): DataFrame =
+    anomaly(t(spark, dir, "events"), 3.0)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_anomaly" -> (eventsAnomaly _),
