@@ -36,17 +36,14 @@ object Main {
     """usage:
       |  kmeans <dataset_path> <num_iter> <num_k> <output_path> <num_run>
       |  gka    <dataset_path> <num_iter> <num_k> <output_path> <num_run> <num_cms> <Pm> <Cm>
-      |  pso    <dataset_path> <num_iter> <num_k> <output_path> <num_run> <num_particle> <c1> <c2> <w_max> <w_min>""".stripMargin
+      |  pso    <dataset_path> <num_iter> <num_k> <output_path> <num_run> <num_particle> <c1> <c2> <w_max> <w_min>
+      |  clean  <corpus.jsonl> <output_dir>""".stripMargin
 
   def main(args: Array[String]): Unit = {
-    if (args.length < 6) { System.err.println(usage); sys.exit(2) }
+    if (args.length < 3 || (args(0) != "clean" && args.length < 6)) {
+      System.err.println(usage); sys.exit(2)
+    }
     val algo = args(0)
-    val datasetPath = args(1)
-    val numIter = args(2).toInt
-    val numK = args(3).toInt
-    val outputPath = args(4)
-    val numRun = args(5).toInt
-
     val spark = SparkSession.builder()
       .config(new SparkConf().setIfMissing("spark.master", "local[*]")
         .setIfMissing("spark.sql.shuffle.partitions",
@@ -55,9 +52,24 @@ object Main {
       .appName(s"graft-$algo")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try run(spark, algo, datasetPath, numIter, numK, outputPath, numRun,
-      args.drop(6))
-    finally spark.stop()
+    try {
+      if (algo == "clean") cleanRun(spark, args(1), args(2))
+      else run(spark, algo, args(1), args(2).toInt, args(3).toInt, args(4),
+        args(5).toInt, args.drop(6))
+    } finally spark.stop()
+  }
+
+  /** Corpus-cleaning entry: read a JSONL corpus, run the clean-corpus
+    * composition (exact dedup -> LSH near-dup -> quality gate), write
+    * the surviving documents back out as JSONL plus a one-line
+    * summary. The pipeline twin of the clustering subcommands. */
+  def cleanRun(spark: SparkSession, inPath: String, outDir: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    val docs = sources.JsonDocsSource.docs(spark, inPath)
+    val kept = pipeline.CleanCorpus.cleanOf(docs).select("doc_id")
+    sources.JsonDocsSource.write(docs.join(kept, "doc_id"), outDir)
+    val (nIn, nOut) = (docs.count(), spark.read.json(outDir).count())
+    println(s"[clean] kept $nOut of $nIn documents -> $outDir")
   }
 
   /** Testable core: everything main does minus session lifecycle. */

@@ -71,12 +71,14 @@ object Dedup {
     * families (a single sf0.1 bucket holds 3k docs = 5M pairs); the
     * star is linear in corpus size, which is also the right semantics
     * for dedup keeper-selection. Equi-join on (band, bh) only. */
-  def candidates(spark: SparkSession, dir: String,
-                 h: Int = H, nBands: Int = BANDS): DataFrame = {
+  /** Band-bucket candidate pairs over ANY (doc_id, text) frame — the
+    * DataFrame-parametric core, so the same chain runs on the testdata
+    * corpus, a JSONL ingest (graft.Main clean) or any other source. */
+  def candidatesOf(docs: DataFrame, h: Int = H, nBands: Int = BANDS): DataFrame = {
     // no cache: the bands projection is recomputed for the two plan
     // branches (cheap md5 HOFs), which beats leaking a cached copy per
     // calling query for the session's lifetime
-    val b = bands(signatures(t(spark, dir, "documents"), h), h, nBands)
+    val b = bands(signatures(docs, h), h, nBands)
     val mins = b.groupBy("band", "bh").agg(min("doc_id").as("ia"))
     b.join(mins, Seq("band", "bh"))
       .filter(col("doc_id") > col("ia"))
@@ -84,17 +86,20 @@ object Dedup {
       .distinct()
   }
 
-  private def wordSets(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents")
-      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("ws"))
+  def candidates(spark: SparkSession, dir: String,
+                 h: Int = H, nBands: Int = BANDS): DataFrame =
+    candidatesOf(t(spark, dir, "documents"), h, nBands)
+
+  private def wordSetsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), array_distinct(split(col("text"), " ")).as("ws"))
 
   /** LSH near-dup: exact word-set Jaccard >= threshold over band
     * candidates. Candidates (small) join back to word sets by id — the
     * word arrays are never carried through the pair explosion. */
-  def minhashLsh(spark: SparkSession, dir: String, h: Int = H,
-                 nBands: Int = BANDS, threshold: Double = 0.8): DataFrame = {
-    val w = wordSets(spark, dir)
-    candidates(spark, dir, h, nBands)
+  def minhashLshOf(docs: DataFrame, h: Int = H,
+                   nBands: Int = BANDS, threshold: Double = 0.8): DataFrame = {
+    val w = wordSetsOf(docs)
+    candidatesOf(docs, h, nBands)
       .join(w.select(col("doc_id").as("ia"), col("ws").as("wa")), "ia")
       .join(w.select(col("doc_id").as("ib"), col("ws").as("wb")), "ib")
       // |A∪B| = |A|+|B|-|A∩B| on the distinct arrays: skips building
@@ -106,6 +111,10 @@ object Dedup {
       .filter(col("j") >= threshold)
       .select("ia", "ib", "j")
   }
+
+  def minhashLsh(spark: SparkSession, dir: String, h: Int = H,
+                 nBands: Int = BANDS, threshold: Double = 0.8): DataFrame =
+    minhashLshOf(t(spark, dir, "documents"), h, nBands, threshold)
 
   def qMinhashLsh(spark: SparkSession, dir: String): DataFrame =
     minhashLsh(spark, dir)

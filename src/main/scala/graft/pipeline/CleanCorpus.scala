@@ -19,9 +19,11 @@ import graft.dedup.Dedup
   */
 object CleanCorpus {
 
-  def qClean(spark: SparkSession, dir: String): DataFrame = {
-    val docs = t(spark, dir, "documents")
-      .withColumn("ws", split(col("text"), " "))
+  /** DataFrame-parametric core over ANY (doc_id, text) corpus — the
+    * same chain runs on the testdata documents table or a JSONL ingest
+    * (graft.Main clean). */
+  def cleanOf(rawDocs: DataFrame): DataFrame = {
+    val docs = rawDocs.withColumn("ws", split(col("text"), " "))
 
     // 1. exact dedup: keep the lowest doc_id of each identical text
     val keepExact = docs
@@ -29,7 +31,7 @@ object CleanCorpus {
       .select("doc_id")
 
     // 2. near-dup: drop LSH candidates too similar to their keeper
-    val nearDupIds = Dedup.qMinhashLsh(spark, dir).select(col("ib").as("doc_id")).distinct()
+    val nearDupIds = Dedup.minhashLshOf(rawDocs).select(col("ib").as("doc_id")).distinct()
 
     docs
       .join(keepExact, "doc_id")
@@ -44,6 +46,9 @@ object CleanCorpus {
       .select(col("doc_id"), col("n_words"),
         round(col("stop_ratio"), 6).as("stop_ratio"))
   }
+
+  def qClean(spark: SparkSession, dir: String): DataFrame =
+    cleanOf(t(spark, dir, "documents"))
 
   /** The full gate stack: everything qClean does PLUS the repetition/
     * degeneracy gates (#46) — the composition a production run ships.

@@ -46,6 +46,23 @@ class MainSpec extends AnyFunSuite {
     assert(ls.head.split(",").length == 5)
   }
 
+  test("clean CLI deduplicates and quality-gates a jsonl corpus end to end") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_clean").toString
+    // stage the testdata documents as a jsonl corpus (a user's ingest)
+    graft.sources.JsonDocsSource.write(
+      graft.Tables.t(spark, "/root/testdata/sf0.001", "documents")
+        .select("doc_id", "text"),
+      s"$tmp/in")
+    Main.cleanRun(spark, s"$tmp/in", s"$tmp/out")
+    val out = spark.read.json(s"$tmp/out")
+    assert(out.columns.sorted.toSeq == Seq("doc_id", "text"))
+    val nOut = out.count()
+    val expected = graft.pipeline.CleanCorpus
+      .qClean(spark, "/root/testdata/sf0.001").count()
+    assert(nOut == expected, "CLI output matches the registered pipeline")
+    assert(out.select("doc_id").distinct().count() == nOut)
+  }
+
   test("unknown algorithm fails loudly") {
     val out = java.io.File.createTempFile("bad", ".csv").getPath
     val e = intercept[RuntimeException] {
