@@ -26,6 +26,7 @@ object SparkEntry {
       search.SimSearch.queries ++
       search.Quantized.queries ++
       search.PQ.queries ++
+      search.IvfPq.queries ++
       text.TextAnalysis.queries ++
       text.Repetition.queries ++
       text.CorpusStats.queries ++
@@ -49,6 +50,7 @@ object SparkEntry {
       search.SimSearch.oracleSql ++
       search.Quantized.oracleSql ++
       search.PQ.oracleSql ++
+      search.IvfPq.oracleSql ++
       text.TextAnalysis.oracleSql ++
       text.Repetition.oracleSql ++
       text.CorpusStats.oracleSql ++

@@ -1,0 +1,89 @@
+package graft.search
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.clustering.{KMeans, Points}
+
+/** IVF+PQ composed — the full FAISS-style billion-vector architecture
+  * from its public description: the coarse quantizer narrows each
+  * query to its NPROBE nearest cells, and the candidates inside those
+  * cells are scored from their 8-byte PQ codes with the ADC lookup
+  * table (the shared-codebook, non-residual IVFPQ variant — FAISS's
+  * `by_residual=false`). Composes the two already-oracled trainers:
+  * SimSearch.trainCoarse and PQ.trainCodebooks.
+  *
+  * Scale shape: query-time work is (corpus/CELLS)*NPROBE code rows per
+  * query, each costing 8 array lookups — no vector arithmetic touches
+  * the corpus at query time, and the index state is 8 bytes + 1 cell
+  * id per vector. Entirely deterministic, so training, encoding,
+  * probing and scoring are all one generated SQL oracle.
+  */
+object IvfPq {
+
+  private val TOPK = 5
+
+  def qIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val ed = Points.embedDims
+    val pts = Points.embeddings64(spark, dir).cache()
+    // 1. train both quantizers (driver holds only centers/codebooks)
+    val coarse = SimSearch.trainCoarse(pts, SimSearch.CELLS, 2, ed)
+    val codebooks = PQ.trainCodebooks(pts)
+    // 2. build the index: cell id + 8 codes per vector, MATERIALIZED
+    val index = encodeIndex(pts, coarse, codebooks).cache()
+    index.count()
+    pts.unpersist()
+    // 3. probe driver-side; ship each query's probed cells + ADC table
+    val qvecs = SimSearch.queryVecs(spark, dir)
+    val probed = SimSearch.probeCells(qvecs, coarse, SimSearch.NPROBE, ed)
+    val adc = PQ.adcRows(qvecs, codebooks).toMap
+    import spark.implicits._
+    val qdf = broadcast(
+      probed.map { case (qid, cell) => (qid, cell, adc(qid)) }
+        .toDF("q_id", "cell", "dtab"))
+    // 4. candidates = probed cells' members; score codes via ADC
+    val scored = qdf.join(index, qdf("cell") === index("icell"))
+      .filter(col("pid") =!= col("q_id"))
+      .select(col("q_id"), col("pid").as("vec_id"), PQ.adScore.as("ad"))
+    val w = Window.partitionBy("q_id").orderBy(col("ad").asc, col("vec_id").asc)
+    val result = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TOPK)
+      .select("q_id", "vec_id", "rank", "ad")
+    val rows = result.collect()
+    val schema = result.schema
+    index.unpersist()
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1), schema)
+  }
+
+  /** The index frame: coarse cell id (icell) + the 8 PQ codes per
+    * vector — two projections over the cached points joined on the
+    * unique pid (the cell assignment and the code assignments both
+    * bind a column named `k`, so they are computed apart). */
+  private def encodeIndex(pts: DataFrame, coarse: Array[Array[Double]],
+                          codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val cells = KMeans.assign(pts, coarse, Points.embedDims)
+      .select(col("pid"), col("k").as("icell"))
+    PQ.encodeCodes(pts, codebooks).join(cells, "pid")
+  }
+
+  private def ivfPqOracle: String =
+    s"""WITH pts AS (${Points.embedPtsSql}),
+       |${SimSearch.ivfChainSql},
+       |${PQ.pqTrainSql},
+       |${PQ.pqQtabSql},
+       |cand AS (SELECT pr.q_id, a.pid AS vec_id
+       |  FROM pr JOIN acell a ON a.k = pr.cell WHERE a.pid != pr.q_id),
+       |scored AS (SELECT cand.q_id, cand.vec_id, sqrt(${PQ.pqAdCaseSql}) AS ad
+       |  FROM cand JOIN codes c ON c.pid = cand.vec_id
+       |            JOIN qtab q ON q.q_id = cand.q_id)
+       |SELECT q_id, vec_id, rank, ad FROM (
+       |  SELECT *, CAST(row_number() OVER (
+       |    PARTITION BY q_id ORDER BY ad ASC, vec_id ASC) AS INT) AS rank
+       |  FROM scored) WHERE rank <= $TOPK""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "simsearch_ivfpq" -> (qIvfPq _))
+
+  val oracleSql: Map[String, String] = Map(
+    "simsearch_ivfpq" -> ivfPqOracle)
+}

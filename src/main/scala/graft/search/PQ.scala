@@ -40,17 +40,16 @@ object PQ {
 
   private def sub(s: Int): Seq[String] = Points.embedDims.slice(s * SUBD, (s + 1) * SUBD)
 
-  def qPq(spark: SparkSession, dir: String): DataFrame = {
-    val pts = Points.embeddings64(spark, dir).cache()
-    // 1. train each subspace codebook: first-K init + 1 Lloyd iteration
-    //    (the same generic operators the clustering engine exposes).
-    //    Job-count discipline: pid is unique, so ONE TakeOrdered collect
-    //    yields every subspace's first-K init (identical values to 8
-    //    per-subspace firstKCenters calls); ONE shared assign pass tags
-    //    all 8 subspace memberships; the 8 per-subspace mean-updates
-    //    are independent small aggregates, launched as CONCURRENT jobs
-    //    over the shared cached assignment — 3 job waves instead of 16
-    //    sequential driver round-trips.
+  /** Subspace codebook training: first-K init + 1 Lloyd iteration per
+    * subspace (the same generic operators the clustering engine
+    * exposes). Job-count discipline: pid is unique, so ONE TakeOrdered
+    * collect yields every subspace's first-K init (identical values to
+    * 8 per-subspace firstKCenters calls); ONE shared assign pass tags
+    * all 8 subspace memberships; the 8 per-subspace mean-updates are
+    * independent small aggregates, launched as CONCURRENT jobs over
+    * the shared cached assignment — 3 job waves instead of 16
+    * sequential driver round-trips. Shared by PQ and IVFPQ. */
+  private[search] def trainCodebooks(pts: DataFrame): Array[Array[Array[Double]]] = {
     val first = pts.orderBy(col("pid") +: Points.embedDims.map(col): _*).limit(PQ_K)
       .select(Points.embedDims.map(col): _*).collect()
       .map(r => Points.embedDims.indices.map(r.getDouble).toArray)
@@ -77,25 +76,26 @@ object PQ {
         Array.tabulate(PQ_K)(j => byK.getOrElse(j, Array.fill(SUBD)(Double.NaN)))
       }
     }
-    val codebooks: Array[Array[Array[Double]]] =
-      codebookFuts.map(Await.result(_, Duration.Inf)).toArray
+    val codebooks = codebookFuts.map(Await.result(_, Duration.Inf)).toArray
     assigned.unpersist()
-    // 2. encode: 8 codes per vector, MATERIALIZED — this is the PQ
-    //    index (8 bytes/vector), and caching it keeps the 8x16-center
-    //    distance trees out of the downstream join/window plan
+    codebooks
+  }
+
+  /** The 8-codes-per-vector encode projection (the PQ index shape). */
+  private[search] def encodeCodes(pts: DataFrame,
+                                  codebooks: Array[Array[Array[Double]]]): DataFrame = {
     var enc = pts
     for (s <- 0 until M)
       enc = KMeans.assign(enc, codebooks(s), sub(s))
         .withColumnRenamed("k", s"code_$s").drop("dist")
-    val codes = enc.select(col("pid") +: (0 until M).map(s => col(s"code_$s")): _*).cache()
-    codes.count()
-    pts.unpersist()
-    // 3. ADC lookup tables, driver-side: QN x M x PQ_K squared partial
-    //    distances, left-fold add order identical to the SQL oracle
-    val qvecs = t(spark, dir, "embeddings").filter(col("vec_id") <= QN)
-      .select(col("vec_id"), col("embedding")).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
-    val qRows = qvecs.toSeq.map { case (qid, v) =>
+    enc.select(col("pid") +: (0 until M).map(s => col(s"code_$s")): _*)
+  }
+
+  /** Driver-side ADC lookup tables: per query, M x PQ_K squared
+    * partial distances, left-fold add order identical to the oracle. */
+  private[search] def adcRows(qvecs: Array[(Long, Array[Double])],
+                              codebooks: Array[Array[Array[Double]]]): Seq[(Long, Seq[Seq[Double]])] =
+    qvecs.toSeq.map { case (qid, v) =>
       val dtab = (0 until M).map { s =>
         (0 until PQ_K).map { j =>
           (0 until SUBD).map { d =>
@@ -105,14 +105,30 @@ object PQ {
       }
       (qid, dtab)
     }
+
+  /** ADC score column: per (query, vector), 8 table lookups + an add
+    * chain; approx distance = sqrt of the summed partials. Expects a
+    * `dtab` column and the code_0..code_{M-1} columns in scope. */
+  private[search] def adScore: org.apache.spark.sql.Column =
+    sqrt((0 until M).map(s =>
+      element_at(element_at(col("dtab"), s + 1), col(s"code_$s") + 1)).reduce(_ + _))
+
+  def qPq(spark: SparkSession, dir: String): DataFrame = {
+    val pts = Points.embeddings64(spark, dir).cache()
+    // 1. train the codebooks (tiny driver state only)
+    val codebooks = trainCodebooks(pts)
+    // 2. encode: MATERIALIZED — this is the PQ index (8 bytes/vector),
+    //    and caching it keeps the 8x16-center distance trees out of
+    //    the downstream join/window plan
+    val codes = encodeCodes(pts, codebooks).cache()
+    codes.count()
+    pts.unpersist()
+    // 3+4. ADC tables + scoring
+    val qRows = adcRows(SimSearch.queryVecs(spark, dir), codebooks)
     import spark.implicits._
     val qdf = broadcast(qRows.toDF("q_id", "dtab"))
-    // 4. ADC scoring: per (query, vector), 8 table lookups + an add
-    //    chain; approx distance = sqrt of the summed partials
-    val ad = sqrt((0 until M).map(s =>
-      element_at(element_at(col("dtab"), s + 1), col(s"code_$s") + 1)).reduce(_ + _))
     val scored = codes.crossJoin(qdf).filter(col("pid") =!= col("q_id"))
-      .select(col("q_id"), col("pid").as("vec_id"), ad.as("ad"))
+      .select(col("q_id"), col("pid").as("vec_id"), adScore.as("ad"))
     val w = Window.partitionBy("q_id").orderBy(col("ad").asc, col("vec_id").asc)
     val result = scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= PQ_TOPK)
@@ -125,10 +141,10 @@ object PQ {
     spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1), schema)
   }
 
-  /** The whole pipeline as one generated SQL statement: per subspace,
-    * init + 1 Lloyd iteration + encode; then the ADC table per query
-    * and the scored top-k. */
-  private def pqOracle: String = {
+  /** Train+encode CTE chain (c0_s .. enc_s per subspace, then the
+    * joined `codes` table). Expects a `pts` CTE in scope. Shared by
+    * the PQ and IVFPQ oracles. */
+  private[search] def pqTrainSql: String = {
     val train = (0 until M).map { s =>
       val sd = sub(s)
       s"""${ClusterSql.c0Sql(PQ_K, Points.embedPtsSql, sd, s"c0_$s")},
@@ -142,8 +158,13 @@ object PQ {
       (0 until M).map(s => s"e$s.k AS code_$s").mkString(", ") +
       " FROM " + (0 until M).map(s => s"enc_$s e$s").mkString(", ") +
       " WHERE " + (1 until M).map(s => s"e0.pid = e$s.pid").mkString(" AND ") + ")"
-    // one widened copy of each codebook with a per-subspace column
-    // prefix, so all 8 can share the ADC table's scope
+    s"$train,\n$codes"
+  }
+
+  /** The per-query ADC table CTE (`qtab`): one widened copy of each
+    * codebook with a per-subspace column prefix, so all 8 can share
+    * one scope. Expects `pts` and the u1_s CTEs. */
+  private[search] def pqQtabSql: String = {
     val qWidens = (0 until M).map(s =>
       ClusterSql.widenSql(PQ_K, s"u1_$s", s"cwq_$s", sub(s), s"q${s}x")).mkString(",\n")
     val qtabCols = (0 until M).flatMap { s =>
@@ -154,20 +175,29 @@ object PQ {
         }.mkString(" + ") + s" AS pd_${s}_$j"
       }
     }.mkString(",\n    ")
-    val qtab =
-      s"""qtab AS (SELECT pid AS q_id,
-         |    $qtabCols
-         |  FROM pts ${(0 until M).map(s => s"CROSS JOIN cwq_$s").mkString(" ")}
-         |  WHERE pid <= $QN)""".stripMargin
-    val adExpr = (0 until M).map { s =>
+    s"""$qWidens,
+       |qtab AS (SELECT pid AS q_id,
+       |    $qtabCols
+       |  FROM pts ${(0 until M).map(s => s"CROSS JOIN cwq_$s").mkString(" ")}
+       |  WHERE pid <= $QN)""".stripMargin
+  }
+
+  /** The ADC distance expression over a codes row `c` and a qtab row
+    * `q` — explicit left-fold order, identical to adScore. */
+  private[search] def pqAdCaseSql: String =
+    (0 until M).map { s =>
       s"(CASE c.code_$s " +
         (0 until PQ_K).map(j => s"WHEN $j THEN q.pd_${s}_$j").mkString(" ") + " END)"
     }.mkString(" + ")
+
+  /** The whole pipeline as one generated SQL statement: per subspace,
+    * init + 1 Lloyd iteration + encode; then the ADC table per query
+    * and the scored top-k. */
+  private def pqOracle: String = {
+    val adExpr = pqAdCaseSql
     s"""WITH pts AS (${Points.embedPtsSql}),
-       |$train,
-       |$codes,
-       |$qWidens,
-       |$qtab,
+       |$pqTrainSql,
+       |$pqQtabSql,
        |scored AS (SELECT q.q_id, c.pid AS vec_id, sqrt($adExpr) AS ad
        |  FROM codes c CROSS JOIN qtab q WHERE c.pid != q.q_id)
        |SELECT q_id, vec_id, rank, ad FROM (

@@ -17,7 +17,7 @@ import graft.functions.VectorOps
   */
 object SimSearch {
 
-  private val QN = 5 // query vectors: vec_id <= QN
+  private[search] val QN = 5 // query vectors: vec_id <= QN
   private val TOPK = 10
   private val ANN_TOPK = 5
   private val BITS = 4
@@ -67,10 +67,44 @@ object SimSearch {
 
   // ---- IVF: k-means coarse quantizer + probed-cell search -------------
 
-  private val CELLS = 8
-  private val NPROBE = 2
+  private[search] val CELLS = 8
+  private[search] val NPROBE = 2
   private val IVF_ITERS = 2
   private val IVF_TOPK = 5
+
+  /** Coarse-quantizer training, shared by IVF and IVFPQ: centers move
+    * through the driver, data does not. */
+  private[search] def trainCoarse(pts: DataFrame, cells: Int, iters: Int,
+                                  ed: Seq[String]): Array[Array[Double]] = {
+    var centers = Points.firstKCenters(pts, cells, ed)
+    for (_ <- 1 to iters) {
+      val byK = KMeans.update(KMeans.assign(pts, centers, ed), ed).collect()
+        .map(r => r.getAs[Int]("k") -> ed.indices.map(i => r.getDouble(2 + i)).toArray).toMap
+      centers = Array.tabulate(cells)(i => byK.getOrElse(i, centers(i)))
+    }
+    centers
+  }
+
+  /** Driver-side cell probe, shared by IVF and IVFPQ: QN query vectors
+    * x CELLS centers is tiny state; the left-fold add order matches
+    * Points.distTo exactly so distances are bitwise oracle-identical. */
+  private[search] def probeCells(qvecs: Array[(Long, Array[Double])],
+                                 centers: Array[Array[Double]], nprobe: Int,
+                                 ed: Seq[String]): Seq[(Long, Int)] =
+    qvecs.toSeq.flatMap { case (qid, v) =>
+      centers.indices.map { i =>
+        val d = math.sqrt(ed.indices.map { j =>
+          val df = v(j) - centers(i)(j); df * df
+        }.reduce(_ + _))
+        (i, d)
+      }.sortBy { case (cell, dist) => (dist, cell) }
+        .take(nprobe).map { case (cell, _) => (qid, cell) }
+    }
+
+  private[search] def queryVecs(spark: SparkSession, dir: String): Array[(Long, Array[Double])] =
+    t(spark, dir, "embeddings").filter(col("vec_id") <= QN)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
 
   /** IVF ANN: the 100 TB scale path. A coarse quantizer (the SAME
     * generic Lloyd operator, 2 iterations, deterministic init) buckets
@@ -80,14 +114,8 @@ object SimSearch {
   def qIvf(spark: SparkSession, dir: String): DataFrame = {
     val ed = Points.embedDims
     val pts = Points.embeddings64(spark, dir).cache()
-    // 1. train the coarse quantizer (centers move through the driver,
-    //    data does not)
-    var centers = Points.firstKCenters(pts, CELLS, ed)
-    for (_ <- 1 to IVF_ITERS) {
-      val byK = KMeans.update(KMeans.assign(pts, centers, ed), ed).collect()
-        .map(r => r.getAs[Int]("k") -> ed.indices.map(i => r.getDouble(2 + i)).toArray).toMap
-      centers = Array.tabulate(CELLS)(i => byK.getOrElse(i, centers(i)))
-    }
+    // 1. train the coarse quantizer
+    val centers = trainCoarse(pts, CELLS, IVF_ITERS, ed)
     // 2. build the index: the cell assignment is MATERIALIZED (cached)
     //    — that's what an IVF index IS, and it also keeps the final
     //    query plan free of the 8x64-term assign expression trees
@@ -95,23 +123,10 @@ object SimSearch {
     val cells = KMeans.assign(pts, centers, ed).select(col("pid"), col("k")).cache()
     cells.count() // materialize the index, then the point cache can go
     pts.unpersist()
-    // 3. probe DRIVER-SIDE: QN query vectors x CELLS centers is tiny
-    //    state (round 4 — the previous Spark-job probe re-derived the
-    //    8x64-dim distance trees for one more codegen'd stage). The
-    //    left-fold add order matches Points.distTo exactly, so the
-    //    distances — and the oracle — are bitwise unchanged.
-    val qvecs = t(spark, dir, "embeddings").filter(col("vec_id") <= QN)
-      .select(col("vec_id"), col("embedding")).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
-    val probedRows = qvecs.toSeq.flatMap { case (qid, v) =>
-      centers.indices.map { i =>
-        val d = math.sqrt(ed.indices.map { j =>
-          val df = v(j) - centers(i)(j); df * df
-        }.reduce(_ + _))
-        (i, d)
-      }.sortBy { case (cell, dist) => (dist, cell) }
-        .take(NPROBE).map { case (cell, _) => (qid, cell) }
-    }
+    // 3. probe DRIVER-SIDE (round 4 — the previous Spark-job probe
+    //    re-derived the 8x64-dim distance trees for one more codegen'd
+    //    stage)
+    val probedRows = probeCells(queryVecs(spark, dir), centers, NPROBE, ed)
     import spark.implicits._
     val probed = probedRows.toDF("q_id", "cell")
     // 4. candidates = vectors in probed cells; score; top-k
@@ -137,7 +152,10 @@ object SimSearch {
     spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1), schema)
   }
 
-  private val ivfOracle: String = {
+  /** The IVF CTE chain (train -> cell assignment `acell` -> probed
+    * cells `pr`), shared by the IVF and IVFPQ oracles. Expects a `pts`
+    * CTE in scope. */
+  private[search] def ivfChainSql: String = {
     val ed = Points.embedDims
     val stages = (1 to IVF_ITERS).map { i =>
       val cIn = if (i == 1) "c0" else s"u${i - 1}"
@@ -148,15 +166,19 @@ object SimSearch {
     val probeUnion = (0 until CELLS).map(k =>
       s"SELECT pid AS q_id, $k AS cell, d$k AS dist FROM acell_d WHERE pid <= $QN")
       .mkString(" UNION ALL ")
-    s"""WITH pts AS (${Points.embedPtsSql}),
-       |${ClusterSql.c0Sql(CELLS, Points.embedPtsSql, ed)},
+    s"""${ClusterSql.c0Sql(CELLS, Points.embedPtsSql, ed)},
        |$stages,
        |${ClusterSql.widenSql(CELLS, s"u$IVF_ITERS", "cw", ed)},
        |${ClusterSql.assignSql(CELLS, "cw", "acell", "pts", ed)},
        |probe AS (SELECT * FROM ($probeUnion) WHERE dist IS NOT NULL),
        |pr AS (SELECT q_id, cell FROM (
        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY dist, cell) AS rn
-       |  FROM probe) WHERE rn <= $NPROBE),
+       |  FROM probe) WHERE rn <= $NPROBE)""".stripMargin
+  }
+
+  private val ivfOracle: String = {
+    s"""WITH pts AS (${Points.embedPtsSql}),
+       |$ivfChainSql,
        |cand AS (SELECT pr.q_id, a.pid AS vec_id
        |  FROM pr JOIN acell a ON a.k = pr.cell WHERE a.pid != pr.q_id),
        |scored AS (SELECT cand.q_id, cand.vec_id,
