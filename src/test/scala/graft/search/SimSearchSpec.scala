@@ -54,6 +54,16 @@ class SimSearchSpec extends AnyFunSuite {
       "qPq must unpersist its point/assignment/codes caches before returning")
   }
 
+  test("ivfpq returns k ranked rows per query and releases its index cache") {
+    val rows = IvfPq.queries("simsearch_ivfpq")(spark, sf).collect()
+    assert(rows.length > 0 && rows.length % 5 == 0)
+    rows.groupBy(_.getAs[Long]("q_id")).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to 5))
+    }
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "qIvfPq must unpersist its point and index caches before returning")
+  }
+
   test("ann recall measurement is a valid fraction over the brute-force truth") {
     val rows = SimSearch.qRecall(spark, sf).collect()
     assert(rows.nonEmpty)

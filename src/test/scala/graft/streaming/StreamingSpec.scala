@@ -57,6 +57,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("watermark drops events later than the horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val df = input.toDF().toDF("ts", "event_type", "value")
+    val q = Streams.hourlyCounts(df)
+      .writeStream.format("memory").queryName("late_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData((ts(0), "click", 1.0))
+      q.processAllAvailable()
+      // advance the watermark far past hour 0's close (2h watermark)
+      input.addData((ts(600), "view", 1.0))
+      q.processAllAvailable()
+      // a straggler INSIDE the closed hour-0 window: must be dropped
+      input.addData((ts(5), "click", 100.0))
+      q.processAllAvailable()
+      val clicks = spark.table("late_out")
+        .filter($"event_type" === "click")
+        .select("n_events", "sum_value").as[(Long, Double)].collect()
+      assert(clicks.toSeq == Seq((1L, 1.0)),
+        s"late click must not reopen the emitted window: ${clicks.mkString}")
+    } finally q.stop()
+  }
+
   test("streaming hourly counts over a memory stream match the batch twin") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Double)]
