@@ -43,4 +43,9 @@ object GraftFunctions {
 
   def cosineSim(a: Column, b: Column): Column =
     GraftBridge.column(CosineSimilarity(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** PQ nearest-centroid codes of a packed array<double> point; the
+    * trained codebook rides as driver-side state, not a child. */
+  def pqEncode(xs: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    GraftBridge.column(PQEncode(GraftBridge.expression(xs), codebooks))
 }

@@ -55,11 +55,11 @@ object PQ {
       .map(r => Points.embedDims.indices.map(r.getDouble).toArray)
     val inits = Array.tabulate(M)(s =>
       Array.tabulate(PQ_K)(j => first(j).slice(s * SUBD, (s + 1) * SUBD)))
-    var a0 = pts
-    for (s <- 0 until M)
-      a0 = KMeans.assign(a0, inits(s), sub(s))
-        .withColumnRenamed("k", s"t_$s").drop("dist")
-    val assigned = a0.cache()
+    val assigned = pts.select(
+      (Points.embedDims.map(col) :+
+        graft.functions.GraftFunctions
+          .pqEncode(array(Points.embedDims.map(col): _*), inits).as("__t")): _*)
+      .cache()
     assigned.count()
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
@@ -69,7 +69,7 @@ object PQ {
         val sd = sub(s)
         // exactly KMeans.update's math over this subspace's assignment
         val byK = KMeans.update(
-          assigned.select(col(s"t_$s").as("k") +: sd.map(col): _*), sd)
+          assigned.select(element_at(col("__t"), s + 1).as("k") +: sd.map(col): _*), sd)
           .collect()
           .map(r => r.getAs[Int]("k") -> sd.indices.map(i => r.getDouble(2 + i)).toArray)
           .toMap
@@ -81,9 +81,24 @@ object PQ {
     codebooks
   }
 
-  /** The 8-codes-per-vector encode projection (the PQ index shape). */
+  /** The 8-codes-per-vector encode projection (the PQ index shape),
+    * via the native PQEncode expression — one fused pass instead of
+    * M x K unrolled Catalyst distance trees (PQSpec proves the codes
+    * bitwise-equal to the composed KMeans.assign formulation the
+    * oracle mirrors). */
   private[search] def encodeCodes(pts: DataFrame,
-                                  codebooks: Array[Array[Array[Double]]]): DataFrame = {
+                                  codebooks: Array[Array[Array[Double]]]): DataFrame =
+    pts.select(col("pid"),
+      graft.functions.GraftFunctions
+        .pqEncode(array(Points.embedDims.map(col): _*), codebooks).as("__codes"))
+      .select(col("pid") +: (0 until M).map(s =>
+        element_at(col("__codes"), s + 1).as(s"code_$s")): _*)
+
+  /** The declarative encode (M x K unrolled assigns) — the formulation
+    * the SQL oracle mirrors; kept as the equivalence reference for
+    * PQSpec. */
+  private[search] def encodeCodesDeclarative(pts: DataFrame,
+                                             codebooks: Array[Array[Array[Double]]]): DataFrame = {
     var enc = pts
     for (s <- 0 until M)
       enc = KMeans.assign(enc, codebooks(s), sub(s))
