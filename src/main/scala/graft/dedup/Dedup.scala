@@ -305,7 +305,7 @@ object Dedup {
 
   // ---- oracle SQL ------------------------------------------------------
 
-  private def mhSql(i: Int): String =
+  private[dedup] def mhSql(i: Int): String =
     s"list_aggregate(list_transform(string_split(text, ' '), w -> md5(concat('$i:', w))), 'min') AS mh_$i"
 
   private val sigSql =

@@ -53,10 +53,73 @@ object Incremental {
           .otherwise(lit("new")).as("status"))
   }
 
+  /** Incremental NEAR-dup: the daily batch against the STANDING
+    * corpus's minhash band index — the production shape for fuzzy
+    * dedup at ingest. Candidates come ONLY from batch-bands joining
+    * standing-bands on (band, bh): new x standing pairs, never
+    * standing x standing (the corpus is never re-paired with itself),
+    * then exact word-set Jaccard >= 0.8 confirms. At 100 TB the
+    * standing band index is (band, bh, doc_id) rows bucketable on the
+    * band key, so tomorrow's batch joins without a corpus-side
+    * shuffle. */
+  def qIncrementalNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .withColumn("__b",
+        expr(s"${nibbleHashSql("cast(doc_id as string)")} % 10") === BATCH_BUCKET)
+    val standing = docs.filter(!col("__b")).select("doc_id", "text")
+    val batch = docs.filter(col("__b")).select("doc_id", "text")
+    val standingBands = Dedup.bands(Dedup.signatures(standing))
+      .select(col("doc_id").as("corpus_id"), col("band"), col("bh"))
+    val batchBands = Dedup.bands(Dedup.signatures(batch))
+    val cand = batchBands.join(standingBands, Seq("band", "bh"))
+      .select(col("doc_id").as("batch_id"), col("corpus_id")).distinct()
+    val ws = (d: DataFrame, id: String, out: String) =>
+      d.select(col("doc_id").as(id), array_distinct(split(col("text"), " ")).as(out))
+    cand
+      .join(ws(batch, "batch_id", "wa"), "batch_id")
+      .join(ws(standing, "corpus_id", "wb"), "corpus_id")
+      .withColumn("__i", size(array_intersect(col("wa"), col("wb"))))
+      .withColumn("j",
+        col("__i").cast("double") / (size(col("wa")) + size(col("wb")) - col("__i")))
+      .filter(col("j") >= 0.8)
+      // the ingest gate's verdict: one row per flagged batch doc (the
+      // full pair set is batch-size x family-size and belongs to
+      // forensics, not the gate)
+      .groupBy("batch_id")
+      .agg(count(lit(1)).as("n_corpus_matches"), max("j").as("best_j"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "dedup_incremental" -> (qIncremental _))
+    "dedup_incremental" -> (qIncremental _),
+    "dedup_incremental_neardup" -> (qIncrementalNearDup _))
+
+  /** Band rows (doc_id, band, bh) over a signature CTE `src`. */
+  private def bandsSqlFrom(src: String): String =
+    (0 until Dedup.BANDS).map(b =>
+      s"SELECT doc_id, $b AS band, md5(concat(mh_${2 * b}, mh_${2 * b + 1})) AS bh FROM $src")
+      .mkString(" UNION ALL ")
+
+  private val sigCols = (0 until Dedup.H).map(Dedup.mhSql).mkString(", ")
 
   val oracleSql: Map[String, String] = Map(
+    "dedup_incremental_neardup" ->
+      s"""WITH d AS (SELECT doc_id, text,
+         |    ${nibbleHashSql("CAST(doc_id AS VARCHAR)")} % 10 = $BATCH_BUCKET AS b
+         |  FROM documents),
+         |sigb AS (SELECT doc_id, $sigCols FROM (SELECT doc_id, text FROM d WHERE b) documents),
+         |sigs AS (SELECT doc_id, $sigCols FROM (SELECT doc_id, text FROM d WHERE NOT b) documents),
+         |bb AS (${bandsSqlFrom("sigb")}),
+         |bs AS (${bandsSqlFrom("sigs")}),
+         |cand AS (SELECT DISTINCT bb.doc_id AS batch_id, bs.doc_id AS corpus_id
+         |  FROM bb JOIN bs ON bb.band = bs.band AND bb.bh = bs.bh),
+         |w AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM d)
+         |SELECT batch_id, count(*) AS n_corpus_matches, max(j) AS best_j FROM (
+         |  SELECT batch_id, corpus_id,
+         |    CAST(len(list_intersect(wa.ws, wb.ws)) AS DOUBLE)
+         |      / (len(wa.ws) + len(wb.ws) - len(list_intersect(wa.ws, wb.ws))) AS j
+         |  FROM cand JOIN w wa ON batch_id = wa.doc_id JOIN w wb ON corpus_id = wb.doc_id)
+         |WHERE j >= 0.8
+         |GROUP BY batch_id""".stripMargin,
     "dedup_incremental" ->
       s"""WITH d AS (SELECT doc_id, md5(text) AS content_hash,
          |    ${nibbleHashSql("CAST(doc_id AS VARCHAR)")} % 10 = $BATCH_BUCKET AS b

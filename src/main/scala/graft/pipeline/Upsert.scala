@@ -9,10 +9,11 @@ import graft.Tables.t
   * key keeps its newest version (SCD type 1).
   *
   * Scale shape: union + ONE partial-aggregated shuffle on the key with
-  * max_by picking the newest payload — no row_number window (a window
-  * materializes and sorts every version of every key per partition;
-  * max_by keeps one running winner per key in the hash aggregate, so
-  * map-side combine already collapses the history before the shuffle).
+  * max_by picking the newest payload — no row_number window. max_by is
+  * a typed-imperative aggregate, so Spark plans a SortAggregate (a
+  * per-partition sort feeds partial_max_by BEFORE the Exchange — the
+  * plan shows the history collapsing map-side); a window would instead
+  * shuffle and sort EVERY version of every key.
   */
 object Upsert {
 
