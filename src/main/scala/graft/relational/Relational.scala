@@ -431,7 +431,30 @@ object Relational {
   def eventsAnomaly(spark: SparkSession, dir: String): DataFrame =
     anomaly(t(spark, dir, "events"), 3.0)
 
+  /** Point-in-interval (banded) join WITHOUT a non-equi join: value
+    * bands are uniform-width, so each event computes its band id with
+    * codegen'd floor arithmetic and the lookup is a broadcast
+    * EQUI-join on band_id — the general scale rewrite for interval
+    * joins (a naive v BETWEEN lo AND hi join plans a nested-loop over
+    * the corpus; the oracle runs exactly that formulation to prove
+    * the rewrite's semantics). Band edges follow floor semantics:
+    * [lo, hi). */
+  def eventsBanded(spark: SparkSession, dir: String): DataFrame = {
+    val width = 25.0
+    val bands = spark.range(0, 4).select(col("id").cast("int").as("band_id"),
+      (col("id") * width).as("lo"), ((col("id") + 1) * width).as("hi"))
+    t(spark, dir, "events")
+      .filter(col("value") >= 0 && col("value") < 4 * width)
+      .withColumn("band_id", floor(col("value") / width).cast("int"))
+      .join(broadcast(bands), "band_id")
+      .groupBy("band_id")
+      .agg(count(lit(1)).as("n_events"),
+        round(min("lo"), 2).as("lo"), round(min("hi"), 2).as("hi"),
+        round(sum("value"), 4).as("sum_value"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_banded" -> (eventsBanded _),
     "events_anomaly" -> (eventsAnomaly _),
     "events_retention" -> (eventsRetention _),
     "events_moving_avg" -> (eventsMovingAvg _),
@@ -466,6 +489,15 @@ object Relational {
     "agg_stats" -> (aggStats _))
 
   val oracleSql: Map[String, String] = Map(
+    "events_banded" ->
+      """WITH bands AS (
+        |  SELECT CAST(i AS INT) AS band_id, i * 25.0 AS lo, (i + 1) * 25.0 AS hi
+        |  FROM (SELECT unnest(range(4)) AS i))
+        |SELECT band_id, count(*) AS n_events,
+        |  round(min(lo), 2) AS lo, round(min(hi), 2) AS hi,
+        |  round(sum(value), 4) AS sum_value
+        |FROM events JOIN bands ON value >= lo AND value < hi
+        |GROUP BY band_id""".stripMargin,
     "events_anomaly" ->
       """WITH s AS (SELECT event_type, round(avg(value), 6) AS mu,
         |  round(stddev_samp(value), 6) AS sd FROM events GROUP BY event_type)
