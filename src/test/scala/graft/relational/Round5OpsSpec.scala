@@ -77,6 +77,25 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(out.head._2 > 3.0)
   }
 
+  test("round-5 operators keep their claimed plan shapes") {
+    val sf = "/root/testdata/sf0.001"
+    // banded interval join must be a broadcast EQUI-join, never a
+    // nested loop over the corpus
+    val banded = Relational.eventsBanded(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(banded.contains("BroadcastHashJoin"), banded.take(600))
+    assert(!banded.contains("NestedLoop") && !banded.contains("CartesianProduct"))
+    // upsert merges via partial aggregation, never a version window
+    val ups = graft.pipeline.Upsert.qUpsert(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!ups.contains("Window"), "no row_number window in the merge")
+    assert(ups.contains("partial_max_by"), "history must collapse map-side")
+    // boilerplate fraction joins the frequent set back as a broadcast
+    val frac = graft.text.CorpusStats.qBoilerplateFrac(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(frac.contains("BroadcastHashJoin"), frac.take(600))
+  }
+
   test("histogram buckets cover every row exactly once") {
     val sf = "/root/testdata/sf0.001"
     val total = graft.Tables.t(spark, sf, "lineitem").count()
