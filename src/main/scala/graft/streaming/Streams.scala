@@ -61,6 +61,29 @@ object Streams {
       stream.join(org.apache.spark.sql.functions.broadcast(corpusIndex),
         Seq("content_hash"), "left_anti"))
 
+  /** Stateless quality gate on a document stream — the same length +
+    * stopword-density bounds the batch CleanCorpus applies, as per-row
+    * codegen'd HOFs (no state, so it composes freely before the
+    * stateful dedup stage). Input needs a `text` column. */
+  def qualityGate(docs: DataFrame, minWords: Int = 20,
+                  maxStopRatio: Double = 0.5): DataFrame =
+    docs
+      .withColumn("__ws", split(col("text"), " "))
+      .withColumn("__n", size(col("__ws")).cast("long"))
+      .withColumn("__stop",
+        expr("size(filter(__ws, w -> array_contains(array('the', 'and', 'of', 'to', 'in', 'is'), w)))")
+          .cast("double") / col("__n"))
+      .filter(col("__n") >= minWords && col("__stop") <= maxStopRatio)
+      .drop("__ws", "__n", "__stop")
+
+  /** The streaming ingest front door, composed end-to-end: quality
+    * gate (stateless) -> drop corpus-known content (broadcast
+    * anti-join) -> in-stream exact dedup (watermark-bounded state).
+    * What lands is new, clean, unique content — the streaming twin of
+    * the batch clean-corpus + incremental-dedup composition. */
+  def ingestPipeline(stream: DataFrame, corpusIndex: DataFrame): DataFrame =
+    incrementalDedupStream(qualityGate(stream), corpusIndex)
+
   /** Watermarked stream-stream interval join: pair each click with the
     * same user's views from the preceding 10 minutes. BOTH sides carry
     * watermarks and the join condition bounds event-time distance, so

@@ -140,6 +140,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("ingest pipeline gates quality then dedups against corpus and stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, String)]
+    val df = input.toDF().toDF("ts", "content_hash", "text")
+    val corpusIndex = Seq("h_known").toDF("content_hash")
+    val good = Array.fill(25)("alpha").mkString(" ") // 25 words, no stopwords
+    val q = Streams.ingestPipeline(df, corpusIndex)
+      .writeStream.format("memory").queryName("ingest_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        (ts(0), "h_short", "too short"),               // fails min-words
+        (ts(1), "h_stopny", Array.fill(30)("the").mkString(" ")), // stopword-dense
+        (ts(2), "h_known", good),                      // corpus-known: dropped
+        (ts(3), "h_new", good),                        // survives
+        (ts(4), "h_new", good))                        // in-stream dup: dropped
+      q.processAllAvailable()
+      val out = spark.table("ingest_out").select("content_hash")
+        .as[String].collect().toSeq
+      assert(out == Seq("h_new"), s"only new clean unique content lands: $out")
+    } finally q.stop()
+  }
+
   test("stream-static enrichment joins the broadcast dimension per batch") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Double)]
