@@ -55,23 +55,26 @@ object Incremental {
 
   /** Incremental NEAR-dup: the daily batch against the STANDING
     * corpus's minhash band index — the production shape for fuzzy
-    * dedup at ingest. Candidates come ONLY from batch-bands joining
-    * standing-bands on (band, bh): new x standing pairs, never
-    * standing x standing (the corpus is never re-paired with itself),
-    * then exact word-set Jaccard >= 0.8 confirms. At 100 TB the
-    * standing band index is (band, bh, doc_id) rows bucketable on the
-    * band key, so tomorrow's batch joins without a corpus-side
-    * shuffle. */
+    * dedup at ingest. The standing index stores one KEEPER (min
+    * doc_id) per (band, bh) bucket — exactly Dedup.candidates' star
+    * shape, so a batch doc pairs with at most one standing
+    * representative per band (raw batch-bands x standing-bands is
+    * quadratic inside hot near-dup-family buckets — measured 7.3 s at
+    * sf0.1 before the keeper index). Word-set Jaccard >= 0.8 against
+    * the keeper confirms; the corpus is never re-paired with itself.
+    * At 100 TB the keeper index is (band, bh, keeper_id) rows,
+    * bucketable on the band key, so tomorrow's batch joins without a
+    * corpus-side shuffle. */
   def qIncrementalNearDup(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
       .withColumn("__b",
         expr(s"${nibbleHashSql("cast(doc_id as string)")} % 10") === BATCH_BUCKET)
     val standing = docs.filter(!col("__b")).select("doc_id", "text")
     val batch = docs.filter(col("__b")).select("doc_id", "text")
-    val standingBands = Dedup.bands(Dedup.signatures(standing))
-      .select(col("doc_id").as("corpus_id"), col("band"), col("bh"))
+    val standingIndex = Dedup.bands(Dedup.signatures(standing))
+      .groupBy("band", "bh").agg(min("doc_id").as("corpus_id"))
     val batchBands = Dedup.bands(Dedup.signatures(batch))
-    val cand = batchBands.join(standingBands, Seq("band", "bh"))
+    val cand = batchBands.join(standingIndex, Seq("band", "bh"))
       .select(col("doc_id").as("batch_id"), col("corpus_id")).distinct()
     val ws = (d: DataFrame, id: String, out: String) =>
       d.select(col("doc_id").as(id), array_distinct(split(col("text"), " ")).as(out))
@@ -110,8 +113,9 @@ object Incremental {
          |sigs AS (SELECT doc_id, $sigCols FROM (SELECT doc_id, text FROM d WHERE NOT b) documents),
          |bb AS (${bandsSqlFrom("sigb")}),
          |bs AS (${bandsSqlFrom("sigs")}),
-         |cand AS (SELECT DISTINCT bb.doc_id AS batch_id, bs.doc_id AS corpus_id
-         |  FROM bb JOIN bs ON bb.band = bs.band AND bb.bh = bs.bh),
+         |idx AS (SELECT band, bh, min(doc_id) AS corpus_id FROM bs GROUP BY band, bh),
+         |cand AS (SELECT DISTINCT bb.doc_id AS batch_id, idx.corpus_id
+         |  FROM bb JOIN idx ON bb.band = idx.band AND bb.bh = idx.bh),
          |w AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM d)
          |SELECT batch_id, count(*) AS n_corpus_matches, max(j) AS best_j FROM (
          |  SELECT batch_id, corpus_id,
