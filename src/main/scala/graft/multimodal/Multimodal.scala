@@ -246,6 +246,54 @@ object Multimodal {
     audio.mapPartitions(_.map(decodeWavBytes))
   }
 
+  /** Decimate-by-k resample re-encoded as a valid WAV at rate/k — the
+    * audio analog of the image resize (every k-th FRAME kept, so
+    * channel interleaving survives). Undecodable or non-16-bit
+    * payloads pass through unchanged, mirroring resize's quarantine
+    * contract. */
+  def resampleWav(m: AudioRecord, k: Int): AudioRecord = {
+    require(k >= 1, "decimation factor must be >= 1")
+    val b = m.payload
+    if (b.length < 12 || new String(b.take(4), "US-ASCII") != "RIFF" ||
+      new String(b.slice(8, 12), "US-ASCII") != "WAVE") return m
+    try {
+      val buf = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var pos = 12
+      var rate = 0; var channels = 0; var bits = 0
+      var dataOff = -1; var dataLen = 0
+      while (pos + 8 <= b.length) {
+        val id = new String(b.slice(pos, pos + 4), "US-ASCII")
+        val len = buf.getInt(pos + 4)
+        if (id == "fmt " && pos + 24 <= b.length) {
+          channels = buf.getShort(pos + 10)
+          rate = buf.getInt(pos + 12)
+          bits = buf.getShort(pos + 22)
+        } else if (id == "data") { dataOff = pos + 8; dataLen = len }
+        pos += 8 + len + (len & 1)
+      }
+      if (rate <= 0 || channels <= 0 || bits != 16 || dataOff < 0) return m
+      val avail = math.min(dataLen, b.length - dataOff) / 2
+      val frames = avail / channels
+      val kept = Array.newBuilder[Short]
+      var f = 0
+      while (f < frames) {
+        var c = 0
+        while (c < channels) {
+          kept += buf.getShort(dataOff + (f * channels + c) * 2)
+          c += 1
+        }
+        f += k
+      }
+      AudioRecord(m.doc_id, encodeWav(rate / k, channels, kept.result()))
+    } catch { case _: IndexOutOfBoundsException => m }
+  }
+
+  /** Resample an audio corpus per-partition (batch shape as above). */
+  def resampleAll(audio: Dataset[AudioRecord], k: Int): Dataset[AudioRecord] = {
+    import audio.sparkSession.implicits._
+    audio.mapPartitions(_.map(resampleWav(_, k)))
+  }
+
   /** Audio view over documents: REAL WAV payloads whose samples derive
     * deterministically from the text bytes (sample rate and channel
     * count vary by doc_id so the decode paths all get exercised). */

@@ -131,6 +131,31 @@ class MultimodalSpec extends AnyFunSuite {
     assert(st.rms == 0f && st.zcr == 0f, "silence")
   }
 
+  test("wav decimation halves the rate, keeps channels, passes junk through") {
+    // stereo ramp: frame f = (f*100, -f*100); decimate by 2
+    val stereo = Array.tabulate(200)(i =>
+      (if (i % 2 == 0) (i / 2) * 100 else -(i / 2) * 100).toShort)
+    val rec = Multimodal.AudioRecord(1L, Multimodal.encodeWav(8000, 2, stereo))
+    val half = Multimodal.resampleWav(rec, 2)
+    val f = Multimodal.decodeWavBytes(half)
+    assert(f.sample_rate == 4000 && f.n_channels == 2 && f.n_samples == 50,
+      s"100 frames / 2 at half rate: $f")
+    // kept frames are the even originals, channel interleaving intact
+    val buf = java.nio.ByteBuffer.wrap(half.payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    assert(buf.getShort(44) == 0 && buf.getShort(46) == 0)
+    assert(buf.getShort(48) == 200 && buf.getShort(50) == -200,
+      "frame 1 of the decimated stream is original frame 2")
+    // k=1 is an exact re-encode; junk passes through untouched
+    assert(Multimodal.resampleWav(rec, 1).payload.toSeq == rec.payload.toSeq)
+    val junk = Multimodal.AudioRecord(2L, Array[Byte](9, 9, 9))
+    assert(Multimodal.resampleWav(junk, 2) eq junk)
+    // distributed path
+    import spark.implicits._
+    val ds = spark.createDataset(Seq(rec, junk))
+    assert(Multimodal.resampleAll(ds, 2).collect().length == 2)
+  }
+
   test("truncated and corrupt wav payloads quarantine to zeros") {
     val good = Multimodal.encodeWav(8000, 1, Array.tabulate(100)(i => (i * 300).toShort))
     val cut = Multimodal.decodeWavBytes(Multimodal.AudioRecord(3L, good.take(60)))
