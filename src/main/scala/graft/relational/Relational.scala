@@ -453,7 +453,28 @@ object Relational {
         round(sum("value"), 4).as("sum_value"))
   }
 
+  /** Approximate heavy hitters via freqItems (Karp-Shenker-Papadimitriou
+    * single-pass frequent-items, Spark's builtin) next to the exact
+    * top user — completing the sketch family (HLL distinct, GK
+    * percentile, Bloom membership, KSP frequent items). The sketch's
+    * result set is engine-specific (rows-only; NewOpsSpec asserts the
+    * true heavy hitter is found), but at 100 TB it replaces a full
+    * groupBy-count-sort with one mergeable pass. */
+  def eventsFreqItems(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val hot = ev.stat.freqItems(Seq("user_id"), 0.05)
+    val exactTop = ev.groupBy("user_id").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("user_id").asc).limit(1)
+      .select(col("user_id").as("exact_top_user"), col("n").as("exact_top_n"))
+    hot.crossJoin(broadcast(exactTop))
+      .select(size(col("user_id_freqItems")).as("n_candidates"),
+        array_contains(col("user_id_freqItems"), col("exact_top_user"))
+          .as("top_user_found"),
+        col("exact_top_user"), col("exact_top_n"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_freq_items" -> (eventsFreqItems _),
     "events_banded" -> (eventsBanded _),
     "events_anomaly" -> (eventsAnomaly _),
     "events_retention" -> (eventsRetention _),

@@ -8,6 +8,13 @@ class NewOpsSpec extends AnyFunSuite {
   import spark.implicits._
   private val sf = "/root/testdata/sf0.001"
 
+  test("freqItems surfaces the exact heaviest user among its candidates") {
+    val r = Relational.eventsFreqItems(spark, sf).collect().head
+    assert(r.getAs[Boolean]("top_user_found"),
+      "the KSP sketch must contain the true heavy hitter (one-sided guarantee)")
+    assert(r.getAs[Int]("n_candidates") > 0)
+  }
+
   test("approx distinct stays within 10% of the exact count per group") {
     val rows = Relational.aggApproxDistinct(spark, sf)
       .select("exact_users", "approx_users").as[(Long, Long)].collect()
