@@ -108,4 +108,28 @@ class PropertySpec extends AnyFunSuite {
       assert(fp(i.toLong * 2) == fp(i.toLong * 2 + 1), s"simhash changed for doc $i")
     }
   }
+
+  test("morton codes are bounded and exactly invertible to their buckets") {
+    val coord = Gen.chooseNum(-50.0, 150.0) // includes out-of-range values
+    val pts = sample(Gen.listOfN(300, Gen.zip(coord, coord)), 17L)
+    val df = pts.zipWithIndex.map { case ((x, y), i) => (i.toLong, x, y) }
+      .toDF("id", "x", "y")
+    val (lo, hi) = (0.0, 100.0)
+    val got = df.select($"id", $"x", $"y",
+      graft.sources.Sinks.mortonCode($"x", lo, hi, $"y", lo, hi).as("z"))
+      .as[(Long, Double, Double, Int)].collect()
+    def bucket(v: Double): Int =
+      math.max(0, math.min(255, math.floor((v - lo) / (hi - lo) * 256.0).toInt))
+    got.foreach { case (_, x, y, z) =>
+      assert(z >= 0 && z < 65536, s"code out of 16-bit range: $z")
+      // de-interleave the bits back into the two bucket ids
+      var (xb, yb) = (0, 0)
+      (0 until 8).foreach { b =>
+        xb |= ((z >> (2 * b + 1)) & 1) << b
+        yb |= ((z >> (2 * b)) & 1) << b
+      }
+      assert(xb == bucket(x) && yb == bucket(y),
+        s"morton($x, $y) = $z deinterleaves to ($xb, $yb), expected (${bucket(x)}, ${bucket(y)})")
+    }
+  }
 }
