@@ -40,6 +40,30 @@ object Splits {
       .agg(count(lit(1)).as("n_docs"),
         min("doc_id").as("min_id"), max("doc_id").as("max_id"))
 
+  /** Cross-split leakage audit: train documents sharing >= 150 distinct
+    * char-5-grams with any held-out (val/test) document (this corpus's
+    * generic-vocabulary overlap tops out ~120 shared grams; above that
+    * only genuinely duplicated passages remain) — the
+    * decontamination pass run ACROSS the engine's own deterministic
+    * splits, the audit every training run owes its eval set. The
+    * held-out side is ~20% of the corpus and broadcasts its exploded
+    * grams; the train side never shuffles before the per-pair count
+    * (same shape as dedup_decontaminate). */
+  def qSplitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .withColumn("bucket", pmod(nibbleHash("cast(doc_id as string)"), lit(100)))
+    def gramsOf(df: org.apache.spark.sql.DataFrame, idAs: String) =
+      df.select(col("doc_id").as(idAs), explode(graft.dedup.Dedup.gramsExpr).as("g"))
+    val heldOut = gramsOf(docs.filter(col("bucket") >= 80), "held_id")
+    gramsOf(docs.filter(col("bucket") < 80), "train_id")
+      .join(broadcast(heldOut), "g")
+      .groupBy("train_id", "held_id")
+      // grams are per-doc distinct already (Dedup.gramsExpr), so a
+      // plain count is the distinct-shared-gram count
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 150)
+  }
+
   /** Deterministic ~10% sample of the events stream, stratum counts by
     * event type — the hash gate is a pure row-local filter evaluated
     * before the partial aggregate (no sampling pass, no extra shuffle;
@@ -53,9 +77,22 @@ object Splits {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_split" -> (qSplit _),
-    "pipeline_sample_events" -> (qSampleEvents _))
+    "pipeline_sample_events" -> (qSampleEvents _),
+    "pipeline_split_leakage" -> (qSplitLeakage _))
 
   val oracleSql: Map[String, String] = Map(
+    "pipeline_split_leakage" ->
+      s"""WITH d AS (SELECT doc_id, text,
+         |    ${nibbleHashSql("CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+         |  FROM documents),
+         |g AS (SELECT doc_id, bucket, unnest(list_distinct(list_transform(
+         |    range(1, len(text) - 3), i -> substr(text, CAST(i AS INT), 5)))) AS g
+         |  FROM d)
+         |SELECT tr.doc_id AS train_id, ho.doc_id AS held_id, count(*) AS n_shared
+         |FROM g tr JOIN g ho ON tr.g = ho.g
+         |WHERE tr.bucket < 80 AND ho.bucket >= 80
+         |GROUP BY tr.doc_id, ho.doc_id
+         |HAVING count(*) >= 150""".stripMargin,
     "pipeline_split" ->
       s"""SELECT split, count(*) AS n_docs, min(doc_id) AS min_id, max(doc_id) AS max_id
          |FROM (
