@@ -59,12 +59,13 @@ private[graft] object ClusterSql {
        |  FROM $src GROUP BY $solCol)""".stripMargin
 
   /** Whole-oracle generators, parametric in the point set and dims. */
-  def c0Sql(k: Int, ptsSql: String, dims: Seq[String], out: String = "c0"): String = {
+  def c0Sql(k: Int, ptsSql: String, dims: Seq[String], out: String = "c0",
+            src: String = "pts"): String = {
     val oc = ("pid" +: dims).mkString(", ")
     s"""$out AS (
        |  SELECT CAST(row_number() OVER (ORDER BY $oc) - 1 AS INT) AS k,
        |         ${dims.zipWithIndex.map { case (d, i) => s"$d AS c${i + 1}" }.mkString(", ")}
-       |  FROM (SELECT * FROM pts ORDER BY $oc LIMIT $k))""".stripMargin
+       |  FROM (SELECT * FROM $src ORDER BY $oc LIMIT $k))""".stripMargin
   }
 
   def updateSql(aIn: String, out: String, dims: Seq[String]): String =

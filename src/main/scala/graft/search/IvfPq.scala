@@ -69,8 +69,8 @@ object IvfPq {
   private def ivfPqOracle: String =
     s"""WITH pts AS (${Points.embedPtsSql}),
        |${SimSearch.ivfChainSql},
-       |${PQ.pqTrainSql},
-       |${PQ.pqQtabSql},
+       |${PQ.pqTrainSql()},
+       |${PQ.pqQtabSql()},
        |cand AS (SELECT pr.q_id, a.pid AS vec_id
        |  FROM pr JOIN acell a ON a.k = pr.cell WHERE a.pid != pr.q_id),
        |scored AS (SELECT cand.q_id, cand.vec_id, sqrt(${PQ.pqAdCaseSql}) AS ad
@@ -81,9 +81,97 @@ object IvfPq {
        |    PARTITION BY q_id ORDER BY ad ASC, vec_id ASC) AS INT) AS rank
        |  FROM scored) WHERE rank <= $TOPK""".stripMargin
 
+  // ---- residual encoding (FAISS by_residual=true, the default) ---------
+
+  /** Residual IVFPQ: the PQ codebooks quantize each vector's RESIDUAL
+    * from its coarse cell center (r = x - c_cell), which is what makes
+    * IVFPQ accurate in practice — residual magnitudes are a fraction
+    * of vector magnitudes, so 8 bytes of code buys far more precision.
+    * The query side pays one ADC table per (query, probed cell):
+    * dtab(q, cell) is built from the query's residual against THAT
+    * cell — still QN x NPROBE tiny tables on the driver. Codebooks are
+    * shared across cells (per-cell codebooks are the other public
+    * variant; shared is FAISS's default and keeps index state at
+    * M*K'*D doubles). */
+  def qIvfPqResidual(spark: SparkSession, dir: String): DataFrame = {
+    val ed = Points.embedDims
+    val pts = Points.embeddings64(spark, dir).cache()
+    val coarse = SimSearch.trainCoarse(pts, SimSearch.CELLS, 2, ed)
+    // residual frame: same (pid, e1..e64) shape, e_d := e_d - c_cell,d
+    val cells = KMeans.assign(pts, coarse, ed).select(col("pid"), col("k").as("icell"))
+    val dimArr = (0 until ed.length).map(d => coarse.map(_(d)).toSeq)
+    val rpts = pts.join(cells, "pid").select(
+      col("pid") +: ed.zipWithIndex.map { case (e, d) =>
+        (col(e) - element_at(typedLit(dimArr(d)), col("icell") + 1)).as(e)
+      }: _*)
+    val codebooks = PQ.trainCodebooks(rpts)
+    val index = PQ.encodeCodes(rpts, codebooks).join(cells, "pid").cache()
+    index.count()
+    pts.unpersist()
+    // per-(query, probed-cell) ADC tables from the query's residual
+    val qvecs = SimSearch.queryVecs(spark, dir)
+    val probed = SimSearch.probeCells(qvecs, coarse, SimSearch.NPROBE, ed)
+    val byId = qvecs.toMap
+    val qRows = probed.map { case (qid, cell) =>
+      val rq = Array.tabulate(ed.length)(d => byId(qid)(d) - coarse(cell)(d))
+      val dtab = PQ.adcRows(Array(qid -> rq), codebooks).head._2
+      (qid, cell, dtab)
+    }
+    import spark.implicits._
+    val qdf = broadcast(qRows.toDF("q_id", "cell", "dtab"))
+    val scored = qdf.join(index, qdf("cell") === index("icell"))
+      .filter(col("pid") =!= col("q_id"))
+      .select(col("q_id"), col("pid").as("vec_id"), PQ.adScore.as("ad"))
+    val w = Window.partitionBy("q_id").orderBy(col("ad").asc, col("vec_id").asc)
+    val result = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TOPK)
+      .select("q_id", "vec_id", "rank", "ad")
+    val rows = result.collect()
+    val schema = result.schema
+    index.unpersist()
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1), schema)
+  }
+
+  private def ivfPqResidualOracle: String = {
+    val ed = Points.embedDims
+    // residual points: subtract the (widened) final coarse center of
+    // the row's own cell, dimension by dimension
+    val resCols = ed.zipWithIndex.map { case (e, d) =>
+      "a." + e + " - (CASE a.k " + (0 until SimSearch.CELLS).map(c =>
+        s"WHEN $c THEN cw.k${c}_${d + 1}").mkString(" ") + s" END) AS $e"
+    }.mkString(",\n    ")
+    // residual query per probed cell: same subtraction for the query
+    // row against the PROBED cell (not its own)
+    val rqCols = ed.zipWithIndex.map { case (e, d) =>
+      "p." + e + " - (CASE pr.cell " + (0 until SimSearch.CELLS).map(c =>
+        s"WHEN $c THEN cw.k${c}_${d + 1}").mkString(" ") + s" END) AS $e"
+    }.mkString(",\n    ")
+    s"""WITH pts AS (${Points.embedPtsSql}),
+       |${SimSearch.ivfChainSql},
+       |rpts AS (SELECT a.pid,
+       |    $resCols
+       |  FROM acell a CROSS JOIN cw),
+       |${PQ.pqTrainSql("rpts")},
+       |rq AS (SELECT pr.q_id, pr.cell,
+       |    $rqCols
+       |  FROM pr JOIN pts p ON p.pid = pr.q_id CROSS JOIN cw),
+       |${PQ.pqQtabSql("rq", "q_id, cell", "")},
+       |cand AS (SELECT pr.q_id, pr.cell, a.pid AS vec_id
+       |  FROM pr JOIN acell a ON a.k = pr.cell WHERE a.pid != pr.q_id),
+       |scored AS (SELECT cand.q_id, cand.vec_id, sqrt(${PQ.pqAdCaseSql}) AS ad
+       |  FROM cand JOIN codes c ON c.pid = cand.vec_id
+       |            JOIN qtab q ON q.q_id = cand.q_id AND q.cell = cand.cell)
+       |SELECT q_id, vec_id, rank, ad FROM (
+       |  SELECT *, CAST(row_number() OVER (
+       |    PARTITION BY q_id ORDER BY ad ASC, vec_id ASC) AS INT) AS rank
+       |  FROM scored) WHERE rank <= $TOPK""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "simsearch_ivfpq" -> (qIvfPq _))
+    "simsearch_ivfpq" -> (qIvfPq _),
+    "simsearch_ivfpq_residual" -> (qIvfPqResidual _))
 
   val oracleSql: Map[String, String] = Map(
-    "simsearch_ivfpq" -> ivfPqOracle)
+    "simsearch_ivfpq" -> ivfPqOracle,
+    "simsearch_ivfpq_residual" -> ivfPqResidualOracle)
 }

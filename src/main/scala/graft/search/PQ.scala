@@ -157,17 +157,18 @@ object PQ {
   }
 
   /** Train+encode CTE chain (c0_s .. enc_s per subspace, then the
-    * joined `codes` table). Expects a `pts` CTE in scope. Shared by
-    * the PQ and IVFPQ oracles. */
-  private[search] def pqTrainSql: String = {
+    * joined `codes` table) over any (pid, e1..e64) point CTE `src`
+    * (raw points for PQ, coarse residuals for residual IVFPQ).
+    * Shared by the PQ and IVFPQ oracles. */
+  private[search] def pqTrainSql(src: String = "pts"): String = {
     val train = (0 until M).map { s =>
       val sd = sub(s)
-      s"""${ClusterSql.c0Sql(PQ_K, Points.embedPtsSql, sd, s"c0_$s")},
+      s"""${ClusterSql.c0Sql(PQ_K, Points.embedPtsSql, sd, s"c0_$s", src)},
          |${ClusterSql.widenSql(PQ_K, s"c0_$s", s"c0w_$s", sd)},
-         |${ClusterSql.assignSql(PQ_K, s"c0w_$s", s"a1_$s", "pts", sd)},
+         |${ClusterSql.assignSql(PQ_K, s"c0w_$s", s"a1_$s", src, sd)},
          |${ClusterSql.updateSql(s"a1_$s", s"u1_$s", sd)},
          |${ClusterSql.widenSql(PQ_K, s"u1_$s", s"cw_$s", sd)},
-         |${ClusterSql.assignSql(PQ_K, s"cw_$s", s"enc_$s", "pts", sd)}""".stripMargin
+         |${ClusterSql.assignSql(PQ_K, s"cw_$s", s"enc_$s", src, sd)}""".stripMargin
     }.mkString(",\n")
     val codes = "codes AS (SELECT e0.pid, " +
       (0 until M).map(s => s"e$s.k AS code_$s").mkString(", ") +
@@ -178,8 +179,12 @@ object PQ {
 
   /** The per-query ADC table CTE (`qtab`): one widened copy of each
     * codebook with a per-subspace column prefix, so all 8 can share
-    * one scope. Expects `pts` and the u1_s CTEs. */
-  private[search] def pqQtabSql: String = {
+    * one scope. Expects the u1_s CTEs plus a query-point CTE `src`
+    * carrying (e1..e64 + the `keySelect` columns); residual IVFPQ
+    * passes its per-(query, cell) residual CTE. */
+  private[search] def pqQtabSql(src: String = "pts",
+                                keySelect: String = "pid AS q_id",
+                                where: String = s"WHERE pid <= $QN"): String = {
     val qWidens = (0 until M).map(s =>
       ClusterSql.widenSql(PQ_K, s"u1_$s", s"cwq_$s", sub(s), s"q${s}x")).mkString(",\n")
     val qtabCols = (0 until M).flatMap { s =>
@@ -191,10 +196,10 @@ object PQ {
       }
     }.mkString(",\n    ")
     s"""$qWidens,
-       |qtab AS (SELECT pid AS q_id,
+       |qtab AS (SELECT $keySelect,
        |    $qtabCols
-       |  FROM pts ${(0 until M).map(s => s"CROSS JOIN cwq_$s").mkString(" ")}
-       |  WHERE pid <= $QN)""".stripMargin
+       |  FROM $src ${(0 until M).map(s => s"CROSS JOIN cwq_$s").mkString(" ")}
+       |  $where)""".stripMargin
   }
 
   /** The ADC distance expression over a codes row `c` and a qtab row
@@ -211,8 +216,8 @@ object PQ {
   private def pqOracle: String = {
     val adExpr = pqAdCaseSql
     s"""WITH pts AS (${Points.embedPtsSql}),
-       |$pqTrainSql,
-       |$pqQtabSql,
+       |${pqTrainSql()},
+       |${pqQtabSql()},
        |scored AS (SELECT q.q_id, c.pid AS vec_id, sqrt($adExpr) AS ad
        |  FROM codes c CROSS JOIN qtab q WHERE c.pid != q.q_id)
        |SELECT q_id, vec_id, rank, ad FROM (
