@@ -16,14 +16,18 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     relational.Relational.queries ++
+      relational.CountMin.queries ++
       clustering.KMeans.queries ++
       clustering.MLlibBridge.queries ++
       clustering.GKA.queries ++
       clustering.PSO.queries ++
+      clustering.Density.queries ++
       dedup.Dedup.queries ++
       dedup.Bloom.queries ++
       dedup.Incremental.queries ++
+      dedup.PrefixJoin.queries ++
       search.SimSearch.queries ++
+      search.RandomProjection.queries ++
       search.Quantized.queries ++
       search.PQ.queries ++
       search.IvfPq.queries ++
@@ -41,13 +45,17 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     relational.Relational.oracleSql ++
+      relational.CountMin.oracleSql ++
       clustering.KMeans.oracleSql ++
       clustering.GKA.oracleSql ++
       clustering.PSO.oracleSql ++
+      clustering.Density.oracleSql ++
       dedup.Dedup.oracleSql ++
       dedup.Bloom.oracleSql ++
       dedup.Incremental.oracleSql ++
+      dedup.PrefixJoin.oracleSql ++
       search.SimSearch.oracleSql ++
+      search.RandomProjection.oracleSql ++
       search.Quantized.oracleSql ++
       search.PQ.oracleSql ++
       search.IvfPq.oracleSql ++

@@ -198,6 +198,35 @@ object KMeans {
        |SELECT pid, $scaled FROM pts CROSS JOIN st""".stripMargin
   }
 
+  /** Robust (median/IQR) scaling of the point set — the outlier-proof
+    * sibling of min-max normalization (a single extreme value pins
+    * min-max scaling to a corner; quartiles don't move). One exact
+    * interpolated-percentile aggregate (the percentile_qty operator's
+    * machinery) produces a 1-row stats frame, broadcast back so the
+    * scaling is a pure per-row projection; identical arithmetic on
+    * identical quartiles keeps the oracle bitwise with no rounding. */
+  def qRobustScale(spark: SparkSession, dir: String): DataFrame = {
+    val pts = Points.lineitem4d(spark, dir)
+    val statsRow = pts.agg(
+      expr(s"percentile(${dims.head}, 0.5D)").as(s"med_${dims.head}"),
+      dims.tail.map(d => expr(s"percentile($d, 0.5D)").as(s"med_$d")) ++
+        dims.flatMap(d => Seq(
+          expr(s"percentile($d, 0.75D) - percentile($d, 0.25D)").as(s"iqr_$d"))): _*)
+    pts.crossJoin(broadcast(statsRow))
+      .select(col("pid") +: dims.map(d =>
+        ((col(d) - col(s"med_$d")) / col(s"iqr_$d")).as(s"r_$d")): _*)
+  }
+
+  private val robustScaleSql: String = {
+    val stats = dims.map(d =>
+      s"quantile_cont($d, 0.5) AS med_$d, " +
+        s"quantile_cont($d, 0.75) - quantile_cont($d, 0.25) AS iqr_$d").mkString(", ")
+    val scaled = dims.map(d => s"($d - med_$d) / iqr_$d AS r_$d").mkString(", ")
+    s"""WITH pts AS ($ptsSql),
+       |st AS (SELECT $stats FROM pts)
+       |SELECT pid, $scaled FROM pts CROSS JOIN st""".stripMargin
+  }
+
   /** Per-iteration Lloyd run with metrics, matching the reference's
     * print_best output (kmeans.java:261-270: iter, best objective,
     * timings). Generic over k/iters/dims/init — the CLI composes it
@@ -344,6 +373,7 @@ object KMeans {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dataset_stats" -> (Points.stats _),
     "dataset_normalize" -> (qNormalize _),
+    "dataset_robust_scale" -> (qRobustScale _),
     "kmeans_assign" -> (qAssign _),
     "kmeans_update" -> (qUpdate _),
     "kmeans_sse" -> (qSse _),
@@ -357,6 +387,7 @@ object KMeans {
 
   val oracleSql: Map[String, String] = Map(
     "dataset_normalize" -> normalizeSql,
+    "dataset_robust_scale" -> robustScaleSql,
     "dataset_stats" ->
       ("SELECT count(*) AS n, " +
         dims.map(d => s"min($d) AS min_$d, max($d) AS max_$d").mkString(", ") +

@@ -103,9 +103,12 @@ object Dedup {
       .join(w.select(col("doc_id").as("ia"), col("ws").as("wa")), "ia")
       .join(w.select(col("doc_id").as("ib"), col("ws").as("wb")), "ib")
       // |A∪B| = |A|+|B|-|A∩B| on the distinct arrays: skips building
-      // the union array per pair (same integers -> same double -> the
-      // oracle is unchanged)
-      .withColumn("__i", size(array_intersect(col("wa"), col("wb"))))
+      // the union array per pair. The intersection count runs through
+      // the NATIVE intersect_size expression (one fused membership
+      // loop, no materialized intersection array — IntersectSpec
+      // proves it equal to size(array_intersect)); same integers ->
+      // same double -> the oracle is unchanged.
+      .withColumn("__i", graft.functions.GraftFunctions.intersectSize(col("wa"), col("wb")))
       .withColumn("j",
         col("__i").cast("double") / (size(col("wa")) + size(col("wb")) - col("__i")))
       .filter(col("j") >= threshold)
@@ -137,8 +140,8 @@ object Dedup {
       .join(g.select(col("doc_id").as("ia"), col("gs").as("ga")), "ia")
       .join(g.select(col("doc_id").as("ib"), col("gs").as("gb")), "ib")
       // |A∪B| = |A|+|B|-|A∩B| on the distinct gram arrays (see
-      // minhashLsh) — halves the per-pair array work
-      .withColumn("__i", size(array_intersect(col("ga"), col("gb"))))
+      // minhashLsh), counted by the native intersect_size expression
+      .withColumn("__i", graft.functions.GraftFunctions.intersectSize(col("ga"), col("gb")))
       .withColumn("jg",
         col("__i").cast("double") / (size(col("ga")) + size(col("gb")) - col("__i")))
       .filter(col("jg") >= threshold)
@@ -184,7 +187,7 @@ object Dedup {
     * neighbors for `sweeps` fixed sweeps (one join + one min-groupBy
     * per sweep, no driver-side graph). Shared by the text-LSH and the
     * embedding (SemDeDup-style) cluster operators. */
-  private[dedup] def labelPropagate(e: DataFrame, sweeps: Int): DataFrame = {
+  private[graft] def labelPropagate(e: DataFrame, sweeps: Int): DataFrame = {
     val edges = e.select(col("ia").as("s"), col("ib").as("d"))
       .union(e.select(col("ib").as("s"), col("ia").as("d")))
     val nodes = e.select(col("ia").as("doc_id")).union(e.select(col("ib")))
@@ -282,6 +285,41 @@ object Dedup {
   def qEditDistance(spark: SparkSession, dir: String): DataFrame =
     editDistancePairs(spark, dir)
 
+  /** TF-IDF cosine similarity over the banded candidates — the
+    * WEIGHTED lexical near-dup (raw Jaccard treats 'the' and a rare
+    * term alike; IDF weighting is what production near-dup uses when
+    * boilerplate words dominate). Sparse-vector math via joins, never
+    * materialized vectors: the dot product is one equi-join of the two
+    * sides' (doc, word) weights on the word key, co-partitioned, so it
+    * holds when the vocabulary is huge; candidates stay the linear
+    * star-shaped band set. */
+  def tfidfCosinePairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val nDf = docs.agg(count(lit(1)).cast("double").as("__n"))
+    val tf = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    // weights round-6 BEFORE the pair math (same literal on both
+    // engines; ln's last ulp would otherwise leak into every product)
+    val wts = tf.join(dfc, "word").crossJoin(broadcast(nDf))
+      .select(col("doc_id"), col("word"),
+        round(col("tf") * log(col("__n") / col("df")), 6).as("wt"))
+    val norms = wts.groupBy("doc_id").agg(sqrt(sum(col("wt") * col("wt"))).as("nrm"))
+    val dots = candidates(spark, dir)
+      .join(wts.select(col("doc_id").as("ia"), col("word"), col("wt").as("wa")), "ia")
+      .join(wts.select(col("doc_id").as("ib"), col("word"), col("wt").as("wb")),
+        Seq("ib", "word"))
+      .groupBy("ia", "ib").agg(sum(col("wa") * col("wb")).as("dot"))
+    dots
+      .join(norms.select(col("doc_id").as("ia"), col("nrm").as("na")), "ia")
+      .join(norms.select(col("doc_id").as("ib"), col("nrm").as("nb")), "ib")
+      .select(col("ia"), col("ib"),
+        round(col("dot") / (col("na") * col("nb")), 6).as("tfidf_cos"))
+  }
+
+  def qTfidfCosine(spark: SparkSession, dir: String): DataFrame =
+    tfidfCosinePairs(spark, dir)
+
   // ---- embedding near-dup ----------------------------------------------
 
   /** Vector near-dup: sign-LSH bucket join, cosine >= 0.35, star-shaped
@@ -333,6 +371,7 @@ object Dedup {
     "dedup_simhash" -> (qSimhash _),
     "dedup_simhash_pairs" -> (qSimhashPairs _),
     "dedup_edit_distance" -> (qEditDistance _),
+    "dedup_tfidf_cosine" -> (qTfidfCosine _),
     "dedup_embed" -> (qEmbed _),
     "dedup_embed_clusters" -> (qEmbedClusters _))
 
@@ -447,6 +486,28 @@ object Dedup {
          |  SELECT ia, ib, CAST(levenshtein(pa.p, pb.p) AS INT) AS ed
          |  FROM cands JOIN pre pa ON ia = pa.doc_id JOIN pre pb ON ib = pb.doc_id)
          |WHERE ed <= 15""".stripMargin,
+    "dedup_tfidf_cosine" ->
+      s"""WITH $sigSql,
+         |$bandsSql,
+         |$candsSql,
+         |tf AS (SELECT doc_id, word, count(*) AS tf FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+         |  GROUP BY doc_id, word),
+         |dfc AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+         |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+         |wts AS (SELECT doc_id, tf.word AS word,
+         |    round(tf * ln((SELECT n FROM n) / df), 6) AS wt
+         |  FROM tf JOIN dfc ON tf.word = dfc.word),
+         |nrm AS (SELECT doc_id, sqrt(sum(wt * wt)) AS nrm FROM wts GROUP BY doc_id),
+         |dots AS (SELECT ia, ib, sum(wa.wt * wb.wt) AS dot
+         |  FROM cands
+         |  JOIN wts wa ON wa.doc_id = ia
+         |  JOIN wts wb ON wb.doc_id = ib AND wb.word = wa.word
+         |  GROUP BY ia, ib)
+         |SELECT ia, ib, round(dot / (na.nrm * nb.nrm), 6) AS tfidf_cos
+         |FROM dots
+         |JOIN nrm na ON na.doc_id = ia
+         |JOIN nrm nb ON nb.doc_id = ib""".stripMargin,
     "dedup_embed_clusters" -> {
       val sweep = (in: String, out: String) =>
         s"""$out AS (SELECT doc_id, min(lbl) AS lbl FROM (

@@ -81,7 +81,7 @@ object Incremental {
     cand
       .join(ws(batch, "batch_id", "wa"), "batch_id")
       .join(ws(standing, "corpus_id", "wb"), "corpus_id")
-      .withColumn("__i", size(array_intersect(col("wa"), col("wb"))))
+      .withColumn("__i", graft.functions.GraftFunctions.intersectSize(col("wa"), col("wb")))
       .withColumn("j",
         col("__i").cast("double") / (size(col("wa")) + size(col("wb")) - col("__i")))
       .filter(col("j") >= 0.8)

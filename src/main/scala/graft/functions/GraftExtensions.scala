@@ -26,6 +26,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, "cosine_sim(a, b) takes exactly 2 arguments")
         CosineSimilarity(children.head, children(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("intersect_size"),
+      new ExpressionInfo(classOf[IntersectSize].getName, "intersect_size"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "intersect_size(a, b) takes exactly 2 arguments")
+        IntersectSize(children.head, children(1))
+      }))
     // declarative row_number-top-k rewrites to the bounded-heap
     // operator; the strategy makes the node plannable in this session
     ext.injectOptimizerRule(_ => graft.plans.TopKRewriteRule)
@@ -43,6 +50,9 @@ object GraftFunctions {
 
   def cosineSim(a: Column, b: Column): Column =
     GraftBridge.column(CosineSimilarity(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  def intersectSize(a: Column, b: Column): Column =
+    GraftBridge.column(IntersectSize(GraftBridge.expression(a), GraftBridge.expression(b)))
 
   /** PQ nearest-centroid codes of a packed array<double> point; the
     * trained codebook rides as driver-side state, not a child. */

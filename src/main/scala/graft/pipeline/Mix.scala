@@ -42,8 +42,43 @@ object Mix {
       .withColumn("realized_rate",
         round(col("n_kept").cast("double") / col("n_docs"), 6))
 
+  /** 24-bit uniform in (0,1) from a doc's id hash: 6 md5 nibbles via
+    * the Splits instr() parse (portable to DuckDB verbatim), +0.5 so
+    * u is never 0 (ln(0) = -inf). */
+  private def u24Sql(keyExpr: String): String = {
+    val v = (1 to 6).map(i =>
+      s"(instr('0123456789abcdef', substr(md5($keyExpr), $i, 1)) - 1) * ${math.pow(16, 6 - i).toLong}")
+      .mkString("(", " + ", ")")
+    s"(($v) + 0.5) / 16777216.0"
+  }
+
+  /** Weighted sampling WITHOUT replacement (Efraimidis-Spirakis, from
+    * the public paper): each doc draws priority u^(1/w) from a
+    * deterministic per-doc uniform u, weight w = n_chars, and the
+    * top-m priorities per source win — long docs are proportionally
+    * likelier but every doc has a chance, unlike top-k-by-weight.
+    * Ranked by the monotone-equivalent key ln(u)/w (rounded 6 before
+    * ranking, doc_id tie-break, so the cut line is engine-portable).
+    *
+    * Scale shape: the key is pure per-row arithmetic in the scan
+    * stage; per-source top-m is the heap-exec TopKPerKey rewrite
+    * (bounded m-row buffers, one hash shuffle on source — never a
+    * full per-source sort). */
+  def qWeightedSample(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = 3
+    val keyed = t(spark, dir, "documents")
+      .withColumn("es_key",
+        round(expr(s"ln(${u24Sql("cast(doc_id as string)")})") / col("n_chars"), 6))
+    val w = Window.partitionBy("source").orderBy(col("es_key").desc, col("doc_id").asc)
+    keyed.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= m)
+      .select("source", "doc_id", "rank", "es_key")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "pipeline_mix" -> (qMix _))
+    "pipeline_mix" -> (qMix _),
+    "pipeline_weighted_sample" -> (qWeightedSample _))
 
   val oracleSql: Map[String, String] = Map(
     "pipeline_mix" ->
@@ -57,5 +92,12 @@ object Mix {
          |      ${nibbleHashSql("CAST(doc_id AS VARCHAR)")} % 100 <
          |        ${rateSql("CAST(substr(source, 4, 10) AS INT)")} AS kept
          |    FROM documents)
-         |  GROUP BY source)""".stripMargin)
+         |  GROUP BY source)""".stripMargin,
+    "pipeline_weighted_sample" ->
+      s"""WITH k AS (SELECT source, doc_id,
+         |    round(ln(${u24Sql("CAST(doc_id AS VARCHAR)")}) / n_chars, 6) AS es_key
+         |  FROM documents),
+         |r AS (SELECT *, CAST(row_number() OVER (
+         |  PARTITION BY source ORDER BY es_key DESC, doc_id ASC) AS INT) AS rank FROM k)
+         |SELECT source, doc_id, rank, es_key FROM r WHERE rank <= 3""".stripMargin)
 }

@@ -2,6 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables.t
 
 /** Latest-wins upsert merge — the standing-corpus maintenance shape:
@@ -44,8 +45,39 @@ object Upsert {
     merge(standing, updates, "doc_id", "version")
   }
 
+  /** SCD type-2 history build — the OTHER standing-table maintenance
+    * shape: instead of latest-wins, every state CHANGE becomes a
+    * versioned row with a [valid_from, valid_to) interval, the open
+    * current row carrying a NULL valid_to. Here each user's event_type
+    * stream is the state: consecutive runs compress to one row (lag
+    * compare), then valid_to = the next change's timestamp (lead).
+    *
+    * Scale shape: ONE hash shuffle on user_id serves both windows
+    * (same partitioning + ordering, Catalyst plans a single Exchange
+    * and sort); run-compression drops rows before the second window
+    * evaluates. No global sort anywhere. */
+  def scd2(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    ev.select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      .withColumn("next_ts", lead("ts", 1).over(w))
+      .select(col("user_id"), col("event_type").as("status"),
+        col("ts").as("valid_from"),
+        // open rows carry the standard SCD-2 high-date sentinel, not
+        // NULL (NULL timestamps don't compare equal across engines'
+        // result harnesses: NaT != NaT)
+        coalesce(col("next_ts"), to_timestamp(lit("9999-12-31 00:00:00")))
+          .as("valid_to"),
+        col("next_ts").isNull.as("is_current"))
+  }
+
+  def qScd2(spark: SparkSession, dir: String): DataFrame =
+    scd2(t(spark, dir, "events"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "pipeline_upsert" -> (qUpsert _))
+    "pipeline_upsert" -> (qUpsert _),
+    "events_scd2" -> (qScd2 _))
 
   val oracleSql: Map[String, String] = Map(
     "pipeline_upsert" ->
@@ -57,5 +89,17 @@ object Upsert {
         |SELECT doc_id, count(*) AS n_versions,
         |  CAST(max(version) AS BIGINT) AS version,
         |  max_by(content_hash, version) AS content_hash
-        |FROM v GROUP BY doc_id""".stripMargin)
+        |FROM v GROUP BY doc_id""".stripMargin,
+    "events_scd2" ->
+      """WITH runs AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |changes AS (SELECT * FROM runs
+        |  WHERE prev_type IS NULL OR prev_type != event_type)
+        |SELECT user_id, event_type AS status, ts AS valid_from,
+        |  coalesce(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+        |    TIMESTAMP '9999-12-31 00:00:00') AS valid_to,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+        |FROM changes""".stripMargin)
 }

@@ -385,6 +385,57 @@ object Relational {
       .select("user_id", "event_id", "ma4")
   }
 
+  /** Markov next-event transition matrix: P(next event type | event
+    * type) from each user's (ts, event_id)-ordered event sequence —
+    * the first-order behavioral model product analytics ships (and a
+    * sequence-training sanity report). One hash shuffle on user_id for
+    * the lead() window, then a partial-agg shuffle on the tiny
+    * (from, to) key space; the per-from totals join is broadcast. */
+  def transitionsOf(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val pairs = ev
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead("event_type", 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy("event_type", "next_type")
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy("event_type").agg(sum("n").as("total"))
+    pairs.join(broadcast(totals), "event_type")
+      .select(col("event_type"), col("next_type"), col("n"),
+        round(col("n").cast("double") / col("total"), 6).as("p"))
+  }
+
+  def eventsTransitions(spark: SparkSession, dir: String): DataFrame =
+    transitionsOf(t(spark, dir, "events"))
+
+  /** Per-user EWMA of event values over a 10-row trailing window
+    * (alpha = 0.5). The recursion s_t = a*x_t + (1-a)*s_(t-1), seeded
+    * with the frame's oldest value, runs as the SAME left fold in both
+    * engines (Spark `aggregate`, DuckDB `list_reduce` — accumulator
+    * first, first element as init), so every intermediate IEEE op
+    * matches bitwise; a closed-form sum would be at the mercy of each
+    * engine's summation order. And BECAUSE it matches bitwise, the
+    * result ships UNROUNDED: dyadic alpha makes the fold land exactly
+    * on decimal .5 boundaries with real probability, where the two
+    * engines' round() tie rules disagree — rounding would break the
+    * match that exact arithmetic already guarantees. One hash shuffle
+    * on user_id; frame state is bounded at 10 rows. slice(xs, 2, n-1)
+    * is empty for single-row frames, where aggregate returns the init
+    * unchanged. */
+  def ewmaOf(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-9, Window.currentRow)
+    ev.select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("xs", collect_list("value").over(w))
+      .withColumn("ewma",
+        expr("aggregate(slice(xs, 2, size(xs) - 1), element_at(xs, 1), " +
+          "(acc, x) -> 0.5D * x + 0.5D * acc)"))
+      .select("user_id", "event_id", "ewma")
+  }
+
+  def eventsEwma(spark: SparkSession, dir: String): DataFrame =
+    ewmaOf(t(spark, dir, "events"))
+
   /** Fixed-width histogram of l_extendedprice — 5k-wide buckets, open
     * top bucket. No width_bucket builtin needed: floor((x-lo)/w) is
     * codegen'd arithmetic, one partial-agg shuffle on the bucket id. */
@@ -396,6 +447,46 @@ object Relational {
       .agg(count(lit(1)).as("n"),
         round(min("l_extendedprice"), 2).as("lo"),
         round(max("l_extendedprice"), 2).as("hi"))
+
+  /** Per-user behavioral feature vector — the feature-engineering
+    * aggregate a user-model training job starts from: per-type counts
+    * (static type list, so it's conditional aggregation — no pivot
+    * distinct pre-pass), engagement volume, active-day count and
+    * account-age span. ONE partial-aggregated shuffle on user_id
+    * produces every feature; a naive pipeline computes these as
+    * separate jobs and re-shuffles per feature. */
+  def eventsUserFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "view", "purchase", "signup", "error")
+    t(spark, dir, "events")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        types.map(tp =>
+          sum(when(col("event_type") === tp, 1L).otherwise(0L)).as(s"n_$tp")) ++ Seq(
+          round(sum("value"), 6).as("sum_value"),
+          countDistinct(to_date(col("ts"))).as("n_active_days"),
+          min("ts").as("first_ts"),
+          max("ts").as("last_ts")): _*)
+  }
+
+  /** Equi-DEPTH histogram of l_extendedprice — quartile buckets with
+    * near-equal populations, the selectivity-estimation complement to
+    * the fixed-width histogram above. Same scale shape as the
+    * curriculum buckets: one exact-percentile aggregate computes the
+    * three cutoffs, the 1-row cutoff frame broadcasts back, and each
+    * row's bucket is three codegen'd comparisons — no ntile, no
+    * global sort. */
+  def histPriceEquidepth(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem").select(col("l_extendedprice").as("v"))
+    val cuts = li.agg(expr("percentile(v, array(0.25D, 0.5D, 0.75D))").as("cs"))
+    li.crossJoin(broadcast(cuts))
+      .withColumn("bucket",
+        (when(col("v") >= element_at(col("cs"), 1), 1).otherwise(0)
+          + when(col("v") >= element_at(col("cs"), 2), 1).otherwise(0)
+          + when(col("v") >= element_at(col("cs"), 3), 1).otherwise(0)).cast("int"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        round(min("v"), 2).as("lo"), round(max("v"), 2).as("hi"))
+  }
 
   /** Full outer join: high-balance customers vs high-balance suppliers
     * per nation — nations present on either side survive with NULL
@@ -475,11 +566,15 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_freq_items" -> (eventsFreqItems _),
+    "events_transitions" -> (eventsTransitions _),
+    "events_ewma" -> (eventsEwma _),
     "events_banded" -> (eventsBanded _),
     "events_anomaly" -> (eventsAnomaly _),
     "events_retention" -> (eventsRetention _),
     "events_moving_avg" -> (eventsMovingAvg _),
     "hist_price" -> (histPrice _),
+    "hist_price_equidepth" -> (histPriceEquidepth _),
+    "events_user_features" -> (eventsUserFeatures _),
     "join_outer" -> (joinOuter _),
     "grouping_sets_revenue" -> (groupingSetsRevenue _),
     "events_funnel" -> (eventsFunnel _),
@@ -510,6 +605,26 @@ object Relational {
     "agg_stats" -> (aggStats _))
 
   val oracleSql: Map[String, String] = Map(
+    "events_transitions" ->
+      """WITH p AS (
+        |  SELECT event_type, next_type, count(*) AS n FROM (
+        |    SELECT event_type,
+        |      lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        |    FROM events)
+        |  WHERE next_type IS NOT NULL
+        |  GROUP BY event_type, next_type),
+        |t AS (SELECT event_type, sum(n) AS total FROM p GROUP BY event_type)
+        |SELECT event_type, next_type, n,
+        |  round(CAST(n AS DOUBLE) / total, 6) AS p
+        |FROM p JOIN t USING (event_type)""".stripMargin,
+    "events_ewma" ->
+      """SELECT user_id, event_id,
+        |  list_reduce(xs, (acc, x) -> 0.5 * x + 0.5 * acc) AS ewma
+        |FROM (
+        |  SELECT user_id, event_id,
+        |    list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS xs
+        |  FROM events)""".stripMargin,
     "events_banded" ->
       """WITH bands AS (
         |  SELECT CAST(i AS INT) AS band_id, i * 25.0 AS lo, (i + 1) * 25.0 AS hi
@@ -551,6 +666,26 @@ object Relational {
         |  round(min(l_extendedprice), 2) AS lo,
         |  round(max(l_extendedprice), 2) AS hi
         |FROM lineitem GROUP BY 1""".stripMargin,
+    "events_user_features" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+        |  round(sum(value), 6) AS sum_value,
+        |  CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_active_days,
+        |  min(ts) AS first_ts, max(ts) AS last_ts
+        |FROM events GROUP BY user_id""".stripMargin,
+    "hist_price_equidepth" ->
+      """WITH v AS (SELECT l_extendedprice AS v FROM lineitem),
+        |cu AS (SELECT quantile_cont(v, [0.25, 0.5, 0.75]) AS cs FROM v)
+        |SELECT CAST((CASE WHEN v >= cs[1] THEN 1 ELSE 0 END)
+        |     + (CASE WHEN v >= cs[2] THEN 1 ELSE 0 END)
+        |     + (CASE WHEN v >= cs[3] THEN 1 ELSE 0 END) AS INT) AS bucket,
+        |  count(*) AS n,
+        |  round(min(v), 2) AS lo, round(max(v), 2) AS hi
+        |FROM v CROSS JOIN cu GROUP BY 1""".stripMargin,
     "grouping_sets_revenue" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
         |  coalesce(l_linestatus, 'ALL') AS l_linestatus,

@@ -42,6 +42,52 @@ object Sinks {
       .reduce(_ + _)
   }
 
+  /** One planned compaction group: which files merge into one output. */
+  case class CompactionGroup(groupId: Int, files: Seq[String], bytes: Long)
+
+  /** Compaction PLAN for a directory of parquet files: first-fit-
+    * decreasing bin packing of files into groups of at most
+    * `targetBytes` — the small-files maintenance pass every streaming /
+    * incremental sink eventually needs (thousands of KB-sized files
+    * turn a scan into a metadata stampede). Planning is driver-side
+    * FILE METADATA only (names + sizes — never data); at 100 TB the
+    * listing is the object-store manifest, the plan is still tiny. */
+  def compactionPlan(dir: String, targetBytes: Long): Seq[CompactionGroup] = {
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map(f => f.getPath -> f.length())
+      .sortBy { case (p, len) => (-len, p) } // FFD: biggest first, stable
+    val bins = scala.collection.mutable.ArrayBuffer.empty[(Long, scala.collection.mutable.ArrayBuffer[String])]
+    for ((path, len) <- files) {
+      val i = bins.indexWhere(_._1 + len <= targetBytes)
+      if (i >= 0) bins(i) = (bins(i)._1 + len, bins(i)._2 += path)
+      else bins += ((len, scala.collection.mutable.ArrayBuffer(path)))
+    }
+    bins.zipWithIndex.map { case ((bytes, fs), i) =>
+      CompactionGroup(i, fs.toSeq, bytes)
+    }.toSeq
+  }
+
+  /** Execute a compaction plan: each group's files re-read and written
+    * as ONE file in `outDir`. Groups are independent — on a cluster
+    * they run as parallel jobs; rewriting is the only data movement
+    * and each group is bounded by targetBytes. */
+  def compact(spark: org.apache.spark.sql.SparkSession,
+              plan: Seq[CompactionGroup], outDir: String): Unit =
+    plan.foreach { g =>
+      spark.read.parquet(g.files: _*)
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/group_${g.groupId}")
+    }
+
+  /** Schema-evolution-safe union: unionByName with missing columns
+    * nulled — how a corpus accumulated across releases (each adding
+    * columns) reads back as one frame. Pair with
+    * spark.read.option("mergeSchema", true) for the storage-side
+    * equivalent. */
+  def unionEvolved(dfs: Seq[DataFrame]): DataFrame =
+    dfs.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+
   /** Z-ordered write: range-partition + sort by the Morton code of
     * two query columns, so each output file covers a small RECTANGLE
     * of the (x, y) space instead of a thin slice of one column — the

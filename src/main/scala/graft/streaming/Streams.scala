@@ -84,6 +84,32 @@ object Streams {
   def ingestPipeline(stream: DataFrame, corpusIndex: DataFrame): DataFrame =
     incrementalDedupStream(qualityGate(stream), corpusIndex)
 
+  /** Per-window distribution drift monitor: for every tumbling window,
+    * the KL divergence (bits) of the window's event-type distribution
+    * against a STATIC baseline distribution — the live data-QC signal
+    * that catches a feed whose shape changes (a type vanishing, an
+    * error flood) before it lands. The baseline frame
+    * (event_type, p_base) is tiny and re-read per micro-batch
+    * (broadcast, INNER join — types outside the baseline support would
+    * make KL infinite and belong to a separate unknown-type alert);
+    * window state is one count per (window, type), watermark-bounded.
+    * The per-window normalization and KL fold happen in a second
+    * aggregate over the window's own (tiny) type rows. */
+  def driftMonitor(events: DataFrame, baseline: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .join(broadcast(baseline), "event_type")
+      .groupBy(col("w"))
+      .agg(sum("n").as("n_events"),
+        collect_list(struct(col("n"), col("p_base"))).as("__parts"))
+      .select(col("w.start").as("window_start"), col("n_events"),
+        round(expr(
+          "aggregate(__parts, 0.0D, (acc, x) -> " +
+            "acc + (x.n / CAST(n_events AS DOUBLE)) * log2((x.n / CAST(n_events AS DOUBLE)) / x.p_base))"),
+          6).as("kl_bits"))
+
   /** Watermarked stream-stream interval join: pair each click with the
     * same user's views from the preceding 10 minutes. BOTH sides carry
     * watermarks and the join condition bounds event-time distance, so

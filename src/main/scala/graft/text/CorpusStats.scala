@@ -120,6 +120,38 @@ object CorpusStats {
         round(avg(log2(col("cb").cast("double") / col("cu"))), 6).as("avg_log2p"))
   }
 
+  /** Interpolated bigram/unigram LM score — the smoothing step real
+    * LM-based quality gates need (pure-MLE bigram scoring assigns the
+    * corpus-frequency of the exact bigram; Jelinek-Mercer
+    * interpolation 0.5*p(w2|w1) + 0.5*p(w2) keeps rare-but-plausible
+    * continuations from cratering the score). Same co-partitioned
+    * join shape as the bigram scorer plus one unigram join; the
+    * 1-row token total broadcasts. */
+  def qInterpLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val words = docs.select(explode(split(col("text"), " ")).as("word"))
+    val vocab = words.groupBy("word").agg(count(lit(1)).as("c2"))
+    val tot = words.agg(count(lit(1)).cast("double").as("__t"))
+    val bg = docs
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ws) - 1), i -> named_struct(" +
+          "'w1', element_at(ws, i), 'w2', element_at(ws, i + 1), " +
+          "'bg', concat(element_at(ws, i), ' ', element_at(ws, i + 1))))")).as("e"))
+      .select(col("doc_id"), col("e.w1").as("w1"), col("e.w2").as("w2"), col("e.bg").as("bg"))
+    val bgCounts = bg.groupBy("bg").agg(count(lit(1)).as("cb"))
+    val headCounts = bg.groupBy("w1").agg(count(lit(1)).as("cu"))
+    bg.join(bgCounts, "bg").join(headCounts, "w1")
+      .join(vocab.withColumnRenamed("word", "w2"), "w2")
+      .crossJoin(broadcast(tot))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log2(
+          lit(0.5) * (col("cb").cast("double") / col("cu"))
+            + lit(0.5) * (col("c2").cast("double") / col("__t")))), 6).as("avg_log2p"))
+  }
+
   /** Curriculum quality buckets: documents quartiled by their
     * unigram-LM score — the binning step before quality-ordered
     * (curriculum) training. NO global sort / ntile (a single-partition
@@ -190,9 +222,67 @@ object CorpusStats {
         sum(when(col("ttr") < col("med"), 1L).otherwise(0L)).as("n_below"))
   }
 
+  /** Per-source distribution drift: KL(p_source || p_corpus) in bits
+    * over the word unigram distributions — the composition-monitoring
+    * number that flags a source whose text stops looking like the
+    * corpus (scraper drift, encoding breakage) before it poisons the
+    * mix. Plan: (source, word) counts join corpus word counts on the
+    * word key — co-partitioned, no broadcast needed even for huge
+    * vocabularies; the per-source totals and the 1-row grand total
+    * broadcast back. */
+  def qSourceKl(spark: SparkSession, dir: String): DataFrame = {
+    val w = t(spark, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("word"))
+    val sw = w.groupBy("source", "word").agg(count(lit(1)).as("csw"))
+    val cw = w.groupBy("word").agg(count(lit(1)).as("cw"))
+    val totals = sw.groupBy("source").agg(sum("csw").as("ns"))
+    val grand = cw.agg(sum("cw").cast("double").as("__n"))
+    sw.join(cw, "word")
+      .join(broadcast(totals), "source")
+      .crossJoin(broadcast(grand))
+      .withColumn("ps", col("csw").cast("double") / col("ns"))
+      .groupBy("source")
+      .agg(min("ns").as("n_words"),
+        round(sum(col("ps") * log2(col("ps") / (col("cw").cast("double") / col("__n")))), 6)
+          .as("kl_bits"))
+  }
+
+  /** One-row Zipf/hapax profile of the corpus vocabulary: type/token
+    * counts, hapax share, the head's mass, and the fitted log-log
+    * Zipf slope over the top-100 ranks. The full-vocab numbers come
+    * from one partial-aggregated pass; the ranked head is a
+    * TakeOrderedAndProject (never a global sort) and its 100-row
+    * window + regression run in a single bounded partition. */
+  def qZipf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = t(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("c"))
+    val overall = v.agg(
+      count(lit(1)).as("n_types"),
+      sum("c").as("n_tokens"),
+      sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+    val top = v.orderBy(col("c").desc, col("word").asc).limit(100)
+    // rank over the post-limit 100 rows: the unpartitioned window is
+    // bounded by the limit, not by corpus size
+    val ranked = top.withColumn("rank",
+      row_number().over(Window.orderBy(col("c").desc, col("word").asc)))
+    val head = ranked.agg(
+      round(regr_slope(log2(col("c")), log2(col("rank"))), 6).as("zipf_slope"),
+      sum("c").as("head_tokens"))
+    overall.crossJoin(broadcast(head))
+      .select(col("n_types"), col("n_tokens"),
+        round(col("n_hapax").cast("double") / col("n_types"), 6).as("hapax_frac"),
+        round(col("head_tokens").cast("double") / col("n_tokens"), 6).as("head_share"),
+        col("zipf_slope"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_source_kl" -> (qSourceKl _),
+    "text_zipf" -> (qZipf _),
     "text_vocab_topk" -> (qVocabTopK _),
     "text_unigram_logprob" -> (qUnigramLogprob _),
+    "text_interp_logprob" -> (qInterpLogprob _),
     "pipeline_corpus_report" -> (qCorpusReport _),
     "text_lang_thresholds" -> (qLangThresholds _),
     "pipeline_curriculum" -> (qCurriculum _),
@@ -202,6 +292,32 @@ object CorpusStats {
     "text_bigram_logprob" -> (qBigramLogprob _))
 
   val oracleSql: Map[String, String] = Map(
+    "pipeline_source_kl" ->
+      """WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS word FROM documents),
+        |sw AS (SELECT source, word, count(*) AS csw FROM w GROUP BY source, word),
+        |cw AS (SELECT word, count(*) AS cw FROM w GROUP BY word),
+        |t AS (SELECT source, sum(csw) AS ns FROM sw GROUP BY source),
+        |g AS (SELECT CAST(sum(cw) AS DOUBLE) AS n FROM cw)
+        |SELECT source, CAST(min(ns) AS BIGINT) AS n_words,
+        |  round(sum((CAST(csw AS DOUBLE) / ns)
+        |    * log2((CAST(csw AS DOUBLE) / ns) / (CAST(cw AS DOUBLE) / n))), 6) AS kl_bits
+        |FROM sw JOIN cw USING (word) JOIN t USING (source) CROSS JOIN g
+        |GROUP BY source""".stripMargin,
+    "text_zipf" ->
+      """WITH v AS (SELECT word, count(*) AS c FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  GROUP BY word),
+        |o AS (SELECT count(*) AS n_types, sum(c) AS n_tokens,
+        |    sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS n_hapax FROM v),
+        |top AS (SELECT c, row_number() OVER (ORDER BY c DESC, word ASC) AS rank
+        |  FROM v ORDER BY c DESC, word ASC LIMIT 100),
+        |h AS (SELECT round(regr_slope(log2(c), log2(rank)), 6) AS zipf_slope,
+        |    sum(c) AS head_tokens FROM top)
+        |SELECT n_types, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  round(CAST(n_hapax AS DOUBLE) / n_types, 6) AS hapax_frac,
+        |  round(CAST(head_tokens AS DOUBLE) / n_tokens, 6) AS head_share,
+        |  zipf_slope
+        |FROM o CROSS JOIN h""".stripMargin,
     "text_vocab_topk" ->
       s"""SELECT word, count(*) AS n_occurrences,
          |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
@@ -268,6 +384,23 @@ object CorpusStats {
          |        / count(*), 6) AS frequent_frac
          |FROM g LEFT JOIN f ON g.gram = f.gram
          |GROUP BY doc_id""".stripMargin,
+    "text_interp_logprob" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+        |v AS (SELECT word AS w2, count(*) AS c2 FROM w GROUP BY word),
+        |t AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM w),
+        |bg AS (SELECT doc_id, e.w1, e.w2, e.bg FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+        |      i -> {'w1': ws[CAST(i AS INT)], 'w2': ws[CAST(i + 1 AS INT)],
+        |            'bg': concat(ws[CAST(i AS INT)], ' ', ws[CAST(i + 1 AS INT)])})) AS e
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        |    WHERE len(ws) >= 2)),
+        |cb AS (SELECT bg, count(*) AS cb FROM bg GROUP BY bg),
+        |cu AS (SELECT w1, count(*) AS cu FROM bg GROUP BY w1)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(avg(log2(0.5 * (CAST(cb.cb AS DOUBLE) / cu.cu)
+        |    + 0.5 * (CAST(c2 AS DOUBLE) / t))), 6) AS avg_log2p
+        |FROM bg JOIN cb USING (bg) JOIN cu USING (w1) JOIN v USING (w2) CROSS JOIN t
+        |GROUP BY doc_id""".stripMargin,
     "text_bigram_logprob" ->
       """WITH bg AS (SELECT doc_id, e.w1, e.bg FROM (
         |    SELECT doc_id, unnest(list_transform(range(1, len(ws)),

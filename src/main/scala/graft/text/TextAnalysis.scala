@@ -96,22 +96,25 @@ object TextAnalysis {
     entropyOf(t(spark, dir, "documents"))
 
   /** Entropy over any (doc_id, text) frame — split out so the
-    * empty-text guard is testable on a constructed corpus. */
-  def entropyOf(docs: DataFrame): DataFrame = {
-    val ch = docs.select(
-      col("doc_id"),
-      length(col("text")).cast("double").as("n"),
-      // guard: sequence(1, 0) DESCENDS in Spark (see Dedup.grams), so an
-      // empty text must yield an empty array — the explode then drops the
-      // doc, exactly as DuckDB's range(1, 1) does on the oracle side
-      explode(expr("CASE WHEN length(text) >= 1 THEN " +
-        "transform(sequence(1, length(text)), i -> substring(text, i, 1)) " +
-        "ELSE array() END")).as("ch"))
-    ch.groupBy("doc_id", "n", "ch").agg(count(lit(1)).cast("double").as("c"))
-      .groupBy("doc_id")
-      .agg(round(-sum((col("c") / col("n")) * log2(col("c") / col("n"))), 6)
-        .as("char_entropy"))
-  }
+    * empty-text guard is testable on a constructed corpus (empty docs
+    * drop, as before).
+    *
+    * ZERO-shuffle formulation (round 5): the whole computation is a
+    * per-row HOF fold — the distinct chars (sorted, so Spark and the
+    * oracle fold in the same order) map to their counts and the
+    * p*log2(p) terms accumulate left-to-right. The previous explode +
+    * groupBy shape materialized one row per CHARACTER (a corpus-sized
+    * intermediate at 100 TB); this one never leaves the scan stage. */
+  def entropyOf(docs: DataFrame): DataFrame =
+    docs.filter(length(col("text")) >= 1)
+      .withColumn("cs",
+        expr("transform(sequence(1, length(text)), i -> substring(text, i, 1))"))
+      .select(col("doc_id"),
+        round(expr(
+          "-aggregate(transform(array_sort(array_distinct(cs)), " +
+            "c -> CAST(size(filter(cs, x -> x = c)) AS DOUBLE)), 0.0D, " +
+            "(acc, k) -> acc + (k / CAST(size(cs) AS DOUBLE)) " +
+            "* log2(k / CAST(size(cs) AS DOUBLE)))"), 6).as("char_entropy"))
 
   private val CHUNK = 50
   private val STRIDE = 40
@@ -300,14 +303,18 @@ object TextAnalysis {
           |    (h, c) -> (h * 31 + c) % 1000000007) AS rh
           |FROM documents""".stripMargin,
       "text_entropy" ->
-        """WITH ch AS (SELECT doc_id, CAST(len(text) AS DOUBLE) AS n,
-          |    unnest(list_transform(range(1, len(text) + 1),
-          |      i -> substr(text, CAST(i AS INT), 1))) AS ch
-          |  FROM documents),
-          |cnt AS (SELECT doc_id, n, ch, CAST(count(*) AS DOUBLE) AS c
-          |        FROM ch GROUP BY doc_id, n, ch)
-          |SELECT doc_id, round(-sum((c / n) * log2(c / n)), 6) AS char_entropy
-          |FROM cnt GROUP BY doc_id""".stripMargin,
+        // the same sorted-distinct left fold as the Spark HOF (0.0
+        // prepended so list_reduce starts from the same init), term
+        // order identical -> bitwise before the round
+        """SELECT doc_id,
+          |  round(-list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          |    list_transform(list_sort(list_distinct(cs)),
+          |      c -> (CAST(len(list_filter(cs, x -> x = c)) AS DOUBLE) / len(cs))
+          |           * log2(CAST(len(list_filter(cs, x -> x = c)) AS DOUBLE) / len(cs)))),
+          |    (acc, t) -> acc + t), 6) AS char_entropy
+          |FROM (SELECT doc_id, list_transform(range(1, len(text) + 1),
+          |    i -> substr(text, CAST(i AS INT), 1)) AS cs
+          |  FROM documents WHERE len(text) >= 1)""".stripMargin,
       "text_quality" ->
         """SELECT doc_id,
           |  CAST(len(ws) AS BIGINT) AS n_words,

@@ -57,6 +57,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("drift monitor: matching window scores ~0 KL, skewed window scores higher") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val df = input.toDF().toDF("ts", "event_type")
+    val baseline = Seq(("a", 0.5), ("b", 0.5)).toDF("event_type", "p_base")
+    val q = Streams.driftMonitor(df, baseline)
+      .writeStream.format("memory").queryName("drift_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // window 0: 2xa + 2xb matches the baseline exactly (KL = 0);
+      // window 1 (hour 2): 4xa is maximally skewed (KL = 1 bit)
+      input.addData((ts(0), "a"), (ts(1), "a"), (ts(2), "b"), (ts(3), "b"))
+      input.addData((ts(120), "a"), (ts(121), "a"), (ts(122), "a"), (ts(123), "a"))
+      q.processAllAvailable()
+      // far-future event closes both windows past the 2h watermark
+      input.addData((ts(600), "a"))
+      q.processAllAvailable()
+      val rows = spark.table("drift_out")
+        .select("window_start", "n_events", "kl_bits")
+        .as[(Timestamp, Long, Double)].collect().sortBy(_._1.getTime)
+      assert(rows.length >= 2, s"both closed windows emit: ${rows.mkString}")
+      assert(rows(0)._2 == 4L && math.abs(rows(0)._3) < 1e-9,
+        s"matching window must score KL 0: ${rows(0)}")
+      assert(rows(1)._2 == 4L && math.abs(rows(1)._3 - 1.0) < 1e-9,
+        s"all-a window vs 50/50 baseline is exactly 1 bit: ${rows(1)}")
+    } finally q.stop()
+  }
+
   test("watermark drops events later than the horizon") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Double)]
