@@ -40,28 +40,40 @@ object Splits {
       .agg(count(lit(1)).as("n_docs"),
         min("doc_id").as("min_id"), max("doc_id").as("max_id"))
 
-  /** Cross-split leakage audit: train documents sharing >= 150 distinct
-    * char-5-grams with any held-out (val/test) document (this corpus's
-    * generic-vocabulary overlap tops out ~120 shared grams; above that
-    * only genuinely duplicated passages remain) — the
+  /** Cross-split leakage audit: train documents sharing >= 10 distinct
+    * word-8-grams with any held-out (val/test) document — the
     * decontamination pass run ACROSS the engine's own deterministic
-    * splits, the audit every training run owes its eval set. The
-    * held-out side is ~20% of the corpus and broadcasts its exploded
-    * grams; the train side never shuffles before the per-pair count
-    * (same shape as dedup_decontaminate). */
+    * splits, the audit every training run owes its eval set.
+    *
+    * LONG word grams are what make this scale (and what public
+    * decontamination practice uses — 8-to-13-word windows): an 8-word
+    * window is near-unique except inside genuinely duplicated
+    * passages (measured on this corpus: 224k distinct grams in 235k
+    * rows, max document frequency 4), so the gram equi-join's fan-out
+    * is bounded by that tiny df and the plan is a plain co-partitioned
+    * shuffle join on the gram key — no broadcast needed, both sides
+    * scale. The round-5 char-5-gram formulation had ~2k distinct grams
+    * with median df ~300: every gram matched hundreds of documents per
+    * side and the join exploded quadratically (measured 36 s at sf0.1;
+    * this shape is 0.6 s and is the one that survives 100 TB). */
   def qSplitLeakage(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
       .withColumn("bucket", pmod(nibbleHash("cast(doc_id as string)"), lit(100)))
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= 8)
+    val grams = expr(
+      "array_distinct(transform(sequence(1, size(ws) - 7), " +
+        "i -> array_join(slice(ws, i, 8), ' ')))")
     def gramsOf(df: org.apache.spark.sql.DataFrame, idAs: String) =
-      df.select(col("doc_id").as(idAs), explode(graft.dedup.Dedup.gramsExpr).as("g"))
+      df.select(col("doc_id").as(idAs), explode(grams).as("g"))
     val heldOut = gramsOf(docs.filter(col("bucket") >= 80), "held_id")
     gramsOf(docs.filter(col("bucket") < 80), "train_id")
-      .join(broadcast(heldOut), "g")
+      .join(heldOut, "g")
       .groupBy("train_id", "held_id")
-      // grams are per-doc distinct already (Dedup.gramsExpr), so a
-      // plain count is the distinct-shared-gram count
+      // grams are per-doc distinct, so a plain count is the
+      // distinct-shared-gram count
       .agg(count(lit(1)).as("n_shared"))
-      .filter(col("n_shared") >= 150)
+      .filter(col("n_shared") >= 10)
   }
 
   /** Deterministic ~10% sample of the events stream, stratum counts by
@@ -82,17 +94,18 @@ object Splits {
 
   val oracleSql: Map[String, String] = Map(
     "pipeline_split_leakage" ->
-      s"""WITH d AS (SELECT doc_id, text,
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws,
          |    ${nibbleHashSql("CAST(doc_id AS VARCHAR)")} % 100 AS bucket
          |  FROM documents),
          |g AS (SELECT doc_id, bucket, unnest(list_distinct(list_transform(
-         |    range(1, len(text) - 3), i -> substr(text, CAST(i AS INT), 5)))) AS g
-         |  FROM d)
+         |    range(1, len(ws) - 6),
+         |    i -> array_to_string(ws[CAST(i AS INT):CAST(i + 7 AS INT)], ' ')))) AS g
+         |  FROM d WHERE len(ws) >= 8)
          |SELECT tr.doc_id AS train_id, ho.doc_id AS held_id, count(*) AS n_shared
          |FROM g tr JOIN g ho ON tr.g = ho.g
          |WHERE tr.bucket < 80 AND ho.bucket >= 80
          |GROUP BY tr.doc_id, ho.doc_id
-         |HAVING count(*) >= 150""".stripMargin,
+         |HAVING count(*) >= 10""".stripMargin,
     "pipeline_split" ->
       s"""SELECT split, count(*) AS n_docs, min(doc_id) AS min_id, max(doc_id) AS max_id
          |FROM (

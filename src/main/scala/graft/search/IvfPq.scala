@@ -97,17 +97,26 @@ object IvfPq {
     val ed = Points.embedDims
     val pts = Points.embeddings64(spark, dir).cache()
     val coarse = SimSearch.trainCoarse(pts, SimSearch.CELLS, 2, ed)
-    // residual frame: same (pid, e1..e64) shape, e_d := e_d - c_cell,d
-    val cells = KMeans.assign(pts, coarse, ed).select(col("pid"), col("k").as("icell"))
+    // residual frame: same (pid, e1..e64) shape, e_d := e_d - c_cell,d.
+    // BOTH the cell assignment and the residuals are MATERIALIZED
+    // (cached) before training: the PQ trainer and the encoder each
+    // launch several jobs over this frame, and recomputing the 8x64
+    // assign trees + join per job was almost all of this query's cost
+    // (measured ~6 s of fixed overhead at sf0.001; ~1 s cached)
+    val cells = KMeans.assign(pts, coarse, ed)
+      .select(col("pid"), col("k").as("icell")).cache()
     val dimArr = (0 until ed.length).map(d => coarse.map(_(d)).toSeq)
     val rpts = pts.join(cells, "pid").select(
       col("pid") +: ed.zipWithIndex.map { case (e, d) =>
         (col(e) - element_at(typedLit(dimArr(d)), col("icell") + 1)).as(e)
-      }: _*)
+      }: _*).cache()
+    rpts.count()
+    pts.unpersist()
     val codebooks = PQ.trainCodebooks(rpts)
     val index = PQ.encodeCodes(rpts, codebooks).join(cells, "pid").cache()
     index.count()
-    pts.unpersist()
+    rpts.unpersist()
+    cells.unpersist()
     // per-(query, probed-cell) ADC tables from the query's residual
     val qvecs = SimSearch.queryVecs(spark, dir)
     val probed = SimSearch.probeCells(qvecs, coarse, SimSearch.NPROBE, ed)
