@@ -448,6 +448,53 @@ object Relational {
         round(min("l_extendedprice"), 2).as("lo"),
         round(max("l_extendedprice"), 2).as("hi"))
 
+  /** Rolling 7-day active users per day — the WAU curve. EXACT
+    * distinct-across-a-sliding-window without any window distinct
+    * (not expressible) and without 7 self-joins: each (day, user)
+    * distinct pair replicates to the 7 window-end dates it supports
+    * (a static explode), then one distinct-agg per window-end date.
+    * Cost is 7x the per-day distinct pairs — linear, partial-agged,
+    * and the blowup factor is the window length, not the data. */
+  def eventsRollingWau(spark: SparkSession, dir: String): DataFrame = {
+    val du = t(spark, dir, "events")
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val maxDay = du.agg(max("day").as("__max"))
+    du.select(explode(expr("sequence(0, 6)")).as("off"), col("day"), col("user_id"))
+      .select(date_add(col("day"), col("off")).as("window_end"), col("user_id"))
+      .crossJoin(broadcast(maxDay))
+      .filter(col("window_end") <= col("__max"))
+      .groupBy("window_end")
+      .agg(countDistinct("user_id").as("wau"))
+  }
+
+  /** RFM customer segmentation (recency / frequency / monetary — the
+    * classic warehouse cohorting): per-customer aggregates scored
+    * 0-3 by quartile, customers counted per segment cell. The three
+    * quartile cutoff sets come from ONE exact-percentile aggregate
+    * broadcast back (no ntile — a global sort at 100 TB); recency
+    * quartiles work on epoch seconds so the percentile math is
+    * numeric on both engines. */
+  def ordersRfm(spark: SparkSession, dir: String): DataFrame = {
+    val per = t(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(unix_timestamp(max("o_orderdate")).cast("double").as("r"),
+        count(lit(1)).cast("double").as("f"),
+        sum("o_totalprice").as("m"))
+    val cuts = per.agg(
+      expr("percentile(r, array(0.25D, 0.5D, 0.75D))").as("rc"),
+      expr("percentile(f, array(0.25D, 0.5D, 0.75D))").as("fc"),
+      expr("percentile(m, array(0.25D, 0.5D, 0.75D))").as("mc"))
+    def score(v: String, cs: String): org.apache.spark.sql.Column =
+      (when(col(v) >= element_at(col(cs), 1), 1).otherwise(0)
+        + when(col(v) >= element_at(col(cs), 2), 1).otherwise(0)
+        + when(col(v) >= element_at(col(cs), 3), 1).otherwise(0)).cast("int")
+    per.crossJoin(broadcast(cuts))
+      .select(score("r", "rc").as("r_score"), score("f", "fc").as("f_score"),
+        score("m", "mc").as("m_score"))
+      .groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_customers"))
+  }
+
   /** Per-user behavioral feature vector — the feature-engineering
     * aggregate a user-model training job starts from: per-type counts
     * (static type list, so it's conditional aggregation — no pivot
@@ -575,6 +622,8 @@ object Relational {
     "hist_price" -> (histPrice _),
     "hist_price_equidepth" -> (histPriceEquidepth _),
     "events_user_features" -> (eventsUserFeatures _),
+    "events_rolling_wau" -> (eventsRollingWau _),
+    "orders_rfm" -> (ordersRfm _),
     "join_outer" -> (joinOuter _),
     "grouping_sets_revenue" -> (groupingSetsRevenue _),
     "events_funnel" -> (eventsFunnel _),
@@ -666,6 +715,33 @@ object Relational {
         |  round(min(l_extendedprice), 2) AS lo,
         |  round(max(l_extendedprice), 2) AS hi
         |FROM lineitem GROUP BY 1""".stripMargin,
+    "events_rolling_wau" ->
+      """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |mx AS (SELECT max(day) AS mx FROM du),
+        |win AS (SELECT day + CAST(off AS INT) AS window_end, user_id
+        |  FROM du, (SELECT unnest(range(7)) AS off))
+        |SELECT window_end, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+        |FROM win CROSS JOIN mx WHERE window_end <= mx
+        |GROUP BY window_end""".stripMargin,
+    "orders_rfm" ->
+      """WITH per AS (
+        |  SELECT o_custkey, CAST(epoch(max(o_orderdate)) AS DOUBLE) AS r,
+        |    CAST(count(*) AS DOUBLE) AS f, sum(o_totalprice) AS m
+        |  FROM orders GROUP BY o_custkey),
+        |cu AS (SELECT quantile_cont(r, [0.25, 0.5, 0.75]) AS rc,
+        |  quantile_cont(f, [0.25, 0.5, 0.75]) AS fc,
+        |  quantile_cont(m, [0.25, 0.5, 0.75]) AS mc FROM per)
+        |SELECT CAST((CASE WHEN r >= rc[1] THEN 1 ELSE 0 END)
+        |     + (CASE WHEN r >= rc[2] THEN 1 ELSE 0 END)
+        |     + (CASE WHEN r >= rc[3] THEN 1 ELSE 0 END) AS INT) AS r_score,
+        |  CAST((CASE WHEN f >= fc[1] THEN 1 ELSE 0 END)
+        |     + (CASE WHEN f >= fc[2] THEN 1 ELSE 0 END)
+        |     + (CASE WHEN f >= fc[3] THEN 1 ELSE 0 END) AS INT) AS f_score,
+        |  CAST((CASE WHEN m >= mc[1] THEN 1 ELSE 0 END)
+        |     + (CASE WHEN m >= mc[2] THEN 1 ELSE 0 END)
+        |     + (CASE WHEN m >= mc[3] THEN 1 ELSE 0 END) AS INT) AS m_score,
+        |  count(*) AS n_customers
+        |FROM per CROSS JOIN cu GROUP BY 1, 2, 3""".stripMargin,
     "events_user_features" ->
       """SELECT user_id, count(*) AS n_events,
         |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,

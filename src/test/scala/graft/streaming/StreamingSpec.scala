@@ -85,6 +85,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("checkpointed stream restarts exactly-once: no loss, no replay across restart") {
+    import java.nio.file.Files
+    val in = Files.createTempDirectory("graft_ckpt_in").toString
+    val out = Files.createTempDirectory("graft_ckpt_out").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt_state").toString
+    val schema = "id LONG, v STRING"
+    def start() = Streams.parquetSink(
+      spark.readStream.schema(schema).parquet(in)
+        .withColumn("tag", org.apache.spark.sql.functions.lit("x")),
+      out, ckpt)
+    // generation 1 lands, stream consumes it, stream STOPS
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1).write.mode("append").parquet(in)
+    val q1 = start()
+    q1.processAllAvailable(); q1.stop()
+    // generation 2 lands while the stream is DOWN
+    Seq((3L, "c")).toDF("id", "v").coalesce(1).write.mode("append").parquet(in)
+    // restart from the same checkpoint: only the new file is processed
+    val q2 = start()
+    q2.processAllAvailable(); q2.stop()
+    val rows = spark.read.parquet(s"$out/*").select("id").as[Long].collect().sorted
+    assert(rows.toSeq == Seq(1L, 2L, 3L),
+      s"restart must deliver every row exactly once, got ${rows.mkString(",")}")
+  }
+
   test("watermark drops events later than the horizon") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Double)]
