@@ -448,6 +448,35 @@ object Relational {
         round(min("l_extendedprice"), 2).as("lo"),
         round(max("l_extendedprice"), 2).as("hi"))
 
+  /** Temporal (point-in-time) join: each purchase event picks up the
+    * account state (last signup/error marker) in effect AT ITS
+    * TIMESTAMP — the SCD-2 dimension lookup every warehouse needs. A
+    * naive `f.ts BETWEEN s.valid_from AND s.valid_to` join plans a
+    * nested loop over the fact table (the oracle runs exactly that
+    * formulation to pin the semantics); the scale shape is the as-of
+    * union-window: state and fact rows interleave in one (user, time)
+    * sort and last_value(ignoreNulls) carries the current state onto
+    * each fact — ONE hash shuffle on user_id, no join at all. State
+    * rows sort before facts at equal timestamps (kind 0 < 1), so a
+    * state applies from its own instant. */
+  def eventsTemporalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val states = ev.filter(col("event_type").isin("signup", "error"))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        lit(0).as("kind"), col("event_type").as("status"))
+    val facts = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        lit(1).as("kind"), lit(null).cast("string").as("status"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("kind"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    states.unionByName(facts)
+      .withColumn("status_at", last("status", ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts"), col("status_at"))
+  }
+
   /** Rolling 7-day active users per day — the WAU curve. EXACT
     * distinct-across-a-sliding-window without any window distinct
     * (not expressible) and without 7 self-joins: each (day, user)
@@ -624,6 +653,7 @@ object Relational {
     "events_user_features" -> (eventsUserFeatures _),
     "events_rolling_wau" -> (eventsRollingWau _),
     "orders_rfm" -> (ordersRfm _),
+    "events_temporal_join" -> (eventsTemporalJoin _),
     "join_outer" -> (joinOuter _),
     "grouping_sets_revenue" -> (groupingSetsRevenue _),
     "events_funnel" -> (eventsFunnel _),
@@ -715,6 +745,19 @@ object Relational {
         |  round(min(l_extendedprice), 2) AS lo,
         |  round(max(l_extendedprice), 2) AS hi
         |FROM lineitem GROUP BY 1""".stripMargin,
+    "events_temporal_join" ->
+      // the NAIVE interval-join formulation pins the semantics the
+      // union-window shape must reproduce
+      """WITH states AS (
+        |  SELECT user_id, event_type AS status, ts AS vf, event_id,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS vt
+        |  FROM events WHERE event_type IN ('signup', 'error')),
+        |facts AS (SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT f.event_id AS purchase_id, f.user_id, f.ts, s.status AS status_at
+        |FROM facts f LEFT JOIN states s
+        |  ON f.user_id = s.user_id AND f.ts >= s.vf
+        |  AND (s.vt IS NULL OR f.ts < s.vt)""".stripMargin,
     "events_rolling_wau" ->
       """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
         |mx AS (SELECT max(day) AS mx FROM du),
