@@ -109,6 +109,44 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("native intersect_size equals size(array_intersect) on generated arrays with dups and nulls") {
+    import org.apache.spark.sql.functions._
+    val elem: Gen[String] = Gen.frequency(
+      9 -> Gen.oneOf("a", "b", "c", "d", "e", "f", "g", "h"), // forced collisions
+      1 -> Gen.const(null))
+    val arr = Gen.listOfN(12, elem).map(_.take(12))
+    val pairs = sample(Gen.listOfN(150, Gen.zip(arr, arr)), 29L)
+    val out = pairs.toDF("a", "b").select(
+      graft.functions.GraftFunctions.intersectSize($"a", $"b").as("native"),
+      size(array_intersect($"a", $"b")).as("builtin")).collect()
+    out.zip(pairs).foreach { case (r, p) =>
+      assert(r.getInt(0) == r.getInt(1), s"mismatch on $p")
+    }
+  }
+
+  test("ewma matches the driver-side recursion and stays inside the window's range") {
+    import java.sql.Timestamp
+    val series = Gen.listOfN(25, Gen.chooseNum(-100.0, 100.0))
+    val vals = sample(Gen.listOfN(8, series), 31L)
+    val rows = vals.zipWithIndex.flatMap { case (vs, u) =>
+      vs.zipWithIndex.map { case (v, i) =>
+        (u.toLong * 1000 + i, new Timestamp(1700000000000L + i * 60000L), u.toLong, "t", v, "{}")
+      }
+    }
+    val got = relational.Relational.ewmaOf(
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    vals.zipWithIndex.foreach { case (vs, u) =>
+      vs.indices.foreach { i =>
+        val window = vs.slice(math.max(0, i - 9), i + 1)
+        val expect = window.tail.foldLeft(window.head)((acc, x) => 0.5 * x + 0.5 * acc)
+        val g = got(u.toLong * 1000 + i)
+        assert(g == expect, s"user $u row $i: $g vs $expect")
+        assert(g >= window.min - 1e-9 && g <= window.max + 1e-9, "convexity bound")
+      }
+    }
+  }
+
   test("morton codes are bounded and exactly invertible to their buckets") {
     val coord = Gen.chooseNum(-50.0, 150.0) // includes out-of-range values
     val pts = sample(Gen.listOfN(300, Gen.zip(coord, coord)), 17L)
