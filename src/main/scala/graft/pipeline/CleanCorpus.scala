@@ -57,7 +57,10 @@ object CleanCorpus {
   def qCleanFull(spark: SparkSession, dir: String): DataFrame = {
     val repKeep = graft.text.Repetition.qRepetition(spark, dir)
       .filter(col("keep")).select("doc_id")
-    qClean(spark, dir).join(repKeep, "doc_id")
+    // broadcast the (small) surviving-id set: without the hint the
+    // planner shuffles BOTH sides of the final join on doc_id, and the
+    // left side is the entire clean chain
+    qClean(spark, dir).join(broadcast(repKeep), "doc_id")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -48,7 +48,17 @@ object Repetition {
       .select(
         col("doc_id"),
         size(col("ws")).cast("long").as("n_words"),
-        round(expr("array_max(transform(array_distinct(ws), x -> size(filter(ws, w -> w = x))))")
+        // top word count as the longest run of the SORTED words — one
+        // O(n log n) sort + one fold, instead of the O(distinct * n)
+        // nested filter-per-distinct-word (HOF lambdas are
+        // interpreted, so the quadratic form dominated the whole
+        // clean-corpus composition). Same integer, oracle unchanged.
+        round(expr(
+          "aggregate(array_sort(ws), named_struct('prev', '', 'run', 0, 'best', 0), " +
+            "(acc, w) -> named_struct('prev', w, " +
+            "'run', CASE WHEN w = acc.prev THEN acc.run + 1 ELSE 1 END, " +
+            "'best', greatest(acc.best, CASE WHEN w = acc.prev THEN acc.run + 1 ELSE 1 END)), " +
+            "acc -> acc.best)")
           .cast("double") / size(col("ws")), 6).as("top_word_ratio"),
         round(when(size(col("g2")) > 0,
           lit(1.0) - size(array_distinct(col("g2"))).cast("double") / size(col("g2")))
