@@ -222,6 +222,21 @@ object Dedup {
   def qDedupClusters(spark: SparkSession, dir: String): DataFrame =
     dedupClusters(spark, dir)
 
+  /** LSH index-health report: per band, the bucket count, the largest
+    * bucket, mean occupancy and the candidate-pair count the
+    * star-shaped generation will emit (sum of bucket_size - 1) — the
+    * numbers that tell an operator whether H/BANDS are tuned before a
+    * 100 TB run (a runaway max bucket means the bands are too coarse).
+    * One groupBy over the band frame + a 4-row aggregate. */
+  def qLshStats(spark: SparkSession, dir: String): DataFrame =
+    bands(signatures(t(spark, dir, "documents")))
+      .groupBy("band", "bh").agg(count(lit(1)).as("sz"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_buckets"),
+        max("sz").as("max_bucket"),
+        round(avg("sz"), 6).as("avg_bucket"),
+        sum(col("sz") - 1).as("n_candidates"))
+
   // ---- SimHash ---------------------------------------------------------
 
   /** 64-bit SimHash as a '0'/'1' bitstring: per distinct word, md5's
@@ -365,6 +380,7 @@ object Dedup {
     "dedup_exact_events" -> (qExactEvents _),
     "dedup_minhash" -> (qMinhash _),
     "dedup_minhash_lsh" -> (qMinhashLsh _),
+    "dedup_lsh_stats" -> (qLshStats _),
     "dedup_ngram" -> (qNgram _),
     "dedup_decontaminate" -> (qDecontaminate _),
     "dedup_clusters" -> (qDedupClusters _),
@@ -392,6 +408,15 @@ object Dedup {
         |WHERE rn = 1""".stripMargin,
     "dedup_minhash" ->
       s"SELECT doc_id, ${(0 until H).map(mhSql).mkString(", ")} FROM documents",
+    "dedup_lsh_stats" ->
+      s"""WITH $sigSql,
+         |$bandsSql,
+         |bk AS (SELECT band, bh, count(*) AS sz FROM bands GROUP BY band, bh)
+         |SELECT band, count(*) AS n_buckets,
+         |  CAST(max(sz) AS BIGINT) AS max_bucket,
+         |  round(avg(sz), 6) AS avg_bucket,
+         |  CAST(sum(sz - 1) AS BIGINT) AS n_candidates
+         |FROM bk GROUP BY band""".stripMargin,
     "dedup_minhash_lsh" ->
       s"""WITH $sigSql,
          |$bandsSql,

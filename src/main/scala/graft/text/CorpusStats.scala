@@ -192,6 +192,19 @@ object CorpusStats {
         round(lit(1.0) - col("n_unique").cast("double") / col("n_docs"), 6)
           .as("exact_dup_rate"))
 
+  /** Per-source exact-duplicate rate — the stratified sibling of the
+    * dataset card's global rate: the first question when a dup rate
+    * spikes is WHICH source started double-crawling. One
+    * partial-aggregated shuffle on source. */
+  def qDupRateBySource(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_unique"))
+      .select(col("source"), col("n_docs"), col("n_unique"),
+        round(lit(1.0) - col("n_unique").cast("double") / col("n_docs"), 6)
+          .as("dup_rate"))
+
   /** Per-source composition report: what a mix dashboard shows after
     * every pipeline stage. One partial-aggregated shuffle on source. */
   def qCorpusReport(spark: SparkSession, dir: String): DataFrame =
@@ -284,6 +297,7 @@ object CorpusStats {
     "text_unigram_logprob" -> (qUnigramLogprob _),
     "text_interp_logprob" -> (qInterpLogprob _),
     "pipeline_corpus_report" -> (qCorpusReport _),
+    "pipeline_dup_rate_by_source" -> (qDupRateBySource _),
     "text_lang_thresholds" -> (qLangThresholds _),
     "pipeline_curriculum" -> (qCurriculum _),
     "pipeline_dataset_card" -> (qDatasetCard _),
@@ -333,6 +347,11 @@ object CorpusStats {
         |  round(avg(log2(c / t)), 6) AS avg_log2p
         |FROM w JOIN v USING (word) CROSS JOIN t
         |GROUP BY doc_id""".stripMargin,
+    "pipeline_dup_rate_by_source" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+        |  round(1.0 - CAST(count(DISTINCT md5(text)) AS DOUBLE) / count(*), 6) AS dup_rate
+        |FROM documents GROUP BY source""".stripMargin,
     "pipeline_corpus_report" ->
       """SELECT source, count(*) AS n_docs,
         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_words,

@@ -116,6 +116,24 @@ object TextAnalysis {
             "(acc, k) -> acc + (k / CAST(size(cs) AS DOUBLE)) " +
             "* log2(k / CAST(size(cs) AS DOUBLE)))"), 6).as("char_entropy"))
 
+  /** Language-ID self-evaluation: the confusion matrix of the
+    * heuristic's predictions against the corpus's labeled lang column,
+    * with per-true-language share — the operator-quality report that
+    * decides whether the cheap n-gram classifier is good enough before
+    * gating on it. One join on doc_id + one tiny (lang, pred) agg;
+    * per-lang totals broadcast back. */
+  def qLangIdEval(spark: SparkSession, dir: String): DataFrame = {
+    val pred = qLangId(spark, dir).select(col("doc_id"), col("pred_lang"))
+    val cells = t(spark, dir, "documents").select(col("doc_id"), col("lang"))
+      .join(pred, "doc_id")
+      .groupBy("lang", "pred_lang")
+      .agg(count(lit(1)).as("n"))
+    val totals = cells.groupBy("lang").agg(sum("n").as("total"))
+    cells.join(broadcast(totals), "lang")
+      .select(col("lang"), col("pred_lang"), col("n"),
+        round(col("n").cast("double") / col("total"), 6).as("share"))
+  }
+
   private val CHUNK = 50
   private val STRIDE = 40
 
@@ -254,6 +272,7 @@ object TextAnalysis {
     "text_fingerprint_dedup" -> (qFingerprintDedup _),
     "text_quality" -> (qQuality _),
     "text_langid" -> (qLangId _),
+    "text_langid_eval" -> (qLangIdEval _),
     "text_tokens" -> (qTokens _),
     "text_fingerprint" -> (qFingerprint _),
     "text_tfidf" -> (qTfidf _),
@@ -329,6 +348,21 @@ object TextAnalysis {
            |       $caseArm ELSE '${langs.last}' END AS pred_lang
            |FROM (SELECT doc_id, $scoreCols
            |      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))""".stripMargin,
+      "text_langid_eval" ->
+        s"""WITH pred AS (
+           |  SELECT doc_id,
+           |    CASE WHEN greatest(${langs.map(l => s"s_$l").mkString(", ")}) = 0 THEN 'und'
+           |         $caseArm ELSE '${langs.last}' END AS pred_lang
+           |  FROM (SELECT doc_id, $scoreCols
+           |        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))),
+           |cells AS (
+           |  SELECT d.lang, p.pred_lang, count(*) AS n
+           |  FROM documents d JOIN pred p USING (doc_id)
+           |  GROUP BY d.lang, p.pred_lang),
+           |t AS (SELECT lang, sum(n) AS total FROM cells GROUP BY lang)
+           |SELECT lang, pred_lang, n,
+           |  round(CAST(n AS DOUBLE) / total, 6) AS share
+           |FROM cells JOIN t USING (lang)""".stripMargin,
       "text_tokens" ->
         """SELECT doc_id,
           |  CAST(len(ws) AS BIGINT) AS n_tokens,
