@@ -148,6 +148,22 @@ class WaveOpsSpec extends AnyFunSuite {
     kl.foreach(v => assert(v >= -1e-9, s"negative KL $v"))
   }
 
+  test("temporal join plans ZERO join operators — the union-window claim") {
+    val df = Relational.eventsTemporalJoin(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"temporal join must be join-free:\n${plan.take(400)}")
+    assert(plan.contains("Window"), "the state carry must be a window")
+  }
+
+  test("prefix join plans only equi-joins — no nested-loop anywhere") {
+    val df = graft.dedup.PrefixJoin.qPrefixJoin(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"prefix join must stay equi-join only:\n${plan.take(400)}")
+  }
+
   test("zipf profile: shares bounded, slope negative") {
     val r = graft.text.CorpusStats.qZipf(spark, sf).head()
     val hapax = r.getAs[Double]("hapax_frac")
