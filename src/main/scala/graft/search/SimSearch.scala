@@ -191,6 +191,26 @@ object SimSearch {
        |  FROM scored) WHERE rank <= $IVF_TOPK""".stripMargin
   }
 
+  /** IVF index-health report: per coarse cell, the vector count —
+    * the balance numbers (a runaway cell means the quantizer needs
+    * retraining or more cells; an empty cell wastes a probe) that an
+    * operator checks before trusting an IVF index at scale. The
+    * vector-side sibling of dedup_lsh_stats. Training is the same
+    * oracled deterministic chain as qIvf; the report is one
+    * partial-agged groupBy on the cell id. */
+  def qIvfStats(spark: SparkSession, dir: String): DataFrame = {
+    val ed = Points.embedDims
+    val pts = Points.embeddings64(spark, dir).cache()
+    val centers = trainCoarse(pts, CELLS, IVF_ITERS, ed)
+    val result = KMeans.assign(pts, centers, ed)
+      .groupBy(col("k").as("cell"))
+      .agg(count(lit(1)).as("n_vectors"))
+    val rows = result.collect()
+    val schema = result.schema
+    pts.unpersist()
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1), schema)
+  }
+
   /** Recall@k of the LSH-ANN searcher against the brute-force truth —
     * the measurement every ANN deployment reports before trading recall
     * for speed. Truth = brute top-ANN_TOPK; recall = fraction of truth
@@ -211,6 +231,7 @@ object SimSearch {
     "simsearch_topk" -> (qTopK _),
     "simsearch_ann" -> (qAnn _),
     "simsearch_ivf" -> (qIvf _),
+    "simsearch_ivf_stats" -> (qIvfStats _),
     "simsearch_range" -> (qRange _),
     "simsearch_recall" -> (qRecall _))
 
@@ -245,6 +266,11 @@ object SimSearch {
          |  FROM embeddings q JOIN embeddings e ON q.vec_id <= $QN AND q.vec_id != e.vec_id)
          |WHERE cs >= 0.3""".stripMargin,
     "simsearch_ivf" -> ivfOracle,
+    "simsearch_ivf_stats" ->
+      s"""WITH pts AS (${Points.embedPtsSql}),
+         |$ivfChainSql
+         |SELECT k AS cell, count(*) AS n_vectors
+         |FROM acell GROUP BY k""".stripMargin,
     "simsearch_topk" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id <= $QN),
          |c AS (SELECT q_id, vec_id,
