@@ -64,10 +64,13 @@ object Upsert {
       .withColumn("next_ts", lead("ts", 1).over(w))
       .select(col("user_id"), col("event_type").as("status"),
         col("ts").as("valid_from"),
-        // open rows carry the standard SCD-2 high-date sentinel, not
-        // NULL (NULL timestamps don't compare equal across engines'
-        // result harnesses: NaT != NaT)
-        coalesce(col("next_ts"), to_timestamp(lit("9999-12-31 00:00:00")))
+        // open rows carry a high-date sentinel, not NULL (NULL
+        // timestamps don't compare equal across engines' result
+        // harnesses: NaT != NaT). 2200-01-01 rather than the classic
+        // 9999-12-31: the latter overflows nanosecond-resolution
+        // datetime64 ranges (max 2262-04-11), which downstream
+        // arrow/pandas consumers coerce unpredictably.
+        coalesce(col("next_ts"), to_timestamp(lit("2200-01-01 00:00:00")))
           .as("valid_to"),
         col("next_ts").isNull.as("is_current"))
   }
@@ -99,7 +102,7 @@ object Upsert {
         |  WHERE prev_type IS NULL OR prev_type != event_type)
         |SELECT user_id, event_type AS status, ts AS valid_from,
         |  coalesce(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
-        |    TIMESTAMP '9999-12-31 00:00:00') AS valid_to,
+        |    TIMESTAMP '2200-01-01 00:00:00') AS valid_to,
         |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
         |FROM changes""".stripMargin)
 }
