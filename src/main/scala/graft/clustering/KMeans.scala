@@ -200,21 +200,23 @@ object KMeans {
 
   /** Robust (median/IQR) scaling of the point set — the outlier-proof
     * sibling of min-max normalization (a single extreme value pins
-    * min-max scaling to a corner; quartiles don't move). One exact
-    * interpolated-percentile aggregate (the percentile_qty operator's
-    * machinery) produces a 1-row stats frame, broadcast back so the
-    * scaling is a pure per-row projection; identical arithmetic on
-    * identical quartiles keeps the oracle bitwise with no rounding. */
+    * min-max scaling to a corner; quartiles don't move). The per-dim
+    * quartiles come from the bounded-state exact-quantile engine
+    * (graft.relational.Quantiles) over the dims melted long — no
+    * single-buffer percentile aggregate — and land as literals, so
+    * the scaling is a pure codegen'd per-row projection; identical
+    * arithmetic on bitwise-identical quartiles keeps the oracle exact
+    * with no rounding. */
   def qRobustScale(spark: SparkSession, dir: String): DataFrame = {
     val pts = Points.lineitem4d(spark, dir)
-    val statsRow = pts.agg(
-      expr(s"percentile(${dims.head}, 0.5D)").as(s"med_${dims.head}"),
-      dims.tail.map(d => expr(s"percentile($d, 0.5D)").as(s"med_$d")) ++
-        dims.flatMap(d => Seq(
-          expr(s"percentile($d, 0.75D) - percentile($d, 0.25D)").as(s"iqr_$d"))): _*)
-    pts.crossJoin(broadcast(statsRow))
-      .select(col("pid") +: dims.map(d =>
-        ((col(d) - col(s"med_$d")) / col(s"iqr_$d")).as(s"r_$d")): _*)
+    val melted = pts.select(expr(
+      s"stack(${dims.size}, ${dims.map(d => s"'$d', $d").mkString(", ")}) as (g, v)"))
+    val qs = graft.relational.Quantiles.grouped(melted, "g", "v", Seq(0.25, 0.5, 0.75))
+    pts.select(col("pid") +: dims.map { d =>
+      val med = qs(d)(0.5)
+      val iqr = qs(d)(0.75) - qs(d)(0.25)
+      ((col(d) - lit(med)) / lit(iqr)).as(s"r_$d")
+    }: _*)
   }
 
   private val robustScaleSql: String = {

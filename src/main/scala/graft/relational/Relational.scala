@@ -163,14 +163,25 @@ object Relational {
         |FROM rollup_src GROUP BY ROLLUP(r_name, n_name)""".stripMargin)
   }
 
-  /** Exact interpolated percentiles per group. */
-  def percentileQty(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "lineitem")
-      .groupBy("l_returnflag")
-      .agg(
-        round(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
-        round(expr("percentile(l_quantity, 0.9)"), 6).as("p90"),
-        round(expr("percentile(l_extendedprice, 0.5)"), 6).as("price_p50"))
+  /** Exact interpolated percentiles per group — computed by the
+    * bounded-state refinement engine (Quantiles), not the built-in
+    * `percentile` aggregate whose single buffer holds every distinct
+    * value on one reducer. Results are bitwise-identical; the plan is
+    * three bounded-cardinality groupBy passes instead of one
+    * unbounded-state aggregation. */
+  def percentileQty(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val melted = t(spark, dir, "lineitem")
+      .select(col("l_returnflag"),
+        expr("stack(2, 'qty', l_quantity, 'price', l_extendedprice) as (m, v)"))
+      .select(concat_ws("|", col("l_returnflag"), col("m")).as("g"), col("v"))
+    val qs = Quantiles.grouped(melted, "g", "v", Seq(0.5, 0.9))
+    val flags = qs.keys.map(_.split('|')(0)).toSeq.distinct.sorted
+    flags.map(f => (f, qs(s"$f|qty")(0.5), qs(s"$f|qty")(0.9), qs(s"$f|price")(0.5)))
+      .toDF("l_returnflag", "p50", "p90", "price_p50")
+      .select(col("l_returnflag"), round(col("p50"), 6).as("p50"),
+        round(col("p90"), 6).as("p90"), round(col("price_p50"), 6).as("price_p50"))
+  }
 
   /** As-of join composed Spark-first (no inequality join): attribute
     * each error event to the user's most recent click at-or-before it,
@@ -306,16 +317,23 @@ object Relational {
         approx_count_distinct(col("user_id")).as("approx_users"))
 
   /** Approximate percentile (Greenwald-Khanna sketch, rank error
-    * <= 1/accuracy) next to the exact interpolated percentile — at
-    * 100 TB the exact version's per-group full sort is the bottleneck,
-    * the sketch is one mergeable pass. Sketch merges are
+    * <= 1/accuracy) next to the exact interpolated percentile — the
+    * sketch is one mergeable pass; the exact side comes from the
+    * bounded-state refinement engine (Quantiles), so neither column
+    * needs unbounded aggregation state. Sketch merges are
     * partitioning-dependent -> rows-only; spec bounds the error. */
-  def percentileApproxQty(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "lineitem")
-      .groupBy("l_returnflag")
-      .agg(
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_approx"),
-        expr("percentile(l_extendedprice, 0.5)").as("p50_exact"))
+  def percentileApproxQty(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = t(spark, dir, "lineitem")
+    val exact = Quantiles.grouped(
+      li.select(col("l_returnflag").as("g"), col("l_extendedprice").as("v")),
+      "g", "v", Seq(0.5))
+    val exDf = exact.toSeq.map { case (g, m) => (g, m(0.5)) }
+      .toDF("l_returnflag", "p50_exact")
+    li.groupBy("l_returnflag")
+      .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_approx"))
+      .join(broadcast(exDf), "l_returnflag")
+  }
 
   /** Three-step event funnel (view -> click -> purchase): per user,
     * the earliest greedy chain — first view, first click AFTER that
@@ -499,27 +517,28 @@ object Relational {
   /** RFM customer segmentation (recency / frequency / monetary — the
     * classic warehouse cohorting): per-customer aggregates scored
     * 0-3 by quartile, customers counted per segment cell. The three
-    * quartile cutoff sets come from ONE exact-percentile aggregate
-    * broadcast back (no ntile — a global sort at 100 TB); recency
-    * quartiles work on epoch seconds so the percentile math is
-    * numeric on both engines. */
+    * quartile cutoff sets come from the bounded-state exact-quantile
+    * engine (Quantiles — no ntile's global sort AND no percentile's
+    * single value-map buffer); recency quartiles work on epoch seconds
+    * so the percentile math is numeric on both engines. The nine
+    * driver-held cutoffs land as literals, so scoring is a pure
+    * codegen'd projection. */
   def ordersRfm(spark: SparkSession, dir: String): DataFrame = {
     val per = t(spark, dir, "orders")
       .groupBy(col("o_custkey"))
       .agg(unix_timestamp(max("o_orderdate")).cast("double").as("r"),
         count(lit(1)).cast("double").as("f"),
         sum("o_totalprice").as("m"))
-    val cuts = per.agg(
-      expr("percentile(r, array(0.25D, 0.5D, 0.75D))").as("rc"),
-      expr("percentile(f, array(0.25D, 0.5D, 0.75D))").as("fc"),
-      expr("percentile(m, array(0.25D, 0.5D, 0.75D))").as("mc"))
-    def score(v: String, cs: String): org.apache.spark.sql.Column =
-      (when(col(v) >= element_at(col(cs), 1), 1).otherwise(0)
-        + when(col(v) >= element_at(col(cs), 2), 1).otherwise(0)
-        + when(col(v) >= element_at(col(cs), 3), 1).otherwise(0)).cast("int")
-    per.crossJoin(broadcast(cuts))
-      .select(score("r", "rc").as("r_score"), score("f", "fc").as("f_score"),
-        score("m", "mc").as("m_score"))
+    val cuts = Quantiles.grouped(
+      per.select(expr("stack(3, 'r', r, 'f', f, 'm', CAST(m AS DOUBLE)) as (g, v)")),
+      "g", "v", Seq(0.25, 0.5, 0.75))
+    def score(v: String): org.apache.spark.sql.Column =
+      Seq(0.25, 0.5, 0.75).map(p =>
+        when(col(v) >= lit(cuts(v)(p)), 1).otherwise(0))
+        .reduce(_ + _).cast("int")
+    per
+      .select(score("r").as("r_score"), score("f").as("f_score"),
+        score("m").as("m_score"))
       .groupBy("r_score", "f_score", "m_score")
       .agg(count(lit(1)).as("n_customers"))
   }
@@ -547,18 +566,18 @@ object Relational {
   /** Equi-DEPTH histogram of l_extendedprice — quartile buckets with
     * near-equal populations, the selectivity-estimation complement to
     * the fixed-width histogram above. Same scale shape as the
-    * curriculum buckets: one exact-percentile aggregate computes the
-    * three cutoffs, the 1-row cutoff frame broadcasts back, and each
-    * row's bucket is three codegen'd comparisons — no ntile, no
-    * global sort. */
+    * curriculum buckets: the bounded-state exact-quantile engine
+    * (Quantiles) computes the three cutoffs — no ntile, no global
+    * sort, no single-buffer percentile — and each row's bucket is
+    * three codegen'd comparisons against literal doubles. */
   def histPriceEquidepth(spark: SparkSession, dir: String): DataFrame = {
     val li = t(spark, dir, "lineitem").select(col("l_extendedprice").as("v"))
-    val cuts = li.agg(expr("percentile(v, array(0.25D, 0.5D, 0.75D))").as("cs"))
-    li.crossJoin(broadcast(cuts))
+    val cs = Quantiles.exact(li, "v", Seq(0.25, 0.5, 0.75))
+    li
       .withColumn("bucket",
-        (when(col("v") >= element_at(col("cs"), 1), 1).otherwise(0)
-          + when(col("v") >= element_at(col("cs"), 2), 1).otherwise(0)
-          + when(col("v") >= element_at(col("cs"), 3), 1).otherwise(0)).cast("int"))
+        (when(col("v") >= lit(cs(0.25)), 1).otherwise(0)
+          + when(col("v") >= lit(cs(0.5)), 1).otherwise(0)
+          + when(col("v") >= lit(cs(0.75)), 1).otherwise(0)).cast("int"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n"),
         round(min("v"), 2).as("lo"), round(max("v"), 2).as("hi"))

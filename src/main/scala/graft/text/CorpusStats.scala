@@ -155,18 +155,18 @@ object CorpusStats {
   /** Curriculum quality buckets: documents quartiled by their
     * unigram-LM score — the binning step before quality-ordered
     * (curriculum) training. NO global sort / ntile (a single-partition
-    * bottleneck at 100 TB): one exact-percentile aggregate computes
-    * the three cutoffs, the tiny cutoff row broadcasts back, and each
+    * bottleneck at 100 TB) and no single-buffer percentile: the
+    * bounded-state exact-quantile engine (graft.relational.Quantiles)
+    * computes the three cutoffs, which land as literals, and each
     * doc's bucket is three codegen'd comparisons. */
   def qCurriculum(spark: SparkSession, dir: String): DataFrame = {
     val scores = qUnigramLogprob(spark, dir).select(col("doc_id"), col("avg_log2p"))
-    val cuts = scores.agg(
-      expr("percentile(avg_log2p, array(0.25D, 0.5D, 0.75D))").as("cs"))
-    scores.crossJoin(broadcast(cuts))
+    val cs = graft.relational.Quantiles.exact(scores, "avg_log2p", Seq(0.25, 0.5, 0.75))
+    scores
       .withColumn("bucket",
-        (when(col("avg_log2p") >= element_at(col("cs"), 1), 1).otherwise(0)
-          + when(col("avg_log2p") >= element_at(col("cs"), 2), 1).otherwise(0)
-          + when(col("avg_log2p") >= element_at(col("cs"), 3), 1).otherwise(0)).cast("int"))
+        (when(col("avg_log2p") >= lit(cs(0.25)), 1).otherwise(0)
+          + when(col("avg_log2p") >= lit(cs(0.5)), 1).otherwise(0)
+          + when(col("avg_log2p") >= lit(cs(0.75)), 1).otherwise(0)).cast("int"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_docs"),
         round(min("avg_log2p"), 6).as("min_score"),
@@ -219,15 +219,18 @@ object CorpusStats {
   /** Per-language adaptive quality thresholds: the median TTR of each
     * language's documents becomes that language's gate (fixed global
     * thresholds misfire across languages — the standard fix is
-    * per-stratum quantile cutoffs). Two aggregates: the per-lang
-    * median (exact interpolated percentile, tiny result joined back —
-    * Catalyst broadcasts it) and the below-threshold count. */
+    * per-stratum quantile cutoffs). The per-lang median comes from
+    * the bounded-state exact-quantile engine (grouped by lang — a
+    * statically bounded stratum count), joins back as a tiny
+    * broadcast frame, then one below-threshold count pass. */
   def qLangThresholds(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val d = t(spark, dir, "documents")
       .withColumn("ws", split(col("text"), " "))
       .select(col("doc_id"), col("lang"),
         (size(array_distinct(col("ws"))).cast("double") / size(col("ws"))).as("ttr"))
-    val med = d.groupBy("lang").agg(expr("percentile(ttr, 0.5)").as("med"))
+    val med = graft.relational.Quantiles.grouped(d, "lang", "ttr", Seq(0.5))
+      .toSeq.map { case (l, m) => (l, m(0.5)) }.toDF("lang", "med")
     d.join(broadcast(med), "lang")
       .groupBy("lang")
       .agg(round(min("med"), 6).as("median_ttr"),
