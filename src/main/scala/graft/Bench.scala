@@ -41,7 +41,20 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"reps":$REPS,"sf":"$sfDir"}""")
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"reps":$REPS,"sf":"$sfDir"}"""
+    // The full line exceeds harnesses that keep only the tail of stdout
+    // (~130 queries ≈ 4 KB), losing most per-query timings. Persist the
+    // complete JSON to a file too, so every timing stays auditable.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), full + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] write $outFile: $e") }
+    // stdout: a compact line that survives tail-truncation — headline
+    // total, errors, the 10 slowest queries, and the full-file pointer.
+    val top = results.toSeq.sortBy(-_._2).take(10)
+      .map { case (k, v) => s"\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
+    println(full)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"slowest":$top,"errors":$errs,"reps":$REPS,"sf":"$sfDir","full":"$outFile"}""")
     spark.stop()
   }
 }

@@ -48,12 +48,18 @@ object Density {
     * is the min cell key of the cell's connected core component. */
   def qDensityGrid(spark: SparkSession, dir: String): DataFrame = {
     val core = coreCells(spark, dir)
-    val keyed = core.withColumn("id", col("cx") * 10000L + col("cy")).cache()
+    // Disjoint-bitfield cell key: (cx << 32) | (cy & 0xffffffff) is
+    // injective for any 32-bit cell coordinates, negative included —
+    // a cx*K + cy pack silently aliases distinct cells once cy leaves
+    // [0, K), merging unrelated clusters.
+    def pack(cx: org.apache.spark.sql.Column, cy: org.apache.spark.sql.Column) =
+      shiftleft(cx, 32).bitwiseOR(cy.bitwiseAND(lit(0xffffffffL)))
+    val keyed = core.withColumn("id", pack(col("cx"), col("cy"))).cache()
     // 8-neighborhood edges among core cells: emit neighbor keys,
     // equi-join against the core set (linear in core-cell count)
     val offsets = for (dx <- -1 to 1; dy <- -1 to 1 if dx != 0 || dy != 0) yield (dx, dy)
     val nbr = keyed.select(col("id").as("ia"), explode(array(offsets.map { case (dx, dy) =>
-      (col("cx") + dx) * 10000L + (col("cy") + dy)
+      pack(col("cx") + dx, col("cy") + dy)
     }: _*)).as("ib"))
     val edges = nbr.join(keyed.select(col("id").as("ib")), "ib")
       .filter(col("ia") < col("ib"))
@@ -84,7 +90,7 @@ object Density {
   val oracleSql: Map[String, String] = Map(
     "cluster_density_grid" -> {
       val nbrUnion = (for (dx <- -1 to 1; dy <- -1 to 1 if dx != 0 || dy != 0) yield
-        s"SELECT id AS ia, (cx + $dx) * 10000 + (cy + $dy) AS ib FROM keyed")
+        s"SELECT id AS ia, (cx + $dx) * 4294967296 + ((cy + $dy) & 4294967295) AS ib FROM keyed")
         .mkString(" UNION ALL ")
       s"""WITH RECURSIVE cells AS (
          |  SELECT CAST(floor(l_quantity / $QTY_W) AS BIGINT) AS cx,
@@ -94,7 +100,8 @@ object Density {
          |thr AS (SELECT CAST(sum(n_points) AS DOUBLE) / count(*) / 2.0 AS t FROM cells),
          |core AS (SELECT cx, cy, n_points FROM cells CROSS JOIN thr
          |  WHERE CAST(n_points AS DOUBLE) >= t),
-         |keyed AS (SELECT cx, cy, n_points, cx * 10000 + cy AS id FROM core),
+         |keyed AS (SELECT cx, cy, n_points,
+         |  cx * 4294967296 + (cy & 4294967295) AS id FROM core),
          |nbr AS ($nbrUnion),
          |edges AS (SELECT nbr.ia, nbr.ib FROM nbr
          |  JOIN keyed k ON nbr.ib = k.id WHERE nbr.ia < nbr.ib),

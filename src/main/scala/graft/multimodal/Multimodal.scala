@@ -35,6 +35,28 @@ object Multimodal {
     header ++ rgb
   }
 
+  /** Real JPEG / PNG via the JDK's own codec (javax.imageio — public
+    * API, no extra dependency): the production-crawl formats, next to
+    * the hand-parsed PPM/BMP that prove the container plumbing.
+    * `format` is an ImageIO writer name ("png", "jpg"). */
+  def encodeImageIo(w: Int, h: Int, rgb: Array[Byte], format: String): Array[Byte] = {
+    require(rgb.length == w * h * 3, s"need ${w * h * 3} bytes, got ${rgb.length}")
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = (y * w + x) * 3
+      img.setRGB(x, y, ((rgb(p) & 0xff) << 16) | ((rgb(p + 1) & 0xff) << 8) | (rgb(p + 2) & 0xff))
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, format, bos)
+    bos.toByteArray
+  }
+
+  private def isPng(b: Array[Byte]) =
+    b.length >= 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G'
+  private def isJpeg(b: Array[Byte]) =
+    b.length >= 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 && (b(2) & 0xff) == 0xff
+
   /** Minimal 24-bit uncompressed BMP (BITMAPINFOHEADER, bottom-up rows
     * padded to 4 bytes, BGR order). */
   def encodeBmp(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
@@ -70,6 +92,22 @@ object Multimodal {
     val decoded = decodeBytes(m)
     if (decoded.width <= 0 || decoded.height <= 0) return m
     val (w, h) = (decoded.width, decoded.height)
+    if (isPng(b) || isJpeg(b)) {
+      // ImageIO containers resize through the codec itself: decode,
+      // nearest-neighbor sample, re-encode in the same format.
+      val img = try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+                catch { case _: Exception => null }
+      if (img == null) return m
+      val rgb = new Array[Byte](w2 * h2 * 3)
+      for (y2 <- 0 until h2; x2 <- 0 until w2) {
+        val px = img.getRGB(x2 * w / w2, y2 * h / h2)
+        val p = (y2 * w2 + x2) * 3
+        rgb(p) = ((px >> 16) & 0xff).toByte
+        rgb(p + 1) = ((px >> 8) & 0xff).toByte
+        rgb(p + 2) = (px & 0xff).toByte
+      }
+      return m.copy(payload = encodeImageIo(w2, h2, rgb, if (isPng(b)) "png" else "jpg"))
+    }
     // locate the pixel reader for the source container
     val isPpm = b.length >= 2 && b(0) == 'P' && b(1) == '6'
     def srcPixel(x: Int, y: Int): (Int, Int, Int) =
@@ -373,6 +411,22 @@ object Multimodal {
           MediaFeatures(m.doc_id, "bmp", b.length.toLong, w, h, 1,
             features(w, h, pixelAt, nPix))
         }
+      } else if (isPng(b) || isJpeg(b)) {
+        // real-codec path: the JDK's ImageIO (public API). A corrupt or
+        // truncated payload returns null or throws — both quarantine to
+        // zeros exactly like the hand-parsed formats.
+        val img = try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+                  catch { case _: Exception => null }
+        if (img == null) zero
+        else {
+          val (w, h) = (img.getWidth, img.getHeight)
+          def pixelAt(p: Int): (Int, Int, Int) = {
+            val px = img.getRGB(p % w, p / w)
+            ((px >> 16) & 0xff, (px >> 8) & 0xff, px & 0xff)
+          }
+          MediaFeatures(m.doc_id, if (isPng(b)) "png" else "jpg",
+            b.length.toLong, w, h, 1, features(w, h, pixelAt, w * h))
+        }
       } else zero
     } catch { case _: IndexOutOfBoundsException => zero }
   }
@@ -391,7 +445,8 @@ object Multimodal {
   /** Media view over documents: REAL binary images whose dimensions
     * derive from doc_id and whose pixel bytes derive from the text —
     * deterministic, so every downstream check is reproducible. Format
-    * alternates PPM/BMP per doc. */
+    * rotates PPM/BMP/PNG/JPEG per doc (the latter two through the
+    * JDK's real ImageIO codec). */
   def mediaView(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
     import spark.implicits._
     t(spark, dir, "documents").select("doc_id", "text").as[(Long, String)]
@@ -401,8 +456,12 @@ object Multimodal {
         val seed = text.getBytes("UTF-8")
         val rgb = Array.tabulate(w * h * 3)(i =>
           if (seed.isEmpty) (id + i).toByte else seed(i % seed.length))
-        if (id % 2 == 0) MediaRecord(id, "ppm", encodePpm(w, h, rgb))
-        else MediaRecord(id, "bmp", encodeBmp(w, h, rgb))
+        (id % 4).toInt match {
+          case 0 => MediaRecord(id, "ppm", encodePpm(w, h, rgb))
+          case 1 => MediaRecord(id, "bmp", encodeBmp(w, h, rgb))
+          case 2 => MediaRecord(id, "png", encodeImageIo(w, h, rgb, "png"))
+          case _ => MediaRecord(id, "jpg", encodeImageIo(w, h, rgb, "jpg"))
+        }
       }
   }
 
@@ -412,8 +471,10 @@ object Multimodal {
   def qMeta(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents").select(
       col("doc_id"),
-      when(pmod(col("doc_id"), lit(2)) === 0, lit("ppm"))
-        .otherwise(lit("bmp")).as("format"),
+      when(pmod(col("doc_id"), lit(4)) === 0, lit("ppm"))
+        .when(pmod(col("doc_id"), lit(4)) === 1, lit("bmp"))
+        .when(pmod(col("doc_id"), lit(4)) === 2, lit("png"))
+        .otherwise(lit("jpg")).as("format"),
       octet_length(encode(col("text"), "UTF-8")).cast("long").as("n_text_bytes"),
       md5(col("text")).as("content_hash"))
 
@@ -423,7 +484,8 @@ object Multimodal {
   val oracleSql: Map[String, String] = Map(
     "multimodal_meta" ->
       """SELECT doc_id,
-        |  CASE WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'bmp' END AS format,
+        |  CASE doc_id % 4 WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp'
+        |    WHEN 2 THEN 'png' ELSE 'jpg' END AS format,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_text_bytes,
         |  md5(text) AS content_hash
         |FROM documents""".stripMargin)

@@ -42,8 +42,13 @@ object Sinks {
       .reduce(_ + _)
   }
 
-  /** One planned compaction group: which files merge into one output. */
-  case class CompactionGroup(groupId: Int, files: Seq[String], bytes: Long)
+  /** One planned compaction group: which files merge into one output.
+    * `oversized` marks a group whose single file already exceeds the
+    * target — it can't be split by compaction (that's a rewrite job),
+    * so the "at most targetBytes" contract is explicitly waived and
+    * surfaced rather than silently broken. */
+  case class CompactionGroup(groupId: Int, files: Seq[String], bytes: Long,
+                             oversized: Boolean = false)
 
   /** Compaction PLAN for a directory of parquet files: first-fit-
     * decreasing bin packing of files into groups of at most
@@ -53,7 +58,10 @@ object Sinks {
     * FILE METADATA only (names + sizes — never data); at 100 TB the
     * listing is the object-store manifest, the plan is still tiny. */
   def compactionPlan(dir: String, targetBytes: Long): Seq[CompactionGroup] = {
-    val files = new java.io.File(dir).listFiles()
+    // listFiles() is null (not empty) for a missing path or non-directory
+    val listed = Option(new java.io.File(dir).listFiles()).getOrElse(
+      throw new IllegalArgumentException(s"compactionPlan: not a listable directory: $dir"))
+    val files = listed
       .filter(f => f.isFile && f.getName.endsWith(".parquet"))
       .map(f => f.getPath -> f.length())
       .sortBy { case (p, len) => (-len, p) } // FFD: biggest first, stable
@@ -64,7 +72,8 @@ object Sinks {
       else bins += ((len, scala.collection.mutable.ArrayBuffer(path)))
     }
     bins.zipWithIndex.map { case ((bytes, fs), i) =>
-      CompactionGroup(i, fs.toSeq, bytes)
+      CompactionGroup(i, fs.toSeq, bytes,
+        oversized = bytes > targetBytes)
     }.toSeq
   }
 

@@ -90,8 +90,11 @@ object Streams {
     * that catches a feed whose shape changes (a type vanishing, an
     * error flood) before it lands. The baseline frame
     * (event_type, p_base) is tiny and re-read per micro-batch
-    * (broadcast, INNER join — types outside the baseline support would
-    * make KL infinite and belong to a separate unknown-type alert);
+    * (broadcast, LEFT join: types outside the baseline support would
+    * make KL infinite, so the KL is computed over the baseline-known
+    * types renormalized by n_matched — and the renormalization is
+    * VISIBLE: n_events counts the window's true total, n_unknown the
+    * out-of-support events, so an unknown-type flood can't hide);
     * window state is one count per (window, type), watermark-bounded.
     * The per-window normalization and KL fold happen in a second
     * aggregate over the window's own (tiny) type rows. */
@@ -100,14 +103,17 @@ object Streams {
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"))
-      .join(broadcast(baseline), "event_type")
+      .join(broadcast(baseline), Seq("event_type"), "left")
       .groupBy(col("w"))
       .agg(sum("n").as("n_events"),
-        collect_list(struct(col("n"), col("p_base"))).as("__parts"))
+        sum(when(col("p_base").isNotNull, col("n")).otherwise(0L)).as("n_matched"),
+        collect_list(when(col("p_base").isNotNull,
+          struct(col("n"), col("p_base"))).otherwise(null)).as("__parts"))
       .select(col("w.start").as("window_start"), col("n_events"),
+        (col("n_events") - col("n_matched")).as("n_unknown"),
         round(expr(
           "aggregate(__parts, 0.0D, (acc, x) -> " +
-            "acc + (x.n / CAST(n_events AS DOUBLE)) * log2((x.n / CAST(n_events AS DOUBLE)) / x.p_base))"),
+            "acc + (x.n / CAST(n_matched AS DOUBLE)) * log2((x.n / CAST(n_matched AS DOUBLE)) / x.p_base))"),
           6).as("kl_bits"))
 
   /** Watermarked stream-stream interval join: pair each click with the

@@ -9,13 +9,62 @@ class MultimodalSpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.001"
 
   test("media view carries real binary image payloads with typed metadata") {
-    val m = Multimodal.mediaView(spark, sf).head()
-    assert(m.payload.nonEmpty)
-    assert(Set("ppm", "bmp").contains(m.format))
-    // the payload IS the container: magic bytes match the format
-    val magic = new String(m.payload.take(2), "US-ASCII")
-    assert((m.format == "ppm" && magic == "P6") ||
-      (m.format == "bmp" && magic == "BM"))
+    val ms = Multimodal.mediaView(spark, sf).take(8)
+    assert(ms.map(_.format).toSet == Set("ppm", "bmp", "png", "jpg"))
+    ms.foreach { m =>
+      assert(m.payload.nonEmpty)
+      // the payload IS the container: magic bytes match the format
+      val magic = new String(m.payload.take(2), "US-ASCII")
+      m.format match {
+        case "ppm" => assert(magic == "P6")
+        case "bmp" => assert(magic == "BM")
+        case "png" => assert((m.payload(0) & 0xff) == 0x89 && m.payload(1) == 'P')
+        case "jpg" => assert((m.payload(0) & 0xff) == 0xff && (m.payload(1) & 0xff) == 0xd8)
+      }
+    }
+  }
+
+  test("ImageIO round-trip: PNG decodes losslessly, JPEG decodes at real dims") {
+    val rgb = Array.tabulate(8 * 8 * 3)(i => (i * 7 % 256).toByte)
+    val png = Multimodal.decodeBytes(Multimodal.MediaRecord(
+      1L, "png", Multimodal.encodeImageIo(8, 8, rgb, "png")))
+    assert(png.format == "png" && png.width == 8 && png.height == 8 && png.n_frames == 1)
+    // PNG is lossless: channel means match the raw bytes exactly
+    val exact = Multimodal.decodeBytes(Multimodal.MediaRecord(
+      1L, "ppm", Multimodal.encodePpm(8, 8, rgb)))
+    for (j <- 0 until 4)
+      assert(math.abs(png.feature(j) - exact.feature(j)) < 1e-6, s"channel $j")
+    // JPEG is lossy: dims exact, channel means close
+    val jpg = Multimodal.decodeBytes(Multimodal.MediaRecord(
+      2L, "jpg", Multimodal.encodeImageIo(8, 8, rgb, "jpg")))
+    assert(jpg.format == "jpg" && jpg.width == 8 && jpg.height == 8)
+    for (j <- 0 until 3)
+      assert(math.abs(jpg.feature(j) - exact.feature(j)) < 0.1, s"jpeg channel $j drifted")
+  }
+
+  test("corrupt ImageIO payloads quarantine to zeros, never crash the task") {
+    // valid magic, garbage body — ImageIO throws or returns null
+    val fakePng = Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10, 1, 2, 3)
+    val fp = Multimodal.decodeBytes(Multimodal.MediaRecord(3L, "png", fakePng))
+    assert(fp.width == 0 && fp.height == 0 && fp.feature.forall(_ == 0f))
+    val truncatedJpg = Multimodal.encodeImageIo(
+      8, 8, Array.fill(8 * 8 * 3)(42.toByte), "jpg").take(20)
+    val tj = Multimodal.decodeBytes(Multimodal.MediaRecord(4L, "jpg", truncatedJpg))
+    assert(tj.width == 0 && tj.height == 0 && tj.feature.forall(_ == 0f))
+    // resize quarantines them unchanged too
+    val r = Multimodal.resize(Multimodal.MediaRecord(5L, "png", fakePng), 4, 4)
+    assert(r.payload.sameElements(fakePng))
+  }
+
+  test("ImageIO resize re-encodes at target dims in the source format") {
+    val rgb = Array.tabulate(8 * 8 * 3)(i => (if ((i / 3) % 2 == 0) 200 else 40).toByte)
+    for (fmt <- Seq("png", "jpg")) {
+      val src = Multimodal.MediaRecord(1L, fmt, Multimodal.encodeImageIo(8, 8, rgb, fmt))
+      val out = Multimodal.resize(src, 4, 4)
+      val f = Multimodal.decodeBytes(out)
+      assert(f.format == fmt && f.width == 4 && f.height == 4,
+        s"$fmt: ${f.format} ${f.width}x${f.height}")
+    }
   }
 
   test("decode parses real PPM bytes it writes itself") {

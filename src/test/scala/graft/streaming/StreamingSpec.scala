@@ -67,21 +67,25 @@ class StreamingSpec extends AnyFunSuite {
       .outputMode(OutputMode.Append).start()
     try {
       // window 0: 2xa + 2xb matches the baseline exactly (KL = 0);
-      // window 1 (hour 2): 4xa is maximally skewed (KL = 1 bit)
+      // window 1 (hour 2): 4xa is maximally skewed (KL = 1 bit), plus
+      // 2 out-of-baseline "z" events that must surface as n_unknown
+      // (NOT silently renormalize away) while KL stays over the
+      // matched types
       input.addData((ts(0), "a"), (ts(1), "a"), (ts(2), "b"), (ts(3), "b"))
-      input.addData((ts(120), "a"), (ts(121), "a"), (ts(122), "a"), (ts(123), "a"))
+      input.addData((ts(120), "a"), (ts(121), "a"), (ts(122), "a"), (ts(123), "a"),
+        (ts(124), "z"), (ts(125), "z"))
       q.processAllAvailable()
       // far-future event closes both windows past the 2h watermark
       input.addData((ts(600), "a"))
       q.processAllAvailable()
       val rows = spark.table("drift_out")
-        .select("window_start", "n_events", "kl_bits")
-        .as[(Timestamp, Long, Double)].collect().sortBy(_._1.getTime)
+        .select("window_start", "n_events", "n_unknown", "kl_bits")
+        .as[(Timestamp, Long, Long, Double)].collect().sortBy(_._1.getTime)
       assert(rows.length >= 2, s"both closed windows emit: ${rows.mkString}")
-      assert(rows(0)._2 == 4L && math.abs(rows(0)._3) < 1e-9,
+      assert(rows(0)._2 == 4L && rows(0)._3 == 0L && math.abs(rows(0)._4) < 1e-9,
         s"matching window must score KL 0: ${rows(0)}")
-      assert(rows(1)._2 == 4L && math.abs(rows(1)._3 - 1.0) < 1e-9,
-        s"all-a window vs 50/50 baseline is exactly 1 bit: ${rows(1)}")
+      assert(rows(1)._2 == 6L && rows(1)._3 == 2L && math.abs(rows(1)._4 - 1.0) < 1e-9,
+        s"all-a window vs 50/50 baseline is 1 bit with 2 unknowns visible: ${rows(1)}")
     } finally q.stop()
   }
 
