@@ -84,6 +84,32 @@ object Streams {
   def ingestPipeline(stream: DataFrame, corpusIndex: DataFrame): DataFrame =
     incrementalDedupStream(qualityGate(stream), corpusIndex)
 
+  /** Non-memory streaming ingress over Spark's built-in `rate` source
+    * — the front-door shape every production feed uses, minus the
+    * broker: `rowsPerSecond` is the source-side throughput cap (the
+    * `maxOffsetsPerTrigger` analog — backpressure lives HERE, not in
+    * the operators), `numPartitions` the source parallelism; a Kafka
+    * ingress is this function with `format("kafka")` + subscribe
+    * options and the identical downstream pipeline. Each tick becomes
+    * a deterministic synthetic document; consecutive ticks arrive in
+    * 3-tick duplicate families so the downstream dedup state actually
+    * exercises. Output schema matches ingestPipeline's input:
+    * (ts, doc_id, text, content_hash). */
+  def rateIngress(spark: org.apache.spark.sql.SparkSession,
+                  rowsPerSecond: Int, numPartitions: Int = 2): DataFrame = {
+    val words = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo sierra " +
+      "tango uniform victor whiskey xray"
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond.toLong)
+      .option("numPartitions", numPartitions.toLong)
+      .load() // (timestamp TIMESTAMP, value LONG)
+      .select(col("timestamp").as("ts"), col("value").as("doc_id"),
+        concat(lit(words + " family"),
+          (col("value") - pmod(col("value"), lit(3))).cast("string")).as("text"))
+      .withColumn("content_hash", md5(col("text")))
+  }
+
   /** Per-window distribution drift monitor: for every tumbling window,
     * the KL divergence (bits) of the window's event-type distribution
     * against a STATIC baseline distribution — the live data-QC signal

@@ -104,4 +104,172 @@ class GkaPsoSpec extends AnyFunSuite {
     assert(out.length == 4)
     assert(out.zip(out.tail).forall { case (a, b) => b <= a + 1e-9 })
   }
+
+  // ---- independent trace oracles for the seeded loops ------------------
+  // gka_full / pso_full stay rows-only in the driver harness (seeded
+  // RNG is not SQL-expressible), so the loop MATH is pinned here
+  // instead: a from-scratch driver-array reimplementation (the
+  // reference's own architecture) replays the identical RNG protocol
+  // on a crafted 10-point set and must produce the same per-iteration
+  // (objective, best) trace as the distributed loop. Only the initial
+  // hash assignments and the physical row order are read from Spark —
+  // inputs, not math.
+
+  private val tracePts = Seq(
+    (1L, 1.0, 2.0), (2L, 2.0, 1.5), (3L, 8.0, 9.0), (4L, 9.0, 8.5),
+    (5L, 1.5, 1.0), (6L, 8.5, 9.5), (7L, 2.5, 2.0), (8L, 9.5, 9.0),
+    (9L, 1.2, 2.2), (10L, 8.2, 8.8))
+  private val ds2 = Seq("x1", "x2")
+
+  private def r6(x: Double) =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private def dist(x: Array[Double], c: Array[Double]): Double =
+    math.sqrt(x.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum)
+
+  test("gka full trace equals an independent driver-array GA replay") {
+    val (k, p, iters, pm, cm, seed) = (2, 2, 2, 0.7, 2.0, 7L)
+    // coalesce(1) makes row order (the roulette walk order and every
+    // aggregation's fp-sum order) deterministic and observable
+    val pts1 = Points.withRid(tracePts.toDF("pid", "x1", "x2"), ds2).coalesce(1).cache()
+    try {
+      val got = GKA.full(pts1, k = k, p = p, iters = iters, pm = pm, cm = cm,
+        seed = seed, ds = ds2)
+        .orderBy("iter").select("iter", "objective", "best")
+        .as[(Int, Double, Double)].collect()
+
+      // inputs from Spark: walk order + the hash init assignments
+      val init = pts1.select(
+        (col("rid") +: ds2.map(col)) ++
+          (0 until p).map(i =>
+            pmod(xxhash64(col("rid"), lit(i), lit(seed)), lit(k)).cast("int").as(s"s$i")): _*)
+        .collect()
+      val walk: Array[(Long, Array[Double])] =
+        init.map(r => (r.getLong(0), ds2.indices.map(j => r.getDouble(1 + j)).toArray))
+      var s: Array[Map[Long, Int]] = Array.tabulate(p)(i =>
+        init.map(r => r.getLong(0) -> r.getInt(1 + ds2.length + i)).toMap)
+
+      val rng = new scala.util.Random(seed)
+      val n = walk.length
+      var best = Double.MaxValue
+      val trace = scala.collection.mutable.ListBuffer.empty[(Int, Double, Double)]
+      for (iter <- 1 to iters) {
+        // centers (rounded means, +inf sentinel for empty classes)
+        val centers = Array.tabulate(p) { i =>
+          Array.tabulate(k) { ki =>
+            val members = walk.filter { case (rid, _) => s(i)(rid) == ki }
+            if (members.isEmpty) Array.fill(ds2.length)(Double.PositiveInfinity)
+            else Array.tabulate(ds2.length)(j =>
+              r6(members.map(_._2(j)).sum / members.length))
+          }
+        }
+        // reassign: first-argmin, per-row min dist
+        val d = Array.tabulate(p) { i =>
+          walk.map { case (rid, x) =>
+            val da = centers(i).map(c => dist(x, c))
+            rid -> da
+          }.toMap
+        }
+        s = Array.tabulate(p) { i =>
+          walk.map { case (rid, _) =>
+            val da = d(i)(rid); rid -> da.indexOf(da.min)
+          }.toMap
+        }
+        val dmin = Array.tabulate(p)(i => walk.map { case (rid, _) => d(i)(rid).min })
+        val fitness = dmin.map(v => v.sum / n)
+        val dmax = dmin.map(_.max)
+        best = math.min(best, fitness.min)
+        trace += ((iter, fitness.min, best))
+        // mutation: same RNG protocol, prefix-walk in row order
+        val muts = (0 until p).flatMap { i =>
+          if (rng.nextDouble() < pm) {
+            val dart = rng.nextDouble() * (n * (cm * dmax(i) - fitness(i)))
+            Some((i, dart, rng.nextInt(k)))
+          } else None
+        }
+        val mutated = s.map(identity)
+        for ((i, dart, flip) <- muts) {
+          var acc = 0.0
+          var picked = walk.last._1
+          var done = false
+          for (((rid, _), idx) <- walk.zipWithIndex if !done) {
+            acc += cm * dmax(i) - d(i)(rid).min
+            if (acc > dart) { picked = rid; done = true }
+          }
+          mutated(i) = mutated(i) + (picked -> flip)
+        }
+        // selection: wheel over 1/fitness, identical fp-fold
+        val iv = fitness.map(1.0 / _)
+        val tot = iv.sum
+        val cum = iv.scanLeft(0.0)(_ + _).tail.map(_ / tot)
+        val picks = (0 until p).map { _ =>
+          val f = rng.nextDouble()
+          cum.indexWhere(f < _) match { case -1 => p - 1; case j => j }
+        }
+        s = Array.tabulate(p)(i => mutated(picks(i)))
+      }
+
+      assert(got.length == iters)
+      for (((gi, go, gb), (ti, to_, tb)) <- got.zip(trace)) {
+        assert(gi == ti)
+        assert(math.abs(go - to_) < 1e-9, s"iter $gi objective: spark $go vs trace ${to_}")
+        assert(math.abs(gb - tb) < 1e-9, s"iter $gi best: spark $gb vs trace $tb")
+      }
+    } finally { pts1.unpersist(); () }
+  }
+
+  test("pso full trace equals an independent driver-array swarm replay") {
+    val (k, pN, iters, wMax, wMin, c1, c2, seed) = (2, 2, 2, 0.9, 0.4, 2.0, 2.0, 11L)
+    val pts1 = tracePts.toDF("pid", "x1", "x2").coalesce(1)
+    val got = PSO.full(pts1, k = k, p0 = pN, iters = iters, wMax = wMax,
+      wMin = wMin, c1 = c1, c2 = c2, seed = seed, ds = ds2)
+      .orderBy("iter").select("iter", "objective", "best")
+      .as[(Int, Double, Double)].collect()
+
+    // row order (fp-sum order for objectives) read from the frame
+    val walk = tracePts.map { case (_, a, b) => Array(a, b) }
+    val D = ds2.length
+    val sorted = tracePts.sortBy(_._1) // firstKCenters order: pid (unique here)
+    var pos = sorted.take(pN * k).map { case (_, a, b) => Array(a, b) }
+      .grouped(k).map(_.toArray).toArray
+    val vMax = Array.tabulate(D)(j =>
+      (walk.map(_(j)).max - walk.map(_(j)).min) / 10.0)
+    def objective(centers: Array[Array[Double]]): Double =
+      walk.map(x => centers.map(c => dist(x, c)).min).sum / walk.length
+    val rng = new scala.util.Random(seed)
+    val vel = Array.fill(pN, k, D)(0.0)
+    var objs = pos.map(objective)
+    val pbest = pos.map(_.map(_.clone))
+    val pbestObj = objs.clone()
+    var gbest = pos(objs.indices.minBy(objs)).map(_.clone)
+    var gbestObj = objs.min
+    val trace = scala.collection.mutable.ListBuffer.empty[(Int, Double, Double)]
+    for (iter <- 1 to iters) {
+      val w = wMax - (wMax - wMin) / iters * (iter - 1)
+      for (p <- 0 until pN; i <- 0 until k; j <- 0 until D) {
+        var v = w * vel(p)(i)(j) +
+          c1 * rng.nextDouble() * (pbest(p)(i)(j) - pos(p)(i)(j)) +
+          c2 * rng.nextDouble() * (gbest(i)(j) - pos(p)(i)(j))
+        if (v > vMax(j)) v = vMax(j) else if (v < -vMax(j)) v = -vMax(j)
+        vel(p)(i)(j) = v
+        pos(p)(i)(j) += v
+      }
+      objs = pos.map(objective)
+      for (p <- 0 until pN) {
+        if (objs(p) < pbestObj(p)) {
+          pbestObj(p) = objs(p)
+          pbest(p) = pos(p).map(_.clone)
+        }
+        if (objs(p) < gbestObj) { gbestObj = objs(p); gbest = pos(p).map(_.clone) }
+      }
+      trace += ((iter, objs.min, gbestObj))
+    }
+
+    assert(got.length == iters)
+    for (((gi, go, gb), (ti, to_, tb)) <- got.zip(trace)) {
+      assert(gi == ti)
+      assert(math.abs(go - to_) < 1e-9, s"iter $gi objective: spark $go vs trace ${to_}")
+      assert(math.abs(gb - tb) < 1e-9, s"iter $gi best: spark $gb vs trace $tb")
+    }
+  }
 }
