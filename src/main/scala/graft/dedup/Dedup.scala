@@ -75,12 +75,14 @@ object Dedup {
     * DataFrame-parametric core, so the same chain runs on the testdata
     * corpus, a JSONL ingest (graft.Main clean) or any other source. */
   def candidatesOf(docs: DataFrame, h: Int = H, nBands: Int = BANDS): DataFrame = {
-    // no cache: the bands projection is recomputed for the two plan
-    // branches (cheap md5 HOFs), which beats leaking a cached copy per
-    // calling query for the session's lifetime
-    val b = bands(signatures(docs, h), h, nBands)
-    val mins = b.groupBy("band", "bh").agg(min("doc_id").as("ia"))
-    b.join(mins, Seq("band", "bh"))
+    // keeper-per-bucket via an unordered window min: the signature->
+    // band chain is evaluated ONCE and shuffled ONCE (partition by
+    // (band, bh)), where a groupBy-mins + self-join evaluates the md5
+    // chain on both plan branches and shuffles twice. No cache needed
+    // for single evaluation — the window IS the sharing.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")
+    bands(signatures(docs, h), h, nBands)
+      .withColumn("ia", min("doc_id").over(w))
       .filter(col("doc_id") > col("ia"))
       .select(col("ia"), col("doc_id").as("ib"))
       .distinct()
