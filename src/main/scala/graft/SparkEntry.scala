@@ -16,6 +16,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     relational.Relational.queries ++
+      relational.Analytics.queries ++
       relational.CountMin.queries ++
       clustering.KMeans.queries ++
       clustering.MLlibBridge.queries ++
@@ -45,6 +46,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     relational.Relational.oracleSql ++
+      relational.Analytics.oracleSql ++
       relational.CountMin.oracleSql ++
       clustering.KMeans.oracleSql ++
       clustering.GKA.oracleSql ++

@@ -124,6 +124,49 @@ object Dedup {
   def qMinhashLsh(spark: SparkSession, dir: String): DataFrame =
     minhashLsh(spark, dir)
 
+  /** Containment near-dup (the C4-family gate): |A∩B| / min(|A|,|B|)
+    * over the same banded candidates — catches a short document
+    * embedded inside a long one, which symmetric Jaccard dilutes below
+    * any threshold (|A∩B|/|A∪B| ≈ |A|/|B| for A ⊂ B). Identical scale
+    * shape to the Jaccard gate: star candidates, word arrays joined
+    * back by id, one fused intersect-size expression per pair. */
+  def qContainment(spark: SparkSession, dir: String,
+                   threshold: Double = 0.9): DataFrame = {
+    val w = wordSetsOf(t(spark, dir, "documents"))
+    candidates(spark, dir)
+      .join(w.select(col("doc_id").as("ia"), col("ws").as("wa")), "ia")
+      .join(w.select(col("doc_id").as("ib"), col("ws").as("wb")), "ib")
+      .withColumn("__i", graft.functions.GraftFunctions.intersectSize(col("wa"), col("wb")))
+      .withColumn("containment",
+        col("__i").cast("double") / least(size(col("wa")), size(col("wb"))))
+      .filter(col("containment") >= threshold)
+      .select("ia", "ib", "containment")
+  }
+
+  /** Paragraph-level exact dedup report (the C4/RefinedWeb unit: whole
+    * docs rarely repeat, boilerplate paragraphs repeat everywhere):
+    * split each doc on sentence boundaries, hash each part, count
+    * global occurrences, and report each doc's duplicated-part
+    * fraction plus a gate flag. Scale shape: explode -> ONE
+    * partial-aggregated count on the part hash -> co-partitioned join
+    * back on the same hash -> per-doc aggregate. Nothing holds a
+    * vocabulary-sized buffer; the explode is linear in corpus text. */
+  def qParagraphDedup(spark: SparkSession, dir: String,
+                      gateFrac: Double = 0.5): DataFrame = {
+    val parts = t(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), "\\. ")).as("p"))
+      .filter(length(col("p")) > 0)
+      .select(col("doc_id"), md5(col("p")).as("ph"))
+    val counts = parts.groupBy("ph").agg(count(lit(1)).as("n_occ"))
+    parts.join(counts, "ph")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_parts"),
+        sum(when(col("n_occ") >= 2, 1L).otherwise(0L)).as("n_dup_parts"))
+      .withColumn("dup_frac",
+        col("n_dup_parts").cast("double") / col("n_parts"))
+      .withColumn("gated", col("dup_frac") > gateFrac)
+  }
+
   /** Distinct char-5-grams of the text column. Guard: sequence(1, n)
     * DESCENDS for n < 1, so short texts need an explicit empty-gram
     * case (the DuckDB range() mirror is already empty there). */
@@ -382,6 +425,8 @@ object Dedup {
     "dedup_exact_events" -> (qExactEvents _),
     "dedup_minhash" -> (qMinhash _),
     "dedup_minhash_lsh" -> (qMinhashLsh _),
+    "dedup_containment" -> ((s: SparkSession, d: String) => qContainment(s, d)),
+    "dedup_paragraphs" -> ((s: SparkSession, d: String) => qParagraphDedup(s, d)),
     "dedup_lsh_stats" -> (qLshStats _),
     "dedup_ngram" -> (qNgram _),
     "dedup_decontaminate" -> (qDecontaminate _),
@@ -430,6 +475,31 @@ object Dedup {
          |      / len(list_distinct(list_concat(wa.ws, wb.ws))) AS j
          |  FROM cands JOIN w wa ON ia = wa.doc_id JOIN w wb ON ib = wb.doc_id)
          |WHERE j >= 0.8""".stripMargin,
+    "dedup_containment" ->
+      s"""WITH $sigSql,
+         |$bandsSql,
+         |$candsSql,
+         |w AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM documents)
+         |SELECT ia, ib, containment FROM (
+         |  SELECT ia, ib,
+         |    CAST(len(list_intersect(wa.ws, wb.ws)) AS DOUBLE)
+         |      / least(len(wa.ws), len(wb.ws)) AS containment
+         |  FROM cands JOIN w wa ON ia = wa.doc_id JOIN w wb ON ib = wb.doc_id)
+         |WHERE containment >= 0.9""".stripMargin,
+    "dedup_paragraphs" ->
+      """WITH parts AS (
+        |  SELECT doc_id, md5(p) AS ph
+        |  FROM (SELECT doc_id, unnest(string_split(text, '. ')) AS p FROM documents)
+        |  WHERE length(p) > 0),
+        |occ AS (SELECT ph, count(*) AS n_occ FROM parts GROUP BY ph),
+        |per AS (
+        |  SELECT doc_id, count(*) AS n_parts,
+        |    CAST(sum(CASE WHEN o.n_occ >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_parts
+        |  FROM parts p JOIN occ o USING (ph) GROUP BY doc_id)
+        |SELECT doc_id, n_parts, n_dup_parts,
+        |  CAST(n_dup_parts AS DOUBLE) / n_parts AS dup_frac,
+        |  CAST(n_dup_parts AS DOUBLE) / n_parts > 0.5 AS gated
+        |FROM per""".stripMargin,
     "dedup_ngram" ->
       s"""WITH $sigSql,
          |$bandsSql,

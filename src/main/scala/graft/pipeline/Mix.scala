@@ -76,8 +76,24 @@ object Mix {
       .select("source", "doc_id", "rank", "es_key")
   }
 
+  /** Per-source document cap (the "max pages per domain" C4-family
+    * rule): keep each source's first `n` docs by doc_id, dropping the
+    * tail — the blunt-but-standard guard against one domain flooding
+    * the mix. Runs on the custom TopKPerKey PHYSICAL operator (bounded
+    * n-row heap per source, one hash shuffle, no per-source sort);
+    * ordering ascends doc_id via the negated-value trick the exec's
+    * (value DESC, tie ASC) contract allows. */
+  def qSourceCap(spark: SparkSession, dir: String, n: Int = 20): DataFrame =
+    graft.plans.TopKPerKey(
+      t(spark, dir, "documents")
+        .select(col("source"), col("doc_id"), col("lang"))
+        .withColumn("__neg", -col("doc_id").cast("double")),
+      Seq("source"), "__neg", "doc_id", n)
+      .select("source", "doc_id", "lang", "rank")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_mix" -> (qMix _),
+    "pipeline_source_cap" -> ((s: SparkSession, d: String) => qSourceCap(s, d)),
     "pipeline_weighted_sample" -> (qWeightedSample _))
 
   val oracleSql: Map[String, String] = Map(
@@ -93,6 +109,12 @@ object Mix {
          |        ${rateSql("CAST(substr(source, 4, 10) AS INT)")} AS kept
          |    FROM documents)
          |  GROUP BY source)""".stripMargin,
+    "pipeline_source_cap" ->
+      """SELECT source, doc_id, lang, rank FROM (
+        |  SELECT source, doc_id, lang,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY doc_id ASC) AS INT) AS rank
+        |  FROM documents) WHERE rank <= 20""".stripMargin,
     "pipeline_weighted_sample" ->
       s"""WITH k AS (SELECT source, doc_id,
          |    round(ln(${u24Sql("CAST(doc_id AS VARCHAR)")}) / n_chars, 6) AS es_key

@@ -1,0 +1,303 @@
+package graft.relational
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables.t
+
+/** Statistical analytics wave — the data-QC / feature-engineering
+  * aggregates a training-data warehouse runs daily, each in its
+  * scale-correct Spark shape and each oracled exactly against DuckDB.
+  */
+object Analytics {
+
+  /** Median/MAD anomaly gate per event type — the robust twin of the
+    * z-score flagging (events_anomaly): a single wild value moves a
+    * mean and stddev but not a median, so MAD gates survive corrupt
+    * feeds. Both the median and the MAD come from the bounded-state
+    * exact-quantile engine (TWO engine passes: value, then absolute
+    * deviation from the per-type median literal) — no single-buffer
+    * percentile, no global sort; the flagging itself is one
+    * partial-aggregated pass with the six cutoffs as literals. */
+  def qMadAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = t(spark, dir, "events").select(col("event_type"), col("value"))
+    val med = Quantiles.grouped(ev, "event_type", "value", Seq(0.5))
+      .map { case (g, m) => (g, m(0.5)) }
+    val medDf = broadcast(med.toSeq.toDF("event_type", "med"))
+    val dev = ev.join(medDf, "event_type")
+      .select(col("event_type"), abs(col("value") - col("med")).as("d"))
+    val mad = Quantiles.grouped(dev, "event_type", "d", Seq(0.5))
+      .map { case (g, m) => (g, m(0.5)) }
+    val cutDf = broadcast(med.toSeq.map { case (g, m) => (g, m, mad(g)) }
+      .toDF("event_type", "med", "mad"))
+    ev.join(cutDf, "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(abs(col("value") - col("med")) > lit(3.0) * col("mad"), 1L)
+          .otherwise(0L)).as("n_anomalies"),
+        round(min("med"), 6).as("med_value"),
+        round(min("mad"), 6).as("mad_value"))
+  }
+
+  /** Pairwise Pearson correlation matrix of the lineitem measures in
+    * ONE aggregation pass (all six pairs as parallel corr aggregates —
+    * a naive loop runs six jobs and six scans), unpivoted to the long
+    * (var_a, var_b, r) shape a feature-selection step consumes. */
+  def qCorrMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val pairs = for (i <- cols.indices; j <- i + 1 until cols.length)
+      yield (cols(i), cols(j))
+    val aggs = pairs.map { case (a, b) =>
+      round(corr(col(a), col(b)), 6).as(s"${a}__$b")
+    }
+    val row = t(spark, dir, "lineitem").agg(aggs.head, aggs.tail: _*)
+    import spark.implicits._
+    val r = row.head()
+    pairs.zipWithIndex.map { case ((a, b), i) => (a, b, r.getDouble(i)) }
+      .toDF("var_a", "var_b", "r")
+  }
+
+  /** Per-priority order-value trend: least-squares slope and intercept
+    * of o_totalprice against order date (days since 2020-01-01), from
+    * the five classic sums — ONE partial-aggregated pass, no ML
+    * library. The cross-term sums accumulate as DECIMAL(38,10), which
+    * is ORDER-INDEPENDENT (double addition is not associative, so a
+    * distributed double sum varies with partitioning and could not be
+    * oracled exactly); the final slope arithmetic runs in doubles on
+    * the exact sums, mirrored by the oracle. */
+  def qOrdersTrend(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders").select(col("o_orderpriority"),
+      datediff(col("o_orderdate"), to_date(lit("2020-01-01")))
+        .cast("double").as("x"),
+      col("o_totalprice").as("y"))
+    o.groupBy("o_orderpriority")
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("x").cast("decimal(38,10)")).as("sx"),
+        sum(col("y").cast("decimal(38,10)")).as("sy"),
+        sum((col("x") * col("y")).cast("decimal(38,10)")).as("sxy"),
+        sum((col("x") * col("x")).cast("decimal(38,10)")).as("sxx"))
+      .select(col("o_orderpriority"),
+        col("n").cast("long").as("n_orders"),
+        round((col("n") * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")) /
+          (col("n") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")), 6).as("slope"),
+        round((col("sy").cast("double") -
+          ((col("n") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+            (col("n") * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double"))) *
+            col("sx").cast("double")) / col("n"), 6).as("intercept"))
+  }
+
+  /** Incremental aggregate maintenance — the standing-report shape: a
+    * nightly batch lands and the per-key aggregate updates by MERGING
+    * the standing partials with the batch partials (count and sum are
+    * mergeable), never rescanning the standing data. Here the split is
+    * simulated by date; the oracle is the full recompute over
+    * everything, proving merged == recomputed. At 100 TB the standing
+    * side is a tiny persisted partial-agg table and each night costs
+    * one scan of the BATCH only. */
+  def qAggIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val cut = "2024-01-01"
+    def partial(df: DataFrame) = df.groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum("o_totalprice").as("s"))
+    val standing = partial(o.filter(col("o_orderdate") < lit(cut)))
+    val batch = partial(o.filter(col("o_orderdate") >= lit(cut)))
+    standing.unionByName(batch)
+      .groupBy("o_orderpriority")
+      .agg(sum("n").as("n_orders"), round(sum("s"), 1).as("revenue"))
+  }
+
+  /** Per-user value change-points: consecutive same-user events whose
+    * value jumps by more than `threshold` — the stream-QC signal for a
+    * sensor/meter feed. ONE hash shuffle on user_id serves the lag
+    * window; the flagging is a codegen'd filter on top. */
+  def qChangePoints(spark: SparkSession, dir: String,
+                    threshold: Double = 50.0): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    t(spark, dir, "events")
+      .withColumn("prev_value", lag("value", 1).over(w))
+      .filter(col("prev_value").isNotNull &&
+        abs(col("value") - col("prev_value")) > threshold)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_changes"),
+        min("ts").as("first_change_ts"),
+        round(max(abs(col("value") - col("prev_value"))), 6).as("max_jump"))
+  }
+
+  /** 2-D fixed-width histogram (quantity x price grid) — the heatmap
+    * aggregate behind every scatter-density plot and the 2-D sibling
+    * of hist_price: one partial-aggregated groupBy on the two bucket
+    * ids; the grid is statically bounded regardless of data size. */
+  def qHist2d(spark: SparkSession, dir: String,
+              qtyW: Double = 10.0, priceW: Double = 20000.0): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(floor(col("l_quantity") / qtyW).cast("long").as("qty_bucket"),
+        floor(col("l_extendedprice") / priceW).cast("long").as("price_bucket"))
+      .agg(count(lit(1)).as("n"),
+        round(sum("l_extendedprice"), 1).as("revenue"))
+
+  /** Pre-shuffle skew diagnostic: the top-10 heaviest keys with their
+    * share of a uniform key's load — the number an operator checks
+    * BEFORE pointing a groupBy/join at a key at 100 TB (a 500x ratio
+    * says "salt this key or enable AQE skew handling"). Per-key counts
+    * are one partial-aggregated pass; the head is TakeOrdered (never a
+    * global sort); the 1-row mean broadcasts back. */
+  def qSkewReport(spark: SparkSession, dir: String, topK: Int = 10): DataFrame = {
+    val per = t(spark, dir, "events")
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+    val stats = per.agg(avg(col("n")).as("avg_n"))
+    per.orderBy(col("n").desc, col("user_id").asc).limit(topK)
+      .crossJoin(broadcast(stats))
+      .select(col("user_id"), col("n"),
+        round(col("n") / col("avg_n"), 6).as("skew_ratio"))
+  }
+
+  /** Numeric column profile of the lineitem measures — the
+    * data-quality report a pipeline runs on every new drop: per
+    * column, null/distinct/min/max/mean. The four columns melt long
+    * (stack, zero cost in the scan stage) so ONE aggregation pass
+    * profiles them all; a per-column loop runs four scans. */
+  def qColumnProfile(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    t(spark, dir, "lineitem")
+      .select(expr(s"stack(${cols.size}, " +
+        cols.map(c => s"'$c', $c").mkString(", ") + ") as (col_name, v)"))
+      .groupBy("col_name")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_nulls"),
+        countDistinct("v").as("n_distinct"),
+        round(min("v"), 6).as("min_v"),
+        round(max("v"), 6).as("max_v"),
+        // mean from an exact DECIMAL sum: double addition is not
+        // associative, so a distributed double mean lands on either
+        // side of the round-6 boundary depending on partitioning
+        round((sum(col("v").cast("decimal(38,6)")).cast("double") /
+          count(col("v"))), 6).as("mean_v"))
+  }
+
+  /** Daily revenue with running total — the reporting staple. The raw
+    * scan partial-aggregates to ONE ROW PER DAY first; only that
+    * bounded frame (≤ ~3 650 rows even for a decade of data) flows
+    * into the unpartitioned cumulative window, so the single-partition
+    * sort every global running total needs is over the AGGREGATE, not
+    * the data. The running total accumulates as DECIMAL(30,1) — exact
+    * on the 0.1 grid the dailies are rounded to, so the cumulative is
+    * engine-portable regardless of each engine's window-sum
+    * association order. */
+  def qDailyCumulative(spark: SparkSession, dir: String): DataFrame = {
+    val daily = t(spark, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("n_orders"),
+        // o_totalprice is a 2-dp money value: summing as DECIMAL(38,2)
+        // is EXACT (a double sum is partitioning-dependent and lands a
+        // knife-edge x.x5 day on either side of any later rounding)
+        sum(col("o_totalprice").cast("decimal(38,2)")).cast("double").as("revenue"))
+    daily.withColumn("cum_revenue",
+      sum(col("revenue").cast("decimal(38,2)")).over(Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_skew_report" -> ((s: SparkSession, d: String) => qSkewReport(s, d)),
+    "lineitem_profile" -> (qColumnProfile _),
+    "orders_daily_cumulative" -> (qDailyCumulative _),
+    "events_mad_anomaly" -> (qMadAnomaly _),
+    "lineitem_corr" -> (qCorrMatrix _),
+    "orders_trend" -> (qOrdersTrend _),
+    "agg_incremental" -> (qAggIncremental _),
+    "events_change_points" -> ((s: SparkSession, d: String) => qChangePoints(s, d)),
+    "hist2d_qty_price" -> ((s: SparkSession, d: String) => qHist2d(s, d)))
+
+  val oracleSql: Map[String, String] = Map(
+    "events_skew_report" ->
+      """WITH per AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+        |st AS (SELECT avg(n) AS avg_n FROM per)
+        |SELECT user_id, n, round(n / avg_n, 6) AS skew_ratio
+        |FROM per CROSS JOIN st
+        |ORDER BY n DESC, user_id ASC LIMIT 10""".stripMargin,
+    "lineitem_profile" -> {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      cols.map(c =>
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  round(min($c), 6) AS min_v, round(max($c), 6) AS max_v,
+           |  round(CAST(sum(CAST($c AS DECIMAL(38,6))) AS DOUBLE) / count($c), 6) AS mean_v
+           |FROM lineitem""".stripMargin).mkString(" UNION ALL ")
+    },
+    "orders_daily_cumulative" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n_orders,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS revenue
+        |  FROM orders GROUP BY 1)
+        |SELECT day, n_orders, revenue,
+        |  CAST(sum(CAST(revenue AS DECIMAL(38,2))) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_revenue
+        |FROM daily""".stripMargin,
+    "events_mad_anomaly" ->
+      """WITH med AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY 1),
+        |mad AS (
+        |  SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5) AS mad
+        |  FROM events e JOIN med m USING (event_type) GROUP BY 1)
+        |SELECT e.event_type, count(*) AS n_events,
+        |  CAST(sum(CASE WHEN abs(e.value - m.med) > 3.0 * d.mad
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+        |  round(min(m.med), 6) AS med_value,
+        |  round(min(d.mad), 6) AS mad_value
+        |FROM events e
+        |JOIN med m USING (event_type)
+        |JOIN mad d ON d.event_type = e.event_type
+        |GROUP BY 1""".stripMargin,
+    "lineitem_corr" -> {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      (for (i <- cols.indices; j <- i + 1 until cols.length) yield
+        s"SELECT '${cols(i)}' AS var_a, '${cols(j)}' AS var_b, " +
+          s"round(corr(${cols(i)}, ${cols(j)}), 6) AS r FROM lineitem")
+        .mkString(" UNION ALL ")
+    },
+    "orders_trend" ->
+      """WITH s AS (
+        |  SELECT o_orderpriority,
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    sum(CAST(date_diff('day', DATE '2020-01-01', o_orderdate) AS DECIMAL(38,10))) AS sx,
+        |    sum(CAST(o_totalprice AS DECIMAL(38,10))) AS sy,
+        |    sum(CAST(date_diff('day', DATE '2020-01-01', o_orderdate) * o_totalprice AS DECIMAL(38,10))) AS sxy,
+        |    sum(CAST(CAST(date_diff('day', DATE '2020-01-01', o_orderdate) AS DOUBLE) *
+        |        CAST(date_diff('day', DATE '2020-01-01', o_orderdate) AS DOUBLE) AS DECIMAL(38,10))) AS sxx
+        |  FROM orders GROUP BY 1)
+        |SELECT o_orderpriority, CAST(n AS BIGINT) AS n_orders,
+        |  round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |    (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
+        |  round((CAST(sy AS DOUBLE) -
+        |    ((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |     (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) *
+        |    CAST(sx AS DOUBLE)) / n, 6) AS intercept
+        |FROM s""".stripMargin,
+    "agg_incremental" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 1) AS revenue
+        |FROM orders GROUP BY 1""".stripMargin,
+    "events_change_points" ->
+      """WITH lagged AS (
+        |  SELECT user_id, ts, value,
+        |    lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+        |  FROM events)
+        |SELECT user_id, count(*) AS n_changes,
+        |  min(ts) AS first_change_ts,
+        |  round(max(abs(value - prev_value)), 6) AS max_jump
+        |FROM lagged
+        |WHERE prev_value IS NOT NULL AND abs(value - prev_value) > 50.0
+        |GROUP BY 1""".stripMargin,
+    "hist2d_qty_price" ->
+      """SELECT CAST(floor(l_quantity / 10.0) AS BIGINT) AS qty_bucket,
+        |  CAST(floor(l_extendedprice / 20000.0) AS BIGINT) AS price_bucket,
+        |  count(*) AS n, round(sum(l_extendedprice), 1) AS revenue
+        |FROM lineitem GROUP BY 1, 2""".stripMargin)
+}

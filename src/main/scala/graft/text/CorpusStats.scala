@@ -263,6 +263,39 @@ object CorpusStats {
           .as("kl_bits"))
   }
 
+  /** Per-source distinctive keywords by smoothed log-odds: the terms a
+    * source over-uses relative to the whole corpus — the monitoring
+    * complement of the KL drift number (KL says "source 7 drifted",
+    * the keywords say "it's suddenly all crypto spam"). Plan: one
+    * (source, word) count + one corpus word count, joined
+    * CO-PARTITIONED on the word key (never broadcast — the vocabulary
+    * is data-sized at 100 TB); the tiny per-source/vocab totals
+    * broadcast back; top-5 per source via a rank window over the
+    * per-source keyword rows (each source's candidate set is already
+    * aggregated — the window never sees raw tokens). */
+  def qSourceKeywords(spark: SparkSession, dir: String, topK: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = t(spark, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("word"))
+    val sw = w.groupBy("source", "word").agg(count(lit(1)).as("csw"))
+    val cw = w.groupBy("word").agg(count(lit(1)).as("cw"))
+    val totals = sw.groupBy("source").agg(sum("csw").as("ns"))
+    val grand = cw.agg(sum("cw").cast("double").as("__n"),
+      count(lit(1)).cast("double").as("__v"))
+    val scored = sw.join(cw, "word")
+      .join(broadcast(totals), "source")
+      .crossJoin(broadcast(grand))
+      .withColumn("score",
+        log((col("csw").cast("double") + 1.0) / (col("ns").cast("double") + col("__v")))
+          - log((col("cw").cast("double") + 1.0) / (col("__n") + col("__v"))))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("source").orderBy(col("score").desc, col("word").asc)))
+      .filter(col("rank") <= topK)
+      .select(col("source"), col("rank"), col("word"),
+        round(col("score"), 6).as("log_odds"))
+  }
+
   /** One-row Zipf/hapax profile of the corpus vocabulary: type/token
     * counts, hapax share, the head's mass, and the fitted log-log
     * Zipf slope over the top-100 ranks. The full-vocab numbers come
@@ -295,6 +328,7 @@ object CorpusStats {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_source_kl" -> (qSourceKl _),
+    "text_source_keywords" -> ((s: SparkSession, d: String) => qSourceKeywords(s, d)),
     "text_zipf" -> (qZipf _),
     "text_vocab_topk" -> (qVocabTopK _),
     "text_unigram_logprob" -> (qUnigramLogprob _),
@@ -320,6 +354,24 @@ object CorpusStats {
         |    * log2((CAST(csw AS DOUBLE) / ns) / (CAST(cw AS DOUBLE) / n))), 6) AS kl_bits
         |FROM sw JOIN cw USING (word) JOIN t USING (source) CROSS JOIN g
         |GROUP BY source""".stripMargin,
+    "text_source_keywords" ->
+      """WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS word FROM documents),
+        |sw AS (SELECT source, word, count(*) AS csw FROM w GROUP BY source, word),
+        |cw AS (SELECT word, count(*) AS cw FROM w GROUP BY word),
+        |t AS (SELECT source, sum(csw) AS ns FROM sw GROUP BY source),
+        |g AS (SELECT CAST(sum(cw) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS v FROM cw),
+        |scored AS (
+        |  SELECT source, word,
+        |    ln((CAST(csw AS DOUBLE) + 1.0) / (CAST(ns AS DOUBLE) + g.v))
+        |      - ln((CAST(cw AS DOUBLE) + 1.0) / (g.n + g.v)) AS score
+        |  FROM sw JOIN cw USING (word) JOIN t USING (source) CROSS JOIN g),
+        |ranked AS (
+        |  SELECT source, word, score,
+        |    row_number() OVER (PARTITION BY source ORDER BY score DESC, word ASC) AS rank
+        |  FROM scored)
+        |SELECT source, CAST(rank AS INT) AS rank, word,
+        |  round(score, 6) AS log_odds
+        |FROM ranked WHERE rank <= 5""".stripMargin,
     "text_zipf" ->
       """WITH v AS (SELECT word, count(*) AS c FROM (
         |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
