@@ -91,8 +91,12 @@ object Quantiles {
         // 2. Small brackets: one batched collect, capped per target.
         val (small, big) = rest.partition { case (_, b) => b.countIn <= residualCap }
         if (small.nonEmpty) resolveResidual(spark, staged, small, resolved)
-        // 3. Large brackets: histogram refinement, 1024× narrower each.
-        active = if (big.nonEmpty) refine(spark, staged, big) else Map.empty
+        // 3. Large brackets: histogram refinement, 1024× narrower each;
+        //    single-distinct-value buckets (heavy tie blocks) resolve
+        //    inside refine() from the bucket's min==max, so a column
+        //    with a million copies of one value costs ONE pass, not a
+        //    width-shrinking spiral down to ulp scale.
+        active = if (big.nonEmpty) refine(spark, staged, big, resolved) else Map.empty
       }
       require(active.isEmpty, s"quantile refinement did not converge in $pass passes")
 
@@ -128,10 +132,13 @@ object Quantiles {
   }
 
   /** One histogram pass over every active large bracket; returns the
-    * refined bracket per target. Identical (group, bracket) pairs share
-    * one histogram — on pass 1 all of a group's ranks do. */
+    * refined bracket per target, resolving targets whose bucket holds
+    * a single distinct value (min==max) directly into `out`. Identical
+    * (group, bracket) pairs share one histogram — on pass 1 all of a
+    * group's ranks do. */
   private def refine(spark: org.apache.spark.sql.SparkSession, staged: DataFrame,
-                     big: Map[Target, Bracket]): Map[Target, Bracket] = {
+                     big: Map[Target, Bracket],
+                     out: scala.collection.mutable.Map[Target, Double]): Map[Target, Bracket] = {
     import spark.implicits._
     val byBracket: Map[(String, Bracket), Seq[Target]] =
       big.toSeq.groupBy { case (t, b) => (t.group, b) }
@@ -157,38 +164,46 @@ object Quantiles {
              col("v") >= element_at(col("edges"), col("b1") + 2), col("b1") + 1)
           .otherwise(col("b1")))
       .withColumn("bk", least(lit(Buckets - 1), greatest(lit(0), col("b2"))))
-      .groupBy("bid", "bk").count()
+      .groupBy("bid", "bk")
+      .agg(count(lit(1)).as("c"), min("v").as("mn"), max("v").as("mx"))
       .collect()
       .groupBy(_.getInt(0))
       .map { case (bid, rows) =>
-        bid -> rows.map(r => r.getInt(1) -> r.getLong(2)).toMap
+        bid -> rows.map(r =>
+          r.getInt(1) -> ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
       }
 
-    byBracket.flatMap { case ((g, br), targets) =>
+    byBracket.toSeq.flatMap { case ((g, br), targets) =>
       val counts = hist.getOrElse(idOf((g, br)), Map.empty)
-      val total = counts.values.sum
+      val total = counts.values.map(_._1).sum
       require(total == br.countIn,
         s"histogram lost rows: $total != ${br.countIn} for $g $br")
       val es = edges(br.lo, br.hi)
-      targets.map { t =>
+      targets.flatMap { t =>
         val rankIn = t.rank - br.countBelow
         var cum = 0L
         var chosen = -1
         var below = 0L
-        var inBucket = 0L
+        var bucket = (0L, 0.0, 0.0)
         var b = 0
         while (b < Buckets && chosen < 0) {
-          val c = counts.getOrElse(b, 0L)
-          if (rankIn < cum + c) { chosen = b; below = cum; inBucket = c }
+          val (c, mn, mx) = counts.getOrElse(b, (0L, 0.0, 0.0))
+          if (rankIn < cum + c) { chosen = b; below = cum; bucket = (c, mn, mx) }
           cum += c
           b += 1
         }
         require(chosen >= 0, s"rank ${t.rank} not found in bracket $br")
-        t -> Bracket(es(chosen), es(chosen + 1),
-          hiClosed = chosen == Buckets - 1 && br.hiClosed,
-          countBelow = br.countBelow + below, countIn = inBucket)
+        val (inBucket, mn, mx) = bucket
+        if (mn == mx) { out(t) = mn; None } // one distinct value: done
+        // new bracket = the OBSERVED [mn, mx] (closed), not the nominal
+        // bucket edges: values in other buckets are < e_b or >= e_{b+1}
+        // and mn >= e_b, mx < e_{b+1}, so [mn, mx] holds exactly this
+        // bucket's values — tighter, and clustered data converges in
+        // one extra pass instead of ulp-stepping through empty margins.
+        else Some(t -> Bracket(mn, mx, hiClosed = true,
+          countBelow = br.countBelow + below, countIn = inBucket))
       }
-    }
+    }.toMap
   }
 
   /** Final pass: collect each small bracket (≤ residualCap values by
