@@ -17,6 +17,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     relational.Relational.queries ++
       relational.Analytics.queries ++
+      relational.Graph.queries ++
       relational.CountMin.queries ++
       clustering.KMeans.queries ++
       clustering.MLlibBridge.queries ++
@@ -47,6 +48,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     relational.Relational.oracleSql ++
       relational.Analytics.oracleSql ++
+      relational.Graph.oracleSql ++
       relational.CountMin.oracleSql ++
       clustering.KMeans.oracleSql ++
       clustering.GKA.oracleSql ++

@@ -124,6 +124,33 @@ object Dedup {
   def qMinhashLsh(spark: SparkSession, dir: String): DataFrame =
     minhashLsh(spark, dir)
 
+  /** Sketch-accuracy report: per candidate pair, the MinHash ESTIMATE
+    * of Jaccard (matching signature fraction — what the sketch alone
+    * can say) next to the exact word-set Jaccard — the numbers that
+    * justify H before trusting the sketch at 100 TB, per pair instead
+    * of in aggregate. Same star candidates; signatures and word sets
+    * join back by id. */
+  def qMinhashEstimate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val sig = signatures(docs)
+    val sa = sig.select(col("doc_id").as("ia") +:
+      (0 until H).map(i => col(s"mh_$i").as(s"a_$i")): _*)
+    val sb = sig.select(col("doc_id").as("ib") +:
+      (0 until H).map(i => col(s"mh_$i").as(s"b_$i")): _*)
+    val w = wordSetsOf(docs)
+    candidatesOf(docs)
+      .join(sa, "ia").join(sb, "ib")
+      .withColumn("est_j",
+        (0 until H).map(i => when(col(s"a_$i") === col(s"b_$i"), 1).otherwise(0))
+          .reduce(_ + _).cast("double") / H)
+      .join(w.select(col("doc_id").as("ia"), col("ws").as("wa")), "ia")
+      .join(w.select(col("doc_id").as("ib"), col("ws").as("wb")), "ib")
+      .withColumn("__i", graft.functions.GraftFunctions.intersectSize(col("wa"), col("wb")))
+      .withColumn("exact_j",
+        col("__i").cast("double") / (size(col("wa")) + size(col("wb")) - col("__i")))
+      .select("ia", "ib", "est_j", "exact_j")
+  }
+
   /** Containment near-dup (the C4-family gate): |A∩B| / min(|A|,|B|)
     * over the same banded candidates — catches a short document
     * embedded inside a long one, which symmetric Jaccard dilutes below
@@ -406,15 +433,15 @@ object Dedup {
   private[dedup] def mhSql(i: Int): String =
     s"list_aggregate(list_transform(string_split(text, ' '), w -> md5(concat('$i:', w))), 'min') AS mh_$i"
 
-  private val sigSql =
+  private[graft] val sigSql =
     s"sig AS (SELECT doc_id, ${(0 until H).map(mhSql).mkString(", ")} FROM documents)"
 
-  private val bandsSql =
+  private[graft] val bandsSql =
     "bands AS (" + (0 until BANDS).map(b =>
       s"SELECT doc_id, $b AS band, md5(concat(mh_${2 * b}, mh_${2 * b + 1})) AS bh FROM sig")
       .mkString(" UNION ALL ") + ")"
 
-  private val candsSql =
+  private[graft] val candsSql =
     """mins AS (SELECT band, bh, min(doc_id) AS ia FROM bands GROUP BY band, bh),
       |cands AS (SELECT DISTINCT ia, b.doc_id AS ib
       |  FROM bands b JOIN mins m ON b.band = m.band AND b.bh = m.bh
@@ -426,6 +453,7 @@ object Dedup {
     "dedup_minhash" -> (qMinhash _),
     "dedup_minhash_lsh" -> (qMinhashLsh _),
     "dedup_containment" -> ((s: SparkSession, d: String) => qContainment(s, d)),
+    "dedup_minhash_estimate" -> (qMinhashEstimate _),
     "dedup_paragraphs" -> ((s: SparkSession, d: String) => qParagraphDedup(s, d)),
     "dedup_lsh_stats" -> (qLshStats _),
     "dedup_ngram" -> (qNgram _),
@@ -475,6 +503,21 @@ object Dedup {
          |      / len(list_distinct(list_concat(wa.ws, wb.ws))) AS j
          |  FROM cands JOIN w wa ON ia = wa.doc_id JOIN w wb ON ib = wb.doc_id)
          |WHERE j >= 0.8""".stripMargin,
+    "dedup_minhash_estimate" -> {
+      val matches = (0 until H).map(i =>
+        s"(CASE WHEN sa.mh_$i = sb.mh_$i THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH $sigSql,
+         |$bandsSql,
+         |$candsSql,
+         |w AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM documents)
+         |SELECT ia, ib,
+         |  CAST($matches AS DOUBLE) / $H AS est_j,
+         |  CAST(len(list_intersect(wa.ws, wb.ws)) AS DOUBLE)
+         |    / len(list_distinct(list_concat(wa.ws, wb.ws))) AS exact_j
+         |FROM cands
+         |JOIN sig sa ON ia = sa.doc_id JOIN sig sb ON ib = sb.doc_id
+         |JOIN w wa ON ia = wa.doc_id JOIN w wb ON ib = wb.doc_id""".stripMargin
+    },
     "dedup_containment" ->
       s"""WITH $sigSql,
          |$bandsSql,

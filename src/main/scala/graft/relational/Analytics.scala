@@ -202,7 +202,46 @@ object Analytics {
         .cast("double"))
   }
 
+  /** Chi-square independence test between event type and hour-of-day —
+    * the statistical answer to "does traffic shape depend on type?".
+    * The contingency table is ONE partial-aggregated pass; marginals
+    * and the grand total are tiny broadcast frames; the statistic
+    * folds over the (types x hours)-bounded cell frame. */
+  def qChi2(spark: SparkSession, dir: String): DataFrame = {
+    val obs = t(spark, dir, "events")
+      .groupBy(col("event_type"), hour(col("ts")).as("hr"))
+      .agg(count(lit(1)).cast("double").as("o"))
+    val rowT = obs.groupBy("event_type").agg(sum("o").as("rt"))
+    val colT = obs.groupBy("hr").agg(sum("o").as("ct"))
+    val grand = obs.agg(sum("o").as("n"))
+    obs.join(broadcast(rowT), "event_type")
+      .join(broadcast(colT), "hr")
+      .crossJoin(broadcast(grand))
+      .withColumn("e", col("rt") * col("ct") / col("n"))
+      .agg(round(sum((col("o") - col("e")) * (col("o") - col("e")) / col("e")), 6).as("chi2"),
+        ((countDistinct("event_type") - 1) * (countDistinct("hr") - 1)).as("df"),
+        min(col("n")).cast("long").as("n_events"))
+  }
+
+  /** Per-user behavioral entropy: Shannon entropy (bits) of each
+    * user's event-type distribution — the diversity score separating
+    * single-action bots from organic users. One count pass + a
+    * co-partitioned per-user fold over at most |event types| rows. */
+  def qUserEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "events")
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+    val tot = c.groupBy("user_id").agg(sum("n").as("tot"))
+    c.join(tot, "user_id")
+      .withColumn("p", col("n").cast("double") / col("tot"))
+      .groupBy("user_id")
+      .agg(min("tot").as("n_events"),
+        count(lit(1)).as("n_types"),
+        round(lit(0.0) - sum(col("p") * log2(col("p"))), 6).as("entropy_bits"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_chi2" -> (qChi2 _),
+    "events_user_entropy" -> (qUserEntropy _),
     "events_skew_report" -> ((s: SparkSession, d: String) => qSkewReport(s, d)),
     "lineitem_profile" -> (qColumnProfile _),
     "orders_daily_cumulative" -> (qDailyCumulative _),
@@ -214,6 +253,26 @@ object Analytics {
     "hist2d_qty_price" -> ((s: SparkSession, d: String) => qHist2d(s, d)))
 
   val oracleSql: Map[String, String] = Map(
+    "events_chi2" ->
+      """WITH obs AS (
+        |  SELECT event_type, hour(ts) AS hr, CAST(count(*) AS DOUBLE) AS o
+        |  FROM events GROUP BY 1, 2),
+        |rt AS (SELECT event_type, sum(o) AS rt FROM obs GROUP BY 1),
+        |ct AS (SELECT hr, sum(o) AS ct FROM obs GROUP BY 1),
+        |g AS (SELECT sum(o) AS n FROM obs)
+        |SELECT round(sum((o - rt * ct / n) * (o - rt * ct / n) / (rt * ct / n)), 6) AS chi2,
+        |  (count(DISTINCT obs.event_type) - 1) * (count(DISTINCT obs.hr) - 1) AS df,
+        |  CAST(min(n) AS BIGINT) AS n_events
+        |FROM obs JOIN rt USING (event_type) JOIN ct USING (hr) CROSS JOIN g""".stripMargin,
+    "events_user_entropy" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2),
+        |t AS (SELECT user_id, sum(n) AS tot FROM c GROUP BY 1)
+        |SELECT user_id, CAST(min(tot) AS BIGINT) AS n_events,
+        |  count(*) AS n_types,
+        |  round(0.0 - sum((CAST(n AS DOUBLE) / tot) * log2(CAST(n AS DOUBLE) / tot)), 6)
+        |    AS entropy_bits
+        |FROM c JOIN t USING (user_id) GROUP BY user_id""".stripMargin,
     "events_skew_report" ->
       """WITH per AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
         |st AS (SELECT avg(n) AS avg_n FROM per)

@@ -1,0 +1,92 @@
+package graft.relational
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+import graft.dedup.Dedup
+
+/** Graph analytics over the duplicate-candidate graph — the dup
+  * families ARE a graph (docs = nodes, LSH candidate pairs = edges),
+  * and the graph views answer curation questions the pair lists
+  * can't: which doc anchors a family (PageRank), how tangled the
+  * corpus is (degree profile).
+  *
+  * Scale shape: edges come from the star-shaped LSH candidates
+  * (linear in corpus size), each PageRank iteration is one
+  * co-partitioned join + one partial-aggregated groupBy on the node
+  * key — the standard distributed PageRank with NO driver-side graph;
+  * a fixed iteration count keeps the whole computation oracle-
+  * expressible as unrolled SQL (like the kmeans/label-propagation
+  * oracles).
+  */
+object Graph {
+
+  /** Undirected edge list from ONE evaluation of the candidate chain
+    * (both directions exploded from the same row — a union of two
+    * selects would re-derive the signature chain twice). */
+  private def undirected(spark: SparkSession, dir: String): DataFrame =
+    Dedup.candidates(spark, dir)
+      .select(explode(array(
+        struct(col("ia").as("s"), col("ib").as("d")),
+        struct(col("ib").as("s"), col("ia").as("d")))).as("e"))
+      .select(col("e.s").as("s"), col("e.d").as("d"))
+
+  /** PageRank (damping 0.85, init 1.0, `iters` fixed iterations) over
+    * the dup-candidate graph. Undirected edges mean no dangling nodes
+    * (every node has out-degree >= 1), so no dangling-mass correction
+    * term is needed. */
+  def qPageRank(spark: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+    val und = undirected(spark, dir)
+    val deg = und.groupBy("s").agg(count(lit(1)).as("deg"))
+    var rank = deg.select(col("s").as("node"), lit(1.0).as("r"))
+    for (_ <- 1 to iters) {
+      rank = und
+        .join(deg, "s")
+        .join(rank.withColumnRenamed("node", "s"), "s")
+        .select(col("d").as("node"), (col("r") / col("deg")).as("c"))
+        .groupBy("node")
+        .agg((lit(0.15) + lit(0.85) * sum("c")).as("r"))
+    }
+    rank.select(col("node").as("doc_id"), round(col("r"), 6).as("rank"))
+  }
+
+  /** Degree profile of the dup graph: how many docs have k dup
+    * neighbors — the shape that says "mostly pairs" vs "one giant
+    * boilerplate family". Two bounded groupBys. */
+  def qDegreeStats(spark: SparkSession, dir: String): DataFrame =
+    undirected(spark, dir)
+      .groupBy("s").agg(count(lit(1)).as("deg"))
+      .groupBy("deg").agg(count(lit(1)).as("n_docs"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_pagerank" -> ((s: SparkSession, d: String) => qPageRank(s, d)),
+    "graph_degree_stats" -> (qDegreeStats _))
+
+  private val undSql =
+    """und AS (SELECT ia AS s, ib AS d FROM cands
+      |       UNION ALL SELECT ib AS s, ia AS d FROM cands),
+      |deg AS (SELECT s, count(*) AS deg FROM und GROUP BY s)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "graph_pagerank" -> {
+      val iter = (i: Int) =>
+        s"""r$i AS (SELECT d AS node, 0.15 + 0.85 * sum(r / deg) AS r
+           |  FROM und JOIN deg USING (s) JOIN r${i - 1} ON r${i - 1}.node = und.s
+           |  GROUP BY d)""".stripMargin
+      s"""WITH ${Dedup.sigSql},
+         |${Dedup.bandsSql},
+         |${Dedup.candsSql},
+         |$undSql,
+         |r0 AS (SELECT s AS node, 1.0 AS r FROM deg),
+         |${iter(1)},
+         |${iter(2)},
+         |${iter(3)}
+         |SELECT node AS doc_id, round(r, 6) AS rank FROM r3""".stripMargin
+    },
+    "graph_degree_stats" ->
+      s"""WITH ${Dedup.sigSql},
+         |${Dedup.bandsSql},
+         |${Dedup.candsSql},
+         |$undSql
+         |SELECT deg, count(*) AS n_docs FROM deg GROUP BY deg""".stripMargin)
+}

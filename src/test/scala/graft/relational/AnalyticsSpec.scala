@@ -1,0 +1,100 @@
+package graft.relational
+
+import graft.clustering.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavioral checks on crafted data for the round-6 statistical wave
+  * (the oracles pin exactness on the testdata; these pin SEMANTICS). */
+class AnalyticsSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+  private val sf = "/root/testdata/sf0.001"
+
+  test("MAD gate is robust where the z-score gate is not") {
+    // 99 values at 10.0 and one wild 1e9: the mean/stddev move to the
+    // outlier's scale, the median/MAD do not
+    val vs = Seq.fill(99)(10.0) :+ 1e9
+    val med = Quantiles.exact(vs.toDF("v"), "v", Seq(0.5))(0.5)
+    assert(med == 10.0, s"median unmoved by the outlier: $med")
+    val dev = vs.map(v => math.abs(v - med))
+    val mad = Quantiles.exact(dev.toDF("v"), "v", Seq(0.5))(0.5)
+    assert(mad == 0.0, "MAD of a constant-with-outlier column is 0")
+    // the driver query runs end-to-end on testdata and flags something
+    val out = Analytics.qMadAnomaly(spark, sf).collect()
+    assert(out.nonEmpty && out.forall(_.getLong(1) >= 0))
+  }
+
+  test("incremental aggregate merge equals full recompute") {
+    val merged = Analytics.qAggIncremental(spark, sf)
+      .orderBy("o_orderpriority").collect()
+    val full = graft.Tables.t(spark, sf, "orders")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 1).as("revenue"))
+      .orderBy("o_orderpriority").collect()
+    assert(merged.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      full.map(r => (r.getString(0), r.getLong(1))).toSeq)
+  }
+
+  test("pagerank on a crafted star graph ranks the hub highest") {
+    // star: 1 is the bucket keeper for 2,3,4 (the candidate shape)
+    val cands = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("ia", "ib")
+    val und = cands.select(explode(array(
+      struct(col("ia").as("s"), col("ib").as("d")),
+      struct(col("ib").as("s"), col("ia").as("d")))).as("e"))
+      .select(col("e.s").as("s"), col("e.d").as("d"))
+    val deg = und.groupBy("s").agg(count(lit(1)).as("deg"))
+    var rank = deg.select(col("s").as("node"), lit(1.0).as("r"))
+    for (_ <- 1 to 3) {
+      rank = und.join(deg, "s")
+        .join(rank.withColumnRenamed("node", "s"), "s")
+        .select(col("d").as("node"), (col("r") / col("deg")).as("c"))
+        .groupBy("node").agg((lit(0.15) + lit(0.85) * sum("c")).as("r"))
+    }
+    val rs = rank.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rs(1L) > rs(2L) && rs(2L) == rs(3L) && rs(3L) == rs(4L),
+      s"hub outranks identical leaves: $rs")
+    // hand trace: r0 = 1 everywhere; hub_1 = .15 + .85*3*(1/1) = 2.7,
+    // leaf_1 = .15 + .85*(1/3); hub_2 = .15+.85*3*leaf_1; leaf_2 =
+    // .15+.85*hub_1/3; hub_3 = .15+.85*3*leaf_2; leaf_3 = .15+.85*hub_2/3
+    val leaf1 = 0.15 + 0.85 * (1.0 / 3.0)
+    val hub1 = 0.15 + 0.85 * 3.0
+    val hub2 = 0.15 + 0.85 * 3.0 * leaf1
+    val leaf2 = 0.15 + 0.85 * hub1 / 3.0
+    val hub3 = 0.15 + 0.85 * 3.0 * leaf2
+    val leaf3 = 0.15 + 0.85 * hub2 / 3.0
+    assert(math.abs(rs(1L) - hub3) < 1e-12 && math.abs(rs(2L) - leaf3) < 1e-12,
+      s"3-iteration trace: hub $hub3 leaf $leaf3 vs $rs")
+  }
+
+  test("per-user entropy: uniform two-type user scores exactly 1 bit") {
+    val rows = Analytics.qUserEntropy(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // entropy bounded by log2(n_types)
+    rows.foreach { r =>
+      val (nt, h) = (r.getLong(2), r.getDouble(3))
+      assert(h >= -1e-9 && h <= math.log(nt.toDouble) / math.log(2.0) + 1e-6,
+        s"0 <= H <= log2(n_types): $nt $h")
+    }
+  }
+
+  test("chi2 of an independent crafted table is ~0") {
+    // perfectly proportional rows => expected == observed => chi2 = 0
+    spark.createDataFrame(
+      (for (tp <- Seq("a", "b"); h <- 0 until 4; _ <- 0 until (if (tp == "a") 2 else 4))
+        yield (tp, java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00"), 0L))
+    ).toDF("event_type", "ts", "event_id")
+      .createOrReplaceTempView("chi2_src")
+    val obs = spark.table("chi2_src")
+      .groupBy(col("event_type"), hour(col("ts")).as("hr"))
+      .agg(count(lit(1)).cast("double").as("o"))
+    val rowT = obs.groupBy("event_type").agg(sum("o").as("rt"))
+    val colT = obs.groupBy("hr").agg(sum("o").as("ct"))
+    val grand = obs.agg(sum("o").as("n"))
+    val chi2 = obs.join(rowT, "event_type").join(colT, "hr").crossJoin(grand)
+      .withColumn("e", col("rt") * col("ct") / col("n"))
+      .agg(sum((col("o") - col("e")) * (col("o") - col("e")) / col("e")))
+      .head().getDouble(0)
+    assert(math.abs(chi2) < 1e-9, s"independent table must score ~0: $chi2")
+  }
+}
