@@ -138,7 +138,10 @@ object Analytics {
       .groupBy(floor(col("l_quantity") / qtyW).cast("long").as("qty_bucket"),
         floor(col("l_extendedprice") / priceW).cast("long").as("price_bucket"))
       .agg(count(lit(1)).as("n"),
-        round(sum("l_extendedprice"), 1).as("revenue"))
+        // exact DECIMAL accumulation: a double sum is partitioning-
+        // dependent and can land a knife-edge cell on either side of
+        // any rounding (observed at sf0.001)
+        sum(col("l_extendedprice").cast("decimal(38,2)")).cast("double").as("revenue"))
 
   /** Pre-shuffle skew diagnostic: the top-10 heaviest keys with their
     * share of a uniform key's load — the number an operator checks
@@ -357,6 +360,7 @@ object Analytics {
     "hist2d_qty_price" ->
       """SELECT CAST(floor(l_quantity / 10.0) AS BIGINT) AS qty_bucket,
         |  CAST(floor(l_extendedprice / 20000.0) AS BIGINT) AS price_bucket,
-        |  count(*) AS n, round(sum(l_extendedprice), 1) AS revenue
+        |  count(*) AS n,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE) AS revenue
         |FROM lineitem GROUP BY 1, 2""".stripMargin)
 }

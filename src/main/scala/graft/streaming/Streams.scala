@@ -169,6 +169,41 @@ object Streams {
       }
       .start()
 
+  /** Streaming latest-wins upsert sink — the streaming twin of the
+    * batch SCD-1 merge (graft.pipeline.Upsert): every micro-batch
+    * MERGES into a standing keyed parquet table via foreachBatch; per
+    * key the greatest version wins. The merge is IDEMPOTENT (re-
+    * applying a replayed batch yields the same standing table), which
+    * is exactly what makes foreachBatch's at-least-once delivery
+    * exactly-once in effect — proven by the restart spec. The standing
+    * table is materialized (cache + count) before the overwrite so the
+    * read and the write of the same path never race; a production
+    * deployment swaps this for a table format's transactional MERGE,
+    * the streaming shape is identical. */
+  def upsertSink(stream: DataFrame, standingDir: String, checkpoint: String,
+                 key: String, version: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val standing =
+          if (new java.io.File(standingDir).exists())
+            spark.read.parquet(standingDir)
+          else batch.limit(0)
+        val unioned = standing.unionByName(batch)
+        val payload = unioned.columns.filterNot(c => c == key || c == version)
+        val aggCols = max(col(version)).as(version) +:
+          payload.map(c => max_by(col(c), col(version)).as(c)).toSeq
+        val merged = unioned.groupBy(key)
+          .agg(aggCols.head, aggCols.tail: _*)
+          .cache()
+        try {
+          merged.count() // materialize BEFORE overwriting the source path
+          merged.write.mode("overwrite").parquet(standingDir)
+        } finally { merged.unpersist(); () }
+      }
+      .start()
+
   /** Gap-based sessionization via the BUILT-IN session_window — the
     * declarative twin of the flatMapGroupsWithState version below.
     * Spark's native session state merges windows in the state store

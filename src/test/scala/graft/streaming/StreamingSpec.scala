@@ -255,6 +255,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming upsert sink: latest version wins across batches AND restarts") {
+    import java.nio.file.Files
+    implicit val sqlCtx = spark.sqlContext
+    val standing = Files.createTempDirectory("graft_upsert_standing").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft_upsert_ckpt").toString
+    val input = MemoryStream[(Long, Long, String)]
+    def start() = Streams.upsertSink(
+      input.toDF().toDF("k", "version", "payload"), standing, ckpt, "k", "version")
+    val q1 = start()
+    try {
+      input.addData((1L, 1L, "a1"), (2L, 1L, "b1"))
+      q1.processAllAvailable()
+      input.addData((1L, 2L, "a2"), (3L, 1L, "c1"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // restart on the same checkpoint: replayed/new batches stay idempotent
+    val q2 = start()
+    try {
+      input.addData((2L, 3L, "b3"), (2L, 2L, "b2-stale"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val rows = spark.read.parquet(standing)
+      .select("k", "version", "payload").as[(Long, Long, String)]
+      .collect().sortBy(_._1)
+    assert(rows.toSeq == Seq((1L, 2L, "a2"), (2L, 3L, "b3"), (3L, 1L, "c1")),
+      s"latest version per key survives restart: ${rows.mkString(", ")}")
+  }
+
   test("stream-static enrichment joins the broadcast dimension per batch") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Double)]
