@@ -242,7 +242,75 @@ object Analytics {
         round(lit(0.0) - sum(col("p") * log2(col("p"))), 6).as("entropy_bits"))
   }
 
+  /** Bounce rate on top of the gap-sessionization chain: per user, the
+    * share of sessions containing exactly one event — the engagement
+    * KPI every product dashboard leads with. Same single user-shuffle
+    * as events_sessionize; the per-user rollup rides the existing
+    * partitioning. */
+  def qBounceRate(spark: SparkSession, dir: String): DataFrame =
+    Relational.eventsSessionize(spark, dir)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounces"))
+      .withColumn("bounce_rate",
+        col("n_bounces").cast("double") / col("n_sessions"))
+
+  /** Inter-event gap quantiles per event type — the feed-cadence
+    * numbers (median and p90 seconds between a user's consecutive
+    * events of a type) behind rate-limit and staleness alerting. One
+    * user-shuffle for the lag, then the bounded-state quantile engine
+    * per type; nothing buffers a value map. */
+  def qGapQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts"), col("event_id"))
+    val gaps = t(spark, dir, "events")
+      .withColumn("prev_ts", lag("ts", 1).over(w))
+      .filter(col("prev_ts").isNotNull)
+      .select(col("event_type"),
+        // timestamp->double keeps the sub-second micros (unix_timestamp
+        // truncates them and would diverge from the oracle's epoch())
+        (col("ts").cast("double") - col("prev_ts").cast("double")).as("gap_s"))
+    val qs = Quantiles.grouped(gaps, "event_type", "gap_s", Seq(0.5, 0.9))
+    qs.toSeq.map { case (g, m) => (g, m(0.5), m(0.9)) }
+      .toDF("event_type", "p50_gap_s", "p90_gap_s")
+  }
+
+  /** Embedding-table QC report: vector count, dimensionality check,
+    * zero-norm count, norm spread — the vector-data profile a
+    * similarity index build should gate on. One pass; the norm is a
+    * codegen'd HOF fold per row. */
+  def qEmbedQc(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings")
+      .select(expr(
+        "sqrt(aggregate(embedding, 0.0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))")
+        .as("nrm"), size(col("embedding")).as("dim"))
+      .agg(count(lit(1)).as("n_vecs"),
+        countDistinct("dim").as("n_dims_distinct"),
+        min("dim").as("dim"),
+        sum(when(col("nrm") === 0.0, 1L).otherwise(0L)).as("n_zero_norm"),
+        round(min("nrm"), 6).as("min_norm"),
+        round(max("nrm"), 6).as("max_norm"))
+
+  /** Revenue share per priority: each group's fraction of exact total
+    * revenue — window-free (the 1-row total broadcasts back), DECIMAL-
+    * exact sums so the shares oracle bitwise. */
+  def qRevenueShare(spark: SparkSession, dir: String): DataFrame = {
+    val per = t(spark, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(sum(col("o_totalprice").cast("decimal(38,2)")).as("rev"))
+    val total = per.agg(sum("rev").as("tot"))
+    per.crossJoin(broadcast(total))
+      .select(col("o_orderpriority"),
+        col("rev").cast("double").as("revenue"),
+        round(col("rev").cast("double") / col("tot").cast("double"), 6).as("share"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_bounce_rate" -> (qBounceRate _),
+    "events_gap_quantiles" -> (qGapQuantiles _),
+    "embed_qc" -> (qEmbedQc _),
+    "revenue_share" -> (qRevenueShare _),
     "events_chi2" -> (qChi2 _),
     "events_user_entropy" -> (qUserEntropy _),
     "events_skew_report" -> ((s: SparkSession, d: String) => qSkewReport(s, d)),
@@ -256,6 +324,58 @@ object Analytics {
     "hist2d_qty_price" -> ((s: SparkSession, d: String) => qHist2d(s, d)))
 
   val oracleSql: Map[String, String] = Map(
+    "events_bounce_rate" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        |), sessions AS (
+        |  SELECT user_id,
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM flagged),
+        |per AS (
+        |  SELECT user_id, session_id, count(*) AS n_events
+        |  FROM sessions GROUP BY user_id, session_id)
+        |SELECT user_id, count(*) AS n_sessions,
+        |  CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+        |  CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+        |    AS bounce_rate
+        |FROM per GROUP BY user_id""".stripMargin,
+    "events_gap_quantiles" ->
+      """WITH gaps AS (
+        |  SELECT event_type,
+        |    CAST(epoch(ts) - epoch(lag(ts) OVER (
+        |      PARTITION BY user_id, event_type ORDER BY ts, event_id)) AS DOUBLE) AS gap_s
+        |  FROM events)
+        |SELECT event_type,
+        |  quantile_cont(gap_s, 0.5) AS p50_gap_s,
+        |  quantile_cont(gap_s, 0.9) AS p90_gap_s
+        |FROM gaps WHERE gap_s IS NOT NULL GROUP BY event_type""".stripMargin,
+    "embed_qc" ->
+      """WITH v AS (
+        |  SELECT sqrt(list_aggregate(list_transform(embedding,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm,
+        |    len(embedding) AS dim
+        |  FROM embeddings)
+        |SELECT count(*) AS n_vecs,
+        |  count(DISTINCT dim) AS n_dims_distinct,
+        |  CAST(min(dim) AS INT) AS dim,
+        |  CAST(sum(CASE WHEN nrm = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_norm,
+        |  round(min(nrm), 6) AS min_norm,
+        |  round(max(nrm), 6) AS max_norm
+        |FROM v""".stripMargin,
+    "revenue_share" ->
+      """WITH per AS (
+        |  SELECT o_orderpriority, sum(CAST(o_totalprice AS DECIMAL(38,2))) AS rev
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT sum(rev) AS tot FROM per)
+        |SELECT o_orderpriority, CAST(rev AS DOUBLE) AS revenue,
+        |  round(CAST(rev AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share
+        |FROM per CROSS JOIN t""".stripMargin,
     "events_chi2" ->
       """WITH obs AS (
         |  SELECT event_type, hour(ts) AS hr, CAST(count(*) AS DOUBLE) AS o
