@@ -173,6 +173,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup runs on the RocksDB state store (the production state backend)") {
+    // the default in-memory state store holds every key on-heap — at
+    // 100 TB stream scale the state must spill; RocksDB is Spark's
+    // production provider and ships in this build (rocksdbjni). Same
+    // operator, one config — proven here to actually engage by the
+    // provider's own metrics in the query progress.
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val df = input.toDF().toDF("ts", "content_hash", "value")
+    val q = Streams.dedupStream(df)
+      .writeStream.format("memory").queryName("rocksdb_dedup_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData((ts(0), "h1", 1.0), (ts(1), "h1", 2.0), (ts(2), "h2", 3.0))
+      q.processAllAvailable()
+      val out = spark.table("rocksdb_dedup_out").select("content_hash", "value")
+        .as[(String, Double)].collect().toSet
+      assert(out == Set(("h1", 1.0), ("h2", 3.0)), s"first wins under RocksDB: $out")
+      val metrics = q.lastProgress.stateOperators.head.customMetrics.keySet()
+      assert(metrics.toString.contains("rocksdb"),
+        s"RocksDB provider must actually engage, got metrics: $metrics")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming incremental dedup drops corpus-known hashes then dedups within the stream") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Double)]
