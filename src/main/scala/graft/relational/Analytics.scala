@@ -242,6 +242,33 @@ object Analytics {
         round(lit(0.0) - sum(col("p") * log2(col("p"))), 6).as("entropy_bits"))
   }
 
+  /** Market-basket co-occurrence with lift: part pairs bought in the
+    * same order, scored by lift = P(a,b) / (P(a)·P(b)) — the
+    * recommender/affinity staple. Scale shape: the pair explosion is a
+    * SELF-EQUI-JOIN on the order key (co-partitioned, one shuffle) and
+    * its fan-out is bounded by ORDER SIZE squared (a handful), never
+    * corpus size; the per-part marginals broadcast back; a minimum
+    * support cut keeps the output the interesting head. */
+  def qBasketLift(spark: SparkSession, dir: String, minSupport: Long = 2L): DataFrame = {
+    val li = t(spark, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    val nOrders = t(spark, dir, "orders").count()
+    val perPart = li.select("l_orderkey", "l_partkey").distinct()
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("n_orders_part"))
+    val a = li.select(col("l_orderkey"), col("l_partkey").as("pa")).distinct()
+    val b = li.select(col("l_orderkey"), col("l_partkey").as("pb")).distinct()
+    a.join(b, "l_orderkey")
+      .filter(col("pa") < col("pb"))
+      .groupBy("pa", "pb").agg(count(lit(1)).as("n_together"))
+      .filter(col("n_together") >= minSupport)
+      .join(broadcast(perPart.select(col("l_partkey").as("pa"),
+        col("n_orders_part").as("na"))), "pa")
+      .join(broadcast(perPart.select(col("l_partkey").as("pb"),
+        col("n_orders_part").as("nb"))), "pb")
+      .select(col("pa"), col("pb"), col("n_together"),
+        round(col("n_together").cast("double") * nOrders /
+          (col("na") * col("nb")), 6).as("lift"))
+  }
+
   /** Bounce rate on top of the gap-sessionization chain: per user, the
     * share of sessions containing exactly one event — the engagement
     * KPI every product dashboard leads with. Same single user-shuffle
@@ -307,6 +334,7 @@ object Analytics {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "basket_lift" -> ((s: SparkSession, d: String) => qBasketLift(s, d)),
     "events_bounce_rate" -> (qBounceRate _),
     "events_gap_quantiles" -> (qGapQuantiles _),
     "embed_qc" -> (qEmbedQc _),
@@ -324,6 +352,23 @@ object Analytics {
     "hist2d_qty_price" -> ((s: SparkSession, d: String) => qHist2d(s, d)))
 
   val oracleSql: Map[String, String] = Map(
+    "basket_lift" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |n AS (SELECT count(*) AS n_orders FROM orders),
+        |pp AS (SELECT l_partkey, count(*) AS n_orders_part FROM li GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS n_together
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |  WHERE a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2
+        |  HAVING count(*) >= 2)
+        |SELECT pa, pb, n_together,
+        |  round(CAST(n_together AS DOUBLE) * n.n_orders /
+        |    (na.n_orders_part * nb.n_orders_part), 6) AS lift
+        |FROM pairs
+        |JOIN pp na ON na.l_partkey = pa
+        |JOIN pp nb ON nb.l_partkey = pb
+        |CROSS JOIN n""".stripMargin,
     "events_bounce_rate" ->
       """WITH flagged AS (
         |  SELECT user_id, ts, event_id,
