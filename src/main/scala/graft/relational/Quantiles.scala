@@ -11,9 +11,15 @@ import org.apache.spark.sql.functions._
   * ~10⁸⁺ distinct doubles).
   *
   * Algorithm — iterative bucket refinement, the classic distributed
-  * exact-selection scheme. Per needed order statistic:
+  * exact-selection scheme, with the stats pass FUSED into the first
+  * histogram pass so the typical query is two scans total:
   *
-  *   pass 0   groupBy(group) → (count, min, max)           O(|groups|)
+  *   pass 1   groupBy(group, rankBucket(v)) → (count, min, max)
+  *            where rankBucket is a rank-preserving function of the
+  *            double's sign/binary-exponent/log-mantissa — computable
+  *            WITHOUT knowing per-group min/max, statically bounded
+  *            (≤ ~4300·32 ids). One scan yields per-group n/min/max
+  *            (sums over buckets) AND the first bracket refinement.
   *   pass k   histogram the current bracket into 1024
   *            comparison-exact buckets, keep the bucket
   *            holding the rank, recurse             O(|brackets|·1024)
@@ -25,21 +31,38 @@ import org.apache.spark.sql.functions._
   * capped at `residualCap` by construction. Each pass shrinks the
   * bracket ≥1024×, so even an adversarial all-values-within-one-ulp
   * column terminates in ≤ ~6 passes (a double has 52 mantissa bits);
-  * typical data resolves in stats + one histogram + one residual
-  * pass = 3 scans of the (cached, explicitly released) input.
+  * typical data resolves in ONE fused pass + one residual pass = 2
+  * scans of a 2-column projection. The input is deliberately NOT
+  * cached: recomputing a cheap projection beats materializing a
+  * corpus-wide cache at 100 TB, and locally the pass count is what
+  * dominates, not the scan.
   *
-  * Exactness: bucket membership is defined by COMPARISONS against
-  * driver-computed edge doubles — the float division only seeds a
-  * ±1-corrected guess — so no value can straddle a rounding boundary
-  * and the rank bookkeeping is exact. The final interpolation mirrors
+  * Exactness: pass-1 bucketing only needs to be rank-preserving
+  * (floor∘log2 is monotone — java.lang.Math.log is semi-monotonic,
+  * division by the positive constant ln 2 and floor preserve order);
+  * each bucket's bracket is its OBSERVED [min, max], and all later
+  * membership is decided by COMPARISONS against driver-held exact
+  * doubles, so no value can straddle a rounding boundary and the rank
+  * bookkeeping is exact. The final interpolation mirrors
   * `percentile`'s `(k₂−r)·lower + (r−k₁)·higher`, keeping results
   * bitwise-identical to the single-buffer aggregate (QuantilesSpec
   * asserts this property on adversarial data).
+  *
+  * NaN policy: NaNs are filtered with nulls (a corrupt value must not
+  * abort the query — the bracket comparisons would silently drop it
+  * and the row-count invariant would throw). This deliberately
+  * diverges from `percentile`, which sorts NaN above every value.
   */
 object Quantiles {
 
   val Buckets = 1024
   val DefaultResidualCap = 65536
+
+  /** Sub-buckets per binade in the fused first pass: 32 splits the
+    * mantissa's log evenly so a group spanning b binades lands in
+    * ≤ 32·b buckets — typical columns (tens of binades) refine to
+    * residual-sized brackets in the one fused pass. */
+  private val SubBuckets = 32
 
   private final case class Target(group: String, rank: Long)
   private final case class Bracket(lo: Double, hi: Double, hiClosed: Boolean,
@@ -56,65 +79,99 @@ object Quantiles {
     val spark = df.sparkSession
     val base = df.select(col(groupCol).cast("string").as("g"),
         col(valueCol).cast("double").as("v"))
-      .filter(col("v").isNotNull)
-    // One materialization serves the 3-4 passes; released before return
-    // (the global cache-leak audit holds for this path too).
-    val staged = base.cache()
-    try {
-      val stats = staged.groupBy("g")
+      .filter(col("v").isNotNull && !isnan(col("v")))
+
+    // ---- Fused pass 1: stats + first refinement in ONE scan. ----
+    // Rank-preserving bucket id from the value alone:
+    //   0 for ±0; ±(binade·32 + log-mantissa-32th) for finite v;
+    //   ±2200·32 sentinels for ±Infinity (their own width-zero
+    //   buckets, so every later bracket has FINITE width).
+    val v = col("v")
+    val lg = least(lit(1025.0), greatest(lit(-1074.0), log(2.0, abs(v))))
+    val e = floor(lg)
+    val sub = least(lit(SubBuckets - 1), greatest(lit(0),
+      floor((lg - e) * SubBuckets).cast("int")))
+    val mag = (lit(1100) + e.cast("int")) * SubBuckets + sub
+    val bucket =
+      when(v === 0.0, 0)
+        .when(v === Double.PositiveInfinity, 2200 * SubBuckets)
+        .when(v === Double.NegativeInfinity, -2200 * SubBuckets)
+        .otherwise(when(v < 0.0, -1).otherwise(1) * mag)
+
+    val first: Map[String, Array[(Int, Long, Double, Double)]] =
+      base.groupBy(col("g"), bucket.as("bk"))
         .agg(count(lit(1)).as("n"), min("v").as("mn"), max("v").as("mx"))
         .collect()
-        .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
-        .toMap
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+        .groupBy(_._1)
+        .map { case (g, rs) =>
+          g -> rs.map(t => (t._2, t._3, t._4, t._5)).sortBy(_._1)
+        }
 
-      // Ranks needed per group: floor and ceil of p·(n−1), deduped.
-      val ranksOf: Map[String, Seq[Long]] = stats.map { case (g, (n, _, _)) =>
-        g -> probs.flatMap { p =>
-          val r = p * (n - 1)
-          Seq(math.floor(r).toLong, math.ceil(r).toLong)
-        }.distinct
+    val stats: Map[String, Long] = first.map { case (g, bs) => g -> bs.map(_._2).sum }
+
+    // Ranks needed per group: floor and ceil of p·(n−1), deduped.
+    val ranksOf: Map[String, Seq[Long]] = stats.map { case (g, n) =>
+      g -> probs.flatMap { p =>
+        val r = p * (n - 1)
+        Seq(math.floor(r).toLong, math.ceil(r).toLong)
+      }.distinct
+    }
+
+    val resolved = scala.collection.mutable.Map.empty[Target, Double]
+    var active = scala.collection.mutable.Map.empty[Target, Bracket]
+    for ((g, ranks) <- ranksOf; r <- ranks) {
+      // Walk the group's fused histogram to the bucket holding rank r.
+      val bs = first(g)
+      var cum = 0L
+      var i = 0
+      var done = false
+      while (!done && i < bs.length) {
+        val (_, c, mn, mx) = bs(i)
+        if (r < cum + c) {
+          if (mn == mx) resolved(Target(g, r)) = mn
+          else active(Target(g, r)) = Bracket(mn, mx, hiClosed = true, cum, c)
+          done = true
+        }
+        cum += c
+        i += 1
       }
+      require(done, s"rank $r not found in fused histogram for group $g")
+    }
 
-      val resolved = scala.collection.mutable.Map.empty[Target, Double]
-      var active: Map[Target, Bracket] = (for {
-        (g, ranks) <- ranksOf.toSeq
-        (n, mn, mx) = stats(g)
-        r <- ranks
-      } yield Target(g, r) -> Bracket(mn, mx, hiClosed = true, 0L, n)).toMap
+    var activeMap: Map[Target, Bracket] = active.toMap
+    var pass = 0
+    while (activeMap.nonEmpty && pass < 64) {
+      pass += 1
+      // 1. Width-zero brackets: every remaining value equals lo.
+      val (flat, rest) = activeMap.partition { case (_, b) => b.lo == b.hi }
+      flat.foreach { case (t, b) => resolved(t) = b.lo }
+      // 2. Small brackets: one batched collect, capped per target.
+      val (small, big) = rest.partition { case (_, b) => b.countIn <= residualCap }
+      if (small.nonEmpty) resolveResidual(spark, base, small, resolved)
+      // 3. Large brackets: histogram refinement, 1024× narrower each;
+      //    single-distinct-value buckets (heavy tie blocks) resolve
+      //    inside refine() from the bucket's min==max, so a column
+      //    with a million copies of one value costs ONE pass, not a
+      //    width-shrinking spiral down to ulp scale.
+      activeMap = if (big.nonEmpty) refine(spark, base, big, resolved) else Map.empty
+    }
+    require(activeMap.isEmpty, s"quantile refinement did not converge in $pass passes")
 
-      var pass = 0
-      while (active.nonEmpty && pass < 64) {
-        pass += 1
-        // 1. Width-zero brackets: every remaining value equals lo.
-        val (flat, rest) = active.partition { case (_, b) => b.lo == b.hi }
-        flat.foreach { case (t, b) => resolved(t) = b.lo }
-        // 2. Small brackets: one batched collect, capped per target.
-        val (small, big) = rest.partition { case (_, b) => b.countIn <= residualCap }
-        if (small.nonEmpty) resolveResidual(spark, staged, small, resolved)
-        // 3. Large brackets: histogram refinement, 1024× narrower each;
-        //    single-distinct-value buckets (heavy tie blocks) resolve
-        //    inside refine() from the bucket's min==max, so a column
-        //    with a million copies of one value costs ONE pass, not a
-        //    width-shrinking spiral down to ulp scale.
-        active = if (big.nonEmpty) refine(spark, staged, big, resolved) else Map.empty
-      }
-      require(active.isEmpty, s"quantile refinement did not converge in $pass passes")
-
-      stats.map { case (g, (n, _, _)) =>
-        g -> probs.map { p =>
-          val r = p * (n - 1)
-          val k1 = math.floor(r).toLong
-          val k2 = math.ceil(r).toLong
-          val lo = resolved(Target(g, k1))
-          val hi = resolved(Target(g, k2))
-          // percentile's exact interpolation form (two products, not
-          // lo + Δ·frac — they differ by an ulp and the oracle is bitwise)
-          val v = if (k1 == k2 || lo == hi) lo
-                  else (k2 - r) * lo + (r - k1) * hi
-          p -> v
-        }.toMap
-      }
-    } finally staged.unpersist()
+    stats.map { case (g, n) =>
+      g -> probs.map { p =>
+        val r = p * (n - 1)
+        val k1 = math.floor(r).toLong
+        val k2 = math.ceil(r).toLong
+        val lo = resolved(Target(g, k1))
+        val hi = resolved(Target(g, k2))
+        // percentile's exact interpolation form (two products, not
+        // lo + Δ·frac — they differ by an ulp and the oracle is bitwise)
+        val q = if (k1 == k2 || lo == hi) lo
+                else (k2 - r) * lo + (r - k1) * hi
+        p -> q
+      }.toMap
+    }
   }
 
   /** Ungrouped convenience: exact quantiles of one column. */
@@ -149,10 +206,14 @@ object Quantiles {
       (g, id, b.lo, b.hi, b.hiClosed, edges(b.lo, b.hi))
     }.toDF("g", "bid", "lo", "hi", "hic", "edges")
 
-    // Seed bucket by division, then correct ±1 against the exact edges:
-    // membership is decided ONLY by comparisons with e_b / e_{b+1}.
+    // Seed bucket by division — DIVIDE FIRST so a wide bracket can't
+    // overflow (v−lo ≤ hi−lo, the quotient is in [0,1]; hi−lo itself
+    // is finite because pass-1 binade bucketing never produces a
+    // mixed-sign or Infinity-spanning bracket) — then correct ±1
+    // against the exact edges: membership is decided ONLY by
+    // comparisons with e_b / e_{b+1}.
     val b0 = least(lit(Buckets - 1), greatest(lit(0),
-      floor((col("v") - col("lo")) * Buckets / (col("hi") - col("lo"))).cast("int")))
+      floor((col("v") - col("lo")) / (col("hi") - col("lo")) * Buckets).cast("int")))
     val hist = staged.join(broadcast(bdf), "g")
       .filter(member(col("lo"), col("hi"), col("hic")))
       .withColumn("b0", b0)
@@ -235,13 +296,18 @@ object Quantiles {
   }
 
   /** 1025 monotone bucket edges lo = e₀ ≤ … ≤ e₁₀₂₄ = hi. Duplicate
-    * edges (sub-ulp widths) just leave empty buckets. */
+    * edges (sub-ulp widths) just leave empty buckets. Width is divided
+    * BEFORE scaling by the index so no intermediate can overflow
+    * (w ≤ 2¹⁰²³ is guaranteed finite: pass-1 binade bucketing never
+    * emits a mixed-sign or Infinity-spanning bracket). */
   private def edges(lo: Double, hi: Double): Array[Double] = {
-    val es = new Array[Double](Buckets + 1)
     val w = hi - lo
+    require(!w.isInfinity, s"bracket [$lo, $hi] has non-finite width")
+    val step = w / Buckets
+    val es = new Array[Double](Buckets + 1)
     var i = 0
     while (i <= Buckets) {
-      es(i) = lo + w * i / Buckets
+      es(i) = lo + step * i
       if (i > 0 && es(i) < es(i - 1)) es(i) = es(i - 1)
       i += 1
     }
