@@ -24,7 +24,15 @@ object Bench {
     // timing is hostage to GC pauses / host noise (observed 10x swings
     // on identical plans); the min over reps estimates intrinsic cost
     val REPS = 2
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // iteration aid: SPARK_GRAFT_ONLY=q1,q2 times just those queries
+    // (same convention as Verify); unset = the full registry
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
+      case None        => SparkEntry.queries
+    }
+    val results = selected.map { case (name, fn) =>
       val times = (1 to REPS).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() }

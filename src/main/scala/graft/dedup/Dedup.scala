@@ -246,19 +246,14 @@ object Dedup {
   def qDecontaminate(spark: SparkSession, dir: String): DataFrame =
     decontaminate(spark, dir)
 
-  /** Transitive duplicate CLUSTERS from the LSH candidate pairs:
-    * label propagation (each doc takes the min label among itself and
-    * its neighbors, `sweeps` fixed sweeps) — the canonical distributed
-    * connected-components shape (one join + one min-groupBy per sweep,
-    * no driver-side graph). The star-shaped candidates converge in 2
-    * sweeps (every edge touches its bucket keeper); a fixed sweep
-    * count keeps the whole computation oracle-expressible as unrolled
-    * SQL, mirroring how the kmeans oracle unrolls Lloyd iterations. */
   /** Label-propagation connected components over an (ia, ib) pair
     * frame: each node takes the min label among itself and its
-    * neighbors for `sweeps` fixed sweeps (one join + one min-groupBy
-    * per sweep, no driver-side graph). Shared by the text-LSH and the
-    * embedding (SemDeDup-style) cluster operators. */
+    * neighbors for `sweeps` FIXED sweeps (one join + one min-groupBy
+    * per sweep, no driver-side graph). Fully lazy and unrollable as
+    * oracle SQL, but only correct on graphs whose diameter the sweep
+    * count covers — the registered operators use
+    * [[labelPropagateConverged]]; this shape is kept as the oracle
+    * mirror and for the spec's fixed-vs-converged comparison. */
   private[graft] def labelPropagate(e: DataFrame, sweeps: Int): DataFrame = {
     val edges = e.select(col("ia").as("s"), col("ib").as("d"))
       .union(e.select(col("ib").as("s"), col("ia").as("d")))
@@ -274,18 +269,83 @@ object Dedup {
     labels.select(col("doc_id"), col("lbl").as("cluster_id"))
   }
 
-  def dedupClusters(spark: SparkSession, dir: String, sweeps: Int = 3): DataFrame =
-    labelPropagate(candidates(spark, dir), sweeps)
+  /** Connected components iterated TO CONVERGENCE — correct on
+    * candidate graphs of ANY diameter, not just the star shapes LSH
+    * bucket keepers produce. Each sweep is a neighbor-min step plus a
+    * path-halving step (lbl ← lbl(lbl), one extra co-partitioned
+    * self-join), so a chain component of diameter d converges in
+    * O(log d) sweeps rather than d.
+    *
+    * Lineage discipline is the whole game for an iterative DataFrame
+    * loop: a sweep's plan references the previous sweep's frame twice
+    * (the halving self-join), so an un-truncated plan DOUBLES per
+    * sweep and Catalyst re-analyzes the exponential tree on every
+    * action even when all the data is cached (measured 11 s for a
+    * 13k-edge sweep before truncation). The edge frame and each
+    * sweep's labels are therefore materialized with localCheckpoint —
+    * executor-block storage, the local-mode stand-in for the reliable
+    * DFS checkpoint an iterative graph job uses on a cluster — which
+    * cuts every sweep's plan to a constant-size LogicalRDD scan. The
+    * per-node previous label rides along in the sweep frame (tagged
+    * min-agg), so the changed-count is a filter over the checkpointed
+    * result, not a third join. Checkpoint blocks are |nodes| label
+    * rows, freed when the frames are GC'd; nothing registers in the
+    * cache manager. A non-converged exit throws rather than silently
+    * mislabeling. */
+  private[graft] def labelPropagateConverged(e: DataFrame,
+                                             maxSweeps: Int = 50): DataFrame = {
+    val edges = e.select(col("ia").as("s"), col("ib").as("d"))
+      .union(e.select(col("ib").as("s"), col("ia").as("d")))
+      .localCheckpoint(eager = true)
+    // Both directions are present, so `s` alone covers every node.
+    val nodes = edges.select(col("s").as("doc_id")).distinct()
+    var labels = nodes.withColumn("lbl", col("doc_id"))
+      .localCheckpoint(eager = true)
+    var sweep = 0
+    var changed = 1L
+    while (changed > 0 && sweep < maxSweeps) {
+      sweep += 1
+      // Neighbor-min with the node's own previous label tagged along:
+      // the self branch (is_self = 1) appears exactly once per node,
+      // so max(self lbl) recovers prev without a join against labels.
+      val stepped = edges.join(labels, edges("s") === labels("doc_id"))
+        .select(col("d").as("doc_id"), col("lbl"), lit(0).as("is_self"))
+        .union(labels.select(col("doc_id"), col("lbl"), lit(1).as("is_self")))
+        .groupBy("doc_id")
+        .agg(min("lbl").as("lbl"),
+             max(when(col("is_self") === 1, col("lbl"))).as("prev"))
+      // Path halving: every label value is itself a node id (labels
+      // start as ids and only propagate), so the lookup join is total.
+      val next = stepped.as("a")
+        .join(stepped.as("b"), col("a.lbl") === col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_id"), col("b.lbl").as("lbl"),
+                col("a.prev").as("prev"))
+        .localCheckpoint(eager = true)
+      // Labels only decrease; the fixed point is one tiny filter-count
+      // over the just-checkpointed sweep result.
+      changed = next.filter(col("lbl") < col("prev")).count()
+      labels = next.select("doc_id", "lbl")
+    }
+    require(changed == 0,
+      s"label propagation did not converge in $maxSweeps sweeps")
+    labels.select(col("doc_id"), col("lbl").as("cluster_id"))
+  }
+
+  def dedupClusters(spark: SparkSession, dir: String,
+                    maxSweeps: Int = 50): DataFrame =
+    labelPropagateConverged(candidates(spark, dir), maxSweeps)
 
   /** Semantic duplicate clusters (the SemDeDup shape, from its public
     * description: group vectors whose embeddings are near-identical,
     * keep one per group): connected components over the sign-LSH
     * cosine near-dup pairs. Same star-shaped candidate generation, so
-    * linear in corpus size; 2 sweeps converge on star-shaped edges,
-    * 3 for margin (fixed count keeps the oracle unrollable). */
-  def embedClusters(spark: SparkSession, dir: String, sweeps: Int = 3): DataFrame =
-    labelPropagate(
-      embedPairs(spark, dir).select(col("ia"), col("ib")), sweeps)
+    * linear in corpus size; iterated to convergence so components of
+    * any diameter label correctly (the unrolled oracle stays valid:
+    * the testdata graph converges within its sweep count). */
+  def embedClusters(spark: SparkSession, dir: String,
+                    maxSweeps: Int = 50): DataFrame =
+    labelPropagateConverged(
+      embedPairs(spark, dir).select(col("ia"), col("ib")), maxSweeps)
       .select(col("doc_id").as("vec_id"), col("cluster_id"))
 
   def qEmbedClusters(spark: SparkSession, dir: String): DataFrame =

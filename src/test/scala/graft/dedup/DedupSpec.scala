@@ -91,17 +91,40 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("dedup clusters reach a fixpoint and label by their minimum member") {
-    val three = Dedup.dedupClusters(spark, sf, sweeps = 3).collect()
+    val conv = Dedup.dedupClusters(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val four = Dedup.dedupClusters(spark, sf, sweeps = 4).collect()
+    val fixed = Dedup.labelPropagate(Dedup.candidates(spark, sf), 3).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(three == four, "star-shaped candidates must converge within 3 sweeps")
-    assert(three.forall { case (doc, c) => c <= doc }, "label = min member")
-    assert(three.values.toSet.subsetOf(three.keySet), "cluster ids are members")
+    assert(conv == fixed, "testdata stars converge within 3 sweeps, so the " +
+      "converged operator must agree with the unrolled-oracle shape")
+    assert(conv.forall { case (doc, c) => c <= doc }, "label = min member")
+    assert(conv.values.toSet.subsetOf(conv.keySet), "cluster ids are members")
     // every candidate pair ends up in the same cluster
     val pairs = Dedup.candidates(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
-    assert(pairs.forall { case (a, b) => three(a) == three(b) })
+    assert(pairs.forall { case (a, b) => conv(a) == conv(b) })
+    // and no cache survives the eager convergence loop
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "labelPropagateConverged must release every persist before returning")
+  }
+
+  test("converged propagation labels long chains that fixed sweeps mislabel") {
+    // A diameter-8 chain: doc i is a candidate of doc i+1 only, via a
+    // different band each hop — the cross-bucket topology the star
+    // assumption misses. Min-label moves ONE hop per plain sweep, so
+    // 3 fixed sweeps cannot carry label 1 to node 9...
+    val chain = (1L to 8L).map(i => (i, i + 1)).toDF("ia", "ib")
+    val fixed = Dedup.labelPropagate(chain, 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fixed.values.toSet.size > 1,
+      "diameter-8 chain must defeat 3 fixed sweeps (else this test is vacuous)")
+    // ...while the converged operator (neighbor-min + path halving,
+    // O(log d) sweeps) finds the single true component.
+    val conv = Dedup.labelPropagateConverged(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(conv.keySet == (1L to 9L).toSet)
+    assert(conv.values.forall(_ == 1L), s"one component labeled by its min: $conv")
+    assert(spark.sharedState.cacheManager.isEmpty)
   }
 
   test("no physical plan in the dedup family contains a cartesian product") {
