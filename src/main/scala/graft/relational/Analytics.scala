@@ -247,25 +247,40 @@ object Analytics {
     * recommender/affinity staple. Scale shape: the pair explosion is a
     * SELF-EQUI-JOIN on the order key (co-partitioned, one shuffle) and
     * its fan-out is bounded by ORDER SIZE squared (a handful), never
-    * corpus size; the per-part marginals broadcast back; a minimum
-    * support cut keeps the output the interesting head. */
+    * corpus size; a minimum support cut keeps the output the
+    * interesting head. The distinct (order, part) projection is built
+    * ONCE and every downstream consumer (both self-join sides and the
+    * per-part marginals) aliases AFTER it, so the three scans share a
+    * single Exchange (ReusedExchange, not three identical shuffles).
+    * The marginal joins are plain shuffle joins — |parts| is
+    * data-sized, so broadcasting it would be a driver OOM at scale —
+    * and the order total rides in as a broadcast 1-row aggregate
+    * instead of a separate driver-side count job. */
   def qBasketLift(spark: SparkSession, dir: String, minSupport: Long = 2L): DataFrame = {
-    val li = t(spark, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
-    val nOrders = t(spark, dir, "orders").count()
-    val perPart = li.select("l_orderkey", "l_partkey").distinct()
+    // The explicit not-null filter matches what the optimizer infers
+    // for the self-join sides, so all three consumers see an IDENTICAL
+    // distinct subtree and ReuseExchange collapses them to one shuffle
+    // (keys are never null in the data; no semantic change).
+    val pairs = t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+      .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
+      .distinct()
+    val nOrders = t(spark, dir, "orders").agg(count(lit(1)).as("n_orders"))
+    val perPart = pairs
       .groupBy(col("l_partkey")).agg(count(lit(1)).as("n_orders_part"))
-    val a = li.select(col("l_orderkey"), col("l_partkey").as("pa")).distinct()
-    val b = li.select(col("l_orderkey"), col("l_partkey").as("pb")).distinct()
-    a.join(b, "l_orderkey")
+    pairs.select(col("l_orderkey"), col("l_partkey").as("pa"))
+      .join(pairs.select(col("l_orderkey"), col("l_partkey").as("pb")),
+        "l_orderkey")
       .filter(col("pa") < col("pb"))
       .groupBy("pa", "pb").agg(count(lit(1)).as("n_together"))
       .filter(col("n_together") >= minSupport)
-      .join(broadcast(perPart.select(col("l_partkey").as("pa"),
-        col("n_orders_part").as("na"))), "pa")
-      .join(broadcast(perPart.select(col("l_partkey").as("pb"),
-        col("n_orders_part").as("nb"))), "pb")
+      .join(perPart.select(col("l_partkey").as("pa"),
+        col("n_orders_part").as("na")), "pa")
+      .join(perPart.select(col("l_partkey").as("pb"),
+        col("n_orders_part").as("nb")), "pb")
+      .crossJoin(broadcast(nOrders))
       .select(col("pa"), col("pb"), col("n_together"),
-        round(col("n_together").cast("double") * nOrders /
+        round(col("n_together").cast("double") * col("n_orders") /
           (col("na") * col("nb")), 6).as("lift"))
   }
 
