@@ -21,11 +21,32 @@ import graft.dedup.Dedup
   */
 object Graph {
 
-  /** Undirected edge list from ONE evaluation of the candidate chain
-    * (both directions exploded from the same row — a union of two
-    * selects would re-derive the signature chain twice). */
+  /** The candidate edge list MATERIALIZED once per (JVM, table dir)
+    * to a scoped temp parquet — the graph family's input table. A
+    * lazily re-derived chain is quadratically wasteful here: every
+    * PageRank iteration references the edges AND the degree frame, so
+    * the un-staged logical plan carried the full MinHash/LSH chain
+    * once per reference, and even the two-groupBy degree profile paid
+    * a complete signature re-derivation. A 100 TB deployment stages
+    * the candidate graph to DFS once and runs every graph analytic
+    * against it; the JVM-scoped temp dir (deleted on exit) is the
+    * local-mode stand-in. NOT a cache() — nothing pins executor
+    * memory, and the staging is re-read from disk like any table. */
+  private val staged = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def stagedCandidates(spark: SparkSession, dir: String): DataFrame = {
+    val path = staged.computeIfAbsent(dir, { _ =>
+      val p = java.nio.file.Files.createTempDirectory("graft-graph-edges")
+      p.toFile.deleteOnExit()
+      Dedup.candidates(spark, dir).write.mode("overwrite").parquet(p.toString)
+      p.toString
+    })
+    spark.read.parquet(path)
+  }
+
+  /** Undirected edge list over the staged candidates (both directions
+    * exploded from the same row). */
   private def undirected(spark: SparkSession, dir: String): DataFrame =
-    Dedup.candidates(spark, dir)
+    stagedCandidates(spark, dir)
       .select(explode(array(
         struct(col("ia").as("s"), col("ib").as("d")),
         struct(col("ib").as("s"), col("ia").as("d")))).as("e"))
