@@ -175,9 +175,13 @@ object Streams {
     * key the greatest version wins. The merge is IDEMPOTENT (re-
     * applying a replayed batch yields the same standing table), which
     * is exactly what makes foreachBatch's at-least-once delivery
-    * exactly-once in effect — proven by the restart spec. The standing
-    * table is materialized (cache + count) before the overwrite so the
-    * read and the write of the same path never race; a production
+    * exactly-once in effect — proven by the restart spec. The merged
+    * table is written to a NEW generation directory and the previous
+    * generation deleted only after the write commits, so the batch
+    * never reads and overwrites the same files (an executor loss
+    * mid-write cannot recompute from deleted input, and a crash
+    * between write and swap leaves a complete generation on disk —
+    * restart recovery picks the newest complete one). A production
     * deployment swaps this for a table format's transactional MERGE,
     * the streaming shape is identical. */
   def upsertSink(stream: DataFrame, standingDir: String, checkpoint: String,
@@ -186,23 +190,54 @@ object Streams {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val spark = batch.sparkSession
-        val standing =
-          if (new java.io.File(standingDir).exists())
-            spark.read.parquet(standingDir)
-          else batch.limit(0)
+        val current = currentGeneration(standingDir)
+        val standing = current match {
+          case Some(dir) => spark.read.parquet(dir.toString)
+          case None      => batch.limit(0)
+        }
         val unioned = standing.unionByName(batch)
         val payload = unioned.columns.filterNot(c => c == key || c == version)
         val aggCols = max(col(version)).as(version) +:
           payload.map(c => max_by(col(c), col(version)).as(c)).toSeq
         val merged = unioned.groupBy(key)
           .agg(aggCols.head, aggCols.tail: _*)
-          .cache()
-        try {
-          merged.count() // materialize BEFORE overwriting the source path
-          merged.write.mode("overwrite").parquet(standingDir)
-        } finally { merged.unpersist(); () }
+        val gen = current.map(genNumber(_) + 1).getOrElse(0L)
+        // Write the new generation, THEN retire the old: no state in
+        // the lineage is deleted until its replacement is durable.
+        merged.write.mode("overwrite")
+          .parquet(s"$standingDir/gen=$gen")
+        current.foreach(deleteRecursively)
       }
       .start()
+
+  /** Read the standing table maintained by [[upsertSink]] — resolves
+    * the newest complete generation (empty frame if none yet). */
+  def readStanding(spark: org.apache.spark.sql.SparkSession,
+                   standingDir: String): DataFrame =
+    currentGeneration(standingDir) match {
+      case Some(dir) => spark.read.parquet(dir.toString)
+      case None => spark.emptyDataFrame
+    }
+
+  /** Newest COMPLETE generation under a standing dir (has a parquet
+    * _SUCCESS marker — a crash between write and retire leaves the
+    * previous complete generation in place, which is the recovery
+    * point). */
+  private[streaming] def currentGeneration(standingDir: String): Option[java.io.File] = {
+    val root = new java.io.File(standingDir)
+    Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("gen=") &&
+        new java.io.File(f, "_SUCCESS").exists())
+      .sortBy(genNumber).lastOption
+  }
+
+  private def genNumber(f: java.io.File): Long =
+    f.getName.stripPrefix("gen=").toLong
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(); ()
+  }
 
   /** Gap-based sessionization via the BUILT-IN session_window — the
     * declarative twin of the flatMapGroupsWithState version below.

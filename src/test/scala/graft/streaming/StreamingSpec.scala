@@ -309,11 +309,16 @@ class StreamingSpec extends AnyFunSuite {
       input.addData((2L, 3L, "b3"), (2L, 2L, "b2-stale"))
       q2.processAllAvailable()
     } finally q2.stop()
-    val rows = spark.read.parquet(standing)
+    val rows = Streams.readStanding(spark, standing)
       .select("k", "version", "payload").as[(Long, Long, String)]
       .collect().sortBy(_._1)
     assert(rows.toSeq == Seq((1L, 2L, "a2"), (2L, 3L, "b3"), (3L, 1L, "c1")),
       s"latest version per key survives restart: ${rows.mkString(", ")}")
+    // retired generations are actually deleted: exactly one remains
+    val gens = new java.io.File(standing).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("gen="))
+    assert(gens.length == 1,
+      s"old generations must be retired after the swap: ${gens.mkString(", ")}")
   }
 
   test("stream-static enrichment joins the broadcast dimension per batch") {
@@ -381,5 +386,83 @@ class StreamingSpec extends AnyFunSuite {
     val direct = graft.relational.Relational.eventsHourly(spark, "/root/testdata/sf0.001")
       .groupBy("event_type").count().as[(String, Long)].collect().toMap
     assert(viaStreamOp == direct)
+  }
+
+  test("DataSourceV2 doclog source: admission control, offsets, restart") {
+    import scala.jdk.CollectionConverters._
+    import java.nio.file.{Files, StandardOpenOption}
+    val dir = Files.createTempDirectory("graft_doclog")
+    val log = dir.resolve("log.txt")
+    val ckpt = dir.resolve("ckpt").toString
+    def append(lines: Seq[String]): Unit =
+      Files.write(log, lines.asJava,
+        StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    def source() = spark.readStream.format("graft.streaming.DocLog")
+      .option("path", log.toString)
+      .option("maxRowsPerTrigger", "2")
+      .load()
+    append((0 until 5).map(i => s"doc line $i"))
+    // the memory sink cannot recover a checkpoint, so the restart
+    // proof goes through the foreachBatch parquet sink
+    val out = dir.resolve("out").toString
+    def start() = Streams.parquetSink(source(), out, ckpt)
+    def landedOffsets() = spark.read.parquet(out)
+      .select("offset").as[Long].collect().sorted.toSeq
+    // phase 1: 5 records through a 2-row admission cap -> >= 3 batches
+    val q1 = start()
+    try {
+      q1.processAllAvailable()
+      assert(landedOffsets() == (0L until 5L),
+        s"all offsets exactly once: ${landedOffsets().mkString(", ")}")
+      val rows = spark.read.parquet(out)
+        .select("offset", "doc_id", "text").as[(Long, Long, String)].collect()
+      assert(rows.forall { case (o, d, t) => d == o && t == s"doc line $o" })
+      val sized = q1.recentProgress.map(_.numInputRows).filter(_ > 0)
+      assert(sized.forall(_ <= 2), s"admission cap respected: ${sized.mkString(",")}")
+      assert(sized.length >= 3, s"5 rows under a 2-row cap need >= 3 batches: ${sized.mkString(",")}")
+    } finally q1.stop()
+    // phase 2: append a backlog, restart on the SAME checkpoint -> only
+    // the new offsets land (the committed position survives restart;
+    // no batch re-emits 0-4)
+    append((5 until 8).map(i => s"doc line $i"))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(landedOffsets() == (0L until 8L),
+        s"restart resumes past the committed offset, each offset exactly once: ${landedOffsets().mkString(",")}")
+    } finally q2.stop()
+  }
+
+  test("doclog source drives ingestPipeline end-to-end") {
+    import scala.jdk.CollectionConverters._
+    import java.nio.file.{Files, StandardOpenOption}
+    val dir = Files.createTempDirectory("graft_doclog_pipe")
+    val log = dir.resolve("log.txt")
+    // 24 distinct words pass the quality gate (>= 20 words, no stopwords);
+    // docs arrive as duplicate PAIRS; doc "known" is already in the corpus
+    val words = (1 to 24).map(i => s"w$i").mkString(" ")
+    val lines = Seq(s"$words known", s"$words fresh0", s"$words fresh0",
+      s"$words fresh1", "too short")
+    Files.write(log, lines.asJava,
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    val stream = spark.readStream.format("graft.streaming.DocLog")
+      .option("path", log.toString).option("maxRowsPerTrigger", "3").load()
+      .withColumn("content_hash", org.apache.spark.sql.functions.md5($"text"))
+    val corpusIndex = Seq(
+      org.apache.spark.sql.functions.md5(
+        org.apache.spark.sql.functions.lit(s"$words known")))
+      .map(_ => s"$words known").toDF("text")
+      .select(org.apache.spark.sql.functions.md5($"text").as("content_hash"))
+    val q = Streams.ingestPipeline(stream, corpusIndex)
+      .writeStream.format("memory").queryName("doclog_pipe_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      val texts = spark.table("doclog_pipe_out").select("text").as[String]
+        .collect().sorted.toSeq
+      // corpus-known dropped, in-stream dup deduped, short line gated
+      assert(texts == Seq(s"$words fresh0", s"$words fresh1"),
+        s"landed: ${texts.mkString(" | ")}")
+    } finally q.stop()
   }
 }
