@@ -274,11 +274,34 @@ object KMeans {
 
   /** Lloyd from SEEDED-RANDOM centers (kmeans.java:240-248
     * create_center) — the reference's init made reproducible. The
-    * trajectory depends on the hash-ranked draw, so the entry is
-    * registered rows-only like the other RNG-bearing loops. */
+    * seeded draw ranks rows by md5("<seed>-<pid>"), which DuckDB
+    * computes identically, so the whole trajectory (draw + unrolled
+    * Lloyd) is fully oracle-checkable — no rows-only concession. */
+  private val RAND_SEED = 42L
+  private val RAND_ITERS = 3
+
   def qRandomInit(spark: SparkSession, dir: String): DataFrame =
     lloydWith(Points.lineitem4d(spark, dir),
-      p => Points.randomCenters(p, K, seed = 42), K, 3)
+      p => Points.randomCenters(p, K, RAND_SEED), K, RAND_ITERS)
+
+  /** Unrolled random-init Lloyd oracle: c0 by the seeded-md5 ranking,
+    * then the same widen/assign/update stages as kmeans_full. */
+  private val randomInitSql: String = {
+    val oc = s"${Points.randomRankSql(RAND_SEED)}, ${ClusterSql.orderCols}"
+    val c0 =
+      s"""c0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY $oc) - 1 AS INT) AS k,
+         |         ${dims.zipWithIndex.map { case (d, i) => s"$d AS c${i + 1}" }.mkString(", ")}
+         |  FROM (SELECT * FROM pts ORDER BY $oc LIMIT $K))""".stripMargin
+    val stages = (1 to RAND_ITERS).map { i =>
+      val cIn = if (i == 1) "c0" else s"u${i - 1}"
+      s"${widenSql(cIn, s"${cIn}w")},\n${assignSql(s"${cIn}w", s"a$i")},\n${updateSql(s"a$i", s"u$i")}"
+    }.mkString(",\n")
+    s"""WITH pts AS ($ptsSql),
+       |$c0,
+       |$stages
+       |SELECT * FROM u$RAND_ITERS""".stripMargin
+  }
 
   /** Lloyd's over the min-max normalized point set — the composition
     * the reference's unused read-time stats clearly intend. Same
@@ -404,5 +427,6 @@ object KMeans {
       ClusterSql.fullLloydSql(K, EMBED_ITERS, Points.embedPtsSql, Points.embedDims),
     "kmeans_best_of_runs" -> bestOfRunsSql,
     "kmeans_normalized" ->
-      ClusterSql.fullLloydSql(K, 3, normPtsSubquery, normDims))
+      ClusterSql.fullLloydSql(K, 3, normPtsSubquery, normDims),
+    "kmeans_random_init" -> randomInitSql)
 }

@@ -74,12 +74,18 @@ object Points {
   /** Seeded-random center init — the distributed, reproducible analog
     * of the reference's create_center (kmeans.java:240-248, k
     * Math.random() draws from the dataset array): rank every row by a
-    * seeded hash of its coordinates and take the first k. k distinct
-    * dataset points, deterministic per seed, and only k rows cross to
-    * the driver (TakeOrdered — no full sort, no driver-side dataset). */
+    * seeded md5 of its pid — the same cross-engine determinism pattern
+    * the split/sample hash gates use, so the draw is fully
+    * oracle-checkable in DuckDB (hex strings compare identically in
+    * both engines) — and take the first k. k distinct dataset points,
+    * deterministic per seed, and only k rows cross to the driver
+    * (TakeOrdered — no full sort, no driver-side dataset). */
+  def randomRankSql(seed: Long): String =
+    s"md5(concat('$seed-', CAST(pid AS STRING)))"
+
   def randomCenters(points: DataFrame, k: Int, seed: Long,
                     ds: Seq[String] = dims): Array[Array[Double]] =
-    points.orderBy(xxhash64((lit(seed) +: ds.map(col)): _*) +:
+    points.orderBy(expr(randomRankSql(seed)) +:
         (col("pid") +: ds.map(col)): _*)
       .limit(k)
       .select(ds.map(col): _*)
