@@ -354,6 +354,31 @@ object Dedup {
   def qDedupClusters(spark: SparkSession, dir: String): DataFrame =
     dedupClusters(spark, dir)
 
+  /** Cluster REPRESENTATIVE selection — the step after clustering in
+    * every near-dup pipeline: from each duplicate family, keep the
+    * highest-quality member (type-token ratio; ties -> lowest
+    * doc_id), not the arbitrary minimum id. The winner is picked by
+    * max_by over a packed (quality, -doc_id) BIGINT key — one
+    * partial-aggregated groupBy on the cluster id, no per-cluster
+    * sort; the quality join is co-partitioned on doc_id and the
+    * cluster frame is the (already materialized) converged labels, so
+    * corpus text is scanned exactly once. */
+  def qClusterKeepers(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = dedupClusters(spark, dir)
+    val quality = t(spark, dir, "documents")
+      .withColumn("ws", split(col("text"), " "))
+      .select(col("doc_id"),
+        round(size(array_distinct(col("ws"))).cast("double")
+          / size(col("ws")), 6).as("ttr"))
+    clusters.join(quality, "doc_id")
+      .withColumn("__key",
+        round(col("ttr") * 1e6).cast("long") * lit(1000000000000L) - col("doc_id"))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        max_by(col("doc_id"), col("__key")).as("keeper_id"),
+        max("ttr").as("best_ttr"))
+  }
+
   /** LSH index-health report: per band, the bucket count, the largest
     * bucket, mean occupancy and the candidate-pair count the
     * star-shaped generation will emit (sum of bucket_size - 1) — the
@@ -507,6 +532,29 @@ object Dedup {
       |  FROM bands b JOIN mins m ON b.band = m.band AND b.bh = m.bh
       |  WHERE b.doc_id > m.ia)""".stripMargin
 
+  /** Unrolled 3-sweep label-propagation chain over the LSH candidates
+    * (ends at `l3`); shared by the dedup_clusters and
+    * dedup_cluster_keepers oracles. Valid while the testdata graph
+    * converges within 3 sweeps — DedupSpec asserts the converged
+    * operator agrees with this fixed-sweep shape on the testdata. */
+  private val clusterChainSql: String = {
+    val sweep = (in: String, out: String) =>
+      s"""$out AS (SELECT doc_id, min(lbl) AS lbl FROM (
+         |  SELECT e2.d AS doc_id, p.lbl FROM e2 JOIN $in p ON p.doc_id = e2.s
+         |  UNION ALL SELECT doc_id, lbl FROM $in) GROUP BY doc_id)""".stripMargin
+    s"""$sigSql,
+       |$bandsSql,
+       |$candsSql,
+       |e2 AS (SELECT ia AS s, ib AS d FROM cands
+       |       UNION ALL SELECT ib AS s, ia AS d FROM cands),
+       |nodes AS (SELECT DISTINCT doc_id FROM (
+       |  SELECT ia AS doc_id FROM cands UNION ALL SELECT ib FROM cands)),
+       |l0 AS (SELECT doc_id, doc_id AS lbl FROM nodes),
+       |${sweep("l0", "l1")},
+       |${sweep("l1", "l2")},
+       |${sweep("l2", "l3")}""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (qExact _),
     "dedup_exact_events" -> (qExactEvents _),
@@ -519,6 +567,7 @@ object Dedup {
     "dedup_ngram" -> (qNgram _),
     "dedup_decontaminate" -> (qDecontaminate _),
     "dedup_clusters" -> (qDedupClusters _),
+    "dedup_cluster_keepers" -> (qClusterKeepers _),
     "dedup_simhash" -> (qSimhash _),
     "dedup_simhash_pairs" -> (qSimhashPairs _),
     "dedup_edit_distance" -> (qEditDistance _),
@@ -615,24 +664,20 @@ object Dedup {
          |      / len(list_distinct(list_concat(ga.gs, gb.gs))) AS jg
          |  FROM cands JOIN g ga ON ia = ga.doc_id JOIN g gb ON ib = gb.doc_id)
          |WHERE jg >= 0.6""".stripMargin,
-    "dedup_clusters" -> {
-      val sweep = (in: String, out: String) =>
-        s"""$out AS (SELECT doc_id, min(lbl) AS lbl FROM (
-           |  SELECT e2.d AS doc_id, p.lbl FROM e2 JOIN $in p ON p.doc_id = e2.s
-           |  UNION ALL SELECT doc_id, lbl FROM $in) GROUP BY doc_id)""".stripMargin
-      s"""WITH $sigSql,
-         |$bandsSql,
-         |$candsSql,
-         |e2 AS (SELECT ia AS s, ib AS d FROM cands
-         |       UNION ALL SELECT ib AS s, ia AS d FROM cands),
-         |nodes AS (SELECT DISTINCT doc_id FROM (
-         |  SELECT ia AS doc_id FROM cands UNION ALL SELECT ib FROM cands)),
-         |l0 AS (SELECT doc_id, doc_id AS lbl FROM nodes),
-         |${sweep("l0", "l1")},
-         |${sweep("l1", "l2")},
-         |${sweep("l2", "l3")}
-         |SELECT doc_id, lbl AS cluster_id FROM l3""".stripMargin
-    },
+    "dedup_clusters" ->
+      s"""WITH $clusterChainSql
+         |SELECT doc_id, lbl AS cluster_id FROM l3""".stripMargin,
+    "dedup_cluster_keepers" ->
+      s"""WITH $clusterChainSql,
+         |q AS (SELECT doc_id,
+         |    round(CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 6) AS ttr
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))
+         |SELECT cluster_id, count(*) AS n_members,
+         |  max_by(doc_id, CAST(round(ttr * 1000000) AS BIGINT)
+         |    * 1000000000000 - doc_id) AS keeper_id,
+         |  max(ttr) AS best_ttr
+         |FROM (SELECT doc_id, lbl AS cluster_id FROM l3) c JOIN q USING (doc_id)
+         |GROUP BY cluster_id""".stripMargin,
     "dedup_decontaminate" ->
       """WITH gs AS (SELECT doc_id, unnest(list_distinct(list_transform(
         |    range(1, len(text) - 3), i -> substr(text, CAST(i AS INT), 5)))) AS g

@@ -45,7 +45,7 @@ object Mix {
   /** 24-bit uniform in (0,1) from a doc's id hash: 6 md5 nibbles via
     * the Splits instr() parse (portable to DuckDB verbatim), +0.5 so
     * u is never 0 (ln(0) = -inf). */
-  private def u24Sql(keyExpr: String): String = {
+  private[graft] def u24Sql(keyExpr: String): String = {
     val v = (1 to 6).map(i =>
       s"(instr('0123456789abcdef', substr(md5($keyExpr), $i, 1)) - 1) * ${math.pow(16, 6 - i).toLong}")
       .mkString("(", " + ", ")")

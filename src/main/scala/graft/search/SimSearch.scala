@@ -191,6 +191,38 @@ object SimSearch {
        |  FROM scored) WHERE rank <= $IVF_TOPK""".stripMargin
   }
 
+  /** Cluster-BALANCED subsample (the SemDeDup/DCLM-style diversity
+    * step): assign every embedding to its trained coarse cell, then
+    * keep at most `cap` vectors per cell by a deterministic md5-drawn
+    * uniform (ties -> lowest vec_id) — a diversity-preserving
+    * downsample that caps over-represented regions of embedding space
+    * instead of sampling them proportionally. The per-cell cut is the
+    * declarative row_number idiom, which TopKRewriteRule rewrites to
+    * the bounded-heap TopKPerKey exec (one hash shuffle on the cell
+    * id, NO per-cell sort — a runaway cell costs a cap-sized heap,
+    * not a sort of its whole population). Output is bounded at
+    * CELLS*cap rows and returned as a literal frame so the training
+    * cache releases immediately. */
+  def qBalancedSample(spark: SparkSession, dir: String, cap: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ed = Points.embedDims
+    val pts = Points.embeddings64(spark, dir).cache()
+    val centers = trainCoarse(pts, CELLS, IVF_ITERS, ed)
+    val keyed = KMeans.assign(pts, centers, ed)
+      .select(col("pid").as("vec_id"), col("k").as("cell"))
+      .withColumn("__neg",
+        -expr(graft.pipeline.Mix.u24Sql("cast(vec_id as string)")))
+    val w = Window.partitionBy("cell")
+      .orderBy(col("__neg").desc, col("vec_id").asc)
+    val result = keyed.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= cap)
+      .select("cell", "vec_id", "rank")
+    val rows = result.collect()
+    val schema = result.schema
+    pts.unpersist()
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1), schema)
+  }
+
   /** IVF index-health report: per coarse cell, the vector count —
     * the balance numbers (a runaway cell means the quantizer needs
     * retraining or more cells; an empty cell wastes a probe) that an
@@ -233,7 +265,8 @@ object SimSearch {
     "simsearch_ivf" -> (qIvf _),
     "simsearch_ivf_stats" -> (qIvfStats _),
     "simsearch_range" -> (qRange _),
-    "simsearch_recall" -> (qRecall _))
+    "simsearch_recall" -> (qRecall _),
+    "pipeline_balanced_sample" -> ((s: SparkSession, d: String) => qBalancedSample(s, d)))
 
   val oracleSql: Map[String, String] = Map(
     "simsearch_recall" ->
@@ -271,6 +304,15 @@ object SimSearch {
          |$ivfChainSql
          |SELECT k AS cell, count(*) AS n_vectors
          |FROM acell GROUP BY k""".stripMargin,
+    "pipeline_balanced_sample" ->
+      s"""WITH pts AS (${Points.embedPtsSql}),
+         |$ivfChainSql,
+         |r AS (SELECT k AS cell, pid AS vec_id,
+         |  CAST(row_number() OVER (PARTITION BY k
+         |    ORDER BY ${graft.pipeline.Mix.u24Sql("CAST(pid AS VARCHAR)")} ASC,
+         |             pid ASC) AS INT) AS rank
+         |  FROM acell)
+         |SELECT cell, vec_id, rank FROM r WHERE rank <= 20""".stripMargin,
     "simsearch_topk" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id <= $QN),
          |c AS (SELECT q_id, vec_id,

@@ -79,16 +79,21 @@ object CorpusStats {
 
   /** Per-document boilerplate fraction: share of a doc's distinct
     * 5-grams that are corpus-frequent — the gate signal for dropping
-    * template-heavy documents. The frequent-gram set (small) joins
-    * back broadcast, so the corpus is scanned twice but never
-    * shuffled on the doc side. */
+    * template-heavy documents. The frequent set joins back as a plain
+    * co-partitioned shuffle join on the gram key: its cardinality is
+    * DATA-SIZED (on a boilerplate-heavy corpus nearly every gram
+    * qualifies — the sf1 adversarial sweep measured a forced
+    * broadcast 17.5x at 10x docs vs 6x for the shuffle join), so the
+    * compile-time broadcast hint is exactly the driver-OOM shape the
+    * 100 TB contract bans; AQE still converts to broadcast at runtime
+    * when the measured size allows. */
   def qBoilerplateFrac(spark: SparkSession, dir: String): DataFrame = {
     val g = docGrams(spark, dir)
     val freq = g.groupBy("gram")
       .agg(countDistinct("doc_id").as("df"))
       .filter(col("df") >= BP_MIN_DF)
       .select(col("gram"), lit(1L).as("__f"))
-    g.join(broadcast(freq), Seq("gram"), "left")
+    g.join(freq, Seq("gram"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"),
         sum(coalesce(col("__f"), lit(0L))).as("n_frequent"))

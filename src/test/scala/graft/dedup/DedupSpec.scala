@@ -127,6 +127,28 @@ class DedupSpec extends AnyFunSuite {
     assert(spark.sharedState.cacheManager.isEmpty)
   }
 
+  test("cluster keepers pick each family's max-quality member, ties by lowest id") {
+    val ttr = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id",
+        "round(cast(size(array_distinct(split(text, ' '))) as double) / size(split(text, ' ')), 6) as ttr")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val clusters = Dedup.dedupClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val members = clusters.groupBy(_._2).map { case (c, ds) => c -> ds.map(_._1).toSet }
+    val keepers = Dedup.qClusterKeepers(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(keepers.map(_._1).toSet == members.keySet, "one keeper row per cluster")
+    keepers.foreach { case (c, n, keeper, best) =>
+      val ms = members(c)
+      assert(n == ms.size, "n_members counts the family")
+      assert(ms.contains(keeper), "keeper is a member")
+      val maxTtr = ms.map(ttr).max
+      assert(best == maxTtr, "best_ttr is the family max")
+      assert(keeper == ms.filter(d => ttr(d) == maxTtr).min,
+        "keeper = max quality, ties -> lowest doc_id")
+    }
+  }
+
   test("no physical plan in the dedup family contains a cartesian product") {
     for ((_, fn) <- Dedup.queries) {
       val plan = fn(spark, sf).queryExecution.executedPlan.toString

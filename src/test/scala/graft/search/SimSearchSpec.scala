@@ -82,4 +82,21 @@ class SimSearchSpec extends AnyFunSuite {
     val cs = df.select(graft.functions.VectorOps.cosine("embedding", "embedding")).as[Double].head()
     assert(math.abs(cs - 1.0) < 1e-9)
   }
+
+  test("balanced sample caps every cell, covers every non-empty cell, and releases caches") {
+    val cap = 3
+    val out = SimSearch.qBalancedSample(spark, sf, cap).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2)))
+    val perCell = out.groupBy(_._1)
+    assert(perCell.values.forall(_.length <= cap), "per-cell cap holds")
+    perCell.foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length), "ranks dense from 1")
+    }
+    // every non-empty trained cell is represented (cap >= 1 keeps one)
+    val cells = SimSearch.qIvfStats(spark, sf).collect().map(_.getInt(0)).toSet
+    assert(perCell.keySet == cells, s"cells ${cells} vs sampled ${perCell.keySet}")
+    // sample ids are a subset of the corpus and distinct
+    assert(out.map(_._2).distinct.length == out.length)
+    assert(spark.sharedState.cacheManager.isEmpty, "training cache released")
+  }
 }
