@@ -219,6 +219,37 @@ object KMeans {
     }: _*)
   }
 
+  /** Percentile winsorization: clip each dim to its [p05, p95] — the
+    * outlier-taming prep a robust pipeline applies before scaling
+    * (extreme values saturate at the cutoffs instead of dominating
+    * min-max or mean statistics). Cutoffs come from the bounded-state
+    * quantile engine and are rounded to 6 decimals ON BOTH SIDES
+    * before clipping, so a sub-ulp interpolation difference between
+    * engines cannot flip a clip decision; the clip itself is a pure
+    * codegen'd least/greatest projection. */
+  def qWinsorize(spark: SparkSession, dir: String): DataFrame = {
+    val pts = Points.lineitem4d(spark, dir)
+    val melted = pts.select(expr(
+      s"stack(${dims.size}, ${dims.map(d => s"'$d', $d").mkString(", ")}) as (g, v)"))
+    val qs = graft.relational.Quantiles.grouped(melted, "g", "v", Seq(0.05, 0.95))
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    pts.select(col("pid") +: dims.map { d =>
+      least(greatest(col(d), lit(r6(qs(d)(0.05)))), lit(r6(qs(d)(0.95))))
+        .as(s"w_$d")
+    }: _*)
+  }
+
+  private val winsorizeSql: String = {
+    val stats = dims.map(d =>
+      s"round(quantile_cont($d, 0.05), 6) AS lo_$d, " +
+        s"round(quantile_cont($d, 0.95), 6) AS hi_$d").mkString(", ")
+    val clipped = dims.map(d => s"least(greatest($d, lo_$d), hi_$d) AS w_$d").mkString(", ")
+    s"""WITH pts AS ($ptsSql),
+       |st AS (SELECT $stats FROM pts)
+       |SELECT pid, $clipped FROM pts CROSS JOIN st""".stripMargin
+  }
+
   private val robustScaleSql: String = {
     val stats = dims.map(d =>
       s"quantile_cont($d, 0.5) AS med_$d, " +
@@ -399,6 +430,7 @@ object KMeans {
     "dataset_stats" -> (Points.stats _),
     "dataset_normalize" -> (qNormalize _),
     "dataset_robust_scale" -> (qRobustScale _),
+    "dataset_winsorize" -> (qWinsorize _),
     "kmeans_assign" -> (qAssign _),
     "kmeans_update" -> (qUpdate _),
     "kmeans_sse" -> (qSse _),
@@ -413,6 +445,7 @@ object KMeans {
   val oracleSql: Map[String, String] = Map(
     "dataset_normalize" -> normalizeSql,
     "dataset_robust_scale" -> robustScaleSql,
+    "dataset_winsorize" -> winsorizeSql,
     "dataset_stats" ->
       ("SELECT count(*) AS n, " +
         dims.map(d => s"min($d) AS min_$d, max($d) AS max_$d").mkString(", ") +

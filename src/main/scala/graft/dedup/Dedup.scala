@@ -379,6 +379,27 @@ object Dedup {
         max("ttr").as("best_ttr"))
   }
 
+  /** Dedup SAVINGS report — the dataset-card line every dedup run
+    * justifies itself with: how many documents are redundant copies
+    * (cluster members that are not the representative) and what
+    * fraction of corpus bytes deleting them reclaims. One corpus scan
+    * LEFT-joined (co-partitioned on doc_id) against the materialized
+    * cluster labels, folded to a single row. */
+  def qDedupSavings(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = dedupClusters(spark, dir)
+    t(spark, dir, "documents").select(col("doc_id"), col("n_chars"))
+      .join(clusters, Seq("doc_id"), "left")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("total_chars"),
+        sum(when(col("cluster_id").isNotNull, 1L).otherwise(0L)).as("n_clustered"),
+        sum(when(col("cluster_id").isNotNull && col("cluster_id") =!= col("doc_id"), 1L)
+          .otherwise(0L)).as("n_redundant"),
+        sum(when(col("cluster_id").isNotNull && col("cluster_id") =!= col("doc_id"),
+          col("n_chars")).otherwise(0L)).as("redundant_chars"))
+      .withColumn("savings_frac",
+        round(col("redundant_chars").cast("double") / col("total_chars"), 6))
+  }
+
   /** LSH index-health report: per band, the bucket count, the largest
     * bucket, mean occupancy and the candidate-pair count the
     * star-shaped generation will emit (sum of bucket_size - 1) — the
@@ -568,6 +589,7 @@ object Dedup {
     "dedup_decontaminate" -> (qDecontaminate _),
     "dedup_clusters" -> (qDedupClusters _),
     "dedup_cluster_keepers" -> (qClusterKeepers _),
+    "dedup_savings" -> (qDedupSavings _),
     "dedup_simhash" -> (qSimhash _),
     "dedup_simhash_pairs" -> (qSimhashPairs _),
     "dedup_edit_distance" -> (qEditDistance _),
@@ -667,6 +689,16 @@ object Dedup {
     "dedup_clusters" ->
       s"""WITH $clusterChainSql
          |SELECT doc_id, lbl AS cluster_id FROM l3""".stripMargin,
+    "dedup_savings" ->
+      s"""WITH $clusterChainSql
+         |SELECT count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         |  CAST(sum(CASE WHEN lbl IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_clustered,
+         |  CAST(sum(CASE WHEN lbl IS NOT NULL AND lbl != doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_redundant,
+         |  CAST(sum(CASE WHEN lbl IS NOT NULL AND lbl != doc_id THEN n_chars ELSE 0 END) AS BIGINT) AS redundant_chars,
+         |  round(CAST(sum(CASE WHEN lbl IS NOT NULL AND lbl != doc_id THEN n_chars ELSE 0 END) AS DOUBLE)
+         |    / sum(n_chars), 6) AS savings_frac
+         |FROM documents LEFT JOIN l3 USING (doc_id)""".stripMargin,
     "dedup_cluster_keepers" ->
       s"""WITH $clusterChainSql,
          |q AS (SELECT doc_id,

@@ -433,6 +433,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("full streaming front door: doclog -> ingestPipeline -> upsert landing") {
+    import scala.jdk.CollectionConverters._
+    import java.nio.file.{Files, StandardOpenOption}
+    val dir = Files.createTempDirectory("graft_doclog_e2e")
+    val log = dir.resolve("log.txt")
+    val words = (1 to 24).map(i => s"w$i").mkString(" ")
+    // dup pair of A, corpus-known K, gated short line, fresh B
+    Files.write(log, Seq(s"$words A", s"$words A", s"$words K",
+      "too short", s"$words B").asJava,
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    val stream = spark.readStream.format("graft.streaming.DocLog")
+      .option("path", log.toString).option("maxRowsPerTrigger", "2").load()
+      .withColumn("content_hash", org.apache.spark.sql.functions.md5($"text"))
+    val corpusIndex = Seq(s"$words K").toDF("text")
+      .select(org.apache.spark.sql.functions.md5($"text").as("content_hash"))
+    val q = Streams.upsertSink(
+      Streams.ingestPipeline(stream, corpusIndex),
+      dir.resolve("standing").toString, dir.resolve("ckpt").toString,
+      "content_hash", "doc_id")
+    try {
+      q.processAllAvailable()
+      val landed = Streams.readStanding(spark, dir.resolve("standing").toString)
+        .select("text").as[String].collect().sorted.toSeq
+      assert(landed == Seq(s"$words A", s"$words B"),
+        s"admission-capped source -> gate -> anti-join -> dedup -> landing: $landed")
+    } finally q.stop()
+  }
+
   test("doclog source drives ingestPipeline end-to-end") {
     import scala.jdk.CollectionConverters._
     import java.nio.file.{Files, StandardOpenOption}
