@@ -75,6 +75,37 @@ class QuantilesSpec extends AnyFunSuite {
       java.lang.Double.doubleToLongBits(exp))
   }
 
+  test("NaN values are filtered like nulls, not a query abort") {
+    // the documented divergence from percentile (which sorts NaN
+    // last): a corrupt value must not throw the row-count invariant
+    val clean = Seq.tabulate(500)(i => ("g", i.toDouble))
+    val got = Quantiles.grouped(
+      (clean ++ Seq(("g", Double.NaN), ("g", Double.NaN))).toDF("g", "v"),
+      "g", "v", probs, residualCap = 16)
+    val exp = sparkPercentile(clean)
+    for (p <- probs)
+      assert(java.lang.Double.doubleToLongBits(got("g")(p)) ==
+        java.lang.Double.doubleToLongBits(exp("g")(p)),
+        s"NaN rows must vanish, leaving the clean column's answer at p=$p")
+  }
+
+  test("a near-max-double range converges (no Infinity width collapse)") {
+    // bucket seeding divides BEFORE scaling: a group spanning almost
+    // the whole double range must refine normally rather than collapse
+    // into the extreme buckets and fail the 64-pass bound
+    val rows = Seq.tabulate(2000) { i =>
+      ("g", (if (i % 2 == 0) -1.0 else 1.0) * Double.MaxValue / (1 + i % 7))
+    }
+    check(rows, residualCap = 16)
+  }
+
+  test("infinite values sit in their own sentinel buckets") {
+    val rows = Seq.fill(100)(("g", Double.NegativeInfinity)) ++
+      Seq.tabulate(300)(i => ("g", i.toDouble)) ++
+      Seq.fill(100)(("g", Double.PositiveInfinity))
+    check(rows, residualCap = 16)
+  }
+
   test("edges are monotone and span exactly [lo, hi] even at sub-ulp width") {
     // private edges() is exercised end-to-end: a bracket whose width is
     // a few ulps must still refine rather than loop forever.
