@@ -423,12 +423,15 @@ object Dedup {
   def qSimhash(spark: SparkSession, dir: String): DataFrame =
     simhashOf(t(spark, dir, "documents"))
 
-  def simhashOf(docs: DataFrame): DataFrame = {
-    // md5 runs ONCE per distinct word (round 4: it previously sat inside
-    // the per-bit lambda = 64 hashes + 64 string ops per word, the
-    // measured 56.8 s in dedup_simhash_pairs at sf0.1). The digest's
-    // first 16 hex chars become four 16-bit integer chunks via conv, so
-    // the per-bit work inside the fold is a pure integer shift/mask.
+  /** The 64-bit SimHash fingerprint of a `text` column as a pure
+    * per-row codegen'd projection (usable on batch AND streaming
+    * frames). md5 runs ONCE per distinct word (round 4: it previously
+    * sat inside the per-bit lambda = 64 hashes + 64 string ops per
+    * word, the measured 56.8 s in dedup_simhash_pairs at sf0.1). The
+    * digest's first 16 hex chars become four 16-bit integer chunks
+    * via conv, so the per-bit work inside the fold is a pure integer
+    * shift/mask. */
+  def simhashColumn: Column = {
     val wordChunks =
       "transform(array_distinct(split(text, ' ')), w -> " +
         "transform(sequence(0, 3), c -> cast(conv(substr(md5(w), c * 4 + 1, 4), 16, 10) as int)))"
@@ -437,10 +440,11 @@ object Dedup {
         "(acc, ch) -> zip_with(acc, transform(sequence(0, 63), b -> " +
         "(shiftright(element_at(ch, cast(b div 16 as int) + 1), 15 - (b % 16)) & 1) * 2 - 1), " +
         "(x, y) -> x + y))"
-    docs.select(col("doc_id"),
-      expr(s"array_join(transform($counts, c -> CASE WHEN c > 0 THEN '1' ELSE '0' END), '')")
-        .as("simhash"))
+    expr(s"array_join(transform($counts, c -> CASE WHEN c > 0 THEN '1' ELSE '0' END), '')")
   }
+
+  def simhashOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), simhashColumn.as("simhash"))
 
   /** SimHash near-dup pairs: band candidates scored by the NATIVE
     * codegen'd hamming expression (graft.functions.HammingDistance)

@@ -61,6 +61,24 @@ object Streams {
       stream.join(org.apache.spark.sql.functions.broadcast(corpusIndex),
         Seq("content_hash"), "left_anti"))
 
+  /** Streaming NEAR-dup gate: the SimHash fingerprint (the same pure
+    * codegen'd projection the batch operator uses — computable per
+    * row on a stream, no state) bucketed by its first `prefixBits`
+    * bits, first arrival per bucket wins within the watermark. This
+    * is single-probe LSH: near-identical documents almost always
+    * share the prefix (a near-dup flips few of the 64 bits), so it
+    * catches the overwhelming-duplicate case a streaming front door
+    * faces, while the exact banded operators remain the batch
+    * backstop; the state store holds one small key per bucket,
+    * watermark-bounded. Input needs (ts, text). */
+  def nearDupStream(docs: DataFrame, prefixBits: Int = 16): DataFrame =
+    docs
+      .withColumn("__shb",
+        substring(graft.dedup.Dedup.simhashColumn, 1, prefixBits))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("__shb")
+      .drop("__shb")
+
   /** Stateless quality gate on a document stream — the same length +
     * stopword-density bounds the batch CleanCorpus applies, as per-row
     * codegen'd HOFs (no state, so it composes freely before the

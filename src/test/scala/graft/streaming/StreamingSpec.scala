@@ -3,6 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 
 import graft.clustering.SparkTestSession
+import graft.dedup.Dedup
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
@@ -431,6 +432,44 @@ class StreamingSpec extends AnyFunSuite {
       assert(landedOffsets() == (0L until 8L),
         s"restart resumes past the committed offset, each offset exactly once: ${landedOffsets().mkString(",")}")
     } finally q2.stop()
+  }
+
+  test("streaming near-dup gate drops simhash-bucket collisions within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = (1 to 200).map(i => s"word$i").mkString(" ")
+    // deterministically pick a one-word addition that keeps the
+    // 16-bit simhash prefix (most do on a 200-word doc; the batch
+    // computation finds one, so the collapse case is guaranteed)
+    val candidates = (1 to 50).map(i => base + s" extra$i")
+    val pre = Dedup.simhashOf(
+      (base +: candidates).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1).take(16)).toMap
+    val variant = candidates.zipWithIndex
+      .find { case (_, i) => pre((i + 1).toLong) == pre(0L) }
+      .map(_._1).getOrElse(fail("no prefix-preserving one-word variant in 50"))
+    val texts = Seq(base, variant,
+      (1 to 200).map(i => s"other$i").mkString(" ")) // genuinely different
+    val buckets = Dedup.simhashOf(
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1).take(16)).toMap
+    val expected = texts.zipWithIndex
+      .groupBy { case (_, i) => buckets(i.toLong) }
+      .values.map(_.minBy(_._2)._1).toSet
+    assert(expected.contains(texts(2)), "the different doc must be its own bucket")
+    val input = MemoryStream[(Timestamp, String)]
+    val q = Streams.nearDupStream(input.toDF().toDF("ts", "text"))
+      .writeStream.format("memory").queryName("neardup_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // separate batches pin arrival order
+      texts.zipWithIndex.foreach { case (t, i) =>
+        input.addData((ts(i.toLong), t)); q.processAllAvailable()
+      }
+      val landed = spark.table("neardup_out").select("text").as[String].collect().toSet
+      assert(landed == expected, s"landed $landed vs expected $expected")
+      assert(landed.size < texts.size, "the near-dup pair must collapse")
+    } finally q.stop()
   }
 
   test("full streaming front door: doclog -> ingestPipeline -> upsert landing") {
