@@ -52,6 +52,14 @@ import org.apache.spark.sql.functions._
   * abort the query — the bracket comparisons would silently drop it
   * and the row-count invariant would throw). This deliberately
   * diverges from `percentile`, which sorts NaN above every value.
+  *
+  * Group-cardinality contract: driver state is O(|groups| × 1024)
+  * histogram cells per pass, so the engine targets BOUNDED group
+  * counts (dims, event types, languages, quartile gates — every call
+  * site here). For data-sized group keys (per-user, per-document) use
+  * `approx_percentile`, whose GK sketch merges distributively; an
+  * exact answer at that cardinality is a different algorithm
+  * (per-group selection), not a bigger driver.
   */
 object Quantiles {
 

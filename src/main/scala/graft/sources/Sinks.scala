@@ -26,6 +26,26 @@ object Sinks {
       .partitionBy(partitionCol)
       .parquet(path)
 
+  /** Integrity MANIFEST of a landed parquet dataset: one row per data
+    * file with its row count and an ORDER-INDEPENDENT content
+    * fingerprint (exact DECIMAL sum of a 48-bit slice of each row's
+    * md5-over-JSON), plus the file-relative path. The manifest is what
+    * a corpus release ships next to the data: a receiver re-runs it
+    * and compares — row drops, duplicate shards, or silent corruption
+    * all shift a fingerprint. One scan, partial-aggregated per file;
+    * sum-of-hashes (not hash-of-concatenation) keeps the fingerprint
+    * independent of row order within the file, so recomputation under
+    * a different task split agrees. */
+  def manifest(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val df = spark.read.parquet(path)
+    df.withColumn("__h", expr(
+        "cast(conv(substr(md5(to_json(struct(*))), 1, 12), 16, 10) as decimal(20,0))"))
+      .withColumn("__file",
+        regexp_replace(input_file_name(), s"^.*${java.util.regex.Pattern.quote(new java.io.File(path).getName)}/", ""))
+      .groupBy(col("__file").as("file"))
+      .agg(count(lit(1)).as("n_rows"), sum("__h").as("fingerprint"))
+  }
+
   /** Morton (Z-order) code of two numeric columns over a fixed
     * [lo, hi) range each: 8 bucket bits per dimension, bit-interleaved
     * — pure codegen'd integer arithmetic. */

@@ -44,4 +44,31 @@ class SinkSpec extends AnyFunSuite {
     assert(scan.contains("PartitionFilters") && scan.contains("lang"),
       "lang filter must reach PartitionFilters:\n" + scan.take(800))
   }
+
+  test("manifest fingerprints a landed dataset and detects a dropped row") {
+    val docs = graft.Tables.t(spark, "/root/testdata/sf0.001", "documents")
+    val dirA = Files.createTempDirectory("graft_manifest_a").toString
+    val dirB = Files.createTempDirectory("graft_manifest_b").toString
+    Sinks.writePartitioned(docs, dirA, "lang", "doc_id", maxRecordsPerFile = 20)
+    Sinks.writePartitioned(docs, dirB, "lang", "doc_id", maxRecordsPerFile = 20)
+    val mA = Sinks.manifest(spark, dirA).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2)))
+    val mB = Sinks.manifest(spark, dirB).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2)))
+    // row totals reconcile against the source
+    assert(mA.map(_._2).sum == docs.count())
+    // an identical rewrite yields the identical fingerprint multiset
+    // (file UUIDs differ; counts+fingerprints must not)
+    assert(mA.map(t => (t._2, t._3)).sortBy(_._2.toString).toSeq ==
+      mB.map(t => (t._2, t._3)).sortBy(_._2.toString).toSeq,
+      "deterministic layout => reproducible manifest")
+    // dropping one row shifts the dataset-level fingerprint
+    val dirC = Files.createTempDirectory("graft_manifest_c").toString
+    val dropped = docs.orderBy("doc_id").limit(docs.count().toInt - 1)
+    Sinks.writePartitioned(dropped, dirC, "lang", "doc_id", maxRecordsPerFile = 20)
+    val totalA = mA.map(_._3.toBigInteger).reduce(_ add _)
+    val totalC = Sinks.manifest(spark, dirC).collect()
+      .map(_.getDecimal(2).toBigInteger).reduce(_ add _)
+    assert(totalA != totalC, "a dropped row must shift the total fingerprint")
+  }
 }
