@@ -157,6 +157,46 @@ object CorpusStats {
             + lit(0.5) * (col("c2").cast("double") / col("__t")))), 6).as("avg_log2p"))
   }
 
+  /** DSIR-style importance weight (data selection via importance
+    * resampling, from the public DSIR paper): per-document mean log2
+    * likelihood ratio of a TARGET-domain unigram LM against the
+    * raw-corpus unigram LM — positive means "reads like the target
+    * domain", and resampling raw data by this weight tilts a corpus
+    * toward the target. The labeled `lang = 'en'` slice stands in for
+    * the target domain here (any slice predicate works the same way).
+    * Add-1 smoothing over the shared raw vocabulary floors words the
+    * target slice never saw; every scored word is in the raw vocab by
+    * construction, so only the target side needs the floor.
+    *
+    * Scale shape: one raw word-count shuffle, one target-slice
+    * word-count shuffle (both map-side combined on the word key), a
+    * left join between the two vocab frames (co-partitioned on word),
+    * and the scorer re-joins the exploded corpus to that vocab on the
+    * word key — again co-partitioned, nothing data-sized broadcast.
+    * The three scalar totals ride one broadcast 1-row aggregate.
+    * Holds when the vocabulary itself is huge. */
+  def qDsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val words = t(spark, dir, "documents")
+      .select(col("doc_id"), (col("lang") === "en").as("is_target"),
+        explode(split(col("text"), " ")).as("word"))
+    val raw = words.groupBy("word").agg(count(lit(1)).as("cr"))
+    val tgt = words.filter(col("is_target")).groupBy("word")
+      .agg(count(lit(1)).as("ct"))
+    val vocab = raw.join(tgt, Seq("word"), "left")
+      .select(col("word"), col("cr"), coalesce(col("ct"), lit(0L)).as("ct"))
+    val totals = vocab.agg(
+      sum("cr").cast("double").as("__tr"),
+      sum("ct").cast("double").as("__tt"),
+      count(lit(1)).cast("double").as("__v"))
+    words.join(vocab, "word").crossJoin(broadcast(totals))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        round(avg(log2(
+          ((col("ct").cast("double") + 1.0) / (col("__tt") + col("__v"))) /
+            ((col("cr").cast("double") + 1.0) / (col("__tr") + col("__v"))))), 6)
+          .as("avg_log2_ratio"))
+  }
+
   /** Curriculum quality buckets: documents quartiled by their
     * unigram-LM score — the binning step before quality-ordered
     * (curriculum) training. NO global sort / ntile (a single-partition
@@ -337,6 +377,7 @@ object CorpusStats {
     "text_zipf" -> (qZipf _),
     "text_vocab_topk" -> (qVocabTopK _),
     "text_unigram_logprob" -> (qUnigramLogprob _),
+    "pipeline_dsir_weights" -> (qDsirWeights _),
     "text_interp_logprob" -> (qInterpLogprob _),
     "pipeline_corpus_report" -> (qCorpusReport _),
     "pipeline_dup_rate_by_source" -> (qDupRateBySource _),
@@ -399,6 +440,19 @@ object CorpusStats {
          |GROUP BY word
          |ORDER BY n_occurrences DESC, word ASC
          |LIMIT $TOPK""".stripMargin,
+    "pipeline_dsir_weights" ->
+      """WITH w AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word FROM documents),
+        |raw AS (SELECT word, count(*) AS cr FROM w GROUP BY word),
+        |tgt AS (SELECT word, count(*) AS ct FROM w WHERE lang = 'en' GROUP BY word),
+        |vocab AS (SELECT word, cr, coalesce(ct, 0) AS ct
+        |  FROM raw LEFT JOIN tgt USING (word)),
+        |g AS (SELECT CAST(sum(cr) AS DOUBLE) AS tr, CAST(sum(ct) AS DOUBLE) AS tt,
+        |  CAST(count(*) AS DOUBLE) AS nv FROM vocab)
+        |SELECT doc_id, count(*) AS n_words,
+        |  round(avg(log2(((CAST(ct AS DOUBLE) + 1.0) / (tt + nv))
+        |    / ((CAST(cr AS DOUBLE) + 1.0) / (tr + nv)))), 6) AS avg_log2_ratio
+        |FROM w JOIN vocab USING (word) CROSS JOIN g
+        |GROUP BY doc_id""".stripMargin,
     "text_unigram_logprob" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
         |t AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM w),

@@ -49,6 +49,18 @@ class TextSpec extends AnyFunSuite {
       "every word probability < 1 -> mean log2 p < 0"))
   }
 
+  test("DSIR importance weights tilt toward the target (en) slice") {
+    import org.apache.spark.sql.functions.{avg, col}
+    val langs = graft.Tables.t(spark, sf, "documents").select(col("doc_id"), col("lang"))
+    val byTarget = CorpusStats.qDsirWeights(spark, sf).join(langs, "doc_id")
+      .groupBy((col("lang") === "en").as("is_target"))
+      .agg(avg("avg_log2_ratio").as("mean_w")).collect()
+      .map(r => r.getAs[Boolean]("is_target") -> r.getAs[Double]("mean_w")).toMap
+    assert(byTarget(true) > byTarget(false),
+      "target-slice docs must out-score off-target docs under the target LM ratio")
+    assert(byTarget(true) > 0.0, "en docs read like the en LM -> positive mean ratio")
+  }
+
   test("entropy drops empty docs and rolling hash zeroes them (sequence(1,0) guard)") {
     val docs = Seq((1L, ""), (2L, "aabb"), (3L, "x")).toDF("doc_id", "text")
     val ent = TextAnalysis.entropyOf(docs).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
