@@ -75,6 +75,25 @@ object TextAnalysis {
         expr("aggregate(ws, CAST(0 AS BIGINT), (a, w) -> a + ((length(w) + 3) div 4))")
           .as("n_subtokens"))
 
+  /** Per-language tokenizer fertility: estimated subtokens per word —
+    * the budgeting signal a multilingual training mix needs (fertility
+    * says how many model tokens a language's words actually cost, so
+    * a fixed token budget buys different word counts per language).
+    * Per-row codegen folds feed ONE bounded groupBy on the lang key;
+    * both sums are integral so the final ratio is a single exact
+    * double division, rounded identically on both sides. */
+  def qTokenFertility(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .withColumn("ws", split(col("text"), " "))
+      .select(col("lang"), size(col("ws")).cast("long").as("nw"),
+        expr("aggregate(ws, CAST(0 AS BIGINT), (a, w) -> a + ((length(w) + 3) div 4))")
+          .as("nst"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("nw").as("n_words"),
+        sum("nst").as("n_subtokens"),
+        round(sum("nst").cast("double") / sum("nw"), 6).as("fertility"))
+
   /** Normalization + PII scrubbing: lowercase, redact email addresses
     * and long digit runs, collapse runs of spaces — the standard
     * pre-training cleanup pass, all codegen'd regexp_replace (global
@@ -274,6 +293,7 @@ object TextAnalysis {
     "text_langid" -> (qLangId _),
     "text_langid_eval" -> (qLangIdEval _),
     "text_tokens" -> (qTokens _),
+    "text_token_fertility" -> (qTokenFertility _),
     "text_fingerprint" -> (qFingerprint _),
     "text_tfidf" -> (qTfidf _),
     "text_bm25" -> (qBm25 _))
@@ -363,6 +383,15 @@ object TextAnalysis {
            |SELECT lang, pred_lang, n,
            |  round(CAST(n AS DOUBLE) / total, 6) AS share
            |FROM cells JOIN t USING (lang)""".stripMargin,
+      "text_token_fertility" ->
+        """WITH d AS (SELECT lang, string_split(text, ' ') AS ws FROM documents)
+          |SELECT lang, count(*) AS n_docs,
+          |  CAST(sum(len(ws)) AS BIGINT) AS n_words,
+          |  CAST(sum(list_sum(list_transform(ws, w -> (len(w) + 3) // 4))) AS BIGINT)
+          |    AS n_subtokens,
+          |  round(CAST(sum(list_sum(list_transform(ws, w -> (len(w) + 3) // 4))) AS DOUBLE)
+          |    / sum(len(ws)), 6) AS fertility
+          |FROM d GROUP BY lang""".stripMargin,
       "text_tokens" ->
         """SELECT doc_id,
           |  CAST(len(ws) AS BIGINT) AS n_tokens,

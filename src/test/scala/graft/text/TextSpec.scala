@@ -49,6 +49,22 @@ class TextSpec extends AnyFunSuite {
       "every word probability < 1 -> mean log2 p < 0"))
   }
 
+  test("token fertility per language is consistent with per-doc token counts") {
+    import org.apache.spark.sql.functions.{col, sum => ssum}
+    val langs = graft.Tables.t(spark, sf, "documents").select(col("doc_id"), col("lang"))
+    val fromDocs = TextAnalysis.qTokens(spark, sf).join(langs, "doc_id")
+      .groupBy("lang").agg(ssum("n_tokens").as("w"), ssum("n_subtokens").as("st"))
+      .collect()
+      .map(r => r.getAs[String]("lang") -> (r.getAs[Long]("w"), r.getAs[Long]("st"))).toMap
+    val fert = TextAnalysis.qTokenFertility(spark, sf).collect()
+    assert(fert.nonEmpty && fert.length == fromDocs.size)
+    fert.foreach { r =>
+      val (w, st) = fromDocs(r.getAs[String]("lang"))
+      assert(r.getAs[Long]("n_words") == w && r.getAs[Long]("n_subtokens") == st)
+      assert(math.abs(r.getAs[Double]("fertility") - st.toDouble / w) < 1e-6)
+    }
+  }
+
   test("DSIR importance weights tilt toward the target (en) slice") {
     import org.apache.spark.sql.functions.{avg, col}
     val langs = graft.Tables.t(spark, sf, "documents").select(col("doc_id"), col("lang"))
