@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{expr, timestamp_micros}
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Parquet star-schema loader for the driver's testdata layout
   * (TESTDATA.md): one parquet file per table under an sf directory.
@@ -18,16 +19,29 @@ object Tables {
   /** Load one table; column pruning / predicate pushdown is left to
     * Catalyst (the caller's select/filter reaches the parquet scan).
     *
-    * events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized
-    * reader rejects; sessions must set
-    * spark.sql.legacy.parquet.nanosAsLong=true (Verify/Bench do), and
-    * we convert the raw nanos to a microsecond timestamp here. Integer
-    * `div` keeps full precision (nanos ~1.7e18 exceed a double's 2^53).
+    * events.ts has shipped in two physical forms across testdata
+    * generations, so the loader normalizes BOTH to a session-tz
+    * TimestampType column (sessions pin spark.sql.session.timeZone=UTC,
+    * making the conversions instant-preserving):
+    *  - TIMESTAMP(NANOS) parquet, which Spark's vectorized reader only
+    *    accepts as a raw long under
+    *    spark.sql.legacy.parquet.nanosAsLong=true (Verify/Bench set
+    *    it); integer `div` converts to micros with full precision
+    *    (nanos ~1.7e18 exceed a double's 2^53);
+    *  - TIMESTAMP(MICROS) with isAdjustedToUTC=false, which Spark
+    *    reads natively as TIMESTAMP_NTZ — cast to TimestampType so
+    *    every downstream time function sees one type.
     */
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    if (name == "events") df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => df
+      case other =>
+        throw new IllegalStateException(s"unexpected events.ts type: $other")
+    } else df
   }
 }
