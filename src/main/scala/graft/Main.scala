@@ -48,6 +48,8 @@ object Main {
       .config(new SparkConf().setIfMissing("spark.master", "local[*]")
         .setIfMissing("spark.sql.shuffle.partitions",
           Runtime.getRuntime.availableProcessors().toString)
+        // instant-preserving events reads (Tables.t NTZ cast) require UTC
+        .setIfMissing("spark.sql.session.timeZone", "UTC")
         .setIfMissing("spark.sql.extensions", "graft.functions.GraftExtensions"))
       .appName(s"graft-$algo")
       .getOrCreate()

@@ -335,6 +335,45 @@ object Dedup {
                     maxSweeps: Int = 50): DataFrame =
     labelPropagateConverged(candidates(spark, dir), maxSweeps)
 
+  // ---- staged materializations (once per JVM+dir) ----------------------
+
+  /** Heavy derived frames MATERIALIZED once per (JVM, table dir) to a
+    * scoped temp parquet — the staged-index discipline (SURVEY #102):
+    * a 100 TB deployment stages the candidate graph and the converged
+    * cluster labels to DFS once and runs every downstream analytic
+    * against them; deriving the full LSH + label-propagation chain
+    * independently inside each consumer (clusters, keepers, savings)
+    * computes the same index three times. NOT a cache() — nothing pins
+    * executor memory; the staging is re-read from disk like any table.
+    * The JVM-scoped temp dir (deleted on exit) is the local-mode
+    * stand-in for the DFS staging path. */
+  private val staged = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stagedFrame(spark: SparkSession, key: String)
+                         (derive: => DataFrame): DataFrame = {
+    val path = staged.computeIfAbsent(key, { _ =>
+      val p = java.nio.file.Files.createTempDirectory("graft-staged")
+      p.toFile.deleteOnExit()
+      derive.write.mode("overwrite").parquet(p.toString)
+      p.toString
+    })
+    spark.read.parquet(path)
+  }
+
+  /** The LSH candidate edge list, staged (shared with the graph
+    * family, which reads the same edges for PageRank/degrees). */
+  private[graft] def stagedCandidates(spark: SparkSession, dir: String): DataFrame =
+    stagedFrame(spark, s"cand:$dir")(candidates(spark, dir))
+
+  /** Converged duplicate-cluster labels, staged — derived from the
+    * staged edges so the MinHash/LSH chain itself also runs once.
+    * The edge staging is resolved BEFORE the label mapping function
+    * runs: a nested computeIfAbsent on the same map is a recursive
+    * update and throws. */
+  private[graft] def stagedClusters(spark: SparkSession, dir: String): DataFrame = {
+    val edges = stagedCandidates(spark, dir)
+    stagedFrame(spark, s"lbl:$dir")(labelPropagateConverged(edges))
+  }
+
   /** Semantic duplicate clusters (the SemDeDup shape, from its public
     * description: group vectors whose embeddings are near-identical,
     * keep one per group): connected components over the sign-LSH
@@ -352,7 +391,7 @@ object Dedup {
     embedClusters(spark, dir)
 
   def qDedupClusters(spark: SparkSession, dir: String): DataFrame =
-    dedupClusters(spark, dir)
+    stagedClusters(spark, dir)
 
   /** Cluster REPRESENTATIVE selection — the step after clustering in
     * every near-dup pipeline: from each duplicate family, keep the
@@ -364,7 +403,7 @@ object Dedup {
     * cluster frame is the (already materialized) converged labels, so
     * corpus text is scanned exactly once. */
   def qClusterKeepers(spark: SparkSession, dir: String): DataFrame = {
-    val clusters = dedupClusters(spark, dir)
+    val clusters = stagedClusters(spark, dir)
     val quality = t(spark, dir, "documents")
       .withColumn("ws", split(col("text"), " "))
       .select(col("doc_id"),
@@ -386,7 +425,7 @@ object Dedup {
     * LEFT-joined (co-partitioned on doc_id) against the materialized
     * cluster labels, folded to a single row. */
   def qDedupSavings(spark: SparkSession, dir: String): DataFrame = {
-    val clusters = dedupClusters(spark, dir)
+    val clusters = stagedClusters(spark, dir)
     t(spark, dir, "documents").select(col("doc_id"), col("n_chars"))
       .join(clusters, Seq("doc_id"), "left")
       .agg(count(lit(1)).as("n_docs"),

@@ -21,27 +21,17 @@ import graft.dedup.Dedup
   */
 object Graph {
 
-  /** The candidate edge list MATERIALIZED once per (JVM, table dir)
-    * to a scoped temp parquet — the graph family's input table. A
-    * lazily re-derived chain is quadratically wasteful here: every
-    * PageRank iteration references the edges AND the degree frame, so
-    * the un-staged logical plan carried the full MinHash/LSH chain
-    * once per reference, and even the two-groupBy degree profile paid
-    * a complete signature re-derivation. A 100 TB deployment stages
-    * the candidate graph to DFS once and runs every graph analytic
-    * against it; the JVM-scoped temp dir (deleted on exit) is the
-    * local-mode stand-in. NOT a cache() — nothing pins executor
-    * memory, and the staging is re-read from disk like any table. */
-  private val staged = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private[graft] def stagedCandidates(spark: SparkSession, dir: String): DataFrame = {
-    val path = staged.computeIfAbsent(dir, { _ =>
-      val p = java.nio.file.Files.createTempDirectory("graft-graph-edges")
-      p.toFile.deleteOnExit()
-      Dedup.candidates(spark, dir).write.mode("overwrite").parquet(p.toString)
-      p.toString
-    })
-    spark.read.parquet(path)
-  }
+  /** The candidate edge list MATERIALIZED once per (JVM, table dir) —
+    * the graph family's input table. A lazily re-derived chain is
+    * quadratically wasteful here: every PageRank iteration references
+    * the edges AND the degree frame, so the un-staged logical plan
+    * carried the full MinHash/LSH chain once per reference, and even
+    * the two-groupBy degree profile paid a complete signature
+    * re-derivation. The staging itself now lives in Dedup (shared with
+    * the cluster-label consumers), so the graph and dedup families
+    * derive the edge list exactly once between them. */
+  private[graft] def stagedCandidates(spark: SparkSession, dir: String): DataFrame =
+    Dedup.stagedCandidates(spark, dir)
 
   /** Undirected edge list over the staged candidates (both directions
     * exploded from the same row). */
