@@ -128,6 +128,62 @@ object KMeans {
   def qFull(spark: SparkSession, dir: String): DataFrame =
     lloyd(Points.lineitem4d(spark, dir), K, ITERS)
 
+  /** SIMPLIFIED silhouette per cluster over the kmeans_full solution —
+    * the cluster-quality metric next to the SSE objective: for each
+    * point, a = distance to its own (final) center, b = distance to
+    * the nearest OTHER center, s = (b - a) / max(a, b); report each
+    * cluster's size and mean s. The simplified (centroid-based) form
+    * is the one that scales: the full silhouette's a/b are mean
+    * PAIRWISE distances (O(n^2) — dead at any real corpus size),
+    * while this is one O(nK) assign-shaped pass over the final
+    * centers, distributable exactly like assign itself. Same
+    * deterministic trajectory as kmeans_full -> fully oracled. */
+  def qSilhouette(spark: SparkSession, dir: String): DataFrame = {
+    val pts = Points.lineitem4d(spark, dir).cache()
+    try {
+      var centers = Points.firstKCenters(pts, K)
+      for (_ <- 1 to ITERS) {
+        val byK = update(assign(pts, centers)).collect()
+          .map(r => r.getAs[Int]("k") ->
+            dims.indices.map(i => r.getDouble(2 + i)).toArray).toMap
+        centers = Array.tabulate(K)(i => byK.getOrElse(i, centers(i)))
+      }
+      val s = pts
+        .withColumn("dist_arr", array(centers.map(c => Points.distTo(c)): _*))
+        .withColumn("a", array_min(col("dist_arr")))
+        .withColumn("k", (array_position(col("dist_arr"), col("a")) - 1).cast("int"))
+        .withColumn("b", expr("array_min(filter(dist_arr, (x, i) -> i != k))"))
+        .withColumn("s", when(greatest(col("a"), col("b")) === 0.0, lit(0.0))
+          .otherwise((col("b") - col("a")) / greatest(col("a"), col("b"))))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n"), round(avg("s"), 6).as("mean_silhouette"))
+      val rows = s.collect()
+      val schema = s.schema
+      spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1), schema)
+    } finally { pts.unpersist(); () }
+  }
+
+  /** Unrolled silhouette oracle: the kmeans_full center chain, one
+    * final assign keeping all K distances, then the per-point
+    * simplified-silhouette fold. */
+  private val silhouetteSql: String = {
+    val stages = (1 to ITERS).map { i =>
+      val cIn = if (i == 1) "c0" else s"u${i - 1}"
+      s"${widenSql(cIn, s"${cIn}w")},\n${assignSql(s"${cIn}w", s"a$i")},\n${updateSql(s"a$i", s"u$i")}"
+    }.mkString(",\n")
+    val bExpr = "least(" + (0 until K).map(j =>
+      s"CASE WHEN k = $j THEN CAST('infinity' AS DOUBLE) ELSE d$j END").mkString(", ") + ")"
+    s"""WITH pts AS ($ptsSql),
+       |$c0Sql,
+       |$stages,
+       |${widenSql(s"u$ITERS", "fw")},
+       |${assignSql("fw", "fa")},
+       |sil AS (SELECT k, dist AS a, $bExpr AS b FROM fa)
+       |SELECT k, count(*) AS n,
+       |  round(avg(CASE WHEN greatest(a, b) = 0 THEN 0 ELSE (b - a) / greatest(a, b) END), 6) AS mean_silhouette
+       |FROM sil GROUP BY k""".stripMargin
+  }
+
   // ---- oracle SQL (see ClusterSql for the shared generators) ----------
 
   import ClusterSql.{assignSql => asg, widenSql => wid}
@@ -435,6 +491,7 @@ object KMeans {
     "kmeans_update" -> (qUpdate _),
     "kmeans_sse" -> (qSse _),
     "kmeans_full" -> (qFull _),
+    "kmeans_silhouette" -> (qSilhouette _),
     "kmeans_embed_assign" -> (qEmbedAssign _),
     "kmeans_embed_full" -> (qEmbedFull _),
     "kmeans_metrics" -> (qMetrics _),
@@ -454,6 +511,7 @@ object KMeans {
     "kmeans_update" -> oracleUpdate,
     "kmeans_sse" -> oracleSse,
     "kmeans_full" -> oracleFull,
+    "kmeans_silhouette" -> silhouetteSql,
     "kmeans_embed_assign" ->
       ClusterSql.assignOnlySql(K, Points.embedPtsSql, Points.embedDims),
     "kmeans_embed_full" ->

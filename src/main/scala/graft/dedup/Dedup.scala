@@ -503,6 +503,43 @@ object Dedup {
   def qSimhashPairs(spark: SparkSession, dir: String): DataFrame =
     simhashPairs(spark, dir)
 
+  /** Streaming near-dup GATE recall report — measures, against the
+    * batch truth (the hd<=12 banded-simhash pairs above), what
+    * fraction of true near-dup pairs each ingest-gate bucketing
+    * scheme would catch: the single 16-bit-prefix probe
+    * (Streams.nearDupStream), the 4x16-bit any-band layout, and the
+    * 8x8-bit any-band layout the VERIFIED gate uses
+    * (Streams.verifiedNearDupGate). The number every front-door
+    * deployment needs before trusting the gate: on this corpus the
+    * near-dups flip 4-12 of 64 bits, so a single prefix probe has
+    * near-zero recall and only the 8-bit band layout clears 0.9.
+    * Entirely deterministic (same fingerprint chain) -> oracled. */
+  def qGateRecall(spark: SparkSession, dir: String,
+                  maxHamming: Int = 12): DataFrame = {
+    val fp = qSimhash(spark, dir)
+    val truth = candidates(spark, dir)
+      .join(fp.select(col("doc_id").as("ia"), col("simhash").as("fa")), "ia")
+      .join(fp.select(col("doc_id").as("ib"), col("simhash").as("fb")), "ib")
+      .withColumn("hd", graft.functions.GraftFunctions.hamming(col("fa"), col("fb")))
+      .filter(col("hd") <= maxHamming)
+    def anyBand(w: Int): Column =
+      (0 until 64 / w).map(i =>
+        substring(col("fa"), i * w + 1, w) === substring(col("fb"), i * w + 1, w))
+        .reduce(_ || _)
+    truth.agg(
+      count(lit(1)).as("n_true_pairs"),
+      sum(when(substring(col("fa"), 1, 16) === substring(col("fb"), 1, 16), 1L)
+        .otherwise(0L)).as("n_prefix16"),
+      sum(when(anyBand(16), 1L).otherwise(0L)).as("n_band16x4"),
+      sum(when(anyBand(8), 1L).otherwise(0L)).as("n_band8x8"))
+      .withColumn("recall_prefix16",
+        round(col("n_prefix16").cast("double") / col("n_true_pairs"), 6))
+      .withColumn("recall_band16x4",
+        round(col("n_band16x4").cast("double") / col("n_true_pairs"), 6))
+      .withColumn("recall_band8x8",
+        round(col("n_band8x8").cast("double") / col("n_true_pairs"), 6))
+  }
+
   /** Edit-distance near-dup: levenshtein over 40-char prefixes of the
     * banded candidates (prefix cap bounds the O(n*m) DP per pair —
     * the standard trick before paying full edit distance at scale). */
@@ -596,6 +633,21 @@ object Dedup {
       |  FROM bands b JOIN mins m ON b.band = m.band AND b.bh = m.bh
       |  WHERE b.doc_id > m.ia)""".stripMargin
 
+  /** DuckDB mirror of [[simhashColumn]] (same computation as the
+    * dedup_simhash oracle); shared by the simhash-pairs and
+    * gate-recall oracles. */
+  private val simhashFpSql =
+    """SELECT doc_id,
+      |  string_agg(CASE WHEN cnt > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash
+      |FROM (
+      |  SELECT doc_id, b,
+      |    sum(((instr('0123456789abcdef', substr(hx, CAST(b // 4 AS INT) + 1, 1)) - 1
+      |          >> CAST(3 - (b % 4) AS INT)) & 1) * 2 - 1) AS cnt
+      |  FROM (SELECT doc_id, md5(w) AS hx FROM (
+      |          SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w FROM documents)),
+      |       (SELECT unnest(range(64)) AS b) GROUP BY doc_id, b)
+      |GROUP BY doc_id""".stripMargin
+
   /** Unrolled 3-sweep label-propagation chain over the LSH candidates
     * (ends at `l3`); shared by the dedup_clusters and
     * dedup_cluster_keepers oracles. Valid while the testdata graph
@@ -635,6 +687,7 @@ object Dedup {
     "dedup_savings" -> (qDedupSavings _),
     "dedup_simhash" -> (qSimhash _),
     "dedup_simhash_pairs" -> (qSimhashPairs _),
+    "dedup_gate_recall" -> ((s: SparkSession, d: String) => qGateRecall(s, d)),
     "dedup_edit_distance" -> (qEditDistance _),
     "dedup_tfidf_cosine" -> (qTfidfCosine _),
     "dedup_embed" -> (qEmbed _),
@@ -774,28 +827,38 @@ object Dedup {
         |SELECT doc_id,
         |  string_agg(CASE WHEN cnt > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash
         |FROM bits GROUP BY doc_id""".stripMargin,
-    "dedup_simhash_pairs" -> {
-      val simhashQ = // same computation as the dedup_simhash oracle
-        """SELECT doc_id,
-          |  string_agg(CASE WHEN cnt > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash
-          |FROM (
-          |  SELECT doc_id, b,
-          |    sum(((instr('0123456789abcdef', substr(hx, CAST(b // 4 AS INT) + 1, 1)) - 1
-          |          >> CAST(3 - (b % 4) AS INT)) & 1) * 2 - 1) AS cnt
-          |  FROM (SELECT doc_id, md5(w) AS hx FROM (
-          |          SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w FROM documents)),
-          |       (SELECT unnest(range(64)) AS b) GROUP BY doc_id, b)
-          |GROUP BY doc_id""".stripMargin
+    "dedup_simhash_pairs" ->
       s"""WITH $sigSql,
          |$bandsSql,
          |$candsSql,
-         |fp AS ($simhashQ)
+         |fp AS ($simhashFpSql)
          |SELECT ia, ib, hd FROM (
          |  SELECT ia, ib,
          |    CAST(len(list_filter(range(1, 65),
          |      i -> substr(fa.simhash, CAST(i AS INT), 1) != substr(fb.simhash, CAST(i AS INT), 1))) AS INT) AS hd
          |  FROM cands JOIN fp fa ON ia = fa.doc_id JOIN fp fb ON ib = fb.doc_id)
-         |WHERE hd <= 12""".stripMargin
+         |WHERE hd <= 12""".stripMargin,
+    "dedup_gate_recall" -> {
+      val anyBand = (w: Int) => (0 until 64 / w).map(i =>
+        s"substr(fa, ${i * w + 1}, $w) = substr(fb, ${i * w + 1}, $w)").mkString(" OR ")
+      s"""WITH $sigSql,
+         |$bandsSql,
+         |$candsSql,
+         |fp AS ($simhashFpSql),
+         |t AS (SELECT ia, ib, fa, fb, hd FROM (
+         |  SELECT ia, ib, fa.simhash AS fa, fb.simhash AS fb,
+         |    CAST(len(list_filter(range(1, 65),
+         |      i -> substr(fa.simhash, CAST(i AS INT), 1) != substr(fb.simhash, CAST(i AS INT), 1))) AS INT) AS hd
+         |  FROM cands JOIN fp fa ON ia = fa.doc_id JOIN fp fb ON ib = fb.doc_id)
+         |WHERE hd <= 12)
+         |SELECT count(*) AS n_true_pairs,
+         |  CAST(sum(CASE WHEN substr(fa, 1, 16) = substr(fb, 1, 16) THEN 1 ELSE 0 END) AS BIGINT) AS n_prefix16,
+         |  CAST(sum(CASE WHEN ${anyBand(16)} THEN 1 ELSE 0 END) AS BIGINT) AS n_band16x4,
+         |  CAST(sum(CASE WHEN ${anyBand(8)} THEN 1 ELSE 0 END) AS BIGINT) AS n_band8x8,
+         |  round(CAST(sum(CASE WHEN substr(fa, 1, 16) = substr(fb, 1, 16) THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS recall_prefix16,
+         |  round(CAST(sum(CASE WHEN ${anyBand(16)} THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS recall_band16x4,
+         |  round(CAST(sum(CASE WHEN ${anyBand(8)} THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS recall_band8x8
+         |FROM t""".stripMargin
     },
     "dedup_edit_distance" ->
       s"""WITH $sigSql,

@@ -81,10 +81,17 @@ object Sinks {
     // listFiles() is null (not empty) for a missing path or non-directory
     val listed = Option(new java.io.File(dir).listFiles()).getOrElse(
       throw new IllegalArgumentException(s"compactionPlan: not a listable directory: $dir"))
-    val files = listed
+    planFiles(listed
       .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-      .map(f => f.getPath -> f.length())
-      .sortBy { case (p, len) => (-len, p) } // FFD: biggest first, stable
+      .map(f => f.getPath -> f.length()).toSeq, targetBytes)
+  }
+
+  /** The FFD packing itself over (path, bytes) pairs — shared with the
+    * transactional table's snapshot compaction, whose file list comes
+    * from a manifest rather than a directory listing. */
+  private[sources] def planFiles(sized: Seq[(String, Long)],
+                                 targetBytes: Long): Seq[CompactionGroup] = {
+    val files = sized.sortBy { case (p, len) => (-len, p) } // FFD: biggest first, stable
     val bins = scala.collection.mutable.ArrayBuffer.empty[(Long, scala.collection.mutable.ArrayBuffer[String])]
     for ((path, len) <- files) {
       val i = bins.indexWhere(_._1 + len <= targetBytes)

@@ -65,12 +65,14 @@ object Streams {
     * codegen'd projection the batch operator uses — computable per
     * row on a stream, no state) bucketed by its first `prefixBits`
     * bits, first arrival per bucket wins within the watermark. This
-    * is single-probe LSH: near-identical documents almost always
-    * share the prefix (a near-dup flips few of the 64 bits), so it
-    * catches the overwhelming-duplicate case a streaming front door
-    * faces, while the exact banded operators remain the batch
-    * backstop; the state store holds one small key per bucket,
-    * watermark-bounded. Input needs (ts, text). */
+    * is single-probe LSH and only catches near-IDENTICAL documents
+    * (hamming 0-1): the `dedup_gate_recall` report measures its
+    * recall against the batch hd<=12 truth at 0.022 on the testdata
+    * corpus, whose near-dups flip 4-12 of the 64 bits. Kept as the
+    * zero-cost first filter for the exact-duplicate flood; real
+    * near-dup gating at ingest is [[verifiedNearDupSink]], which
+    * bands + VERIFIES (recall 0.96 at the same truth). Input needs
+    * (ts, text). */
   def nearDupStream(docs: DataFrame, prefixBits: Int = 16): DataFrame =
     docs
       .withColumn("__shb",
@@ -78,6 +80,106 @@ object Streams {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("__shb")
       .drop("__shb")
+
+  // ---- verified streaming near-dup gate --------------------------------
+
+  /** SimHash band rows of a document frame: one row per (doc,
+    * band) with the band's `bandBits`-bit slice as the bucket value,
+    * the full 64-bit fingerprint riding along for verification. */
+  private[streaming] def simhashBandRows(docs: DataFrame, bandBits: Int): DataFrame = {
+    val n = 64 / bandBits
+    docs.withColumn("__sim", graft.dedup.Dedup.simhashColumn)
+      .select(col("doc_id"), col("__sim").as("sim"),
+        explode(array((0 until n).map(b =>
+          struct(lit(b).as("band"),
+            substring(col("__sim"), b * bandBits + 1, bandBits).as("bv"))): _*)).as("e"))
+      .select(col("doc_id"), col("sim"), col("e.band").as("band"), col("e.bv").as("bv"))
+  }
+
+  /** One micro-batch of the VERIFIED near-dup gate — the Manku-style
+    * two-step the single-probe gate lacks: bands only GENERATE
+    * candidates (8 x 8-bit slices of the SimHash; a hd<=12 pair
+    * shares an untouched band with p ~ 0.96 measured, vs 0.022 for a
+    * single 16-bit prefix), and a candidate is dropped only after its
+    * FULL 64-bit hamming distance to a bucket keeper verifies <=
+    * `maxHamming` — band collisions between genuinely different
+    * documents cost a verification, never a wrongful drop. Buckets
+    * keep at most `bucketCap` verified keepers (lowest ids), which
+    * bounds both the index size and the per-candidate verification
+    * fan-out at any scale. Returns (flagged, survivors, newIndex):
+    * flagged = one row per batch doc confirmed near-dup (vs the
+    * standing index OR an earlier batch doc), survivors = the rest of
+    * the batch, newIndex = the standing index with the survivors'
+    * band rows merged in (re-capped). Input needs (doc_id, text);
+    * standing index schema (band, bv, keeper_id, keeper_sim). */
+  private[graft] def verifiedNearDupBatch(batch: DataFrame, standing: DataFrame,
+      bandBits: Int = 8, maxHamming: Int = 12, bucketCap: Int = 16)
+      : (DataFrame, DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = simhashBandRows(batch, bandBits)
+    val verify = (hits: DataFrame) => hits
+      .withColumn("hd", graft.functions.GraftFunctions.hamming(col("sim"), col("keeper_sim")))
+      .filter(col("hd") <= maxHamming)
+      .select(col("doc_id"), col("keeper_id").as("dup_of"), col("hd"))
+    val corpusHits = verify(
+      rows.join(standing, Seq("band", "bv")).filter(col("keeper_id") =!= col("doc_id")))
+    // batch-internal: per bucket the lowest-id `bucketCap` members act
+    // as keepers; later members verify against each (doc_id > keeper
+    // keeps the pairing acyclic — first arrival survives)
+    val w = Window.partitionBy("band", "bv").orderBy("doc_id")
+    val batchKeepers = rows.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= bucketCap)
+      .select(col("band"), col("bv"),
+        col("doc_id").as("keeper_id"), col("sim").as("keeper_sim"))
+    val batchHits = verify(
+      rows.join(batchKeepers, Seq("band", "bv")).filter(col("keeper_id") < col("doc_id")))
+    val flagged = corpusHits.union(batchHits)
+      .groupBy("doc_id")
+      .agg(min("dup_of").as("dup_of"), min("hd").as("hd"))
+    val survivors = batch.join(flagged.select("doc_id"), Seq("doc_id"), "left_anti")
+    val survivorRows = rows.join(flagged.select("doc_id"), Seq("doc_id"), "left_anti")
+      .select(col("band"), col("bv"),
+        col("doc_id").as("keeper_id"), col("sim").as("keeper_sim"))
+    val wIdx = Window.partitionBy("band", "bv").orderBy("keeper_id")
+    val newIndex = standing.unionByName(survivorRows)
+      .withColumn("__rn", row_number().over(wIdx))
+      .filter(col("__rn") <= bucketCap).drop("__rn")
+    (flagged, survivors, newIndex)
+  }
+
+  /** The verified near-dup gate as a streaming sink: each micro-batch
+    * is gated against the STANDING band index (batch-vs-standing plus
+    * batch-internal, never standing-vs-standing — the incremental
+    * discipline of the batch dedup_incremental_neardup operator),
+    * survivors land in batch-id directories (idempotent by path) and
+    * the enlarged index is committed by generation swap, so a crash
+    * mid-update leaves the previous complete index generation
+    * readable. At 100 TB the index is (band, bv, id, 64-bit sim) rows
+    * capped per bucket — bucketable on (band, bv) so tomorrow's batch
+    * joins without an index-side shuffle. Input needs (doc_id, text). */
+  def verifiedNearDupSink(stream: DataFrame, indexDir: String, outDir: String,
+                          checkpoint: String, bandBits: Int = 8,
+                          maxHamming: Int = 12, bucketCap: Int = 16)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val spark = batch.sparkSession
+        val current = currentGeneration(indexDir)
+        val standing = current match {
+          case Some(dir) => spark.read.parquet(dir.toString)
+          case None => simhashBandRows(batch.limit(0), bandBits)
+            .select(col("band"), col("bv"),
+              col("doc_id").as("keeper_id"), col("sim").as("keeper_sim"))
+        }
+        val (_, survivors, newIndex) =
+          verifiedNearDupBatch(batch, standing, bandBits, maxHamming, bucketCap)
+        survivors.write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
+        val gen = current.map(genNumber(_) + 1).getOrElse(0L)
+        newIndex.write.mode("overwrite").parquet(s"$indexDir/gen=$gen")
+        current.foreach(deleteRecursively)
+      }
+      .start()
 
   /** Stateless quality gate on a document stream — the same length +
     * stopword-density bounds the batch CleanCorpus applies, as per-row
