@@ -99,9 +99,16 @@ object Dedup {
     * candidates. Candidates (small) join back to word sets by id — the
     * word arrays are never carried through the pair explosion. */
   def minhashLshOf(docs: DataFrame, h: Int = H,
-                   nBands: Int = BANDS, threshold: Double = 0.8): DataFrame = {
+                   nBands: Int = BANDS, threshold: Double = 0.8): DataFrame =
+    minhashLshFrom(docs, candidatesOf(docs, h, nBands), threshold)
+
+  /** The Jaccard verification over a PRE-COMPUTED candidate frame —
+    * lets the dir-based queries ride the staged candidate edges
+    * instead of re-deriving the signature/band chain. */
+  def minhashLshFrom(docs: DataFrame, cands: DataFrame,
+                     threshold: Double = 0.8): DataFrame = {
     val w = wordSetsOf(docs)
-    candidatesOf(docs, h, nBands)
+    cands
       .join(w.select(col("doc_id").as("ia"), col("ws").as("wa")), "ia")
       .join(w.select(col("doc_id").as("ib"), col("ws").as("wb")), "ib")
       // |A∪B| = |A|+|B|-|A∩B| on the distinct arrays: skips building
@@ -119,7 +126,10 @@ object Dedup {
 
   def minhashLsh(spark: SparkSession, dir: String, h: Int = H,
                  nBands: Int = BANDS, threshold: Double = 0.8): DataFrame =
-    minhashLshOf(t(spark, dir, "documents"), h, nBands, threshold)
+    if (h == H && nBands == BANDS)
+      minhashLshFrom(t(spark, dir, "documents"),
+        stagedCandidates(spark, dir), threshold)
+    else minhashLshOf(t(spark, dir, "documents"), h, nBands, threshold)
 
   def qMinhashLsh(spark: SparkSession, dir: String): DataFrame =
     minhashLsh(spark, dir)
@@ -138,7 +148,7 @@ object Dedup {
     val sb = sig.select(col("doc_id").as("ib") +:
       (0 until H).map(i => col(s"mh_$i").as(s"b_$i")): _*)
     val w = wordSetsOf(docs)
-    candidatesOf(docs)
+    stagedCandidates(spark, dir)
       .join(sa, "ia").join(sb, "ib")
       .withColumn("est_j",
         (0 until H).map(i => when(col(s"a_$i") === col(s"b_$i"), 1).otherwise(0))
@@ -160,7 +170,7 @@ object Dedup {
   def qContainment(spark: SparkSession, dir: String,
                    threshold: Double = 0.9): DataFrame = {
     val w = wordSetsOf(t(spark, dir, "documents"))
-    candidates(spark, dir)
+    stagedCandidates(spark, dir)
       .join(w.select(col("doc_id").as("ia"), col("ws").as("wa")), "ia")
       .join(w.select(col("doc_id").as("ib"), col("ws").as("wb")), "ib")
       .withColumn("__i", graft.functions.GraftFunctions.intersectSize(col("wa"), col("wb")))
@@ -207,8 +217,10 @@ object Dedup {
   /** Char-n-gram Jaccard over the same banded candidates. */
   def ngramPairs(spark: SparkSession, dir: String, n: Int = 5,
                  threshold: Double = 0.6): DataFrame = {
-    val g = t(spark, dir, "documents").select(col("doc_id"), grams(n).as("gs"))
-    candidates(spark, dir)
+    val g =
+      if (n == 5) stagedGrams5(spark, dir)
+      else t(spark, dir, "documents").select(col("doc_id"), grams(n).as("gs"))
+    stagedCandidates(spark, dir)
       .join(g.select(col("doc_id").as("ia"), col("gs").as("ga")), "ia")
       .join(g.select(col("doc_id").as("ib"), col("gs").as("gb")), "ib")
       // |A∪B| = |A|+|B|-|A∩B| on the distinct gram arrays (see
@@ -374,6 +386,24 @@ object Dedup {
     stagedFrame(spark, s"lbl:$dir")(labelPropagateConverged(edges))
   }
 
+  /** The SimHash fingerprint table, staged — the fingerprint index a
+    * production dedup pipeline computes once at ingest and stores.
+    * Without it, every pair consumer's two join branches each re-run
+    * the 64-bit fold over the whole corpus (the broadcast-join plan
+    * over staged candidates has no exchange to reuse, so the fold ran
+    * TWICE per query — measured 2x on dedup_simhash_pairs). */
+  private[graft] def stagedSimhash(spark: SparkSession, dir: String): DataFrame =
+    stagedFrame(spark, s"simhash:$dir")(
+      simhashOf(t(spark, dir, "documents")))
+
+  /** The char-5-gram shingle table, staged — same stored-index
+    * rationale as the fingerprints (MinHash pipelines store their
+    * shingle/signature sets; the gram construction is the heavy
+    * per-doc projection in the n-gram verifier). */
+  private[graft] def stagedGrams5(spark: SparkSession, dir: String): DataFrame =
+    stagedFrame(spark, s"grams5:$dir")(
+      t(spark, dir, "documents").select(col("doc_id"), grams(5).as("gs")))
+
   /** Semantic duplicate clusters (the SemDeDup shape, from its public
     * description: group vectors whose embeddings are near-identical,
     * keep one per group): connected components over the sign-LSH
@@ -491,8 +521,8 @@ object Dedup {
     */
   def simhashPairs(spark: SparkSession, dir: String,
                    maxHamming: Int = 12): DataFrame = {
-    val fp = qSimhash(spark, dir)
-    candidates(spark, dir)
+    val fp = stagedSimhash(spark, dir)
+    stagedCandidates(spark, dir)
       .join(fp.select(col("doc_id").as("ia"), col("simhash").as("fa")), "ia")
       .join(fp.select(col("doc_id").as("ib"), col("simhash").as("fb")), "ib")
       .withColumn("hd", graft.functions.GraftFunctions.hamming(col("fa"), col("fb")))
@@ -516,8 +546,8 @@ object Dedup {
     * Entirely deterministic (same fingerprint chain) -> oracled. */
   def qGateRecall(spark: SparkSession, dir: String,
                   maxHamming: Int = 12): DataFrame = {
-    val fp = qSimhash(spark, dir)
-    val truth = candidates(spark, dir)
+    val fp = stagedSimhash(spark, dir)
+    val truth = stagedCandidates(spark, dir)
       .join(fp.select(col("doc_id").as("ia"), col("simhash").as("fa")), "ia")
       .join(fp.select(col("doc_id").as("ib"), col("simhash").as("fb")), "ib")
       .withColumn("hd", graft.functions.GraftFunctions.hamming(col("fa"), col("fb")))
@@ -547,7 +577,7 @@ object Dedup {
                         prefixLen: Int = 40, maxEd: Int = 15): DataFrame = {
     val pre = t(spark, dir, "documents")
       .select(col("doc_id"), substring(col("text"), 1, prefixLen).as("pre"))
-    candidates(spark, dir)
+    stagedCandidates(spark, dir)
       .join(pre.select(col("doc_id").as("ia"), col("pre").as("pa")), "ia")
       .join(pre.select(col("doc_id").as("ib"), col("pre").as("pb")), "ib")
       .withColumn("ed", levenshtein(col("pa"), col("pb")))
@@ -578,7 +608,7 @@ object Dedup {
       .select(col("doc_id"), col("word"),
         round(col("tf") * log(col("__n") / col("df")), 6).as("wt"))
     val norms = wts.groupBy("doc_id").agg(sqrt(sum(col("wt") * col("wt"))).as("nrm"))
-    val dots = candidates(spark, dir)
+    val dots = stagedCandidates(spark, dir)
       .join(wts.select(col("doc_id").as("ia"), col("word"), col("wt").as("wa")), "ia")
       .join(wts.select(col("doc_id").as("ib"), col("word"), col("wt").as("wb")),
         Seq("ib", "word"))

@@ -21,8 +21,10 @@ object CleanCorpus {
 
   /** DataFrame-parametric core over ANY (doc_id, text) corpus — the
     * same chain runs on the testdata documents table or a JSONL ingest
-    * (graft.Main clean). */
-  def cleanOf(rawDocs: DataFrame): DataFrame = {
+    * (graft.Main clean). `cands` lets a dir-based caller pass the
+    * STAGED candidate edges so the LSH chain isn't re-derived here. */
+  def cleanOf(rawDocs: DataFrame,
+              cands: Option[DataFrame] = None): DataFrame = {
     val docs = rawDocs.withColumn("ws", split(col("text"), " "))
 
     // 1. exact dedup: keep the lowest doc_id of each identical text
@@ -31,7 +33,11 @@ object CleanCorpus {
       .select("doc_id")
 
     // 2. near-dup: drop LSH candidates too similar to their keeper
-    val nearDupIds = Dedup.minhashLshOf(rawDocs).select(col("ib").as("doc_id")).distinct()
+    val pairs = cands match {
+      case Some(c) => Dedup.minhashLshFrom(rawDocs, c)
+      case None => Dedup.minhashLshOf(rawDocs)
+    }
+    val nearDupIds = pairs.select(col("ib").as("doc_id")).distinct()
 
     docs
       .join(keepExact, "doc_id")
@@ -48,7 +54,8 @@ object CleanCorpus {
   }
 
   def qClean(spark: SparkSession, dir: String): DataFrame =
-    cleanOf(t(spark, dir, "documents"))
+    cleanOf(t(spark, dir, "documents"),
+      Some(Dedup.stagedCandidates(spark, dir)))
 
   /** The full gate stack: everything qClean does PLUS the repetition/
     * degeneracy gates (#46) — the composition a production run ships.

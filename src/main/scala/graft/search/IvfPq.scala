@@ -27,8 +27,8 @@ object IvfPq {
     val ed = Points.embedDims
     val pts = Points.embeddings64(spark, dir).cache()
     // 1. train both quantizers (driver holds only centers/codebooks)
-    val coarse = SimSearch.trainCoarse(pts, SimSearch.CELLS, 2, ed)
-    val codebooks = PQ.trainCodebooks(pts)
+    val coarse = SimSearch.stagedCoarse(pts, dir, ed)
+    val codebooks = PQ.stagedCodebooks(pts, dir)
     // 2. build the index: cell id + 8 codes per vector, MATERIALIZED
     val index = encodeIndex(pts, coarse, codebooks).cache()
     index.count()
@@ -96,7 +96,7 @@ object IvfPq {
   def qIvfPqResidual(spark: SparkSession, dir: String): DataFrame = {
     val ed = Points.embedDims
     val pts = Points.embeddings64(spark, dir).cache()
-    val coarse = SimSearch.trainCoarse(pts, SimSearch.CELLS, 2, ed)
+    val coarse = SimSearch.stagedCoarse(pts, dir, ed)
     // residual frame: same (pid, e1..e64) shape, e_d := e_d - c_cell,d.
     // BOTH the cell assignment and the residuals are MATERIALIZED
     // (cached) before training: the PQ trainer and the encoder each

