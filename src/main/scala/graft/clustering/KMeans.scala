@@ -163,9 +163,79 @@ object KMeans {
     } finally { pts.unpersist(); () }
   }
 
-  /** Unrolled silhouette oracle: the kmeans_full center chain, one
-    * final assign keeping all K distances, then the per-point
-    * simplified-silhouette fold. */
+  /** Davies-Bouldin index over the kmeans_full solution — the other
+    * standard internal cluster-quality metric beside the silhouette:
+    * per-cluster scatter s_i = mean distance of members to their own
+    * (final) center, pairwise center separation d_ij, and each
+    * cluster's component DB_i = max_{j != i} (s_i + s_j) / d_ij
+    * (lower = tighter, better-separated clusters; the index itself is
+    * the mean of the components). The distributed work is ONE
+    * assign-shaped aggregate (K scatter rows); the K x K fold runs on
+    * the driver over K collected rows — never a join, so the plan
+    * stays audit-clean. Deterministic trajectory -> fully oracled. */
+  def qDaviesBouldin(spark: SparkSession, dir: String): DataFrame = {
+    val pts = Points.lineitem4d(spark, dir).cache()
+    try {
+      var centers = Points.firstKCenters(pts, K)
+      for (_ <- 1 to ITERS) {
+        val byK = update(assign(pts, centers)).collect()
+          .map(r => r.getAs[Int]("k") ->
+            dims.indices.map(i => r.getDouble(2 + i)).toArray).toMap
+        centers = Array.tabulate(K)(i => byK.getOrElse(i, centers(i)))
+      }
+      val scatter = assign(pts, centers)
+        .groupBy("k")
+        .agg(count(lit(1)).as("n"), round(avg("dist"), 6).as("s"))
+        .collect()
+        .map(r => r.getAs[Int]("k") -> (r.getAs[Long]("n"), r.getAs[Double]("s")))
+        .toMap
+      // K x K on the driver: same left-fold add order as the oracle's
+      // SQL so the doubles are bitwise-identical
+      def d(i: Int, j: Int): Double = math.sqrt(
+        dims.indices.map { x =>
+          val df = centers(i)(x) - centers(j)(x); df * df
+        }.reduce(_ + _))
+      val rows = (0 until K).filter(scatter.contains).map { i =>
+        val db = (0 until K).filter(j => j != i && scatter.contains(j))
+          .map(j => (scatter(i)._2 + scatter(j)._2) / d(i, j)).max
+        // HALF_UP to match the round(x, 6) both engines use elsewhere
+        org.apache.spark.sql.Row(i, scatter(i)._1, scatter(i)._2,
+          BigDecimal(db).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("k", IntegerType, nullable = false),
+        StructField("n", LongType, nullable = false),
+        StructField("scatter", DoubleType, nullable = false),
+        StructField("db_component", DoubleType, nullable = false)))
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    } finally { pts.unpersist(); () }
+  }
+
+  /** Unrolled Davies-Bouldin oracle: the kmeans_full chain, final
+    * assign, per-cluster scatter, then the pairwise fold in SQL over
+    * the K-row frames (tiny cross join in DuckDB only — the Spark
+    * side does this on the driver). */
+  private val daviesBouldinSql: String = {
+    val stages = (1 to ITERS).map { i =>
+      val cIn = if (i == 1) "c0" else s"u${i - 1}"
+      s"${widenSql(cIn, s"${cIn}w")},\n${assignSql(s"${cIn}w", s"a$i")},\n${updateSql(s"a$i", s"u$i")}"
+    }.mkString(",\n")
+    val dExpr = dims.indices.map(x =>
+      s"(a.c${x + 1} - b.c${x + 1}) * (a.c${x + 1} - b.c${x + 1})").mkString(" + ")
+    s"""WITH pts AS ($ptsSql),
+       |$c0Sql,
+       |$stages,
+       |${widenSql(s"u$ITERS", "fw")},
+       |${assignSql("fw", "fa")},
+       |sc AS (SELECT k, count(*) AS n, round(avg(dist), 6) AS s FROM fa GROUP BY k),
+       |comp AS (SELECT sa.k, sa.n, sa.s,
+       |    max((sa.s + sb.s) / sqrt($dExpr)) AS db
+       |  FROM sc sa JOIN u$ITERS a ON a.k = sa.k
+       |       JOIN sc sb ON sb.k != sa.k JOIN u$ITERS b ON b.k = sb.k
+       |  GROUP BY sa.k, sa.n, sa.s)
+       |SELECT k, n, s AS scatter, round(db, 6) AS db_component FROM comp""".stripMargin
+  }
   private val silhouetteSql: String = {
     val stages = (1 to ITERS).map { i =>
       val cIn = if (i == 1) "c0" else s"u${i - 1}"
@@ -492,6 +562,7 @@ object KMeans {
     "kmeans_sse" -> (qSse _),
     "kmeans_full" -> (qFull _),
     "kmeans_silhouette" -> (qSilhouette _),
+    "kmeans_davies_bouldin" -> (qDaviesBouldin _),
     "kmeans_embed_assign" -> (qEmbedAssign _),
     "kmeans_embed_full" -> (qEmbedFull _),
     "kmeans_metrics" -> (qMetrics _),
@@ -512,6 +583,7 @@ object KMeans {
     "kmeans_sse" -> oracleSse,
     "kmeans_full" -> oracleFull,
     "kmeans_silhouette" -> silhouetteSql,
+    "kmeans_davies_bouldin" -> daviesBouldinSql,
     "kmeans_embed_assign" ->
       ClusterSql.assignOnlySql(K, Points.embedPtsSql, Points.embedDims),
     "kmeans_embed_full" ->
