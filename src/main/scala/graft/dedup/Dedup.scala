@@ -644,6 +644,30 @@ object Dedup {
   def qEmbed(spark: SparkSession, dir: String): DataFrame =
     embedPairs(spark, dir)
 
+  /** EMBEDDING-space benchmark decontamination — the third
+    * decontamination modality beside the n-gram overlap and Bloom
+    * variants, catching paraphrased eval contamination that shares no
+    * exact n-grams: flag every corpus vector whose embedding cosine
+    * to ANY benchmark vector clears the threshold. The eval set is
+    * small by nature, so this is the EXACT brute shape (broadcast
+    * bench vectors, one corpus pass, |bench| fused-codegen cosines
+    * per row — no recall loss); a benchmark too large to broadcast
+    * would fall back to the sign-bucket path embedPairs uses. Same
+    * bench delineation as the n-gram decontaminator (ids <=
+    * benchMaxId). */
+  def qDecontaminateEmbed(spark: SparkSession, dir: String,
+                          benchMaxId: Long = 5,
+                          minCosine: Double = 0.35): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    val bench = e.filter(col("vec_id") <= benchMaxId)
+      .select(col("vec_id").as("bench_id"), col("embedding").as("be"))
+    e.filter(col("vec_id") > benchMaxId)
+      .join(broadcast(bench), col("bench_id") =!= col("vec_id"))
+      .select(col("vec_id"), col("bench_id"),
+        VectorOps.cosine("be", "embedding").as("cs"))
+      .filter(col("cs") >= minCosine)
+  }
+
   // ---- oracle SQL ------------------------------------------------------
 
   private[dedup] def mhSql(i: Int): String =
@@ -721,6 +745,7 @@ object Dedup {
     "dedup_edit_distance" -> (qEditDistance _),
     "dedup_tfidf_cosine" -> (qTfidfCosine _),
     "dedup_embed" -> (qEmbed _),
+    "dedup_decontaminate_embed" -> ((s: SparkSession, d: String) => qDecontaminateEmbed(s, d)),
     "dedup_embed_clusters" -> (qEmbedClusters _))
 
   val oracleSql: Map[String, String] = Map(
@@ -956,5 +981,12 @@ object Dedup {
          |    ${VectorOps.cosineSql("k.ea", "b.embedding")} AS cs
          |  FROM b JOIN mins m ON b.bk = m.bk JOIN k ON k.ia = m.ia
          |  WHERE b.vec_id > m.ia)
+         |WHERE cs >= 0.35""".stripMargin,
+    "dedup_decontaminate_embed" ->
+      s"""SELECT vec_id, bench_id, cs FROM (
+         |  SELECT e.vec_id, b.vec_id AS bench_id,
+         |    ${VectorOps.cosineSql("b.embedding", "e.embedding")} AS cs
+         |  FROM embeddings e JOIN embeddings b
+         |    ON b.vec_id <= 5 AND e.vec_id > 5 AND b.vec_id != e.vec_id)
          |WHERE cs >= 0.35""".stripMargin)
 }
