@@ -33,6 +33,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, "intersect_size(a, b) takes exactly 2 arguments")
         IntersectSize(children.head, children(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("distinct_bigram_count"),
+      new ExpressionInfo(classOf[DistinctBigramCount].getName, "distinct_bigram_count"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "distinct_bigram_count(ws) takes exactly 1 argument")
+        DistinctBigramCount(children.head)
+      }))
     // declarative row_number-top-k rewrites to the bounded-heap
     // operator; the strategy makes the node plannable in this session
     ext.injectOptimizerRule(_ => graft.plans.TopKRewriteRule)
@@ -53,6 +60,9 @@ object GraftFunctions {
 
   def intersectSize(a: Column, b: Column): Column =
     GraftBridge.column(IntersectSize(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  def distinctBigramCount(ws: Column): Column =
+    GraftBridge.column(DistinctBigramCount(GraftBridge.expression(ws)))
 
   /** PQ nearest-centroid codes of a packed array<double> point; the
     * trained codebook rides as driver-side state, not a child. */

@@ -80,8 +80,13 @@ object TxTable {
 
   /** Step 3 — the atomic pointer swap: write CURRENT.tmp, rename onto
     * CURRENT. Rename of a single file is atomic, so readers see
-    * either the old or the new version, never a torn pointer. */
+    * either the old or the new version, never a torn pointer. The
+    * swap is MONOTONIC: a claimant whose swap arrives after a higher
+    * version has committed must not move the pointer backward (the
+    * check-then-rename window is the local-FS stand-in for an object
+    * store's conditional-put, where claim and commit are one op). */
   private[graft] def swap(tableDir: String, version: Long): Unit = {
+    if (currentVersion(tableDir).exists(_ >= version)) return
     val commits = Paths.get(tableDir, CommitsDir)
     val tmp = commits.resolve(s"CURRENT.tmp.$version")
     Files.write(tmp, version.toString.getBytes("UTF-8"))
@@ -129,6 +134,33 @@ object TxTable {
       payload.map(c => max_by(col(c), col(version)).as(c)).toSeq
     val merged = unioned.groupBy(key).agg(aggCols.head, aggCols.tail: _*)
     replace(merged, tableDir)
+  }
+
+  /** [[merge]] with optimistic-concurrency RETRY — the full protocol
+    * loop a multi-writer deployment runs: losing the manifest CAS
+    * (another committer created vN+1 first) means waiting for the
+    * winner's pointer swap, re-reading the NEW current snapshot and
+    * re-merging against it, so the loser's batch lands on top of the
+    * winner's instead of clobbering it. `onConflict` runs between
+    * attempts (default: a short backoff; the spec injects the
+    * winner's swap there to drive the race deterministically). A
+    * claimant that died between claim and swap leaves its version
+    * slot orphaned until an operator removes the manifest — an
+    * object-store deployment with conditional-put has no such window
+    * because claim and commit are one operation. */
+  def mergeRetry(spark: SparkSession, tableDir: String, batch: DataFrame,
+                 key: String, version: String, maxRetries: Int = 5,
+                 onConflict: () => Unit = () => Thread.sleep(50)): Long = {
+    var attempt = 0
+    while (attempt < maxRetries) {
+      try return merge(spark, tableDir, batch, key, version)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          attempt += 1
+          onConflict()
+      }
+    }
+    merge(spark, tableDir, batch, key, version) // last attempt propagates
   }
 
   /** Transactional COMPACTION: FFD bin-pack the CURRENT snapshot's

@@ -85,6 +85,34 @@ class TxTableSpec extends AnyFunSuite {
     }
   }
 
+  test("mergeRetry lands the loser's batch on top of an in-flight winner's commit") {
+    val dir = Files.createTempDirectory("graft_tx").toString
+    TxTable.merge(spark, dir, Seq((1L, 1L, "one-v1")).toDF("k", "ver", "payload"), "k", "ver")
+    // a racing WINNER stages its data and claims manifest v1 but has
+    // not swapped the pointer yet — the in-flight window
+    val winnerData = Seq((1L, 9L, "one-v9")).toDF("k", "ver", "payload")
+    val stagedDir = s"w-${java.util.UUID.randomUUID().toString.take(8)}"
+    winnerData.write.parquet(s"$dir/$stagedDir")
+    val winnerFiles = Option(new java.io.File(s"$dir/$stagedDir").listFiles())
+      .getOrElse(Array.empty).filter(_.getName.endsWith(".parquet"))
+      .map(f => s"$stagedDir/${f.getName}").toSeq
+    val winnerVersion = TxTable.prepare(dir, winnerFiles)
+    // the loser merges: its CAS on v1 fails; the injected onConflict
+    // completes the winner's swap, so the retry re-reads v1 and lands
+    var conflicts = 0
+    TxTable.mergeRetry(spark, dir,
+      Seq((2L, 1L, "two-v1")).toDF("k", "ver", "payload"), "k", "ver",
+      onConflict = () => { conflicts += 1; TxTable.swap(dir, winnerVersion) })
+    assert(conflicts == 1, s"expected exactly one CAS loss, got $conflicts")
+    val got = TxTable.read(spark, dir)
+      .select("k", "ver", "payload").as[(Long, Long, String)]
+      .collect().sortBy(_._1).toSeq
+    // the winner's row survives (not clobbered by the loser's stale
+    // read) AND the retried batch landed on top
+    assert(got == Seq((1L, 9L, "one-v9"), (2L, 1L, "two-v1")), got.toString)
+    assert(TxTable.currentVersion(dir).contains(2L))
+  }
+
   test("merge is latest-wins per key and idempotent under batch replay") {
     val dir = Files.createTempDirectory("graft_tx").toString
     val b1 = Seq((1L, 1L, "one-v1"), (2L, 1L, "two-v1")).toDF("k", "ver", "payload")
