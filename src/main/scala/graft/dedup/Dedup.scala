@@ -386,6 +386,17 @@ object Dedup {
     stagedFrame(spark, s"lbl:$dir")(labelPropagateConverged(edges))
   }
 
+  /** Converged clusters over the VERIFIED near-dup pairs (word-set
+    * Jaccard >= 0.8, not raw band collisions), staged — the family
+    * unit the cluster-aware split gates on: the raw candidate graph
+    * chains through bucket keepers into a giant component on this
+    * corpus (every doc is in a 10-copy family), while the verified
+    * graph's components are actual near-dup families. */
+  private[graft] def stagedVerifiedClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashLsh(spark, dir).select(col("ia"), col("ib"))
+    stagedFrame(spark, s"vlbl:$dir")(labelPropagateConverged(pairs))
+  }
+
   /** The SimHash fingerprint table, staged — the fingerprint index a
     * production dedup pipeline computes once at ingest and stores.
     * Without it, every pair consumer's two join branches each re-run
@@ -707,7 +718,7 @@ object Dedup {
     * dedup_cluster_keepers oracles. Valid while the testdata graph
     * converges within 3 sweeps — DedupSpec asserts the converged
     * operator agrees with this fixed-sweep shape on the testdata. */
-  private val clusterChainSql: String = {
+  private[graft] val clusterChainSql: String = {
     val sweep = (in: String, out: String) =>
       s"""$out AS (SELECT doc_id, min(lbl) AS lbl FROM (
          |  SELECT e2.d AS doc_id, p.lbl FROM e2 JOIN $in p ON p.doc_id = e2.s

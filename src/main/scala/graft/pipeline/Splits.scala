@@ -76,6 +76,32 @@ object Splits {
       .filter(col("n_shared") >= 10)
   }
 
+  /** Cluster-aware (dedup-family-atomic) train/val/test split — the
+    * leakage-PROOF split, where the id-hash split above needs the
+    * leakage AUDIT after the fact: every member of a VERIFIED
+    * near-dup family (converged components over the Jaccard >= 0.8
+    * pairs — band-collision chains alone merge this corpus into one
+    * giant component) hashes on its family's cluster label
+    * (singletons on their own id), so near-duplicates can never
+    * straddle train and held-out — the eval-integrity rule real LLM
+    * data pipelines enforce at split time. Rides the staged verified
+    * cluster labels (one co-partitioned left join on doc_id); the
+    * gate stays a pure per-row hash, rerun-stable. Output: per
+    * split, documents, distinct hash groups and clustered members. */
+  def qSplitByCluster(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .join(graft.dedup.Dedup.stagedVerifiedClusters(spark, dir), Seq("doc_id"), "left")
+      .withColumn("grp", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("bucket", pmod(nibbleHash("cast(grp as string)"), lit(100)))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct("grp").as("n_groups"),
+        sum(when(col("cluster_id").isNotNull, 1L).otherwise(0L)).as("n_clustered"))
+
   /** Deterministic ~10% sample of the events stream, stratum counts by
     * event type — the hash gate is a pure row-local filter evaluated
     * before the partial aggregate (no sampling pass, no extra shuffle;
@@ -90,6 +116,7 @@ object Splits {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_split" -> (qSplit _),
     "pipeline_sample_events" -> (qSampleEvents _),
+    "pipeline_split_by_cluster" -> (qSplitByCluster _),
     "pipeline_split_leakage" -> (qSplitLeakage _))
 
   val oracleSql: Map[String, String] = Map(
@@ -118,5 +145,42 @@ object Splits {
     "pipeline_sample_events" ->
       s"""SELECT event_type, count(*) AS n_sampled FROM events
          |WHERE ${nibbleHashSql("CAST(event_id AS VARCHAR)")} % 10 = 0
-         |GROUP BY event_type""".stripMargin)
+         |GROUP BY event_type""".stripMargin,
+    // verified-near-dup family labels via an unrolled 6-sweep
+    // label-propagation chain: the verified-pair graph converges in
+    // <= 5 sweeps at every tested SF (measured; min-propagation is
+    // idempotent past the fixpoint, so extra sweeps are no-ops)
+    "pipeline_split_by_cluster" -> {
+      val sweep = (in: String, out: String) =>
+        s"""$out AS (SELECT doc_id, min(lbl) AS lbl FROM (
+           |  SELECT e2.d AS doc_id, p.lbl FROM e2 JOIN $in p ON p.doc_id = e2.s
+           |  UNION ALL SELECT doc_id, lbl FROM $in) GROUP BY doc_id)""".stripMargin
+      val sweeps = (1 to 6).map(i => sweep(s"l${i - 1}", s"l$i")).mkString(",\n")
+      s"""WITH ${graft.dedup.Dedup.sigSql},
+         |${graft.dedup.Dedup.bandsSql},
+         |${graft.dedup.Dedup.candsSql},
+         |w AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM documents),
+         |vp AS (SELECT ia, ib FROM (
+         |  SELECT ia, ib,
+         |    CAST(len(list_intersect(wa.ws, wb.ws)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(wa.ws, wb.ws))) AS j
+         |  FROM cands JOIN w wa ON ia = wa.doc_id JOIN w wb ON ib = wb.doc_id)
+         |  WHERE j >= 0.8),
+         |e2 AS (SELECT ia AS s, ib AS d FROM vp
+         |       UNION ALL SELECT ib AS s, ia AS d FROM vp),
+         |nodes AS (SELECT DISTINCT s AS doc_id FROM e2),
+         |l0 AS (SELECT doc_id, doc_id AS lbl FROM nodes),
+         |$sweeps,
+         |lab AS (SELECT d.doc_id, l6.lbl AS cluster_id
+         |  FROM documents d LEFT JOIN l6 ON l6.doc_id = d.doc_id),
+         |g AS (SELECT doc_id, cluster_id,
+         |    coalesce(cluster_id, doc_id) AS grp FROM lab),
+         |s AS (SELECT doc_id, cluster_id, grp,
+         |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+         |  FROM (SELECT *, ${nibbleHashSql("CAST(grp AS VARCHAR)")} % 100 AS b FROM g))
+         |SELECT split, count(*) AS n_docs,
+         |  CAST(count(DISTINCT grp) AS BIGINT) AS n_groups,
+         |  CAST(sum(CASE WHEN cluster_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_clustered
+         |FROM s GROUP BY split""".stripMargin
+    })
 }

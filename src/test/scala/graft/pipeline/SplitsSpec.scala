@@ -46,6 +46,31 @@ class SplitsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("cluster-aware split: no verified near-dup pair straddles train and held-out") {
+    import org.apache.spark.sql.functions._
+    // re-derive the assignment at doc level (the registered query
+    // returns the per-split summary) and check every verified pair
+    // lands in ONE split — the property the operator exists for
+    val labels = graft.dedup.Dedup.stagedVerifiedClusters(spark, sf)
+    val assigned = graft.Tables.t(spark, sf, "documents")
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("grp", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("bucket", pmod(expr(
+        "(instr('0123456789abcdef', substr(md5(cast(grp as string)), 1, 1)) - 1) * 256 + " +
+        "(instr('0123456789abcdef', substr(md5(cast(grp as string)), 2, 1)) - 1) * 16 + " +
+        "(instr('0123456789abcdef', substr(md5(cast(grp as string)), 3, 1)) - 1)"), lit(100)))
+      .withColumn("split", when(col("bucket") < 80, "train")
+        .when(col("bucket") < 90, "val").otherwise("test"))
+      .select(col("doc_id"), col("split"))
+    val pairs = graft.dedup.Dedup.minhashLsh(spark, sf).select("ia", "ib")
+    val straddling = pairs
+      .join(assigned.select(col("doc_id").as("ia"), col("split").as("sa")), "ia")
+      .join(assigned.select(col("doc_id").as("ib"), col("split").as("sb")), "ib")
+      .filter(col("sa") =!= col("sb")).count()
+    assert(straddling == 0, s"$straddling verified near-dup pairs straddle splits")
+    assert(pairs.count() > 0, "non-trivial: the corpus has verified near-dup pairs")
+  }
+
   test("event sampling keeps roughly 10% per stratum") {
     val sampled = Splits.qSampleEvents(spark, sf)
       .select("n_sampled").as[Long].collect().sum
