@@ -41,7 +41,8 @@ object SparkEntry {
       pipeline.Splits.queries ++
       pipeline.Mix.queries ++
       pipeline.Assembly.queries ++
-      pipeline.Upsert.queries
+      pipeline.Upsert.queries ++
+      pipeline.DataChecks.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -71,5 +72,6 @@ object SparkEntry {
       pipeline.Splits.oracleSql ++
       pipeline.Mix.oracleSql ++
       pipeline.Assembly.oracleSql ++
-      pipeline.Upsert.oracleSql
+      pipeline.Upsert.oracleSql ++
+      pipeline.DataChecks.oracleSql
 }

@@ -348,8 +348,49 @@ object Analytics {
         round(col("rev").cast("double") / col("tot").cast("double"), 6).as("share"))
   }
 
+  /** Revenue-concentration report (the Pareto/80-20 diagnostic a
+    * curation or sales pipeline runs on any value column): exact Gini
+    * coefficient over per-customer revenue totals via the
+    * rank-weighted-sum identity G = 2*Σ(i*x_i)/(n*Σx) - (n+1)/n on
+    * ascending-sorted totals, plus the revenue share of the top
+    * decile of customers. Totals and the weighted sum are
+    * DECIMAL-exact (order-independent — the double cast happens once
+    * on the final scalars, identically in both engines); the global
+    * rank window runs over the per-customer AGGREGATE, bounded by the
+    * customer dimension, never over the fact table — the same
+    * bounded-window discipline as the daily cumulative total. */
+  def qPareto(spark: SparkSession, dir: String): DataFrame =
+    paretoOf(t(spark, dir, "orders"))
+
+  /** The concentration report over any (o_custkey, o_totalprice) frame. */
+  def paretoOf(orders: DataFrame): DataFrame = {
+    val w = Window.orderBy(col("rev").asc, col("o_custkey").asc)
+    val ranked = orders
+      .groupBy("o_custkey")
+      .agg(sum(col("o_totalprice").cast("decimal(38,2)")).as("rev"))
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    ranked.agg(
+      max(col("n")).as("n_customers"),
+      sum(col("rev")).as("__t"),
+      sum(col("i").cast("decimal(20,0)") * col("rev")).as("__w"),
+      sum(when(col("i") > col("n") - expr("greatest(1L, n div 10)"), col("rev"))
+        .otherwise(lit(0).cast("decimal(38,2)"))).as("__top"))
+      .select(
+        col("n_customers"),
+        col("__t").cast("double").as("total_revenue"),
+        round(lit(2.0) * col("__w").cast("double")
+          / (col("n_customers").cast("double") * col("__t").cast("double"))
+          - (col("n_customers").cast("double") + 1.0) / col("n_customers").cast("double"),
+          6).as("gini"),
+        round(col("__top").cast("double") / col("__t").cast("double"), 6)
+          .as("top_decile_share"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "basket_lift" -> ((s: SparkSession, d: String) => qBasketLift(s, d)),
+    "orders_pareto" -> (qPareto _),
     "events_bounce_rate" -> (qBounceRate _),
     "events_gap_quantiles" -> (qGapQuantiles _),
     "embed_qc" -> (qEmbedQc _),
@@ -367,6 +408,28 @@ object Analytics {
     "hist2d_qty_price" -> ((s: SparkSession, d: String) => qHist2d(s, d)))
 
   val oracleSql: Map[String, String] = Map(
+    "orders_pareto" ->
+      """WITH per AS (SELECT o_custkey,
+        |    sum(CAST(o_totalprice AS DECIMAL(38,2))) AS rev
+        |  FROM orders GROUP BY o_custkey),
+        |r AS (SELECT o_custkey, rev,
+        |    CAST(row_number() OVER (ORDER BY rev ASC, o_custkey ASC) AS BIGINT) AS i,
+        |    CAST(count(*) OVER () AS BIGINT) AS n
+        |  FROM per),
+        |a AS (SELECT max(n) AS n_customers,
+        |    sum(rev) AS t,
+        |    sum(CAST(i AS DECIMAL(20,0)) * rev) AS w,
+        |    sum(CASE WHEN i > n - greatest(1, n // 10)
+        |        THEN rev ELSE CAST(0 AS DECIMAL(38,2)) END) AS top
+        |  FROM r)
+        |SELECT n_customers,
+        |  CAST(t AS DOUBLE) AS total_revenue,
+        |  round(2.0 * CAST(w AS DOUBLE)
+        |    / (CAST(n_customers AS DOUBLE) * CAST(t AS DOUBLE))
+        |    - (CAST(n_customers AS DOUBLE) + 1.0) / CAST(n_customers AS DOUBLE),
+        |    6) AS gini,
+        |  round(CAST(top AS DOUBLE) / CAST(t AS DOUBLE), 6) AS top_decile_share
+        |FROM a""".stripMargin,
     "basket_lift" ->
       """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |n AS (SELECT count(*) AS n_orders FROM orders),

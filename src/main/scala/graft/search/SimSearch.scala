@@ -41,6 +41,26 @@ object SimSearch {
       .select("q_id", "vec_id", "rank", "cs")
   }
 
+  /** Hard-negative mining for contrastive training (the public
+    * dense-retrieval recipe — DPR/ANCE-style: for each anchor, the
+    * most-similar corpus vectors that carry a DIFFERENT label are the
+    * informative negatives). Same broadcast brute-force shape as
+    * qTopK — one corpus pass, no corpus-side shuffle — with the label
+    * inequality folded into the join condition so wrong-label
+    * candidates die before scoring. */
+  def qHardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    val q = e.filter(col("vec_id") <= QN)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("label").as("ql"))
+    val scored = e.join(broadcast(q), col("ql") =!= col("label"))
+      .select(col("q_id"), col("vec_id"), col("label").as("neg_label"),
+        VectorOps.cosine("qe", "embedding").as("cs"))
+    val w = Window.partitionBy("q_id").orderBy(col("cs").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= ANN_TOPK)
+      .select("q_id", "vec_id", "neg_label", "rank", "cs")
+  }
+
   /** ANN top-k: same scoring, candidates limited to the query's sign
     * bucket. */
   def qAnn(spark: SparkSession, dir: String): DataFrame = {
@@ -260,6 +280,38 @@ object SimSearch {
     spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1), schema)
   }
 
+  /** Per-cell embedding OUTLIER report — the QC pass next to the
+    * index-health counts: a vector far from its own cell center is
+    * either corrupt, out-of-distribution, or evidence the quantizer
+    * needs more cells; flag counts per cell tell an operator which.
+    * Outlier = assigned distance > 1.5x the cell's mean assigned
+    * distance (the mean is ROUNDED to 6 before the comparison so the
+    * threshold decision is bit-identical across engines — the
+    * repetition-gate discipline). Rides the staged coarse centers;
+    * the per-cell stats are CELLS rows, broadcast back over the
+    * materialized assignment, so the heavy distance fold runs once. */
+  def qCellOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val ed = Points.embedDims
+    val pts = Points.embeddings64(spark, dir).cache()
+    val centers = stagedCoarse(pts, dir, ed)
+    val asg = KMeans.assign(pts, centers, ed)
+      .select(col("pid"), col("k"), col("dist")).cache()
+    asg.count()
+    pts.unpersist()
+    val stats = asg.groupBy("k")
+      .agg(count(lit(1)).as("n_vectors"), round(avg("dist"), 6).as("mean_dist"))
+    val result = asg.join(broadcast(stats), "k")
+      .groupBy("k")
+      .agg(max("n_vectors").as("n_vectors"), max("mean_dist").as("mean_dist"),
+        sum(when(col("dist") > lit(1.5) * col("mean_dist"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .select(col("k").as("cell"), col("n_vectors"), col("mean_dist"), col("n_outliers"))
+    val rows = result.collect()
+    val schema = result.schema
+    asg.unpersist()
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1), schema)
+  }
+
   /** Recall@k of the LSH-ANN searcher against the brute-force truth —
     * the measurement every ANN deployment reports before trading recall
     * for speed. Truth = brute top-ANN_TOPK; recall = fraction of truth
@@ -278,9 +330,11 @@ object SimSearch {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "simsearch_topk" -> (qTopK _),
+    "simsearch_hard_negatives" -> (qHardNegatives _),
     "simsearch_ann" -> (qAnn _),
     "simsearch_ivf" -> (qIvf _),
     "simsearch_ivf_stats" -> (qIvfStats _),
+    "embed_cell_outliers" -> (qCellOutliers _),
     "simsearch_range" -> (qRange _),
     "simsearch_recall" -> (qRecall _),
     "pipeline_balanced_sample" -> ((s: SparkSession, d: String) => qBalancedSample(s, d)))
@@ -316,6 +370,19 @@ object SimSearch {
          |  FROM embeddings q JOIN embeddings e ON q.vec_id <= $QN AND q.vec_id != e.vec_id)
          |WHERE cs >= 0.3""".stripMargin,
     "simsearch_ivf" -> ivfOracle,
+    "embed_cell_outliers" ->
+      s"""WITH pts AS (${Points.embedPtsSql}),
+         |$ivfChainSql,
+         |s AS (SELECT k, count(*) AS n_vectors,
+         |    round(avg(dist), 6) AS mean_dist
+         |  FROM acell GROUP BY k)
+         |SELECT a.k AS cell,
+         |  max(s.n_vectors) AS n_vectors,
+         |  max(s.mean_dist) AS mean_dist,
+         |  CAST(sum(CASE WHEN a.dist > 1.5 * s.mean_dist THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_outliers
+         |FROM acell a JOIN s ON a.k = s.k
+         |GROUP BY a.k""".stripMargin,
     "simsearch_ivf_stats" ->
       s"""WITH pts AS (${Points.embedPtsSql}),
          |$ivfChainSql
@@ -338,6 +405,15 @@ object SimSearch {
          |r AS (SELECT *, CAST(row_number() OVER (
          |  PARTITION BY q_id ORDER BY cs DESC, vec_id ASC) AS INT) AS rank FROM c)
          |SELECT q_id, vec_id, rank, cs FROM r WHERE rank <= $TOPK""".stripMargin,
+    "simsearch_hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe, label AS ql
+         |  FROM embeddings WHERE vec_id <= $QN),
+         |c AS (SELECT q_id, vec_id, label AS neg_label,
+         |  ${VectorOps.cosineSql("qe", "embedding")} AS cs
+         |  FROM q JOIN embeddings ON ql != label),
+         |r AS (SELECT *, CAST(row_number() OVER (
+         |  PARTITION BY q_id ORDER BY cs DESC, vec_id ASC) AS INT) AS rank FROM c)
+         |SELECT q_id, vec_id, neg_label, rank, cs FROM r WHERE rank <= $ANN_TOPK""".stripMargin,
     "simsearch_ann" ->
       s"""WITH b AS (SELECT vec_id, embedding,
          |  ${VectorOps.signBucketSql("embedding", BITS)} AS bk FROM embeddings),

@@ -66,6 +66,34 @@ object TxTable {
       case _ => spark.emptyDataFrame
     }
 
+  /** All commit versions whose manifests are still resolvable,
+    * ascending — the time-travel catalog. Bounded by retention:
+    * vacuum() deletes manifests older than CURRENT, exactly the
+    * lakehouse formats' retention-window contract. */
+  def versions(tableDir: String): Seq[Long] = {
+    val commits = Paths.get(tableDir, CommitsDir).toFile
+    Option(commits.listFiles()).getOrElse(Array.empty)
+      .map(_.getName)
+      .collect { case n if n.matches("v\\d+\\.manifest") =>
+        n.stripPrefix("v").stripSuffix(".manifest").toLong }
+      .sorted.toSeq
+  }
+
+  /** TIME-TRAVEL read: the exact committed file set of HISTORICAL
+    * version `version` — manifests are immutable and data files are
+    * never edited, so any still-retained version reads back exactly
+    * as it committed (snapshot isolation across time, not just across
+    * concurrent writers). Fails loudly once vacuum() has GC'd the
+    * version rather than serving a partial file set. */
+  def readAsOf(spark: SparkSession, tableDir: String, version: Long): DataFrame = {
+    val m = Paths.get(tableDir, CommitsDir, s"v$version.manifest")
+    require(Files.exists(m),
+      s"version $version of $tableDir is not retained (have: ${versions(tableDir).mkString(",")})")
+    val files = Files.readAllLines(m).asScala.toSeq.filter(_.nonEmpty)
+    if (files.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(files.map(f => s"$tableDir/$f"): _*)
+  }
+
   /** Step 2 of the protocol — write manifest vN+1 under CREATE_NEW
     * (the optimistic concurrency check). Package-visible so the spec
     * can stop between prepare and swap (the crash point). */

@@ -101,6 +101,31 @@ object CorpusStats {
         round(col("n_frequent").cast("double") / col("n_grams"), 6))
   }
 
+  /** Per-document novelty: share of the doc's distinct char-5-grams
+    * seen in NO other document (corpus document frequency == 1) — the
+    * inverse signal of the boilerplate fraction, and the cheap "is
+    * this content new to the corpus" score a curation pass weights
+    * toward. Rides the staged shingle table (the stored-at-ingest
+    * index), so the heavy per-doc gram projection is not re-derived;
+    * the df aggregate and the join-back share the gram-key
+    * partitioning (one co-partitioned shuffle join, no broadcast —
+    * the gram table is data-sized). Grams are per-doc distinct, so a
+    * plain count IS the document frequency. */
+  def qNovelty(spark: SparkSession, dir: String): DataFrame =
+    noveltyFrom(graft.dedup.Dedup.stagedGrams5(spark, dir))
+
+  /** Novelty over any (doc_id, gs: array<string>) distinct-gram frame. */
+  def noveltyFrom(grams: DataFrame): DataFrame = {
+    val g = grams.select(col("doc_id"), explode(col("gs")).as("g"))
+    val gdf = g.groupBy("g").agg(count(lit(1)).as("df"))
+    g.join(gdf, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novel_frac",
+        round(col("n_novel").cast("double") / col("n_grams"), 6))
+  }
+
   /** Bigram-LM document score: mean log2 MLE conditional probability
     * c(w1 w2) / c(w1 ·) over the document's bigrams — the next step up
     * from the unigram scorer, sensitive to word ORDER (shuffled text
@@ -385,6 +410,7 @@ object CorpusStats {
     "pipeline_curriculum" -> (qCurriculum _),
     "pipeline_dataset_card" -> (qDatasetCard _),
     "text_boilerplate" -> (qBoilerplate _),
+    "text_novelty" -> (qNovelty _),
     "text_boilerplate_frac" -> (qBoilerplateFrac _),
     "text_bigram_logprob" -> (qBigramLogprob _))
 
@@ -400,6 +426,16 @@ object CorpusStats {
         |    * log2((CAST(csw AS DOUBLE) / ns) / (CAST(cw AS DOUBLE) / n))), 6) AS kl_bits
         |FROM sw JOIN cw USING (word) JOIN t USING (source) CROSS JOIN g
         |GROUP BY source""".stripMargin,
+    "text_novelty" ->
+      """WITH gs AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(text) - 3), i -> substr(text, CAST(i AS INT), 5)))) AS g
+        |  FROM documents),
+        |d AS (SELECT g, count(*) AS df FROM gs GROUP BY g)
+        |SELECT doc_id, count(*) AS n_grams,
+        |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |  round(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) AS novel_frac
+        |FROM gs JOIN d USING (g) GROUP BY doc_id""".stripMargin,
     "text_source_keywords" ->
       """WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS word FROM documents),
         |sw AS (SELECT source, word, count(*) AS csw FROM w GROUP BY source, word),

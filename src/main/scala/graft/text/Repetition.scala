@@ -73,10 +73,99 @@ object Repetition {
           col("dup_2gram_frac") <= MAX_DUP_2GRAM_FRAC &&
           col("symbol_ratio") <= MAX_SYMBOL_RATIO)
 
+  // ---- Gopher-style quality rule bundle --------------------------------
+
+  // Thresholds follow the published Gopher (Rae et al. 2021) filtering
+  // rules, with the word-count floor adapted to this corpus's 10-99
+  // word documents (the paper's floor is 50 on web pages); bound as
+  // literals so the oracle is reproducible.
+  private val G_WORDS_MIN = 20
+  private val G_WORDS_MAX = 100000
+  private val G_MWL_MIN = 3.0
+  private val G_MWL_MAX = 10.0
+  private val G_ALPHA_MIN = 0.8
+  private val G_STOP_MIN = 2
+  private val G_SYM_MAX = 0.1
+  private val G_STOPWORDS = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The Gopher quality-rule bundle, reported per source: for each of
+    * the five per-row rules (word count in range, mean word length in
+    * [3,10], >= 80% alphabetic words, >= 2 stopwords, symbol ratio
+    * <= 0.1), the count of documents failing it, plus the all-rules
+    * pass count and rate. Every rule is a codegen'd per-row
+    * expression over the split word array — zero shuffle before the
+    * tiny per-source aggregate, the same linear-scan shape as the
+    * repetition gates, so the report costs one corpus pass at any
+    * scale. */
+  def qGopherRules(spark: SparkSession, dir: String): DataFrame =
+    gopherRulesOf(t(spark, dir, "documents"))
+
+  /** The rule bundle over any (source, text) frame. */
+  def gopherRulesOf(docs: DataFrame): DataFrame = {
+    val stopList = G_STOPWORDS.map(w => s"'$w'").mkString(", ")
+    val rules = docs
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("n_words", size(col("ws")))
+      .withColumn("mean_wl",
+        (length(col("text")) - (col("n_words") - 1)).cast("double") / col("n_words"))
+      .withColumn("alpha_frac",
+        expr("size(filter(ws, w -> w rlike '[a-z]'))").cast("double") / col("n_words"))
+      .withColumn("n_stop", expr(s"size(filter(ws, w -> w IN ($stopList)))"))
+      .withColumn("sym_ratio",
+        length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast("double") / col("n_words"))
+      .withColumn("r_words",
+        col("n_words") >= G_WORDS_MIN && col("n_words") <= G_WORDS_MAX)
+      .withColumn("r_mwl", col("mean_wl") >= G_MWL_MIN && col("mean_wl") <= G_MWL_MAX)
+      .withColumn("r_alpha", col("alpha_frac") >= G_ALPHA_MIN)
+      .withColumn("r_stop", col("n_stop") >= G_STOP_MIN)
+      .withColumn("r_sym", col("sym_ratio") <= G_SYM_MAX)
+    def fails(c: String) = sum(when(!col(c), 1L).otherwise(0L)).as(s"n_fail_${c.stripPrefix("r_")}")
+    rules.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        fails("r_words"), fails("r_mwl"), fails("r_alpha"),
+        fails("r_stop"), fails("r_sym"),
+        sum(when(col("r_words") && col("r_mwl") && col("r_alpha") &&
+          col("r_stop") && col("r_sym"), 1L).otherwise(0L)).as("n_pass"))
+      .withColumn("pass_rate",
+        round(col("n_pass").cast("double") / col("n_docs"), 6))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "text_repetition" -> (qRepetition _))
+    "text_repetition" -> (qRepetition _),
+    "text_gopher_rules" -> (qGopherRules _))
+
+  private val gStopSql = G_STOPWORDS.map(w => s"'$w'").mkString(", ")
 
   val oracleSql: Map[String, String] = Map(
+    "text_gopher_rules" ->
+      s"""WITH d AS (SELECT source, text, string_split(text, ' ') AS ws FROM documents),
+         |m AS (SELECT source,
+         |  len(ws) AS n_words,
+         |  CAST(len(text) - (len(ws) - 1) AS DOUBLE) / len(ws) AS mean_wl,
+         |  CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
+         |    / len(ws) AS alpha_frac,
+         |  len(list_filter(ws, w -> w IN ($gStopSql))) AS n_stop,
+         |  CAST(len(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+         |    / len(ws) AS sym_ratio
+         |FROM d),
+         |r AS (SELECT source,
+         |  (n_words >= $G_WORDS_MIN AND n_words <= $G_WORDS_MAX) AS r_words,
+         |  (mean_wl >= $G_MWL_MIN AND mean_wl <= $G_MWL_MAX) AS r_mwl,
+         |  (alpha_frac >= $G_ALPHA_MIN) AS r_alpha,
+         |  (n_stop >= $G_STOP_MIN) AS r_stop,
+         |  (sym_ratio <= $G_SYM_MAX) AS r_sym
+         |FROM m)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN NOT r_words THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_words,
+         |  CAST(sum(CASE WHEN NOT r_mwl THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_mwl,
+         |  CAST(sum(CASE WHEN NOT r_alpha THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_alpha,
+         |  CAST(sum(CASE WHEN NOT r_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_stop,
+         |  CAST(sum(CASE WHEN NOT r_sym THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_sym,
+         |  CAST(sum(CASE WHEN r_words AND r_mwl AND r_alpha AND r_stop AND r_sym
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+         |  round(CAST(sum(CASE WHEN r_words AND r_mwl AND r_alpha AND r_stop AND r_sym
+         |    THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS pass_rate
+         |FROM r GROUP BY source""".stripMargin,
     "text_repetition" ->
       s"""WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
          |g AS (SELECT doc_id, text, ws,

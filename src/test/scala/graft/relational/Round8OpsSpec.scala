@@ -1,0 +1,106 @@
+package graft.relational
+
+import graft.clustering.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavioral specs for the round-8 second-wave operators: hard
+  * negatives, novelty, Gopher rules, data checks, Pareto/Gini,
+  * cell outliers. */
+class Round8OpsSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+  private val sf = "/root/testdata/sf0.001"
+
+  test("hard negatives never share the query's label and return full top-k") {
+    val labels = graft.Tables.t(spark, sf, "embeddings")
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"))
+    val hn = graft.search.SimSearch.qHardNegatives(spark, sf)
+    val joined = hn.join(labels, "q_id")
+      .select("q_id", "q_label", "neg_label").collect()
+    assert(joined.nonEmpty)
+    joined.foreach(r =>
+      assert(r.getInt(1) != r.getInt(2),
+        s"hard negative shares label ${r.getInt(1)} for query ${r.getLong(0)}"))
+    val perQ = hn.groupBy("q_id").count().select("count").as[Long].collect()
+    assert(perQ.forall(_ == 5L), s"per-query counts: ${perQ.toSeq}")
+  }
+
+  test("novelty: duplicated docs score 0, a unique doc scores 1") {
+    val docs = Seq(
+      (1L, "abcdefghij"), // identical pair -> every gram df >= 2
+      (2L, "abcdefghij"),
+      (3L, "zzzyyyxxxw")) // disjoint grams -> all df == 1
+      .toDF("doc_id", "text")
+    val grams = docs.select(col("doc_id"), graft.dedup.Dedup.gramsExpr.as("gs"))
+    val m = graft.text.CorpusStats.noveltyFrom(grams)
+      .select("doc_id", "novel_frac").as[(Long, Double)].collect().toMap
+    assert(m(1L) == 0.0 && m(2L) == 0.0)
+    assert(m(3L) == 1.0)
+  }
+
+  test("gopher rules flag exactly the offending documents per source") {
+    // 23 words, 7 stopwords, all alphabetic, mean word length 98/23
+    val good = "the quick brown fox jumps with energy and the lazy dog sleeps " +
+      "that way of living have been fine here today friends enjoy"
+    val short = "the of and" // fails word-count floor (3 < 20)
+    val nostop = (1 to 25).map(_ => "cat").mkString(" ") // no stopwords
+    val symbols = (1 to 25).map(_ => "##########").mkString(" ") // symbol ratio 10 > 0.1, alpha 0
+    val docs = Seq(
+      ("a", good), ("a", short), ("b", nostop), ("b", symbols))
+      .toDF("source", "text")
+    val m = graft.text.Repetition.gopherRulesOf(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = m("a"); val b = m("b")
+    // source a: good passes everything; short fails the word floor (and stop-count is 3 -> passes r_stop)
+    assert(a.getAs[Long]("n_docs") == 2L)
+    assert(a.getAs[Long]("n_fail_words") == 1L)
+    assert(a.getAs[Long]("n_pass") == 1L)
+    // source b: nostop fails only the stopword rule; symbols fails alpha + symbol (word count 25 passes)
+    assert(b.getAs[Long]("n_fail_stop") == 2L, "symbol doc also lacks stopwords")
+    assert(b.getAs[Long]("n_fail_alpha") == 1L)
+    assert(b.getAs[Long]("n_fail_sym") == 1L)
+    assert(b.getAs[Long]("n_pass") == 0L)
+  }
+
+  test("data checks report 8 constraints with sane observations") {
+    val rows = graft.pipeline.DataChecks.qDataChecks(spark, sf).collect()
+    assert(rows.length == 8)
+    val byCheck = rows.map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    // completeness on this corpus is total
+    assert(byCheck(("completeness", "l_quantity")).getBoolean(3))
+    assert(byCheck(("completeness", "l_quantity")).getDouble(2) == 1.0)
+    // every observed fraction is in [0, 1]; size is positive
+    rows.filter(_.getString(0) != "size").filter(_.getString(0) != "min_bound")
+      .foreach(r => assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0))
+    assert(byCheck(("size", "*")).getDouble(2) > 0.0)
+    // passed is consistent with observed for the fraction checks
+    rows.filter(r => Set("completeness", "uniqueness", "range_0_1",
+      "in_set_ANR", "non_negative")(r.getString(0)))
+      .foreach(r => assert(r.getBoolean(3) == (r.getDouble(2) == 1.0)))
+  }
+
+  test("gini is 0 on equal revenues and (n-1)/n when one customer holds all") {
+    def orders(rev: Seq[Double]) =
+      rev.zipWithIndex.map { case (v, i) => (i.toLong + 1, v) }
+        .toDF("o_custkey", "o_totalprice")
+    val eq = Analytics.paretoOf(orders(Seq(10.0, 10.0, 10.0, 10.0))).collect()(0)
+    assert(eq.getAs[Double]("gini") == 0.0)
+    assert(eq.getAs[Double]("top_decile_share") == 0.25) // top-1-of-4 customer
+    val skew = Analytics.paretoOf(orders(Seq(0.0, 0.0, 0.0, 40.0))).collect()(0)
+    assert(skew.getAs[Double]("gini") == 0.75) // (n-1)/n with n=4
+    assert(skew.getAs[Double]("top_decile_share") == 1.0)
+  }
+
+  test("cell outliers: per-cell counts cover the corpus, outliers bounded") {
+    val rows = graft.search.SimSearch.qCellOutliers(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("n_vectors")).sum
+    val n = graft.Tables.t(spark, sf, "embeddings").count()
+    assert(total == n, s"cells cover $total of $n vectors")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_outliers") <= r.getAs[Long]("n_vectors"))
+      assert(r.getAs[Double]("mean_dist") >= 0.0)
+    }
+  }
+}

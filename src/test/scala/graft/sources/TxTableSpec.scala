@@ -31,6 +31,23 @@ class TxTableSpec extends AnyFunSuite {
     assert(TxTable.read(spark, dir).count() == 3)
   }
 
+  test("time travel: every retained version reads back exactly as committed; vacuum bounds retention") {
+    val dir = Files.createTempDirectory("graft_tx").toString
+    TxTable.replace(docs(10, "a"), dir) // v0
+    TxTable.replace(docs(3, "b"), dir) // v1
+    TxTable.replace(docs(5, "c"), dir) // v2 = CURRENT
+    assert(TxTable.versions(dir) == Seq(0L, 1L, 2L))
+    assert(TxTable.readAsOf(spark, dir, 0L).count() == 10)
+    val v1Texts = TxTable.readAsOf(spark, dir, 1L)
+      .select("text").as[String].collect().sorted.toSeq
+    assert(v1Texts.length == 3 && v1Texts.forall(_.startsWith("b-")))
+    assert(TxTable.readAsOf(spark, dir, 2L).count() == TxTable.read(spark, dir).count())
+    // vacuum GCs history: old versions fail LOUDLY, current still reads
+    TxTable.vacuum(dir)
+    intercept[IllegalArgumentException](TxTable.readAsOf(spark, dir, 0L))
+    assert(TxTable.readAsOf(spark, dir, 2L).count() == 5)
+  }
+
   test("compaction crash point: staged + manifest but NO swap leaves readers on the old snapshot") {
     val dir = Files.createTempDirectory("graft_tx").toString
     // many small files: one per doc_id partition write
