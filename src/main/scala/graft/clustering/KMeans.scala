@@ -128,6 +128,39 @@ object KMeans {
   def qFull(spark: SparkSession, dir: String): DataFrame =
     lloyd(Points.lineitem4d(spark, dir), K, ITERS)
 
+  // elbow sweep: few k values, short loops — the oracle unrolls
+  // ELBOW_KS.size full Lloyd chains, so both stay deliberately small
+  private val ELBOW_KS = Seq(2, 3, 4, 6)
+  private val ELBOW_ITERS = 2
+
+  /** Elbow sweep: the SSE-vs-k curve (reported scale-safely as
+    * (n, avg min-distance) per k, the qSse convention) after
+    * ELBOW_ITERS Lloyd iterations for each candidate k — the standard
+    * model-selection diagnostic the reference's fixed-k runs leave to
+    * the user. ONE cached pass over the points serves every k; each
+    * k's loop is the same deterministic first-K-init trajectory as
+    * kmeans_full, so the whole sweep is oracled. */
+  def qElbow(spark: SparkSession, dir: String): DataFrame = {
+    val pts = Points.lineitem4d(spark, dir).cache()
+    try {
+      val rows = ELBOW_KS.map { k =>
+        var centers = Points.firstKCenters(pts, k)
+        for (_ <- 1 to ELBOW_ITERS) {
+          val byK = update(assign(pts, centers)).collect()
+            .map(r => r.getAs[Int]("k") ->
+              dims.indices.map(i => r.getDouble(2 + i)).toArray).toMap
+          centers = Array.tabulate(k)(i => byK.getOrElse(i, centers(i)))
+        }
+        val r = assign(pts, centers)
+          .agg(count(lit(1)).as("n"), round(avg(col("dist")), 3).as("avg_dist"))
+          .collect()(0)
+        (k, r.getLong(0), r.getDouble(1))
+      }
+      import spark.implicits._
+      rows.toDF("k_clusters", "n", "avg_dist")
+    } finally { pts.unpersist(); () }
+  }
+
   /** SIMPLIFIED silhouette per cluster over the kmeans_full solution —
     * the cluster-quality metric next to the SSE objective: for each
     * point, a = distance to its own (final) center, b = distance to
@@ -308,6 +341,30 @@ object KMeans {
        |$c0Sql,
        |$stages
        |SELECT * FROM u$ITERS""".stripMargin
+  }
+
+  /** The elbow sweep's oracle: one namespaced unrolled Lloyd chain
+    * per candidate k, each finishing with a final assignment whose
+    * (n, avg dist) is the SSE point on the curve. */
+  val oracleElbow: String = {
+    val chains = ELBOW_KS.map { k =>
+      val p = s"e$k"
+      val stages = (1 to ELBOW_ITERS).map { i =>
+        val cIn = if (i == 1) s"${p}c0" else s"${p}u${i - 1}"
+        s"${wid(k, cIn, s"${cIn}w")},\n${asg(k, s"${cIn}w", s"${p}a$i")},\n" +
+          ClusterSql.updateSql(s"${p}a$i", s"${p}u$i", dims)
+      }.mkString(",\n")
+      s"""${ClusterSql.c0Sql(k, ptsSql, dims, s"${p}c0")},
+         |$stages,
+         |${wid(k, s"${p}u$ELBOW_ITERS", s"${p}fw")},
+         |${asg(k, s"${p}fw", s"${p}af")}""".stripMargin
+    }.mkString(",\n")
+    val selects = ELBOW_KS.map(k =>
+      s"SELECT CAST($k AS INT) AS k_clusters, count(*) AS n, " +
+        s"round(avg(dist), 3) AS avg_dist FROM e${k}af").mkString("\nUNION ALL ")
+    s"""WITH pts AS ($ptsSql),
+       |$chains
+       |$selects""".stripMargin
   }
 
   /** Min-max normalization of the point set — completing the
@@ -569,6 +626,7 @@ object KMeans {
     "kmeans_update" -> (qUpdate _),
     "kmeans_sse" -> (qSse _),
     "kmeans_full" -> (qFull _),
+    "kmeans_elbow" -> (qElbow _),
     "kmeans_silhouette" -> (qSilhouette _),
     "kmeans_davies_bouldin" -> (qDaviesBouldin _),
     "kmeans_embed_assign" -> (qEmbedAssign _),
@@ -590,6 +648,7 @@ object KMeans {
     "kmeans_update" -> oracleUpdate,
     "kmeans_sse" -> oracleSse,
     "kmeans_full" -> oracleFull,
+    "kmeans_elbow" -> oracleElbow,
     "kmeans_silhouette" -> silhouetteSql,
     "kmeans_davies_bouldin" -> daviesBouldinSql,
     "kmeans_embed_assign" ->

@@ -42,6 +42,37 @@ object Mix {
       .withColumn("realized_rate",
         round(col("n_kept").cast("double") / col("n_docs"), 6))
 
+  /** Token budget per run (a literal so the oracle reproduces). */
+  private val TOKEN_BUDGET = 1000000L
+
+  /** Token-budget allocation: convert a total training-token budget
+    * into per-source document counts — the planning step between the
+    * mix's keep rates and an actual sampled corpus. Per source, over
+    * the mix-GATED (kept) documents: the estimated subtoken mass
+    * (same BPE-ish ceil(len/4) estimate as text_tokens, integral so
+    * sums are exact), its share of the kept corpus, and the number of
+    * kept-docs a proportional slice of the budget buys — which
+    * reduces to ceil(budget * n_kept / total_subtokens), one exact
+    * integer-ratio division per source. One corpus pass, one bounded
+    * source aggregate, a 1-row broadcast total. */
+  def qTokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    val kept = t(spark, dir, "documents")
+      .withColumn("src_num", expr("CAST(substr(source, 4, 10) AS INT)"))
+      .filter(expr(s"${nibbleHashSql("cast(doc_id as string)")} % 100") <
+        expr(rateSql("src_num")))
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("nst",
+        expr("aggregate(ws, CAST(0 AS BIGINT), (a, w) -> a + ((length(w) + 3) div 4))"))
+    val per = kept.groupBy("source")
+      .agg(count(lit(1)).as("n_kept"), sum("nst").as("subtokens"))
+    val total = per.agg(sum("subtokens").as("__t"))
+    per.crossJoin(broadcast(total))
+      .select(col("source"), col("n_kept"), col("subtokens"),
+        round(col("subtokens").cast("double") / col("__t"), 6).as("token_share"),
+        ceil(lit(TOKEN_BUDGET).cast("double") * col("n_kept") / col("__t"))
+          .cast("long").as("docs_for_budget"))
+  }
+
   /** 24-bit uniform in (0,1) from a doc's id hash: 6 md5 nibbles via
     * the Splits instr() parse (portable to DuckDB verbatim), +0.5 so
     * u is never 0 (ln(0) = -inf). */
@@ -93,10 +124,27 @@ object Mix {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_mix" -> (qMix _),
+    "pipeline_token_budget" -> (qTokenBudget _),
     "pipeline_source_cap" -> ((s: SparkSession, d: String) => qSourceCap(s, d)),
     "pipeline_weighted_sample" -> (qWeightedSample _))
 
   val oracleSql: Map[String, String] = Map(
+    "pipeline_token_budget" ->
+      s"""WITH kept AS (
+         |  SELECT source,
+         |    list_sum(list_transform(string_split(text, ' '),
+         |      w -> (len(w) + 3) // 4)) AS nst
+         |  FROM documents
+         |  WHERE ${nibbleHashSql("CAST(doc_id AS VARCHAR)")} % 100 <
+         |    ${rateSql("CAST(substr(source, 4, 10) AS INT)")}),
+         |per AS (SELECT source, count(*) AS n_kept,
+         |    CAST(sum(nst) AS BIGINT) AS subtokens
+         |  FROM kept GROUP BY source),
+         |tot AS (SELECT CAST(sum(subtokens) AS DOUBLE) AS t FROM per)
+         |SELECT source, n_kept, subtokens,
+         |  round(CAST(subtokens AS DOUBLE) / t, 6) AS token_share,
+         |  CAST(ceil($TOKEN_BUDGET.0 * n_kept / t) AS BIGINT) AS docs_for_budget
+         |FROM per CROSS JOIN tot""".stripMargin,
     "pipeline_mix" ->
       s"""SELECT source, n_docs, n_kept,
          |  round(CAST(n_kept AS DOUBLE) / n_docs, 6) AS realized_rate

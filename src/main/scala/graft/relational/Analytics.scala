@@ -348,6 +348,54 @@ object Analytics {
         round(col("rev").cast("double") / col("tot").cast("double"), 6).as("share"))
   }
 
+  /** Embedding Gram matrix (the PCA substrate): sum of x_i * x_j over
+    * the corpus for every dim pair i <= j, long format — the 64x64
+    * moment matrix whose top eigenvectors are the principal
+    * components a whitening/dimension-reduction pass needs. Scale
+    * shape: each row explodes to its D*(D+1)/2 pair products and the
+    * partial aggregate collapses them to 2080 sums PER PARTITION
+    * before the one tiny shuffle — the classic distributed-covariance
+    * plan (data never moves, only D^2-sized partials do). The
+    * eigen-solve itself is driver-side on the 2080-row result
+    * (topPrincipalComponent below), exactly like the k-means centers:
+    * model state through the driver, data does not. */
+  def qEmbedGram(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings")
+      .withColumn("xs", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .select(explode(expr(
+        "flatten(transform(sequence(1, size(xs)), i -> " +
+          "transform(sequence(i, size(xs)), j -> " +
+          "struct(i AS i, j AS j, element_at(xs, i) * element_at(xs, j) AS p))))"))
+        .as("e"))
+      .groupBy(col("e.i").as("i"), col("e.j").as("j"))
+      .agg(count(lit(1)).as("n"), round(sum(col("e.p")), 6).as("gram"))
+
+  /** Top principal component by power iteration on the ROUNDED Gram
+    * matrix (driver-side: 64x64 floats are model state, not data).
+    * Deterministic: uniform init, fixed iteration count, sign fixed
+    * so the largest-|loading| coordinate is positive. Returns
+    * (eigenvector, eigenvalue). */
+  def topPrincipalComponent(spark: SparkSession, dir: String,
+                            iters: Int = 100): (Array[Double], Double) = {
+    val rows = qEmbedGram(spark, dir).select("i", "j", "gram").collect()
+    val d = rows.map(_.getInt(1)).max
+    val g = Array.ofDim[Double](d, d)
+    rows.foreach { r =>
+      val (i, j, v) = (r.getInt(0) - 1, r.getInt(1) - 1, r.getDouble(2))
+      g(i)(j) = v; g(j)(i) = v
+    }
+    var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    var lambda = 0.0
+    for (_ <- 1 to iters) {
+      val gv = Array.tabulate(d)(i => (0 until d).map(j => g(i)(j) * v(j)).sum)
+      lambda = math.sqrt(gv.map(x => x * x).sum)
+      v = gv.map(_ / lambda)
+    }
+    val m = v.indices.maxBy(i => math.abs(v(i)))
+    if (v(m) < 0) v = v.map(-_)
+    (v, lambda)
+  }
+
   /** Revenue-concentration report (the Pareto/80-20 diagnostic a
     * curation or sales pipeline runs on any value column): exact Gini
     * coefficient over per-customer revenue totals via the
@@ -391,6 +439,7 @@ object Analytics {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "basket_lift" -> ((s: SparkSession, d: String) => qBasketLift(s, d)),
     "orders_pareto" -> (qPareto _),
+    "embed_gram" -> (qEmbedGram _),
     "events_bounce_rate" -> (qBounceRate _),
     "events_gap_quantiles" -> (qGapQuantiles _),
     "embed_qc" -> (qEmbedQc _),
@@ -408,6 +457,18 @@ object Analytics {
     "hist2d_qty_price" -> ((s: SparkSession, d: String) => qHist2d(s, d)))
 
   val oracleSql: Map[String, String] = Map(
+    "embed_gram" ->
+      """WITH xs AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xs
+        |  FROM embeddings),
+        |g AS (SELECT CAST(r.i AS INT) AS i, CAST(s.j AS INT) AS j,
+        |    xs[CAST(r.i AS INT)] * xs[CAST(s.j AS INT)] AS p
+        |  FROM xs
+        |  CROSS JOIN range(1, 65) r(i)
+        |  CROSS JOIN range(1, 65) s(j)
+        |  WHERE s.j >= r.i AND r.i <= len(xs) AND s.j <= len(xs))
+        |SELECT i, j, count(*) AS n, round(sum(p), 6) AS gram
+        |FROM g GROUP BY i, j""".stripMargin,
     "orders_pareto" ->
       """WITH per AS (SELECT o_custkey,
         |    sum(CAST(o_totalprice AS DECIMAL(38,2))) AS rev

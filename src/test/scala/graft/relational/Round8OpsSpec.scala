@@ -92,6 +92,56 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(skew.getAs[Double]("top_decile_share") == 1.0)
   }
 
+  test("elbow: avg SSE never increases with k, every k covers all points") {
+    val rows = graft.clustering.KMeans.qElbow(spark, sf)
+      .orderBy("k_clusters").collect()
+    assert(rows.length == 4)
+    val n = rows.head.getAs[Long]("n")
+    assert(rows.forall(_.getAs[Long]("n") == n), "every k assigns every point")
+    val sse = rows.map(_.getAs[Double]("avg_dist")).toSeq
+    assert(sse.sliding(2).forall { case Seq(a, b) => b <= a; case _ => true },
+      s"SSE curve must be non-increasing in k: $sse")
+  }
+
+  test("gram matrix is the exact moment matrix; top PC is a fixed point") {
+    val g = Analytics.qEmbedGram(spark, sf).collect()
+    assert(g.length == 64 * 65 / 2)
+    val nVecs = graft.Tables.t(spark, sf, "embeddings").count()
+    assert(g.forall(_.getAs[Long]("n") == nVecs))
+    // diagonal entries are sums of squares
+    g.filter(r => r.getInt(0) == r.getInt(1))
+      .foreach(r => assert(r.getAs[Double]("gram") >= 0.0))
+    // one pair recomputed directly on the driver matches to rounding
+    val direct = graft.Tables.t(spark, sf, "embeddings")
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0))
+      .map(e => e(0).toDouble * e(1).toDouble).sum
+    val g12 = g.find(r => r.getInt(0) == 1 && r.getInt(1) == 2).get.getAs[Double]("gram")
+    assert(math.abs(g12 - direct) < 1e-5, s"$g12 vs $direct")
+    // power iteration converges: Gv = lambda*v within tolerance
+    val (v, lambda) = Analytics.topPrincipalComponent(spark, sf)
+    assert(lambda > 0.0 && math.abs(v.map(x => x * x).sum - 1.0) < 1e-9)
+    val gm = Array.ofDim[Double](64, 64)
+    g.foreach { r =>
+      val (i, j, x) = (r.getInt(0) - 1, r.getInt(1) - 1, r.getAs[Double]("gram"))
+      gm(i)(j) = x; gm(j)(i) = x
+    }
+    val gv = Array.tabulate(64)(i => (0 until 64).map(j => gm(i)(j) * v(j)).sum)
+    val residual = math.sqrt(gv.zip(v).map { case (a, b) => val d = a - lambda * b; d * d }.sum)
+    assert(residual / lambda < 1e-3, s"eigen residual $residual vs lambda $lambda")
+  }
+
+  test("token budget allocation is proportional and covers the kept corpus") {
+    val rows = graft.pipeline.Mix.qTokenBudget(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val shareSum = rows.map(_.getAs[Double]("token_share")).sum
+    assert(math.abs(shareSum - 1.0) < 1e-3, s"shares sum to $shareSum")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("docs_for_budget") >= 0L)
+      assert(r.getAs[Long]("subtokens") > 0L)
+    }
+  }
+
   test("cell outliers: per-cell counts cover the corpus, outliers bounded") {
     val rows = graft.search.SimSearch.qCellOutliers(spark, sf).collect()
     assert(rows.nonEmpty)
