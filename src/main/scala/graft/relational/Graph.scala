@@ -69,8 +69,51 @@ object Graph {
       .groupBy("s").agg(count(lit(1)).as("deg"))
       .groupBy("deg").agg(count(lit(1)).as("n_docs"))
 
+  /** Triangle count + global clustering coefficient of the dup graph
+    * — triangles are transitivity evidence (a near-dups b, b near-dups
+    * c, a near-dups c) that separates genuine duplicate families from
+    * chance band collisions. Uses the standard DEGREE-ORDERED
+    * orientation (each edge points to its higher-(degree, id)
+    * endpoint, so every triangle is counted exactly once at its
+    * minimum vertex): the wedge join's fan-out is bounded by
+    * out-degree, which the orientation caps at O(sqrt(m)) — the
+    * discipline that keeps a boilerplate hub with a million neighbors
+    * from generating a quadratic wedge set, where a naive id-ordering
+    * explodes on exactly the star-keeper hubs these edges have. Both
+    * joins are co-partitioned equi-joins on node keys. */
+  def qTriangles(spark: SparkSession, dir: String): DataFrame =
+    trianglesOf(stagedCandidates(spark, dir))
+
+  /** Triangle census over any canonical (ia < ib, distinct) edge
+    * frame. */
+  def trianglesOf(e: DataFrame): DataFrame = {
+    val deg = e
+      .select(explode(array(
+        struct(col("ia").as("s"), col("ib").as("d")),
+        struct(col("ib").as("s"), col("ia").as("d")))).as("e"))
+      .select(col("e.s").as("s"))
+      .groupBy("s").agg(count(lit(1)).as("deg"))
+    val withDeg = e
+      .join(deg.select(col("s").as("ia"), col("deg").as("da")), "ia")
+      .join(deg.select(col("s").as("ib"), col("deg").as("db")), "ib")
+    val fwd = col("da") < col("db") || (col("da") === col("db") && col("ia") < col("ib"))
+    val oriented = withDeg.select(
+      when(fwd, col("ia")).otherwise(col("ib")).as("a"),
+      when(fwd, col("ib")).otherwise(col("ia")).as("b"))
+    val w = oriented.as("x").join(oriented.as("y"),
+      col("x.a") === col("y.a") && col("x.b") < col("y.b"))
+      .select(col("x.b").as("p"), col("y.b").as("q"))
+    val tri = w.join(e, w("p") === e("ia") && w("q") === e("ib"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val wedges = deg.agg(expr("sum(deg * (deg - 1) div 2)").as("n_wedges"))
+    tri.crossJoin(broadcast(wedges))
+      .select(col("n_triangles"), col("n_wedges"),
+        round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6).as("global_cc"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> ((s: SparkSession, d: String) => qPageRank(s, d)),
+    "graph_triangles" -> (qTriangles _),
     "graph_degree_stats" -> (qDegreeStats _))
 
   private val undSql =
@@ -94,6 +137,25 @@ object Graph {
          |${iter(3)}
          |SELECT node AS doc_id, round(r, 6) AS rank FROM r3""".stripMargin
     },
+    "graph_triangles" ->
+      s"""WITH ${Dedup.sigSql},
+         |${Dedup.bandsSql},
+         |${Dedup.candsSql},
+         |$undSql,
+         |o AS (SELECT
+         |    CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND ia < ib)
+         |      THEN ia ELSE ib END AS a,
+         |    CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND ia < ib)
+         |      THEN ib ELSE ia END AS b
+         |  FROM cands JOIN deg d1 ON d1.s = ia JOIN deg d2 ON d2.s = ib),
+         |w AS (SELECT x.b AS p, y.b AS q FROM o x JOIN o y
+         |  ON x.a = y.a AND x.b < y.b),
+         |tri AS (SELECT count(*) AS n_triangles
+         |  FROM w JOIN cands c ON c.ia = w.p AND c.ib = w.q),
+         |ww AS (SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges FROM deg)
+         |SELECT n_triangles, n_wedges,
+         |  round(3.0 * n_triangles / n_wedges, 6) AS global_cc
+         |FROM tri CROSS JOIN ww""".stripMargin,
     "graph_degree_stats" ->
       s"""WITH ${Dedup.sigSql},
          |${Dedup.bandsSql},

@@ -142,6 +142,20 @@ class Round8OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("triangle census: a 4-clique has 4 triangles, cc 1; a pendant path adds a wedge") {
+    val clique = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val r1 = Graph.trianglesOf(clique.toDF("ia", "ib")).collect()(0)
+    assert(r1.getAs[Long]("n_triangles") == 4L)
+    assert(r1.getAs[Long]("n_wedges") == 12L)
+    assert(r1.getAs[Double]("global_cc") == 1.0)
+    // add a path 5-6-7: zero new triangles, one new wedge at node 6
+    val r2 = Graph.trianglesOf((clique ++ Seq((5L, 6L), (6L, 7L)))
+      .toDF("ia", "ib")).collect()(0)
+    assert(r2.getAs[Long]("n_triangles") == 4L)
+    assert(r2.getAs[Long]("n_wedges") == 13L)
+    assert(r2.getAs[Double]("global_cc") == 0.923077)
+  }
+
   test("cell outliers: per-cell counts cover the corpus, outliers bounded") {
     val rows = graft.search.SimSearch.qCellOutliers(spark, sf).collect()
     assert(rows.nonEmpty)
