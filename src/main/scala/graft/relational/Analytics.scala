@@ -348,6 +348,40 @@ object Analytics {
         round(col("rev").cast("double") / col("tot").cast("double"), 6).as("share"))
   }
 
+  /** Label-conditioned embedding QC — the separability report a
+    * contrastive-training set owes its labels: per label, the member
+    * count, centroid norm, mean member distance to the own-label
+    * centroid (cohesion) and the distance to the nearest OTHER label
+    * centroid (separation). Labels whose cohesion exceeds their
+    * separation are not learnable classes. Scale shape: one melt to
+    * (vec, dim, value), one bounded (label, dim) centroid aggregate
+    * (ROUNDED 6 so every downstream arithmetic starts from identical
+    * numbers), a co-partitioned join back, and label-count-bounded
+    * centroid-pair math — no pairwise vector work anywhere. */
+  def qEmbedLabelQc(spark: SparkSession, dir: String): DataFrame = {
+    val ex = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("i0", "x0")))
+      .select(col("vec_id"), col("label"), (col("i0") + 1).as("i"),
+        col("x0").cast("double").as("x"))
+    val c = ex.groupBy("label", "i").agg(round(avg("x"), 6).as("c"))
+    val cohesion = ex.join(c, Seq("label", "i"))
+      .groupBy("vec_id", "label")
+      .agg(sqrt(sum((col("x") - col("c")) * (col("x") - col("c")))).as("dist"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"), round(avg("dist"), 6).as("mean_dist"))
+    val norms = c.groupBy("label")
+      .agg(round(sqrt(sum(col("c") * col("c"))), 6).as("centroid_norm"))
+    val sep = c.select(col("label").as("la"), col("i"), col("c").as("ca"))
+      .join(c.select(col("label").as("lb"), col("i"), col("c").as("cb")), "i")
+      .filter(col("la") =!= col("lb"))
+      .groupBy("la", "lb")
+      .agg(sqrt(sum((col("ca") - col("cb")) * (col("ca") - col("cb")))).as("cd"))
+      .groupBy(col("la").as("label"))
+      .agg(round(min("cd"), 6).as("min_sep"))
+    cohesion.join(norms, "label").join(sep, "label")
+      .select("label", "n_vecs", "centroid_norm", "mean_dist", "min_sep")
+  }
+
   /** Embedding Gram matrix (the PCA substrate): sum of x_i * x_j over
     * the corpus for every dim pair i <= j, long format — the 64x64
     * moment matrix whose top eigenvectors are the principal
@@ -440,6 +474,7 @@ object Analytics {
     "basket_lift" -> ((s: SparkSession, d: String) => qBasketLift(s, d)),
     "orders_pareto" -> (qPareto _),
     "embed_gram" -> (qEmbedGram _),
+    "embed_label_qc" -> (qEmbedLabelQc _),
     "events_bounce_rate" -> (qBounceRate _),
     "events_gap_quantiles" -> (qGapQuantiles _),
     "embed_qc" -> (qEmbedQc _),
@@ -457,6 +492,30 @@ object Analytics {
     "hist2d_qty_price" -> ((s: SparkSession, d: String) => qHist2d(s, d)))
 
   val oracleSql: Map[String, String] = Map(
+    "embed_label_qc" ->
+      """WITH ex AS (SELECT vec_id, label, CAST(r.i AS INT) AS i,
+        |    CAST(embedding[CAST(r.i AS INT)] AS DOUBLE) AS x
+        |  FROM embeddings CROSS JOIN range(1, 65) r(i)
+        |  WHERE r.i <= len(embedding)),
+        |c AS (SELECT label, i, round(avg(x), 6) AS c
+        |  FROM ex GROUP BY label, i),
+        |coh AS (SELECT label, count(*) AS n_vecs,
+        |    round(avg(dist), 6) AS mean_dist
+        |  FROM (SELECT e.vec_id, e.label,
+        |      sqrt(sum((e.x - c.c) * (e.x - c.c))) AS dist
+        |    FROM ex e JOIN c ON c.label = e.label AND c.i = e.i
+        |    GROUP BY e.vec_id, e.label)
+        |  GROUP BY label),
+        |nrm AS (SELECT label, round(sqrt(sum(c * c)), 6) AS centroid_norm
+        |  FROM c GROUP BY label),
+        |sep AS (SELECT la AS label, round(min(cd), 6) AS min_sep
+        |  FROM (SELECT a.label AS la, b.label AS lb,
+        |      sqrt(sum((a.c - b.c) * (a.c - b.c))) AS cd
+        |    FROM c a JOIN c b ON a.i = b.i AND a.label != b.label
+        |    GROUP BY a.label, b.label)
+        |  GROUP BY la)
+        |SELECT label, n_vecs, centroid_norm, mean_dist, min_sep
+        |FROM coh JOIN nrm USING (label) JOIN sep USING (label)""".stripMargin,
     "embed_gram" ->
       """WITH xs AS (SELECT vec_id,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xs

@@ -142,6 +142,20 @@ class Round8OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("label qc: every label reported, cohesion and separation positive") {
+    val rows = Analytics.qEmbedLabelQc(spark, sf).collect()
+    val nLabels = graft.Tables.t(spark, sf, "embeddings")
+      .select("label").distinct().count()
+    assert(rows.length == nLabels)
+    val total = rows.map(_.getAs[Long]("n_vecs")).sum
+    assert(total == graft.Tables.t(spark, sf, "embeddings").count())
+    rows.foreach { r =>
+      assert(r.getAs[Double]("mean_dist") > 0.0)
+      assert(r.getAs[Double]("min_sep") > 0.0)
+      assert(r.getAs[Double]("centroid_norm") > 0.0)
+    }
+  }
+
   test("triangle census: a 4-clique has 4 triangles, cc 1; a pendant path adds a wedge") {
     val clique = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
     val r1 = Graph.trianglesOf(clique.toDF("ia", "ib")).collect()(0)
