@@ -37,10 +37,12 @@ object Main {
       |  kmeans <dataset_path> <num_iter> <num_k> <output_path> <num_run>
       |  gka    <dataset_path> <num_iter> <num_k> <output_path> <num_run> <num_cms> <Pm> <Cm>
       |  pso    <dataset_path> <num_iter> <num_k> <output_path> <num_run> <num_particle> <c1> <c2> <w_max> <w_min>
-      |  clean  <corpus.jsonl> <output_dir>""".stripMargin
+      |  clean  <corpus.jsonl> <output_dir>
+      |  report <table_dir> <output_dir>""".stripMargin
 
   def main(args: Array[String]): Unit = {
-    if (args.length < 3 || (args(0) != "clean" && args.length < 6)) {
+    if (args.length < 3 ||
+      (args(0) != "clean" && args(0) != "report" && args.length < 6)) {
       System.err.println(usage); sys.exit(2)
     }
     val algo = args(0)
@@ -56,6 +58,7 @@ object Main {
     spark.sparkContext.setLogLevel("WARN")
     try {
       if (algo == "clean") cleanRun(spark, args(1), args(2))
+      else if (algo == "report") reportRun(spark, args(1), args(2))
       else run(spark, algo, args(1), args(2).toInt, args(3).toInt, args(4),
         args(5).toInt, args.drop(6))
     } finally spark.stop()
@@ -72,6 +75,25 @@ object Main {
     sources.JsonDocsSource.write(docs.join(kept, "doc_id"), outDir)
     val (nIn, nOut) = (docs.count(), spark.read.json(outDir).count())
     println(s"[clean] kept $nOut of $nIn documents -> $outDir")
+  }
+
+  /** Release-report entry: run the corpus observability heads over a
+    * testdata-shaped table dir and write each as one CSV — the
+    * artifact bundle a dataset hand-off ships (dataset card, data
+    * checks, per-source composition, Gopher rule pass rates). CSVs
+    * are written through Spark (coalesce(1): every report is
+    * dimension-bounded rows). */
+  def reportRun(spark: SparkSession, dir: String, outDir: String): Unit = {
+    val reports = Map(
+      "dataset_card" -> text.CorpusStats.qDatasetCard(spark, dir),
+      "data_checks" -> pipeline.DataChecks.qDataChecks(spark, dir),
+      "corpus_report" -> text.CorpusStats.qCorpusReport(spark, dir),
+      "gopher_rules" -> text.Repetition.qGopherRules(spark, dir))
+    reports.foreach { case (name, df) =>
+      df.coalesce(1).write.mode("overwrite")
+        .option("header", "true").csv(s"$outDir/$name")
+    }
+    println(s"[report] wrote ${reports.keys.toSeq.sorted.mkString(", ")} -> $outDir")
   }
 
   /** Testable core: everything main does minus session lifecycle. */

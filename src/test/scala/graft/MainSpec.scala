@@ -46,6 +46,18 @@ class MainSpec extends AnyFunSuite {
     assert(ls.head.split(",").length == 5)
   }
 
+  test("report CLI writes the four release-report CSVs with headers and rows") {
+    val out = java.nio.file.Files.createTempDirectory("graft_report").toString
+    Main.reportRun(spark, "/root/testdata/sf0.001", out)
+    for (name <- Seq("dataset_card", "data_checks", "corpus_report", "gopher_rules")) {
+      val files = Option(new java.io.File(s"$out/$name").listFiles())
+        .getOrElse(Array.empty).filter(_.getName.endsWith(".csv"))
+      assert(files.length == 1, s"$name: expected one csv")
+      val ls = lines(files(0).getPath)
+      assert(ls.length >= 2, s"$name: header + at least one row, got ${ls.length}")
+    }
+  }
+
   test("clean CLI deduplicates and quality-gates a jsonl corpus end to end") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_clean").toString
     // stage the testdata documents as a jsonl corpus (a user's ingest)
