@@ -441,6 +441,18 @@ object KMeans {
        |SELECT pid, $clipped FROM pts CROSS JOIN st""".stripMargin
   }
 
+  private val quantileTransformSql: String = {
+    val ps = (1 to 9).map(_ / 10.0)
+    val stats = dims.flatMap(d => ps.zipWithIndex.map { case (p, i) =>
+      s"round(quantile_cont($d, $p), 6) AS c${i}_$d" }).mkString(", ")
+    val bucket = dims.map(d =>
+      ps.indices.map(i => s"CASE WHEN $d >= c${i}_$d THEN 1 ELSE 0 END")
+        .mkString("(", " + ", s") AS q_$d")).mkString(", ")
+    s"""WITH pts AS ($ptsSql),
+       |st AS (SELECT $stats FROM pts)
+       |SELECT pid, $bucket FROM pts CROSS JOIN st""".stripMargin
+  }
+
   private val robustScaleSql: String = {
     val stats = dims.map(d =>
       s"quantile_cont($d, 0.5) AS med_$d, " +
@@ -449,6 +461,29 @@ object KMeans {
     s"""WITH pts AS ($ptsSql),
        |st AS (SELECT $stats FROM pts)
        |SELECT pid, $scaled FROM pts CROSS JOIN st""".stripMargin
+  }
+
+  /** Decile rank-transform: bucketize each dim into 0..9 by its own
+    * distribution's decile cutoffs — the quantile (rank) feature
+    * transform that makes heavy-tailed dims comparable without the
+    * global per-row sort a true percent_rank costs (a window over the
+    * fact table is the 100 TB anti-shape). Cutoffs come from the
+    * bounded-state quantile engine, ROUNDED 6 on both sides so a
+    * sub-ulp interpolation difference cannot flip a bucket edge; the
+    * bucketize itself is a pure codegen'd sum of 9 comparisons per
+    * dim. */
+  def qQuantileTransform(spark: SparkSession, dir: String): DataFrame = {
+    val pts = Points.lineitem4d(spark, dir)
+    val melted = pts.select(expr(
+      s"stack(${dims.size}, ${dims.map(d => s"'$d', $d").mkString(", ")}) as (g, v)"))
+    val ps = (1 to 9).map(_ / 10.0)
+    val qs = graft.relational.Quantiles.grouped(melted, "g", "v", ps)
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    pts.select(col("pid") +: dims.map { d =>
+      ps.map(p => when(col(d) >= lit(r6(qs(d)(p))), 1).otherwise(0))
+        .reduce(_ + _).as(s"q_$d")
+    }: _*)
   }
 
   /** Per-iteration Lloyd run with metrics, matching the reference's
@@ -622,6 +657,7 @@ object KMeans {
     "dataset_normalize" -> (qNormalize _),
     "dataset_robust_scale" -> (qRobustScale _),
     "dataset_winsorize" -> (qWinsorize _),
+    "dataset_quantile_transform" -> (qQuantileTransform _),
     "kmeans_assign" -> (qAssign _),
     "kmeans_update" -> (qUpdate _),
     "kmeans_sse" -> (qSse _),
@@ -640,6 +676,7 @@ object KMeans {
     "dataset_normalize" -> normalizeSql,
     "dataset_robust_scale" -> robustScaleSql,
     "dataset_winsorize" -> winsorizeSql,
+    "dataset_quantile_transform" -> quantileTransformSql,
     "dataset_stats" ->
       ("SELECT count(*) AS n, " +
         dims.map(d => s"min($d) AS min_$d, max($d) AS max_$d").mkString(", ") +

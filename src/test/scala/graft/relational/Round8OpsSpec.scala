@@ -142,6 +142,20 @@ class Round8OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("quantile transform buckets are 0..9 and roughly uniform per dim") {
+    val df = graft.clustering.KMeans.qQuantileTransform(spark, sf)
+    val n = df.count()
+    for (d <- Seq("q_x1", "q_x2", "q_x3", "q_x4")) {
+      val byBucket = df.groupBy(d).count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(byBucket.keys.forall(b => b >= 0 && b <= 9), s"$d buckets: ${byBucket.keys}")
+      // every decile bucket holds between 2% and 30% of rows (ties can
+      // skew synthetic integer-ish dims, uniform would be 10%)
+      byBucket.values.foreach(c =>
+        assert(c >= n / 50 && c <= n * 3 / 10, s"$d bucket sizes: $byBucket"))
+    }
+  }
+
   test("label qc: every label reported, cohesion and separation positive") {
     val rows = Analytics.qEmbedLabelQc(spark, sf).collect()
     val nLabels = graft.Tables.t(spark, sf, "embeddings")
