@@ -386,23 +386,34 @@ object Analytics {
     * the corpus for every dim pair i <= j, long format — the 64x64
     * moment matrix whose top eigenvectors are the principal
     * components a whitening/dimension-reduction pass needs. Scale
-    * shape: each row explodes to its D*(D+1)/2 pair products and the
-    * partial aggregate collapses them to 2080 sums PER PARTITION
-    * before the one tiny shuffle — the classic distributed-covariance
+    * shape: the typed GramMatrix aggregator folds every vector into
+    * ONE flat 2080-sum buffer per partition in a fused loop (no
+    * exploded pair rows anywhere) and only the D^2-sized partial
+    * buffers move in the merge — the classic distributed-covariance
     * plan (data never moves, only D^2-sized partials do). The
+    * DuckDB oracle still runs the declarative pair-explode form, so
+    * the buffer indexing is cross-checked value-by-value. The
     * eigen-solve itself is driver-side on the 2080-row result
     * (topPrincipalComponent below), exactly like the k-means centers:
     * model state through the driver, data does not. */
-  def qEmbedGram(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "embeddings")
-      .withColumn("xs", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
-      .select(explode(expr(
-        "flatten(transform(sequence(1, size(xs)), i -> " +
-          "transform(sequence(i, size(xs)), j -> " +
-          "struct(i AS i, j AS j, element_at(xs, i) * element_at(xs, j) AS p))))"))
-        .as("e"))
-      .groupBy(col("e.i").as("i"), col("e.j").as("j"))
-      .agg(count(lit(1)).as("n"), round(sum(col("e.p")), 6).as("gram"))
+  def qEmbedGram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val r = t(spark, dir, "embeddings")
+      .select(col("embedding")).as[Seq[Float]]
+      .select(graft.functions.GramMatrix.toColumn)
+      .collect()(0)
+    // unflatten the upper-triangle buffer to (i, j) rows; rounding
+    // mirrors the previous declarative aggregate (HALF_UP, 6)
+    val d = ((math.sqrt(8.0 * r.sums.length + 1) - 1) / 2).round.toInt
+    val rows = for {
+      i <- 1 to d; j <- i to d
+    } yield {
+      val t0 = (i - 1) * d - (i - 1) * (i - 2) / 2 + (j - i)
+      (i, j, r.n,
+        BigDecimal(r.sums(t0)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    rows.toDF("i", "j", "n", "gram")
+  }
 
   /** Top principal component by power iteration on the ROUNDED Gram
     * matrix (driver-side: 64x64 floats are model state, not data).
