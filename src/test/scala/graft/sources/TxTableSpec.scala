@@ -48,6 +48,17 @@ class TxTableSpec extends AnyFunSuite {
     assert(TxTable.readAsOf(spark, dir, 2L).count() == 5)
   }
 
+  test("snapshot diff reports exactly the inserted, deleted and updated keys") {
+    val dir = Files.createTempDirectory("graft_tx").toString
+    TxTable.replace(docs(5, "a"), dir) // v0: ids 1..5 with text a-i
+    TxTable.replace(
+      (2 to 6).map(i => (i.toLong, if (i == 3) "changed" else s"a-$i"))
+        .toDF("doc_id", "text"), dir) // v1: id 1 deleted, 6 inserted, 3 updated
+    val d = TxTable.diff(spark, dir, 0L, 1L, "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d == Map(1L -> "deleted", 6L -> "inserted", 3L -> "updated"), d.toString)
+  }
+
   test("compaction crash point: staged + manifest but NO swap leaves readers on the old snapshot") {
     val dir = Files.createTempDirectory("graft_tx").toString
     // many small files: one per doc_id partition write
