@@ -394,6 +394,53 @@ object Streams {
       .select(col("user_id"), col("w.start").as("sess_start"),
         col("w.end").as("sess_end"), col("n_events"), col("sum_value"))
 
+  // ---- streaming heavy hitters (SpaceSaving) ---------------------------
+
+  case class TypedEv(event_type: String, user_id: Long)
+  case class HHState(counts: Map[Long, Long])
+  case class HHOut(event_type: String, user_id: Long, est_count: Long, rank: Int)
+
+  /** Streaming heavy hitters per event type via the SpaceSaving
+    * summary (public Metwally et al. algorithm): the state per group
+    * is a CAPACITY-bounded counter map no matter how many distinct
+    * users flow past — when a new user arrives at capacity, it
+    * replaces the current minimum and inherits its count + 1, which
+    * preserves the one-sided guarantee est >= true count. Each
+    * micro-batch (Update mode) re-emits the group's current top-k by
+    * (estimate desc, user asc). This is the unbounded-cardinality
+    * analog of the batch events_freq_items/events_countmin sketches,
+    * and the state answer to "top users right now" on a stream where
+    * keeping exact per-user counts would grow without bound. */
+  def heavyHitters(events: Dataset[TypedEv], capacity: Int = 8,
+                   k: Int = 3): Dataset[HHOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        updateHeavyHitters(capacity, k))
+  }
+
+  private[streaming] def updateHeavyHitters(capacity: Int, k: Int)(
+      eventType: String, events: Iterator[TypedEv],
+      state: GroupState[HHState]): Iterator[HHOut] = {
+    var counts = state.getOption.map(_.counts).getOrElse(Map.empty[Long, Long])
+    // deterministic fold order so the summary is replay-stable
+    for (e <- events.toSeq.sortBy(_.user_id)) {
+      counts = counts.get(e.user_id) match {
+        case Some(c) => counts.updated(e.user_id, c + 1)
+        case None if counts.size < capacity => counts.updated(e.user_id, 1L)
+        case None =>
+          // SpaceSaving eviction: replace the min-count entry
+          // (ties -> lowest user id) and inherit its count
+          val (minU, minC) = counts.minBy { case (u, c) => (c, u) }
+          (counts - minU).updated(e.user_id, minC + 1)
+      }
+    }
+    state.update(HHState(counts))
+    counts.toSeq.sortBy { case (u, c) => (-c, u) }.take(k).zipWithIndex
+      .map { case ((u, c), i) => HHOut(eventType, u, c, i + 1) }.iterator
+  }
+
   /** Gap-based sessionization (30 min idle closes a session) via
     * flatMapGroupsWithState. Emits a session when a later event
     * arrives past the gap; the open session stays in state. */

@@ -609,4 +609,31 @@ class StreamingSpec extends AnyFunSuite {
         s"landed: ${texts.mkString(" | ")}")
     } finally q.stop()
   }
+
+  test("streaming heavy hitters: bounded state, one-sided estimates, heavy key surfaces") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streams.TypedEv]
+    val q = Streams.heavyHitters(input.toDS(), capacity = 4, k = 2)
+      .writeStream.format("memory").queryName("hh_out")
+      .outputMode(OutputMode.Update).start()
+    try {
+      // batch 1: user 7 dominates type a; 12 distinct light users
+      // overflow the capacity-4 summary
+      input.addData(
+        (1 to 10).map(_ => Streams.TypedEv("a", 7L)) ++
+          (101 to 112).map(u => Streams.TypedEv("a", u.toLong)): _*)
+      q.processAllAvailable()
+      val r1 = spark.table("hh_out").as[Streams.HHOut].collect()
+      assert(r1.length == 2, s"top-2 emitted: ${r1.toSeq}")
+      val top = r1.minBy(_.rank)
+      assert(top.user_id == 7L, s"dominant user surfaces: ${r1.toSeq}")
+      assert(top.est_count >= 10L, "SpaceSaving estimates are one-sided (est >= true)")
+      // batch 2: user 7 keeps dominating across batches (state persists)
+      input.addData((1 to 5).map(_ => Streams.TypedEv("a", 7L)): _*)
+      q.processAllAvailable()
+      val r2 = spark.table("hh_out").as[Streams.HHOut].collect()
+        .filter(_.rank == 1).maxBy(_.est_count)
+      assert(r2.user_id == 7L && r2.est_count >= 15L, s"$r2")
+    } finally q.stop()
+  }
 }
