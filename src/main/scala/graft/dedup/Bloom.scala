@@ -49,17 +49,20 @@ object Bloom {
   def decontaminateBloom(spark: SparkSession, dir: String, benchMaxId: Long = 5,
                          n: Int = 5, minShared: Int = 20,
                          expectedGrams: Long = 1L << 16): DataFrame = {
-    val docs = t(spark, dir, "documents")
-    def gramsOf(df: DataFrame, idAs: String): DataFrame =
-      df.select(col("doc_id").as(idAs), explode(grams(n)).as("g"))
-    val bench = gramsOf(docs.filter(col("doc_id") <= benchMaxId), "bench_id")
+    // default n rides the STAGED shingle table like the exact operator
+    val gsrc =
+      if (n == 5) Dedup.stagedGrams5(spark, dir)
+      else t(spark, dir, "documents").select(col("doc_id"), grams(n).as("gs"))
+    def gramsOf(pred: Column, idAs: String): DataFrame =
+      gsrc.filter(pred).select(col("doc_id").as(idAs), explode(col("gs")).as("g"))
+    val bench = gramsOf(col("doc_id") <= benchMaxId, "bench_id")
     // might_contain requires a CONSTANT bloom: materialize the sketch on
     // the driver (bits only — sketch-sized state, like the K centers the
     // clustering loops move) and embed it as a binary literal, the same
     // thing Spark's own InjectRuntimeFilter does via scalar subquery
     val bfBytes = bench.agg(bloomAgg(col("g"), expectedGrams).as("bf"))
       .head.getAs[Array[Byte]](0)
-    gramsOf(docs.filter(col("doc_id") > benchMaxId), "doc_id")
+    gramsOf(col("doc_id") > benchMaxId, "doc_id")
       .filter(mightContain(lit(bfBytes), col("g")))
       .join(broadcast(bench), "g")
       .groupBy("doc_id", "bench_id")

@@ -244,11 +244,17 @@ object Dedup {
     * pass regardless of corpus size. */
   def decontaminate(spark: SparkSession, dir: String, benchMaxId: Long = 5,
                     n: Int = 5, minShared: Int = 20): DataFrame = {
-    val docs = t(spark, dir, "documents")
-    def gramsOf(df: DataFrame, idAs: String): DataFrame =
-      df.select(col("doc_id").as(idAs), explode(grams(n)).as("g"))
-    val bench = gramsOf(docs.filter(col("doc_id") <= benchMaxId), "bench_id")
-    gramsOf(docs.filter(col("doc_id") > benchMaxId), "doc_id")
+    // default n rides the STAGED shingle table (the stored-at-ingest
+    // index the other gram consumers share) — the per-doc gram
+    // projection otherwise re-runs over the whole corpus on both join
+    // branches; non-default n derives fresh
+    val gsrc =
+      if (n == 5) stagedGrams5(spark, dir)
+      else t(spark, dir, "documents").select(col("doc_id"), grams(n).as("gs"))
+    def gramsOf(pred: Column, idAs: String): DataFrame =
+      gsrc.filter(pred).select(col("doc_id").as(idAs), explode(col("gs")).as("g"))
+    val bench = gramsOf(col("doc_id") <= benchMaxId, "bench_id")
+    gramsOf(col("doc_id") > benchMaxId, "doc_id")
       .join(broadcast(bench), "g")
       .groupBy("doc_id", "bench_id")
       .agg(count(lit(1)).as("n_shared"))
