@@ -481,8 +481,62 @@ object Analytics {
           .as("top_decile_share"))
   }
 
+  /** ABC inventory/customer classification — the actionable sibling
+    * of the Gini report: customers ranked by revenue descending,
+    * class A = the head covering 80% of cumulative revenue, B = the
+    * next 15%, C = the tail. Same bounded-window discipline as
+    * qPareto (rank + cumulative sum over the per-customer AGGREGATE,
+    * never the fact table); sums are DECIMAL-exact, so the class-edge
+    * comparison runs on exactly-representable totals in both
+    * engines. */
+  def qAbc(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("rev").desc, col("o_custkey").asc)
+    val ranked = t(spark, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(sum(col("o_totalprice").cast("decimal(38,2)")).as("rev"))
+      .withColumn("cum", sum("rev").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tot", sum("rev").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("cls",
+        when(col("cum") <= col("tot") * lit(0.80), "A")
+          .when(col("cum") <= col("tot") * lit(0.95), "B")
+          .otherwise("C"))
+    ranked.groupBy("cls")
+      .agg(count(lit(1)).as("n_customers"),
+        sum("rev").cast("double").as("revenue"))
+      .withColumn("revenue", round(col("revenue"), 2))
+  }
+
+  /** Seasonally-conditioned anomaly gate: z-score of an event's value
+    * against its OWN (type, hour-of-day) stratum — a payment that is
+    * normal at noon can be anomalous at 4am, which the global
+    * per-type gate (events_anomaly) cannot see. The stratum stats are
+    * a bounded (types x 24) aggregate broadcast back over one corpus
+    * pass; stddev uses the aggregate form and both moments are
+    * ROUNDED 6 before the flag comparison so the gate decision is
+    * engine-stable. */
+  def qSeasonalAnomaly(spark: SparkSession, dir: String): DataFrame =
+    seasonalAnomalyOf(t(spark, dir, "events"))
+
+  /** The gate over any (event_id, ts, event_type, value) frame. */
+  def seasonalAnomalyOf(events: DataFrame): DataFrame = {
+    val ev = events.withColumn("hod", hour(col("ts")))
+    val stats = ev.groupBy("event_type", "hod")
+      .agg(count(lit(1)).as("n"),
+        round(avg("value"), 6).as("mu"),
+        round(stddev_pop(col("value")), 6).as("sigma"))
+      .filter(col("n") >= 30 && col("sigma") > 0.0)
+    ev.join(broadcast(stats), Seq("event_type", "hod"))
+      .withColumn("z", round((col("value") - col("mu")) / col("sigma"), 6))
+      .filter(abs(col("z")) > 3.0)
+      .select("event_id", "event_type", "hod", "value", "z")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "basket_lift" -> ((s: SparkSession, d: String) => qBasketLift(s, d)),
+    "orders_abc" -> (qAbc _),
+    "events_seasonal_anomaly" -> (qSeasonalAnomaly _),
     "orders_pareto" -> (qPareto _),
     "embed_gram" -> (qEmbedGram _),
     "embed_label_qc" -> (qEmbedLabelQc _),
@@ -503,6 +557,32 @@ object Analytics {
     "hist2d_qty_price" -> ((s: SparkSession, d: String) => qHist2d(s, d)))
 
   val oracleSql: Map[String, String] = Map(
+    "orders_abc" ->
+      """WITH per AS (SELECT o_custkey,
+        |    sum(CAST(o_totalprice AS DECIMAL(38,2))) AS rev
+        |  FROM orders GROUP BY o_custkey),
+        |r AS (SELECT o_custkey, rev,
+        |    sum(rev) OVER (ORDER BY rev DESC, o_custkey ASC
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(rev) OVER () AS tot
+        |  FROM per),
+        |c AS (SELECT CASE WHEN cum <= tot * 0.80 THEN 'A'
+        |    WHEN cum <= tot * 0.95 THEN 'B' ELSE 'C' END AS cls, rev FROM r)
+        |SELECT cls, count(*) AS n_customers,
+        |  round(CAST(sum(rev) AS DOUBLE), 2) AS revenue
+        |FROM c GROUP BY cls""".stripMargin,
+    "events_seasonal_anomaly" ->
+      """WITH ev AS (SELECT event_id, event_type,
+        |    CAST(hour(ts) AS INT) AS hod, value FROM events),
+        |st AS (SELECT event_type, hod, count(*) AS n,
+        |    round(avg(value), 6) AS mu,
+        |    round(stddev_pop(value), 6) AS sigma
+        |  FROM ev GROUP BY event_type, hod)
+        |SELECT event_id, event_type, hod, value,
+        |  round((value - mu) / sigma, 6) AS z
+        |FROM ev JOIN st USING (event_type, hod)
+        |WHERE n >= 30 AND sigma > 0
+        |  AND abs(round((value - mu) / sigma, 6)) > 3.0""".stripMargin,
     "embed_label_qc" ->
       """WITH ex AS (SELECT vec_id, label, CAST(r.i AS INT) AS i,
         |    CAST(embedding[CAST(r.i AS INT)] AS DOUBLE) AS x

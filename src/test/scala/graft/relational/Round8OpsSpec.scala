@@ -142,6 +142,31 @@ class Round8OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("abc classes partition customers and cover exactly the revenue bands") {
+    val rows = Analytics.qAbc(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(rows.keySet.subsetOf(Set("A", "B", "C")) && rows.contains("A"))
+    val total = rows.values.map(_._2).sum
+    // A holds at most 80% + one customer's worth; A+B+C is everything
+    assert(rows("A")._2 <= total * 0.80 + rows("A")._2 / rows("A")._1)
+    val nCust = graft.Tables.t(spark, sf, "orders")
+      .select("o_custkey").distinct().count()
+    assert(rows.values.map(_._1).sum == nCust)
+  }
+
+  test("seasonal anomaly flags an off-hours outlier and skips thin strata") {
+    def ev(id: Long, hod: Int, v: Double) =
+      (id, new java.sql.Timestamp(1700000000000L / 86400000 * 86400000 + hod * 3600000L),
+        1L, "pay", v, "{}")
+    // 40 routine payments at hour 4 + one wild one; 5 events at hour 9 (thin stratum)
+    val rows = (1L to 40L).map(i => ev(i, 4, 10.0 + (i % 5))) ++
+      Seq(ev(99L, 4, 500.0)) ++
+      (200L to 204L).map(i => ev(i, 9, 1000.0 + i))
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val flagged = Analytics.seasonalAnomalyOf(df).select("event_id").as[Long].collect()
+    assert(flagged.toSeq == Seq(99L), s"flagged: ${flagged.toSeq}")
+  }
+
   test("quantile transform buckets are 0..9 and roughly uniform per dim") {
     val df = graft.clustering.KMeans.qQuantileTransform(spark, sf)
     val n = df.count()
