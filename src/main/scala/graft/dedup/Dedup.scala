@@ -204,6 +204,40 @@ object Dedup {
       .withColumn("gated", col("dup_frac") > gateFrac)
   }
 
+  /** Repeated-SPAN report — the sub-paragraph exact-substring signal
+    * (the public "deduplicating training data" line of work removes
+    * repeated ~50-token substrings, not just whole docs/paragraphs):
+    * hash a strided set of fixed-width character windows per doc,
+    * count cross-corpus occurrences of each window hash, report each
+    * doc's repeated-window fraction. Stride trades recall for cost
+    * the standard way (an exact copy of a span >= width + stride - 1
+    * chars is guaranteed to share an aligned window when the copy
+    * preserves offsets mod stride — true for whole-doc and
+    * prefix-aligned copies, the dominant crawl case; arbitrary-offset
+    * copies need the one-side-unstrided variant, costed at
+    * width/stride x this plan). Same explode -> count -> join-back
+    * shape as the paragraph report, linear in corpus bytes / stride. */
+  def qRepeatedSpans(spark: SparkSession, dir: String,
+                     width: Int = 64, stride: Int = 8): DataFrame =
+    repeatedSpansOf(t(spark, dir, "documents"), width, stride)
+
+  /** The span report over any (doc_id, text) frame. */
+  def repeatedSpansOf(docs: DataFrame,
+                      width: Int = 64, stride: Int = 8): DataFrame = {
+    val wins = docs
+      .filter(length(col("text")) >= width)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, length(text) - ${width - 1}, $stride), " +
+          s"i -> md5(substring(text, i, $width)))")).as("wh"))
+    val counts = wins.groupBy("wh").agg(count(lit(1)).as("n_occ"))
+    wins.join(counts, "wh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("n_occ") >= 2, 1L).otherwise(0L)).as("n_repeated"))
+      .withColumn("repeated_frac",
+        round(col("n_repeated").cast("double") / col("n_windows"), 6))
+  }
+
   /** Distinct char-5-grams of the text column. Guard: sequence(1, n)
     * DESCENDS for n < 1, so short texts need an explicit empty-gram
     * case (the DuckDB range() mirror is already empty there). */
@@ -750,6 +784,7 @@ object Dedup {
     "dedup_containment" -> ((s: SparkSession, d: String) => qContainment(s, d)),
     "dedup_minhash_estimate" -> (qMinhashEstimate _),
     "dedup_paragraphs" -> ((s: SparkSession, d: String) => qParagraphDedup(s, d)),
+    "dedup_repeated_spans" -> ((s: SparkSession, d: String) => qRepeatedSpans(s, d)),
     "dedup_lsh_stats" -> (qLshStats _),
     "dedup_ngram" -> (qNgram _),
     "dedup_decontaminate" -> (qDecontaminate _),
@@ -828,6 +863,17 @@ object Dedup {
          |      / least(len(wa.ws), len(wb.ws)) AS containment
          |  FROM cands JOIN w wa ON ia = wa.doc_id JOIN w wb ON ib = wb.doc_id)
          |WHERE containment >= 0.9""".stripMargin,
+    "dedup_repeated_spans" ->
+      """WITH w AS (SELECT doc_id, unnest(list_transform(
+        |    range(1, len(text) - 62, 8),
+        |    i -> md5(substr(text, CAST(i AS INT), 64)))) AS wh
+        |  FROM documents WHERE len(text) >= 64),
+        |c AS (SELECT wh, count(*) AS n_occ FROM w GROUP BY wh)
+        |SELECT doc_id, count(*) AS n_windows,
+        |  CAST(sum(CASE WHEN n_occ >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeated,
+        |  round(CAST(sum(CASE WHEN n_occ >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) AS repeated_frac
+        |FROM w JOIN c USING (wh) GROUP BY doc_id""".stripMargin,
     "dedup_paragraphs" ->
       """WITH parts AS (
         |  SELECT doc_id, md5(p) AS ph

@@ -142,6 +142,19 @@ class Round8OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("repeated spans: copies score 1, unique text 0, short docs skipped") {
+    val base = ("abcdefghij" * 10).take(96)
+    // aperiodic within window reach so no window repeats inside the doc
+    val uniq = (0 until 96).map(i => ('a' + (i * 7) % 26).toChar).mkString
+    val docs = Seq((1L, base), (2L, base), (3L, uniq), (4L, "short"))
+      .toDF("doc_id", "text")
+    val m = graft.dedup.Dedup.repeatedSpansOf(docs)
+      .select("doc_id", "repeated_frac").as[(Long, Double)].collect().toMap
+    assert(m(1L) == 1.0 && m(2L) == 1.0)
+    assert(!m.contains(4L), "sub-width doc emits no windows")
+    assert(m(3L) < 1.0)
+  }
+
   test("abc classes partition customers and cover exactly the revenue bands") {
     val rows = Analytics.qAbc(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
