@@ -441,6 +441,57 @@ object KMeans {
        |SELECT pid, $clipped FROM pts CROSS JOIN st""".stripMargin
   }
 
+  /** kmeans|| oracle: rounds unrolled as CTEs over a growing candidate
+    * set. Duplicate rows per pid are handled by grouping distinct
+    * (pid, dims) with multiplicity cnt (cnt/nc rows of the cross
+    * join), so phi and the weights count ROWS exactly like the Spark
+    * side; phi is rounded 6 on both sides before the draw threshold. */
+  // lazy: SCAL_L/SCAL_ROUNDS are declared later in the file; an eager
+  // val would capture their zero defaults mid-construction
+  private lazy val scalableInitSql: String = {
+    val dcols = dims.mkString(", ")
+    def dist(p: String, c: String) =
+      "sqrt(" + dims.zipWithIndex.map { case (d, j) =>
+        s"($p.$d - $c.k${j + 1}) * ($p.$d - $c.k${j + 1})"
+      }.mkString(" + ") + ")"
+    val u = (r: Int) => graft.pipeline.Mix.u24Sql(s"concat('r$r:', CAST(d$r.pid AS VARCHAR))")
+    val rounds = (1 to SCAL_ROUNDS).map { r =>
+      s"""d$r AS (SELECT p.pid, ${dims.map(d => s"p.$d").mkString(", ")},
+         |    count(*) AS cnt, min(${dist("p", "c")}) AS dmin
+         |  FROM pts p CROSS JOIN cset${r - 1} c
+         |  GROUP BY p.pid, ${dims.map(d => s"p.$d").mkString(", ")}),
+         |n$r AS (SELECT count(*) AS nc FROM cset${r - 1}),
+         |phi$r AS (SELECT round(sum((cnt / nc) * dmin * dmin), 6) AS phi
+         |  FROM d$r CROSS JOIN n$r),
+         |s$r AS (SELECT pid, ${dims.zipWithIndex.map { case (d, j) =>
+        s"min($d) AS k${j + 1}" }.mkString(", ")}
+         |  FROM d$r CROSS JOIN phi$r
+         |  WHERE ${u(r)} < $SCAL_L * (dmin * dmin) / phi
+         |    AND pid NOT IN (SELECT pid FROM cset${r - 1})
+         |  GROUP BY pid),
+         |cset$r AS (SELECT * FROM cset${r - 1}
+         |  UNION ALL SELECT pid, $r AS rnd, ${(1 to dims.size).map(j => s"k$j").mkString(", ")} FROM s$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pts AS ($ptsSql),
+       |cset0 AS (SELECT CAST(pid AS BIGINT) AS pid, 0 AS rnd,
+       |    ${dims.zipWithIndex.map { case (d, j) => s"$d AS k${j + 1}" }.mkString(", ")}
+       |  FROM (SELECT * FROM pts ORDER BY pid, $dcols LIMIT 1)),
+       |$rounds,
+       |fa AS (SELECT p.pid, $dcols, c.pid AS cand_pid, c.rnd,
+       |    ${dist("p", "c")} AS dist
+       |  FROM pts p CROSS JOIN cset$SCAL_ROUNDS c),
+       |nf AS (SELECT count(*) AS nc FROM cset$SCAL_ROUNDS),
+       |pk AS (SELECT *,
+       |    row_number() OVER (PARTITION BY pid, $dcols
+       |      ORDER BY dist ASC, rnd ASC, cand_pid ASC) AS rn,
+       |    count(*) OVER (PARTITION BY pid, $dcols) AS cc
+       |  FROM fa),
+       |w AS (SELECT cand_pid, CAST(sum(cc / nc) AS BIGINT) AS weight
+       |  FROM pk CROSS JOIN nf WHERE rn = 1 GROUP BY cand_pid)
+       |SELECT c.pid AS cand_pid, coalesce(w.weight, 0) AS weight
+       |FROM cset$SCAL_ROUNDS c LEFT JOIN w ON w.cand_pid = c.pid""".stripMargin
+  }
+
   private val quantileTransformSql: String = {
     val ps = (1 to 9).map(_ / 10.0)
     val stats = dims.flatMap(d => ps.zipWithIndex.map { case (p, i) =>
@@ -461,6 +512,67 @@ object KMeans {
     s"""WITH pts AS ($ptsSql),
        |st AS (SELECT $stats FROM pts)
        |SELECT pid, $scaled FROM pts CROSS JOIN st""".stripMargin
+  }
+
+  // k-means|| oversampling factor and round count (small so the
+  // oracle's unrolled rounds stay readable; candidates ~ L*ROUNDS+1)
+  private val SCAL_L = 8.0
+  private val SCAL_ROUNDS = 3
+
+  /** Scalable k-means|| initialization (the public Bahmani et al.
+    * algorithm — the init DESIGNED for a cluster, replacing k-means++'s
+    * k sequential full passes with ROUNDS passes that each sample
+    * ~L candidates in parallel): per round, every point computes its
+    * distance to the nearest candidate so far and joins the candidate
+    * set with probability min(1, L * d^2 / phi) — here a DETERMINISTIC
+    * hash-Bernoulli draw (the same md5 u24 uniform the split/sample
+    * gates use, keyed by (round, pid)), which makes the whole
+    * oversampling pass reproducible and fully oracled. Output is the
+    * candidate set with its weights (points nearest to each candidate)
+    * — exactly what the final driver-side weighted clustering (the
+    * k-sized re-cluster, MLlib's kmeans|| step 2) consumes. Scale
+    * shape: candidates are K-sized driver state like every center
+    * array here; each round is ONE codegen'd min-distance pass over
+    * the data; nothing data-sized moves. */
+  def qScalableInit(spark: SparkSession, dir: String): DataFrame = {
+    val pts = Points.lineitem4d(spark, dir).cache()
+    try {
+      var cands: Seq[(Long, Array[Double])] =
+        pts.orderBy(col("pid") +: dims.map(col): _*).limit(1)
+          .collect().map(r => r.getLong(0) ->
+          dims.indices.map(i => r.getDouble(1 + i)).toArray).toSeq
+      for (r <- 1 to SCAL_ROUNDS) {
+        val dexprs = cands.map { case (_, c) => Points.distTo(c, dims) }
+        val dmin = if (dexprs.size == 1) dexprs.head else least(dexprs: _*)
+        val scored = pts.withColumn("__d2", dmin * dmin)
+        // phi ROUNDED 6 before it enters the draw threshold: the raw
+        // sum is order-dependent, the rounded value is engine-stable
+        val phi = BigDecimal(scored.agg(sum("__d2")).head.getDouble(0))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val u = expr(graft.pipeline.Mix.u24Sql(s"concat('r$r:', cast(pid as string))"))
+        // canonicalize per pid (the testdata duplicates rows per pid):
+        // identical rows share one draw decision; a pid with several
+        // drawn variants contributes its per-dim min — deterministic
+        // and mirrored verbatim in the oracle's GROUP BY
+        val drawn = scored
+          .filter(u < lit(SCAL_L) * col("__d2") / lit(phi))
+          .groupBy("pid").agg(min(col(dims.head)).as(dims.head),
+            dims.tail.map(d => min(col(d)).as(d)): _*)
+          .collect()
+          .map(row => row.getLong(0) -> dims.indices.map(i => row.getDouble(1 + i)).toArray)
+        val known = cands.map(_._1).toSet
+        cands = cands ++ drawn.filterNot(d => known(d._1)).sortBy(_._1)
+      }
+      // weights: points nearest to each candidate (ties -> lowest
+      // candidate index, the assign convention)
+      val result = assign(pts, cands.map(_._2).toArray, dims)
+        .groupBy("k").agg(count(lit(1)).as("weight"))
+      val byIdx = result.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      import spark.implicits._
+      cands.zipWithIndex.map { case ((pid, _), i) =>
+        (pid, byIdx.getOrElse(i, 0L))
+      }.toDF("cand_pid", "weight")
+    } finally { pts.unpersist(); () }
   }
 
   /** Decile rank-transform: bucketize each dim into 0..9 by its own
@@ -663,6 +775,7 @@ object KMeans {
     "kmeans_sse" -> (qSse _),
     "kmeans_full" -> (qFull _),
     "kmeans_elbow" -> (qElbow _),
+    "kmeans_scalable_init" -> (qScalableInit _),
     "kmeans_silhouette" -> (qSilhouette _),
     "kmeans_davies_bouldin" -> (qDaviesBouldin _),
     "kmeans_embed_assign" -> (qEmbedAssign _),
@@ -686,6 +799,7 @@ object KMeans {
     "kmeans_sse" -> oracleSse,
     "kmeans_full" -> oracleFull,
     "kmeans_elbow" -> oracleElbow,
+    "kmeans_scalable_init" -> scalableInitSql,
     "kmeans_silhouette" -> silhouetteSql,
     "kmeans_davies_bouldin" -> daviesBouldinSql,
     "kmeans_embed_assign" ->

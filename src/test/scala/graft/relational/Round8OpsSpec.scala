@@ -142,6 +142,16 @@ class Round8OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("kmeans|| init: weights cover every point, candidates distinct and plural") {
+    val rows = graft.clustering.KMeans.qScalableInit(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    // one candidate from round 0 plus parallel-sampled ones
+    assert(rows.length > 1, "oversampling drew additional candidates")
+    assert(rows.map(_._1).distinct.length == rows.length, "candidate pids distinct")
+    val n = graft.clustering.Points.lineitem4d(spark, sf).count()
+    assert(rows.map(_._2).sum == n, "every point weighs exactly one candidate")
+  }
+
   test("repeated spans: copies score 1, unique text 0, short docs skipped") {
     val base = ("abcdefghij" * 10).take(96)
     // aperiodic within window reach so no window repeats inside the doc
