@@ -454,7 +454,13 @@ object KMeans {
       "sqrt(" + dims.zipWithIndex.map { case (d, j) =>
         s"($p.$d - $c.k${j + 1}) * ($p.$d - $c.k${j + 1})"
       }.mkString(" + ") + ")"
-    val u = (r: Int) => graft.pipeline.Mix.u24Sql(s"concat('r$r:', CAST(d$r.pid AS VARCHAR))")
+    val u = (r: Int) => {
+      val off = (r - 1) * 6
+      val v = (1 to 6).map(i =>
+        s"(instr('0123456789abcdef', substr(md5(CAST(d$r.pid AS VARCHAR)), ${off + i}, 1)) - 1) * ${math.pow(16, 6 - i).toLong}")
+        .mkString("(", " + ", ")")
+      s"(($v) + 0.5) / 16777216.0"
+    }
     val rounds = (1 to SCAL_ROUNDS).map { r =>
       s"""d$r AS (SELECT p.pid, ${dims.map(d => s"p.$d").mkString(", ")},
          |    count(*) AS cnt, min(${dist("p", "c")}) AS dmin
@@ -530,49 +536,78 @@ object KMeans {
     * oversampling pass reproducible and fully oracled. Output is the
     * candidate set with its weights (points nearest to each candidate)
     * — exactly what the final driver-side weighted clustering (the
-    * k-sized re-cluster, MLlib's kmeans|| step 2) consumes. Scale
-    * shape: candidates are K-sized driver state like every center
-    * array here; each round is ONE codegen'd min-distance pass over
-    * the data; nothing data-sized moves. */
+    * k-sized re-cluster, MLlib's kmeans|| step 2) consumes.
+    *
+    * Scale + perf shape: candidates are K-sized driver state like
+    * every center array here. The draw uniform is ONE md5 per row,
+    * computed once and SLICED per round (6 fresh nibbles of the same
+    * digest per round — independent uniforms from one hash), not a
+    * fresh md5 per round. d2 is maintained INCREMENTALLY — each round
+    * folds only the distances to the round's NEW candidates into the
+    * materialized running min (the standard k-means|| optimization),
+    * with per-round localCheckpoint lineage truncation exactly like
+    * the label-propagation loop, so every pass is a short scan of
+    * (pid, dims, hash, d2) rather than a re-derivation against the
+    * whole candidate history. */
   def qScalableInit(spark: SparkSession, dir: String): DataFrame = {
-    val pts = Points.lineitem4d(spark, dir).cache()
-    try {
-      var cands: Seq[(Long, Array[Double])] =
-        pts.orderBy(col("pid") +: dims.map(col): _*).limit(1)
-          .collect().map(r => r.getLong(0) ->
-          dims.indices.map(i => r.getDouble(1 + i)).toArray).toSeq
-      for (r <- 1 to SCAL_ROUNDS) {
-        val dexprs = cands.map { case (_, c) => Points.distTo(c, dims) }
-        val dmin = if (dexprs.size == 1) dexprs.head else least(dexprs: _*)
-        val scored = pts.withColumn("__d2", dmin * dmin)
-        // phi ROUNDED 6 before it enters the draw threshold: the raw
-        // sum is order-dependent, the rounded value is engine-stable
-        val phi = BigDecimal(scored.agg(sum("__d2")).head.getDouble(0))
-          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-        val u = expr(graft.pipeline.Mix.u24Sql(s"concat('r$r:', cast(pid as string))"))
-        // canonicalize per pid (the testdata duplicates rows per pid):
-        // identical rows share one draw decision; a pid with several
-        // drawn variants contributes its per-dim min — deterministic
-        // and mirrored verbatim in the oracle's GROUP BY
-        val drawn = scored
-          .filter(u < lit(SCAL_L) * col("__d2") / lit(phi))
-          .groupBy("pid").agg(min(col(dims.head)).as(dims.head),
-            dims.tail.map(d => min(col(d)).as(d)): _*)
-          .collect()
-          .map(row => row.getLong(0) -> dims.indices.map(i => row.getDouble(1 + i)).toArray)
-        val known = cands.map(_._1).toSet
-        cands = cands ++ drawn.filterNot(d => known(d._1)).sortBy(_._1)
+    val pts = Points.lineitem4d(spark, dir)
+    // row hash + d2 vs the deterministic first point, materialized
+    var cands: Seq[(Long, Array[Double])] =
+      pts.orderBy(col("pid") +: dims.map(col): _*).limit(1)
+        .collect().map(r => r.getLong(0) ->
+        dims.indices.map(i => r.getDouble(1 + i)).toArray).toSeq
+    val d0 = Points.distTo(cands.head._2, dims)
+    var base = pts.select(col("pid") +: dims.map(col) :+
+      md5(col("pid").cast("string")).as("__h") :+ (d0 * d0).as("__d2"): _*)
+      .localCheckpoint(eager = true)
+    for (r <- 1 to SCAL_ROUNDS) {
+      // phi ROUNDED 6 before it enters the draw threshold: the raw
+      // sum is order-dependent, the rounded value is engine-stable
+      val phi = BigDecimal(base.agg(sum("__d2")).head.getDouble(0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val u = expr(u24SliceSql("__h", (r - 1) * 6))
+      // canonicalize per pid (the testdata duplicates rows per pid):
+      // identical rows share one draw decision; a pid with several
+      // drawn variants contributes its per-dim min — deterministic
+      // and mirrored verbatim in the oracle's GROUP BY
+      val drawn = base
+        .filter(u < lit(SCAL_L) * col("__d2") / lit(phi))
+        .groupBy("pid").agg(min(col(dims.head)).as(dims.head),
+          dims.tail.map(d => min(col(d)).as(d)): _*)
+        .collect()
+        .map(row => row.getLong(0) -> dims.indices.map(i => row.getDouble(1 + i)).toArray)
+      val known = cands.map(_._1).toSet
+      val fresh = drawn.filterNot(d => known(d._1)).sortBy(_._1)
+      cands = cands ++ fresh
+      if (r < SCAL_ROUNDS && fresh.nonEmpty) {
+        val newMin = (col("__d2") +: fresh.toSeq.map { case (_, c) =>
+          val dd = Points.distTo(c, dims); dd * dd
+        }).reduce((a, b) => least(a, b))
+        base = base.select(col("pid") +: dims.map(col) :+ col("__h") :+
+          newMin.as("__d2"): _*).localCheckpoint(eager = true)
       }
-      // weights: points nearest to each candidate (ties -> lowest
-      // candidate index, the assign convention)
-      val result = assign(pts, cands.map(_._2).toArray, dims)
-        .groupBy("k").agg(count(lit(1)).as("weight"))
-      val byIdx = result.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-      import spark.implicits._
-      cands.zipWithIndex.map { case ((pid, _), i) =>
-        (pid, byIdx.getOrElse(i, 0L))
-      }.toDF("cand_pid", "weight")
-    } finally { pts.unpersist(); () }
+    }
+    // weights: points nearest to each candidate (ties -> lowest
+    // candidate index, the assign convention)
+    val byIdx = assign(base.select(col("pid") +: dims.map(col): _*),
+      cands.map(_._2).toArray, dims)
+      .groupBy("k").agg(count(lit(1)).as("weight"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    import spark.implicits._
+    cands.zipWithIndex.map { case ((pid, _), i) =>
+      (pid, byIdx.getOrElse(i, 0L))
+    }.toDF("cand_pid", "weight")
+  }
+
+  /** 24-bit uniform in (0,1) from nibbles off+1..off+6 of an ALREADY
+    * COMPUTED md5 hex column — the per-round slice of the row's one
+    * digest (portable: DuckDB mirrors it verbatim over the same
+    * md5). */
+  private def u24SliceSql(hCol: String, off: Int): String = {
+    val v = (1 to 6).map(i =>
+      s"(instr('0123456789abcdef', substr($hCol, ${off + i}, 1)) - 1) * ${math.pow(16, 6 - i).toLong}")
+      .mkString("(", " + ", ")")
+    s"(($v) + 0.5) / 16777216.0"
   }
 
   /** Decile rank-transform: bucketize each dim into 0..9 by its own
