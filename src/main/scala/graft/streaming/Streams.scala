@@ -394,6 +394,49 @@ object Streams {
       .select(col("user_id"), col("w.start").as("sess_start"),
         col("w.end").as("sess_end"), col("n_events"), col("sum_value"))
 
+  // ---- per-key quota gate (transformWithState) -------------------------
+
+  case class QEv(user_id: Long, event_id: Long)
+  case class QuotaOut(user_id: Long, event_id: Long, admitted: Boolean, n_seen: Long)
+
+  /** Per-key admission quota on Spark 4's transformWithState — the
+    * NEW arbitrary-state API (StatefulProcessor + typed ValueState,
+    * RocksDB-backed): each user key carries one Long of state, events
+    * beyond the quota are marked inadmissible, across micro-batches.
+    * This is the per-producer quota an ingest front door enforces so
+    * one hot crawler cannot flood the corpus — the keyed-state
+    * complement to the DocLog source's global admission cap. Output
+    * is a decision per event (Append), so the gate composes with any
+    * downstream sink; state is ONE counter per key and the TTLConfig
+    * hook is where a deployment ages idle producers out. */
+  class QuotaProcessor(quota: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, QEv, QuotaOut] {
+    @transient private var count: org.apache.spark.sql.streaming.ValueState[Long] = _
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      count = getHandle.getValueState[Long]("n",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[QEv],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[QuotaOut] = {
+      var n = if (count.exists()) count.get() else 0L
+      // deterministic admission order within a batch
+      val out = rows.toSeq.sortBy(_.event_id).map { e =>
+        n += 1
+        QuotaOut(key, e.event_id, n <= quota, n)
+      }
+      count.update(n)
+      out.iterator
+    }
+  }
+
+  def quotaGate(events: Dataset[QEv], quota: Long = 3L): Dataset[QuotaOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new QuotaProcessor(quota),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+  }
+
   // ---- streaming heavy hitters (SpaceSaving) ---------------------------
 
   case class TypedEv(event_type: String, user_id: Long)

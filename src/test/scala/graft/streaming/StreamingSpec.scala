@@ -610,6 +610,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transformWithState quota gate admits up to the quota per key across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val saved = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    // transformWithState requires the RocksDB state store provider
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[Streams.QEv]
+    val q = Streams.quotaGate(input.toDS(), quota = 2L)
+      .writeStream.format("memory").queryName("quota_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(Streams.QEv(1L, 10L), Streams.QEv(1L, 11L), Streams.QEv(1L, 12L),
+        Streams.QEv(2L, 20L))
+      q.processAllAvailable()
+      // batch 2: user 1 already over quota; user 2 gets one more slot
+      input.addData(Streams.QEv(1L, 13L), Streams.QEv(2L, 21L), Streams.QEv(2L, 22L))
+      q.processAllAvailable()
+      val rows = spark.table("quota_out").as[Streams.QuotaOut].collect()
+        .map(r => r.event_id -> r.admitted).toMap
+      assert(rows == Map(10L -> true, 11L -> true, 12L -> false, 13L -> false,
+        20L -> true, 21L -> true, 22L -> false), rows.toString)
+    } finally {
+      q.stop()
+      saved match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming heavy hitters: bounded state, one-sided estimates, heavy key surfaces") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Streams.TypedEv]
