@@ -6,8 +6,9 @@ import graft.Tables.t
 
 /** Declarative data-quality constraint suite in the style of the
   * public Deequ/Great-Expectations tools: a set of table constraints
-  * (size, completeness, key uniqueness, bounds, set membership)
-  * verified in ONE aggregation pass and emitted as a long report row
+  * (size, completeness, key uniqueness, bounds, set membership,
+  * referential integrity) verified in one aggregation pass plus one
+  * broadcast anti-join (the FK check) and emitted as a long report row
   * per check — the validation gate a production pipeline runs on
   * every landed batch before it is admitted downstream.
   *
@@ -40,7 +41,15 @@ object DataChecks {
               passed: org.apache.spark.sql.Column) =
       struct(lit(name).as("check"), lit(column).as("col_name"),
         observed.as("observed"), passed.as("passed"))
-    agg.select(explode(array(
+    // referential integrity: every fact FK resolves in its dimension
+    // (one broadcast anti-join count — the single non-single-pass
+    // check, priced accordingly)
+    val orphans = t(spark, dir, "lineitem")
+      .join(broadcast(t(spark, dir, "orders").select(col("o_orderkey"))),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("n_orphans"))
+    val agg2 = agg.crossJoin(broadcast(orphans))
+    agg2.select(explode(array(
       check("size", "*", col("n_rows").cast("double"), col("n_rows") > 0L),
       check("completeness", "l_quantity", frac("n_qty"), col("n_qty") === col("n_rows")),
       check("completeness", "l_returnflag", frac("n_rf"), col("n_rf") === col("n_rows")),
@@ -50,7 +59,9 @@ object DataChecks {
       check("range_0_1", "l_discount", frac("n_disc_ok"), col("n_disc_ok") === col("n_rows")),
       check("in_set_ANR", "l_returnflag", frac("n_rf_ok"), col("n_rf_ok") === col("n_rows")),
       check("non_negative", "l_extendedprice", frac("n_price_ok"),
-        col("n_price_ok") === col("n_rows")))).as("c"))
+        col("n_price_ok") === col("n_rows")),
+      check("referential", "l_orderkey->o_orderkey",
+        col("n_orphans").cast("double"), col("n_orphans") === 0L))).as("c"))
       .select(col("c.check").as("check"), col("c.col_name").as("col_name"),
         col("c.observed").as("observed"), col("c.passed").as("passed"))
   }
@@ -85,5 +96,10 @@ object DataChecks {
          |UNION ALL SELECT 'in_set_ANR', 'l_returnflag',
          |  round(CAST(n_rf_ok AS DOUBLE) / n_rows, 6), n_rf_ok = n_rows FROM a
          |UNION ALL SELECT 'non_negative', 'l_extendedprice',
-         |  round(CAST(n_price_ok AS DOUBLE) / n_rows, 6), n_price_ok = n_rows FROM a""".stripMargin)
+         |  round(CAST(n_price_ok AS DOUBLE) / n_rows, 6), n_price_ok = n_rows FROM a
+         |UNION ALL SELECT 'referential', 'l_orderkey->o_orderkey',
+         |  CAST(n_orphans AS DOUBLE), n_orphans = 0 FROM
+         |  (SELECT count(*) AS n_orphans FROM lineitem l
+         |   WHERE NOT EXISTS (SELECT 1 FROM orders o
+         |                     WHERE o.o_orderkey = l.l_orderkey))""".stripMargin)
 }

@@ -63,15 +63,17 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(b.getAs[Long]("n_pass") == 0L)
   }
 
-  test("data checks report 8 constraints with sane observations") {
+  test("data checks report 9 constraints with sane observations") {
     val rows = graft.pipeline.DataChecks.qDataChecks(spark, sf).collect()
-    assert(rows.length == 8)
+    assert(rows.length == 9)
+    val ref = rows.find(_.getString(0) == "referential").get
+    assert(ref.getBoolean(3) == (ref.getDouble(2) == 0.0))
     val byCheck = rows.map(r => (r.getString(0), r.getString(1)) -> r).toMap
     // completeness on this corpus is total
     assert(byCheck(("completeness", "l_quantity")).getBoolean(3))
     assert(byCheck(("completeness", "l_quantity")).getDouble(2) == 1.0)
     // every observed fraction is in [0, 1]; size is positive
-    rows.filter(_.getString(0) != "size").filter(_.getString(0) != "min_bound")
+    rows.filterNot(r => Set("size", "min_bound", "referential")(r.getString(0)))
       .foreach(r => assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0))
     assert(byCheck(("size", "*")).getDouble(2) > 0.0)
     // passed is consistent with observed for the fraction checks
