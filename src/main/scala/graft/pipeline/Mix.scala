@@ -73,6 +73,33 @@ object Mix {
           .cast("long").as("docs_for_budget"))
   }
 
+  /** Temperature exponent for the alpha-sampling report (the public
+    * XLM-R/mT5 multilingual recipe: sampling shares proportional to
+    * share^alpha upweight low-resource slices). */
+  private val MIX_ALPHA = 0.3
+
+  /** Temperature-scaled mixing report: per source, the corpus share,
+    * the alpha-tempered target rate share^alpha / sum(share^alpha),
+    * and the boost factor over proportional sampling — the standard
+    * low-resource upweighting schedule, computed from one bounded
+    * source aggregate + a 1-row broadcast normalizer. Shares are
+    * ROUNDED 6 before the power so the tempering arithmetic starts
+    * from identical numbers in both engines (pow is then a per-row
+    * libm call on equal inputs). */
+  def qMixTemperature(spark: SparkSession, dir: String): DataFrame = {
+    val per = t(spark, dir, "documents")
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val tot = per.agg(sum("n_docs").as("__t"))
+    val shared = per.crossJoin(broadcast(tot))
+      .withColumn("share", round(col("n_docs").cast("double") / col("__t"), 6))
+      .withColumn("w", pow(col("share"), lit(MIX_ALPHA)))
+    val norm = shared.agg(round(sum("w"), 6).as("__z"))
+    shared.crossJoin(broadcast(norm))
+      .select(col("source"), col("n_docs"), col("share"),
+        round(col("w") / col("__z"), 6).as("temp_rate"),
+        round(col("w") / col("__z") / col("share"), 6).as("boost"))
+  }
+
   /** 24-bit uniform in (0,1) from a doc's id hash: 6 md5 nibbles via
     * the Splits instr() parse (portable to DuckDB verbatim), +0.5 so
     * u is never 0 (ln(0) = -inf). */
@@ -125,10 +152,23 @@ object Mix {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_mix" -> (qMix _),
     "pipeline_token_budget" -> (qTokenBudget _),
+    "pipeline_mix_temperature" -> (qMixTemperature _),
     "pipeline_source_cap" -> ((s: SparkSession, d: String) => qSourceCap(s, d)),
     "pipeline_weighted_sample" -> (qWeightedSample _))
 
   val oracleSql: Map[String, String] = Map(
+    "pipeline_mix_temperature" ->
+      s"""WITH per AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+         |tot AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS t FROM per),
+         |sh AS (SELECT source, n_docs,
+         |    round(CAST(n_docs AS DOUBLE) / t, 6) AS share
+         |  FROM per CROSS JOIN tot),
+         |wz AS (SELECT source, n_docs, share, pow(share, $MIX_ALPHA) AS w FROM sh),
+         |z AS (SELECT round(sum(w), 6) AS z FROM wz)
+         |SELECT source, n_docs, share,
+         |  round(w / z, 6) AS temp_rate,
+         |  round(w / z / share, 6) AS boost
+         |FROM wz CROSS JOIN z""".stripMargin,
     "pipeline_token_budget" ->
       s"""WITH kept AS (
          |  SELECT source,

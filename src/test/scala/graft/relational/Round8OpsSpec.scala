@@ -144,6 +144,19 @@ class Round8OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("temperature mixing boosts small sources and rates sum to 1") {
+    val rows = graft.pipeline.Mix.qMixTemperature(spark, sf).collect()
+      .map(r => (r.getAs[Long]("n_docs"), r.getAs[Double]("temp_rate"),
+        r.getAs[Double]("boost")))
+    assert(math.abs(rows.map(_._2).sum - 1.0) < 1e-3)
+    val smallest = rows.minBy(_._1)
+    val largest = rows.maxBy(_._1)
+    if (smallest._1 < largest._1) {
+      assert(smallest._3 > largest._3, "alpha < 1 boosts the small source more")
+      assert(smallest._3 >= 1.0 - 1e-6, "under-represented sources are upweighted")
+    }
+  }
+
   test("kmeans|| init: weights cover every point, candidates distinct and plural") {
     val rows = graft.clustering.KMeans.qScalableInit(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1))
