@@ -776,7 +776,89 @@ object Dedup {
        |${sweep("l2", "l3")}""".stripMargin
   }
 
+  /** Sorted-neighborhood near-dup discovery (Hernandez-Stolfo's
+    * merge/purge method, from the public record-linkage literature) —
+    * the SORT-based blocking alternative to hashing: records sorted
+    * under a blocking key are compared only against their `window`
+    * nearest neighbors in sort order, then verified with exact
+    * word-set Jaccard. Complements MinHash-LSH (hash blocking) and
+    * the prefix-filter join (inverted-index blocking): sort blocking
+    * wins when near-dups share long common prefixes (crawl snapshots,
+    * versioned boilerplate) and its cost is ONE sort, no shingle
+    * explosion at all.
+    *
+    * Scale shape: the sort runs WITHIN hash-partitioned blocks (the
+    * 16-char prefix), never globally — a global row_number would
+    * serialize on one partition; partitioned blocks keep the window
+    * rank distributed and bound each block's comparison count at
+    * window * |block|. Verification joins the (small) neighbor-pair
+    * frame back to word sets by id through the native intersect_size
+    * expression, exactly like the LSH verifier. */
+  def qSortedNeighborhood(spark: SparkSession, dir: String,
+                          window: Int = 3, threshold: Double = 0.8): DataFrame =
+    sortedNeighborhoodOf(t(spark, dir, "documents"), window, threshold)
+
+  /** The sorted-neighborhood discovery over any (doc_id, text)
+    * frame. */
+  def sortedNeighborhoodOf(docs: DataFrame, window: Int = 3,
+                           threshold: Double = 0.8): DataFrame = {
+    val keyed = docs
+      .select(col("doc_id"), substring(col("text"), 1, 16).as("blk"), col("text"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("blk").orderBy(col("text"), col("doc_id"))))
+      .select("doc_id", "blk", "rk")
+    val cand = keyed.as("x").join(keyed.as("y"),
+        col("x.blk") === col("y.blk") &&
+          col("y.rk") > col("x.rk") && col("y.rk") <= col("x.rk") + window)
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("ia"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("ib"))
+    minhashLshFrom(docs, cand, threshold)
+  }
+
+  /** Line-level exact dedup with corpus REBUILD (the C4/RefinedWeb
+    * line-dedup shape, from their public descriptions: drop every
+    * repeated line, keep the corpus-first occurrence, write the
+    * cleaned corpus back out). "Lines" on this corpus are the
+    * non-overlapping 12-word segments; first occurrence is the
+    * (doc_id, pos)-minimal one, so the output is order-deterministic.
+    * The rebuilt text ships as an md5 `clean_hash` next to the kept
+    * counts — the rebuild is fully verified cross-engine without
+    * hauling full cleaned texts through the compare.
+    *
+    * Scale shape: one explode to segments (linear), ONE
+    * hash-partitioned window on the segment text to rank occurrences
+    * (the dedup decision is a rank-1 test, no self-join of the corpus
+    * against itself), one groupBy doc_id to reassemble. Docs whose
+    * every segment first occurred elsewhere (exact duplicates) rebuild
+    * to NULL, not '' — nullif keeps the empty-rebuild case
+    * distinguishable and cross-engine identical. */
+  def qLineDedup(spark: SparkSession, dir: String, segWords: Int = 12): DataFrame =
+    lineDedupOf(t(spark, dir, "documents"), segWords)
+
+  /** The line-dedup rebuild over any (doc_id, text) frame. */
+  def lineDedupOf(docs: DataFrame, segWords: Int = 12): DataFrame = {
+    val segs = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, CAST(ceil(size(ws) / $segWords.0) AS INT) - 1),
+           |  i -> array_join(slice(ws, i * $segWords + 1, $segWords), ' '))""".stripMargin))
+        .as(Seq("pos", "seg")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("seg").orderBy(col("doc_id"), col("pos"))
+    segs.withColumn("rn", row_number().over(w))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_segments"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        md5(nullif(expr(
+          """array_join(transform(array_sort(
+            |  collect_list(CASE WHEN rn = 1 THEN struct(pos, seg) END)),
+            |  x -> x.seg), ' ')""".stripMargin), lit(""))).as("clean_hash"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_sorted_neighborhood" -> ((s: SparkSession, d: String) => qSortedNeighborhood(s, d)),
+    "dedup_lines" -> ((s: SparkSession, d: String) => qLineDedup(s, d)),
     "dedup_exact" -> (qExact _),
     "dedup_exact_events" -> (qExactEvents _),
     "dedup_minhash" -> (qMinhash _),
@@ -801,6 +883,40 @@ object Dedup {
     "dedup_embed_clusters" -> (qEmbedClusters _))
 
   val oracleSql: Map[String, String] = Map(
+    "dedup_sorted_neighborhood" ->
+      """WITH k AS (
+        |  SELECT doc_id, substr(text, 1, 16) AS blk,
+        |    row_number() OVER (PARTITION BY substr(text, 1, 16)
+        |                       ORDER BY text, doc_id) AS rk
+        |  FROM documents),
+        |c AS (
+        |  SELECT least(x.doc_id, y.doc_id) AS ia,
+        |    greatest(x.doc_id, y.doc_id) AS ib
+        |  FROM k x JOIN k y
+        |    ON x.blk = y.blk AND y.rk > x.rk AND y.rk <= x.rk + 3),
+        |w AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM documents)
+        |SELECT ia, ib, j FROM (
+        |  SELECT ia, ib,
+        |    CAST(len(list_intersect(wa.ws, wb.ws)) AS DOUBLE)
+        |      / (len(wa.ws) + len(wb.ws) - len(list_intersect(wa.ws, wb.ws))) AS j
+        |  FROM c JOIN w wa ON ia = wa.doc_id JOIN w wb ON ib = wb.doc_id)
+        |WHERE j >= 0.8""".stripMargin,
+    "dedup_lines" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |s AS (
+        |  SELECT doc_id, ps.pos AS pos, ps.seg AS seg FROM (
+        |    SELECT doc_id, unnest(list_transform(
+        |      range(0, CAST(ceil(len(ws) / 12.0) AS BIGINT)),
+        |      i -> struct_pack(pos := i,
+        |        seg := array_to_string(ws[CAST(i * 12 + 1 AS INT):CAST(i * 12 + 12 AS INT)], ' ')))) AS ps
+        |    FROM d)),
+        |r AS (SELECT doc_id, pos, seg,
+        |    row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
+        |  FROM s)
+        |SELECT doc_id, count(*) AS n_segments,
+        |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  md5(string_agg(CASE WHEN rn = 1 THEN seg END, ' ' ORDER BY pos)) AS clean_hash
+        |FROM r GROUP BY doc_id""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
         |  count(*) AS n_copies

@@ -63,8 +63,44 @@ object CountMin {
         (col("est") - col("exact")).as("overestimate"))
   }
 
+  /** Join-cardinality estimation from two Count-Min sketches — the
+    * sketch INNER PRODUCT bound (Cormode-Muthukrishnan §4.2, from the
+    * public paper): |orders ⋈ customer on custkey| is estimated as
+    * min over hash rows r of Σ_b cntO[r,b]·cntC[r,b], an upper bound
+    * that is exact when no two keys collide in a row. This is the
+    * planner-style use of the sketch: at 100 TB you want the join's
+    * output size BEFORE running it (to pick broadcast vs shuffle, or
+    * to veto a runaway join), and the estimate touches only two
+    * D*W-cell summaries — each side is one map-side-combined
+    * aggregate, the product is a D*W-row join, no row of the actual
+    * join output is ever produced. The exact count (for the report's
+    * error column) comes from joining the two per-key count frames —
+    * Σ_k cO(k)·cC(k) — which is itself far cheaper than the join it
+    * sizes. Output: one row (est, exact, overestimate >= 0). */
+  def qJoinSizeEstimate(spark: SparkSession, dir: String): DataFrame = {
+    def sketchOf(df: DataFrame, key: String): DataFrame =
+      df.select(explode(array((0 until D).map(r =>
+          struct(lit(r).as("r"),
+            bucket(r, expr(s"CAST($key AS STRING)")).as("b"))): _*)).as("c"))
+        .groupBy(col("c.r").as("r"), col("c.b").as("b"))
+        .agg(count(lit(1)).as("cnt"))
+    val so = sketchOf(t(spark, dir, "orders"), "o_custkey")
+    val sc = sketchOf(t(spark, dir, "customer"), "c_custkey")
+    val est = so.join(sc.withColumnRenamed("cnt", "cnt2"), Seq("r", "b"))
+      .groupBy("r").agg(sum(col("cnt") * col("cnt2")).as("ip"))
+      .agg(min("ip").as("est"))
+    val exact = t(spark, dir, "orders").groupBy(col("o_custkey").as("k"))
+      .agg(count(lit(1)).as("no"))
+      .join(t(spark, dir, "customer").groupBy(col("c_custkey").as("k"))
+        .agg(count(lit(1)).as("nc")), "k")
+      .agg(sum(col("no") * col("nc")).as("exact"))
+    est.crossJoin(broadcast(exact))
+      .select(col("est"), col("exact"), (col("est") - col("exact")).as("overestimate"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "events_countmin" -> (qCountMin _))
+    "events_countmin" -> (qCountMin _),
+    "join_size_estimate" -> (qJoinSizeEstimate _))
 
   val oracleSql: Map[String, String] = Map(
     "events_countmin" -> {
@@ -82,5 +118,23 @@ object CountMin {
          |  min(cnt) - min(exact) AS overestimate
          |FROM probes JOIN sketch USING (r, b)
          |GROUP BY event_type""".stripMargin
+    },
+    "join_size_estimate" -> {
+      def cells(table: String, key: String) = (0 until D).map(r =>
+        s"SELECT $r AS r, ${bucketSql(r, s"CAST($key AS VARCHAR)")} AS b FROM $table")
+        .mkString(" UNION ALL ")
+      s"""WITH so AS (
+         |  SELECT r, b, count(*) AS cnt FROM (${cells("orders", "o_custkey")}) GROUP BY r, b),
+         |sc AS (
+         |  SELECT r, b, count(*) AS cnt FROM (${cells("customer", "c_custkey")}) GROUP BY r, b),
+         |ip AS (SELECT so.r, sum(so.cnt * sc.cnt) AS ip
+         |  FROM so JOIN sc USING (r, b) GROUP BY so.r),
+         |est AS (SELECT min(ip) AS est FROM ip),
+         |ex AS (SELECT sum(no * nc) AS exact FROM
+         |  (SELECT o_custkey AS k, count(*) AS no FROM orders GROUP BY 1) o
+         |  JOIN (SELECT c_custkey AS k, count(*) AS nc FROM customer GROUP BY 1) c USING (k))
+         |SELECT CAST(est AS BIGINT) AS est, CAST(exact AS BIGINT) AS exact,
+         |  CAST(est - exact AS BIGINT) AS overestimate
+         |FROM est CROSS JOIN ex""".stripMargin
     })
 }

@@ -111,9 +111,26 @@ object Graph {
         round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6).as("global_cc"))
   }
 
+  /** Connected-component size distribution of the dup graph —
+    * component_size -> n_components, singletons included (a doc with
+    * no candidate edge is its own component). The macro answer to
+    * "how duplicated is this corpus": a healthy crawl shows a long
+    * singleton head and small families; one giant component means
+    * boilerplate chaining. Rides the staged converged cluster labels
+    * (derived once per JVM+dir, shared with clusters/keepers/savings),
+    * so the query itself is a left join plus two bounded groupBys on
+    * already-small frames. */
+  def qComponents(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .join(Dedup.stagedClusters(spark, dir), Seq("doc_id"), "left")
+      .select(coalesce(col("cluster_id"), col("doc_id")).as("comp"))
+      .groupBy("comp").agg(count(lit(1)).as("component_size"))
+      .groupBy("component_size").agg(count(lit(1)).as("n_components"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> ((s: SparkSession, d: String) => qPageRank(s, d)),
     "graph_triangles" -> (qTriangles _),
+    "graph_components" -> (qComponents _),
     "graph_degree_stats" -> (qDegreeStats _))
 
   private val undSql =
@@ -161,5 +178,13 @@ object Graph {
          |${Dedup.bandsSql},
          |${Dedup.candsSql},
          |$undSql
-         |SELECT deg, count(*) AS n_docs FROM deg GROUP BY deg""".stripMargin)
+         |SELECT deg, count(*) AS n_docs FROM deg GROUP BY deg""".stripMargin,
+    "graph_components" ->
+      s"""WITH ${Dedup.clusterChainSql},
+         |comp AS (
+         |  SELECT coalesce(l3.lbl, d.doc_id) AS comp
+         |  FROM documents d LEFT JOIN l3 ON l3.doc_id = d.doc_id),
+         |sz AS (SELECT comp, count(*) AS component_size FROM comp GROUP BY comp)
+         |SELECT component_size, count(*) AS n_components
+         |FROM sz GROUP BY component_size""".stripMargin)
 }

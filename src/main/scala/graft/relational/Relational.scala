@@ -403,6 +403,27 @@ object Relational {
       .select("user_id", "event_id", "ma4")
   }
 
+  /** Last-touch conversion attribution: each purchase is credited to
+    * the immediately preceding event of the same user (the classic
+    * marketing-attribution shape; first/linear-touch are window-frame
+    * variants of the same plan). One window pass partitioned on
+    * user_id — at scale that is a single hash-partitioned sort per
+    * user shard, no self-join of events against events, no per-user
+    * event-list collection — then a tiny partial-aggregated rollup
+    * by the credited type. */
+  def eventsAttribution(spark: SparkSession, dir: String): DataFrame =
+    attributionOf(t(spark, dir, "events"))
+
+  /** The attribution rollup over any events-shaped frame. */
+  def attributionOf(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    ev.withColumn("touch_type", lag("event_type", 1).over(w))
+      .filter(col("event_type") === "purchase" && col("touch_type").isNotNull)
+      .groupBy("touch_type")
+      .agg(count(lit(1)).as("n_conversions"),
+        round(sum("value"), 4).as("attributed_value"))
+  }
+
   /** Markov next-event transition matrix: P(next event type | event
     * type) from each user's (ts, event_id)-ordered event sequence —
     * the first-order behavioral model product analytics ships (and a
@@ -662,6 +683,7 @@ object Relational {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_freq_items" -> (eventsFreqItems _),
     "events_transitions" -> (eventsTransitions _),
+    "events_attribution" -> (eventsAttribution _),
     "events_ewma" -> (eventsEwma _),
     "events_banded" -> (eventsBanded _),
     "events_anomaly" -> (eventsAnomaly _),
@@ -703,6 +725,15 @@ object Relational {
     "agg_stats" -> (aggStats _))
 
   val oracleSql: Map[String, String] = Map(
+    "events_attribution" ->
+      """SELECT touch_type, count(*) AS n_conversions,
+        |  round(sum(value), 4) AS attributed_value
+        |FROM (
+        |  SELECT event_type, value,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS touch_type
+        |  FROM events)
+        |WHERE event_type = 'purchase' AND touch_type IS NOT NULL
+        |GROUP BY touch_type""".stripMargin,
     "events_transitions" ->
       """WITH p AS (
         |  SELECT event_type, next_type, count(*) AS n FROM (

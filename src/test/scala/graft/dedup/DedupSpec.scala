@@ -155,4 +155,38 @@ class DedupSpec extends AnyFunSuite {
       assert(!plan.contains("CartesianProduct"), plan.take(400))
     }
   }
+
+  test("sorted neighborhood pairs prefix-sharing near-dups, skips far blocks") {
+    import org.apache.spark.sql.functions._
+    val base = "alpha beta gamma delta epsilon zeta eta theta" // 16-char prefix "alpha beta gamma"
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " iota"), // same block, jaccard 8/9 >= 0.8
+      (3L, "zebra yak xylophone wombat viper urchin")) // different block
+      .toDF("doc_id", "text")
+    val pairs = Dedup.sortedNeighborhoodOf(docs)
+      .select("ia", "ib").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("line dedup: exact copy rebuilds to null, novel tail survives") {
+    import org.apache.spark.sql.functions._
+    val w24 = (1 to 24).map(i => s"w$i").mkString(" ") // 2 segments of 12
+    val tail12 = (101 to 112).map(i => s"n$i").mkString(" ")
+    val docs = Seq(
+      (1L, w24), // keeps both segments
+      (2L, w24), // exact copy: keeps nothing
+      (3L, (1 to 12).map(i => s"w$i").mkString(" ") + " " + tail12))
+      .toDF("doc_id", "text")
+    val out = Dedup.lineDedupOf(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_kept") == 2L)
+    assert(out(2L).getAs[Long]("n_kept") == 0L)
+    assert(out(2L).getAs[String]("clean_hash") == null,
+      "an all-duplicate doc must rebuild to NULL, not ''")
+    assert(out(3L).getAs[Long]("n_kept") == 1L)
+    val expected = spark.sql(s"SELECT md5('$tail12')").collect()(0).getString(0)
+    assert(out(3L).getAs[String]("clean_hash") == expected,
+      "doc 3's rebuild must be exactly its novel tail segment")
+  }
 }

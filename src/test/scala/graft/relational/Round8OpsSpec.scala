@@ -258,4 +258,37 @@ class Round8OpsSpec extends AnyFunSuite {
       assert(r.getAs[Double]("mean_dist") >= 0.0)
     }
   }
+
+  test("attribution credits the immediately preceding event per user") {
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(s: Long) = new java.sql.Timestamp(ts0.getTime + s * 1000)
+    val ev = Seq(
+      (1L, at(1), 10L, "view", 1.0),
+      (2L, at(2), 10L, "purchase", 10.0), // credited to view
+      (3L, at(3), 10L, "click", 1.0),
+      (4L, at(4), 10L, "purchase", 5.0), // credited to click
+      (5L, at(1), 20L, "purchase", 99.0)) // no prior event -> dropped
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val m = Relational.attributionOf(ev).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(m == Map("view" -> ((1L, 10.0)), "click" -> ((1L, 5.0))))
+  }
+
+  test("join size estimate upper-bounds the true join cardinality") {
+    val r = CountMin.qJoinSizeEstimate(spark, sf).collect()(0)
+    val est = r.getAs[Long]("est"); val exact = r.getAs[Long]("exact")
+    val truth = graft.Tables.t(spark, sf, "orders").join(
+      graft.Tables.t(spark, sf, "customer"),
+      col("o_custkey") === col("c_custkey")).count()
+    assert(exact == truth, s"exact column $exact != executed join $truth")
+    assert(est >= exact && r.getAs[Long]("overestimate") == est - exact)
+  }
+
+  test("component sizes sum to the corpus size") {
+    val rows = Graph.qComponents(spark, sf).collect()
+    val covered = rows.map(r =>
+      r.getAs[Long]("component_size") * r.getAs[Long]("n_components")).sum
+    val n = graft.Tables.t(spark, sf, "documents").count()
+    assert(covered == n, s"components cover $covered of $n docs")
+  }
 }
