@@ -43,11 +43,39 @@ object Assembly {
         col("emb_dim").cast("long"), col("label").cast("long"))
   }
 
+  /** Release-shard manifest: hash-assign every document to one of 16
+    * output shards and fingerprint each shard's content — the
+    * manifest a reproducible dataset release ships (the "data card +
+    * checksums" file): a consumer re-running the pipeline verifies
+    * shard_hash equality instead of diffing terabytes. The per-shard
+    * fingerprint is md5 over the members' content hashes in doc_id
+    * order, so it pins membership AND content. One shuffle on the
+    * shard key; each shard's digest folds inside its own group (the
+    * same sorted-struct collect the sequence assembler uses — at
+    * 100 TB the per-shard member list is the manifest's natural
+    * size, 1/16th of the id space). */
+  def qShardManifest(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), md5(col("text")).as("h"), col("n_chars"))
+      .withColumn("shard", pmod(col("doc_id"), lit(16)).cast("int"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("total_chars"),
+        md5(expr(
+          "array_join(transform(array_sort(collect_list(struct(doc_id, h))), x -> x.h), '')"))
+          .as("shard_hash"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_sequences" -> (qEventSequences _),
+    "pipeline_shard_manifest" -> (qShardManifest _),
     "pipeline_assemble" -> (qAssemble _))
 
   val oracleSql: Map[String, String] = Map(
+    "pipeline_shard_manifest" ->
+      """SELECT CAST(doc_id % 16 AS INT) AS shard, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  md5(string_agg(md5(text), '' ORDER BY doc_id)) AS shard_hash
+        |FROM documents GROUP BY 1""".stripMargin,
     "events_sequences" ->
       """SELECT user_id, count(*) AS n_events,
         |  string_agg(event_type, ' '

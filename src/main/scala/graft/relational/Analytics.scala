@@ -533,7 +533,133 @@ object Analytics {
       .select("event_id", "event_type", "hod", "value", "z")
   }
 
+  /** Two-proportion A/B z-test on user conversion — the experiment
+    * readout every product pipeline runs: variant = user_id parity
+    * (the deterministic stand-in for an assignment column),
+    * conversion = the user fired >= 14 purchases (every user on this
+    * corpus purchases at least once, so the threshold sits at the
+    * per-user median and splits the population instead of
+    * degenerating to rate 1.0). One shuffle on
+    * user_id folds each user to a (variant, converted) bit; the
+    * z-statistic is closed-form over the four resulting counters, so
+    * the whole test is two bounded aggregations regardless of event
+    * volume. Integer counters cross the engines exactly; the one
+    * float expression (pooled z) is a mirrored per-row formula. */
+  def qAbTest(spark: SparkSession, dir: String): DataFrame =
+    abTestOf(t(spark, dir, "events"))
+
+  /** The A/B readout over any events-shaped frame. */
+  def abTestOf(ev: DataFrame): DataFrame = {
+    val perUser = ev
+      .groupBy(col("user_id"))
+      .agg(when(sum(when(col("event_type") === "purchase", 1).otherwise(0)) >= 14, 1)
+        .otherwise(0).as("conv"))
+      .withColumn("variant", pmod(col("user_id"), lit(2)).cast("int"))
+    val arms = perUser.groupBy("variant")
+      .agg(count(lit(1)).as("n_users"), sum("conv").as("n_conv"))
+    val wide = arms.agg(
+      max(when(col("variant") === 0, col("n_users"))).as("n_a"),
+      max(when(col("variant") === 0, col("n_conv"))).as("conv_a"),
+      max(when(col("variant") === 1, col("n_users"))).as("n_b"),
+      max(when(col("variant") === 1, col("n_conv"))).as("conv_b"))
+    wide.select(
+      col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+      round(col("conv_a").cast("double") / col("n_a"), 6).as("rate_a"),
+      round(col("conv_b").cast("double") / col("n_b"), 6).as("rate_b"),
+      // degenerate arms (pooled rate 0 or 1) have zero pooled variance:
+      // z is undefined -> NULL, identically in both engines via nullif
+      round(
+        (col("conv_b").cast("double") / col("n_b") - col("conv_a").cast("double") / col("n_a")) /
+          nullif(sqrt(((col("conv_a") + col("conv_b")).cast("double") / (col("n_a") + col("n_b"))) *
+            (lit(1.0) - (col("conv_a") + col("conv_b")).cast("double") / (col("n_a") + col("n_b"))) *
+            (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), lit(0.0)), 6).as("z"))
+  }
+
+  /** Peak concurrency per day — the classic interval sweep re-shaped
+    * for partition locality: each event opens a 30-minute presence
+    * window, clamped to its day so every (+1, -1) boundary pair stays
+    * inside one day partition; the running sum that counts open
+    * windows then runs under a DAY-partitioned window, never a global
+    * sort. Ties process closers first (delta asc), making the
+    * intervals half-open. */
+  def qConcurrency(spark: SparkSession, dir: String): DataFrame =
+    concurrencyOf(t(spark, dir, "events"))
+
+  /** The interval sweep over any events-shaped frame. */
+  def concurrencyOf(ev: DataFrame): DataFrame = {
+    // both boundary points inherit the OPENING event's day (a closer
+    // clamped to exactly midnight must not fall into the next day's
+    // partition, where it would start that day's running sum at -1)
+    val pts = ev
+      .select(to_date(col("ts")).as("day"), col("ts").as("ts0"))
+      .select(col("day"), explode(array(
+        struct(col("ts0").as("tp"), lit(1).as("delta")),
+        struct(least(col("ts0") + expr("INTERVAL 30 MINUTES"),
+          date_add(col("day"), 1).cast("timestamp")).as("tp"),
+          lit(-1).as("delta")))).as("p"))
+      .select(col("day"), col("p.tp").as("tp"), col("p.delta").as("delta"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("day").orderBy(col("tp"), col("delta"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    pts.withColumn("open", sum("delta").over(w))
+      .groupBy("day").agg(max("open").as("peak_concurrency"))
+  }
+
+  /** Per-customer rolling 30-day revenue at each order — the RANGE
+    * window frame (interval lookback on an ordered time axis), the
+    * one frame type the window inventory didn't yet cover: ROWS
+    * frames count rows, RANGE frames cut on the ORDER-BY value, which
+    * is what "last 30 days" actually means when order counts vary.
+    * Ordered on epoch seconds so both engines cut the frame on
+    * identical integers; revenue sums are DECIMAL-exact inside the
+    * frame (order-independent), cast to double once per row. One
+    * hash-partitioned window on the customer key — the frame never
+    * leaves the partition. */
+  def qRolling30d(spark: SparkSession, dir: String): DataFrame =
+    rolling30dOf(t(spark, dir, "orders"))
+
+  /** The rolling-window revenue over any orders-shaped frame. */
+  def rolling30dOf(orders: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy(col("ep"))
+      .rangeBetween(-30L * 86400, 0)
+    orders
+      .select(col("o_custkey"), col("o_orderkey"),
+        unix_timestamp(col("o_orderdate")).as("ep"),
+        col("o_totalprice").cast("decimal(38,2)").as("price"))
+      .withColumn("r30", sum("price").over(w).cast("double"))
+      .select("o_custkey", "o_orderkey", "r30")
+  }
+
+  /** Best supplier per part (lowest observed unit price, ties to the
+    * lower suppkey) — the greatest-n-per-group shape solved WITHOUT a
+    * window: min(struct(price, key)) rides partial aggregation, so
+    * the answer comes out of one map-side-combined groupBy instead of
+    * a rank-1 filter over a sorted window — at 100 TB that is the
+    * difference between a partial-aggregated shuffle of one struct
+    * per (part, supplier) and sorting every group. Unit prices are
+    * quantity-normalized doubles; the min pair is unique per part by
+    * the (price, suppkey) tiebreak, so the result is deterministic. */
+  def qBestSupplier(spark: SparkSession, dir: String): DataFrame =
+    bestSupplierOf(t(spark, dir, "lineitem"))
+
+  /** The argmin rollup over any lineitem-shaped frame. */
+  def bestSupplierOf(li: DataFrame): DataFrame =
+    li
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_price"))
+      .groupBy(col("l_partkey"))
+      .agg(min(struct(col("unit_price"), col("l_suppkey"))).as("m"))
+      .select(col("l_partkey"),
+        col("m.l_suppkey").as("best_suppkey"),
+        round(col("m.unit_price"), 6).as("best_unit_price"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_ab_test" -> (qAbTest _),
+    "events_concurrency" -> (qConcurrency _),
+    "orders_rolling_30d" -> (qRolling30d _),
+    "part_best_supplier" -> (qBestSupplier _),
     "basket_lift" -> ((s: SparkSession, d: String) => qBasketLift(s, d)),
     "orders_abc" -> (qAbc _),
     "events_seasonal_anomaly" -> (qSeasonalAnomaly _),
@@ -557,6 +683,62 @@ object Analytics {
     "hist2d_qty_price" -> ((s: SparkSession, d: String) => qHist2d(s, d)))
 
   val oracleSql: Map[String, String] = Map(
+    "orders_rolling_30d" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(38,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+        |    RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS r30
+        |FROM orders""".stripMargin,
+    "part_best_supplier" ->
+      """WITH up AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    min(l_extendedprice / l_quantity) AS unit_price
+        |  FROM lineitem GROUP BY 1, 2),
+        |r AS (SELECT l_partkey, l_suppkey, unit_price,
+        |    row_number() OVER (PARTITION BY l_partkey
+        |                       ORDER BY unit_price, l_suppkey) AS rn
+        |  FROM up)
+        |SELECT l_partkey, l_suppkey AS best_suppkey,
+        |  round(unit_price, 6) AS best_unit_price
+        |FROM r WHERE rn = 1""".stripMargin,
+    "events_ab_test" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
+        |      THEN 1 ELSE 0 END AS conv,
+        |    CAST(user_id % 2 AS INT) AS variant
+        |  FROM events GROUP BY user_id),
+        |arms AS (SELECT variant, count(*) AS n_users, sum(conv) AS n_conv
+        |  FROM u GROUP BY variant),
+        |w AS (SELECT
+        |    CAST(max(CASE WHEN variant = 0 THEN n_users END) AS BIGINT) AS n_a,
+        |    CAST(max(CASE WHEN variant = 0 THEN n_conv END) AS BIGINT) AS conv_a,
+        |    CAST(max(CASE WHEN variant = 1 THEN n_users END) AS BIGINT) AS n_b,
+        |    CAST(max(CASE WHEN variant = 1 THEN n_conv END) AS BIGINT) AS conv_b
+        |  FROM arms)
+        |SELECT n_a, conv_a, n_b, conv_b,
+        |  round(CAST(conv_a AS DOUBLE) / n_a, 6) AS rate_a,
+        |  round(CAST(conv_b AS DOUBLE) / n_b, 6) AS rate_b,
+        |  round((CAST(conv_b AS DOUBLE) / n_b - CAST(conv_a AS DOUBLE) / n_a)
+        |    / nullif(sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+        |      * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+        |      * (1.0 / n_a + 1.0 / n_b)), 0.0), 6) AS z
+        |FROM w""".stripMargin,
+    "events_concurrency" ->
+      """WITH pts AS (
+        |  SELECT CAST(ts AS DATE) AS day, ts AS tp, 1 AS delta FROM events
+        |  UNION ALL
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    least(ts + INTERVAL 30 MINUTE,
+        |          CAST(CAST(ts AS DATE) + INTERVAL 1 DAY AS TIMESTAMP)) AS tp,
+        |    -1 AS delta
+        |  FROM events),
+        |run AS (SELECT day,
+        |    sum(delta) OVER (PARTITION BY day ORDER BY tp, delta
+        |                     ROWS UNBOUNDED PRECEDING) AS open
+        |  FROM pts)
+        |SELECT day, CAST(max(open) AS BIGINT) AS peak_concurrency
+        |FROM run GROUP BY day""".stripMargin,
     "orders_abc" ->
       """WITH per AS (SELECT o_custkey,
         |    sum(CAST(o_totalprice AS DECIMAL(38,2))) AS rev

@@ -411,6 +411,29 @@ object Relational {
     * user shard, no self-join of events against events, no per-user
     * event-list collection — then a tiny partial-aggregated rollup
     * by the credited type. */
+  /** The full TPC-H Q1 pricing summary (all eight aggregate columns
+    * with the discount/tax arithmetic), completing the simplified
+    * `q1_agg` head: one predicate-pushed scan, one partial-aggregated
+    * groupBy on a 4-group key — the canonical "does partial
+    * aggregation carry the whole query" probe. Money sums round at
+    * 1 dp and averages at 4/6 dp (the established double-sum
+    * convention; group sums are ~1e8 with ~1e-7 accumulated error). */
+  def q1Pricing(spark: SparkSession, dir: String): DataFrame = {
+    val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") < lit("1998-09-03 00:00:00").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 1).as("sum_qty"),
+        round(sum("l_extendedprice"), 1).as("sum_base_price"),
+        round(sum(disc), 1).as("sum_disc_price"),
+        round(sum(disc * (lit(1.0) + col("l_tax"))), 1).as("sum_charge"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_extendedprice"), 4).as("avg_price"),
+        round(avg("l_discount"), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+  }
+
   def eventsAttribution(spark: SparkSession, dir: String): DataFrame =
     attributionOf(t(spark, dir, "events"))
 
@@ -684,6 +707,7 @@ object Relational {
     "events_freq_items" -> (eventsFreqItems _),
     "events_transitions" -> (eventsTransitions _),
     "events_attribution" -> (eventsAttribution _),
+    "q1_pricing_summary" -> (q1Pricing _),
     "events_ewma" -> (eventsEwma _),
     "events_banded" -> (eventsBanded _),
     "events_anomaly" -> (eventsAnomaly _),
@@ -725,6 +749,19 @@ object Relational {
     "agg_stats" -> (aggStats _))
 
   val oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 1) AS sum_qty,
+        |  round(sum(l_extendedprice), 1) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 1) AS sum_disc_price,
+        |  round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 1) AS sum_charge,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_extendedprice), 4) AS avg_price,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1998-09-03 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "events_attribution" ->
       """SELECT touch_type, count(*) AS n_conversions,
         |  round(sum(value), 4) AS attributed_value

@@ -269,6 +269,32 @@ object TextAnalysis {
       .select("doc_id", "score", "rank")
   }
 
+  /** MATTR lexical diversity (Covington-McFall's moving-average
+    * type-token ratio, from the public computational-linguistics
+    * literature) — the length-robust replacement for raw TTR, a
+    * standard text-quality signal: slide a 50-token window by 25 and
+    * average each window's distinct-type count. The whole measure is
+    * ONE per-row higher-order-function projection (sequence ->
+    * transform -> aggregate over the doc's own word array): no
+    * explode, no shuffle, rows never leave their scan partition.
+    * Cross-engine exactness: window distinct counts are integers,
+    * summed as integers; the single float division happens once at
+    * the end. Short docs (< 50 words) degrade to one full-length
+    * window, i.e. plain TTR. */
+  def qMattr(spark: SparkSession, dir: String): DataFrame =
+    mattrOf(t(spark, dir, "documents"))
+
+  /** The MATTR projection over any (doc_id, text) frame. */
+  def mattrOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .withColumn("wlen", least(size(col("ws")), lit(50)))
+      .withColumn("starts", expr("sequence(1, size(ws) - wlen + 1, 25)"))
+      .withColumn("tot", expr(
+        "aggregate(transform(starts, s -> size(array_distinct(slice(ws, s, wlen)))), 0, (a, x) -> a + x)"))
+      .select(col("doc_id"), size(col("starts")).as("n_windows"),
+        round(col("tot").cast("double") / (size(col("starts")) * col("wlen")), 6).as("mattr"))
+
   // ---- oracle SQL ------------------------------------------------------
 
   private def inListSql(ws: Seq[String]): String =
@@ -296,6 +322,7 @@ object TextAnalysis {
     "text_token_fertility" -> (qTokenFertility _),
     "text_fingerprint" -> (qFingerprint _),
     "text_tfidf" -> (qTfidf _),
+    "text_mattr" -> (qMattr _),
     "text_bm25" -> (qBm25 _))
 
   val oracleSql: Map[String, String] = {
@@ -307,6 +334,18 @@ object TextAnalysis {
       "WHEN " + langs.drop(i + 1).map(o => s"s_$l >= s_$o").mkString(" AND ") + s" THEN '$l'"
     }.mkString(" ")
     Map(
+      "text_mattr" ->
+        """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          |p AS (SELECT doc_id, ws, least(len(ws), 50) AS wlen,
+          |    range(1, len(ws) - least(len(ws), 50) + 2, 25) AS starts
+          |  FROM d),
+          |a AS (SELECT doc_id, len(starts) AS n_windows, wlen,
+          |    list_sum(list_transform(starts,
+          |      s -> len(list_distinct(ws[CAST(s AS INT):CAST(s + wlen - 1 AS INT)])))) AS tot
+          |  FROM p)
+          |SELECT doc_id, CAST(n_windows AS INT) AS n_windows,
+          |  round(CAST(tot AS DOUBLE) / (n_windows * wlen), 6) AS mattr
+          |FROM a""".stripMargin,
       "text_scrub" ->
         """SELECT doc_id,
           |  trim(regexp_replace(regexp_replace(regexp_replace(lower(text),

@@ -291,4 +291,86 @@ class Round8OpsSpec extends AnyFunSuite {
     val n = graft.Tables.t(spark, sf, "documents").count()
     assert(covered == n, s"components cover $covered of $n docs")
   }
+
+  test("ab test: hand-computed z on a crafted 4-user ledger") {
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(s: Long) = new java.sql.Timestamp(ts0.getTime + s * 1000)
+    // users 0,2 -> variant A; 1,3 -> variant B. conv = >=14 purchases.
+    val ev = (1 to 14).map(i => (i.toLong, at(i), 0L, "purchase", 1.0)) ++ // A converts
+      Seq((100L, at(1), 2L, "view", 1.0)) ++ // A non-convert
+      (1 to 14).map(i => (200L + i, at(i), 1L, "purchase", 1.0)) ++ // B converts
+      (1 to 14).map(i => (300L + i, at(i), 3L, "purchase", 1.0)) // B converts
+    val r = Analytics.abTestOf(ev.toDF("event_id", "ts", "user_id", "event_type", "value"))
+      .collect()(0)
+    assert(r.getAs[Long]("n_a") == 2 && r.getAs[Long]("conv_a") == 1)
+    assert(r.getAs[Long]("n_b") == 2 && r.getAs[Long]("conv_b") == 2)
+    // p = 3/4; z = (1.0 - 0.5) / sqrt(0.75*0.25*(1/2+1/2)) = 1.154701
+    assert(math.abs(r.getAs[Double]("z") - 1.154701) < 1e-6)
+  }
+
+  test("concurrency sweep: overlap peaks at 2, midnight clamp stays in-day") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view", 1.0),
+      (2L, ts("2024-01-01 10:10:00"), 2L, "view", 1.0), // overlaps 1 -> peak 2
+      (3L, ts("2024-01-01 12:00:00"), 3L, "view", 1.0), // disjoint
+      (4L, ts("2024-01-01 23:50:00"), 4L, "view", 1.0), // clamps at midnight
+      (5L, ts("2024-01-02 00:05:00"), 5L, "view", 1.0)) // next day alone
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val m = Analytics.concurrencyOf(ev).collect()
+      .map(r => r.getDate(0).toString -> r.getAs[Long]("peak_concurrency")).toMap
+    assert(m == Map("2024-01-01" -> 2L, "2024-01-02" -> 1L),
+      s"got $m: the 23:50 closer must not leak -1 into Jan 2")
+  }
+
+  test("rolling 30d: isolated order counts itself, close orders accumulate") {
+    def d(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    val orders = Seq(
+      (1L, 7L, d("2024-01-01"), 100.0), // alone in its window
+      (2L, 7L, d("2024-03-01"), 10.0), // 40+ days later: new window
+      (3L, 7L, d("2024-03-11"), 5.0), // 10 days after 2: accumulates
+      (4L, 9L, d("2024-03-11"), 7.0)) // other customer: isolated
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val m = Analytics.rolling30dOf(orders).collect()
+      .map(r => r.getLong(0 + 1) -> r.getAs[Double]("r30")).toMap
+    // columns: o_custkey, o_orderkey, r30 — key on o_orderkey
+    assert(m == Map(1L -> 100.0, 2L -> 10.0, 3L -> 15.0, 4L -> 7.0))
+  }
+
+  test("best supplier: lowest unit price wins, ties break to lower suppkey") {
+    val li = Seq(
+      (1L, 10L, 100.0, 10.0), // part 1, supp 10: unit 10
+      (1L, 20L, 40.0, 10.0), // part 1, supp 20: unit 4 -> wins
+      (2L, 30L, 50.0, 10.0), // part 2: tie at unit 5
+      (2L, 10L, 5.0, 1.0)) //  part 2, supp 10: tie -> lower key wins
+      .toDF("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+    val m = Analytics.bestSupplierOf(li).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getAs[Double]("best_unit_price")))).toMap
+    assert(m == Map(1L -> ((20L, 4.0)), 2L -> ((10L, 5.0))))
+  }
+
+  test("shard manifest covers the corpus with 16 stable shards") {
+    val rows = graft.pipeline.Assembly.qShardManifest(spark, sf).collect()
+    assert(rows.map(_.getAs[Int]("shard")).toSet.subsetOf((0 until 16).toSet))
+    assert(rows.map(_.getAs[Long]("n_docs")).sum ==
+      graft.Tables.t(spark, sf, "documents").count())
+    // re-deriving the manifest reproduces identical shard hashes
+    val again = graft.pipeline.Assembly.qShardManifest(spark, sf).collect()
+    assert(rows.map(r => r.getAs[Int]("shard") -> r.getAs[String]("shard_hash")).toMap ==
+      again.map(r => r.getAs[Int]("shard") -> r.getAs[String]("shard_hash")).toMap)
+  }
+
+  test("q1 pricing summary: discounted sums bounded, counts cover the filter") {
+    val rows = Relational.q1Pricing(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("sum_disc_price") <= r.getAs[Double]("sum_base_price"))
+      assert(r.getAs[Double]("sum_charge") >= r.getAs[Double]("sum_disc_price"))
+      assert(r.getAs[Long]("count_order") > 0)
+    }
+    val total = rows.map(_.getAs[Long]("count_order")).sum
+    val expect = graft.Tables.t(spark, sf, "lineitem")
+      .filter(col("l_shipdate") < lit("1998-09-03 00:00:00").cast("timestamp")).count()
+    assert(total == expect)
+  }
 }

@@ -212,4 +212,17 @@ class TextSpec extends AnyFunSuite {
       assert(ids == (0L until ids.length.toLong), s"doc $id ids: $ids")
     }
   }
+
+  test("mattr: all-repeat doc scores 1/wlen, all-distinct doc scores 1.0") {
+    val docs = Seq(
+      (1L, (1 to 60).map(_ => "a").mkString(" ")), // 60 tokens, 1 type
+      (2L, (1 to 30).map(i => s"w$i").mkString(" ")), // 30 distinct, short doc
+      (3L, (1 to 100).map(i => s"t${i % 50}").mkString(" "))) // every 50-window distinct
+      .toDF("doc_id", "text")
+    val m = graft.text.TextAnalysis.mattrOf(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Int]("n_windows"), r.getAs[Double]("mattr")))).toMap
+    assert(m(1L) == ((1, 0.02)), "60x'a': one window, 1 distinct / 50")
+    assert(m(2L) == ((1, 1.0)), "short doc degrades to plain TTR")
+    assert(m(3L) == ((3, 1.0)), "period-50 text: every window fully distinct")
+  }
 }
