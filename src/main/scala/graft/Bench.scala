@@ -43,6 +43,14 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
+      // leftover cached frames from a query that errored mid-flight (or
+      // a future query that forgets to release) would tax every LATER
+      // query's GC in the sweep — the recorded cross-query drift pattern
+      // (a query 2-8x slower in the full sweep than solo). Clearing
+      // between queries keeps timings independent; within a query's own
+      // reps nothing is cleared, and the disk-staged index tables are
+      // untouched (they are parquet reads, not cache entries).
+      spark.catalog.clearCache()
       name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -54,7 +62,10 @@ object Bench {
     // The full line exceeds harnesses that keep only the tail of stdout
     // (~130 queries ≈ 4 KB), losing most per-query timings. Persist the
     // complete JSON to a file too, so every timing stays auditable.
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    // a FILTERED run must not clobber the full-registry artifact of
+    // record — divert it to a scratch file unless explicitly routed
+    val defaultOut = if (only.isDefined) "/tmp/BENCH_ONLY.json" else "BENCH_FULL.json"
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), full + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $outFile: $e") }
     // stdout: a compact line that survives tail-truncation — headline
