@@ -127,10 +127,88 @@ object Graph {
       .groupBy("comp").agg(count(lit(1)).as("component_size"))
       .groupBy("component_size").agg(count(lit(1)).as("n_components"))
 
+  /** K-core decomposition (Seidman's coreness, via the standard
+    * iterative peeling from the public literature): repeatedly drop
+    * nodes whose degree in the SURVIVING subgraph is below k until a
+    * fixed point — the k-core is the maximal subgraph of minimum
+    * degree k, the graph-mining notion of "dense family core" that
+    * separates tightly-knit duplicate families from stragglers
+    * attached by one chance collision. Distributed shape per peel
+    * round: one semi-join of edges against surviving nodes + one
+    * partial-aggregated degree count — no driver-side graph; the loop
+    * runs to CONVERGENCE with a localCheckpoint per round (the label
+    * propagation discipline), and the changed-count is a tiny count
+    * over the just-checkpointed frame. Output: one row per k with
+    * core node and edge counts. */
+  def qKCore(spark: SparkSession, dir: String, ks: Seq[Int] = Seq(2, 3)): DataFrame =
+    ks.map(k => kCoreOf(stagedCandidates(spark, dir), k))
+      .reduce(_ unionByName _)
+
+  /** The k-core census over any canonical (ia < ib, distinct) edge
+    * frame. */
+  def kCoreOf(e: DataFrame, k: Int, maxRounds: Int = 30): DataFrame = {
+    val spark = e.sparkSession
+    var edges = e.select("ia", "ib").localCheckpoint(true)
+    var rounds = 0
+    var changed = true
+    while (changed && rounds < maxRounds) {
+      rounds += 1
+      val deg = edges
+        .select(explode(array(col("ia"), col("ib"))).as("s"))
+        .groupBy("s").agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k).select(col("s"))
+      val next = edges
+        .join(keep.select(col("s").as("ia")), "ia")
+        .join(keep.select(col("s").as("ib")), "ib")
+        .select("ia", "ib")
+        .localCheckpoint(true)
+      changed = next.count() != edges.count()
+      edges = next
+    }
+    require(!changed, s"$k-core peeling did not converge in $maxRounds rounds")
+    val nodes = edges.select(explode(array(col("ia"), col("ib"))).as("s")).distinct()
+    edges.agg(count(lit(1)).as("n_core_edges"))
+      .crossJoin(broadcast(nodes.agg(count(lit(1)).as("n_core_nodes"))))
+      .select(lit(k).as("k"), col("n_core_nodes"), col("n_core_edges"))
+  }
+
+  /** Common-neighbor link prediction over the dup graph: for every
+    * node pair sharing >= 2 neighbors, the common-neighbor count and
+    * the neighborhood-Jaccard score — the classic "these two docs are
+    * probably near-dups even though no band ever collided" signal
+    * (the missing-edge complement of the triangle census). The wedge
+    * join enumerates each candidate pair once per shared center
+    * (center s, neighbor pair d1 < d2); its fan-out is deg^2 at a
+    * hub — inherent to common-neighbor counting (unlike triangles,
+    * BOTH wedge arms matter, so the degree-ordered orientation cannot
+    * bound it); on dup graphs degree is bounded by family size, and a
+    * 100 TB deployment would cap or sample super-hub centers
+    * explicitly rather than silently. */
+  def qCommonNeighbors(spark: SparkSession, dir: String): DataFrame = {
+    val e = stagedCandidates(spark, dir)
+    val und = e.select(explode(array(
+        struct(col("ia").as("s"), col("ib").as("d")),
+        struct(col("ib").as("s"), col("ia").as("d")))).as("x"))
+      .select(col("x.s").as("s"), col("x.d").as("d"))
+    val deg = und.groupBy("s").agg(count(lit(1)).as("deg"))
+    val cn = und.as("x").join(und.as("y"),
+        col("x.s") === col("y.s") && col("x.d") < col("y.d"))
+      .groupBy(col("x.d").as("p"), col("y.d").as("q"))
+      .agg(count(lit(1)).as("cn"))
+      .filter(col("cn") >= 2)
+    cn.join(deg.select(col("s").as("p"), col("deg").as("dp")), "p")
+      .join(deg.select(col("s").as("q"), col("deg").as("dq")), "q")
+      .select(col("p"), col("q"), col("cn"),
+        round(col("cn").cast("double") / (col("dp") + col("dq") - col("cn")), 6)
+          .as("score"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> ((s: SparkSession, d: String) => qPageRank(s, d)),
     "graph_triangles" -> (qTriangles _),
     "graph_components" -> (qComponents _),
+    "graph_kcore" -> ((s: SparkSession, d: String) => qKCore(s, d)),
+    "graph_common_neighbors" -> (qCommonNeighbors _),
     "graph_degree_stats" -> (qDegreeStats _))
 
   private val undSql =
@@ -179,6 +257,54 @@ object Graph {
          |${Dedup.candsSql},
          |$undSql
          |SELECT deg, count(*) AS n_docs FROM deg GROUP BY deg""".stripMargin,
+    "graph_kcore" -> {
+      // unrolled peel per k (8 rounds; peeling is monotone, so rounds
+      // past the fixed point are no-ops — GraphSpec asserts the
+      // converged operator equals this unroll on the testdata).
+      // Every round CTE is MATERIALIZED: each round references its
+      // predecessor three times (edge frame + two node joins), so
+      // default inline expansion re-derives the whole LSH chain 3^i
+      // times and exhausts file handles re-reading the parquet.
+      def chain(k: Int): String = {
+        val p = s"k$k"
+        val rounds = (0 until 8).map { i =>
+          s"""${p}_n$i AS MATERIALIZED (SELECT s FROM (
+             |  SELECT s, count(*) AS deg FROM (
+             |    SELECT ia AS s FROM ${p}_e$i UNION ALL SELECT ib FROM ${p}_e$i)
+             |  GROUP BY s) WHERE deg >= $k),
+             |${p}_e${i + 1} AS MATERIALIZED (SELECT ia, ib FROM ${p}_e$i
+             |  JOIN ${p}_n$i a ON a.s = ia JOIN ${p}_n$i b ON b.s = ib)""".stripMargin
+        }.mkString(",\n")
+        s"""${p}_e0 AS MATERIALIZED (SELECT ia, ib FROM cands),
+           |$rounds""".stripMargin
+      }
+      def sel(k: Int): String =
+        s"""SELECT CAST($k AS INT) AS k,
+           |  (SELECT count(DISTINCT s) FROM (
+           |     SELECT ia AS s FROM k${k}_e8 UNION ALL SELECT ib FROM k${k}_e8)) AS n_core_nodes,
+           |  (SELECT count(*) FROM k${k}_e8) AS n_core_edges""".stripMargin
+      s"""WITH ${Dedup.sigSql},
+         |${Dedup.bandsSql},
+         |${Dedup.candsSql},
+         |${chain(2)},
+         |${chain(3)}
+         |${sel(2)}
+         |UNION ALL
+         |${sel(3)}""".stripMargin
+    },
+    "graph_common_neighbors" ->
+      s"""WITH ${Dedup.sigSql},
+         |${Dedup.bandsSql},
+         |${Dedup.candsSql},
+         |$undSql,
+         |cn AS (
+         |  SELECT x.d AS p, y.d AS q, count(*) AS cn
+         |  FROM und x JOIN und y ON x.s = y.s AND x.d < y.d
+         |  GROUP BY x.d, y.d
+         |  HAVING count(*) >= 2)
+         |SELECT p, q, cn,
+         |  round(CAST(cn AS DOUBLE) / (dp.deg + dq.deg - cn), 6) AS score
+         |FROM cn JOIN deg dp ON dp.s = p JOIN deg dq ON dq.s = q""".stripMargin,
     "graph_components" ->
       s"""WITH ${Dedup.clusterChainSql},
          |comp AS (

@@ -97,4 +97,19 @@ class AnalyticsSpec extends AnyFunSuite {
       .head().getDouble(0)
     assert(math.abs(chi2) < 1e-9, s"independent table must score ~0: $chi2")
   }
+
+  test("k-core peeling: triangle survives the 2-core, pendant path does not") {
+    // triangle 1-2-3 plus a pendant path 3-4-5: peeling the 2-core
+    // drops 5 (deg 1), then 4 — classic cascade the one-shot degree
+    // filter gets wrong (4 has degree 2 before 5 is removed... it has
+    // degree 2? edges 3-4,4-5: deg(4)=2 only counting 5; after 5 goes,
+    // deg(4)=1 and it must cascade out)
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("ia", "ib")
+    val r2 = Graph.kCoreOf(e, 2).collect()(0)
+    assert(r2.getAs[Long]("n_core_nodes") == 3 && r2.getAs[Long]("n_core_edges") == 3,
+      s"2-core must be exactly the triangle: $r2")
+    val r3 = Graph.kCoreOf(e, 3).collect()(0)
+    assert(r3.getAs[Long]("n_core_nodes") == 0 && r3.getAs[Long]("n_core_edges") == 0,
+      "no 3-core in a triangle-plus-path")
+  }
 }
