@@ -478,8 +478,89 @@ object Multimodal {
       octet_length(encode(col("text"), "UTF-8")).cast("long").as("n_text_bytes"),
       md5(col("text")).as("content_hash"))
 
+  /** Average-hash (aHash) perceptual fingerprint: decode, grayscale,
+    * block-average onto an 8x8 grid, emit 64 bits of "cell above the
+    * image mean" — the classic public perceptual-dedup hash (pHash
+    * family): identical images collide exactly, re-encodes and small
+    * edits land within a few bits of hamming. PPM parses directly;
+    * BMP/PNG/JPEG go through the JDK's real ImageIO codec. Corrupt or
+    * unreadable payloads hash to 0L (the quarantine convention of the
+    * decode path). */
+  def aHash64(m: MediaRecord): Long = {
+    val gray: Option[(Int, Int, (Int, Int) => Int)] =
+      if (m.payload.length >= 2 && m.payload(0) == 'P' && m.payload(1) == '6') {
+        // minimal P6 parser: 3 ASCII ints, one whitespace, raw RGB
+        val b = m.payload
+        var i = 2
+        def nextInt(): Int = {
+          while (i < b.length && b(i).toChar.isWhitespace) i += 1
+          var v = 0
+          while (i < b.length && b(i).toChar.isDigit) { v = v * 10 + (b(i) - '0'); i += 1 }
+          v
+        }
+        val w = nextInt(); val h = nextInt(); nextInt(); i += 1
+        val base = i
+        if (w <= 0 || h <= 0 || base + w * h * 3 > b.length) None
+        else Some((w, h, (x: Int, y: Int) => {
+          val o = base + (y * w + x) * 3
+          ((b(o) & 0xff) + (b(o + 1) & 0xff) + (b(o + 2) & 0xff)) / 3
+        }))
+      } else {
+        val img = try javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(m.payload))
+        catch { case _: Throwable => null }
+        if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+        else Some((img.getWidth, img.getHeight, (x: Int, y: Int) => {
+          val p = img.getRGB(x, y)
+          (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3
+        }))
+      }
+    gray match {
+      case None => 0L
+      case Some((w, h, at)) =>
+        // block-average each of the 8x8 cells over its pixel block
+        val cells = Array.tabulate(64) { c =>
+          val (cx, cy) = (c % 8, c / 8)
+          val (x0, x1) = (cx * w / 8, math.max(cx * w / 8 + 1, (cx + 1) * w / 8))
+          val (y0, y1) = (cy * h / 8, math.max(cy * h / 8 + 1, (cy + 1) * h / 8))
+          var s = 0L; var n = 0
+          var y = y0
+          while (y < y1 && y < h) {
+            var x = x0
+            while (x < x1 && x < w) { s += at(x, y); n += 1; x += 1 }
+            y += 1
+          }
+          if (n == 0) 0.0 else s.toDouble / n
+        }
+        val mean = cells.sum / 64.0
+        cells.zipWithIndex.foldLeft(0L) { case (acc, (v, i)) =>
+          if (v > mean) acc | (1L << i) else acc
+        }
+    }
+  }
+
+  /** Perceptual-hash image dedup over the media corpus: group by the
+    * 64-bit aHash, keep the lowest id — the image-side twin of
+    * dedup_exact, catching byte-identical AND re-encoded copies (the
+    * same pixels through PPM vs BMP vs PNG collide on aHash where a
+    * byte hash sees four different files; JPEG's lossy quantization
+    * lands within a few hamming bits — pair it with the hamming
+    * expression for near-dup gates). Rows-only by §4 policy (the
+    * codec decode is library behavior, not SQL-expressible);
+    * MultimodalSpec pins the semantics. One mapPartitions decode pass
+    * + one partial-aggregated groupBy on the 64-bit key. */
+  def qPhashDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaView(spark, dir)
+      .map(m => (m.doc_id, aHash64(m)))
+      .toDF("doc_id", "phash")
+      .groupBy("phash")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_images"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "multimodal_meta" -> (qMeta _))
+    "multimodal_meta" -> (qMeta _),
+    "multimodal_phash_dedup" -> (qPhashDedup _))
 
   val oracleSql: Map[String, String] = Map(
     "multimodal_meta" ->

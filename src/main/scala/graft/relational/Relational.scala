@@ -470,6 +470,39 @@ object Relational {
   def eventsTransitions(spark: SparkSession, dir: String): DataFrame =
     transitionsOf(t(spark, dir, "events"))
 
+  /** Stationary distribution of the next-event Markov chain — where
+    * user behavior settles in the long run, the one-number-per-state
+    * summary on top of the transition matrix. The matrix is BOUNDED
+    * model state (|event types|^2 probabilities), so after the one
+    * distributed pass that builds it (the same rounded-6 transition
+    * frame events_transitions ships), 15 power-iteration sweeps with
+    * per-sweep renormalization run on the driver — the kmeans-oracle
+    * discipline: every sweep's values round at 6 in BOTH engines, so
+    * the unrolled SQL mirror tracks the driver loop step for step.
+    * Per-sweep 5-term sum order is the §4-documented sub-ulp risk. */
+  def qMarkovStationary(spark: SparkSession, dir: String,
+                        sweeps: Int = 15): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val pRows = transitionsOf(t(spark, dir, "events"))
+      .select("event_type", "next_type", "p").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val states = pRows.keys.map(_._1).toSeq.distinct.sorted
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var pi = states.map(_ => r6(1.0 / states.length)).toArray
+    for (_ <- 1 to sweeps) {
+      val raw = states.map { j =>
+        states.zipWithIndex.map { case (i, ii) =>
+          pi(ii) * pRows.getOrElse((i, j), 0.0)
+        }.sum
+      }.toArray
+      val tot = raw.sum
+      pi = raw.map(x => r6(x / tot))
+    }
+    states.zip(pi).toDF("event_type", "pi")
+  }
+
   /** Per-user EWMA of event values over a 10-row trailing window
     * (alpha = 0.5). The recursion s_t = a*x_t + (1-a)*s_(t-1), seeded
     * with the frame's oldest value, runs as the SAME left fold in both
@@ -707,6 +740,7 @@ object Relational {
     "events_freq_items" -> (eventsFreqItems _),
     "events_transitions" -> (eventsTransitions _),
     "events_attribution" -> (eventsAttribution _),
+    "events_markov_stationary" -> ((s: SparkSession, d: String) => qMarkovStationary(s, d)),
     "q1_pricing_summary" -> (q1Pricing _),
     "events_ewma" -> (eventsEwma _),
     "events_banded" -> (eventsBanded _),
@@ -749,6 +783,37 @@ object Relational {
     "agg_stats" -> (aggStats _))
 
   val oracleSql: Map[String, String] = Map(
+    "events_markov_stationary" -> {
+      val sweep = (i: Int) =>
+        s"""s$i AS MATERIALIZED (
+           |  SELECT st.event_type,
+           |    coalesce(sum(n${i - 1}.pi * pr.p), 0.0) AS raw
+           |  FROM st
+           |  LEFT JOIN pr ON pr.j = st.event_type
+           |  LEFT JOIN n${i - 1} ON n${i - 1}.event_type = pr.i
+           |  GROUP BY st.event_type),
+           |n$i AS (SELECT event_type,
+           |    round(raw / (SELECT sum(raw) FROM s$i), 6) AS pi
+           |  FROM s$i)""".stripMargin
+      val sweeps = (1 to 15).map(sweep).mkString(",\n")
+      s"""WITH pairs AS (
+         |  SELECT event_type, next_type, count(*) AS n FROM (
+         |    SELECT event_type,
+         |      lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+         |    FROM events)
+         |  WHERE next_type IS NOT NULL
+         |  GROUP BY event_type, next_type),
+         |tt AS (SELECT event_type, sum(n) AS total FROM pairs GROUP BY event_type),
+         |pr AS MATERIALIZED (
+         |  SELECT event_type AS i, next_type AS j,
+         |    round(CAST(n AS DOUBLE) / total, 6) AS p
+         |  FROM pairs JOIN tt USING (event_type)),
+         |st AS MATERIALIZED (SELECT DISTINCT i AS event_type FROM pr),
+         |n0 AS (SELECT event_type,
+         |    round(1.0 / (SELECT count(*) FROM st), 6) AS pi FROM st),
+         |$sweeps
+         |SELECT event_type, pi FROM n15""".stripMargin
+    },
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 1) AS sum_qty,

@@ -252,4 +252,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f.width == 4 + (1 % 12) && f.height == 4 + ((1 / 3) % 12))
     feats.unpersist()
   }
+
+  test("aHash: identical pixels collide across PPM/BMP/PNG containers") {
+    val rgb = Array.tabulate(16 * 16 * 3)(i => (i * 37 % 256).toByte)
+    val hp = Multimodal.aHash64(Multimodal.MediaRecord(1L, "ppm", Multimodal.encodePpm(16, 16, rgb)))
+    val hb = Multimodal.aHash64(Multimodal.MediaRecord(2L, "bmp", Multimodal.encodeBmp(16, 16, rgb)))
+    val hg = Multimodal.aHash64(Multimodal.MediaRecord(3L, "png", Multimodal.encodeImageIo(16, 16, rgb, "png")))
+    assert(hp != 0L, "non-degenerate image must not hash to the quarantine value")
+    assert(hp == hb && hb == hg,
+      s"same pixels, three containers: $hp / $hb / $hg")
+    // JPEG is lossy: near, not equal — within a few hamming bits
+    val hj = Multimodal.aHash64(Multimodal.MediaRecord(4L, "jpg", Multimodal.encodeImageIo(16, 16, rgb, "jpg")))
+    assert(java.lang.Long.bitCount(hp ^ hj) <= 8,
+      s"jpeg re-encode drifted ${java.lang.Long.bitCount(hp ^ hj)} bits")
+  }
+
+  test("aHash: corrupt payload quarantines to 0, dedup groups cover the corpus") {
+    assert(Multimodal.aHash64(Multimodal.MediaRecord(9L, "png", Array[Byte](1, 2, 3))) == 0L)
+    val out = Multimodal.qPhashDedup(spark, sf).collect()
+    val total = out.map(_.getAs[Long]("n_images")).sum
+    assert(total == graft.Tables.t(spark, sf, "documents").count())
+    out.foreach(r => assert(r.getAs[Long]("keep_id") >= 0))
+  }
 }

@@ -360,6 +360,20 @@ class Round8OpsSpec extends AnyFunSuite {
       again.map(r => r.getAs[Int]("shard") -> r.getAs[String]("shard_hash")).toMap)
   }
 
+  test("markov stationary: a probability vector that the chain preserves") {
+    val pi = Relational.qMarkovStationary(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(pi.values.sum - 1.0) < 1e-5, s"sums to ${pi.values.sum}")
+    assert(pi.values.forall(v => v > 0.0 && v < 1.0))
+    // stationarity: pi P ~= pi under the same rounded transition matrix
+    val p = Relational.eventsTransitions(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Double]("p")).toMap
+    pi.keys.foreach { j =>
+      val inflow = pi.keys.map(i => pi(i) * p.getOrElse((i, j), 0.0)).sum
+      assert(math.abs(inflow - pi(j)) < 1e-3, s"$j: $inflow vs ${pi(j)}")
+    }
+  }
+
   test("q1 pricing summary: discounted sums bounded, counts cover the filter") {
     val rows = Relational.q1Pricing(spark, sf).collect()
     assert(rows.nonEmpty)
