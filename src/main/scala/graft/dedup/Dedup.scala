@@ -432,8 +432,24 @@ object Dedup {
     * chains through bucket keepers into a giant component on this
     * corpus (every doc is in a 10-copy family), while the verified
     * graph's components are actual near-dup families. */
+  /** The VERIFIED near-dup pair list (word-set Jaccard >= 0.8 over
+    * the staged candidates), staged — the edge set whose degrees are
+    * bounded by true family size (raw band-candidate edges grow
+    * keeper-star hubs whose deg^2 wedge sets explode on adversarial
+    * corpora; the sf1 sweep caught exactly that in the link-prediction
+    * operator). Shared by the verified cluster labels and the graph
+    * family's common-neighbor scores. */
+  private[graft] def stagedVerifiedPairs(spark: SparkSession, dir: String): DataFrame = {
+    // resolve the candidate staging BEFORE entering computeIfAbsent —
+    // a nested computeIfAbsent on the same map is a recursive update
+    // and throws (same discipline as stagedVerifiedClusters)
+    val cands = stagedCandidates(spark, dir)
+    stagedFrame(spark, s"vpair:$dir")(
+      minhashLshFrom(t(spark, dir, "documents"), cands).select(col("ia"), col("ib")))
+  }
+
   private[graft] def stagedVerifiedClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashLsh(spark, dir).select(col("ia"), col("ib"))
+    val pairs = stagedVerifiedPairs(spark, dir)
     stagedFrame(spark, s"vlbl:$dir")(labelPropagateConverged(pairs))
   }
 

@@ -172,20 +172,23 @@ object Graph {
       .select(lit(k).as("k"), col("n_core_nodes"), col("n_core_edges"))
   }
 
-  /** Common-neighbor link prediction over the dup graph: for every
-    * node pair sharing >= 2 neighbors, the common-neighbor count and
-    * the neighborhood-Jaccard score — the classic "these two docs are
-    * probably near-dups even though no band ever collided" signal
-    * (the missing-edge complement of the triangle census). The wedge
-    * join enumerates each candidate pair once per shared center
-    * (center s, neighbor pair d1 < d2); its fan-out is deg^2 at a
+  /** Common-neighbor link prediction over the VERIFIED near-dup
+    * graph: for every node pair sharing >= 2 verified neighbors, the
+    * common-neighbor count and the neighborhood-Jaccard score — the
+    * classic "these two docs are probably near-dups even though no
+    * verifier ever paired them" signal (the missing-edge complement
+    * of the triangle census). The wedge join enumerates each
+    * candidate pair once per shared center; its fan-out is deg^2 at a
     * hub — inherent to common-neighbor counting (unlike triangles,
     * BOTH wedge arms matter, so the degree-ordered orientation cannot
-    * bound it); on dup graphs degree is bounded by family size, and a
-    * 100 TB deployment would cap or sample super-hub centers
-    * explicitly rather than silently. */
+    * bound it). That is WHY the edges are the verified pairs and not
+    * the raw band candidates: verified degree is bounded by true
+    * family size, while band-candidate keeper-star hubs blow the
+    * wedge set up quadratically — the sf1 adversarial corpus (every
+    * doc in a 10-copy family) hung the raw-candidate form and runs
+    * the verified form in seconds. */
   def qCommonNeighbors(spark: SparkSession, dir: String): DataFrame = {
-    val e = stagedCandidates(spark, dir)
+    val e = Dedup.stagedVerifiedPairs(spark, dir)
     val und = e.select(explode(array(
         struct(col("ia").as("s"), col("ib").as("d")),
         struct(col("ib").as("s"), col("ia").as("d")))).as("x"))
@@ -196,6 +199,12 @@ object Graph {
       .groupBy(col("x.d").as("p"), col("y.d").as("q"))
       .agg(count(lit(1)).as("cn"))
       .filter(col("cn") >= 2)
+      // link PREDICTION scores missing edges: pairs that are already
+      // verified near-dups carry no new information (inside a dup
+      // family nearly every wedge pair is an existing edge — the
+      // anti-join collapses the output to the genuinely-predicted
+      // links)
+      .join(e.select(col("ia").as("p"), col("ib").as("q")), Seq("p", "q"), "left_anti")
     cn.join(deg.select(col("s").as("p"), col("deg").as("dp")), "p")
       .join(deg.select(col("s").as("q"), col("deg").as("dq")), "q")
       .select(col("p"), col("q"), col("cn"),
@@ -296,15 +305,26 @@ object Graph {
       s"""WITH ${Dedup.sigSql},
          |${Dedup.bandsSql},
          |${Dedup.candsSql},
-         |$undSql,
+         |w AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM documents),
+         |vp AS MATERIALIZED (SELECT ia, ib FROM (
+         |  SELECT ia, ib,
+         |    CAST(len(list_intersect(wa.ws, wb.ws)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(wa.ws, wb.ws))) AS j
+         |  FROM cands JOIN w wa ON ia = wa.doc_id JOIN w wb ON ib = wb.doc_id)
+         |  WHERE j >= 0.8),
+         |vund AS (SELECT ia AS s, ib AS d FROM vp
+         |         UNION ALL SELECT ib AS s, ia AS d FROM vp),
+         |vdeg AS (SELECT s, count(*) AS deg FROM vund GROUP BY s),
          |cn AS (
-         |  SELECT x.d AS p, y.d AS q, count(*) AS cn
-         |  FROM und x JOIN und y ON x.s = y.s AND x.d < y.d
-         |  GROUP BY x.d, y.d
-         |  HAVING count(*) >= 2)
+         |  SELECT p, q, cn FROM (
+         |    SELECT x.d AS p, y.d AS q, count(*) AS cn
+         |    FROM vund x JOIN vund y ON x.s = y.s AND x.d < y.d
+         |    GROUP BY x.d, y.d
+         |    HAVING count(*) >= 2) c
+         |  WHERE NOT EXISTS (SELECT 1 FROM vp WHERE vp.ia = c.p AND vp.ib = c.q))
          |SELECT p, q, cn,
          |  round(CAST(cn AS DOUBLE) / (dp.deg + dq.deg - cn), 6) AS score
-         |FROM cn JOIN deg dp ON dp.s = p JOIN deg dq ON dq.s = q""".stripMargin,
+         |FROM cn JOIN vdeg dp ON dp.s = p JOIN vdeg dq ON dq.s = q""".stripMargin,
     "graph_components" ->
       s"""WITH ${Dedup.clusterChainSql},
          |comp AS (
