@@ -711,6 +711,27 @@ object Dedup {
   def qEmbed(spark: SparkSession, dir: String): DataFrame =
     embedPairs(spark, dir)
 
+  /** Threshold-selection curve for the embedding near-dup gate: every
+    * sign-bucket candidate pair bucketed by cosine (0.05-wide bins,
+    * cosine rounded 6 before binning — the cross-engine cutoff
+    * discipline), with a reverse-cumulative "pairs at or above this
+    * threshold" column — the curve an operator reads BEFORE choosing
+    * minCosine, instead of re-running the gate per guess. Same
+    * star-shaped candidate generation as dedup_embed (one bucket
+    * keeper per sign bucket), one bounded groupBy; the cumulative
+    * window runs over <= 41 bins, not data. */
+  def qEmbedThresholdCurve(spark: SparkSession, dir: String): DataFrame = {
+    val binned = embedPairs(spark, dir, minCosine = -1.0)
+      .select(floor(round(col("cs"), 6) * 20).cast("int").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n_pairs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bin").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    binned.withColumn("n_at_or_above", sum("n_pairs").over(w))
+      .select((col("bin") / 20.0).as("cs_lo"), col("n_pairs"), col("n_at_or_above"))
+  }
+
   /** EMBEDDING-space benchmark decontamination — the third
     * decontamination modality beside the n-gram overlap and Bloom
     * variants, catching paraphrased eval contamination that shares no
@@ -895,6 +916,7 @@ object Dedup {
     "dedup_edit_distance" -> (qEditDistance _),
     "dedup_tfidf_cosine" -> (qTfidfCosine _),
     "dedup_embed" -> (qEmbed _),
+    "dedup_embed_threshold_curve" -> (qEmbedThresholdCurve _),
     "dedup_decontaminate_embed" -> ((s: SparkSession, d: String) => qDecontaminateEmbed(s, d)),
     "dedup_embed_clusters" -> (qEmbedClusters _))
 
@@ -1166,6 +1188,24 @@ object Dedup {
          |${sweep("l2", "l3")}
          |SELECT doc_id AS vec_id, lbl AS cluster_id FROM l3""".stripMargin
     },
+    "dedup_embed_threshold_curve" ->
+      s"""WITH b AS (SELECT vec_id, embedding,
+         |  ${VectorOps.signBucketSql("embedding", 4)} AS bk FROM embeddings),
+         |mins AS (SELECT bk, min(vec_id) AS ia FROM b GROUP BY bk),
+         |k AS (SELECT vec_id AS ia, embedding AS ea FROM b),
+         |pairs AS (
+         |  SELECT m.ia, b.vec_id AS ib,
+         |    ${VectorOps.cosineSql("k.ea", "b.embedding")} AS cs
+         |  FROM b JOIN mins m ON b.bk = m.bk JOIN k ON k.ia = m.ia
+         |  WHERE b.vec_id > m.ia),
+         |binned AS (
+         |  SELECT CAST(floor(round(cs, 6) * 20) AS INT) AS bin,
+         |    count(*) AS n_pairs
+         |  FROM pairs GROUP BY 1)
+         |SELECT CAST(bin AS DOUBLE) / 20.0 AS cs_lo, n_pairs,
+         |  CAST(sum(n_pairs) OVER (ORDER BY bin DESC
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_at_or_above
+         |FROM binned""".stripMargin,
     "dedup_embed" ->
       s"""WITH b AS (SELECT vec_id, embedding,
          |  ${VectorOps.signBucketSql("embedding", 4)} AS bk FROM embeddings),

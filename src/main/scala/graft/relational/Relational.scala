@@ -411,6 +411,33 @@ object Relational {
     * user shard, no self-join of events against events, no per-user
     * event-list collection — then a tiny partial-aggregated rollup
     * by the credited type. */
+  /** Time-BOUNDED conversion funnel: view -> click within 30 min ->
+    * purchase within 30 min of the click — the product-analytics
+    * semantics the unbounded min-ladder funnel (events_funnel) can't
+    * express: a click hours after the view is not a converted step.
+    * Each step is one co-partitioned equi-join of the events scan
+    * against the previous step's tiny per-user frame (no events x
+    * events self-join, no per-user event-list collection), then a
+    * 1-row count rollup per step. */
+  def eventsFunnelWindowed(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events").select("user_id", "event_type", "ts")
+    val s1 = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val s2 = ev.filter(col("event_type") === "click")
+      .join(s1, "user_id")
+      .filter(col("ts") > col("t1") &&
+        col("ts") <= col("t1") + expr("INTERVAL 30 MINUTES"))
+      .groupBy("user_id").agg(min("ts").as("t2"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2, "user_id")
+      .filter(col("ts") > col("t2") &&
+        col("ts") <= col("t2") + expr("INTERVAL 30 MINUTES"))
+      .groupBy("user_id").agg(min("ts").as("t3"))
+    s1.agg(count(lit(1)).as("n_viewed"))
+      .crossJoin(broadcast(s2.agg(count(lit(1)).as("n_clicked_30m"))))
+      .crossJoin(broadcast(s3.agg(count(lit(1)).as("n_purchased_30m"))))
+  }
+
   /** The full TPC-H Q1 pricing summary (all eight aggregate columns
     * with the discount/tax arithmetic), completing the simplified
     * `q1_agg` head: one predicate-pushed scan, one partial-aggregated
@@ -742,6 +769,7 @@ object Relational {
     "events_attribution" -> (eventsAttribution _),
     "events_markov_stationary" -> ((s: SparkSession, d: String) => qMarkovStationary(s, d)),
     "q1_pricing_summary" -> (q1Pricing _),
+    "events_funnel_windowed" -> (eventsFunnelWindowed _),
     "events_ewma" -> (eventsEwma _),
     "events_banded" -> (eventsBanded _),
     "events_anomaly" -> (eventsAnomaly _),
@@ -783,6 +811,22 @@ object Relational {
     "agg_stats" -> (aggStats _))
 
   val oracleSql: Map[String, String] = Map(
+    "events_funnel_windowed" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |  JOIN s1 ON s1.user_id = e.user_id
+        |  WHERE e.event_type = 'click'
+        |    AND e.ts > s1.t1 AND e.ts <= s1.t1 + INTERVAL 30 MINUTE
+        |  GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |  JOIN s2 ON s2.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase'
+        |    AND e.ts > s2.t2 AND e.ts <= s2.t2 + INTERVAL 30 MINUTE
+        |  GROUP BY e.user_id)
+        |SELECT (SELECT count(*) FROM s1) AS n_viewed,
+        |  (SELECT count(*) FROM s2) AS n_clicked_30m,
+        |  (SELECT count(*) FROM s3) AS n_purchased_30m""".stripMargin,
     "events_markov_stationary" -> {
       val sweep = (i: Int) =>
         s"""s$i AS MATERIALIZED (

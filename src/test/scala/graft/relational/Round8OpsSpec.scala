@@ -360,6 +360,28 @@ class Round8OpsSpec extends AnyFunSuite {
       again.map(r => r.getAs[Int]("shard") -> r.getAs[String]("shard_hash")).toMap)
   }
 
+  test("threshold curve: cumulative counts are monotone and cover all pairs") {
+    val rows = graft.dedup.Dedup.qEmbedThresholdCurve(spark, sf).collect()
+      .map(r => (r.getDouble(0), r.getAs[Long]("n_pairs"), r.getAs[Long]("n_at_or_above")))
+      .sortBy(-_._1)
+    assert(rows.nonEmpty)
+    var cum = 0L
+    rows.foreach { case (_, n, atOrAbove) =>
+      cum += n
+      assert(atOrAbove == cum, "reverse-cumulative must accumulate bin counts")
+    }
+    val total = graft.dedup.Dedup.embedPairs(spark, sf, minCosine = -1.0).count()
+    assert(cum == total, s"curve covers $cum of $total candidate pairs")
+  }
+
+  test("windowed funnel: step counts only shrink down the ladder") {
+    val r = Relational.eventsFunnelWindowed(spark, sf).collect()(0)
+    val (v, c, p) = (r.getAs[Long]("n_viewed"), r.getAs[Long]("n_clicked_30m"),
+      r.getAs[Long]("n_purchased_30m"))
+    assert(v >= c && c >= p, s"$v >= $c >= $p must hold")
+    assert(v > 0)
+  }
+
   test("markov stationary: a probability vector that the chain preserves") {
     val pi = Relational.qMarkovStationary(spark, sf).collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
