@@ -161,6 +161,34 @@ object Dedup {
       .select("ia", "ib", "est_j", "exact_j")
   }
 
+  /** Signature-agreement curve for the MinHash gate — the companion
+    * of the embedding threshold curve on the lexical side: every
+    * banded candidate pair bucketed by its signature match count
+    * (0..H, integers — no float binning at all), with the
+    * reverse-cumulative pairs-at-or-above column. Reading this tells
+    * an operator what Jaccard threshold (est_j = n_match/H) keeps
+    * how many pairs BEFORE paying the exact verification join. Same
+    * staged candidates, one bounded groupBy, an H+1-bin window. */
+  def qMinhashAgreementCurve(spark: SparkSession, dir: String): DataFrame = {
+    val sig = signatures(t(spark, dir, "documents"))
+    val sa = sig.select(col("doc_id").as("ia") +:
+      (0 until H).map(i => col(s"mh_$i").as(s"a_$i")): _*)
+    val sb = sig.select(col("doc_id").as("ib") +:
+      (0 until H).map(i => col(s"mh_$i").as(s"b_$i")): _*)
+    val binned = stagedCandidates(spark, dir)
+      .join(sa, "ia").join(sb, "ib")
+      .select((0 until H).map(i => when(col(s"a_$i") === col(s"b_$i"), 1).otherwise(0))
+        .reduce(_ + _).as("n_match"))
+      .groupBy("n_match").agg(count(lit(1)).as("n_pairs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_match").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    binned.withColumn("n_at_or_above", sum("n_pairs").over(w))
+      .select(col("n_match"), (col("n_match").cast("double") / H).as("est_j"),
+        col("n_pairs"), col("n_at_or_above"))
+  }
+
   /** Containment near-dup (the C4-family gate): |A∩B| / min(|A|,|B|)
     * over the same banded candidates — catches a short document
     * embedded inside a long one, which symmetric Jaccard dilutes below
@@ -902,6 +930,7 @@ object Dedup {
     "dedup_minhash_lsh" -> (qMinhashLsh _),
     "dedup_containment" -> ((s: SparkSession, d: String) => qContainment(s, d)),
     "dedup_minhash_estimate" -> (qMinhashEstimate _),
+    "dedup_minhash_agreement_curve" -> (qMinhashAgreementCurve _),
     "dedup_paragraphs" -> ((s: SparkSession, d: String) => qParagraphDedup(s, d)),
     "dedup_repeated_spans" -> ((s: SparkSession, d: String) => qRepeatedSpans(s, d)),
     "dedup_lsh_stats" -> (qLshStats _),
@@ -991,6 +1020,23 @@ object Dedup {
          |      / len(list_distinct(list_concat(wa.ws, wb.ws))) AS j
          |  FROM cands JOIN w wa ON ia = wa.doc_id JOIN w wb ON ib = wb.doc_id)
          |WHERE j >= 0.8""".stripMargin,
+    "dedup_minhash_agreement_curve" -> {
+      val matches = (0 until H).map(i =>
+        s"(CASE WHEN sa.mh_$i = sb.mh_$i THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH $sigSql,
+         |$bandsSql,
+         |$candsSql,
+         |binned AS (
+         |  SELECT n_match, count(*) AS n_pairs FROM (
+         |    SELECT CAST($matches AS INT) AS n_match
+         |    FROM cands
+         |    JOIN sig sa ON ia = sa.doc_id JOIN sig sb ON ib = sb.doc_id)
+         |  GROUP BY n_match)
+         |SELECT n_match, CAST(n_match AS DOUBLE) / $H AS est_j, n_pairs,
+         |  CAST(sum(n_pairs) OVER (ORDER BY n_match DESC
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_at_or_above
+         |FROM binned""".stripMargin
+    },
     "dedup_minhash_estimate" -> {
       val matches = (0 until H).map(i =>
         s"(CASE WHEN sa.mh_$i = sb.mh_$i THEN 1 ELSE 0 END)").mkString(" + ")

@@ -558,9 +558,35 @@ object Multimodal {
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_images"))
   }
 
+  /** Near-duplicate IMAGE pairs: aHash fingerprints banded on their
+    * 16-bit prefix (one bucket keeper per band, the star-candidate
+    * shape every dedup chain here uses), verified by hamming distance
+    * <= 8 via the codegen'd bit_count(xor) — the image twin of
+    * dedup_simhash_pairs. A single prefix probe trades recall for one
+    * shuffle exactly like the streaming SimHash gate (and the batch
+    * gate-recall operator documents that trade); multi-band probing
+    * is the same query unioned over rotated prefixes. Rows-only (the
+    * hash rides codec decodes); spec proves a JPEG re-encode pairs
+    * with its lossless siblings. */
+  def qPhashPairs(spark: SparkSession, dir: String,
+                  maxHamming: Int = 8): DataFrame = {
+    import spark.implicits._
+    val h = mediaView(spark, dir).map(m => (m.doc_id, aHash64(m)))
+      .toDF("doc_id", "phash")
+      .withColumn("bk", shiftright(col("phash"), 48))
+    val mins = h.groupBy("bk").agg(min("doc_id").as("ia"))
+    val keepers = h.select(col("doc_id").as("ia"), col("phash").as("pa"))
+    h.join(mins, "bk").filter(col("doc_id") > col("ia"))
+      .join(keepers, "ia")
+      .select(col("ia"), col("doc_id").as("ib"),
+        bit_count(col("pa").bitwiseXOR(col("phash"))).as("hd"))
+      .filter(col("hd") <= maxHamming)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_meta" -> (qMeta _),
-    "multimodal_phash_dedup" -> (qPhashDedup _))
+    "multimodal_phash_dedup" -> (qPhashDedup _),
+    "multimodal_phash_pairs" -> ((s: SparkSession, d: String) => qPhashPairs(s, d)))
 
   val oracleSql: Map[String, String] = Map(
     "multimodal_meta" ->

@@ -212,7 +212,26 @@ object Graph {
           .as("score"))
   }
 
+  /** Degree assortativity (Newman's r, from the public
+    * network-science literature): the Pearson correlation of endpoint
+    * degrees across edges — positive r means dup families link
+    * like-sized hubs (boilerplate chaining), negative means stars
+    * (keeper-hub structure, the LSH candidate shape). One joined
+    * degree frame + one corr aggregate over the directed edge list
+    * (both directions, so the statistic is symmetric); rounded 6 on
+    * both sides like every aggregated-double statistic (§4). */
+  def qAssortativity(spark: SparkSession, dir: String): DataFrame = {
+    val und = undirected(spark, dir)
+    val deg = und.groupBy("s").agg(count(lit(1)).as("deg"))
+    und.join(deg.select(col("s"), col("deg").as("ds")), "s")
+      .join(deg.select(col("s").as("d"), col("deg").as("dd")), "d")
+      .agg(count(lit(1)).as("n_directed_edges"),
+        round(corr(col("ds").cast("double"), col("dd").cast("double")), 6)
+          .as("assortativity"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_assortativity" -> (qAssortativity _),
     "graph_pagerank" -> ((s: SparkSession, d: String) => qPageRank(s, d)),
     "graph_triangles" -> (qTriangles _),
     "graph_components" -> (qComponents _),
@@ -266,6 +285,15 @@ object Graph {
          |${Dedup.candsSql},
          |$undSql
          |SELECT deg, count(*) AS n_docs FROM deg GROUP BY deg""".stripMargin,
+    "graph_assortativity" ->
+      s"""WITH ${Dedup.sigSql},
+         |${Dedup.bandsSql},
+         |${Dedup.candsSql},
+         |$undSql
+         |SELECT count(*) AS n_directed_edges,
+         |  round(corr(CAST(d1.deg AS DOUBLE), CAST(d2.deg AS DOUBLE)), 6)
+         |    AS assortativity
+         |FROM und JOIN deg d1 ON d1.s = und.s JOIN deg d2 ON d2.s = und.d""".stripMargin,
     "graph_kcore" -> {
       // unrolled peel per k (8 rounds; peeling is monotone, so rounds
       // past the fixed point are no-ops — GraphSpec asserts the

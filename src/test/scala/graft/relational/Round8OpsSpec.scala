@@ -374,6 +374,36 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(cum == total, s"curve covers $cum of $total candidate pairs")
   }
 
+  test("minhash agreement curve covers every candidate pair with integer bins") {
+    val rows = graft.dedup.Dedup.qMinhashAgreementCurve(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getAs[Long]("n_pairs"), r.getAs[Long]("n_at_or_above")))
+      .sortBy(-_._1)
+    var cum = 0L
+    rows.foreach { case (m, n, atOrAbove) =>
+      assert(m >= 0 && m <= 8)
+      cum += n
+      assert(atOrAbove == cum)
+    }
+    val total = graft.dedup.Dedup.stagedCandidates(spark, sf).count()
+    assert(cum == total, s"curve covers $cum of $total candidates")
+  }
+
+  test("assortativity is a correlation in [-1,1] over both edge directions") {
+    val r = Graph.qAssortativity(spark, sf).collect()(0)
+    val a = r.getAs[Double]("assortativity")
+    assert(a >= -1.0 && a <= 1.0, s"r = $a")
+    assert(r.getAs[Long]("n_directed_edges") % 2 == 0,
+      "undirected expansion must produce an even directed count")
+  }
+
+  test("phash pairs: bounded hamming, canonical order, bucket-star shape") {
+    val rows = graft.multimodal.Multimodal.qPhashPairs(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), "ia < ib")
+      assert(r.getAs[Int]("hd") <= 8)
+    }
+  }
+
   test("windowed funnel: step counts only shrink down the ladder") {
     val r = Relational.eventsFunnelWindowed(spark, sf).collect()(0)
     val (v, c, p) = (r.getAs[Long]("n_viewed"), r.getAs[Long]("n_clicked_30m"),
