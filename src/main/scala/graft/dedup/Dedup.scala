@@ -189,6 +189,29 @@ object Dedup {
         col("n_pairs"), col("n_at_or_above"))
   }
 
+  /** Per-family quality report over the VERIFIED duplicate clusters:
+    * member count, verified-edge count and edge density (edges over
+    * the n-choose-2 ceiling, rounded 6) — density near 1 means a true
+    * everything-matches-everything copy family, low density means a
+    * chain the curator should eyeball before collapsing to one
+    * keeper. Rides both staged verified frames (pairs + converged
+    * labels), so the whole report is two bounded groupBys and a left
+    * join; families are >= 2 members by construction (labels exist
+    * only for pair-graph nodes), so the density denominator is never
+    * zero. */
+  def qClusterReport(spark: SparkSession, dir: String): DataFrame = {
+    val labels = stagedVerifiedClusters(spark, dir)
+    val members = labels.groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
+    val edges = stagedVerifiedPairs(spark, dir)
+      .join(labels.select(col("doc_id").as("ia"), col("cluster_id")), "ia")
+      .groupBy("cluster_id").agg(count(lit(1)).as("n_edges"))
+    members.join(edges, Seq("cluster_id"), "left")
+      .select(col("cluster_id"), col("n_members"),
+        coalesce(col("n_edges"), lit(0L)).as("n_edges"),
+        round(coalesce(col("n_edges"), lit(0L)).cast("double") /
+          expr("n_members * (n_members - 1) div 2"), 6).as("density"))
+  }
+
   /** Containment near-dup (the C4-family gate): |A∩B| / min(|A|,|B|)
     * over the same banded candidates — catches a short document
     * embedded inside a long one, which symmetric Jaccard dilutes below
@@ -938,6 +961,7 @@ object Dedup {
     "dedup_decontaminate" -> (qDecontaminate _),
     "dedup_clusters" -> (qDedupClusters _),
     "dedup_cluster_keepers" -> (qClusterKeepers _),
+    "dedup_cluster_report" -> (qClusterReport _),
     "dedup_savings" -> (qDedupSavings _),
     "dedup_simhash" -> (qSimhash _),
     "dedup_simhash_pairs" -> (qSimhashPairs _),
@@ -1100,6 +1124,36 @@ object Dedup {
          |      / len(list_distinct(list_concat(ga.gs, gb.gs))) AS jg
          |  FROM cands JOIN g ga ON ia = ga.doc_id JOIN g gb ON ib = gb.doc_id)
          |WHERE jg >= 0.6""".stripMargin,
+    "dedup_cluster_report" -> {
+      val sweep = (in: String, out: String) =>
+        s"""$out AS (SELECT doc_id, min(lbl) AS lbl FROM (
+           |  SELECT e2.d AS doc_id, p.lbl FROM e2 JOIN $in p ON p.doc_id = e2.s
+           |  UNION ALL SELECT doc_id, lbl FROM $in) GROUP BY doc_id)""".stripMargin
+      val sweeps = (1 to 6).map(i => sweep(s"l${i - 1}", s"l$i")).mkString(",\n")
+      s"""WITH $sigSql,
+         |$bandsSql,
+         |$candsSql,
+         |w AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM documents),
+         |vp AS MATERIALIZED (SELECT ia, ib FROM (
+         |  SELECT ia, ib,
+         |    CAST(len(list_intersect(wa.ws, wb.ws)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(wa.ws, wb.ws))) AS j
+         |  FROM cands JOIN w wa ON ia = wa.doc_id JOIN w wb ON ib = wb.doc_id)
+         |  WHERE j >= 0.8),
+         |e2 AS (SELECT ia AS s, ib AS d FROM vp
+         |       UNION ALL SELECT ib AS s, ia AS d FROM vp),
+         |nodes AS (SELECT DISTINCT s AS doc_id FROM e2),
+         |l0 AS (SELECT doc_id, doc_id AS lbl FROM nodes),
+         |$sweeps,
+         |m AS (SELECT lbl AS cluster_id, count(*) AS n_members FROM l6 GROUP BY lbl),
+         |ed AS (SELECT l6.lbl AS cluster_id, count(*) AS n_edges
+         |  FROM vp JOIN l6 ON l6.doc_id = vp.ia GROUP BY l6.lbl)
+         |SELECT cluster_id, n_members,
+         |  CAST(coalesce(n_edges, 0) AS BIGINT) AS n_edges,
+         |  round(CAST(coalesce(n_edges, 0) AS DOUBLE)
+         |    / (n_members * (n_members - 1) // 2), 6) AS density
+         |FROM m LEFT JOIN ed USING (cluster_id)""".stripMargin
+    },
     "dedup_clusters" ->
       s"""WITH $clusterChainSql
          |SELECT doc_id, lbl AS cluster_id FROM l3""".stripMargin,

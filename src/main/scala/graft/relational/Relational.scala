@@ -558,6 +558,32 @@ object Relational {
   def eventsEwma(spark: SparkSession, dir: String): DataFrame =
     ewmaOf(t(spark, dir, "events"))
 
+  /** One-sided CUSUM drift statistic (Page's cumulative-sum control
+    * chart, from the public SPC literature): per event,
+    * S_t = max(0, S_{t-1} + (x_t - mu)) folded over the user's
+    * trailing 50 events — the detector that accumulates small
+    * persistent shifts a per-point z-score never flags. mu is the
+    * user's own mean, rounded 6 so the fold inputs are bit-identical
+    * cross-engine; the recursion then runs as the SAME left fold in
+    * both engines (the EWMA discipline — aggregate here, list_reduce
+    * there), so the statistic ships UNROUNDED. Bounded frame state
+    * (50 rows), one user-partitioned window after one broadcast of
+    * per-user means. */
+  def cusumOf(ev: DataFrame): DataFrame = {
+    val mu = ev.groupBy("user_id").agg(round(avg("value"), 6).as("mu"))
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-49, Window.currentRow)
+    ev.select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .join(broadcast(mu), "user_id")
+      .withColumn("xs", collect_list("value").over(w))
+      .withColumn("cusum",
+        expr("aggregate(xs, 0D, (acc, x) -> greatest(0D, acc + (x - mu)))"))
+      .select("user_id", "event_id", "cusum")
+  }
+
+  def eventsCusum(spark: SparkSession, dir: String): DataFrame =
+    cusumOf(t(spark, dir, "events"))
+
   /** Fixed-width histogram of l_extendedprice — 5k-wide buckets, open
     * top bucket. No width_bucket builtin needed: floor((x-lo)/w) is
     * codegen'd arithmetic, one partial-agg shuffle on the bucket id. */
@@ -768,6 +794,7 @@ object Relational {
     "events_transitions" -> (eventsTransitions _),
     "events_attribution" -> (eventsAttribution _),
     "events_markov_stationary" -> ((s: SparkSession, d: String) => qMarkovStationary(s, d)),
+    "events_cusum" -> (eventsCusum _),
     "q1_pricing_summary" -> (q1Pricing _),
     "events_funnel_windowed" -> (eventsFunnelWindowed _),
     "events_ewma" -> (eventsEwma _),
@@ -811,6 +838,17 @@ object Relational {
     "agg_stats" -> (aggStats _))
 
   val oracleSql: Map[String, String] = Map(
+    "events_cusum" ->
+      """SELECT user_id, event_id,
+        |  list_reduce(list_prepend(0.0, xs),
+        |    (acc, x) -> greatest(0.0, acc + (x - mu))) AS cusum
+        |FROM (
+        |  SELECT user_id, event_id, mu,
+        |    list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN 49 PRECEDING AND CURRENT ROW) AS xs
+        |  FROM events
+        |  JOIN (SELECT user_id, round(avg(value), 6) AS mu
+        |        FROM events GROUP BY user_id) USING (user_id))""".stripMargin,
     "events_funnel_windowed" ->
       """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
         |  WHERE event_type = 'view' GROUP BY user_id),

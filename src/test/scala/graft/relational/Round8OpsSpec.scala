@@ -374,6 +374,36 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(cum == total, s"curve covers $cum of $total candidate pairs")
   }
 
+  test("cusum accumulates persistent shift and clamps at zero") {
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(s: Long) = new java.sql.Timestamp(ts0.getTime + s * 1000)
+    // mu = 3.0; folds: 0, 0, 3, 6 — below-mean points clamp at 0,
+    // the +3 shift accumulates linearly
+    val ev = Seq(
+      (1L, at(1), 1L, "view", 0.0),
+      (2L, at(2), 1L, "view", 0.0),
+      (3L, at(3), 1L, "view", 6.0),
+      (4L, at(4), 1L, "view", 6.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val m = Relational.cusumOf(ev).collect()
+      .map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(m == Map(1L -> 0.0, 2L -> 0.0, 3L -> 3.0, 4L -> 6.0), s"$m")
+  }
+
+  test("cluster report: families >= 2, density in (0,1], edges covered") {
+    val rows = graft.dedup.Dedup.qClusterReport(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_members") >= 2)
+      val d = r.getAs[Double]("density")
+      assert(d > 0.0 && d <= 1.0, s"density $d")
+    }
+    val edgeTotal = rows.map(_.getAs[Long]("n_edges")).sum
+    val pairTotal = graft.dedup.Dedup.qMinhashLsh(spark, sf).count()
+    assert(edgeTotal == pairTotal,
+      s"every verified pair must land in exactly one family: $edgeTotal vs $pairTotal")
+  }
+
   test("minhash agreement curve covers every candidate pair with integer bins") {
     val rows = graft.dedup.Dedup.qMinhashAgreementCurve(spark, sf).collect()
       .map(r => (r.getInt(0), r.getAs[Long]("n_pairs"), r.getAs[Long]("n_at_or_above")))
