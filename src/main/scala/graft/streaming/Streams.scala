@@ -437,6 +437,50 @@ object Streams {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
   }
 
+  // ---- streaming CUSUM drift gate (transformWithState) -----------------
+
+  case class CEv(user_id: Long, event_id: Long, value: Double)
+  case class CusumOut(user_id: Long, event_id: Long, cusum: Double, alert: Boolean)
+
+  /** Streaming one-sided CUSUM per key on transformWithState — the
+    * cross-micro-batch twin of the batch events_cusum operator:
+    * S_t = max(0, S_{t-1} + (x_t - mu)) carried in ONE Double of
+    * typed ValueState per key, alerting when the accumulated drift
+    * clears `threshold`. This is the monitor a 100 TB ingest runs on
+    * per-source quality scores: a slow quality slide trips the CUSUM
+    * alert batches before any single score would trip a z-gate.
+    * `mu` is the expected level (a deployment feeds the trained
+    * baseline); state survives restarts via the checkpoint exactly
+    * like the quota gate. */
+  class CusumProcessor(mu: Double, threshold: Double)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, CEv, CusumOut] {
+    @transient private var s: org.apache.spark.sql.streaming.ValueState[Double] = _
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      s = getHandle.getValueState[Double]("s",
+        org.apache.spark.sql.Encoders.scalaDouble,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[CEv],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[CusumOut] = {
+      var cur = if (s.exists()) s.get() else 0.0
+      // deterministic fold order within a batch
+      val out = rows.toSeq.sortBy(_.event_id).map { e =>
+        cur = math.max(0.0, cur + (e.value - mu))
+        CusumOut(key, e.event_id, cur, cur > threshold)
+      }
+      s.update(cur)
+      out.iterator
+    }
+  }
+
+  def cusumGate(events: Dataset[CEv], mu: Double,
+                threshold: Double): Dataset[CusumOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new CusumProcessor(mu, threshold),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+  }
+
   // ---- streaming heavy hitters (SpaceSaving) ---------------------------
 
   case class TypedEv(event_type: String, user_id: Long)

@@ -640,6 +640,39 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("transformWithState cusum gate accumulates drift across batches and alerts") {
+    implicit val sqlCtx = spark.sqlContext
+    val saved = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[Streams.CEv]
+    // mu = 5, threshold = 4: each +2 event adds 2 drift; alert on the 3rd
+    val q = Streams.cusumGate(input.toDS(), mu = 5.0, threshold = 4.0)
+      .writeStream.format("memory").queryName("cusum_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(Streams.CEv(1L, 10L, 7.0), Streams.CEv(1L, 11L, 7.0),
+        Streams.CEv(2L, 20L, 3.0))
+      q.processAllAvailable()
+      // the state (user 1: S=4; user 2: S=0) must survive into batch 2
+      input.addData(Streams.CEv(1L, 12L, 7.0), Streams.CEv(2L, 21L, 7.0))
+      q.processAllAvailable()
+      val rows = spark.table("cusum_out").as[Streams.CusumOut].collect()
+        .map(r => r.event_id -> ((r.cusum, r.alert))).toMap
+      assert(rows == Map(
+        10L -> ((2.0, false)), 11L -> ((4.0, false)), // accumulating, not yet over
+        20L -> ((0.0, false)), // below-mean clamps at zero
+        12L -> ((6.0, true)), // batch-2 fold continues from checkpointed S=4
+        21L -> ((2.0, false))), rows.toString)
+    } finally {
+      q.stop()
+      saved match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming heavy hitters: bounded state, one-sided estimates, heavy key surfaces") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Streams.TypedEv]
