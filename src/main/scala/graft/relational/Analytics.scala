@@ -655,7 +655,32 @@ object Analytics {
         col("m.l_suppkey").as("best_suppkey"),
         round(col("m.unit_price"), 6).as("best_unit_price"))
 
+  /** Seasonal-naive forecast backtest — the baseline every real
+    * forecasting effort must beat, and a legit data product in its
+    * own right: forecast for a day = the actual seven rows earlier in
+    * the daily series (same weekday on a dense calendar), scored by
+    * MAE and signed bias over every scoreable day. Daily revenues
+    * accumulate as DECIMAL (order-independent), the absolute-error
+    * sum stays DECIMAL, and the single division + round(6) happens on
+    * exact totals, so the whole backtest is cross-engine exact. The
+    * lag window runs over the DAY-bounded aggregate, never the fact
+    * table (the daily-cumulative discipline). */
+  def qBacktestSnaive(spark: SparkSession, dir: String): DataFrame = {
+    val daily = t(spark, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(col("o_totalprice").cast("decimal(38,2)")).as("rev"))
+    val w = Window.orderBy("day")
+    daily.withColumn("rev7", lag("rev", 7).over(w))
+      .filter(col("rev7").isNotNull)
+      .agg(count(lit(1)).as("n_days_scored"),
+        round((sum(abs(col("rev") - col("rev7"))).cast("double") /
+          count(lit(1))), 6).as("mae"),
+        round((sum(col("rev") - col("rev7")).cast("double") /
+          count(lit(1))), 6).as("bias"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "orders_backtest_snaive" -> (qBacktestSnaive _),
     "events_ab_test" -> (qAbTest _),
     "events_concurrency" -> (qConcurrency _),
     "orders_rolling_30d" -> (qRolling30d _),
@@ -683,6 +708,18 @@ object Analytics {
     "hist2d_qty_price" -> ((s: SparkSession, d: String) => qHist2d(s, d)))
 
   val oracleSql: Map[String, String] = Map(
+    "orders_backtest_snaive" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    sum(CAST(o_totalprice AS DECIMAL(38,2))) AS rev
+        |  FROM orders GROUP BY 1),
+        |l AS (SELECT day, rev,
+        |    lag(rev, 7) OVER (ORDER BY day) AS rev7
+        |  FROM daily)
+        |SELECT count(*) AS n_days_scored,
+        |  round(CAST(sum(abs(rev - rev7)) AS DOUBLE) / count(*), 6) AS mae,
+        |  round(CAST(sum(rev - rev7) AS DOUBLE) / count(*), 6) AS bias
+        |FROM l WHERE rev7 IS NOT NULL""".stripMargin,
     "orders_rolling_30d" ->
       """SELECT o_custkey, o_orderkey,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(38,2))) OVER (

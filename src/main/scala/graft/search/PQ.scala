@@ -237,9 +237,47 @@ object PQ {
        |  FROM scored) WHERE rank <= $PQ_TOPK""".stripMargin
   }
 
+  /** PQ distortion report — the index-quality metric a vector-search
+    * deployment tracks per build: mean squared quantization error per
+    * subspace (how much of each 8-dim slice the 4-bit code throws
+    * away) plus the subspace's share of total distortion. Rising MSE
+    * on re-train means the corpus drifted from the codebooks. One
+    * projection computes all M per-subspace assigned distances (the
+    * same fused expressions the encoder uses), ONE aggregate folds
+    * the M means — no per-subspace jobs, no shuffle beyond the final
+    * 1-row agg. Rides the staged codebooks. */
+  def qPqDistortion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pts = Points.embeddings64(spark, dir)
+    val codebooks = stagedCodebooks(pts, dir)
+    val dists = (0 until M).map { s =>
+      array_min(array(codebooks(s).map(c => Points.distTo(c, sub(s))): _*)).as(s"d_$s")
+    }
+    val aggs = (0 until M).map(s =>
+      round(avg(col(s"d_$s") * col(s"d_$s")), 6).as(s"mse_$s"))
+    val row = pts.select(dists: _*).agg(aggs.head, aggs.tail: _*).head()
+    val mses = (0 until M).map(row.getDouble)
+    val total = mses.sum
+    (0 until M).map(s => (s, mses(s),
+      BigDecimal(mses(s) / total).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .toDF("subspace", "mse", "share")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "simsearch_pq" -> (qPq _))
+    "simsearch_pq" -> (qPq _),
+    "simsearch_pq_distortion" -> (qPqDistortion _))
 
   val oracleSql: Map[String, String] = Map(
-    "simsearch_pq" -> pqOracle)
+    "simsearch_pq" -> pqOracle,
+    "simsearch_pq_distortion" -> {
+      val rows = (0 until M).map(s =>
+        s"SELECT $s AS subspace, round(avg(dist * dist), 6) AS mse FROM enc_$s")
+        .mkString(" UNION ALL ")
+      s"""WITH pts AS (${Points.embedPtsSql}),
+         |${pqTrainSql()},
+         |m AS ($rows),
+         |t AS (SELECT sum(mse) AS total FROM m)
+         |SELECT subspace, mse, round(mse / total, 6) AS share
+         |FROM m CROSS JOIN t""".stripMargin
+    })
 }

@@ -374,6 +374,23 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(cum == total, s"curve covers $cum of $total candidate pairs")
   }
 
+  test("pq distortion: 8 subspaces, nonnegative mse, shares sum to one") {
+    val rows = graft.search.PQ.qPqDistortion(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).sorted.toSeq == (0 until 8))
+    rows.foreach(r => assert(r.getAs[Double]("mse") >= 0.0))
+    val shareSum = rows.map(_.getAs[Double]("share")).sum
+    assert(math.abs(shareSum - 1.0) < 1e-4, s"shares sum to $shareSum")
+  }
+
+  test("snaive backtest: scores all but the first week, mae bounds bias") {
+    val r = Analytics.qBacktestSnaive(spark, sf).collect()(0)
+    val nDays = graft.Tables.t(spark, sf, "orders")
+      .select(to_date(col("o_orderdate"))).distinct().count()
+    assert(r.getAs[Long]("n_days_scored") == nDays - 7)
+    assert(r.getAs[Double]("mae") >= math.abs(r.getAs[Double]("bias")),
+      "mean absolute error can never be smaller than the signed bias")
+  }
+
   test("cusum accumulates persistent shift and clamps at zero") {
     val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def at(s: Long) = new java.sql.Timestamp(ts0.getTime + s * 1000)
