@@ -679,8 +679,57 @@ object Analytics {
           count(lit(1))), 6).as("bias"))
   }
 
+  /** Revenue LTV cohort triangle: customers grouped by first-order
+    * month, revenue accumulated per months-since-acquisition — the
+    * lifetime-value curve per acquisition vintage (the orders-side
+    * sibling of the events retention grid). One window-min per
+    * customer for the cohort anchor (customer-partitioned), one
+    * DECIMAL-exact rollup on the bounded (cohort, age) grid. */
+  def qLtvCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+    t(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderdate"),
+        col("o_totalprice").cast("decimal(38,2)").as("price"))
+      .withColumn("first_month", date_trunc("month", min("o_orderdate").over(w)))
+      .withColumn("age_months",
+        (months_between(date_trunc("month", col("o_orderdate")), col("first_month")))
+          .cast("int"))
+      .groupBy(to_date(col("first_month")).as("cohort_month"), col("age_months"))
+      .agg(countDistinct("o_custkey").as("n_customers"),
+        count(lit(1)).as("n_orders"),
+        sum("price").cast("double").as("revenue"))
+  }
+
+  /** Nation-to-nation trade-flow matrix (the TPC-H Q5-family shape
+    * with BOTH nation dimensions): line revenue grouped by supplier
+    * nation x customer nation — a five-table star join where every
+    * dimension broadcasts and only the fact table shuffles into the
+    * final bounded (25 x 25 ceiling) rollup. DECIMAL-exact revenue. */
+  def qTradeFlows(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(38,6)").as("rev"))
+    val nat = t(spark, dir, "nation").select(col("n_nationkey"), col("n_name"))
+    val supp = t(spark, dir, "supplier")
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = t(spark, dir, "customer")
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val ord = t(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("supp_nation", "cust_nation")
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum("rev").cast("double"), 2).as("revenue"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "orders_backtest_snaive" -> (qBacktestSnaive _),
+    "orders_ltv_cohorts" -> (qLtvCohorts _),
+    "trade_flows" -> (qTradeFlows _),
     "events_ab_test" -> (qAbTest _),
     "events_concurrency" -> (qConcurrency _),
     "orders_rolling_30d" -> (qRolling30d _),
@@ -708,6 +757,32 @@ object Analytics {
     "hist2d_qty_price" -> ((s: SparkSession, d: String) => qHist2d(s, d)))
 
   val oracleSql: Map[String, String] = Map(
+    "orders_ltv_cohorts" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderdate,
+        |    CAST(o_totalprice AS DECIMAL(38,2)) AS price,
+        |    date_trunc('month', min(o_orderdate)
+        |      OVER (PARTITION BY o_custkey)) AS first_month
+        |  FROM orders)
+        |SELECT CAST(first_month AS DATE) AS cohort_month,
+        |  CAST(date_diff('month', first_month,
+        |    date_trunc('month', o_orderdate)) AS INT) AS age_months,
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+        |  count(*) AS n_orders,
+        |  CAST(sum(price) AS DOUBLE) AS revenue
+        |FROM o GROUP BY 1, 2""".stripMargin,
+    "trade_flows" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  count(*) AS n_lines,
+        |  round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(38,6))) AS DOUBLE), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |GROUP BY 1, 2""".stripMargin,
     "orders_backtest_snaive" ->
       """WITH daily AS (
         |  SELECT CAST(o_orderdate AS DATE) AS day,

@@ -374,6 +374,26 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(cum == total, s"curve covers $cum of $total candidate pairs")
   }
 
+  test("ltv cohorts: age-0 cell covers every customer exactly once") {
+    val rows = Analytics.qLtvCohorts(spark, sf).collect()
+    val age0 = rows.filter(_.getAs[Int]("age_months") == 0)
+      .map(_.getAs[Long]("n_customers")).sum
+    val n = graft.Tables.t(spark, sf, "orders")
+      .select("o_custkey").distinct().count()
+    assert(age0 == n, s"every customer debuts in exactly one cohort: $age0 vs $n")
+    rows.foreach(r => assert(r.getAs[Int]("age_months") >= 0))
+  }
+
+  test("trade flows cover every lineitem with a real order") {
+    val rows = Analytics.qTradeFlows(spark, sf).collect()
+    val lines = rows.map(_.getAs[Long]("n_lines")).sum
+    val expect = graft.Tables.t(spark, sf, "lineitem").join(
+      graft.Tables.t(spark, sf, "orders"),
+      col("l_orderkey") === col("o_orderkey")).count()
+    assert(lines == expect, s"matrix covers $lines of $expect lines")
+    rows.foreach(r => assert(r.getAs[Double]("revenue") > 0.0))
+  }
+
   test("pq distortion: 8 subspaces, nonnegative mse, shares sum to one") {
     val rows = graft.search.PQ.qPqDistortion(spark, sf).collect()
     assert(rows.map(_.getInt(0)).sorted.toSeq == (0 until 8))
