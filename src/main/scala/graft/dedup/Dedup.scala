@@ -52,7 +52,7 @@ object Dedup {
     docs.select(col("doc_id") +: (0 until h).map(mhExpr): _*)
 
   def qMinhash(spark: SparkSession, dir: String): DataFrame =
-    signatures(t(spark, dir, "documents"))
+    stagedSignatures(spark, dir)
 
   /** Long-format (doc_id, band, band_hash): md5 over each band's
     * h/nBands signature rows. */
@@ -142,7 +142,7 @@ object Dedup {
     * join back by id. */
   def qMinhashEstimate(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
-    val sig = signatures(docs)
+    val sig = stagedSignatures(spark, dir)
     val sa = sig.select(col("doc_id").as("ia") +:
       (0 until H).map(i => col(s"mh_$i").as(s"a_$i")): _*)
     val sb = sig.select(col("doc_id").as("ib") +:
@@ -170,7 +170,7 @@ object Dedup {
     * how many pairs BEFORE paying the exact verification join. Same
     * staged candidates, one bounded groupBy, an H+1-bin window. */
   def qMinhashAgreementCurve(spark: SparkSession, dir: String): DataFrame = {
-    val sig = signatures(t(spark, dir, "documents"))
+    val sig = stagedSignatures(spark, dir)
     val sa = sig.select(col("doc_id").as("ia") +:
       (0 until H).map(i => col(s"mh_$i").as(s"a_$i")): _*)
     val sb = sig.select(col("doc_id").as("ib") +:
@@ -518,6 +518,16 @@ object Dedup {
     * rationale as the fingerprints (MinHash pipelines store their
     * shingle/signature sets; the gram construction is the heavy
     * per-doc projection in the n-gram verifier). */
+  /** The MinHash signature table, staged — the per-doc H-column
+    * sketch a production pipeline computes once at ingest and stores
+    * next to its shingles; the signature consumers (the signature
+    * dump, pairwise estimates, and the agreement curve) each re-ran
+    * the full H-hash fold over every document's word set per
+    * invocation before this. */
+  private[graft] def stagedSignatures(spark: SparkSession, dir: String): DataFrame =
+    stagedFrame(spark, s"sig:$dir")(
+      signatures(t(spark, dir, "documents")))
+
   private[graft] def stagedGrams5(spark: SparkSession, dir: String): DataFrame =
     stagedFrame(spark, s"grams5:$dir")(
       t(spark, dir, "documents").select(col("doc_id"), grams(5).as("gs")))
