@@ -173,6 +173,78 @@ object TxTable {
   def replace(df: DataFrame, tableDir: String): Long =
     commit(tableDir, stage(df, tableDir, "r"))
 
+  // ---- zone-map data skipping ------------------------------------------
+
+  /** Per-file [min, max] zone maps for `col`, stored as a version
+    * sidecar next to the manifest — the Iceberg/Delta-family
+    * data-skipping stats, reduced to essentials: a predicate read
+    * consults the sidecar and never opens a file whose range cannot
+    * match. Stats are collected at WRITE time (one bounded aggregate
+    * per staged file, the pass every stats-collecting writer pays
+    * once) and live under the same crash-safety rule as the manifest:
+    * written BEFORE the pointer swap, invisible until it. */
+  private def statsPath(tableDir: String, version: Long, col: String) =
+    Paths.get(tableDir, CommitsDir, s"v$version.stats.$col")
+
+  private def writeStats(spark: SparkSession, tableDir: String, version: Long,
+                         files: Seq[String], col: String): Unit = {
+    import org.apache.spark.sql.functions.{min => fmin, max => fmax, col => fcol}
+    val lines = files.map { f =>
+      val r = spark.read.parquet(s"$tableDir/$f")
+        .agg(fmin(fcol(col)).cast("double"), fmax(fcol(col)).cast("double")).head()
+      s"$f\t${r.getDouble(0)}\t${r.getDouble(1)}"
+    }
+    Files.write(statsPath(tableDir, version, col),
+      lines.mkString("\n").getBytes("UTF-8"), StandardOpenOption.CREATE_NEW)
+    ()
+  }
+
+  /** Replace-commit WITH zone maps on `statsCol`. */
+  def replaceWithStats(df: DataFrame, tableDir: String, statsCol: String): Long = {
+    val files = stage(df, tableDir, "r")
+    val v = prepare(tableDir, files)
+    writeStats(df.sparkSession, tableDir, v, files, statsCol)
+    swap(tableDir, v)
+    v
+  }
+
+  /** Zone maps of the CURRENT version for `col`, if collected:
+    * (file, min, max) per data file. */
+  def zoneMaps(tableDir: String, col: String): Option[Seq[(String, Double, Double)]] =
+    currentVersion(tableDir).flatMap { v =>
+      val p = statsPath(tableDir, v, col)
+      if (!Files.exists(p)) None
+      else Some(Files.readAllLines(p).asScala.toSeq.filter(_.nonEmpty).map { l =>
+        val Array(f, lo, hi) = l.split("\t")
+        (f, lo.toDouble, hi.toDouble)
+      })
+    }
+
+  /** Predicate read with file skipping: only files whose [min, max]
+    * intersects [lo, hi] are opened; the residual filter still
+    * applies row-level (zone maps prune FILES, not rows). Returns the
+    * frame plus (scanned, total) file counts so callers — and the
+    * spec — can see the skipping happen. Falls back to a full
+    * filtered read when no stats were collected. */
+  def readRange(spark: SparkSession, tableDir: String, col: String,
+                lo: Double, hi: Double): (DataFrame, Int, Int) = {
+    import org.apache.spark.sql.functions.{col => fcol}
+    val all = snapshot(tableDir).map(_.files).getOrElse(Seq.empty)
+    val survivors = zoneMaps(tableDir, col) match {
+      case Some(zm) => zm.filter { case (_, mn, mx) => mx >= lo && mn <= hi }.map(_._1)
+      case None => all
+    }
+    val df =
+      if (all.isEmpty) spark.emptyDataFrame
+      else if (survivors.isEmpty)
+        // every file pruned: an empty frame that keeps the table schema
+        spark.read.parquet(s"$tableDir/${all.head}")
+          .filter(fcol(col) >= lo && fcol(col) <= hi).limit(0)
+      else spark.read.parquet(survivors.map(f => s"$tableDir/$f"): _*)
+        .filter(fcol(col) >= lo && fcol(col) <= hi)
+    (df, survivors.size, all.size)
+  }
+
   /** SCD-1 latest-wins MERGE of a batch into the standing table — the
     * transactional twin of the streaming upsert sink's generation
     * swap: per key the greatest `version` wins; re-applying a replayed

@@ -155,4 +155,28 @@ class TxTableSpec extends AnyFunSuite {
     TxTable.merge(spark, dir, b2, "k", "ver")
     assert(state() == expected, "replay must be a no-op in effect")
   }
+
+  test("zone maps skip files outside the predicate range, rows stay exact") {
+    val dir = Files.createTempDirectory("graft_tx").toString
+    // range-partitioned write: each file covers a disjoint k-range, so
+    // a narrow predicate must prune most files
+    val df = spark.range(0, 1000).toDF("k")
+      .withColumn("payload", col("k") * 2)
+      .repartitionByRange(8, col("k"))
+    TxTable.replaceWithStats(df, dir, "k")
+    val zm = TxTable.zoneMaps(dir, "k")
+    assert(zm.isDefined && zm.get.size == 8)
+    val (pruned, scanned, total) = TxTable.readRange(spark, dir, "k", 100.0, 150.0)
+    assert(total == 8 && scanned < total,
+      s"a 5% range must not scan all $total files (scanned $scanned)")
+    val got = pruned.select("k").as[Long].collect().sorted.toSeq
+    assert(got == (100L to 150L), "pruning must not change the answer")
+    // fully-disjoint predicate: zero files opened, schema survives
+    val (none, s0, _) = TxTable.readRange(spark, dir, "k", 5000.0, 6000.0)
+    assert(s0 == 0 && none.count() == 0 && none.columns.toSeq == Seq("k", "payload"))
+    // a version committed WITHOUT stats falls back to scanning everything
+    TxTable.replace(df, dir)
+    val (_, s2, t2) = TxTable.readRange(spark, dir, "k", 100.0, 150.0)
+    assert(s2 == t2, "no sidecar -> no skipping, never a wrong skip")
+  }
 }
