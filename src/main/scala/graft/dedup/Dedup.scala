@@ -212,6 +212,32 @@ object Dedup {
           expr("n_members * (n_members - 1) div 2"), 6).as("density"))
   }
 
+  /** Per-document nearest duplicate: each doc's single most-similar
+    * candidate partner by MinHash signature agreement — the "who is
+    * my closest copy" directory a curator browses, and a second
+    * consumer of the CUSTOM TopKPerKey physical operator (bounded
+    * 1-row buffers per key after one hash shuffle, no per-group
+    * sort). The estimate frame symmetrizes the canonical pairs so
+    * both members anchor a row; ties break to the lower partner id
+    * inside the operator's (value DESC, tie ASC) contract. */
+  def qNearestNeighbor(spark: SparkSession, dir: String): DataFrame = {
+    val sig = stagedSignatures(spark, dir)
+    val sa = sig.select(col("doc_id").as("ia") +:
+      (0 until H).map(i => col(s"mh_$i").as(s"a_$i")): _*)
+    val sb = sig.select(col("doc_id").as("ib") +:
+      (0 until H).map(i => col(s"mh_$i").as(s"b_$i")): _*)
+    val est = stagedCandidates(spark, dir)
+      .join(sa, "ia").join(sb, "ib")
+      .withColumn("est_j",
+        (0 until H).map(i => when(col(s"a_$i") === col(s"b_$i"), 1).otherwise(0))
+          .reduce(_ + _).cast("double") / H)
+      .select("ia", "ib", "est_j")
+    val sym = est.select(col("ia").as("doc_id"), col("ib").as("partner_id"), col("est_j"))
+      .unionByName(est.select(col("ib").as("doc_id"), col("ia").as("partner_id"), col("est_j")))
+    graft.plans.TopKPerKey(sym, Seq("doc_id"), "est_j", "partner_id", 1)
+      .drop("rank")
+  }
+
   /** Containment near-dup (the C4-family gate): |A∩B| / min(|A|,|B|)
     * over the same banded candidates — catches a short document
     * embedded inside a long one, which symmetric Jaccard dilutes below
@@ -964,6 +990,7 @@ object Dedup {
     "dedup_containment" -> ((s: SparkSession, d: String) => qContainment(s, d)),
     "dedup_minhash_estimate" -> (qMinhashEstimate _),
     "dedup_minhash_agreement_curve" -> (qMinhashAgreementCurve _),
+    "dedup_nearest_neighbor" -> (qNearestNeighbor _),
     "dedup_paragraphs" -> ((s: SparkSession, d: String) => qParagraphDedup(s, d)),
     "dedup_repeated_spans" -> ((s: SparkSession, d: String) => qRepeatedSpans(s, d)),
     "dedup_lsh_stats" -> (qLshStats _),
@@ -1054,6 +1081,23 @@ object Dedup {
          |      / len(list_distinct(list_concat(wa.ws, wb.ws))) AS j
          |  FROM cands JOIN w wa ON ia = wa.doc_id JOIN w wb ON ib = wb.doc_id)
          |WHERE j >= 0.8""".stripMargin,
+    "dedup_nearest_neighbor" -> {
+      val matches = (0 until H).map(i =>
+        s"(CASE WHEN sa.mh_$i = sb.mh_$i THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH $sigSql,
+         |$bandsSql,
+         |$candsSql,
+         |est AS (
+         |  SELECT ia, ib, CAST($matches AS DOUBLE) / $H AS est_j
+         |  FROM cands
+         |  JOIN sig sa ON ia = sa.doc_id JOIN sig sb ON ib = sb.doc_id),
+         |sym AS (SELECT ia AS doc_id, ib AS partner_id, est_j FROM est
+         |        UNION ALL SELECT ib, ia, est_j FROM est)
+         |SELECT doc_id, partner_id, est_j FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY est_j DESC, partner_id ASC) AS rn FROM sym)
+         |WHERE rn = 1""".stripMargin
+    },
     "dedup_minhash_agreement_curve" -> {
       val matches = (0 until H).map(i =>
         s"(CASE WHEN sa.mh_$i = sb.mh_$i THEN 1 ELSE 0 END)").mkString(" + ")

@@ -438,6 +438,21 @@ object Relational {
       .crossJoin(broadcast(s3.agg(count(lit(1)).as("n_purchased_30m"))))
   }
 
+  /** Fulfillment-latency histogram: weeks between order placement and
+    * line shipment, one co-partitioned fact-fact equi-join on the
+    * order key (both sides shuffle on the same key once — at scale
+    * the natural bucketing key for both tables) into a bounded
+    * week-bucket rollup. Bucket arithmetic floors a double division
+    * identically in both engines (negative-safe, unlike integer
+    * division whose truncation direction differs). */
+  def shipLatency(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+      .join(t(spark, dir, "orders").select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(floor(datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+        / 7.0).cast("long").as("week_bucket"))
+      .agg(count(lit(1)).as("n_lines"))
+
   /** The full TPC-H Q1 pricing summary (all eight aggregate columns
     * with the discount/tax arithmetic), completing the simplified
     * `q1_agg` head: one predicate-pushed scan, one partial-aggregated
@@ -797,6 +812,7 @@ object Relational {
     "events_cusum" -> (eventsCusum _),
     "q1_pricing_summary" -> (q1Pricing _),
     "events_funnel_windowed" -> (eventsFunnelWindowed _),
+    "lineitem_ship_latency" -> (shipLatency _),
     "events_ewma" -> (eventsEwma _),
     "events_banded" -> (eventsBanded _),
     "events_anomaly" -> (eventsAnomaly _),
@@ -838,6 +854,12 @@ object Relational {
     "agg_stats" -> (aggStats _))
 
   val oracleSql: Map[String, String] = Map(
+    "lineitem_ship_latency" ->
+      """SELECT CAST(floor(date_diff('day', CAST(o_orderdate AS DATE),
+        |    CAST(l_shipdate AS DATE)) / 7.0) AS BIGINT) AS week_bucket,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
     "events_cusum" ->
       """SELECT user_id, event_id,
         |  list_reduce(list_prepend(0.0, xs),

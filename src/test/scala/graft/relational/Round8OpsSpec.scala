@@ -374,6 +374,24 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(cum == total, s"curve covers $cum of $total candidate pairs")
   }
 
+  test("nearest neighbor: one row per anchored doc, agreement in [0,1]") {
+    val rows = graft.dedup.Dedup.qNearestNeighbor(spark, sf).collect()
+    val ids = rows.map(_.getLong(0))
+    assert(ids.distinct.length == ids.length, "top-1 means one row per doc")
+    rows.foreach { r =>
+      assert(r.getLong(0) != r.getLong(1), "a doc is not its own neighbor")
+      val j = r.getAs[Double]("est_j")
+      assert(j >= 0.0 && j <= 1.0)
+    }
+  }
+
+  test("ship latency histogram covers every joined line") {
+    val rows = Relational.shipLatency(spark, sf).collect()
+    val total = rows.map(_.getAs[Long]("n_lines")).sum
+    val expect = graft.Tables.t(spark, sf, "lineitem").count()
+    assert(total == expect, s"histogram covers $total of $expect lines")
+  }
+
   test("ltv cohorts: age-0 cell covers every customer exactly once") {
     val rows = Analytics.qLtvCohorts(spark, sf).collect()
     val age0 = rows.filter(_.getAs[Int]("age_months") == 0)
