@@ -726,7 +726,28 @@ object Analytics {
         round(sum("rev").cast("double"), 2).as("revenue"))
   }
 
+  /** Herfindahl-Hirschman concentration index of supplier revenue —
+    * the antitrust-style number that finishes the concentration
+    * family next to Gini/Pareto/ABC: HHI = sum of squared revenue
+    * shares (1/n = perfect competition, 1 = monopoly). Supplier
+    * revenues accumulate as DECIMAL (order-independent); the shares
+    * are one double division each against the broadcast exact total,
+    * and the squared-share sum rounds at 6 (terms ~1e-6, sub-ulp
+    * order drift ~1e-19 — the section-4 convention). */
+  def qSupplierHhi(spark: SparkSession, dir: String): DataFrame = {
+    val rev = t(spark, dir, "lineitem")
+      .groupBy("l_suppkey")
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(38,6)")).as("rev"))
+    val total = rev.agg(sum("rev").as("total"))
+    rev.crossJoin(broadcast(total))
+      .select((col("rev").cast("double") / col("total").cast("double")).as("share"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        round(sum(col("share") * col("share")), 6).as("hhi"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "supplier_hhi" -> (qSupplierHhi _),
     "orders_backtest_snaive" -> (qBacktestSnaive _),
     "orders_ltv_cohorts" -> (qLtvCohorts _),
     "trade_flows" -> (qTradeFlows _),
@@ -757,6 +778,16 @@ object Analytics {
     "hist2d_qty_price" -> ((s: SparkSession, d: String) => qHist2d(s, d)))
 
   val oracleSql: Map[String, String] = Map(
+    "supplier_hhi" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS rev
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT sum(rev) AS total FROM rev)
+        |SELECT count(*) AS n_suppliers,
+        |  round(sum(share * share), 6) AS hhi
+        |FROM (SELECT CAST(rev AS DOUBLE) / CAST(total AS DOUBLE) AS share
+        |      FROM rev CROSS JOIN t)""".stripMargin,
     "orders_ltv_cohorts" ->
       """WITH o AS (
         |  SELECT o_custkey, o_orderdate,

@@ -374,6 +374,13 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(cum == total, s"curve covers $cum of $total candidate pairs")
   }
 
+  test("hhi sits between perfect competition and monopoly") {
+    val r = Analytics.qSupplierHhi(spark, sf).collect()(0)
+    val n = r.getAs[Long]("n_suppliers"); val hhi = r.getAs[Double]("hhi")
+    assert(hhi >= 1.0 / n - 1e-9 && hhi <= 1.0,
+      s"hhi $hhi must lie in [1/$n, 1]")
+  }
+
   test("nearest neighbor: one row per anchored doc, agreement in [0,1]") {
     val rows = graft.dedup.Dedup.qNearestNeighbor(spark, sf).collect()
     val ids = rows.map(_.getLong(0))
