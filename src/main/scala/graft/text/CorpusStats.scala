@@ -396,7 +396,41 @@ object CorpusStats {
         col("zipf_slope"))
   }
 
+  /** PMI word-association table over the BOUNDED top-50 vocabulary
+    * (the standard collocation statistic, from the public NLP
+    * literature): for every top-word pair co-occurring in >= 5 docs,
+    * pmi = ln(n_ab * N / (n_a * n_b)) on document frequencies.
+    * Restricting to the corpus head is what makes the pair space
+    * tractable at any scale — the per-doc self-join fans out at most
+    * 50 choose 2 regardless of corpus size, where an open-vocabulary
+    * pair explosion is quadratic in document length. All counts are
+    * integers; the single log runs on identical doubles (the BM25/LM
+    * discipline), rounded 6. */
+  def qPmiPairs(spark: SparkSession, dir: String,
+                vocab: Int = 50, minDocs: Long = 5): DataFrame = {
+    val words = t(spark, dir, "documents")
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("word"))
+    val top = words.groupBy("word").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("word").asc).limit(vocab)
+      .select("word")
+    val wt = words.join(broadcast(top), "word").select("doc_id", "word")
+    val na = wt.groupBy("word").agg(count(lit(1)).as("n"))
+    val nDocs = t(spark, dir, "documents").select(countDistinct("doc_id").as("n_docs"))
+    val ab = wt.as("x").join(wt.as("y"),
+        col("x.doc_id") === col("y.doc_id") && col("x.word") < col("y.word"))
+      .groupBy(col("x.word").as("wa"), col("y.word").as("wb"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minDocs)
+    ab.join(broadcast(na.select(col("word").as("wa"), col("n").as("n_a"))), "wa")
+      .join(broadcast(na.select(col("word").as("wb"), col("n").as("n_b"))), "wb")
+      .crossJoin(broadcast(nDocs))
+      .select(col("wa"), col("wb"), col("n_ab"),
+        round(log(col("n_ab").cast("double") * col("n_docs") / (col("n_a") * col("n_b"))), 6)
+          .as("pmi"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_pmi_pairs" -> ((s: SparkSession, d: String) => qPmiPairs(s, d)),
     "pipeline_source_kl" -> (qSourceKl _),
     "text_source_keywords" -> ((s: SparkSession, d: String) => qSourceKeywords(s, d)),
     "text_zipf" -> (qZipf _),
@@ -415,6 +449,25 @@ object CorpusStats {
     "text_bigram_logprob" -> (qBigramLogprob _))
 
   val oracleSql: Map[String, String] = Map(
+    "text_pmi_pairs" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word
+        |  FROM documents),
+        |top AS (SELECT word FROM (
+        |  SELECT word, count(*) AS c FROM w GROUP BY word
+        |  ORDER BY c DESC, word ASC LIMIT 50)),
+        |wt AS (SELECT doc_id, word FROM w JOIN top USING (word)),
+        |na AS (SELECT word, count(*) AS n FROM wt GROUP BY word),
+        |nn AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM documents),
+        |ab AS (
+        |  SELECT x.word AS wa, y.word AS wb, count(*) AS n_ab
+        |  FROM wt x JOIN wt y ON x.doc_id = y.doc_id AND x.word < y.word
+        |  GROUP BY x.word, y.word
+        |  HAVING count(*) >= 5)
+        |SELECT wa, wb, n_ab,
+        |  round(ln(CAST(n_ab AS DOUBLE) * n_docs / (a.n * b.n)), 6) AS pmi
+        |FROM ab JOIN na a ON a.word = ab.wa JOIN na b ON b.word = ab.wb
+        |CROSS JOIN nn""".stripMargin,
     "pipeline_source_kl" ->
       """WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS word FROM documents),
         |sw AS (SELECT source, word, count(*) AS csw FROM w GROUP BY source, word),

@@ -374,6 +374,31 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(cum == total, s"curve covers $cum of $total candidate pairs")
   }
 
+  test("pmi pairs: canonical order, min support, one row re-derived by hand") {
+    val rows = graft.text.CorpusStats.qPmiPairs(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getString(0) < r.getString(1), "wa < wb")
+      assert(r.getAs[Long]("n_ab") >= 5)
+    }
+    // re-derive one pair's pmi from raw document-frequency counts
+    val (wa, wb, nAb, pmi) = {
+      val r = rows.minBy(r => (r.getString(0), r.getString(1)))
+      (r.getString(0), r.getString(1), r.getAs[Long]("n_ab"), r.getAs[Double]("pmi"))
+    }
+    val docs = graft.Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("ws"))
+    val nA = docs.filter(array_contains(col("ws"), wa)).count()
+    val nB = docs.filter(array_contains(col("ws"), wb)).count()
+    val nBoth = docs.filter(array_contains(col("ws"), wa) &&
+      array_contains(col("ws"), wb)).count()
+    val n = docs.count()
+    assert(nBoth == nAb)
+    val expect = BigDecimal(math.log(nAb.toDouble * n / (nA * nB)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(pmi == expect, s"$pmi vs $expect for ($wa, $wb)")
+  }
+
   test("hhi sits between perfect competition and monopoly") {
     val r = Analytics.qSupplierHhi(spark, sf).collect()(0)
     val n = r.getAs[Long]("n_suppliers"); val hhi = r.getAs[Double]("hhi")
