@@ -746,7 +746,40 @@ object Analytics {
         round(sum(col("share") * col("share")), 6).as("hhi"))
   }
 
+  /** Population Stability Index per event type (the standard
+    * model-monitoring drift metric from the public credit-scoring
+    * literature): PSI = sum over bins of (p - q) * ln(p / q) between
+    * the daytime and nighttime value populations, on 10 fixed-width
+    * value bins with add-one smoothing (so empty bins contribute a
+    * finite, identical term in both engines). Everything up to the
+    * final 10-term fold is integer counts; the fold rounds at 6.
+    * One partial-aggregated pass builds the bounded (type, bin,
+    * half) grid; the PSI fold runs on that tiny frame. */
+  def qPsi(spark: SparkSession, dir: String, binW: Double = 20.0): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .select(col("event_type"),
+        when(hour(col("ts")) < 12, "day").otherwise("night").as("half"),
+        least(floor(col("value") / binW), lit(9)).cast("int").as("bin"))
+    val cells = ev.groupBy("event_type", "half", "bin").agg(count(lit(1)).as("c"))
+    val totals = cells.groupBy("event_type", "half").agg(sum("c").as("n"))
+    // dense (type, bin) grid so empty bins smooth instead of vanishing
+    val grid = cells.select("event_type").distinct()
+      .crossJoin(broadcast(spark.range(0, 10).select(col("id").cast("int").as("bin"))))
+    def rate(half: String) = grid
+      .join(cells.filter(col("half") === half).select(col("event_type"), col("bin"), col("c")),
+        Seq("event_type", "bin"), "left")
+      .join(totals.filter(col("half") === half).select(col("event_type"), col("n")), "event_type")
+      .select(col("event_type"), col("bin"),
+        ((coalesce(col("c"), lit(0L)) + lit(1)).cast("double") /
+          (col("n") + lit(10))).as(s"r_$half"))
+    rate("day").join(rate("night"), Seq("event_type", "bin"))
+      .groupBy("event_type")
+      .agg(round(sum((col("r_day") - col("r_night")) *
+        log(col("r_day") / col("r_night"))), 6).as("psi"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_psi" -> ((s: SparkSession, d: String) => qPsi(s, d)),
     "supplier_hhi" -> (qSupplierHhi _),
     "orders_backtest_snaive" -> (qBacktestSnaive _),
     "orders_ltv_cohorts" -> (qLtvCohorts _),
@@ -778,6 +811,34 @@ object Analytics {
     "hist2d_qty_price" -> ((s: SparkSession, d: String) => qHist2d(s, d)))
 
   val oracleSql: Map[String, String] = Map(
+    "events_psi" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CASE WHEN hour(ts) < 12 THEN 'day' ELSE 'night' END AS half,
+        |    CAST(least(floor(value / 20.0), 9) AS INT) AS bin
+        |  FROM events),
+        |cells AS (SELECT event_type, half, bin, count(*) AS c
+        |  FROM e GROUP BY 1, 2, 3),
+        |totals AS (SELECT event_type, half, sum(c) AS n
+        |  FROM cells GROUP BY 1, 2),
+        |grid AS (SELECT DISTINCT event_type, CAST(b AS INT) AS bin
+        |  FROM cells, (SELECT unnest(range(10)) AS b)),
+        |d AS (SELECT g.event_type, g.bin,
+        |    CAST(coalesce(c.c, 0) + 1 AS DOUBLE) / (t.n + 10) AS r_day
+        |  FROM grid g
+        |  LEFT JOIN cells c ON c.event_type = g.event_type
+        |    AND c.bin = g.bin AND c.half = 'day'
+        |  JOIN totals t ON t.event_type = g.event_type AND t.half = 'day'),
+        |nt AS (SELECT g.event_type, g.bin,
+        |    CAST(coalesce(c.c, 0) + 1 AS DOUBLE) / (t.n + 10) AS r_night
+        |  FROM grid g
+        |  LEFT JOIN cells c ON c.event_type = g.event_type
+        |    AND c.bin = g.bin AND c.half = 'night'
+        |  JOIN totals t ON t.event_type = g.event_type AND t.half = 'night')
+        |SELECT event_type,
+        |  round(sum((r_day - r_night) * ln(r_day / r_night)), 6) AS psi
+        |FROM d JOIN nt USING (event_type, bin)
+        |GROUP BY event_type""".stripMargin,
     "supplier_hhi" ->
       """WITH rev AS (
         |  SELECT l_suppkey,

@@ -374,6 +374,15 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(cum == total, s"curve covers $cum of $total candidate pairs")
   }
 
+  test("psi: nonnegative for every type, zero only for identical populations") {
+    val rows = Analytics.qPsi(spark, sf).collect()
+    assert(rows.length > 0)
+    rows.foreach { r =>
+      // PSI is an f-divergence-style sum of (p-q)ln(p/q) >= 0 terms
+      assert(r.getAs[Double]("psi") >= 0.0, s"${r.getString(0)}: ${r.getAs[Double]("psi")}")
+    }
+  }
+
   test("pmi pairs: canonical order, min support, one row re-derived by hand") {
     val rows = graft.text.CorpusStats.qPmiPairs(spark, sf).collect()
     assert(rows.nonEmpty)
