@@ -438,6 +438,26 @@ object Relational {
       .crossJoin(broadcast(s3.agg(count(lit(1)).as("n_purchased_30m"))))
   }
 
+  /** Velocity rule (the fraud/abuse-detection primitive): for each
+    * event, the count of the SAME user's events in the trailing
+    * 5 minutes — a RANGE frame on epoch seconds, so the window is
+    * time-true regardless of how many rows land in it — flagged when
+    * the rate clears the threshold. One user-partitioned window, the
+    * flag a codegen'd comparison; the report rolls up per user so the
+    * output is user-bounded. */
+  def eventsVelocity(spark: SparkSession, dir: String,
+                     windowSec: Long = 300, threshold: Long = 5): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(unix_timestamp(col("ts")))
+      .rangeBetween(-windowSec, 0)
+    t(spark, dir, "events")
+      .withColumn("n_5m", count(lit(1)).over(w))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        max("n_5m").as("peak_5m"),
+        sum(when(col("n_5m") > threshold, 1L).otherwise(0L)).as("n_flagged"))
+  }
+
   /** Fulfillment-latency histogram: weeks between order placement and
     * line shipment, one co-partitioned fact-fact equi-join on the
     * order key (both sides shuffle on the same key once — at scale
@@ -813,6 +833,7 @@ object Relational {
     "q1_pricing_summary" -> (q1Pricing _),
     "events_funnel_windowed" -> (eventsFunnelWindowed _),
     "lineitem_ship_latency" -> (shipLatency _),
+    "events_velocity" -> ((s: SparkSession, d: String) => eventsVelocity(s, d)),
     "events_ewma" -> (eventsEwma _),
     "events_banded" -> (eventsBanded _),
     "events_anomaly" -> (eventsAnomaly _),
@@ -854,6 +875,17 @@ object Relational {
     "agg_stats" -> (aggStats _))
 
   val oracleSql: Map[String, String] = Map(
+    "events_velocity" ->
+      """WITH v AS (
+        |  SELECT user_id,
+        |    count(*) OVER (PARTITION BY user_id
+        |      ORDER BY CAST(epoch(ts) AS BIGINT)
+        |      RANGE BETWEEN 300 PRECEDING AND CURRENT ROW) AS n_5m
+        |  FROM events)
+        |SELECT user_id, count(*) AS n_events,
+        |  CAST(max(n_5m) AS BIGINT) AS peak_5m,
+        |  CAST(sum(CASE WHEN n_5m > 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+        |FROM v GROUP BY user_id""".stripMargin,
     "lineitem_ship_latency" ->
       """SELECT CAST(floor(date_diff('day', CAST(o_orderdate AS DATE),
         |    CAST(l_shipdate AS DATE)) / 7.0) AS BIGINT) AS week_bucket,
