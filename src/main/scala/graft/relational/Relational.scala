@@ -438,6 +438,34 @@ object Relational {
       .crossJoin(broadcast(s3.agg(count(lit(1)).as("n_purchased_30m"))))
   }
 
+  /** Conversion-lag distribution: minutes from each user's first view
+    * to their first subsequent purchase, summarized by exact
+    * interpolated quartiles through the bounded-state quantile engine
+    * (its eighth consumer — never a single-buffer percentile). Two
+    * tiny per-user min-aggregates define the lag; the engine folds
+    * the user-bounded lag set. Lags are exact epoch-second
+    * differences divided once by 60. */
+  def eventsConversionLag(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = t(spark, dir, "events").select("user_id", "event_type", "ts")
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t_view"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(v, "user_id").filter(col("ts") > col("t_view"))
+      .groupBy("user_id").agg(min("ts").as("t_buy"), min("t_view").as("t_view2"))
+    val lags = p.select(col("user_id"),
+      ((unix_timestamp(col("t_buy")) - unix_timestamp(col("t_view2"))).cast("double") / 60.0)
+        .as("lag_min"))
+    val qs = Quantiles.grouped(lags.withColumn("g", lit("all")), "g", "lag_min",
+      Seq(0.25, 0.5, 0.75))
+    val n = lags.count()
+    Seq((n, qs("all")(0.25), qs("all")(0.5), qs("all")(0.75)))
+      .toDF("n_converting_users", "p25", "p50", "p75")
+      .select(col("n_converting_users"),
+        round(col("p25"), 6).as("p25"), round(col("p50"), 6).as("p50"),
+        round(col("p75"), 6).as("p75"))
+  }
+
   /** Velocity rule (the fraud/abuse-detection primitive): for each
     * event, the count of the SAME user's events in the trailing
     * 5 minutes — a RANGE frame on epoch seconds, so the window is
@@ -834,6 +862,7 @@ object Relational {
     "events_funnel_windowed" -> (eventsFunnelWindowed _),
     "lineitem_ship_latency" -> (shipLatency _),
     "events_velocity" -> ((s: SparkSession, d: String) => eventsVelocity(s, d)),
+    "events_conversion_lag" -> (eventsConversionLag _),
     "events_ewma" -> (eventsEwma _),
     "events_banded" -> (eventsBanded _),
     "events_anomaly" -> (eventsAnomaly _),
@@ -875,11 +904,27 @@ object Relational {
     "agg_stats" -> (aggStats _))
 
   val oracleSql: Map[String, String] = Map(
+    "events_conversion_lag" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS t_buy, min(v.t_view) AS t_view
+        |  FROM events e JOIN v ON v.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > v.t_view
+        |  GROUP BY e.user_id),
+        |lags AS (SELECT
+        |    CAST(CAST(floor(epoch(t_buy)) AS BIGINT)
+        |      - CAST(floor(epoch(t_view)) AS BIGINT) AS DOUBLE) / 60.0 AS lag_min
+        |  FROM p)
+        |SELECT count(*) AS n_converting_users,
+        |  round(quantile_cont(lag_min, 0.25), 6) AS p25,
+        |  round(quantile_cont(lag_min, 0.5), 6) AS p50,
+        |  round(quantile_cont(lag_min, 0.75), 6) AS p75
+        |FROM lags""".stripMargin,
     "events_velocity" ->
       """WITH v AS (
         |  SELECT user_id,
         |    count(*) OVER (PARTITION BY user_id
-        |      ORDER BY CAST(epoch(ts) AS BIGINT)
+        |      ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
         |      RANGE BETWEEN 300 PRECEDING AND CURRENT ROW) AS n_5m
         |  FROM events)
         |SELECT user_id, count(*) AS n_events,
