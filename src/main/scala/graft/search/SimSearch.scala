@@ -325,7 +325,34 @@ object SimSearch {
       .withColumn("recall_at_k", round(col("n_hit").cast("double") / col("k"), 6))
   }
 
+  /** Recall CURVE of the IVF searcher against the brute-force truth —
+    * recall@k for every k up to the retrieval depth in one pass, the
+    * tuning table an ANN deployment reads before picking k and NPROBE
+    * (the fixed-k recall@5 number is one row of it). Both sides'
+    * ranked results join once; the per-k matches are parallel
+    * conditional aggregates over that small frame, and recalls are
+    * exact rationals rounded 6. */
+  def qRecallCurve(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val truth = qTopK(spark, dir).filter(col("rank") <= IVF_TOPK)
+      .select(col("q_id"), col("vec_id"), col("rank").as("trank"))
+    val ivf = qIvf(spark, dir)
+      .select(col("q_id"), col("vec_id"), col("rank").as("arank"))
+    val j = truth.join(ivf, Seq("q_id", "vec_id"))
+    val aggs = (1 to IVF_TOPK).map(k =>
+      sum(when(col("trank") <= k && col("arank") <= k, 1).otherwise(0))
+        .cast("long").as(s"m_$k"))
+    val row = j.agg(aggs.head, aggs.tail: _*).head()
+    val qn = truth.select("q_id").distinct().count()
+    (1 to IVF_TOPK).map { k =>
+      val m = row.getLong(k - 1)
+      (k, m, BigDecimal(m.toDouble / (k * qn))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toDF("k", "n_matched", "recall_at_k")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "simsearch_recall_curve" -> (qRecallCurve _),
     "simsearch_topk" -> (qTopK _),
     "simsearch_hard_negatives" -> (qHardNegatives _),
     "simsearch_ann" -> (qAnn _),
@@ -337,6 +364,38 @@ object SimSearch {
     "pipeline_balanced_sample" -> ((s: SparkSession, d: String) => qBalancedSample(s, d)))
 
   val oracleSql: Map[String, String] = Map(
+    "simsearch_recall_curve" -> {
+      val mk = (1 to IVF_TOPK).map(k =>
+        s"""SELECT $k AS k,
+           |  CAST(sum(CASE WHEN trank <= $k AND arank <= $k THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_matched FROM j""".stripMargin).mkString("\nUNION ALL\n")
+      s"""WITH pts AS (${Points.embedPtsSql}),
+         |$ivfChainSql,
+         |cand AS (SELECT pr.q_id, a.pid AS vec_id
+         |  FROM pr JOIN acell a ON a.k = pr.cell WHERE a.pid != pr.q_id),
+         |iscored AS (SELECT cand.q_id, cand.vec_id,
+         |  ${graft.functions.VectorOps.cosineSql("qe.embedding", "ce.embedding")} AS cs
+         |  FROM cand JOIN embeddings qe ON qe.vec_id = cand.q_id
+         |            JOIN embeddings ce ON ce.vec_id = cand.vec_id),
+         |ivf AS (SELECT q_id, vec_id, rank AS arank FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY cs DESC, vec_id ASC) AS rank
+         |  FROM iscored) WHERE rank <= $IVF_TOPK),
+         |bc AS (SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+         |    ${graft.functions.VectorOps.cosineSql("q.embedding", "e.embedding")} AS cs
+         |  FROM embeddings q JOIN embeddings e ON q.vec_id <= $QN AND q.vec_id != e.vec_id),
+         |truth AS (SELECT q_id, vec_id, rank AS trank FROM (
+         |  SELECT q_id, vec_id, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY cs DESC, vec_id ASC) AS rank FROM bc)
+         |  WHERE rank <= $IVF_TOPK),
+         |j AS (SELECT truth.q_id, truth.vec_id, trank, arank
+         |  FROM truth JOIN ivf ON ivf.q_id = truth.q_id AND ivf.vec_id = truth.vec_id),
+         |qn AS (SELECT CAST(count(DISTINCT q_id) AS BIGINT) AS n FROM truth),
+         |m AS ($mk)
+         |SELECT k, n_matched,
+         |  round(CAST(n_matched AS DOUBLE) / (k * qn.n), 6) AS recall_at_k
+         |FROM m CROSS JOIN qn""".stripMargin
+    },
     "simsearch_recall" ->
       s"""WITH c AS (SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
          |    ${VectorOps.cosineSql("q.embedding", "e.embedding")} AS cs

@@ -374,6 +374,16 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(cum == total, s"curve covers $cum of $total candidate pairs")
   }
 
+  test("recall curve: k rows, recalls in [0,1], matches never exceed k*Q") {
+    val rows = graft.search.SimSearch.qRecallCurve(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).sorted.toSeq == (1 to 5))
+    rows.foreach { r =>
+      val k = r.getInt(0); val rec = r.getAs[Double]("recall_at_k")
+      assert(rec >= 0.0 && rec <= 1.0, s"recall@$k = $rec")
+      assert(r.getAs[Long]("n_matched") <= k.toLong * 5)
+    }
+  }
+
   test("velocity rule: a burst peaks at its size and flags past the threshold") {
     val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def at(s: Long) = new java.sql.Timestamp(ts0.getTime + s * 1000)
