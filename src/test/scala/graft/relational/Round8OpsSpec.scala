@@ -377,10 +377,13 @@ class Round8OpsSpec extends AnyFunSuite {
   test("recall curve: k rows, recalls in [0,1], matches never exceed k*Q") {
     val rows = graft.search.SimSearch.qRecallCurve(spark, sf).collect()
     assert(rows.map(_.getInt(0)).sorted.toSeq == (1 to 5))
+    // query set = vec_id <= QN, which includes id 0 -> QN+1 queries
+    val q = graft.Tables.t(spark, sf, "embeddings")
+      .filter(col("vec_id") <= 5).count()
     rows.foreach { r =>
       val k = r.getInt(0); val rec = r.getAs[Double]("recall_at_k")
       assert(rec >= 0.0 && rec <= 1.0, s"recall@$k = $rec")
-      assert(r.getAs[Long]("n_matched") <= k.toLong * 5)
+      assert(r.getAs[Long]("n_matched") <= k.toLong * q)
     }
   }
 
