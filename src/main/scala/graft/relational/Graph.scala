@@ -181,20 +181,50 @@ object Graph {
     * candidate pair once per shared center; its fan-out is deg^2 at a
     * hub — inherent to common-neighbor counting (unlike triangles,
     * BOTH wedge arms matter, so the degree-ordered orientation cannot
-    * bound it). That is WHY the edges are the verified pairs and not
-    * the raw band candidates: verified degree is bounded by true
-    * family size, while band-candidate keeper-star hubs blow the
-    * wedge set up quadratically — the sf1 adversarial corpus (every
-    * doc in a 10-copy family) hung the raw-candidate form and runs
-    * the verified form in seconds. */
-  def qCommonNeighbors(spark: SparkSession, dir: String): DataFrame = {
-    val e = Dedup.stagedVerifiedPairs(spark, dir)
+    * bound it). The edges are the verified pairs, not the raw band
+    * candidates (keeper-star hubs blow the raw wedge set up
+    * quadratically — the sf1 adversarial corpus hung that form), AND
+    * every center's neighbor list is hub-capped at `cap` before the
+    * wedge self-join — without the cap, verified degree is only
+    * bounded by true family size, and the sf1 sweep's 100-copy
+    * families grew wedge work 41x (the round-8 artifact's one
+    * outlier). */
+  def qCommonNeighbors(spark: SparkSession, dir: String, cap: Int = 32): DataFrame =
+    commonNeighborsOf(Dedup.stagedVerifiedPairs(spark, dir), cap)
+
+  /** Common-neighbor scores over any canonical (ia < ib, distinct)
+    * edge frame, with MUTUAL per-center HUB CAPPING: each center
+    * keeps only its first `cap` neighbors (by neighbor id — a
+    * deterministic, oracle-expressible truncation), and an edge
+    * survives only if BOTH endpoints kept each other, so the capped
+    * graph stays undirected. That symmetry is what keeps the score a
+    * true Jaccard of the truncated neighborhoods: degrees and wedge
+    * counts describe the same edge set, so cn <= min(dp, dq) and the
+    * score stays in [0,1] (a one-sided cap lets cn exceed the capped
+    * degrees — a hub every small node still points at collects more
+    * shared centers than its own truncated degree — and the "Jaccard"
+    * goes negative). Per-center wedge work is bounded at
+    * cap*(cap-1)/2 no matter how big a boilerplate family grows, and
+    * the statistic is EXACTLY the uncapped one whenever every degree
+    * <= cap (the testdata case: family size ~10 vs cap 32). The
+    * truncation rides the custom TopKPerKey exec — one hash shuffle
+    * on the center key, a bounded cap-row heap per center, NO
+    * per-group sort — plus one co-partitioned self-join for the
+    * mutuality check. */
+  def commonNeighborsOf(e: DataFrame, cap: Int = 32): DataFrame = {
     val und = e.select(explode(array(
         struct(col("ia").as("s"), col("ib").as("d")),
         struct(col("ib").as("s"), col("ia").as("d")))).as("x"))
       .select(col("x.s").as("s"), col("x.d").as("d"))
-    val deg = und.groupBy("s").agg(count(lit(1)).as("deg"))
-    val cn = und.as("x").join(und.as("y"),
+    // constant rank value => TopKPerKey orders purely by the long tie
+    // column (neighbor id ASC), the deterministic first-cap truncation
+    val ranked = graft.plans.TopKPerKey(
+        und.withColumn("nv", lit(0.0)), Seq("s"), "nv", "d", cap)
+      .select(col("s"), col("d"))
+    val capped = ranked.join(
+      ranked.select(col("d").as("s"), col("s").as("d")), Seq("s", "d"))
+    val deg = capped.groupBy("s").agg(count(lit(1)).as("deg"))
+    val cn = capped.as("x").join(capped.as("y"),
         col("x.s") === col("y.s") && col("x.d") < col("y.d"))
       .groupBy(col("x.d").as("p"), col("y.d").as("q"))
       .agg(count(lit(1)).as("cn"))
@@ -236,7 +266,7 @@ object Graph {
     "graph_triangles" -> (qTriangles _),
     "graph_components" -> (qComponents _),
     "graph_kcore" -> ((s: SparkSession, d: String) => qKCore(s, d)),
-    "graph_common_neighbors" -> (qCommonNeighbors _),
+    "graph_common_neighbors" -> ((s: SparkSession, d: String) => qCommonNeighbors(s, d)),
     "graph_degree_stats" -> (qDegreeStats _))
 
   private val undSql =
@@ -342,11 +372,16 @@ object Graph {
          |  WHERE j >= 0.8),
          |vund AS (SELECT ia AS s, ib AS d FROM vp
          |         UNION ALL SELECT ib AS s, ia AS d FROM vp),
-         |vdeg AS (SELECT s, count(*) AS deg FROM vund GROUP BY s),
+         |rnk AS (SELECT s, d FROM (
+         |    SELECT s, d, row_number() OVER (PARTITION BY s ORDER BY d) AS rn
+         |    FROM vund) WHERE rn <= 32),
+         |cund AS (SELECT r1.s, r1.d FROM rnk r1
+         |         JOIN rnk r2 ON r1.s = r2.d AND r1.d = r2.s),
+         |vdeg AS (SELECT s, count(*) AS deg FROM cund GROUP BY s),
          |cn AS (
          |  SELECT p, q, cn FROM (
          |    SELECT x.d AS p, y.d AS q, count(*) AS cn
-         |    FROM vund x JOIN vund y ON x.s = y.s AND x.d < y.d
+         |    FROM cund x JOIN cund y ON x.s = y.s AND x.d < y.d
          |    GROUP BY x.d, y.d
          |    HAVING count(*) >= 2) c
          |  WHERE NOT EXISTS (SELECT 1 FROM vp WHERE vp.ia = c.p AND vp.ib = c.q))

@@ -112,4 +112,37 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(r3.getAs[Long]("n_core_nodes") == 0 && r3.getAs[Long]("n_core_edges") == 0,
       "no 3-core in a triangle-plus-path")
   }
+
+  test("common-neighbor hub cap bounds per-center wedge fan-out") {
+    // two hubs (0 and 200) each verified-paired with the same 100
+    // leaves: every leaf pair shares both hubs (cn = 2), and the hub
+    // pair (0,200) is predicted through every leaf center. Uncapped
+    // that is C(100,2) + 1 = 4951 links; with MUTUAL cap 32 each hub
+    // keeps its FIRST 32 leaves (and those leaves keep both hubs), so
+    // the output must be exactly C(32,2) leaf pairs from 1..32 plus
+    // (0,200) — the per-center bound that holds no matter how large a
+    // boilerplate family grows.
+    val leaves = (1L to 100L)
+    val e = (leaves.map(i => (0L, i)) ++ leaves.map(i => (i, 200L))).toDF("ia", "ib")
+    val uncapped = Graph.commonNeighborsOf(e, cap = 1000).collect()
+    assert(uncapped.length == 4951, s"uncapped wedge count: ${uncapped.length}")
+    val capped = Graph.commonNeighborsOf(e, cap = 32).collect()
+    assert(capped.length == 497, s"capped wedge count: ${capped.length}")
+    assert(capped.forall(r => (r.getLong(0) <= 32 && r.getLong(1) <= 32) ||
+      (r.getLong(0) == 0L && r.getLong(1) == 200L)),
+      "capped pairs must come from each hub's first 32 neighbors")
+    // the mutual cap keeps cn <= min(dp, dq), so every score is a true
+    // truncated-neighborhood Jaccard — here leaf pairs share both of
+    // their 2 hubs and the hubs share all 32 of their kept leaves, so
+    // everything scores exactly 1.0 (one-sided capping would have put
+    // the hub pair at cn=100 over capped degree 32: score < 0)
+    assert(capped.forall(r => r.getDouble(3) == 1.0))
+    assert(capped.filter(r => r.getLong(0) == 0L).forall(_.getLong(2) == 32L))
+    // below-cap graphs are EXACTLY the uncapped statistic
+    val small = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 9L), (2L, 9L), (3L, 9L))
+      .toDF("ia", "ib")
+    val a = Graph.commonNeighborsOf(small, cap = 32).orderBy("p", "q").collect()
+    val b = Graph.commonNeighborsOf(small, cap = 1000).orderBy("p", "q").collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq && a.nonEmpty)
+  }
 }
