@@ -451,11 +451,7 @@ object Multimodal {
     import spark.implicits._
     t(spark, dir, "documents").select("doc_id", "text").as[(Long, String)]
       .map { case (id, text) =>
-        val w = 4 + (id % 12).toInt
-        val h = 4 + ((id / 3) % 12).toInt
-        val seed = text.getBytes("UTF-8")
-        val rgb = Array.tabulate(w * h * 3)(i =>
-          if (seed.isEmpty) (id + i).toByte else seed(i % seed.length))
+        val (w, h, rgb) = mediaPixels(id, text)
         (id % 4).toInt match {
           case 0 => MediaRecord(id, "ppm", encodePpm(w, h, rgb))
           case 1 => MediaRecord(id, "bmp", encodeBmp(w, h, rgb))
@@ -463,6 +459,18 @@ object Multimodal {
           case _ => MediaRecord(id, "jpg", encodeImageIo(w, h, rgb, "jpg"))
         }
       }
+  }
+
+  /** The deterministic pixel grid behind the media view: dimensions
+    * derive from doc_id, pixel bytes tile the text. Factored out so
+    * the recall probe can re-encode the SAME pixels through a second
+    * codec. */
+  private[graft] def mediaPixels(id: Long, text: String): (Int, Int, Array[Byte]) = {
+    val w = 4 + (id % 12).toInt
+    val h = 4 + ((id / 3) % 12).toInt
+    val seed = text.getBytes("UTF-8")
+    (w, h, Array.tabulate(w * h * 3)(i =>
+      if (seed.isEmpty) (id + i).toByte else seed(i % seed.length)))
   }
 
   /** Oracled metadata query: the SQL-expressible half of the pipeline
@@ -484,9 +492,12 @@ object Multimodal {
     * family): identical images collide exactly, re-encodes and small
     * edits land within a few bits of hamming. PPM parses directly;
     * BMP/PNG/JPEG go through the JDK's real ImageIO codec. Corrupt or
-    * unreadable payloads hash to 0L (the quarantine convention of the
-    * decode path). */
-  def aHash64(m: MediaRecord): Long = {
+    * unreadable payloads return None — a DISTINCT quarantine signal,
+    * not a hash value: a legitimately flat image (no cell above the
+    * mean) also hashes to 0L, and a 0L quarantine sentinel would merge
+    * unreadable files with blank images in every downstream consumer
+    * (ADVICE r8). */
+  def aHash64(m: MediaRecord): Option[Long] = {
     val gray: Option[(Int, Int, (Int, Int) => Int)] =
       if (m.payload.length >= 2 && m.payload(0) == 'P' && m.payload(1) == '6') {
         // minimal P6 parser: 3 ASCII ints, one whitespace, raw RGB
@@ -516,7 +527,7 @@ object Multimodal {
         }))
       }
     gray match {
-      case None => 0L
+      case None => None
       case Some((w, h, at)) =>
         // block-average each of the 8x8 cells over its pixel block
         val cells = Array.tabulate(64) { c =>
@@ -533,9 +544,9 @@ object Multimodal {
           if (n == 0) 0.0 else s.toDouble / n
         }
         val mean = cells.sum / 64.0
-        cells.zipWithIndex.foldLeft(0L) { case (acc, (v, i)) =>
+        Some(cells.zipWithIndex.foldLeft(0L) { case (acc, (v, i)) =>
           if (v > mean) acc | (1L << i) else acc
-        }
+        })
     }
   }
 
@@ -552,41 +563,126 @@ object Multimodal {
   def qPhashDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     mediaView(spark, dir)
-      .map(m => (m.doc_id, aHash64(m)))
-      .toDF("doc_id", "phash")
-      .groupBy("phash")
+      .map { m => val oh = aHash64(m); (m.doc_id, oh.isDefined, oh.getOrElse(0L)) }
+      .toDF("doc_id", "decoded", "phash")
+      // quarantined (undecodable) rows group ALONE on their own id: an
+      // unreadable file must never merge with a legitimately flat
+      // image whose hash happens to be the old 0L sentinel (ADVICE r8)
+      .withColumn("gk", when(col("decoded"), col("phash")).otherwise(col("doc_id")))
+      .groupBy("decoded", "gk")
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_images"))
+      .select(col("decoded"), col("gk").as("phash"), col("keep_id"), col("n_images"))
   }
 
-  /** Near-duplicate IMAGE pairs: aHash fingerprints banded on their
-    * 16-bit prefix (one bucket keeper per band, the star-candidate
-    * shape every dedup chain here uses), verified by hamming distance
-    * <= 8 via the codegen'd bit_count(xor) — the image twin of
-    * dedup_simhash_pairs. A single prefix probe trades recall for one
-    * shuffle exactly like the streaming SimHash gate (and the batch
-    * gate-recall operator documents that trade); multi-band probing
-    * is the same query unioned over rotated prefixes. Rows-only (the
+  /** The decoded aHash fingerprint table (quarantined payloads
+    * dropped — an unreadable image has no meaningful hamming distance
+    * to anything). One mapPartitions decode pass. */
+  private def phashes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaView(spark, dir)
+      .flatMap(m => aHash64(m).map(ph => (m.doc_id, ph)))
+      .toDF("doc_id", "phash")
+  }
+
+  /** Per-hash 8x8-bit band entries: band index 0..7 plus that byte of
+    * the fingerprint — two near-dup images (hamming <= 8 over 64
+    * bits) agree on at least one whole byte whenever their flipped
+    * bits don't cover all 8 bands, the Manku-style pigeonhole argument
+    * the VERIFIED text gate (#114) measured at 0.96+ recall where the
+    * single 16-bit prefix probe scored 0.022 (#113). */
+  private def phashBands(h: DataFrame): DataFrame =
+    h.select(col("doc_id"), col("phash"),
+      explode(array((0 until 8).map(i => struct(lit(i).as("band"),
+        shiftright(col("phash"), i * 8).bitwiseAND(lit(255L)).as("bv"))): _*)).as("e"))
+      .select(col("doc_id"), col("e.band").as("band"), col("e.bv").as("bv"))
+
+  /** Near-duplicate IMAGE pairs: aHash fingerprints banded 8x8-bit
+    * ANY-BAND (one bucket keeper per (band, byte) bucket — the
+    * star-candidate shape every dedup chain here uses, via the same
+    * single-shuffle window-min as Dedup.candidatesOf), then VERIFIED
+    * by hamming distance <= 8 via the codegen'd bit_count(xor) — the
+    * image twin of dedup_simhash_pairs, upgraded from the round-8
+    * single-16-bit-prefix probe whose recall the gate-recall operator
+    * measured at 0.022 for the text gate; the recall report below
+    * pins this layout's recall on the image corpus. Rows-only (the
     * hash rides codec decodes); spec proves a JPEG re-encode pairs
     * with its lossless siblings. */
   def qPhashPairs(spark: SparkSession, dir: String,
                   maxHamming: Int = 8): DataFrame = {
-    import spark.implicits._
-    val h = mediaView(spark, dir).map(m => (m.doc_id, aHash64(m)))
-      .toDF("doc_id", "phash")
-      .withColumn("bk", shiftright(col("phash"), 48))
-    val mins = h.groupBy("bk").agg(min("doc_id").as("ia"))
-    val keepers = h.select(col("doc_id").as("ia"), col("phash").as("pa"))
-    h.join(mins, "bk").filter(col("doc_id") > col("ia"))
-      .join(keepers, "ia")
-      .select(col("ia"), col("doc_id").as("ib"),
-        bit_count(col("pa").bitwiseXOR(col("phash"))).as("hd"))
+    val h = phashes(spark, dir)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bv")
+    val pairs = phashBands(h)
+      .withColumn("ia", min("doc_id").over(w))
+      .filter(col("doc_id") > col("ia"))
+      .select(col("ia"), col("doc_id").as("ib"))
+      .distinct()
+    pairs
+      .join(h.select(col("doc_id").as("ia"), col("phash").as("pa")), "ia")
+      .join(h.select(col("doc_id").as("ib"), col("phash").as("pb")), "ib")
+      .select(col("ia"), col("ib"),
+        bit_count(col("pa").bitwiseXOR(col("pb"))).as("hd"))
       .filter(col("hd") <= maxHamming)
+  }
+
+  /** Image-gate recall report (the #113 pattern on the image side).
+    * The truth population is the REALISTIC near-dup image case: for
+    * every document, its image's pixels re-encoded through the lossy
+    * JPEG codec — aHash drift of a re-encode is a few bits (the aHash
+    * spec pins <= 8), exactly what a perceptual gate exists to catch.
+    * (Cross-document pairs are NOT near-dup images on this corpus:
+    * dimensions derive from doc_id, so even exact-dup texts render at
+    * different sizes and hash ~32 bits apart — measured; a truth
+    * built on text candidates is empty at hd <= 8.) Against the
+    * hd <= maxHamming truth pairs, the report measures what fraction
+    * each bucketing scheme catches: the round-8 single 16-bit prefix
+    * probe vs the 8x8-bit any-band layout qPhashPairs now uses —
+    * pigeonhole guarantees any-band catches every hd <= 7 pair (8
+    * flipped bits must cover all 8 bands to evade), while the prefix
+    * probe misses every pair whose drift touches the top two bytes.
+    * One mapPartitions encode+hash pass, linear in corpus size;
+    * rows-only (codec-derived), spec pins recall >= 0.9. */
+  def qPhashRecall(spark: SparkSession, dir: String,
+                   maxHamming: Int = 8): DataFrame = {
+    import spark.implicits._
+    val hp = t(spark, dir, "documents").select("doc_id", "text").as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val (w, h, rgb) = mediaPixels(id, text)
+          val orig = (id % 4).toInt match {
+            case 0 => encodePpm(w, h, rgb)
+            case 1 => encodeBmp(w, h, rgb)
+            case 2 => encodeImageIo(w, h, rgb, "png")
+            case _ => encodeImageIo(w, h, rgb, "jpg")
+          }
+          for {
+            ha <- aHash64(MediaRecord(id, "orig", orig))
+            hb <- aHash64(MediaRecord(id, "jpg", encodeImageIo(w, h, rgb, "jpg")))
+          } yield (id, ha, hb)
+        }
+      }
+      .toDF("doc_id", "pa", "pb")
+    val truth = hp
+      .withColumn("hd", bit_count(col("pa").bitwiseXOR(col("pb"))))
+      .filter(col("hd") <= maxHamming)
+    def anyBand8: org.apache.spark.sql.Column = (0 until 8).map(i =>
+      shiftright(col("pa"), i * 8).bitwiseAND(lit(255L)) ===
+        shiftright(col("pb"), i * 8).bitwiseAND(lit(255L))).reduce(_ || _)
+    truth.agg(
+      count(lit(1)).as("n_true_pairs"),
+      sum(when(shiftright(col("pa"), 48) === shiftright(col("pb"), 48), 1L)
+        .otherwise(0L)).as("n_prefix16"),
+      sum(when(anyBand8, 1L).otherwise(0L)).as("n_band8x8"))
+      .withColumn("recall_prefix16",
+        round(col("n_prefix16").cast("double") / col("n_true_pairs"), 6))
+      .withColumn("recall_band8x8",
+        round(col("n_band8x8").cast("double") / col("n_true_pairs"), 6))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_meta" -> (qMeta _),
     "multimodal_phash_dedup" -> (qPhashDedup _),
-    "multimodal_phash_pairs" -> ((s: SparkSession, d: String) => qPhashPairs(s, d)))
+    "multimodal_phash_pairs" -> ((s: SparkSession, d: String) => qPhashPairs(s, d)),
+    "multimodal_phash_recall" -> ((s: SparkSession, d: String) => qPhashRecall(s, d)))
 
   val oracleSql: Map[String, String] = Map(
     "multimodal_meta" ->

@@ -255,23 +255,76 @@ class MultimodalSpec extends AnyFunSuite {
 
   test("aHash: identical pixels collide across PPM/BMP/PNG containers") {
     val rgb = Array.tabulate(16 * 16 * 3)(i => (i * 37 % 256).toByte)
-    val hp = Multimodal.aHash64(Multimodal.MediaRecord(1L, "ppm", Multimodal.encodePpm(16, 16, rgb)))
-    val hb = Multimodal.aHash64(Multimodal.MediaRecord(2L, "bmp", Multimodal.encodeBmp(16, 16, rgb)))
-    val hg = Multimodal.aHash64(Multimodal.MediaRecord(3L, "png", Multimodal.encodeImageIo(16, 16, rgb, "png")))
-    assert(hp != 0L, "non-degenerate image must not hash to the quarantine value")
+    val hp = Multimodal.aHash64(Multimodal.MediaRecord(1L, "ppm", Multimodal.encodePpm(16, 16, rgb))).get
+    val hb = Multimodal.aHash64(Multimodal.MediaRecord(2L, "bmp", Multimodal.encodeBmp(16, 16, rgb))).get
+    val hg = Multimodal.aHash64(Multimodal.MediaRecord(3L, "png", Multimodal.encodeImageIo(16, 16, rgb, "png"))).get
     assert(hp == hb && hb == hg,
       s"same pixels, three containers: $hp / $hb / $hg")
     // JPEG is lossy: near, not equal — within a few hamming bits
-    val hj = Multimodal.aHash64(Multimodal.MediaRecord(4L, "jpg", Multimodal.encodeImageIo(16, 16, rgb, "jpg")))
+    val hj = Multimodal.aHash64(Multimodal.MediaRecord(4L, "jpg", Multimodal.encodeImageIo(16, 16, rgb, "jpg"))).get
     assert(java.lang.Long.bitCount(hp ^ hj) <= 8,
       s"jpeg re-encode drifted ${java.lang.Long.bitCount(hp ^ hj)} bits")
   }
 
-  test("aHash: corrupt payload quarantines to 0, dedup groups cover the corpus") {
-    assert(Multimodal.aHash64(Multimodal.MediaRecord(9L, "png", Array[Byte](1, 2, 3))) == 0L)
+  test("aHash: corrupt payload quarantines as None, never merging with a flat image") {
+    // an unreadable payload is NOT a hash value — the old 0L sentinel
+    // merged it with legitimately flat images (no cell above the
+    // mean), which also hash to 0L (ADVICE r8)
+    assert(Multimodal.aHash64(Multimodal.MediaRecord(9L, "png", Array[Byte](1, 2, 3))).isEmpty)
+    val flat = Array.fill(16 * 16 * 3)(77.toByte)
+    assert(Multimodal.aHash64(Multimodal.MediaRecord(8L, "ppm",
+      Multimodal.encodePpm(16, 16, flat))).contains(0L))
     val out = Multimodal.qPhashDedup(spark, sf).collect()
     val total = out.map(_.getAs[Long]("n_images")).sum
     assert(total == graft.Tables.t(spark, sf, "documents").count())
     out.foreach(r => assert(r.getAs[Long]("keep_id") >= 0))
+    // quarantined rows (none on this corpus — every generated payload
+    // decodes) would appear as decoded=false singleton groups
+    out.filter(!_.getAs[Boolean]("decoded"))
+      .foreach(r => assert(r.getAs[Long]("n_images") == 1L))
+  }
+
+  test("phash pairs: 8x8-bit any-band catches what the 16-bit prefix probe misses") {
+    // the banded layout's pigeonhole guarantee: hd <= 7 over 8 bytes
+    // leaves at least one byte untouched, so ANY such pair shares a
+    // band bucket. Measured on the JPEG re-encode truth population:
+    // banded recall must clear 0.9 — the round-8 single-prefix design
+    // measured 0.022 for the text gate (#113).
+    val r = Multimodal.qPhashRecall(spark, sf).collect()(0)
+    assert(r.getAs[Long]("n_true_pairs") > 100, "truth set must be substantial")
+    val banded = r.getAs[Double]("recall_band8x8")
+    assert(banded >= 0.9, s"banded recall $banded below the gate bar")
+    assert(banded >= r.getAs[Double]("recall_prefix16"),
+      "banding must dominate the single prefix probe")
+    // and the pair query itself verifies: every emitted pair is a true
+    // near-dup (hd <= 8), ia < ib, no duplicates
+    val pairs = Multimodal.qPhashPairs(spark, sf).collect()
+    assert(pairs.forall(p => p.getAs[Int]("hd") <= 8 &&
+      p.getAs[Long]("ia") < p.getAs[Long]("ib")))
+    assert(pairs.map(p => (p.getLong(0), p.getLong(1))).distinct.length == pairs.length)
+    // a crafted corpus with a genuine near-dup image pair: the banded
+    // gate finds it even when the drift crosses the top-16-bit prefix
+    // (the case the round-8 single-probe design structurally missed)
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rgb = Array.tabulate(16 * 16 * 3)(i => (i * 37 % 256).toByte)
+    val base = Multimodal.aHash64(
+      Multimodal.MediaRecord(0L, "ppm", Multimodal.encodePpm(16, 16, rgb))).get
+    // partner hash: flip 3 bits INSIDE the top 16 (prefix probe blind)
+    // and 3 elsewhere — hd 6, must be caught by any-band
+    val drifted = base ^ (1L << 63) ^ (1L << 55) ^ (1L << 50) ^ (1L << 20) ^ (1L << 9) ^ 1L
+    val h = Seq((1L, base), (2L, drifted)).toDF("doc_id", "phash")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bv")
+    val found = h.select(col("doc_id"), explode(array((0 until 8).map(i =>
+        struct(lit(i).as("band"),
+          shiftright(col("phash"), i * 8).bitwiseAND(lit(255L)).as("bv"))): _*)).as("e"))
+      .select(col("doc_id"), col("e.band").as("band"), col("e.bv").as("bv"))
+      .withColumn("ia", min("doc_id").over(w))
+      .filter(col("doc_id") > col("ia"))
+      .select("ia", "doc_id").distinct().collect()
+    assert(found.map(r2 => (r2.getLong(0), r2.getLong(1))).contains((1L, 2L)),
+      "any-band bucketing must pair the drifted re-encode with its source")
+    assert(java.lang.Long.bitCount(base ^ drifted) == 6)
+    assert((base >>> 48) != (drifted >>> 48), "drift crosses the old prefix probe")
   }
 }
