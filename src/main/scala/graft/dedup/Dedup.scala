@@ -27,10 +27,22 @@ object Dedup {
   // ---- exact dedup -----------------------------------------------------
 
   /** Exact dedup: content hash -> keeper id + multiplicity. One
-    * partial-aggregating shuffle on the hash; keep-first = min id. */
+    * partial-aggregating shuffle on the hash; keep-first = min id.
+    * The hash rides the Unicode-normalization stage (NFC composition
+    * + zero-width/control stripping, TextAnalysis.normalizeUnicode):
+    * on a multilingual crawl, NFC-vs-NFD encodings of identical text
+    * — or a copy with an infiltrated zero-width space — hash apart on
+    * raw bytes and silently escape dedup (round-8 advice). ASCII text
+    * takes the codegen fast path, so this corpus's results (and the
+    * mirrored DuckDB oracle's) are unchanged. */
   def qExact(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents")
-      .groupBy(md5(col("text")).as("content_hash"))
+    exactOf(t(spark, dir, "documents"))
+
+  /** The exact-dedup chain over any (doc_id, text) frame. */
+  def exactOf(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(md5(graft.text.TextAnalysis.normalizeUnicode(col("text")))
+        .as("content_hash"))
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
 
   /** Exact dedup over the events stream table: content = the payload
@@ -1046,9 +1058,10 @@ object Dedup {
         |  md5(string_agg(CASE WHEN rn = 1 THEN seg END, ' ' ORDER BY pos)) AS clean_hash
         |FROM r GROUP BY doc_id""".stripMargin,
     "dedup_exact" ->
-      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
-        |  count(*) AS n_copies
-        |FROM documents GROUP BY md5(text)""".stripMargin,
+      s"""SELECT md5(${graft.text.TextAnalysis.normalizeUnicodeSql("text")})
+         |  AS content_hash, min(doc_id) AS keep_id,
+         |  count(*) AS n_copies
+         |FROM documents GROUP BY 1""".stripMargin,
     "dedup_exact_events" ->
       """SELECT content_hash, keep_id, n_copies FROM (
         |  SELECT content_hash, event_id AS keep_id,

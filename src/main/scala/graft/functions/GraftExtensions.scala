@@ -40,6 +40,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1, "distinct_bigram_count(ws) takes exactly 1 argument")
         DistinctBigramCount(children.head)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "nfc_normalize(s) takes exactly 1 argument")
+        NfcNormalize(children.head)
+      }))
     // declarative row_number-top-k rewrites to the bounded-heap
     // operator; the strategy makes the node plannable in this session
     ext.injectOptimizerRule(_ => graft.plans.TopKRewriteRule)
@@ -63,6 +70,9 @@ object GraftFunctions {
 
   def distinctBigramCount(ws: Column): Column =
     GraftBridge.column(DistinctBigramCount(GraftBridge.expression(ws)))
+
+  def nfcNormalize(s: Column): Column =
+    GraftBridge.column(NfcNormalize(GraftBridge.expression(s)))
 
   /** PQ nearest-centroid codes of a packed array<double> point; the
     * trained codebook rides as driver-side state, not a child. */

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables.t
@@ -102,6 +102,43 @@ object TextAnalysis {
     t(spark, dir, "documents").select(
       col("doc_id"),
       trim(regexp_replace(regexp_replace(regexp_replace(lower(col("text")),
+        "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "<email>"),
+        "[0-9]{6,}", "<num>"),
+        "  +", " ")).as("clean"))
+
+  /** Zero-width and control characters that must not survive ingest:
+    * ZWSP/ZWNJ/ZWJ/BOM plus the C0 controls (except \t \n \r) and DEL
+    * — invisible bytes that make visually identical texts hash apart.
+    * Java regex and DuckDB's RE2 read this class identically. */
+  private[graft] val ZW_CONTROL_CLASS =
+    "[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+
+  /** The composable Unicode-normalization stage: NFC canonical
+    * composition (native codegen expression) + zero-width/control
+    * stripping. On a real multilingual crawl, NFC-vs-NFD variants and
+    * zero-width-infiltrated copies of identical text hash to
+    * different content keys and silently escape exact dedup and every
+    * shingle-based operator — this stage, applied BEFORE hashing,
+    * closes that hole (Dedup.qExact rides it). Mirrored exactly by
+    * DuckDB's nfc_normalize + the same RE2 class, so consumers stay
+    * fully oracled. */
+  def normalizeUnicode(c: Column): Column =
+    regexp_replace(graft.functions.GraftFunctions.nfcNormalize(c), ZW_CONTROL_CLASS, "")
+
+  /** SQL fragment mirroring [[normalizeUnicode]] for oracle reuse
+    * (DuckDB string literals take the RE2 class verbatim — no escape
+    * processing inside single quotes). */
+  private[graft] def normalizeUnicodeSql(c: String): String =
+    s"regexp_replace(nfc_normalize($c), '$ZW_CONTROL_CLASS', '', 'g')"
+
+  /** The scrub pass with the Unicode-normalization stage ahead of it —
+    * the full ingest normalization a multilingual corpus needs before
+    * any content hash. */
+  def qScrubNfc(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").select(
+      col("doc_id"),
+      trim(regexp_replace(regexp_replace(regexp_replace(
+        lower(normalizeUnicode(col("text"))),
         "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "<email>"),
         "[0-9]{6,}", "<num>"),
         "  +", " ")).as("clean"))
@@ -310,6 +347,7 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_scrub" -> (qScrub _),
+    "text_scrub_nfc" -> (qScrubNfc _),
     "text_chunk" -> (qChunk _),
     "text_entropy" -> (qEntropy _),
     "text_rolling_hash" -> (qRollingHash _),
@@ -353,6 +391,14 @@ object TextAnalysis {
           |    '[0-9]{6,}', '<num>', 'g'),
           |    '  +', ' ', 'g')) AS clean
           |FROM documents""".stripMargin,
+      "text_scrub_nfc" ->
+        s"""SELECT doc_id,
+           |  trim(regexp_replace(regexp_replace(regexp_replace(lower(
+           |    ${normalizeUnicodeSql("text")}),
+           |    '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<email>', 'g'),
+           |    '[0-9]{6,}', '<num>', 'g'),
+           |    '  +', ' ', 'g')) AS clean
+           |FROM documents""".stripMargin,
       "text_chunk" ->
         s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
            |st AS (SELECT doc_id, ws,

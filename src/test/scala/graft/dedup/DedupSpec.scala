@@ -14,6 +14,32 @@ class DedupSpec extends AnyFunSuite {
     assert(out.filter($"n_copies" < 1).count() == 0)
   }
 
+  test("NFC/NFD variants and zero-width infiltration collide in exact dedup") {
+    // "café" composed (NFC: e9) vs decomposed (NFD: 65 + combining
+    // 0301) vs a copy with an infiltrated zero-width space: raw md5
+    // sees three distinct texts; the normalized content hash must
+    // merge all three (round-8 advice — these escape dedup silently
+    // on a real multilingual crawl)
+    val nfc = "caf\u00e9 fact"
+    val nfd = "cafe\u0301 fact"
+    val zw = "caf\u00e9 fact\u200b"
+    assert(nfc != nfd && nfc != zw)
+    val out = Dedup.exactOf(
+      Seq((1L, nfc), (2L, nfd), (3L, zw), (4L, "different")).toDF("doc_id", "text"))
+      .collect()
+    assert(out.length == 2, s"three variants + one distinct => 2 groups: ${out.length}")
+    val merged = out.find(_.getAs[Long]("n_copies") == 3L)
+    assert(merged.isDefined && merged.get.getAs[Long]("keep_id") == 1L,
+      "the NFC/NFD/zero-width family keeps doc 1")
+    // ASCII corpus unchanged: normalized hash == raw md5 on plain text
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.t(spark, sf, "documents")
+    val diff = docs.select(md5(col("text")).as("raw"),
+        md5(graft.text.TextAnalysis.normalizeUnicode(col("text"))).as("norm"))
+      .filter(col("raw") =!= col("norm")).count()
+    assert(diff == 0, "testdata is ASCII: the stage must be an exact no-op")
+  }
+
   test("minhash signature is invariant to word order and duplication") {
     import org.apache.spark.sql.functions._
     val docs = Seq((1L, "a b c"), (2L, "c b a a")).toDF("doc_id", "text")
