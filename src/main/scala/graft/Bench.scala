@@ -13,6 +13,32 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Shuffle/spill accounting: wall-clock on a shared host is noisy
+    // (round-7 cost a full forensics pass on one 16.88s outlier that
+    // was pure cache pollution); bytes moved are noise-immune and the
+    // metric that actually predicts 100 TB behavior. One listener
+    // accumulates task metrics; the bus is drained before each
+    // per-query snapshot so attribution windows don't leak.
+    object M extends org.apache.spark.scheduler.SparkListener {
+      val sr = new java.util.concurrent.atomic.AtomicLong
+      val sw = new java.util.concurrent.atomic.AtomicLong
+      val spd = new java.util.concurrent.atomic.AtomicLong
+      val spm = new java.util.concurrent.atomic.AtomicLong
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) {
+          sr.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+          sw.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          spd.addAndGet(m.diskBytesSpilled)
+          spm.addAndGet(m.memoryBytesSpilled)
+        }
+      }
+      def snap(): Seq[Long] = {
+        org.apache.spark.sql.GraftBridge.flushListenerBus(spark)
+        Seq(sr.get, sw.get, spd.get, spm.get)
+      }
+    }
+    spark.sparkContext.addSparkListener(M)
     // warmup: touch every table once so parquet footer reads, codegen
     // and executor spin-up don't land on whichever query runs first
     Tables.names.foreach { n =>
@@ -32,7 +58,9 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
       case None        => SparkEntry.queries
     }
+    val metrics = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Long]]
     val results = selected.map { case (name, fn) =>
+      val m0 = M.snap()
       val times = (1 to REPS).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() }
@@ -51,14 +79,20 @@ object Bench {
       // reps nothing is cleared, and the disk-staged index tables are
       // untouched (they are parquet reads, not cache entries).
       spark.catalog.clearCache()
+      // per-rep mean of the delta (deterministic plans shuffle the same
+      // bytes each rep, so the mean IS the per-run cost)
+      metrics(name) = M.snap().zip(m0).map { case (a, b) => (a - b) / REPS }
       name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val ms = metrics.map { case (k, Seq(r, w, d, m)) =>
+      s"\"$k\":{\"shuffle_read\":$r,\"shuffle_write\":$w,\"spill_disk\":$d,\"spill_mem\":$m}"
+    }.mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"reps":$REPS,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"bytes":$ms,"errors":$errs,"reps":$REPS,"sf":"$sfDir"}"""
     // The full line exceeds harnesses that keep only the tail of stdout
     // (~130 queries ≈ 4 KB), losing most per-query timings. Persist the
     // complete JSON to a file too, so every timing stays auditable.
@@ -72,8 +106,11 @@ object Bench {
     // total, errors, the 10 slowest queries, and the full-file pointer.
     val top = results.toSeq.sortBy(-_._2).take(10)
       .map { case (k, v) => s"\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
+    val topShuffle = metrics.toSeq.sortBy(-_._2.take(2).sum).take(5)
+      .map { case (k, Seq(r, w, _, _)) =>
+        s"\"$k\":\"${(r + w) / 1024}KB\"" }.mkString("{", ",", "}")
     println(full)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"slowest":$top,"errors":$errs,"reps":$REPS,"sf":"$sfDir","full":"$outFile"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"slowest":$top,"top_shufflers":$topShuffle,"errors":$errs,"reps":$REPS,"sf":"$sfDir","full":"$outFile"}""")
     spark.stop()
   }
 }

@@ -18,4 +18,11 @@ object GraftBridge {
   def ofRows(spark: SparkSession,
              plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Drain the async listener bus so a metrics listener's counters are
+    * complete before a snapshot — the bench's per-query shuffle/spill
+    * attribution would otherwise leak a query's trailing task-end
+    * events into its successor's window. private[spark], hence here. */
+  def flushListenerBus(spark: SparkSession, timeoutMs: Long = 10000L): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty(timeoutMs)
 }
