@@ -384,8 +384,17 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** The registered decontamination rides the bloom PRE-FILTER by
+    * default (round 8: the unfiltered exact path swept 9.0x at sf1 vs
+    * 4.9x for the bloom variant — the corpus-side gram explosion
+    * dominates, and the bloom drops non-matching grams in the scan
+    * stage before any join). Output is byte-identical to the exact
+    * operator — blooms have no false negatives and the confirm join
+    * is exact (BloomSpec pins row-for-row equivalence) — so this
+    * query keeps the exact oracle. The unfiltered formulation stays
+    * as [[decontaminate]] for non-default n/thresholds and the spec. */
   def qDecontaminate(spark: SparkSession, dir: String): DataFrame =
-    decontaminate(spark, dir)
+    Bloom.decontaminateBloom(spark, dir)
 
   /** Label-propagation connected components over an (ia, ib) pair
     * frame: each node takes the min label among itself and its
