@@ -755,8 +755,13 @@ object Analytics {
     * final 10-term fold is integer counts; the fold rounds at 6.
     * One partial-aggregated pass builds the bounded (type, bin,
     * half) grid; the PSI fold runs on that tiny frame. */
-  def qPsi(spark: SparkSession, dir: String, binW: Double = 20.0): DataFrame = {
-    val ev = t(spark, dir, "events")
+  def qPsi(spark: SparkSession, dir: String, binW: Double = 20.0): DataFrame =
+    psiOf(t(spark, dir, "events"), binW)
+
+  /** The PSI report over any (event_type, ts, value) frame. */
+  def psiOf(events: DataFrame, binW: Double = 20.0): DataFrame = {
+    val spark = events.sparkSession
+    val ev = events
       .select(col("event_type"),
         when(hour(col("ts")) < 12, "day").otherwise("night").as("half"),
         least(floor(col("value") / binW), lit(9)).cast("int").as("bin"))
@@ -765,13 +770,19 @@ object Analytics {
     // dense (type, bin) grid so empty bins smooth instead of vanishing
     val grid = cells.select("event_type").distinct()
       .crossJoin(broadcast(spark.range(0, 10).select(col("id").cast("int").as("bin"))))
+    // totals join is LEFT with coalesce(n, 0): a type with ZERO events
+    // in one half is the maximal-drift case PSI exists to catch — an
+    // inner join dropped it from the report entirely (round-8 advice);
+    // with the dense grid + smoothing it now scores a large finite PSI
+    // (empty half rates = 1/10 per bin)
     def rate(half: String) = grid
       .join(cells.filter(col("half") === half).select(col("event_type"), col("bin"), col("c")),
         Seq("event_type", "bin"), "left")
-      .join(totals.filter(col("half") === half).select(col("event_type"), col("n")), "event_type")
+      .join(totals.filter(col("half") === half).select(col("event_type"), col("n")),
+        Seq("event_type"), "left")
       .select(col("event_type"), col("bin"),
         ((coalesce(col("c"), lit(0L)) + lit(1)).cast("double") /
-          (col("n") + lit(10))).as(s"r_$half"))
+          (coalesce(col("n"), lit(0L)) + lit(10))).as(s"r_$half"))
     rate("day").join(rate("night"), Seq("event_type", "bin"))
       .groupBy("event_type")
       .agg(round(sum((col("r_day") - col("r_night")) *
@@ -824,17 +835,17 @@ object Analytics {
         |grid AS (SELECT DISTINCT event_type, CAST(b AS INT) AS bin
         |  FROM cells, (SELECT unnest(range(10)) AS b)),
         |d AS (SELECT g.event_type, g.bin,
-        |    CAST(coalesce(c.c, 0) + 1 AS DOUBLE) / (t.n + 10) AS r_day
+        |    CAST(coalesce(c.c, 0) + 1 AS DOUBLE) / (coalesce(t.n, 0) + 10) AS r_day
         |  FROM grid g
         |  LEFT JOIN cells c ON c.event_type = g.event_type
         |    AND c.bin = g.bin AND c.half = 'day'
-        |  JOIN totals t ON t.event_type = g.event_type AND t.half = 'day'),
+        |  LEFT JOIN totals t ON t.event_type = g.event_type AND t.half = 'day'),
         |nt AS (SELECT g.event_type, g.bin,
-        |    CAST(coalesce(c.c, 0) + 1 AS DOUBLE) / (t.n + 10) AS r_night
+        |    CAST(coalesce(c.c, 0) + 1 AS DOUBLE) / (coalesce(t.n, 0) + 10) AS r_night
         |  FROM grid g
         |  LEFT JOIN cells c ON c.event_type = g.event_type
         |    AND c.bin = g.bin AND c.half = 'night'
-        |  JOIN totals t ON t.event_type = g.event_type AND t.half = 'night')
+        |  LEFT JOIN totals t ON t.event_type = g.event_type AND t.half = 'night')
         |SELECT event_type,
         |  round(sum((r_day - r_night) * ln(r_day / r_night)), 6) AS psi
         |FROM d JOIN nt USING (event_type, bin)

@@ -141,7 +141,13 @@ object Graph {
     * over the just-checkpointed frame. Output: one row per k with
     * core node and edge counts. */
   def qKCore(spark: SparkSession, dir: String, ks: Seq[Int] = Seq(2, 3)): DataFrame =
-    ks.map(k => kCoreOf(stagedCandidates(spark, dir), k))
+    // maxRounds = the oracle's unroll depth: peeling is monotone, so
+    // rounds past the fixed point are no-ops and a corpus that
+    // converges within 8 matches the 8-round SQL exactly — but a
+    // degree cascade DEEPER than the unroll (a long pendant chain)
+    // must fail loudly here rather than let the operator silently
+    // out-converge its own gate (round-8 advice)
+    ks.map(k => kCoreOf(stagedCandidates(spark, dir), k, maxRounds = 8))
       .reduce(_ unionByName _)
 
   /** The k-core census over any canonical (ia < ib, distinct) edge

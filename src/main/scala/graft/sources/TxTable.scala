@@ -192,7 +192,21 @@ object TxTable {
     val lines = files.map { f =>
       val r = spark.read.parquet(s"$tableDir/$f")
         .agg(fmin(fcol(col)).cast("double"), fmax(fcol(col)).cast("double")).head()
-      s"$f\t${r.getDouble(0)}\t${r.getDouble(1)}"
+      // Two wrong-skip hazards (round-8 advice), both resolved toward
+      // "scan more, never less":
+      // - an empty staged file or all-null stats column aggregates to
+      //   null; getDouble would NPE mid-commit (after staging, before
+      //   the pointer swap) — emit an always-scan sentinel instead
+      // - the double cast rounds int64/decimal values beyond 2^53 to
+      //   NEAREST, which can pull a file's true max down (or min up)
+      //   and silently skip matching rows — widen one ulp outward so
+      //   the stored range always CONTAINS the true range (rounding
+      //   error is at most half an ulp)
+      val (mn, mx) =
+        if (r.isNullAt(0) || r.isNullAt(1))
+          (Double.NegativeInfinity, Double.PositiveInfinity)
+        else (Math.nextDown(r.getDouble(0)), Math.nextUp(r.getDouble(1)))
+      s"$f\t$mn\t$mx"
     }
     Files.write(statsPath(tableDir, version, col),
       lines.mkString("\n").getBytes("UTF-8"), StandardOpenOption.CREATE_NEW)

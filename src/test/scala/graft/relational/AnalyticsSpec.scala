@@ -113,6 +113,27 @@ class AnalyticsSpec extends AnyFunSuite {
       "no 3-core in a triangle-plus-path")
   }
 
+  test("PSI surfaces a fully one-sided type instead of dropping it") {
+    // type "only_day" has ZERO night events — the maximal-drift case
+    // the metric exists to catch; the round-8 inner-join formulation
+    // dropped it from the report entirely. "balanced" is identical in
+    // both halves and must score ~0.
+    // concentrated in bin 0 — a UNIFORM one-sided type would tie the
+    // smoothed-empty half's uniform 1/10 rates and genuinely score 0
+    val rows =
+      (0 until 40).map(i => ("only_day",
+        java.sql.Timestamp.valueOf(f"2024-01-01 ${i % 12}%02d:00:00"), 1.0)) ++
+      (0 until 40).map(i => ("balanced",
+        java.sql.Timestamp.valueOf(f"2024-01-01 ${(i % 2) * 12 + 3}%02d:00:00"),
+        ((i / 2) % 10) * 20.0 + 1))
+    val psi = Analytics.psiOf(rows.toDF("event_type", "ts", "value"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(psi.contains("only_day"), "one-sided type must appear in the report")
+    assert(psi("only_day") > 1.0 && !psi("only_day").isInfinite,
+      s"one-sided type must score large finite PSI: ${psi("only_day")}")
+    assert(math.abs(psi("balanced")) < 1e-9, s"balanced type ~0: ${psi("balanced")}")
+  }
+
   test("common-neighbor hub cap bounds per-center wedge fan-out") {
     // two hubs (0 and 200) each verified-paired with the same 100
     // leaves: every leaf pair shares both hubs (cn = 2), and the hub

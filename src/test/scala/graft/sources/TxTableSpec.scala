@@ -179,4 +179,30 @@ class TxTableSpec extends AnyFunSuite {
     val (_, s2, t2) = TxTable.readRange(spark, dir, "k", 100.0, 150.0)
     assert(s2 == t2, "no sidecar -> no skipping, never a wrong skip")
   }
+
+  test("zone maps survive null stats and int64 beyond 2^53 without wrong skips") {
+    // all-null stats column: the commit must not NPE after staging
+    // (round-8 advice) — the file gets an always-scan sentinel
+    val dir = Files.createTempDirectory("graft_tx").toString
+    val nulls = spark.range(0, 10).toDF("k")
+      .withColumn("k", when(col("k") < 0, col("k"))) // all null, stays long
+      .withColumn("payload", lit("x")).coalesce(1)
+    TxTable.replaceWithStats(nulls, dir, "k")
+    val zm = TxTable.zoneMaps(dir, "k").get
+    assert(zm.forall { case (_, mn, mx) => mn.isNegInfinity && mx.isPosInfinity })
+    val (_, s1, t1) = TxTable.readRange(spark, dir, "k", 0.0, 1.0)
+    assert(s1 == t1, "sentinel stats always scan")
+
+    // int64 beyond 2^53: nearest-rounding can pull the cast max BELOW
+    // the true max; the widened bounds must keep the file scannable
+    // for a predicate touching the true extreme values
+    val dir2 = Files.createTempDirectory("graft_tx").toString
+    val big = (1L << 53) + 1 // rounds DOWN to 2^53 as a double
+    val bigDf = Seq(big, 42L).toDF("k").withColumn("payload", lit("y")).coalesce(1)
+    TxTable.replaceWithStats(bigDf, dir2, "k")
+    val (hit, s3, _) = TxTable.readRange(spark, dir2, "k", big.toDouble, big.toDouble + 10)
+    assert(s3 == 1, "the file containing the extreme value must be scanned")
+    assert(hit.select("k").as[Long].collect().contains(big),
+      "widened zone maps must never skip the true max")
+  }
 }
