@@ -65,35 +65,46 @@ object Main {
   }
 
   /** Corpus-cleaning entry: read a JSONL corpus, run the clean-corpus
-    * composition (exact dedup -> LSH near-dup -> quality gate), write
-    * the surviving documents back out as JSONL plus a one-line
-    * summary. The pipeline twin of the clustering subcommands. */
+    * composition (exact dedup -> LSH near-dup -> quality gate), and
+    * COMMIT the surviving documents as a transactional jsonl table
+    * (staged data files + manifest + atomic CURRENT swap) — the CLI's
+    * hand-off artifact gets the same crash safety as the standing
+    * corpus: a crash mid-write leaves readers on the previous complete
+    * version, never a half-cleaned corpus (round-8 verdict ask).
+    * Re-running onto the same outDir commits a new version; old
+    * versions stay time-travelable until vacuum. */
   def cleanRun(spark: SparkSession, inPath: String, outDir: String): Unit = {
-    import org.apache.spark.sql.functions.col
     val docs = sources.JsonDocsSource.docs(spark, inPath)
     val kept = pipeline.CleanCorpus.cleanOf(docs).select("doc_id")
-    sources.JsonDocsSource.write(docs.join(kept, "doc_id"), outDir)
-    val (nIn, nOut) = (docs.count(), spark.read.json(outDir).count())
-    println(s"[clean] kept $nOut of $nIn documents -> $outDir")
+    val v = sources.JsonDocsSource.commitJson(docs.join(kept, "doc_id"), outDir)
+    val nOut = sources.JsonDocsSource.readCommitted(spark, outDir).count()
+    println(s"[clean] kept $nOut of ${docs.count()} documents -> $outDir (version $v)")
   }
 
   /** Release-report entry: run the corpus observability heads over a
-    * testdata-shaped table dir and write each as one CSV — the
-    * artifact bundle a dataset hand-off ships (dataset card, data
-    * checks, per-source composition, Gopher rule pass rates). CSVs
-    * are written through Spark (coalesce(1): every report is
-    * dimension-bounded rows). */
+    * testdata-shaped table dir and commit the bundle — each report one
+    * header'd CSV (coalesce(1): every report is dimension-bounded
+    * rows), all four published in ONE manifest + atomic pointer swap,
+    * so a consumer never sees a bundle with three fresh reports and
+    * one stale/missing (the commit protocol is format-agnostic: only
+    * the manifest and CURRENT matter). */
   def reportRun(spark: SparkSession, dir: String, outDir: String): Unit = {
     val reports = Map(
       "dataset_card" -> text.CorpusStats.qDatasetCard(spark, dir),
       "data_checks" -> pipeline.DataChecks.qDataChecks(spark, dir),
       "corpus_report" -> text.CorpusStats.qCorpusReport(spark, dir),
       "gopher_rules" -> text.Repetition.qGopherRules(spark, dir))
-    reports.foreach { case (name, df) =>
-      df.coalesce(1).write.mode("overwrite")
-        .option("header", "true").csv(s"$outDir/$name")
+    val dataDir = s"data-report-${java.util.UUID.randomUUID().toString.take(8)}"
+    val files = reports.toSeq.sortBy(_._1).flatMap { case (name, df) =>
+      df.coalesce(1).write.mode("errorifexists")
+        .option("header", "true").csv(s"$outDir/$dataDir/$name")
+      Option(new java.io.File(s"$outDir/$dataDir/$name").listFiles())
+        .getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".csv"))
+        .map(f => s"$dataDir/$name/${f.getName}").sorted
     }
-    println(s"[report] wrote ${reports.keys.toSeq.sorted.mkString(", ")} -> $outDir")
+    val v = sources.TxTable.commitReplace(outDir, files)
+    println(s"[report] committed ${reports.keys.toSeq.sorted.mkString(", ")} -> $outDir (version $v)")
   }
 
   /** Testable core: everything main does minus session lifecycle. */

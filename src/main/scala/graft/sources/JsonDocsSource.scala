@@ -42,4 +42,36 @@ object JsonDocsSource {
     * the matching sink, partitioned however the input is. */
   def write(df: DataFrame, path: String): Unit =
     df.select("doc_id", "text").write.mode("overwrite").json(path)
+
+  /** COMMITTED jsonl write: stage the files under a fresh immutable
+    * data dir, then publish the file list through the TxTable commit
+    * protocol (manifest + atomic CURRENT swap). The commit-log
+    * protocol is format-agnostic — only the manifest and pointer
+    * matter — so a jsonl hand-off gets the same crash safety as the
+    * parquet standing corpus: a crash anywhere before the pointer
+    * swap leaves readers on the previous complete version, never a
+    * half-written corpus. Returns the committed version. */
+  def commitJson(df: DataFrame, tableDir: String): Long = {
+    val dataDir = s"data-json-${java.util.UUID.randomUUID().toString.take(8)}"
+    df.select("doc_id", "text").write.mode("errorifexists").json(s"$tableDir/$dataDir")
+    val files = Option(new java.io.File(s"$tableDir/$dataDir").listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".json"))
+      .map(f => s"$dataDir/${f.getName}").sorted.toSeq
+    // replace-style: the cleaned corpus derives from the INPUT, not the
+    // standing snapshot, so a collision (orphaned claim from a crashed
+    // run) safely advances to the next slot
+    TxTable.commitReplace(tableDir, files)
+  }
+
+  /** Snapshot read of a committed jsonl table: exactly the files the
+    * CURRENT manifest lists — staged-but-uncommitted data dirs are
+    * invisible, the same isolation TxTable.read gives parquet. */
+  def readCommitted(spark: SparkSession, tableDir: String): DataFrame =
+    TxTable.snapshot(tableDir) match {
+      case Some(s) if s.files.nonEmpty =>
+        spark.read.schema(StructType(schema.dropRight(1)))
+          .json(s.files.map(f => s"$tableDir/$f"): _*)
+      case _ => spark.emptyDataFrame
+    }
 }

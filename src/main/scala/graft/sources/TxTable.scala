@@ -122,8 +122,9 @@ object TxTable {
   /** Step 2 of the protocol — write manifest vN+1 under CREATE_NEW
     * (the optimistic concurrency check). Package-visible so the spec
     * can stop between prepare and swap (the crash point). */
-  private[graft] def prepare(tableDir: String, dataFiles: Seq[String]): Long = {
-    val next = currentVersion(tableDir).map(_ + 1).getOrElse(0L)
+  private[graft] def prepare(tableDir: String, dataFiles: Seq[String],
+                             atLeast: Long = 0L): Long = {
+    val next = math.max(currentVersion(tableDir).map(_ + 1).getOrElse(0L), atLeast)
     val commits = Paths.get(tableDir, CommitsDir)
     Files.createDirectories(commits)
     Files.write(commits.resolve(s"v$next.manifest"),
@@ -153,6 +154,33 @@ object TxTable {
     val v = prepare(tableDir, dataFiles)
     swap(tableDir, v)
     v
+  }
+
+  /** Commit for REPLACE-style writers — the file list does NOT depend
+    * on the standing snapshot, so on a manifest collision (a racing
+    * committer, or an ORPHANED claim left by a run that died between
+    * claim and swap) it is safe to advance past the taken slot and
+    * claim the next one. Merge-style writers must NOT do this: their
+    * payload derives from the snapshot they read, and skipping ahead
+    * of an in-flight winner would clobber its batch — they block on
+    * the slot and re-read instead (mergeRetry). This is what lets a
+    * CLI re-run recover a table whose previous run crashed mid-commit
+    * without operator intervention. */
+  def commitReplace(tableDir: String, dataFiles: Seq[String]): Long = {
+    var floor = 0L
+    var attempts = 0
+    while (attempts < 100) {
+      try {
+        val v = prepare(tableDir, dataFiles, floor)
+        swap(tableDir, v)
+        return v
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          attempts += 1
+          floor = versions(tableDir).lastOption.getOrElse(-1L) + 1
+      }
+    }
+    sys.error(s"commit contention on $tableDir after $attempts attempts")
   }
 
   private def listParquet(dir: String): Seq[java.io.File] =

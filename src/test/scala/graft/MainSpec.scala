@@ -46,14 +46,16 @@ class MainSpec extends AnyFunSuite {
     assert(ls.head.split(",").length == 5)
   }
 
-  test("report CLI writes the four release-report CSVs with headers and rows") {
+  test("report CLI commits the four release-report CSVs in one atomic bundle") {
     val out = java.nio.file.Files.createTempDirectory("graft_report").toString
     Main.reportRun(spark, "/root/testdata/sf0.001", out)
+    // consumers resolve CURRENT -> manifest -> exactly the bundle's files
+    val snap = graft.sources.TxTable.snapshot(out)
+    assert(snap.isDefined, "report bundle must be committed")
     for (name <- Seq("dataset_card", "data_checks", "corpus_report", "gopher_rules")) {
-      val files = Option(new java.io.File(s"$out/$name").listFiles())
-        .getOrElse(Array.empty).filter(_.getName.endsWith(".csv"))
-      assert(files.length == 1, s"$name: expected one csv")
-      val ls = lines(files(0).getPath)
+      val files = snap.get.files.filter(_.contains(s"/$name/"))
+      assert(files.length == 1, s"$name: expected one csv in the manifest")
+      val ls = lines(s"$out/${files.head}")
       assert(ls.length >= 2, s"$name: header + at least one row, got ${ls.length}")
     }
   }
@@ -66,13 +68,48 @@ class MainSpec extends AnyFunSuite {
         .select("doc_id", "text"),
       s"$tmp/in")
     Main.cleanRun(spark, s"$tmp/in", s"$tmp/out")
-    val out = spark.read.json(s"$tmp/out")
+    val out = graft.sources.JsonDocsSource.readCommitted(spark, s"$tmp/out")
     assert(out.columns.sorted.toSeq == Seq("doc_id", "text"))
     val nOut = out.count()
     val expected = graft.pipeline.CleanCorpus
       .qClean(spark, "/root/testdata/sf0.001").count()
     assert(nOut == expected, "CLI output matches the registered pipeline")
     assert(out.select("doc_id").distinct().count() == nOut)
+  }
+
+  test("clean CLI crash point: a re-clean dying before the swap leaves v0 intact") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_crash").toString
+    // 20+ words, low stopword density: must pass the quality gate;
+    // 1 and 2 identical so the dedup stage also engages
+    val long1 = (1 to 25).map(i => s"alpha$i").mkString(" ")
+    val long2 = (1 to 25).map(i => s"omega$i").mkString(" ")
+    graft.sources.JsonDocsSource.write(
+      Seq((1L, long1), (2L, long1), (3L, long2)).toDF("doc_id", "text"),
+      s"$tmp/in")
+    Main.cleanRun(spark, s"$tmp/in", s"$tmp/out")
+    val v0 = graft.sources.JsonDocsSource.readCommitted(spark, s"$tmp/out")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(v0.nonEmpty)
+    // a second clean run crashes AFTER staging its files and writing
+    // the manifest but BEFORE the pointer swap (the TxTableSpec crash
+    // point, exercised on the CLI's own output table): readers must
+    // stay on the complete v0 corpus
+    Seq((9L, "orphaned half-written run")).toDF("doc_id", "text")
+      .write.json(s"$tmp/out/data-json-crashed")
+    graft.sources.TxTable.prepare(s"$tmp/out",
+      Seq("data-json-crashed").flatMap { d =>
+        Option(new java.io.File(s"$tmp/out/$d").listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.endsWith(".json")).map(f => s"$d/${f.getName}")
+      })
+    val afterCrash = graft.sources.JsonDocsSource.readCommitted(spark, s"$tmp/out")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(afterCrash == v0, "uncommitted staged files must be invisible")
+    // and a FULL re-run commits v1+ on top, replacing the snapshot
+    Main.cleanRun(spark, s"$tmp/in", s"$tmp/out")
+    val recleaned = graft.sources.JsonDocsSource.readCommitted(spark, s"$tmp/out")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(recleaned == v0, "idempotent re-clean commits the same corpus")
   }
 
   test("unknown algorithm fails loudly") {
