@@ -197,11 +197,95 @@ object IvfPq {
        |  FROM scored) WHERE rank <= $TOPK""".stripMargin
   }
 
+  /** Recall curve of BOTH IVFPQ variants against the exact-L2 truth
+    * over the original vectors (L2 is the metric the ADC scorer
+    * quantizes, so it is the honest ground truth here — the cosine
+    * truth belongs to the cosine searchers). The number the round-8
+    * verdict asked for: whether the residual index's extra build cost
+    * (per-cell residual frame + per-(query, cell) ADC tables) buys
+    * recall the shared-codebook variant doesn't have. Truth = QN
+    * broadcast queries against one corpus pass; each variant's ranked
+    * results join once; per-k matches are parallel conditional
+    * aggregates (the simsearch_recall_curve shape, doubled). Output
+    * long: (variant, k, n_matched, recall_at_k), fully oracled — the
+    * two variant chains embed as nested-WITH subqueries. */
+  def qIvfPqRecallCurve(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ed = Points.embedDims
+    val pts = Points.embeddings64(spark, dir)
+    val qvecs = SimSearch.queryVecs(spark, dir)
+    val qdf = broadcast(
+      qvecs.toSeq.map { case (id, v) => (id, v.toSeq) }.toDF("q_id", "qv"))
+    // exact squared-L2, dims left-to-right (the oracle mirrors the
+    // same 64-term sum in the same order)
+    val l2 = ed.zipWithIndex.map { case (e, d) =>
+      (col(e) - element_at(col("qv"), d + 1)) *
+        (col(e) - element_at(col("qv"), d + 1))
+    }.reduce(_ + _)
+    val tw = Window.partitionBy("q_id").orderBy(col("d2").asc, col("vec_id").asc)
+    val truth = pts.crossJoin(qdf).filter(col("pid") =!= col("q_id"))
+      .select(col("q_id"), col("pid").as("vec_id"), l2.as("d2"))
+      .withColumn("trank", row_number().over(tw))
+      .filter(col("trank") <= TOPK)
+      .select("q_id", "vec_id", "trank")
+    val qn = qvecs.length.toLong
+    def curve(variant: String, res: DataFrame): DataFrame = {
+      val j = truth.join(
+        res.select(col("q_id"), col("vec_id"), col("rank").as("arank")),
+        Seq("q_id", "vec_id"))
+      val aggs = (1 to TOPK).map(k =>
+        sum(when(col("trank") <= k && col("arank") <= k, 1).otherwise(0))
+          .cast("long").as(s"m_$k"))
+      val row = j.agg(aggs.head, aggs.tail: _*).head()
+      (1 to TOPK).map { k =>
+        val m = row.getLong(k - 1)
+        (variant, k, m, BigDecimal(m.toDouble / (k * qn))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.toDF("variant", "k", "n_matched", "recall_at_k")
+    }
+    curve("ivfpq", qIvfPq(spark, dir))
+      .unionByName(curve("ivfpq_residual", qIvfPqResidual(spark, dir)))
+  }
+
+  private def recallCurveOracle: String = {
+    val ed = Points.embedDims
+    val l2 = ed.map(e => s"(q.$e - e.$e) * (q.$e - e.$e)").mkString(" + ")
+    def mk(tbl: String) = (1 to TOPK).map(k =>
+      s"""SELECT $k AS k,
+         |  CAST(sum(CASE WHEN trank <= $k AND arank <= $k THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_matched FROM $tbl""".stripMargin).mkString("\nUNION ALL\n")
+    s"""WITH pts AS (${Points.embedPtsSql}),
+       |plainr AS MATERIALIZED ($ivfPqOracle),
+       |residr AS MATERIALIZED ($ivfPqResidualOracle),
+       |truth AS MATERIALIZED (SELECT q_id, vec_id, trank FROM (
+       |  SELECT q.pid AS q_id, e.pid AS vec_id,
+       |    row_number() OVER (PARTITION BY q.pid
+       |      ORDER BY ($l2) ASC, e.pid ASC) AS trank
+       |  FROM pts q JOIN pts e ON q.pid <= ${SimSearch.QN} AND e.pid != q.pid)
+       |  WHERE trank <= $TOPK),
+       |qn AS (SELECT CAST(count(DISTINCT q_id) AS BIGINT) AS n FROM truth),
+       |jp AS MATERIALIZED (SELECT t.q_id, t.vec_id, t.trank, p.rank AS arank
+       |  FROM truth t JOIN plainr p ON p.q_id = t.q_id AND p.vec_id = t.vec_id),
+       |jr AS MATERIALIZED (SELECT t.q_id, t.vec_id, t.trank, r.rank AS arank
+       |  FROM truth t JOIN residr r ON r.q_id = t.q_id AND r.vec_id = t.vec_id),
+       |mp AS (${mk("jp")}),
+       |mr AS (${mk("jr")})
+       |SELECT 'ivfpq' AS variant, k, n_matched,
+       |  round(CAST(n_matched AS DOUBLE) / (k * qn.n), 6) AS recall_at_k
+       |FROM mp CROSS JOIN qn
+       |UNION ALL
+       |SELECT 'ivfpq_residual' AS variant, k, n_matched,
+       |  round(CAST(n_matched AS DOUBLE) / (k * qn.n), 6) AS recall_at_k
+       |FROM mr CROSS JOIN qn""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "simsearch_ivfpq" -> (qIvfPq _),
-    "simsearch_ivfpq_residual" -> (qIvfPqResidual _))
+    "simsearch_ivfpq_residual" -> (qIvfPqResidual _),
+    "simsearch_ivfpq_recall_curve" -> (qIvfPqRecallCurve _))
 
   val oracleSql: Map[String, String] = Map(
     "simsearch_ivfpq" -> ivfPqOracle,
-    "simsearch_ivfpq_residual" -> ivfPqResidualOracle)
+    "simsearch_ivfpq_residual" -> ivfPqResidualOracle,
+    "simsearch_ivfpq_recall_curve" -> recallCurveOracle)
 }
