@@ -38,11 +38,25 @@ object Dedup {
   def qExact(spark: SparkSession, dir: String): DataFrame =
     exactOf(t(spark, dir, "documents"))
 
+  /** THE canonical content key: md5 over the Unicode-normalized text
+    * (NFC + zero-width/control strip). Every operator that answers
+    * "is this the same document?" — exact dedup, the incremental
+    * standing index, the streaming gate, clean-corpus keep-first,
+    * upsert identity, dup-rate reports, shard checksums — uses this
+    * one key, so an NFC/NFD re-encode or a zero-width infiltration
+    * reads as the same document EVERYWHERE, not just in dedup_exact.
+    * ASCII text takes the codegen fast path (identical to raw md5). */
+  def contentHash(c: Column): Column =
+    md5(graft.text.TextAnalysis.normalizeUnicode(c))
+
+  /** DuckDB mirror of [[contentHash]], for oracle reuse. */
+  def contentHashSql(c: String): String =
+    s"md5(${graft.text.TextAnalysis.normalizeUnicodeSql(c)})"
+
   /** The exact-dedup chain over any (doc_id, text) frame. */
   def exactOf(docs: DataFrame): DataFrame =
     docs
-      .groupBy(md5(graft.text.TextAnalysis.normalizeUnicode(col("text")))
-        .as("content_hash"))
+      .groupBy(contentHash(col("text")).as("content_hash"))
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
 
   /** Exact dedup over the events stream table: content = the payload
@@ -1067,7 +1081,7 @@ object Dedup {
         |  md5(string_agg(CASE WHEN rn = 1 THEN seg END, ' ' ORDER BY pos)) AS clean_hash
         |FROM r GROUP BY doc_id""".stripMargin,
     "dedup_exact" ->
-      s"""SELECT md5(${graft.text.TextAnalysis.normalizeUnicodeSql("text")})
+      s"""SELECT ${contentHashSql("text")}
          |  AS content_hash, min(doc_id) AS keep_id,
          |  count(*) AS n_copies
          |FROM documents GROUP BY 1""".stripMargin,

@@ -38,7 +38,7 @@ object Incremental {
     val docs = t(spark, dir, "documents")
       .withColumn("__b",
         expr(s"${nibbleHashSql("cast(doc_id as string)")} % 10") === BATCH_BUCKET)
-      .withColumn("content_hash", md5(col("text")))
+      .withColumn("content_hash", Dedup.contentHash(col("text")))
     val corpusIndex = docs.filter(!col("__b"))
       .select("content_hash").distinct()
       .withColumn("in_corpus", lit(1))
@@ -125,7 +125,7 @@ object Incremental {
          |WHERE j >= 0.8
          |GROUP BY batch_id""".stripMargin,
     "dedup_incremental" ->
-      s"""WITH d AS (SELECT doc_id, md5(text) AS content_hash,
+      s"""WITH d AS (SELECT doc_id, ${Dedup.contentHashSql("text")} AS content_hash,
          |    ${nibbleHashSql("CAST(doc_id AS VARCHAR)")} % 10 = $BATCH_BUCKET AS b
          |  FROM documents),
          |idx AS (SELECT DISTINCT content_hash FROM d WHERE NOT b),

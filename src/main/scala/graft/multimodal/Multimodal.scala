@@ -484,7 +484,7 @@ object Multimodal {
         .when(pmod(col("doc_id"), lit(4)) === 2, lit("png"))
         .otherwise(lit("jpg")).as("format"),
       octet_length(encode(col("text"), "UTF-8")).cast("long").as("n_text_bytes"),
-      md5(col("text")).as("content_hash"))
+      graft.dedup.Dedup.contentHash(col("text")).as("content_hash"))
 
   /** Average-hash (aHash) perceptual fingerprint: decode, grayscale,
     * block-average onto an 8x8 grid, emit 64 bits of "cell above the
@@ -686,10 +686,10 @@ object Multimodal {
 
   val oracleSql: Map[String, String] = Map(
     "multimodal_meta" ->
-      """SELECT doc_id,
-        |  CASE doc_id % 4 WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp'
-        |    WHEN 2 THEN 'png' ELSE 'jpg' END AS format,
-        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_text_bytes,
-        |  md5(text) AS content_hash
-        |FROM documents""".stripMargin)
+      s"""SELECT doc_id,
+         |  CASE doc_id % 4 WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp'
+         |    WHEN 2 THEN 'png' ELSE 'jpg' END AS format,
+         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_text_bytes,
+         |  ${graft.dedup.Dedup.contentHashSql("text")} AS content_hash
+         |FROM documents""".stripMargin)
 }

@@ -56,7 +56,7 @@ object Assembly {
     * size, 1/16th of the id space). */
   def qShardManifest(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
-      .select(col("doc_id"), md5(col("text")).as("h"), col("n_chars"))
+      .select(col("doc_id"), graft.dedup.Dedup.contentHash(col("text")).as("h"), col("n_chars"))
       .withColumn("shard", pmod(col("doc_id"), lit(16)).cast("int"))
       .groupBy("shard")
       .agg(count(lit(1)).as("n_docs"),
@@ -72,10 +72,10 @@ object Assembly {
 
   val oracleSql: Map[String, String] = Map(
     "pipeline_shard_manifest" ->
-      """SELECT CAST(doc_id % 16 AS INT) AS shard, count(*) AS n_docs,
-        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
-        |  md5(string_agg(md5(text), '' ORDER BY doc_id)) AS shard_hash
-        |FROM documents GROUP BY 1""".stripMargin,
+      s"""SELECT CAST(doc_id % 16 AS INT) AS shard, count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         |  md5(string_agg(${graft.dedup.Dedup.contentHashSql("text")}, '' ORDER BY doc_id)) AS shard_hash
+         |FROM documents GROUP BY 1""".stripMargin,
     "events_sequences" ->
       """SELECT user_id, count(*) AS n_events,
         |  string_agg(event_type, ' '

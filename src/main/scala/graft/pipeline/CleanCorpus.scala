@@ -29,7 +29,7 @@ object CleanCorpus {
 
     // 1. exact dedup: keep the lowest doc_id of each identical text
     val keepExact = docs
-      .groupBy(md5(col("text")).as("h")).agg(min("doc_id").as("doc_id"))
+      .groupBy(Dedup.contentHash(col("text")).as("h")).agg(min("doc_id").as("doc_id"))
       .select("doc_id")
 
     // 2. near-dup: drop LSH candidates too similar to their keeper
@@ -79,7 +79,7 @@ object CleanCorpus {
       // reuse the dedup oracle's CTE chain for the near-dup set
       val lsh = Dedup.oracleSql("dedup_minhash_lsh")
       s"""WITH near AS ($lsh),
-         |keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         |keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY ${Dedup.contentHashSql("text")}),
          |q AS (
          |  SELECT doc_id, ws,
          |    CAST(len(ws) AS BIGINT) AS n_words,
@@ -97,7 +97,7 @@ object CleanCorpus {
       val rep = graft.text.Repetition.oracleSql("text_repetition")
       s"""WITH near AS ($lsh),
          |rep AS ($rep),
-         |keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         |keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY ${Dedup.contentHashSql("text")}),
          |q AS (
          |  SELECT doc_id, ws,
          |    CAST(len(ws) AS BIGINT) AS n_words,

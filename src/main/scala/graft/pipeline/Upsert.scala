@@ -38,10 +38,11 @@ object Upsert {
   def qUpsert(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
     val standing = docs.select(col("doc_id"), lit(1L).as("version"),
-      md5(col("text")).as("content_hash"))
+      graft.dedup.Dedup.contentHash(col("text")).as("content_hash"))
     val updates = docs.filter(col("doc_id") % 7 === 0)
       .select(col("doc_id"), lit(2L).as("version"),
-        md5(concat(col("text"), lit(" [rev2]"))).as("content_hash"))
+        graft.dedup.Dedup.contentHash(concat(col("text"), lit(" [rev2]")))
+          .as("content_hash"))
     merge(standing, updates, "doc_id", "version")
   }
 
@@ -84,11 +85,11 @@ object Upsert {
 
   val oracleSql: Map[String, String] = Map(
     "pipeline_upsert" ->
-      """WITH v AS (
-        |  SELECT doc_id, 1 AS version, md5(text) AS content_hash FROM documents
-        |  UNION ALL
-        |  SELECT doc_id, 2 AS version, md5(concat(text, ' [rev2]')) AS content_hash
-        |  FROM documents WHERE doc_id % 7 = 0)
+      s"""WITH v AS (
+         |  SELECT doc_id, 1 AS version, ${graft.dedup.Dedup.contentHashSql("text")} AS content_hash FROM documents
+         |  UNION ALL
+         |  SELECT doc_id, 2 AS version, ${graft.dedup.Dedup.contentHashSql("concat(text, ' [rev2]')")} AS content_hash
+         |  FROM documents WHERE doc_id % 7 = 0)
         |SELECT doc_id, count(*) AS n_versions,
         |  CAST(max(version) AS BIGINT) AS version,
         |  max_by(content_hash, version) AS content_hash

@@ -227,7 +227,7 @@ object Streams {
       .select(col("timestamp").as("ts"), col("value").as("doc_id"),
         concat(lit(words + " family"),
           (col("value") - pmod(col("value"), lit(3))).cast("string")).as("text"))
-      .withColumn("content_hash", md5(col("text")))
+      .withColumn("content_hash", graft.dedup.Dedup.contentHash(col("text")))
   }
 
   /** Per-window distribution drift monitor: for every tumbling window,

@@ -256,7 +256,7 @@ object CorpusStats {
         countDistinct("lang").as("n_langs"),
         sum(size(col("ws"))).cast("long").as("n_words"),
         round(avg(size(col("ws"))), 6).as("avg_doc_words"),
-        countDistinct(md5(col("text"))).as("n_unique"))
+        countDistinct(graft.dedup.Dedup.contentHash(col("text"))).as("n_unique"))
       .select(col("n_docs"), col("n_sources"), col("n_langs"),
         col("n_words"), col("avg_doc_words"),
         round(lit(1.0) - col("n_unique").cast("double") / col("n_docs"), 6)
@@ -270,7 +270,7 @@ object CorpusStats {
     t(spark, dir, "documents")
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
-        countDistinct(md5(col("text"))).as("n_unique"))
+        countDistinct(graft.dedup.Dedup.contentHash(col("text"))).as("n_unique"))
       .select(col("source"), col("n_docs"), col("n_unique"),
         round(lit(1.0) - col("n_unique").cast("double") / col("n_docs"), 6)
           .as("dup_rate"))
@@ -551,10 +551,10 @@ object CorpusStats {
         |FROM w JOIN v USING (word) CROSS JOIN t
         |GROUP BY doc_id""".stripMargin,
     "pipeline_dup_rate_by_source" ->
-      """SELECT source, count(*) AS n_docs,
-        |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique,
-        |  round(1.0 - CAST(count(DISTINCT md5(text)) AS DOUBLE) / count(*), 6) AS dup_rate
-        |FROM documents GROUP BY source""".stripMargin,
+      s"""SELECT source, count(*) AS n_docs,
+         |  CAST(count(DISTINCT ${graft.dedup.Dedup.contentHashSql("text")}) AS BIGINT) AS n_unique,
+         |  round(1.0 - CAST(count(DISTINCT ${graft.dedup.Dedup.contentHashSql("text")}) AS DOUBLE) / count(*), 6) AS dup_rate
+         |FROM documents GROUP BY source""".stripMargin,
     "pipeline_corpus_report" ->
       """SELECT source, count(*) AS n_docs,
         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_words,
@@ -562,14 +562,14 @@ object CorpusStats {
         |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
         |FROM documents GROUP BY source""".stripMargin,
     "pipeline_dataset_card" ->
-      """SELECT count(*) AS n_docs,
-        |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
-        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
-        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_words,
-        |  round(avg(len(string_split(text, ' '))), 6) AS avg_doc_words,
-        |  round(1.0 - CAST(count(DISTINCT md5(text)) AS DOUBLE) / count(*), 6)
-        |    AS exact_dup_rate
-        |FROM documents""".stripMargin,
+      s"""SELECT count(*) AS n_docs,
+         |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_words,
+         |  round(avg(len(string_split(text, ' '))), 6) AS avg_doc_words,
+         |  round(1.0 - CAST(count(DISTINCT ${graft.dedup.Dedup.contentHashSql("text")}) AS DOUBLE) / count(*), 6)
+         |    AS exact_dup_rate
+         |FROM documents""".stripMargin,
     "pipeline_curriculum" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
         |t AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM w),
