@@ -227,8 +227,14 @@ object Graph {
     val ranked = graft.plans.TopKPerKey(
         und.withColumn("nv", lit(0.0)), Seq("s"), "nv", "d", cap)
       .select(col("s"), col("d"))
+    // materialize the capped edge list ONCE (localCheckpoint, the
+    // label-propagation discipline): it feeds both wedge arms AND the
+    // degree frame, and each self-join branch otherwise re-derives
+    // the whole explode+TopKPerKey chain — the plan showed the exec
+    // running 4x and the edge explode 6x per query
     val capped = ranked.join(
-      ranked.select(col("d").as("s"), col("s").as("d")), Seq("s", "d"))
+        ranked.select(col("d").as("s"), col("s").as("d")), Seq("s", "d"))
+      .localCheckpoint(true)
     val deg = capped.groupBy("s").agg(count(lit(1)).as("deg"))
     val cn = capped.as("x").join(capped.as("y"),
         col("x.s") === col("y.s") && col("x.d") < col("y.d"))
