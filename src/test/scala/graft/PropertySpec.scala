@@ -170,4 +170,48 @@ class PropertySpec extends AnyFunSuite {
         s"morton($x, $y) = $z deinterleaves to ($xb, $yb), expected (${bucket(x)}, ${bucket(y)})")
     }
   }
+
+  test("nfc normalization is idempotent and Normalizer-exact on generated unicode") {
+    // valid (non-surrogate) code points incl. combining marks, so the
+    // generated strings exercise real composition cases
+    val cp = Gen.frequency(
+      (4, Gen.chooseNum(0x20, 0x7e)),       // ascii
+      (2, Gen.chooseNum(0xc0, 0x17f)),      // latin-1/extended (é, ñ, ...)
+      (2, Gen.chooseNum(0x300, 0x36f)),     // combining diacritics
+      (1, Gen.chooseNum(0x3b1, 0x3c9)),     // greek
+      (1, Gen.const(0x200b)))               // zero-width space
+    val str = Gen.listOfN(24, cp).map(_.map(_.toChar).mkString)
+    val texts = sample(Gen.listOfN(120, str), 23L)
+    val got = texts.zipWithIndex.map(_.swap).toDF("i", "s")
+      .select($"i",
+        functions.GraftFunctions.nfcNormalize($"s").as("once"),
+        functions.GraftFunctions.nfcNormalize(
+          functions.GraftFunctions.nfcNormalize($"s")).as("twice"))
+      .collect().map(r => r.getInt(0) -> (r.getString(1), r.getString(2))).toMap
+    texts.zipWithIndex.foreach { case (s, i) =>
+      val want = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+      assert(got(i)._1 == want, s"case $i disagrees with Normalizer")
+      assert(got(i)._2 == got(i)._1, s"case $i not idempotent")
+    }
+  }
+
+  test("the canonical content key is invariant to NFC/NFD re-encoding") {
+    import org.apache.spark.sql.functions.col
+    val base = sample(Gen.listOfN(60, sentence), 29L)
+    // decompose a composed accent into each text (e -> e + U+0301 via
+    // NFD of an injected é), pairing every doc with its re-encoding
+    val rows = base.zipWithIndex.flatMap { case (t, i) =>
+      val accented = t + " café"
+      val nfd = java.text.Normalizer.normalize(accented, java.text.Normalizer.Form.NFD)
+      Seq((i.toLong * 2, accented), (i.toLong * 2 + 1, nfd))
+    }
+    assert(rows.grouped(2).forall { case Seq(a, b) => a._2 != b._2 })
+    val keys = rows.toDF("doc_id", "text")
+      .select($"doc_id", dedup.Dedup.contentHash(col("text")).as("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    base.indices.foreach { i =>
+      assert(keys(i.toLong * 2) == keys(i.toLong * 2 + 1),
+        s"content key changed under NFD re-encoding for doc $i")
+    }
+  }
 }
