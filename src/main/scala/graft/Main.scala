@@ -94,14 +94,11 @@ object Main {
       "data_checks" -> pipeline.DataChecks.qDataChecks(spark, dir),
       "corpus_report" -> text.CorpusStats.qCorpusReport(spark, dir),
       "gopher_rules" -> text.Repetition.qGopherRules(spark, dir))
-    val dataDir = s"data-report-${java.util.UUID.randomUUID().toString.take(8)}"
     val files = reports.toSeq.sortBy(_._1).flatMap { case (name, df) =>
-      df.coalesce(1).write.mode("errorifexists")
-        .option("header", "true").csv(s"$outDir/$dataDir/$name")
-      Option(new java.io.File(s"$outDir/$dataDir/$name").listFiles())
-        .getOrElse(Array.empty)
-        .filter(f => f.isFile && f.getName.endsWith(".csv"))
-        .map(f => s"$dataDir/$name/${f.getName}").sorted
+      sources.TxTable.stageWith(outDir, s"report-$name", ".csv") { p =>
+        df.coalesce(1).write.mode("errorifexists")
+          .option("header", "true").csv(p)
+      }
     }
     val v = sources.TxTable.commitReplace(outDir, files)
     println(s"[report] committed ${reports.keys.toSeq.sorted.mkString(", ")} -> $outDir (version $v)")

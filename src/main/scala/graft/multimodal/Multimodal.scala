@@ -609,7 +609,11 @@ object Multimodal {
     * with its lossless siblings. */
   def qPhashPairs(spark: SparkSession, dir: String,
                   maxHamming: Int = 8): DataFrame = {
-    val h = phashes(spark, dir)
+    // materialize the decode+hash pass ONCE: the band explode and the
+    // two keeper joins are three plan branches, and without this each
+    // re-runs the full codec decode over the corpus (the dominant
+    // cost) — the commonNeighborsOf localCheckpoint discipline
+    val h = phashes(spark, dir).localCheckpoint(true)
     val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bv")
     val pairs = phashBands(h)
       .withColumn("ia", min("doc_id").over(w))
@@ -644,18 +648,17 @@ object Multimodal {
   def qPhashRecall(spark: SparkSession, dir: String,
                    maxHamming: Int = 8): DataFrame = {
     import spark.implicits._
+    // truth pair per document: the LOSSLESS encode of its pixels vs
+    // their lossy JPEG re-encode — every pair carries genuine codec
+    // drift. (Using each doc's own corpus container would make the
+    // jpg quarter's pair byte-identical — hd 0, trivially caught by
+    // every scheme — inflating both recall figures.)
     val hp = t(spark, dir, "documents").select("doc_id", "text").as[(Long, String)]
       .mapPartitions { it =>
         it.flatMap { case (id, text) =>
           val (w, h, rgb) = mediaPixels(id, text)
-          val orig = (id % 4).toInt match {
-            case 0 => encodePpm(w, h, rgb)
-            case 1 => encodeBmp(w, h, rgb)
-            case 2 => encodeImageIo(w, h, rgb, "png")
-            case _ => encodeImageIo(w, h, rgb, "jpg")
-          }
           for {
-            ha <- aHash64(MediaRecord(id, "orig", orig))
+            ha <- aHash64(MediaRecord(id, "ppm", encodePpm(w, h, rgb)))
             hb <- aHash64(MediaRecord(id, "jpg", encodeImageIo(w, h, rgb, "jpg")))
           } yield (id, ha, hb)
         }

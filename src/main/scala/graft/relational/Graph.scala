@@ -141,13 +141,15 @@ object Graph {
     * over the just-checkpointed frame. Output: one row per k with
     * core node and edge counts. */
   def qKCore(spark: SparkSession, dir: String, ks: Seq[Int] = Seq(2, 3)): DataFrame =
-    // maxRounds = the oracle's unroll depth: peeling is monotone, so
-    // rounds past the fixed point are no-ops and a corpus that
-    // converges within 8 matches the 8-round SQL exactly — but a
-    // degree cascade DEEPER than the unroll (a long pendant chain)
-    // must fail loudly here rather than let the operator silently
-    // out-converge its own gate (round-8 advice)
-    ks.map(k => kCoreOf(stagedCandidates(spark, dir), k, maxRounds = 8))
+    // maxRounds = the oracle's 8-round unroll PLUS the confirming
+    // no-op round the convergence check spends (the loop counts it,
+    // so 8 would wrongly reject a corpus whose peel depth is exactly
+    // 8 — which the 8-peel SQL handles fine): peeling is monotone, so
+    // a corpus converging within 8 peels matches the unrolled oracle
+    // exactly, and a degree cascade DEEPER than the unroll (a long
+    // pendant chain) fails loudly here rather than letting the
+    // operator silently out-converge its own gate (round-8 advice)
+    ks.map(k => kCoreOf(stagedCandidates(spark, dir), k, maxRounds = 9))
       .reduce(_ unionByName _)
 
   /** The k-core census over any canonical (ia < ib, distinct) edge

@@ -233,9 +233,11 @@ object IvfPq {
       val j = truth.join(
         res.select(col("q_id"), col("vec_id"), col("rank").as("arank")),
         Seq("q_id", "vec_id"))
+      // coalesce: sum over an EMPTY join (a variant whose results
+      // share no rows with the truth) is null, and getLong would NPE
       val aggs = (1 to TOPK).map(k =>
-        sum(when(col("trank") <= k && col("arank") <= k, 1).otherwise(0))
-          .cast("long").as(s"m_$k"))
+        coalesce(sum(when(col("trank") <= k && col("arank") <= k, 1)
+          .otherwise(0)), lit(0)).cast("long").as(s"m_$k"))
       val row = j.agg(aggs.head, aggs.tail: _*).head()
       (1 to TOPK).map { k =>
         val m = row.getLong(k - 1)
@@ -252,7 +254,7 @@ object IvfPq {
     val l2 = ed.map(e => s"(q.$e - e.$e) * (q.$e - e.$e)").mkString(" + ")
     def mk(tbl: String) = (1 to TOPK).map(k =>
       s"""SELECT $k AS k,
-         |  CAST(sum(CASE WHEN trank <= $k AND arank <= $k THEN 1 ELSE 0 END) AS BIGINT)
+         |  CAST(coalesce(sum(CASE WHEN trank <= $k AND arank <= $k THEN 1 ELSE 0 END), 0) AS BIGINT)
          |    AS n_matched FROM $tbl""".stripMargin).mkString("\nUNION ALL\n")
     s"""WITH pts AS (${Points.embedPtsSql}),
        |plainr AS MATERIALIZED ($ivfPqOracle),

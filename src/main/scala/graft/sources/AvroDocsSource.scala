@@ -83,8 +83,13 @@ object AvroDocsSource {
         val reader = new Schema.Parser().parse(schemaJson)
         fit.flatMap { f =>
           val p = new Path(f)
-          val in = p.getFileSystem(new org.apache.hadoop.conf.Configuration()).open(p)
+          // open INSIDE the quarantine try: a file deleted between the
+          // driver-side listing and this task's open (or any open-time
+          // IO error) must quarantine like a corrupt container, not
+          // fail the job
+          var in: org.apache.hadoop.fs.FSDataInputStream = null
           try {
+            in = p.getFileSystem(new org.apache.hadoop.conf.Configuration()).open(p)
             val st = new DataFileStream[GenericRecord](in,
               new GenericDatumReader[GenericRecord](null, reader))
             // drain eagerly: whole-file tasks, bounded by file size on
@@ -100,8 +105,8 @@ object AvroDocsSource {
             st.close()
             buf.iterator
           } catch {
-            case _: Exception => // corrupt container: quarantine the file
-              try in.close() catch { case _: Exception => () }
+            case _: Exception => // corrupt/vanished container: quarantine
+              if (in != null) { try in.close() catch { case _: Exception => () } }
               Iterator.empty
           }
         }

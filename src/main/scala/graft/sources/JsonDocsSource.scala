@@ -52,12 +52,9 @@ object JsonDocsSource {
     * swap leaves readers on the previous complete version, never a
     * half-written corpus. Returns the committed version. */
   def commitJson(df: DataFrame, tableDir: String): Long = {
-    val dataDir = s"data-json-${java.util.UUID.randomUUID().toString.take(8)}"
-    df.select("doc_id", "text").write.mode("errorifexists").json(s"$tableDir/$dataDir")
-    val files = Option(new java.io.File(s"$tableDir/$dataDir").listFiles())
-      .getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.endsWith(".json"))
-      .map(f => s"$dataDir/${f.getName}").sorted.toSeq
+    val files = TxTable.stageWith(tableDir, "json", ".json") { p =>
+      df.select("doc_id", "text").write.mode("errorifexists").json(p)
+    }
     // replace-style: the cleaned corpus derives from the INPUT, not the
     // standing snapshot, so a collision (orphaned claim from a crashed
     // run) safely advances to the next slot

@@ -173,7 +173,15 @@ object TxTable {
       try {
         val v = prepare(tableDir, dataFiles, floor)
         swap(tableDir, v)
-        return v
+        // the monotonic swap is a silent no-op when a HIGHER version
+        // committed concurrently — returning v then would claim files
+        // that are not (and never will be) the current snapshot.
+        // Re-claim above the winner with the same file list until our
+        // manifest IS the pointer (each retry claims strictly higher,
+        // so two replace-writers converge with last-claimant-wins).
+        if (currentVersion(tableDir).contains(v)) return v
+        attempts += 1
+        floor = versions(tableDir).lastOption.getOrElse(-1L) + 1
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
           attempts += 1
@@ -188,13 +196,29 @@ object TxTable {
       .filter(f => f.isFile && f.getName.endsWith(".parquet"))
       .sortBy(_.getName).toSeq
 
+  /** Stage arbitrary-format files through the protocol's immutable-
+    * data-dir choreography: run `write` into a fresh `data-<label>-…`
+    * dir under the table, return the table-relative paths of the
+    * files it produced with the given extension (sorted). The commit
+    * protocol itself is format-agnostic — only the manifest and
+    * CURRENT matter — so jsonl and CSV hand-offs share this one
+    * staging path with the parquet tables instead of re-implementing
+    * the UUID/list/relative-path dance per format. */
+  def stageWith(tableDir: String, label: String, ext: String)
+               (write: String => Unit): Seq[String] = {
+    val dataDir = s"data-$label-${java.util.UUID.randomUUID().toString.take(8)}"
+    write(s"$tableDir/$dataDir")
+    Option(new java.io.File(s"$tableDir/$dataDir").listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(ext))
+      .map(f => s"$dataDir/${f.getName}").sorted.toSeq
+  }
+
   /** Stage `df` as a fresh immutable data directory; returns the
     * table-relative file paths (no commit — callers compose). */
-  private def stage(df: DataFrame, tableDir: String, label: String): Seq[String] = {
-    val dataDir = s"data-$label-${java.util.UUID.randomUUID().toString.take(8)}"
-    df.write.mode("errorifexists").parquet(s"$tableDir/$dataDir")
-    listParquet(s"$tableDir/$dataDir").map(f => s"$dataDir/${f.getName}")
-  }
+  private def stage(df: DataFrame, tableDir: String, label: String): Seq[String] =
+    stageWith(tableDir, label, ".parquet") { p =>
+      df.write.mode("errorifexists").parquet(p)
+    }
 
   /** Full-snapshot REPLACE: stage `df`'s files, commit them as the new
     * version. The building block for merge/compaction below. */

@@ -53,7 +53,7 @@ class MainSpec extends AnyFunSuite {
     val snap = graft.sources.TxTable.snapshot(out)
     assert(snap.isDefined, "report bundle must be committed")
     for (name <- Seq("dataset_card", "data_checks", "corpus_report", "gopher_rules")) {
-      val files = snap.get.files.filter(_.contains(s"/$name/"))
+      val files = snap.get.files.filter(_.startsWith(s"data-report-$name-"))
       assert(files.length == 1, s"$name: expected one csv in the manifest")
       val ls = lines(s"$out/${files.head}")
       assert(ls.length >= 2, s"$name: header + at least one row, got ${ls.length}")

@@ -287,11 +287,15 @@ class MultimodalSpec extends AnyFunSuite {
   test("phash pairs: 8x8-bit any-band catches what the 16-bit prefix probe misses") {
     // the banded layout's pigeonhole guarantee: hd <= 7 over 8 bytes
     // leaves at least one byte untouched, so ANY such pair shares a
-    // band bucket. Measured on the JPEG re-encode truth population:
-    // banded recall must clear 0.9 — the round-8 single-prefix design
-    // measured 0.022 for the text gate (#113).
+    // band bucket. Measured on the honest JPEG drift population
+    // (lossless encode vs jpeg re-encode per doc — NO byte-identical
+    // pairs): banded recall must clear 0.9 where the single prefix
+    // probe measures ~0.3 (and 0.022 for the text gate, #113). These
+    // tiny images drift hard under JPEG, so only a minority of docs
+    // land within hd <= 8 — the population is small but every member
+    // is genuine drift.
     val r = Multimodal.qPhashRecall(spark, sf).collect()(0)
-    assert(r.getAs[Long]("n_true_pairs") > 100, "truth set must be substantial")
+    assert(r.getAs[Long]("n_true_pairs") >= 20, "truth set must be non-trivial")
     val banded = r.getAs[Double]("recall_band8x8")
     assert(banded >= 0.9, s"banded recall $banded below the gate bar")
     assert(banded >= r.getAs[Double]("recall_prefix16"),
