@@ -78,4 +78,9 @@ object GraftFunctions {
     * trained codebook rides as driver-side state, not a child. */
   def pqEncode(xs: Column, codebooks: Array[Array[Array[Double]]]): Column =
     GraftBridge.column(PQEncode(GraftBridge.expression(xs), codebooks))
+
+  /** PQ assigned (min) distance per subspace — the fused companion of
+    * pqEncode for distortion reporting; same codebook-as-state shape. */
+  def pqMinDists(xs: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    GraftBridge.column(PQMinDists(GraftBridge.expression(xs), codebooks))
 }

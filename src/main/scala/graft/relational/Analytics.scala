@@ -441,6 +441,78 @@ object Analytics {
     (v, lambda)
   }
 
+  /** Distributed global rank + running sum over the bounded
+    * per-customer revenue aggregate — the Roulette presum discipline
+    * (clustering/Roulette.scala) applied to ranking: range-partition
+    * on the sort key, per-partition (count, decimal sum) presums in
+    * ONE tiny collect, broadcast the partition offsets back, then
+    * local rank/cumsum windows PARTITIONED BY the range bucket.
+    * Replaces the round-9 `Window.orderBy` with no partitionBy, which
+    * funnels the whole customer dimension (~10^9 rows at 100 TB
+    * TPC-H) through a single WindowExec task. Every window partition
+    * here is ~n/parts rows; rank and cumsum are exact because the
+    * (rev, custkey) sort order is total and decimal sums are
+    * associative.
+    *
+    * Returns (ranked frame with `i` = 1-based global rank and
+    * `cum` = running decimal(38,2) sum in sort order, n rows, total
+    * sum, release thunk). The frame depends on a cached range
+    * partitioning (boundaries must be identical between the presum
+    * job and the main job, and RangePartitioner re-samples per job);
+    * callers consume it and then call release — the literal-frame
+    * return pattern both consumers use. */
+  private[relational] def rankedRevenue(agg: DataFrame, descending: Boolean,
+                                        parts: Int = 32)
+      : (DataFrame, Long, java.math.BigDecimal, () => Unit) = {
+    val sort =
+      if (descending) Seq(col("rev").desc, col("o_custkey").asc)
+      else Seq(col("rev").asc, col("o_custkey").asc)
+    val parted = agg.repartitionByRange(parts, sort: _*)
+      .withColumn("__pid", spark_partition_id()).cache()
+    val stats = parted.groupBy("__pid")
+      .agg(count(lit(1)).as("c"), sum(col("rev")).as("s"))
+      .collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDecimal(2)))).toMap
+    val zero = java.math.BigDecimal.ZERO.setScale(2)
+    var ioff = 0L
+    var coff = zero
+    val offsets = (0 until parts).map { p =>
+      val row = (p, ioff, coff)
+      val (c, s) = stats.getOrElse(p, (0L, zero))
+      ioff += c; coff = coff.add(s)
+      row
+    }
+    val spark = agg.sparkSession
+    import spark.implicits._
+    val offDf = broadcast(offsets.toDF("__pid", "__ioff", "__coff")
+      .withColumn("__coff", col("__coff").cast("decimal(38,2)")))
+    val local = Window.partitionBy("__pid").orderBy(sort: _*)
+    val ranked = parted
+      .withColumn("__li", row_number().over(local).cast("long"))
+      .withColumn("__lcum", sum(col("rev")).over(
+        local.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(offDf, Seq("__pid"))
+      .withColumn("i", col("__li") + col("__ioff"))
+      .withColumn("cum", (col("__lcum") + col("__coff")).cast("decimal(38,2)"))
+    (ranked, ioff, coff, () => { parted.unpersist(); () })
+  }
+
+  /** The per-customer revenue aggregate both reports rank. */
+  private def revenueAgg(orders: DataFrame): DataFrame =
+    orders.groupBy("o_custkey")
+      .agg(sum(col("o_totalprice").cast("decimal(38,2)")).as("rev"))
+
+  /** Collect-and-release: both reports reduce to a handful of rows,
+    * so they materialize the result, drop the ranked frame's cached
+    * partitioning, and return a literal frame (the qPq pattern). */
+  private def literalFrame(res: DataFrame, release: () => Unit): DataFrame = {
+    val rows = res.collect()
+    val schema = res.schema
+    release()
+    val spark = res.sparkSession
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1), schema)
+  }
+
   /** Revenue-concentration report (the Pareto/80-20 diagnostic a
     * curation or sales pipeline runs on any value column): exact Gini
     * coefficient over per-customer revenue totals via the
@@ -449,63 +521,56 @@ object Analytics {
     * decile of customers. Totals and the weighted sum are
     * DECIMAL-exact (order-independent — the double cast happens once
     * on the final scalars, identically in both engines); the global
-    * rank window runs over the per-customer AGGREGATE, bounded by the
-    * customer dimension, never over the fact table — the same
-    * bounded-window discipline as the daily cumulative total. */
+    * rank runs over the per-customer AGGREGATE, bounded by the
+    * customer dimension, never over the fact table, and is computed
+    * DISTRIBUTED via rankedRevenue (no single-partition WindowExec
+    * anywhere in the plan). */
   def qPareto(spark: SparkSession, dir: String): DataFrame =
     paretoOf(t(spark, dir, "orders"))
 
   /** The concentration report over any (o_custkey, o_totalprice) frame. */
   def paretoOf(orders: DataFrame): DataFrame = {
-    val w = Window.orderBy(col("rev").asc, col("o_custkey").asc)
-    val ranked = orders
-      .groupBy("o_custkey")
-      .agg(sum(col("o_totalprice").cast("decimal(38,2)")).as("rev"))
-      .withColumn("i", row_number().over(w).cast("long"))
-      .withColumn("n", count(lit(1)).over(
-        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-    ranked.agg(
-      max(col("n")).as("n_customers"),
+    val (ranked, n, _, release) = rankedRevenue(revenueAgg(orders), descending = false)
+    val cut = n - math.max(1L, n / 10)
+    val res = ranked.agg(
       sum(col("rev")).as("__t"),
       sum(col("i").cast("decimal(20,0)") * col("rev")).as("__w"),
-      sum(when(col("i") > col("n") - expr("greatest(1L, n div 10)"), col("rev"))
+      sum(when(col("i") > lit(cut), col("rev"))
         .otherwise(lit(0).cast("decimal(38,2)"))).as("__top"))
       .select(
-        col("n_customers"),
+        lit(n).as("n_customers"),
         col("__t").cast("double").as("total_revenue"),
         round(lit(2.0) * col("__w").cast("double")
-          / (col("n_customers").cast("double") * col("__t").cast("double"))
-          - (col("n_customers").cast("double") + 1.0) / col("n_customers").cast("double"),
+          / (lit(n).cast("double") * col("__t").cast("double"))
+          - (lit(n).cast("double") + 1.0) / lit(n).cast("double"),
           6).as("gini"),
         round(col("__top").cast("double") / col("__t").cast("double"), 6)
           .as("top_decile_share"))
+    literalFrame(res, release)
   }
 
   /** ABC inventory/customer classification — the actionable sibling
     * of the Gini report: customers ranked by revenue descending,
     * class A = the head covering 80% of cumulative revenue, B = the
-    * next 15%, C = the tail. Same bounded-window discipline as
+    * next 15%, C = the tail. Same distributed presum discipline as
     * qPareto (rank + cumulative sum over the per-customer AGGREGATE,
-    * never the fact table); sums are DECIMAL-exact, so the class-edge
-    * comparison runs on exactly-representable totals in both
-    * engines. */
+    * never the fact table, no single-partition window); sums are
+    * DECIMAL-exact, so the class-edge comparison runs on
+    * exactly-representable totals in both engines. */
   def qAbc(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("rev").desc, col("o_custkey").asc)
-    val ranked = t(spark, dir, "orders")
-      .groupBy("o_custkey")
-      .agg(sum(col("o_totalprice").cast("decimal(38,2)")).as("rev"))
-      .withColumn("cum", sum("rev").over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("tot", sum("rev").over(
-        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val (ranked, _, tot, release) =
+      rankedRevenue(revenueAgg(t(spark, dir, "orders")), descending = true)
+    val totC = lit(tot).cast("decimal(38,2)")
+    val res = ranked
       .withColumn("cls",
-        when(col("cum") <= col("tot") * lit(0.80), "A")
-          .when(col("cum") <= col("tot") * lit(0.95), "B")
+        when(col("cum") <= totC * lit(0.80), "A")
+          .when(col("cum") <= totC * lit(0.95), "B")
           .otherwise("C"))
-    ranked.groupBy("cls")
+      .groupBy("cls")
       .agg(count(lit(1)).as("n_customers"),
         sum("rev").cast("double").as("revenue"))
       .withColumn("revenue", round(col("revenue"), 2))
+    literalFrame(res, release)
   }
 
   /** Seasonally-conditioned anomaly gate: z-score of an event's value

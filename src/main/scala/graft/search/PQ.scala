@@ -242,20 +242,24 @@ object PQ {
     * subspace (how much of each 8-dim slice the 4-bit code throws
     * away) plus the subspace's share of total distortion. Rising MSE
     * on re-train means the corpus drifted from the codebooks. One
-    * projection computes all M per-subspace assigned distances (the
-    * same fused expressions the encoder uses), ONE aggregate folds
-    * the M means — no per-subspace jobs, no shuffle beyond the final
-    * 1-row agg. Rides the staged codebooks. */
+    * projection computes all M per-subspace assigned distances via
+    * the native PQMinDists expression (the fused triple loop the
+    * encoder uses — the declarative array_min-over-128-distance-trees
+    * form blew janino's 64 KB method limit and ran the whole stage
+    * interpreted), ONE aggregate folds the M means — no per-subspace
+    * jobs, no shuffle beyond the final 1-row agg. Rides the staged
+    * codebooks. */
   def qPqDistortion(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val pts = Points.embeddings64(spark, dir)
     val codebooks = stagedCodebooks(pts, dir)
-    val dists = (0 until M).map { s =>
-      array_min(array(codebooks(s).map(c => Points.distTo(c, sub(s))): _*)).as(s"d_$s")
-    }
     val aggs = (0 until M).map(s =>
-      round(avg(col(s"d_$s") * col(s"d_$s")), 6).as(s"mse_$s"))
-    val row = pts.select(dists: _*).agg(aggs.head, aggs.tail: _*).head()
+      round(avg(element_at(col("__d"), s + 1) * element_at(col("__d"), s + 1)), 6)
+        .as(s"mse_$s"))
+    val row = pts.select(
+      graft.functions.GraftFunctions
+        .pqMinDists(array(Points.embedDims.map(col): _*), codebooks).as("__d"))
+      .agg(aggs.head, aggs.tail: _*).head()
     val mses = (0 until M).map(row.getDouble)
     val total = mses.sum
     (0 until M).map(s => (s, mses(s),

@@ -94,6 +94,32 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(skew.getAs[Double]("top_decile_share") == 1.0)
   }
 
+  test("pareto/abc global rank runs distributed: no unpartitioned WindowExec") {
+    // the round-9 formulation ranked the whole customer dimension
+    // through ONE WindowExec task; rankedRevenue must plan every
+    // window PARTITIONED (by the range bucket) and still rank exactly
+    import org.apache.spark.sql.execution.window.WindowExec
+    val agg = graft.Tables.t(spark, sf, "orders")
+      .groupBy("o_custkey")
+      .agg(org.apache.spark.sql.functions
+        .sum(org.apache.spark.sql.functions.col("o_totalprice").cast("decimal(38,2)"))
+        .as("rev"))
+    val (ranked, n, tot, release) = Analytics.rankedRevenue(agg, descending = false)
+    try {
+      val unpartitioned = ranked.queryExecution.executedPlan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      assert(unpartitioned.isEmpty,
+        "rankedRevenue planned a single-partition window")
+      val rows = ranked.select("i", "rev", "cum").collect()
+      assert(rows.length == n && n == agg.count())
+      // the global rank is a permutation of 1..n and cum ends at tot
+      assert(rows.map(_.getLong(0)).sorted.toSeq == (1L to n))
+      val maxCum = rows.maxBy(_.getLong(0)).getDecimal(2)
+      assert(maxCum.compareTo(tot) == 0, s"cum tail $maxCum != total $tot")
+    } finally release()
+  }
+
   test("elbow: avg SSE never increases with k, every k covers all points") {
     val rows = graft.clustering.KMeans.qElbow(spark, sf)
       .orderBy("k_clusters").collect()

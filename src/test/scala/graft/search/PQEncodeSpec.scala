@@ -22,6 +22,28 @@ class PQEncodeSpec extends AnyFunSuite {
     } finally pts.unpersist()
   }
 
+  test("expression min-dists equal the declarative array_min distances bitwise") {
+    import org.apache.spark.sql.functions._
+    val pts = Points.embeddings64(spark, "/root/testdata/sf0.001").cache()
+    try {
+      val codebooks = PQ.trainCodebooks(pts)
+      val fast = pts.select(col("pid"),
+        graft.functions.GraftFunctions
+          .pqMinDists(array(Points.embedDims.map(col): _*), codebooks).as("d"))
+      // the round-9 formulation simsearch_pq_distortion used to unroll
+      // (M x K literal distance trees) — correct, but blows janino's
+      // 64 KB limit at full M; reduced to per-subspace columns here
+      val slowCols = codebooks.indices.map { s =>
+        val sd = Points.embedDims.slice(s * 8, (s + 1) * 8)
+        array_min(array(codebooks(s).map(c => Points.distTo(c, sd)): _*)).as(s"d_$s")
+      }
+      val slow = pts.select(col("pid") +: slowCols: _*)
+        .select(col("pid"), array(codebooks.indices.map(s => col(s"d_$s")): _*).as("d"))
+      assert(fast.exceptAll(slow).isEmpty && slow.exceptAll(fast).isEmpty,
+        "native and declarative PQ min-distances must match bitwise")
+    } finally pts.unpersist()
+  }
+
   test("empty-class NaN centers never win the argmin") {
     val pts = Points.embeddings64(spark, "/root/testdata/sf0.001")
     val codebooks = PQ.trainCodebooks(pts.cache())
