@@ -92,7 +92,18 @@ object IvfPq {
     * cell — still QN x NPROBE tiny tables on the driver. Codebooks are
     * shared across cells (per-cell codebooks are the other public
     * variant; shared is FAISS's default and keeps index state at
-    * M*K'*D doubles). */
+    * M*K'*D doubles).
+    *
+    * NON-DEFAULT by measurement, not folklore: at the shipped
+    * (K'=16, NPROBE=2) config the oracled recall curve shows plain
+    * AHEAD (0.33 vs 0.20 recall@5 at sf0.01) — 4-bit codebooks are
+    * too coarse to resolve residual magnitudes, so subtracting the
+    * cell center just spends the code budget twice. The IvfPqSweep
+    * harness shows the crossover where residual earns its build cost:
+    * K'=64/NPROBE=4 residual 0.3667 vs plain 0.2333 (and parity
+    * 0.4333 at K'=256/NPROBE=8, the FAISS-default regime). qIvfPq
+    * (plain) is the default searcher; this variant ships for
+    * deployments running at the larger configs. */
   /** The residual index — per-cell residual codebooks plus the
     * (pid, codes, icell) table — built ONCE per (JVM, dir) and staged
     * to parquet, completing the #112 staged-index discipline for the

@@ -49,12 +49,13 @@ object PQ {
     * independent small aggregates, launched as CONCURRENT jobs over
     * the shared cached assignment — 3 job waves instead of 16
     * sequential driver round-trips. Shared by PQ and IVFPQ. */
-  private[search] def trainCodebooks(pts: DataFrame): Array[Array[Array[Double]]] = {
-    val first = pts.orderBy(col("pid") +: Points.embedDims.map(col): _*).limit(PQ_K)
+  private[search] def trainCodebooks(pts: DataFrame,
+                                     k: Int = PQ_K): Array[Array[Array[Double]]] = {
+    val first = pts.orderBy(col("pid") +: Points.embedDims.map(col): _*).limit(k)
       .select(Points.embedDims.map(col): _*).collect()
       .map(r => Points.embedDims.indices.map(r.getDouble).toArray)
     val inits = Array.tabulate(M)(s =>
-      Array.tabulate(PQ_K)(j => first(j).slice(s * SUBD, (s + 1) * SUBD)))
+      Array.tabulate(k)(j => first(j).slice(s * SUBD, (s + 1) * SUBD)))
     val assigned = pts.select(
       (Points.embedDims.map(col) :+
         graft.functions.GraftFunctions
@@ -73,7 +74,7 @@ object PQ {
           .collect()
           .map(r => r.getAs[Int]("k") -> sd.indices.map(i => r.getDouble(2 + i)).toArray)
           .toMap
-        Array.tabulate(PQ_K)(j => byK.getOrElse(j, Array.fill(SUBD)(Double.NaN)))
+        Array.tabulate(k)(j => byK.getOrElse(j, Array.fill(SUBD)(Double.NaN)))
       }
     }
     val codebooks = codebookFuts.map(Await.result(_, Duration.Inf)).toArray
@@ -109,17 +110,21 @@ object PQ {
   /** Driver-side ADC lookup tables: per query, M x PQ_K squared
     * partial distances, left-fold add order identical to the oracle. */
   private[search] def adcRows(qvecs: Array[(Long, Array[Double])],
-                              codebooks: Array[Array[Array[Double]]]): Seq[(Long, Seq[Seq[Double]])] =
+                              codebooks: Array[Array[Array[Double]]]): Seq[(Long, Seq[Seq[Double]])] = {
+    // shape derives from the codebooks, so larger-K' sweep configs
+    // (IvfPqSweep) ride the same code path the defaults are oracled on
+    val (m, k, subd) = (codebooks.length, codebooks.head.length, codebooks.head.head.length)
     qvecs.toSeq.map { case (qid, v) =>
-      val dtab = (0 until M).map { s =>
-        (0 until PQ_K).map { j =>
-          (0 until SUBD).map { d =>
-            val df = v(s * SUBD + d) - codebooks(s)(j)(d); df * df
+      val dtab = (0 until m).map { s =>
+        (0 until k).map { j =>
+          (0 until subd).map { d =>
+            val df = v(s * subd + d) - codebooks(s)(j)(d); df * df
           }.reduce(_ + _)
         }
       }
       (qid, dtab)
     }
+  }
 
   /** ADC score column: per (query, vector), 8 table lookups + an add
     * chain; approx distance = sqrt of the summed partials. Expects a

@@ -46,6 +46,39 @@ class MainSpec extends AnyFunSuite {
     assert(ls.head.split(",").length == 5)
   }
 
+  test("kmeans CLI on shuttle.txt (the reference's biggest dataset, 43.5k x 10 cols)") {
+    // the reference parses EVERY comma-separated column as a feature
+    // (kmeans.java:212-216, the class label included) — so a 10-wide
+    // point set; this closes the fidelity gap on the reference's own
+    // largest file
+    val out = java.io.File.createTempFile("shuttle_kmeans", ".csv").getPath
+    Main.run(spark, "kmeans", "/root/reference/dataset/shuttle.txt",
+      numIter = 2, numK = 5, out, numRun = 1, rest = Array.empty)
+    val ls = lines(out)
+    assert(ls.length == 2 + 1, s"2 iters + total line: $ls")
+    val fields = ls.init.map(_.split(","))
+    assert(fields.forall(_.length == 5))
+    // objective is finite and non-increasing across the run
+    val sses = fields.map(_(2).toDouble)
+    assert(sses.forall(s => !s.isNaN && !s.isInfinite && s > 0))
+    assert(sses.sliding(2).forall { case Seq(a, b) => b <= a; case _ => true })
+  }
+
+  test("gka + pso CLI on User-locations-Finland (2-dim, 13467 points)") {
+    val fin = "/root/reference/dataset/User-locations-Finland_N13467-D2.txt"
+    val outG = java.io.File.createTempFile("fin_gka", ".csv").getPath
+    Main.run(spark, "gka", fin, numIter = 2, numK = 4, outG, numRun = 1,
+      rest = Array("3", "0.5", "2.0"))
+    val lg = lines(outG)
+    assert(lg.length == 2 + 1 && lg.head.split(",").length == 5)
+    val outP = java.io.File.createTempFile("fin_pso", ".csv").getPath
+    Main.run(spark, "pso", fin, numIter = 2, numK = 4, outP, numRun = 1,
+      rest = Array("3", "2.0", "2.0", "0.9", "0.4"))
+    val lp = lines(outP)
+    assert(lp.length == 2 + 1 && lp.head.split(",").length == 5)
+    assert(lp.init.map(_.split(",")(2).toDouble).forall(s => !s.isNaN && s >= 0))
+  }
+
   test("report CLI commits the four release-report CSVs in one atomic bundle") {
     val out = java.nio.file.Files.createTempDirectory("graft_report").toString
     Main.reportRun(spark, "/root/testdata/sf0.001", out)
