@@ -443,32 +443,55 @@ object Analytics {
 
   /** Distributed global rank + running sum over the bounded
     * per-customer revenue aggregate — the Roulette presum discipline
-    * (clustering/Roulette.scala) applied to ranking: range-partition
-    * on the sort key, per-partition (count, decimal sum) presums in
-    * ONE tiny collect, broadcast the partition offsets back, then
-    * local rank/cumsum windows PARTITIONED BY the range bucket.
-    * Replaces the round-9 `Window.orderBy` with no partitionBy, which
-    * funnels the whole customer dimension (~10^9 rows at 100 TB
-    * TPC-H) through a single WindowExec task. Every window partition
-    * here is ~n/parts rows; rank and cumsum are exact because the
-    * (rev, custkey) sort order is total and decimal sums are
-    * associative.
+    * (clustering/Roulette.scala) applied to ranking: assign each row
+    * a range-bucket id derived PURELY FROM ITS VALUES (rev compared
+    * against boundary literals collected to the driver once), take
+    * per-bucket (count, decimal sum) presums in ONE tiny collect,
+    * broadcast the bucket offsets back, then local rank/cumsum
+    * windows PARTITIONED BY the bucket. Replaces the round-9
+    * `Window.orderBy` with no partitionBy, which funnels the whole
+    * customer dimension (~10^9 rows at 100 TB TPC-H) through a single
+    * WindowExec task. Every window partition here is ~n/parts rows;
+    * rank and cumsum are exact because the (rev, custkey) sort order
+    * is total, the bucket function is monotone along it (equal rev →
+    * same bucket, ties broken inside the bucket), and decimal sums
+    * are associative.
+    *
+    * The bucket id is the count of boundary literals the row's rev
+    * strictly passes — the Quantiles.scala value-comparison
+    * discipline — so the presum job and the main job CANNOT disagree
+    * even if any stage is recomputed from scratch (cache-block loss,
+    * executor failure): there is no dependence on
+    * spark_partition_id() or on RangePartitioner's per-job sampling.
+    * The boundaries come from one approxQuantile pass; their quality
+    * only affects balance, never correctness. The .cache() below is a
+    * pure perf optimization (the agg feeds two jobs) — correctness no
+    * longer needs it.
     *
     * Returns (ranked frame with `i` = 1-based global rank and
     * `cum` = running decimal(38,2) sum in sort order, n rows, total
-    * sum, release thunk). The frame depends on a cached range
-    * partitioning (boundaries must be identical between the presum
-    * job and the main job, and RangePartitioner re-samples per job);
-    * callers consume it and then call release — the literal-frame
-    * return pattern both consumers use. */
+    * sum, release thunk); callers consume it and then call release —
+    * the literal-frame return pattern both consumers use. */
   private[relational] def rankedRevenue(agg: DataFrame, descending: Boolean,
                                         parts: Int = 32)
       : (DataFrame, Long, java.math.BigDecimal, () => Unit) = {
     val sort =
       if (descending) Seq(col("rev").desc, col("o_custkey").asc)
       else Seq(col("rev").asc, col("o_custkey").asc)
-    val parted = agg.repartitionByRange(parts, sort: _*)
-      .withColumn("__pid", spark_partition_id()).cache()
+    val cached = agg.cache()
+    // Boundary literals: parts-1 approximate quantiles of rev,
+    // collected once — both downstream jobs compare against these
+    // exact same constants.
+    val cuts = cached.stat.approxQuantile(
+      "rev", (1 until parts).map(_.toDouble / parts).toArray, 0.001)
+    val revD = col("rev").cast("double")
+    val bucket =
+      if (cuts.isEmpty) lit(0)
+      else cuts.toSeq.map { c =>
+        val passed = if (descending) revD < lit(c) else revD > lit(c)
+        when(passed, 1).otherwise(0)
+      }.reduce(_ + _)
+    val parted = cached.withColumn("__pid", bucket)
     val stats = parted.groupBy("__pid")
       .agg(count(lit(1)).as("c"), sum(col("rev")).as("s"))
       .collect()
@@ -494,7 +517,7 @@ object Analytics {
       .join(offDf, Seq("__pid"))
       .withColumn("i", col("__li") + col("__ioff"))
       .withColumn("cum", (col("__lcum") + col("__coff")).cast("decimal(38,2)"))
-    (ranked, ioff, coff, () => { parted.unpersist(); () })
+    (ranked, ioff, coff, () => { cached.unpersist(); () })
   }
 
   /** The per-customer revenue aggregate both reports rank. */

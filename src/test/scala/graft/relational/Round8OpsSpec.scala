@@ -120,6 +120,32 @@ class Round8OpsSpec extends AnyFunSuite {
     } finally release()
   }
 
+  test("rankedRevenue ranks are stable when the cache is lost mid-query") {
+    // round-10 weak point: bucket ids came from spark_partition_id()
+    // over a cached repartitionByRange frame — a recompute could
+    // re-sample boundaries and silently desync offsets from ranks.
+    // Buckets are now a pure function of row values vs collected
+    // boundary literals, so dropping the cache (simulating executor /
+    // cache-block loss between the presum job and the main job) must
+    // leave every rank and cumsum bit-identical.
+    val agg = graft.Tables.t(spark, sf, "orders")
+      .groupBy("o_custkey")
+      .agg(org.apache.spark.sql.functions
+        .sum(org.apache.spark.sql.functions.col("o_totalprice").cast("decimal(38,2)"))
+        .as("rev"))
+    val (ranked, n, _, release) = Analytics.rankedRevenue(agg, descending = true)
+    try {
+      val first = ranked.select("o_custkey", "i", "cum").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDecimal(2))).sortBy(_._1)
+      spark.sharedState.cacheManager.clearCache() // lose every cached block
+      val second = ranked.select("o_custkey", "i", "cum").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDecimal(2))).sortBy(_._1)
+      assert(first.length == n)
+      assert(first.toSeq == second.toSeq,
+        "rank/cumsum changed after a full recompute without the cache")
+    } finally release()
+  }
+
   test("elbow: avg SSE never increases with k, every k covers all points") {
     val rows = graft.clustering.KMeans.qElbow(spark, sf)
       .orderBy("k_clusters").collect()
