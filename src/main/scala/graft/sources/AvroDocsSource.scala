@@ -21,8 +21,11 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * Scale shape: the file list parallelizes one-file-per-task (Avro's
   * sync-marker block splitting is what spark-avro adds; whole-file
   * tasks are correct and parallel across the many files a real corpus
-  * has), each task streams records through one DataFileStream — no
-  * whole-file buffering — and writes go through the Hadoop FileSystem
+  * has), each task drains one DataFileStream into a per-file row
+  * buffer — memory is bounded by one container file per task, which a
+  * production corpus shards well below task memory; record-lazy
+  * iteration is the spark-avro upgrade, all-or-nothing quarantine is
+  * what the drain buys — and writes go through the Hadoop FileSystem
   * API, so the same code path serves local disk and object stores.
   * Schema is DECLARED (doc_id long, text string) like the JSONL
   * source: no inference pass, extra fields skipped by Avro's own
@@ -68,15 +71,25 @@ object AvroDocsSource {
 
   /** Read an Avro corpus directory as (doc_id, text). One task per
     * container file; a corrupt or non-Avro file quarantines to zero
-    * rows for that file (logged), never a job failure — the JSONL
-    * source's PERMISSIVE posture at container granularity. */
-  def read(spark: SparkSession, dir: String): DataFrame = {
+    * rows for that file — WARN-logged with the file path and cause,
+    * and counted in the `graft.avro.quarantinedFiles` accumulator
+    * (visible in the Spark UI / history server, so silent data loss
+    * is observable) — never a job failure: the JSONL source's
+    * PERMISSIVE posture at container granularity. */
+  def read(spark: SparkSession, dir: String): DataFrame =
+    readCounted(spark, dir)._1
+
+  /** read() plus the quarantine accumulator, for callers (and the
+    * spec) that gate on how many containers were silently dropped. */
+  def readCounted(spark: SparkSession, dir: String)
+      : (DataFrame, org.apache.spark.util.LongAccumulator) = {
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val files = fs.listStatus(root).toSeq
       .filter(s => s.isFile && s.getPath.getName.endsWith(".avro"))
       .map(_.getPath.toString).sorted
     val schemaJson = avroSchemaJson
+    val quarantined = spark.sparkContext.longAccumulator("graft.avro.quarantinedFiles")
     val rows = spark.sparkContext
       .parallelize(files, math.max(1, files.size))
       .mapPartitions { fit =>
@@ -105,12 +118,16 @@ object AvroDocsSource {
             st.close()
             buf.iterator
           } catch {
-            case _: Exception => // corrupt/vanished container: quarantine
+            case e: Exception => // corrupt/vanished container: quarantine
               if (in != null) { try in.close() catch { case _: Exception => () } }
+              quarantined.add(1L)
+              org.slf4j.LoggerFactory.getLogger(AvroDocsSource.getClass)
+                .warn(s"quarantined avro container $f: " +
+                  s"${e.getClass.getName}: ${e.getMessage}")
               Iterator.empty
           }
         }
       }
-    spark.createDataFrame(rows, sparkSchema)
+    (spark.createDataFrame(rows, sparkSchema), quarantined)
   }
 }

@@ -300,6 +300,13 @@ class MultimodalSpec extends AnyFunSuite {
     assert(banded >= 0.9, s"banded recall $banded below the gate bar")
     assert(banded >= r.getAs[Double]("recall_prefix16"),
       "banding must dominate the single prefix probe")
+    // the SHIPPED pipeline (keeper star + verify + family labels), not
+    // just bucket collision, must also clear the bar — and can never
+    // exceed the collision upper bound (round-10 ADVICE)
+    val shipped = r.getAs[Double]("recall_pipeline")
+    assert(shipped >= 0.9, s"shipped-pipeline recall $shipped below the gate bar")
+    assert(shipped <= banded + 1e-9,
+      "pipeline recall cannot beat its own bucket-collision bound")
     // and the pair query itself verifies: every emitted pair is a true
     // near-dup (hd <= 8), ia < ib, no duplicates
     val pairs = Multimodal.qPhashPairs(spark, sf).collect()

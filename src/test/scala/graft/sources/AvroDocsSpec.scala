@@ -45,8 +45,10 @@ class AvroDocsSpec extends AnyFunSuite {
     // drop a junk .avro beside the real one
     java.nio.file.Files.write(java.nio.file.Paths.get(dir, "part-junk.avro"),
       Array[Byte](1, 2, 3, 4, 5))
-    val back = AvroDocsSource.read(spark, dir)
+    val (back, quarantined) = AvroDocsSource.readCounted(spark, dir)
     assert(back.count() == 2, "real rows survive, junk file contributes none")
+    assert(quarantined.value == 1L,
+      "the dropped container must be counted, not silently swallowed")
   }
 
   test("engine operators run unchanged over an Avro-backed corpus") {
