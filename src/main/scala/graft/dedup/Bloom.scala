@@ -52,7 +52,8 @@ object Bloom {
     // default n rides the STAGED shingle table like the exact operator
     val gsrc =
       if (n == 5) Dedup.stagedGrams5(spark, dir)
-      else t(spark, dir, "documents").select(col("doc_id"), grams(n).as("gs"))
+      else Dedup.normDocs(t(spark, dir, "documents"))
+        .select(col("doc_id"), grams(n).as("gs"))
     def gramsOf(pred: Column, idAs: String): DataFrame =
       gsrc.filter(pred).select(col("doc_id").as(idAs), explode(col("gs")).as("g"))
     val bench = gramsOf(col("doc_id") <= benchMaxId, "bench_id")
@@ -80,9 +81,9 @@ object Bloom {
     * the exact decontamination SQL. */
   val oracleSql: Map[String, String] = Map(
     "dedup_decontaminate_bloom" ->
-      """WITH gs AS (SELECT doc_id, unnest(list_distinct(list_transform(
+      s"""WITH gs AS (SELECT doc_id, unnest(list_distinct(list_transform(
         |    range(1, len(text) - 3), i -> substr(text, CAST(i AS INT), 5)))) AS g
-        |  FROM documents)
+        |  FROM (SELECT doc_id, ${Dedup.NT} AS text FROM documents))
         |SELECT c.doc_id, b.doc_id AS bench_id, count(*) AS n_shared
         |FROM gs c JOIN gs b ON c.g = b.g
         |WHERE b.doc_id <= 5 AND c.doc_id > 5

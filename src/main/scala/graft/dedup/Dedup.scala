@@ -15,11 +15,29 @@ import graft.functions.VectorOps
   */
 object Dedup {
 
+  /** The Unicode-normalized text fragment every shingle path hashes —
+    * Spark-SQL form (for the expr-string HOFs; evaluated once per row,
+    * outside the lambdas) and the DuckDB mirror for the oracles. An
+    * NFD re-encode or zero-width infiltration therefore reads as the
+    * same document in every NEAR-dup family, not only under the exact
+    * content key (round-10 advice). */
+  private val NTS: String =
+    graft.text.TextAnalysis.normalizeUnicodeSparkSql("text")
+  private[graft] val NT: String =
+    graft.text.TextAnalysis.normalizeUnicodeSql("text")
+
+  /** A documents frame with its text Unicode-normalized ONCE per row —
+    * the projection the Column-API shingle builders (word sets, char
+    * grams) sit on, so NFC never re-runs inside a HOF lambda. */
+  private[graft] def normDocs(docs: DataFrame): DataFrame =
+    docs.withColumn("text", graft.text.TextAnalysis.normalizeUnicode(col("text")))
+
   /** Hash-family member i of word w: md5("i:w") — deterministic and
     * identical in DuckDB, standing in for the usual (a*x+b) mod p
-    * permutations. Min over the word set = the MinHash signature. */
+    * permutations. Min over the NORMALIZED word set = the MinHash
+    * signature. */
   private def mhExpr(i: Int): Column =
-    expr(s"array_min(transform(split(text, ' '), w -> md5(concat('$i:', w))))").as(s"mh_$i")
+    expr(s"array_min(transform(split($NTS, ' '), w -> md5(concat('$i:', w))))").as(s"mh_$i")
 
   val H = 8 // signature length
   val BANDS = 4 // 2 rows per band
@@ -119,7 +137,8 @@ object Dedup {
     candidatesOf(t(spark, dir, "documents"), h, nBands)
 
   private def wordSetsOf(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), array_distinct(split(col("text"), " ")).as("ws"))
+    docs.select(col("doc_id"), array_distinct(
+      split(graft.text.TextAnalysis.normalizeUnicode(col("text")), " ")).as("ws"))
 
   /** LSH near-dup: exact word-set Jaccard >= threshold over band
     * candidates. Candidates (small) join back to word sets by id — the
@@ -343,7 +362,11 @@ object Dedup {
 
   /** Distinct char-5-grams of the text column. Guard: sequence(1, n)
     * DESCENDS for n < 1, so short texts need an explicit empty-gram
-    * case (the DuckDB range() mirror is already empty there). */
+    * case (the DuckDB range() mirror is already empty there).
+    * Operates on the RAW text column: `text` sits inside the HOF
+    * lambda, where splicing the NFC fragment would re-run it per
+    * gram — identity consumers normalize once upstream via
+    * [[normDocs]] instead. */
   def grams(n: Int): Column =
     expr(s"CASE WHEN length(text) >= $n THEN " +
       s"array_distinct(transform(sequence(1, length(text) - ${n - 1}), i -> substring(text, i, $n))) " +
@@ -356,7 +379,7 @@ object Dedup {
                  threshold: Double = 0.6): DataFrame = {
     val g =
       if (n == 5) stagedGrams5(spark, dir)
-      else t(spark, dir, "documents").select(col("doc_id"), grams(n).as("gs"))
+      else normDocs(t(spark, dir, "documents")).select(col("doc_id"), grams(n).as("gs"))
     stagedCandidates(spark, dir)
       .join(g.select(col("doc_id").as("ia"), col("gs").as("ga")), "ia")
       .join(g.select(col("doc_id").as("ib"), col("gs").as("gb")), "ib")
@@ -387,7 +410,7 @@ object Dedup {
     // branches; non-default n derives fresh
     val gsrc =
       if (n == 5) stagedGrams5(spark, dir)
-      else t(spark, dir, "documents").select(col("doc_id"), grams(n).as("gs"))
+      else normDocs(t(spark, dir, "documents")).select(col("doc_id"), grams(n).as("gs"))
     def gramsOf(pred: Column, idAs: String): DataFrame =
       gsrc.filter(pred).select(col("doc_id").as(idAs), explode(col("gs")).as("g"))
     val bench = gramsOf(col("doc_id") <= benchMaxId, "bench_id")
@@ -591,7 +614,7 @@ object Dedup {
 
   private[graft] def stagedGrams5(spark: SparkSession, dir: String): DataFrame =
     stagedFrame(spark, s"grams5:$dir")(
-      t(spark, dir, "documents").select(col("doc_id"), grams(5).as("gs")))
+      normDocs(t(spark, dir, "documents")).select(col("doc_id"), grams(5).as("gs")))
 
   /** Semantic duplicate clusters (the SemDeDup shape, from its public
     * description: group vectors whose embeddings are near-identical,
@@ -691,7 +714,7 @@ object Dedup {
     * shift/mask. */
   def simhashColumn: Column = {
     val wordChunks =
-      "transform(array_distinct(split(text, ' ')), w -> " +
+      s"transform(array_distinct(split($NTS, ' ')), w -> " +
         "transform(sequence(0, 3), c -> cast(conv(substr(md5(w), c * 4 + 1, 4), 16, 10) as int)))"
     val counts =
       s"aggregate($wordChunks, transform(sequence(0, 63), b -> 0), " +
@@ -788,7 +811,8 @@ object Dedup {
   def tfidfCosinePairs(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
     val nDf = docs.agg(count(lit(1)).cast("double").as("__n"))
-    val tf = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    val tf = docs.select(col("doc_id"), explode(
+        split(graft.text.TextAnalysis.normalizeUnicode(col("text")), " ")).as("word"))
       .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
     val dfc = tf.groupBy("word").agg(count(lit(1)).as("df"))
     // weights round-6 BEFORE the pair math (same literal on both
@@ -881,7 +905,7 @@ object Dedup {
   // ---- oracle SQL ------------------------------------------------------
 
   private[dedup] def mhSql(i: Int): String =
-    s"list_aggregate(list_transform(string_split(text, ' '), w -> md5(concat('$i:', w))), 'min') AS mh_$i"
+    s"list_aggregate(list_transform(string_split($NT, ' '), w -> md5(concat('$i:', w))), 'min') AS mh_$i"
 
   private[graft] val sigSql =
     s"sig AS (SELECT doc_id, ${(0 until H).map(mhSql).mkString(", ")} FROM documents)"
@@ -901,14 +925,14 @@ object Dedup {
     * dedup_simhash oracle); shared by the simhash-pairs and
     * gate-recall oracles. */
   private val simhashFpSql =
-    """SELECT doc_id,
+    s"""SELECT doc_id,
       |  string_agg(CASE WHEN cnt > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash
       |FROM (
       |  SELECT doc_id, b,
       |    sum(((instr('0123456789abcdef', substr(hx, CAST(b // 4 AS INT) + 1, 1)) - 1
       |          >> CAST(3 - (b % 4) AS INT)) & 1) * 2 - 1) AS cnt
       |  FROM (SELECT doc_id, md5(w) AS hx FROM (
-      |          SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w FROM documents)),
+      |          SELECT doc_id, unnest(list_distinct(string_split($NT, ' '))) AS w FROM documents)),
       |       (SELECT unnest(range(64)) AS b) GROUP BY doc_id, b)
       |GROUP BY doc_id""".stripMargin
 
@@ -1047,7 +1071,7 @@ object Dedup {
 
   val oracleSql: Map[String, String] = Map(
     "dedup_sorted_neighborhood" ->
-      """WITH k AS (
+      s"""WITH k AS (
         |  SELECT doc_id, substr(text, 1, 16) AS blk,
         |    row_number() OVER (PARTITION BY substr(text, 1, 16)
         |                       ORDER BY text, doc_id) AS rk
@@ -1057,7 +1081,7 @@ object Dedup {
         |    greatest(x.doc_id, y.doc_id) AS ib
         |  FROM k x JOIN k y
         |    ON x.blk = y.blk AND y.rk > x.rk AND y.rk <= x.rk + 3),
-        |w AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM documents)
+        |w AS (SELECT doc_id, list_distinct(string_split($NT, ' ')) AS ws FROM documents)
         |SELECT ia, ib, j FROM (
         |  SELECT ia, ib,
         |    CAST(len(list_intersect(wa.ws, wb.ws)) AS DOUBLE)
@@ -1110,7 +1134,7 @@ object Dedup {
       s"""WITH $sigSql,
          |$bandsSql,
          |$candsSql,
-         |w AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM documents)
+         |w AS (SELECT doc_id, list_distinct(string_split($NT, ' ')) AS ws FROM documents)
          |SELECT ia, ib, j FROM (
          |  SELECT ia, ib,
          |    CAST(len(list_intersect(wa.ws, wb.ws)) AS DOUBLE)
@@ -1157,7 +1181,7 @@ object Dedup {
       s"""WITH $sigSql,
          |$bandsSql,
          |$candsSql,
-         |w AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM documents)
+         |w AS (SELECT doc_id, list_distinct(string_split($NT, ' ')) AS ws FROM documents)
          |SELECT ia, ib,
          |  CAST($matches AS DOUBLE) / $H AS est_j,
          |  CAST(len(list_intersect(wa.ws, wb.ws)) AS DOUBLE)
@@ -1170,7 +1194,7 @@ object Dedup {
       s"""WITH $sigSql,
          |$bandsSql,
          |$candsSql,
-         |w AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM documents)
+         |w AS (SELECT doc_id, list_distinct(string_split($NT, ' ')) AS ws FROM documents)
          |SELECT ia, ib, containment FROM (
          |  SELECT ia, ib,
          |    CAST(len(list_intersect(wa.ws, wb.ws)) AS DOUBLE)
@@ -1207,7 +1231,8 @@ object Dedup {
          |$bandsSql,
          |$candsSql,
          |g AS (SELECT doc_id, list_distinct(list_transform(range(1, len(text) - 3),
-         |        i -> substr(text, CAST(i AS INT), 5))) AS gs FROM documents)
+         |        i -> substr(text, CAST(i AS INT), 5))) AS gs
+         |      FROM (SELECT doc_id, $NT AS text FROM documents))
          |SELECT ia, ib, jg FROM (
          |  SELECT ia, ib,
          |    CAST(len(list_intersect(ga.gs, gb.gs)) AS DOUBLE)
@@ -1223,7 +1248,7 @@ object Dedup {
       s"""WITH $sigSql,
          |$bandsSql,
          |$candsSql,
-         |w AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM documents),
+         |w AS (SELECT doc_id, list_distinct(string_split($NT, ' ')) AS ws FROM documents),
          |vp AS MATERIALIZED (SELECT ia, ib FROM (
          |  SELECT ia, ib,
          |    CAST(len(list_intersect(wa.ws, wb.ws)) AS DOUBLE)
@@ -1269,17 +1294,17 @@ object Dedup {
          |FROM (SELECT doc_id, lbl AS cluster_id FROM l3) c JOIN q USING (doc_id)
          |GROUP BY cluster_id""".stripMargin,
     "dedup_decontaminate" ->
-      """WITH gs AS (SELECT doc_id, unnest(list_distinct(list_transform(
+      s"""WITH gs AS (SELECT doc_id, unnest(list_distinct(list_transform(
         |    range(1, len(text) - 3), i -> substr(text, CAST(i AS INT), 5)))) AS g
-        |  FROM documents)
+        |  FROM (SELECT doc_id, $NT AS text FROM documents))
         |SELECT c.doc_id, b.doc_id AS bench_id, count(*) AS n_shared
         |FROM gs c JOIN gs b ON c.g = b.g
         |WHERE b.doc_id <= 5 AND c.doc_id > 5
         |GROUP BY c.doc_id, b.doc_id
         |HAVING count(*) >= 20""".stripMargin,
     "dedup_simhash" ->
-      """WITH wd AS (
-        |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w FROM documents),
+      s"""WITH wd AS (
+        |  SELECT doc_id, unnest(list_distinct(string_split($NT, ' '))) AS w FROM documents),
         |h AS (SELECT doc_id, md5(w) AS hx FROM wd),
         |bits AS (
         |  SELECT doc_id, b,
@@ -1336,7 +1361,7 @@ object Dedup {
          |$bandsSql,
          |$candsSql,
          |tf AS (SELECT doc_id, word, count(*) AS tf FROM (
-         |    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+         |    SELECT doc_id, unnest(string_split($NT, ' ')) AS word FROM documents)
          |  GROUP BY doc_id, word),
          |dfc AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
          |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),

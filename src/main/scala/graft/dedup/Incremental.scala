@@ -77,7 +77,8 @@ object Incremental {
     val cand = batchBands.join(standingIndex, Seq("band", "bh"))
       .select(col("doc_id").as("batch_id"), col("corpus_id")).distinct()
     val ws = (d: DataFrame, id: String, out: String) =>
-      d.select(col("doc_id").as(id), array_distinct(split(col("text"), " ")).as(out))
+      d.select(col("doc_id").as(id), array_distinct(split(
+        graft.text.TextAnalysis.normalizeUnicode(col("text")), " ")).as(out))
     cand
       .join(ws(batch, "batch_id", "wa"), "batch_id")
       .join(ws(standing, "corpus_id", "wb"), "corpus_id")
@@ -116,7 +117,7 @@ object Incremental {
          |idx AS (SELECT band, bh, min(doc_id) AS corpus_id FROM bs GROUP BY band, bh),
          |cand AS (SELECT DISTINCT bb.doc_id AS batch_id, idx.corpus_id
          |  FROM bb JOIN idx ON bb.band = idx.band AND bb.bh = idx.bh),
-         |w AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM d)
+         |w AS (SELECT doc_id, list_distinct(string_split(${Dedup.NT}, ' ')) AS ws FROM d)
          |SELECT batch_id, count(*) AS n_corpus_matches, max(j) AS best_j FROM (
          |  SELECT batch_id, corpus_id,
          |    CAST(len(list_intersect(wa.ws, wb.ws)) AS DOUBLE)

@@ -40,7 +40,8 @@ object PrefixJoin {
   def prefixJoin(docs: DataFrame, batchFilter: org.apache.spark.sql.Column,
                  tauNum: Int = TAU_NUM, tauDen: Int = TAU_DEN): DataFrame = {
     val tau = tauNum.toDouble / tauDen
-    val w = docs.select(col("doc_id"), array_distinct(split(col("text"), " ")).as("ws"))
+    val w = docs.select(col("doc_id"), array_distinct(
+      split(graft.text.TextAnalysis.normalizeUnicode(col("text")), " ")).as("ws"))
     val tok = w.select(col("doc_id"), explode(col("ws")).as("tok"))
     val freq = tok.groupBy("tok").agg(count(lit(1)).as("f"))
     // per-doc tokens ordered rarest-first (global frequency, token
@@ -79,7 +80,8 @@ object PrefixJoin {
 
   val oracleSql: Map[String, String] = Map(
     "dedup_prefix_join" ->
-      s"""WITH w AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM documents),
+      s"""WITH w AS (SELECT doc_id, list_distinct(string_split(
+         |    ${graft.dedup.Dedup.NT}, ' ')) AS ws FROM documents),
          |tok AS (SELECT doc_id, unnest(ws) AS tok FROM w),
          |f AS (SELECT tok, count(*) AS f FROM tok GROUP BY tok),
          |ord AS (SELECT doc_id, list(tok ORDER BY f, tok) AS toks

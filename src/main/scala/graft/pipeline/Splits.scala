@@ -159,7 +159,7 @@ object Splits {
       s"""WITH ${graft.dedup.Dedup.sigSql},
          |${graft.dedup.Dedup.bandsSql},
          |${graft.dedup.Dedup.candsSql},
-         |w AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM documents),
+         |w AS (SELECT doc_id, list_distinct(string_split(${graft.dedup.Dedup.NT}, ' ')) AS ws FROM documents),
          |vp AS (SELECT ia, ib FROM (
          |  SELECT ia, ib,
          |    CAST(len(list_intersect(wa.ws, wb.ws)) AS DOUBLE)

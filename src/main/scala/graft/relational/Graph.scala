@@ -377,7 +377,7 @@ object Graph {
       s"""WITH ${Dedup.sigSql},
          |${Dedup.bandsSql},
          |${Dedup.candsSql},
-         |w AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM documents),
+         |w AS (SELECT doc_id, list_distinct(string_split(${Dedup.NT}, ' ')) AS ws FROM documents),
          |vp AS MATERIALIZED (SELECT ia, ib FROM (
          |  SELECT ia, ib,
          |    CAST(len(list_intersect(wa.ws, wb.ws)) AS DOUBLE)

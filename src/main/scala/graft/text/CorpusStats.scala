@@ -480,9 +480,9 @@ object CorpusStats {
         |FROM sw JOIN cw USING (word) JOIN t USING (source) CROSS JOIN g
         |GROUP BY source""".stripMargin,
     "text_novelty" ->
-      """WITH gs AS (SELECT doc_id, unnest(list_distinct(list_transform(
+      s"""WITH gs AS (SELECT doc_id, unnest(list_distinct(list_transform(
         |    range(1, len(text) - 3), i -> substr(text, CAST(i AS INT), 5)))) AS g
-        |  FROM documents),
+        |  FROM (SELECT doc_id, ${graft.dedup.Dedup.NT} AS text FROM documents)),
         |d AS (SELECT g, count(*) AS df FROM gs GROUP BY g)
         |SELECT doc_id, count(*) AS n_grams,
         |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,

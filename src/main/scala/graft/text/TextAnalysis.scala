@@ -117,9 +117,17 @@ object TextAnalysis {
     * composition (native codegen expression) + zero-width/control
     * stripping. On a real multilingual crawl, NFC-vs-NFD variants and
     * zero-width-infiltrated copies of identical text hash to
-    * different content keys and silently escape exact dedup and every
-    * shingle-based operator — this stage, applied BEFORE hashing,
-    * closes that hole (Dedup.qExact rides it). Mirrored exactly by
+    * different content keys and silently escape dedup — this stage,
+    * applied BEFORE hashing, closes that hole on every IDENTITY path:
+    * the exact content key (Dedup.contentHash) AND the shingle inputs
+    * of the near-dup families — MinHash signatures/bands, the SimHash
+    * fingerprint (batch and streaming), char-n-gram shingles
+    * (ngram/decontaminate/bloom/novelty), word sets (LSH verify,
+    * containment, TF-IDF cosine), and the prefix-filter join (round-10
+    * advice: exact dedup normalized but an NFD re-encode still evaded
+    * every NEAR-dup operator). Quality/stat text ops (TTR, entropy,
+    * token counts, LM scoring) stay on raw text by design — they
+    * measure the document, not its identity. Mirrored exactly by
     * DuckDB's nfc_normalize + the same RE2 class, so consumers stay
     * fully oracled. */
   def normalizeUnicode(c: Column): Column =
@@ -130,6 +138,17 @@ object TextAnalysis {
     * processing inside single quotes). */
   private[graft] def normalizeUnicodeSql(c: String): String =
     s"regexp_replace(nfc_normalize($c), '$ZW_CONTROL_CLASS', '', 'g')"
+
+  /** Spark-SQL fragment mirroring [[normalizeUnicode]] for splicing
+    * into expr(...) strings (the HOF shingle expressions are built as
+    * SQL text): nfc_normalize is session-registered via
+    * GraftExtensions, and the regex class needs its backslashes
+    * doubled because the Spark SQL parser processes string-literal
+    * escapes (DuckDB's does not). Splice ONLY where the fragment is
+    * evaluated once per row (outside HOF lambdas) — inside a lambda
+    * it would re-run NFC per element. */
+  private[graft] def normalizeUnicodeSparkSql(c: String): String =
+    s"regexp_replace(nfc_normalize($c), '${ZW_CONTROL_CLASS.replace("\\", "\\\\")}', '')"
 
   /** The scrub pass with the Unicode-normalization stage ahead of it —
     * the full ingest normalization a multilingual corpus needs before

@@ -40,6 +40,35 @@ class DedupSpec extends AnyFunSuite {
     assert(diff == 0, "testdata is ASCII: the stage must be an exact no-op")
   }
 
+  test("an NFD re-encoded NEAR-dup is caught by the shingle families") {
+    // round-10 advice: exact dedup normalized its content key, but the
+    // minhash/simhash/gram/prefix shingles still hashed raw bytes — an
+    // NFD re-encode of a near-duplicate (not byte-identical, so exact
+    // dedup can't see it) evaded every near-dup operator. Shingles now
+    // ride normalizeUnicode: doc 2 is doc 1 with ONE word changed
+    // (genuine near-dup, word-Jaccard 9/11 ≈ 0.82) AND every accented
+    // word re-encoded NFD. The LSH chain must pair them.
+    val base = "café menú one two three four five six seven eight"
+    val nfdNear = ("café menú one two three four five six " +
+      "seven nine")
+    assert(base != nfdNear)
+    assert(java.text.Normalizer.normalize(nfdNear, java.text.Normalizer.Form.NFC)
+      != nfdNear, "the variant must genuinely be NFD-encoded")
+    assert(java.text.Normalizer.isNormalized(base, java.text.Normalizer.Form.NFC))
+    val docs = Seq((1L, base), (2L, nfdNear),
+      (3L, "totally unrelated words here")).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshOf(docs)
+      .select("ia", "ib").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L)),
+      s"NFD near-dup must band and verify with its NFC twin: ${pairs.toSeq}")
+    // simhash fingerprints of the two variants agree bitwise except
+    // for the drift the one-word edit causes (hamming <= 12 gate)
+    val fp = Dedup.simhashOf(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val hd = fp(1L).zip(fp(2L)).count { case (a, b) => a != b }
+    assert(hd <= 12, s"NFD re-encode must not blow up simhash drift: $hd bits")
+  }
+
   test("minhash signature is invariant to word order and duplication") {
     import org.apache.spark.sql.functions._
     val docs = Seq((1L, "a b c"), (2L, "c b a a")).toDF("doc_id", "text")

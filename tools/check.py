@@ -118,4 +118,6 @@ def main(sfdir, outdir, artifact=None):
           f"({len(results)} entries) ==")
 
 if __name__ == "__main__":
+    if len(sys.argv) < 3:
+        sys.exit(__doc__)
     main(*sys.argv[1:4])
