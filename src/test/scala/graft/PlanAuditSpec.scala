@@ -84,8 +84,18 @@ class PlanAuditSpec extends AnyFunSuite {
         if (planStr.contains("percentile(")) percentile += name
         plan.foreach {
           case w: WholeStageCodegenExec =>
-            try CodeGenerator.compile(w.doCodeGen()._2)
-            catch { case e: Exception =>
+            // two fallback flavors (round-10 advice): janino throwing
+            // (64 KB overflow -> catch), and a clean compile whose
+            // largest method still exceeds hugeMethodLimit — Spark's
+            // doExecute silently drops THAT to interpreted too, so the
+            // gate mirrors its maxMethodCodeSize check
+            try {
+              val (_, stats) = CodeGenerator.compile(w.doCodeGen()._2)
+              val limit = spark.sessionState.conf.hugeMethodLimit
+              if (stats.maxMethodCodeSize > limit)
+                compileFailures += s"$name: maxMethodCodeSize " +
+                  s"${stats.maxMethodCodeSize} > hugeMethodLimit $limit"
+            } catch { case e: Exception =>
               compileFailures += s"$name: ${String.valueOf(e.getMessage).take(160)}" }
           case _ => ()
         }
