@@ -47,6 +47,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1, "nfc_normalize(s) takes exactly 1 argument")
         NfcNormalize(children.head)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("normalize_text"),
+      new ExpressionInfo(classOf[NormalizeText].getName, "normalize_text"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "normalize_text(s) takes exactly 1 argument")
+        NormalizeText(children.head)
+      }))
     // declarative row_number-top-k rewrites to the bounded-heap
     // operator; the strategy makes the node plannable in this session
     ext.injectOptimizerRule(_ => graft.plans.TopKRewriteRule)
@@ -73,6 +80,9 @@ object GraftFunctions {
 
   def nfcNormalize(s: Column): Column =
     GraftBridge.column(NfcNormalize(GraftBridge.expression(s)))
+
+  def normalizeText(s: Column): Column =
+    GraftBridge.column(NormalizeText(GraftBridge.expression(s)))
 
   /** PQ nearest-centroid codes of a packed array<double> point; the
     * trained codebook rides as driver-side state, not a child. */

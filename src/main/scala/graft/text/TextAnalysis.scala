@@ -114,8 +114,9 @@ object TextAnalysis {
     "[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
 
   /** The composable Unicode-normalization stage: NFC canonical
-    * composition (native codegen expression) + zero-width/control
-    * stripping. On a real multilingual crawl, NFC-vs-NFD variants and
+    * composition + zero-width/control stripping, fused into ONE native
+    * codegen expression (functions.NormalizeText — zero allocation on
+    * clean ASCII). On a real multilingual crawl, NFC-vs-NFD variants and
     * zero-width-infiltrated copies of identical text hash to
     * different content keys and silently escape dedup — this stage,
     * applied BEFORE hashing, closes that hole on every IDENTITY path:
@@ -131,7 +132,7 @@ object TextAnalysis {
     * DuckDB's nfc_normalize + the same RE2 class, so consumers stay
     * fully oracled. */
   def normalizeUnicode(c: Column): Column =
-    regexp_replace(graft.functions.GraftFunctions.nfcNormalize(c), ZW_CONTROL_CLASS, "")
+    graft.functions.GraftFunctions.normalizeText(c)
 
   /** SQL fragment mirroring [[normalizeUnicode]] for oracle reuse
     * (DuckDB string literals take the RE2 class verbatim — no escape
@@ -141,14 +142,12 @@ object TextAnalysis {
 
   /** Spark-SQL fragment mirroring [[normalizeUnicode]] for splicing
     * into expr(...) strings (the HOF shingle expressions are built as
-    * SQL text): nfc_normalize is session-registered via
-    * GraftExtensions, and the regex class needs its backslashes
-    * doubled because the Spark SQL parser processes string-literal
-    * escapes (DuckDB's does not). Splice ONLY where the fragment is
-    * evaluated once per row (outside HOF lambdas) — inside a lambda
-    * it would re-run NFC per element. */
+    * SQL text): normalize_text is session-registered via
+    * GraftExtensions. Splice ONLY where the fragment is evaluated once
+    * per row (outside HOF lambdas) — inside a lambda it would re-run
+    * the normalization per element. */
   private[graft] def normalizeUnicodeSparkSql(c: String): String =
-    s"regexp_replace(nfc_normalize($c), '${ZW_CONTROL_CLASS.replace("\\", "\\\\")}', '')"
+    s"normalize_text($c)"
 
   /** The scrub pass with the Unicode-normalization stage ahead of it —
     * the full ingest normalization a multilingual corpus needs before
