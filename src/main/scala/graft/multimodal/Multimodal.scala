@@ -584,6 +584,32 @@ object Multimodal {
       .toDF("doc_id", "phash")
   }
 
+  // ---- staged perceptual-hash indexes (once per JVM+dir) ---------------
+
+  /** The staged-index discipline (SURVEY #112, same shape as
+    * Dedup.stagedFrame): a production pipeline computes perceptual
+    * hashes AT INGEST and stores them beside the media; the gate and
+    * its recall report run on the stored fingerprints, not on a fresh
+    * codec decode of the whole corpus per query. Deterministic
+    * derivations only, so staging cannot change results; the dirs are
+    * JVM-scoped temp parquet (deleted on exit), the local stand-in for
+    * the DFS index path. */
+  private val staged = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stagedFrame(spark: SparkSession, key: String)
+                         (derive: => DataFrame): DataFrame = {
+    val path = staged.computeIfAbsent(key, { _ =>
+      val p = java.nio.file.Files.createTempDirectory("graft-staged")
+      p.toFile.deleteOnExit()
+      derive.write.mode("overwrite").parquet(p.toString)
+      p.toString
+    })
+    spark.read.parquet(path)
+  }
+
+  /** The corpus aHash fingerprints, staged. */
+  private def stagedPhashes(spark: SparkSession, dir: String): DataFrame =
+    stagedFrame(spark, s"phash:$dir")(phashes(spark, dir))
+
   /** Per-hash 8x8-bit band entries: band index 0..7 plus that byte of
     * the fingerprint — two near-dup images (hamming <= 8 over 64
     * bits) agree on at least one whole byte whenever their flipped
@@ -610,13 +636,11 @@ object Multimodal {
     * Rows-only (the hash rides codec decodes); spec proves a JPEG
     * re-encode pairs with its lossless siblings. */
   def qPhashPairs(spark: SparkSession, dir: String,
-                  maxHamming: Int = 8): DataFrame = {
-    // materialize the decode+hash pass ONCE: the band explode and the
-    // two keeper joins are three plan branches, and without this each
-    // re-runs the full codec decode over the corpus (the dominant
-    // cost) — the commonNeighborsOf localCheckpoint discipline
-    pairsOfHashes(phashes(spark, dir).localCheckpoint(true), maxHamming)
-  }
+                  maxHamming: Int = 8): DataFrame =
+    // the fingerprint table feeds three plan branches; reading the
+    // STAGED parquet (computed once per JVM+dir) replaces both the
+    // per-branch codec decode and the old localCheckpoint
+    pairsOfHashes(stagedPhashes(spark, dir), maxHamming)
 
   /** The band → in-bucket sorted neighborhood → verify pipeline over
     * any (doc_id, phash) fingerprint table — factored out so
@@ -638,14 +662,18 @@ object Multimodal {
                             window: Int = 3): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("band", "bv").orderBy("phash", "doc_id")
-    val banded = phashBands(h)
-      .select(col("doc_id") +: (1 to window).map(k =>
-        lag(col("doc_id"), k).over(w).as(s"__p$k")): _*)
-    val pairs = (1 to window).map { k =>
-      banded.filter(col(s"__p$k").isNotNull)
-        .select(least(col("doc_id"), col(s"__p$k")).as("ia"),
-          greatest(col("doc_id"), col(s"__p$k")).as("ib"))
-    }.reduce(_ union _).distinct()
+    // one window evaluation, predecessors packed into an array and
+    // exploded in a SEPARATE projection (a generator may not contain
+    // window expressions, and a per-k union would re-run the window
+    // sort per branch)
+    val pairs = phashBands(h)
+      .select(col("doc_id"), array((1 to window).map(k =>
+        lag(col("doc_id"), k).over(w)): _*).as("__ps"))
+      .select(col("doc_id"), explode(col("__ps")).as("__p"))
+      .filter(col("__p").isNotNull)
+      .select(least(col("doc_id"), col("__p")).as("ia"),
+        greatest(col("doc_id"), col("__p")).as("ib"))
+      .distinct()
     pairs
       .join(h.select(col("doc_id").as("ia"), col("phash").as("pa")), "ia")
       .join(h.select(col("doc_id").as("ib"), col("phash").as("pb")), "ib")
@@ -698,27 +726,31 @@ object Multimodal {
         }
       }
       .toDF("doc_id", "pa", "pb")
-      // one decode+hash pass; truth, the combined table, and the
-      // final agg are three plan branches over it
-      .localCheckpoint(true)
-    val truth = hp
+    // the dual-codec encode+hash pass and the family labels are
+    // deterministic derived indexes: staged once per (JVM, dir) like
+    // the fingerprint table itself — truth, the combined table and the
+    // final agg then read parquet instead of re-decoding the corpus
+    val hpStaged = stagedFrame(spark, s"phashtruth:$dir")(hp)
+    val truth = hpStaged
       .withColumn("hd", bit_count(col("pa").bitwiseXOR(col("pb"))))
       .filter(col("hd") <= maxHamming)
     def anyBand8: org.apache.spark.sql.Column = (0 until 8).map(i =>
       shiftright(col("pa"), i * 8).bitwiseAND(lit(255L)) ===
         shiftright(col("pb"), i * 8).bitwiseAND(lit(255L))).reduce(_ || _)
-    // The shipped pipeline, end to end: run pairsOfHashes (keeper star
-    // + verify) over the 2-rows-per-doc combined fingerprint table
-    // (id*2 = lossless, id*2+1 = jpeg re-encode), then connected
-    // families over its verified edges; a truth pair is caught when
-    // both variants share a family label.
-    val combined = hp
-      .select((col("doc_id") * 2).as("doc_id"), col("pa").as("phash"))
-      .union(hp.select((col("doc_id") * 2 + 1).as("doc_id"),
-        col("pb").as("phash")))
-      .localCheckpoint(true)
-    val fams = graft.dedup.Dedup.labelPropagateConverged(
-      pairsOfHashes(combined, maxHamming).select("ia", "ib"))
+    // The shipped pipeline, end to end: run pairsOfHashes over the
+    // 2-rows-per-doc combined fingerprint table (id*2 = lossless,
+    // id*2+1 = jpeg re-encode), then connected families over its
+    // verified edges; a truth pair is caught when both variants share
+    // a family label. The converged labels are themselves a
+    // deterministic derived index — staged.
+    val fams = stagedFrame(spark, s"phashfam:$dir:$maxHamming") {
+      val combined = hpStaged
+        .select((col("doc_id") * 2).as("doc_id"), col("pa").as("phash"))
+        .union(hpStaged.select((col("doc_id") * 2 + 1).as("doc_id"),
+          col("pb").as("phash")))
+      graft.dedup.Dedup.labelPropagateConverged(
+        pairsOfHashes(combined, maxHamming).select("ia", "ib"))
+    }
     val caught = truth.select((col("doc_id") * 2).as("na"),
         (col("doc_id") * 2 + 1).as("nb"))
       .join(fams.select(col("doc_id").as("na"), col("cluster_id").as("ca")), Seq("na"))
