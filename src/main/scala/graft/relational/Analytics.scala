@@ -457,15 +457,20 @@ object Analytics {
     * same bucket, ties broken inside the bucket), and decimal sums
     * are associative.
     *
-    * The bucket id is the count of boundary literals the row's rev
-    * strictly passes — the Quantiles.scala value-comparison
-    * discipline — so the presum job and the main job CANNOT disagree
-    * even if any stage is recomputed from scratch (cache-block loss,
-    * executor failure): there is no dependence on
-    * spark_partition_id() or on RangePartitioner's per-job sampling.
-    * The boundaries come from one approxQuantile pass; their quality
-    * only affects balance, never correctness. The .cache() below is a
-    * pure perf optimization (the agg feeds two jobs) — correctness no
+    * The bucket id is the count of boundary literals the row passes in
+    * sort order — the Quantiles.scala value-comparison discipline — so
+    * the presum job and the main job CANNOT disagree even if any stage
+    * is recomputed from scratch (cache-block loss, executor failure):
+    * there is no dependence on spark_partition_id() or on
+    * RangePartitioner's per-job sampling. Boundaries are COMPOSITE
+    * (rev, custkey) tuples picked as evenly-spaced order statistics of
+    * a bounded deterministic hash-gated sample (~parts*64 rows to the
+    * driver at ANY corpus size) — the composite comparison means heavy
+    * ties on rev (a degenerate all-equal distribution) still split
+    * across buckets by custkey instead of funneling the whole
+    * dimension through one window task. Boundary quality only affects
+    * balance, never correctness. The .cache() below is a pure perf
+    * optimization (the agg feeds three bounded jobs) — correctness no
     * longer needs it.
     *
     * Returns (ranked frame with `i` = 1-based global rank and
@@ -479,16 +484,31 @@ object Analytics {
       if (descending) Seq(col("rev").desc, col("o_custkey").asc)
       else Seq(col("rev").asc, col("o_custkey").asc)
     val cached = agg.cache()
-    // Boundary literals: parts-1 approximate quantiles of rev,
-    // collected once — both downstream jobs compare against these
-    // exact same constants.
-    val cuts = cached.stat.approxQuantile(
-      "rev", (1 until parts).map(_.toDouble / parts).toArray, 0.001)
     val revD = col("rev").cast("double")
+    // Boundary tuples, collected once as literals — both downstream
+    // jobs compare against these exact same constants.
+    val n0 = cached.count()
+    val gate = math.max(1L, n0 / (parts * 64L))
+    val sampled = cached
+      .filter(pmod(hash(col("o_custkey")), lit(gate)) === 0)
+      .select(revD.as("r"), col("o_custkey").as("c"))
+      .collect().map(r => (r.getDouble(0), r.getLong(1)))
+    val ordered =
+      if (descending) sampled.sortBy { case (r, c) => (-r, c) }
+      else sampled.sortBy(identity)
+    val cuts: Seq[(Double, Long)] =
+      if (ordered.length <= 1) Seq.empty
+      else (1 until parts)
+        .map(i => ordered((i.toLong * ordered.length / parts).toInt))
+        .distinct
     val bucket =
       if (cuts.isEmpty) lit(0)
-      else cuts.toSeq.map { c =>
-        val passed = if (descending) revD < lit(c) else revD > lit(c)
+      else cuts.map { case (r, c) =>
+        val passed =
+          if (descending)
+            revD < lit(r) || (revD === lit(r) && col("o_custkey") > lit(c))
+          else
+            revD > lit(r) || (revD === lit(r) && col("o_custkey") > lit(c))
         when(passed, 1).otherwise(0)
       }.reduce(_ + _)
     val parted = cached.withColumn("__pid", bucket)

@@ -195,6 +195,32 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("fused normalize_text equals the composed regexp formulation on generated unicode") {
+    // the round-11 fused expression must be bitwise-equal to
+    // regexp_replace(nfc_normalize(s), ZW_CONTROL_CLASS, '') — the
+    // formulation it replaced, which remains the DuckDB oracle mirror.
+    // Generator covers ascii, composition cases, every stripped code
+    // point class (ZW/BOM, C0 controls, DEL) and the KEPT whitespace.
+    val cp = Gen.frequency(
+      (6, Gen.chooseNum(0x20, 0x7e)),       // ascii
+      (2, Gen.chooseNum(0xc0, 0x17f)),      // latin-1/extended
+      (2, Gen.chooseNum(0x300, 0x36f)),     // combining diacritics
+      (1, Gen.oneOf(0x200b, 0x200c, 0x200d, 0xfeff)), // stripped ZW/BOM
+      (1, Gen.oneOf(0x00, 0x01, 0x08, 0x0b, 0x0c, 0x0e, 0x1f, 0x7f)), // stripped controls
+      (1, Gen.oneOf(0x09, 0x0a, 0x0d)))     // kept \t \n \r
+    val str = Gen.listOfN(24, cp).map(_.map(_.toChar).mkString)
+    val texts = sample(Gen.listOfN(150, str), 31L)
+    val bad = texts.zipWithIndex.map(_.swap).toDF("i", "s")
+      .select($"i",
+        functions.GraftFunctions.normalizeText($"s").as("fused"),
+        org.apache.spark.sql.functions.regexp_replace(
+          functions.GraftFunctions.nfcNormalize($"s"),
+          text.TextAnalysis.ZW_CONTROL_CLASS, "").as("composed"))
+      .collect().filter(r => r.getString(1) != r.getString(2))
+    assert(bad.isEmpty, s"fused != composed on ${bad.length} generated strings, " +
+      s"first: ${bad.headOption.map(_.getString(1).map(_.toInt.toHexString))}")
+  }
+
   test("the canonical content key is invariant to NFC/NFD re-encoding") {
     import org.apache.spark.sql.functions.col
     val base = sample(Gen.listOfN(60, sentence), 29L)

@@ -120,6 +120,28 @@ class Round8OpsSpec extends AnyFunSuite {
     } finally release()
   }
 
+  test("rankedRevenue splits ALL-EQUAL revenues across buckets (tie skew)") {
+    // composite (rev, custkey) boundaries: a degenerate distribution
+    // where every customer has the same total must still fan out over
+    // multiple window partitions (rev-only cuts would put every row in
+    // bucket 0 — one window task over the whole dimension at scale)
+    val orders = (1L to 2048L).map(i => (i, 10.0)).toDF("o_custkey", "o_totalprice")
+    val agg = orders.groupBy("o_custkey")
+      .agg(org.apache.spark.sql.functions
+        .sum(org.apache.spark.sql.functions.col("o_totalprice").cast("decimal(38,2)"))
+        .as("rev"))
+    val (ranked, n, _, release) = Analytics.rankedRevenue(agg, descending = false, parts = 8)
+    try {
+      assert(n == 2048L)
+      val buckets = ranked.select("__pid").distinct().count()
+      assert(buckets >= 4, s"all-ties must spread over buckets, got $buckets")
+      // and the rank is still the exact custkey order (ties break asc)
+      val rows = ranked.select("o_custkey", "i").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      (1L to 2048L).foreach(k => assert(rows(k) == k, s"custkey $k rank ${rows(k)}"))
+    } finally release()
+  }
+
   test("rankedRevenue ranks are stable when the cache is lost mid-query") {
     // round-10 weak point: bucket ids came from spark_partition_id()
     // over a cached repartitionByRange frame — a recompute could
