@@ -66,14 +66,20 @@ object Incremental {
     * bucketable on the band key, so tomorrow's batch joins without a
     * corpus-side shuffle. */
   def qIncrementalNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val docs = t(spark, dir, "documents")
-      .withColumn("__b",
-        expr(s"${nibbleHashSql("cast(doc_id as string)")} % 10") === BATCH_BUCKET)
+    val gate =
+      expr(s"${nibbleHashSql("cast(doc_id as string)")} % 10") === BATCH_BUCKET
+    val docs = t(spark, dir, "documents").withColumn("__b", gate)
     val standing = docs.filter(!col("__b")).select("doc_id", "text")
     val batch = docs.filter(col("__b")).select("doc_id", "text")
-    val standingIndex = Dedup.bands(Dedup.signatures(standing))
+    // signatures ride the STAGED per-(JVM, dir) sketch table — the
+    // stored-at-ingest index every signature consumer shares — split
+    // by the same doc_id gate; before this the operator re-ran the
+    // H-hash fold over BOTH corpus halves per invocation (the whole
+    // corpus, one MinHash pass each side)
+    val sig = Dedup.stagedSignatures(spark, dir).withColumn("__b", gate)
+    val standingIndex = Dedup.bands(sig.filter(!col("__b")))
       .groupBy("band", "bh").agg(min("doc_id").as("corpus_id"))
-    val batchBands = Dedup.bands(Dedup.signatures(batch))
+    val batchBands = Dedup.bands(sig.filter(col("__b")))
     val cand = batchBands.join(standingIndex, Seq("band", "bh"))
       .select(col("doc_id").as("batch_id"), col("corpus_id")).distinct()
     val ws = (d: DataFrame, id: String, out: String) =>

@@ -22,6 +22,24 @@ class CosineSpec extends AnyFunSuite {
     assert(diff.count() == 0, "native expression must reproduce the HOF fold bitwise")
   }
 
+  test("native cosine on DOUBLE arrays equals the HOF fold bitwise") {
+    // the round-11 double-element path (projected-space search): same
+    // left-to-right fold, no float conversion
+    import org.apache.spark.sql.functions._
+    val rows = Seq(
+      (1L, Array(0.5, -1.25, 3.0), Array(2.0, 0.125, -0.75)),
+      (2L, Array(1e-300, 1e300, -1.0), Array(1e300, 1e-300, 1.0)),
+      (3L, Array(0.1, 0.2, 0.3), Array(0.1, 0.2, 0.3)))
+      .toDF("id", "a", "b")
+    val dotHof = (x: String, y: String) => expr(
+      s"aggregate(zip_with($x, $y, (p, q) -> p * q), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+    val diff = rows.select(
+      GraftFunctions.cosineSim(col("a"), col("b")).as("native"),
+      (dotHof("a", "b") / (sqrt(dotHof("a", "a")) * sqrt(dotHof("b", "b")))).as("hof"))
+      .filter(col("native") =!= col("hof"))
+    assert(diff.count() == 0, "double-array path must reproduce the HOF fold bitwise")
+  }
+
   test("native cosine is SQL-registered and null/mismatch-safe") {
     val df = Seq(
       (1L, Some(Array(1.0f, 2.0f)), Some(Array(1.0f, 2.0f))),
