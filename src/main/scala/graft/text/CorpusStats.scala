@@ -182,6 +182,57 @@ object CorpusStats {
             + lit(0.5) * (col("c2").cast("double") / col("__t")))), 6).as("avg_log2p"))
   }
 
+  /** Interpolated Kneser-Ney bigram score — the published standard
+    * smoothing for n-gram LMs (Kneser & Ney 1995; Chen & Goodman's
+    * interpolated form): absolute discount D = 0.75 off every seen
+    * bigram, the freed mass re-distributed through the CONTINUATION
+    * unigram P_cont(w2) = (distinct left-contexts of w2) / (distinct
+    * bigram types) — "how many contexts does this word complete", not
+    * "how often does it occur", which is what separates KN from the
+    * Jelinek-Mercer scorer above (a word frequent only inside one
+    * collocation gets a LOW continuation probability). Per doc: mean
+    * log2 P_KN over its bigrams, the LM-family report shape.
+    *
+    * P_KN(w2|w1) = (c(w1 w2) - D)/c(w1 .)
+    *             + (D * N1+(w1 .)/c(w1 .)) * P_cont(w2)
+    * (c >= 1 > D on observed bigrams, so the max(.,0) clamp is moot.)
+    *
+    * Scale shape: the same co-partitioned count/type joins as the MLE
+    * scorer — bigram counts, head counts, per-head continuation-type
+    * counts and per-word left-context counts are all word-keyed
+    * aggregates; only the 1-row type total broadcasts. All divisions
+    * mirrored operation-for-operation in the oracle. */
+  def qKnLogprob(spark: SparkSession, dir: String): DataFrame =
+    knLogprobOf(t(spark, dir, "documents"))
+
+  /** The KN scorer over any (doc_id, text) frame — split out so the
+    * spec can pin a hand-computed value on a crafted corpus. */
+  def knLogprobOf(docs: DataFrame): DataFrame = {
+    val bg = docs
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ws) - 1), i -> named_struct(" +
+          "'w1', element_at(ws, i), 'w2', element_at(ws, i + 1), " +
+          "'bg', concat(element_at(ws, i), ' ', element_at(ws, i + 1))))")).as("e"))
+      .select(col("doc_id"), col("e.w1").as("w1"), col("e.w2").as("w2"), col("e.bg").as("bg"))
+    val bgCounts = bg.groupBy("bg").agg(count(lit(1)).as("cb"))
+    val headCounts = bg.groupBy("w1").agg(count(lit(1)).as("cu"))
+    val types = bg.select("w1", "w2").distinct()
+    val n1p = types.groupBy("w1").agg(count(lit(1)).as("n1"))
+    val cont = types.groupBy("w2").agg(count(lit(1)).as("ct"))
+    val tt = types.agg(count(lit(1)).cast("double").as("__tt"))
+    bg.join(bgCounts, "bg").join(headCounts, "w1").join(n1p, "w1")
+      .join(cont, "w2")
+      .crossJoin(broadcast(tt))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log2(
+          (col("cb").cast("double") - lit(0.75)) / col("cu")
+            + lit(0.75) * col("n1").cast("double") / col("cu")
+              * (col("ct").cast("double") / col("__tt")))), 6).as("avg_log2p"))
+  }
+
   /** DSIR-style importance weight (data selection via importance
     * resampling, from the public DSIR paper): per-document mean log2
     * likelihood ratio of a TARGET-domain unigram LM against the
@@ -446,7 +497,8 @@ object CorpusStats {
     "text_boilerplate" -> (qBoilerplate _),
     "text_novelty" -> (qNovelty _),
     "text_boilerplate_frac" -> (qBoilerplateFrac _),
-    "text_bigram_logprob" -> (qBigramLogprob _))
+    "text_bigram_logprob" -> (qBigramLogprob _),
+    "text_kn_logprob" -> (qKnLogprob _))
 
   val oracleSql: Map[String, String] = Map(
     "text_pmi_pairs" ->
@@ -622,6 +674,27 @@ object CorpusStats {
         |  round(avg(log2(0.5 * (CAST(cb.cb AS DOUBLE) / cu.cu)
         |    + 0.5 * (CAST(c2 AS DOUBLE) / t))), 6) AS avg_log2p
         |FROM bg JOIN cb USING (bg) JOIN cu USING (w1) JOIN v USING (w2) CROSS JOIN t
+        |GROUP BY doc_id""".stripMargin,
+    "text_kn_logprob" ->
+      """WITH bg AS (SELECT doc_id, e.w1, e.w2, e.bg FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+        |      i -> {'w1': ws[CAST(i AS INT)], 'w2': ws[CAST(i + 1 AS INT)],
+        |            'bg': concat(ws[CAST(i AS INT)], ' ', ws[CAST(i + 1 AS INT)])})) AS e
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        |    WHERE len(ws) >= 2)),
+        |cb AS (SELECT bg, count(*) AS cb FROM bg GROUP BY bg),
+        |cu AS (SELECT w1, count(*) AS cu FROM bg GROUP BY w1),
+        |ty AS (SELECT DISTINCT w1, w2 FROM bg),
+        |n1 AS (SELECT w1, count(*) AS n1 FROM ty GROUP BY w1),
+        |ct AS (SELECT w2, count(*) AS ct FROM ty GROUP BY w2),
+        |tt AS (SELECT CAST(count(*) AS DOUBLE) AS tt FROM ty)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(avg(log2(
+        |    (CAST(cb.cb AS DOUBLE) - 0.75) / cu.cu
+        |    + 0.75 * CAST(n1.n1 AS DOUBLE) / cu.cu
+        |      * (CAST(ct.ct AS DOUBLE) / tt))), 6) AS avg_log2p
+        |FROM bg JOIN cb USING (bg) JOIN cu USING (w1) JOIN n1 USING (w1)
+        |  JOIN ct USING (w2) CROSS JOIN tt
         |GROUP BY doc_id""".stripMargin,
     "text_bigram_logprob" ->
       """WITH bg AS (SELECT doc_id, e.w1, e.bg FROM (

@@ -213,6 +213,28 @@ class TextSpec extends AnyFunSuite {
     }
   }
 
+  test("kneser-ney bigram score matches the hand-computed closed form") {
+    // corpus "a b a c": bigrams (a,b) (b,a) (a,c), all counts 1;
+    // c(a .) = 2, c(b .) = 1; 3 bigram types; N1+(a .) = 2,
+    // N1+(b .) = 1; continuation contexts: b<-{a}, a<-{b}, c<-{a}
+    // => P_cont = 1/3 each. With D = 0.75:
+    //   P(b|a) = (1-.75)/2 + (.75*2/2)*(1/3) = 0.375
+    //   P(a|b) = (1-.75)/1 + (.75*1/1)*(1/3) = 0.5
+    //   P(c|a) = 0.375
+    val docs = Seq((1L, "a b a c")).toDF("doc_id", "text")
+    val r = graft.text.CorpusStats.knLogprobOf(docs).collect()(0)
+    assert(r.getAs[Long]("n_bigrams") == 3L)
+    val want = BigDecimal(
+      (math.log(0.375) / math.log(2) + math.log(0.5) / math.log(2)
+        + math.log(0.375) / math.log(2)) / 3
+    ).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("avg_log2p") == want,
+      s"got ${r.getAs[Double]("avg_log2p")}, want $want")
+    // discount mass is genuinely reserved: total observed-continuation
+    // probability per context stays strictly below 1
+    assert(0.375 + 0.375 < 1.0 && 0.5 < 1.0)
+  }
+
   test("mattr: all-repeat doc scores 1/wlen, all-distinct doc scores 1.0") {
     val docs = Seq(
       (1L, (1 to 60).map(_ => "a").mkString(" ")), // 60 tokens, 1 type
