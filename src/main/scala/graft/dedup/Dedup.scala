@@ -660,6 +660,41 @@ object Dedup {
         max("ttr").as("best_ttr"))
   }
 
+  /** Survivorship (golden-record) merge — the MDM step after keeper
+    * selection: each duplicate family's consolidated metadata record.
+    * Keeping one member's row verbatim discards what the other copies
+    * know; the golden record merges per-field: earliest id, distinct
+    * source count (provenance diversity), the longest variant's size,
+    * and the family's consensus language (majority vote, ties broken
+    * by lexicographic lang so the winner is deterministic — mode()
+    * ties are engine-arbitrary and would break the oracle).
+    *
+    * Scale shape: rides the staged converged labels; metadata join is
+    * co-partitioned on doc_id; the consensus vote is a bounded
+    * (clusters x langs) aggregate ranked by a window over that tiny
+    * frame — the corpus is scanned once and never re-shuffled. */
+  def qSurvivorship(spark: SparkSession, dir: String): DataFrame =
+    survivorshipOf(stagedClusters(spark, dir),
+      t(spark, dir, "documents").select("doc_id", "lang", "source", "n_chars"))
+
+  /** The merge over any (doc_id, cluster_id) x metadata frames — split
+    * out so the spec pins the deterministic consensus tie-break. */
+  def survivorshipOf(clusters: DataFrame, meta: DataFrame): DataFrame = {
+    val m = clusters.join(meta, "doc_id")
+    val langCnt = m.groupBy("cluster_id", "lang").agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id").orderBy(col("cnt").desc, col("lang").asc)
+    val consensus = langCnt
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("cluster_id"), col("lang").as("lang_consensus"))
+    m.groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        min("doc_id").as("first_id"),
+        countDistinct("source").as("n_sources"),
+        max("n_chars").as("max_n_chars"))
+      .join(consensus, "cluster_id")
+  }
+
   /** Dedup SAVINGS report — the dataset-card line every dedup run
     * justifies itself with: how many documents are redundant copies
     * (cluster members that are not the representative) and what
@@ -1057,6 +1092,7 @@ object Dedup {
     "dedup_decontaminate" -> (qDecontaminate _),
     "dedup_clusters" -> (qDedupClusters _),
     "dedup_cluster_keepers" -> (qClusterKeepers _),
+    "dedup_survivorship" -> (qSurvivorship _),
     "dedup_cluster_report" -> (qClusterReport _),
     "dedup_savings" -> (qDedupSavings _),
     "dedup_simhash" -> (qSimhash _),
@@ -1282,6 +1318,19 @@ object Dedup {
          |  round(CAST(sum(CASE WHEN lbl IS NOT NULL AND lbl != doc_id THEN n_chars ELSE 0 END) AS DOUBLE)
          |    / sum(n_chars), 6) AS savings_frac
          |FROM documents LEFT JOIN l3 USING (doc_id)""".stripMargin,
+    "dedup_survivorship" ->
+      s"""WITH $clusterChainSql,
+         |m AS MATERIALIZED (SELECT c.doc_id, lbl AS cluster_id, lang, source, n_chars
+         |  FROM l3 c JOIN documents d USING (doc_id)),
+         |lc AS (SELECT cluster_id, lang, count(*) AS cnt FROM m GROUP BY cluster_id, lang),
+         |cons AS (SELECT cluster_id, lang AS lang_consensus FROM (
+         |    SELECT cluster_id, lang, row_number() OVER (PARTITION BY cluster_id
+         |      ORDER BY cnt DESC, lang ASC) AS rn FROM lc) WHERE rn = 1),
+         |agg AS (SELECT cluster_id, count(*) AS n_members, min(doc_id) AS first_id,
+         |    CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         |    max(n_chars) AS max_n_chars
+         |  FROM m GROUP BY cluster_id)
+         |SELECT agg.*, cons.lang_consensus FROM agg JOIN cons USING (cluster_id)""".stripMargin,
     "dedup_cluster_keepers" ->
       s"""WITH $clusterChainSql,
          |q AS (SELECT doc_id,

@@ -204,6 +204,27 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("survivorship merges family metadata with a deterministic lang vote") {
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
+      (10L, 10L), (11L, 10L)).toDF("doc_id", "cluster_id")
+    val meta = Seq(
+      (1L, "en", "web", 100L), (2L, "de", "web", 250L),
+      (3L, "de", "books", 50L), (4L, "en", "web", 99L), // en/de tie 2-2
+      (10L, "fr", "web", 10L), (11L, "fr", "news", 20L))
+      .toDF("doc_id", "lang", "source", "n_chars")
+    val out = Dedup.survivorshipOf(clusters, meta).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val f = out(1L)
+    assert(f.getAs[Long]("n_members") == 4L)
+    assert(f.getAs[Long]("first_id") == 1L)
+    assert(f.getAs[Long]("n_sources") == 2L)
+    assert(f.getAs[Long]("max_n_chars") == 250L)
+    assert(f.getAs[String]("lang_consensus") == "de",
+      "2-2 lang tie must break lexicographically, not arbitrarily")
+    assert(out(10L).getAs[String]("lang_consensus") == "fr")
+    assert(out(10L).getAs[Long]("n_sources") == 2L)
+  }
+
   test("no physical plan in the dedup family contains a cartesian product") {
     for ((_, fn) <- Dedup.queries) {
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
