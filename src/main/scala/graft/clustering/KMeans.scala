@@ -253,6 +253,79 @@ object KMeans {
     } finally { pts.unpersist(); () }
   }
 
+  /** Calinski-Harabasz index over the kmeans_full solution — the
+    * third standard internal validation metric beside the silhouette
+    * and Davies-Bouldin (variance-ratio criterion, Calinski & Harabasz
+    * 1974): CH = (B/(k-1)) / (W/(n-k)) with B = Σ n_i·||c_i − c̄||²
+    * (between-cluster scatter vs the ROUNDED-6 global centroid, the
+    * same rounding the Lloyd chain applies to every cluster mean) and
+    * W = Σ dist² (within-cluster squared scatter). Higher = tighter,
+    * better-separated. Distributed work is one assign-shaped aggregate
+    * plus a 1-row global-mean aggregate; the K-term B fold runs on the
+    * driver. B and W are ROUNDED-3 before the ratio (the oracleSse
+    * precision discipline: a cross-partition double sum's last ulp is
+    * fold-order-dependent), so the final ratio is engine-stable. */
+  def qCalinskiHarabasz(spark: SparkSession, dir: String): DataFrame = {
+    val pts = Points.lineitem4d(spark, dir).cache()
+    try {
+      val centers = stagedFinalCenters(pts, dir)
+      val fa = assign(pts, centers)
+      val tot = fa.agg(count(lit(1)).as("n"),
+        round(sum(col("dist") * col("dist")), 3).as("w")).collect()(0)
+      val n = tot.getLong(0)
+      val w = tot.getDouble(1)
+      val gmCols = dims.map(d => round(avg(col(d)), 6).as(d))
+      val gmRow = pts.agg(gmCols.head, gmCols.tail: _*).collect()(0)
+      val gm = dims.indices.map(gmRow.getDouble).toArray
+      val sizes = fa.groupBy("k").agg(count(lit(1)).as("n_i")).collect()
+        .map(r => r.getAs[Int]("k") -> r.getLong(1)).toMap
+      val kUsed = sizes.size.toLong
+      val b = BigDecimal((0 until K).filter(sizes.contains).map { i =>
+        val sq = dims.indices.map { x =>
+          val d0 = centers(i)(x) - gm(x); d0 * d0
+        }.reduce(_ + _)
+        sizes(i).toDouble * sq
+      }.sum).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val ch = BigDecimal((b / (kUsed - 1)) / (w / (n - kUsed)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("n", LongType, nullable = false),
+        StructField("k_used", LongType, nullable = false),
+        StructField("b", DoubleType, nullable = false),
+        StructField("w", DoubleType, nullable = false),
+        StructField("ch", DoubleType, nullable = false)))
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          Seq(org.apache.spark.sql.Row(n, kUsed, b, w, ch)), 1), schema)
+    } finally { pts.unpersist(); () }
+  }
+
+  private val calinskiHarabaszSql: String = {
+    val stages = (1 to ITERS).map { i =>
+      val cIn = if (i == 1) "c0" else s"u${i - 1}"
+      s"${widenSql(cIn, s"${cIn}w")},\n${assignSql(s"${cIn}w", s"a$i")},\n${updateSql(s"a$i", s"u$i")}"
+    }.mkString(",\n")
+    val gmCols = dims.zipWithIndex.map { case (d, i) =>
+      s"round(avg($d), 6) AS g${i + 1}" }.mkString(", ")
+    val bExpr = dims.indices.map(x =>
+      s"(c.c${x + 1} - g${x + 1}) * (c.c${x + 1} - g${x + 1})").mkString(" + ")
+    s"""WITH pts AS ($ptsSql),
+       |$c0Sql,
+       |$stages,
+       |${widenSql(s"u$ITERS", "fw")},
+       |${assignSql("fw", "fa")},
+       |tot AS (SELECT count(*) AS n, round(sum(dist * dist), 3) AS w FROM fa),
+       |gm AS (SELECT $gmCols FROM pts),
+       |sz AS (SELECT k, count(*) AS n_i FROM fa GROUP BY k),
+       |bb AS (SELECT round(sum(CAST(n_i AS DOUBLE) * ($bExpr)), 3) AS b,
+       |    CAST(count(*) AS BIGINT) AS k_used
+       |  FROM sz JOIN u$ITERS c USING (k) CROSS JOIN gm)
+       |SELECT n, k_used, b, w,
+       |  round((b / (k_used - 1)) / (w / (n - k_used)), 6) AS ch
+       |FROM tot CROSS JOIN bb""".stripMargin
+  }
+
   /** Unrolled Davies-Bouldin oracle: the kmeans_full chain, final
     * assign, per-cluster scatter, then the pairwise fold in SQL over
     * the K-row frames (tiny cross join in DuckDB only — the Spark
@@ -813,6 +886,7 @@ object KMeans {
     "kmeans_scalable_init" -> (qScalableInit _),
     "kmeans_silhouette" -> (qSilhouette _),
     "kmeans_davies_bouldin" -> (qDaviesBouldin _),
+    "kmeans_calinski_harabasz" -> (qCalinskiHarabasz _),
     "kmeans_embed_assign" -> (qEmbedAssign _),
     "kmeans_embed_full" -> (qEmbedFull _),
     "kmeans_metrics" -> (qMetrics _),
@@ -837,6 +911,7 @@ object KMeans {
     "kmeans_scalable_init" -> scalableInitSql,
     "kmeans_silhouette" -> silhouetteSql,
     "kmeans_davies_bouldin" -> daviesBouldinSql,
+    "kmeans_calinski_harabasz" -> calinskiHarabaszSql,
     "kmeans_embed_assign" ->
       ClusterSql.assignOnlySql(K, Points.embedPtsSql, Points.embedDims),
     "kmeans_embed_full" ->

@@ -91,4 +91,12 @@ class KMeansSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.map(_.getAs[Long]("n")).sum == 6000L)
     assert(out.length <= 4 && out.nonEmpty)
   }
+
+  test("calinski-harabasz: positive variance ratio over every assigned point") {
+    val r = KMeans.qCalinskiHarabasz(spark, sf).collect()(0)
+    assert(r.getAs[Long]("n") == 6000L, "every point participates")
+    assert(r.getAs[Long]("k_used") >= 2, "ratio needs at least two clusters")
+    assert(r.getAs[Double]("b") > 0 && r.getAs[Double]("w") > 0)
+    assert(r.getAs[Double]("ch") > 0)
+  }
 }
