@@ -325,6 +325,32 @@ object SimSearch {
       .withColumn("recall_at_k", round(col("n_hit").cast("double") / col("k"), 6))
   }
 
+  /** NDCG@k of the LSH-ANN searcher against the brute-force truth —
+    * the graded companion to recall@k: recall only counts how many of
+    * the true top-k came back, NDCG@k also charges WHERE they landed
+    * (a truth vector surfaced at rank 5 earns 1/log2(6) of the credit
+    * a rank-1 hit earns — the standard retrieval-quality discount).
+    * Binary relevance (retrieved vector is in the exact top-ANN_TOPK);
+    * the ideal DCG is all k truth vectors in the first k slots, so the
+    * normalizer is a constant. Reuses qTopK/qAnn's bounded result
+    * frames unchanged — no new corpus work. */
+  def qNdcg(spark: SparkSession, dir: String): DataFrame = {
+    val truth = qTopK(spark, dir).filter(col("rank") <= ANN_TOPK)
+      .select(col("q_id"), col("vec_id"), lit(1.0).as("rel"))
+    qAnn(spark, dir).select(col("q_id"), col("vec_id"), col("rank"))
+      .join(truth, Seq("q_id", "vec_id"), "left")
+      .groupBy("q_id")
+      .agg(sum(coalesce(col("rel"), lit(0.0)) / log2(col("rank") + 1)).as("__dcg"))
+      .select(col("q_id"), round(col("__dcg"), 6).as("dcg_at_k"),
+        round(col("__dcg") / lit(IDCG_AT_K), 6).as("ndcg_at_k"))
+  }
+
+  /** Ideal DCG at ANN_TOPK: every truth vector in the first k slots.
+    * A plain Scala constant so the DuckDB oracle can interpolate the
+    * bit-identical double (Scala's toString round-trips). */
+  private val IDCG_AT_K: Double =
+    (1 to ANN_TOPK).map(r => 1.0 / (math.log(r + 1.0) / math.log(2.0))).sum
+
   /** Recall CURVE of the IVF searcher against the brute-force truth —
     * recall@k for every k up to the retrieval depth in one pass, the
     * tuning table an ANN deployment reads before picking k and NPROBE
@@ -361,6 +387,7 @@ object SimSearch {
     "embed_cell_outliers" -> (qCellOutliers _),
     "simsearch_range" -> (qRange _),
     "simsearch_recall" -> (qRecall _),
+    "simsearch_ndcg" -> (qNdcg _),
     "pipeline_balanced_sample" -> ((s: SparkSession, d: String) => qBalancedSample(s, d)))
 
   val oracleSql: Map[String, String] = Map(
@@ -419,6 +446,30 @@ object SimSearch {
          |    / count(*), 6) AS recall_at_k
          |FROM truth t LEFT JOIN ann a ON t.q_id = a.q_id AND t.vec_id = a.vec_id
          |GROUP BY t.q_id""".stripMargin,
+    "simsearch_ndcg" ->
+      s"""WITH c AS (SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+         |    ${VectorOps.cosineSql("q.embedding", "e.embedding")} AS cs
+         |  FROM embeddings q JOIN embeddings e ON q.vec_id <= $QN AND q.vec_id != e.vec_id),
+         |truth AS (SELECT q_id, vec_id FROM (
+         |  SELECT q_id, vec_id, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY cs DESC, vec_id ASC) AS rank FROM c)
+         |  WHERE rank <= $ANN_TOPK),
+         |b AS (SELECT vec_id, embedding,
+         |  ${VectorOps.signBucketSql("embedding", BITS)} AS bk FROM embeddings),
+         |ac AS (SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+         |    ${VectorOps.cosineSql("q.embedding", "e.embedding")} AS cs
+         |  FROM b q JOIN b e ON q.vec_id <= $QN AND q.bk = e.bk AND q.vec_id != e.vec_id),
+         |ann AS (SELECT q_id, vec_id, rank FROM (
+         |  SELECT q_id, vec_id, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY cs DESC, vec_id ASC) AS rank FROM ac)
+         |  WHERE rank <= $ANN_TOPK)
+         |SELECT a.q_id,
+         |  round(sum(CASE WHEN t.vec_id IS NOT NULL
+         |    THEN 1.0 / log2(a.rank + 1) ELSE 0.0 END), 6) AS dcg_at_k,
+         |  round(sum(CASE WHEN t.vec_id IS NOT NULL
+         |    THEN 1.0 / log2(a.rank + 1) ELSE 0.0 END) / $IDCG_AT_K, 6) AS ndcg_at_k
+         |FROM ann a LEFT JOIN truth t ON a.q_id = t.q_id AND a.vec_id = t.vec_id
+         |GROUP BY a.q_id""".stripMargin,
     "simsearch_range" ->
       s"""SELECT q_id, vec_id, cs FROM (
          |  SELECT q.vec_id AS q_id, e.vec_id AS vec_id,

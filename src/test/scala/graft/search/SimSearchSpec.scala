@@ -76,6 +76,27 @@ class SimSearchSpec extends AnyFunSuite {
     }
   }
 
+  test("ndcg is bounded by [0,1], consistent with its dcg, and tied to recall") {
+    val ndcg = SimSearch.qNdcg(spark, sf).collect()
+      .map(r => r.getAs[Long]("q_id") ->
+        (r.getAs[Double]("dcg_at_k"), r.getAs[Double]("ndcg_at_k"))).toMap
+    val recall = SimSearch.qRecall(spark, sf).collect()
+      .map(r => r.getAs[Long]("q_id") -> r.getAs[Long]("n_hit")).toMap
+    assert(ndcg.nonEmpty && ndcg.keySet == recall.keySet)
+    val idcg = (1 to 5).map(r => 1.0 / (math.log(r + 1.0) / math.log(2.0))).sum
+    ndcg.foreach { case (q, (dcg, n)) =>
+      assert(n >= 0.0 && n <= 1.0, s"q=$q ndcg out of range: $n")
+      assert(math.abs(n - dcg / idcg) < 1e-5, s"q=$q ndcg != dcg/IDCG")
+      // binary relevance: a positive NDCG needs at least one truth hit and
+      // zero hits force NDCG 0 — the graded metric must agree with recall
+      assert((n > 0.0) == (recall(q) > 0), s"q=$q ndcg $n vs n_hit ${recall(q)}")
+      // each of the n_hit relevant results earns at most the rank-1 credit
+      // (1.0) and at least the rank-k credit (1/log2(k+1))
+      assert(dcg <= recall(q) * 1.0 + 1e-9 && dcg * math.log(6.0) / math.log(2.0) + 1e-9 >= recall(q),
+        s"q=$q dcg $dcg inconsistent with ${recall(q)} hits")
+    }
+  }
+
   test("cosine of a vector with itself is 1") {
     import org.apache.spark.sql.functions._
     val df = Seq(Tuple1(Array(1.0f, 2.0f, 3.0f))).toDF("embedding")
