@@ -16,13 +16,18 @@ import graft.Tables.t
   */
 object Splits {
 
+  /** 0..4095 from the first 3 hex nibbles of `hexExpr` (SQL string
+    * already holding a lowercase hex digest column/expression). */
+  private[pipeline] def nibblesSql(hexExpr: String): String =
+    (1 to 3).map(i =>
+      s"(instr('0123456789abcdef', substr($hexExpr, $i, 1)) - 1) * ${math.pow(16, 3 - i).toInt}")
+      .mkString("(", " + ", ")")
+
   /** 0..4095 from the first 3 md5 nibbles of `keyExpr` (SQL string).
     * Shared with Mix — the one cross-engine row hash every
     * deterministic gate in the pipeline uses. */
   private[pipeline] def nibbleHashSql(keyExpr: String): String =
-    (1 to 3).map(i =>
-      s"(instr('0123456789abcdef', substr(md5($keyExpr), $i, 1)) - 1) * ${math.pow(16, 3 - i).toInt}")
-      .mkString("(", " + ", ")")
+    nibblesSql(s"md5($keyExpr)")
 
   private def nibbleHash(keyExpr: String): Column = expr(nibbleHashSql(keyExpr))
 
@@ -113,13 +118,74 @@ object Splits {
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_sampled"))
 
+  /** Epochs / shards for the epoch-shuffle report (literals so the
+    * oracle reproduces; a production loader would run hundreds of
+    * shards — the mechanism is shard-count-agnostic). */
+  private val EPOCHS = 3
+  private val SHARDS = 8
+
+  /** Deterministic per-epoch shuffle + shard assignment — the
+    * training-loader primitive: epoch e's order for a document is
+    * md5("e" + e + ":" + doc_id), so every epoch is a fresh,
+    * rerun-stable permutation with NO RNG state, no global sort and
+    * no coordination — each row derives its own (shard, position)
+    * from its key, and a preempted/re-run job lands every document
+    * in the identical slot. Shard = first-3-nibble hash of the same
+    * key; within-shard order = the full digest (readers stream shards
+    * sequentially, so only the PER-SHARD sort matters — a partitioned
+    * window, never a global one). Per (epoch, shard): doc count,
+    * subtoken mass (the loader's batch-budget input), the first
+    * document in shard order, and an order-sensitive checksum
+    * sum(position * (hash % 997)) that changes if ANY two documents
+    * swap places — the cross-engine proof the permutation itself
+    * (not just the multiset) is identical. */
+  def qEpochShuffle(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = t(spark, dir, "documents")
+      .withColumn("nst",
+        expr("aggregate(split(text, ' '), CAST(0 AS BIGINT), (a, w) -> a + ((length(w) + 3) div 4))"))
+      .select(col("doc_id"), col("nst"),
+        explode(expr(s"sequence(0, ${EPOCHS - 1})")).as("epoch"))
+      .withColumn("okey", expr("md5(concat('e', epoch, ':', doc_id))"))
+      .withColumn("hv", expr(nibblesSql("okey")))
+      .withColumn("shard", col("hv") % SHARDS)
+      .withColumn("ckey",
+        expr("concat(okey, lpad(cast(doc_id as string), 12, '0'))"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("epoch", "shard").orderBy("ckey")))
+    ranked.groupBy("epoch", "shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("nst").as("n_tokens"),
+        expr("cast(substr(min(ckey), 33, 12) as bigint)").as("first_doc"),
+        sum(col("pos").cast("long") * (col("hv") % 997)).as("order_sum"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_epoch_shuffle" -> (qEpochShuffle _),
     "pipeline_split" -> (qSplit _),
     "pipeline_sample_events" -> (qSampleEvents _),
     "pipeline_split_by_cluster" -> (qSplitByCluster _),
     "pipeline_split_leakage" -> (qSplitLeakage _))
 
   val oracleSql: Map[String, String] = Map(
+    "pipeline_epoch_shuffle" ->
+      s"""WITH d AS (SELECT doc_id,
+         |    list_sum(list_transform(string_split(text, ' '),
+         |      w -> (len(w) + 3) // 4)) AS nst
+         |  FROM documents),
+         |e AS (SELECT doc_id, nst, unnest(range(0, $EPOCHS)) AS epoch FROM d),
+         |k AS (SELECT epoch, doc_id, nst,
+         |    md5(concat('e', epoch, ':', doc_id)) AS okey FROM e),
+         |k2 AS (SELECT *, ${nibblesSql("okey")} AS hv,
+         |    okey || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS ckey FROM k),
+         |k3 AS (SELECT *, hv % $SHARDS AS shard,
+         |    row_number() OVER (PARTITION BY epoch, hv % $SHARDS
+         |                       ORDER BY ckey) AS pos FROM k2)
+         |SELECT epoch, shard, count(*) AS n_docs,
+         |  CAST(sum(nst) AS BIGINT) AS n_tokens,
+         |  CAST(substr(min(ckey), 33, 12) AS BIGINT) AS first_doc,
+         |  CAST(sum(pos * (hv % 997)) AS BIGINT) AS order_sum
+         |FROM k3 GROUP BY epoch, shard""".stripMargin,
     "pipeline_split_leakage" ->
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws,
          |    ${nibbleHashSql("CAST(doc_id AS VARCHAR)")} % 100 AS bucket

@@ -71,6 +71,32 @@ class SplitsSpec extends AnyFunSuite {
     assert(pairs.count() > 0, "non-trivial: the corpus has verified near-dup pairs")
   }
 
+  test("epoch shuffle: every epoch partitions the corpus, permutations differ by epoch, reruns identical") {
+    val rows = Splits.qEpochShuffle(spark, sf).collect()
+      .map(r => (r.getAs[Int]("epoch"), r.getAs[Int]("shard")) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("first_doc"), r.getAs[Long]("order_sum"))).toMap
+    val nDocs = graft.Tables.t(spark, sf, "documents").count()
+    val epochs = rows.keys.map(_._1).toSet
+    assert(epochs == Set(0, 1, 2))
+    epochs.foreach { e =>
+      // each epoch's shards partition the whole corpus (no doc lost/duped)
+      assert(rows.collect { case ((`e`, _), (n, _, _)) => n }.sum == nDocs)
+      // all shards non-empty at this corpus size
+      assert(rows.keys.count(_._1 == e) == 8)
+    }
+    // the permutation actually changes between epochs: some shard's
+    // leading document or order checksum differs epoch-to-epoch
+    assert((0 to 7).exists { s =>
+      rows.get((0, s)).map(v => (v._2, v._3)) !=
+        rows.get((1, s)).map(v => (v._2, v._3))
+    }, "epoch 0 and 1 produced identical shard orders")
+    // deterministic: a rerun reproduces every cell bit-for-bit
+    val again = Splits.qEpochShuffle(spark, sf).collect()
+      .map(r => (r.getAs[Int]("epoch"), r.getAs[Int]("shard")) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("first_doc"), r.getAs[Long]("order_sum"))).toMap
+    assert(again == rows)
+  }
+
   test("event sampling keeps roughly 10% per stratum") {
     val sampled = Splits.qSampleEvents(spark, sf)
       .select("n_sampled").as[Long].collect().sum
