@@ -149,7 +149,50 @@ object Mix {
       Seq("source"), "__neg", "doc_id", n)
       .select("source", "doc_id", "lang", "rank")
 
+  /** Length-bucket caps for the padding-waste report (subtokens; the
+    * fairseq-style fixed boundary ladder — literals so the oracle
+    * reproduces; OVERFLOW is an out-of-ladder catch-all that pads to
+    * its own max like every other bucket). */
+  private val LEN_CAPS = Seq(16, 32, 48, 64, 96, 128, 192)
+  private val OVERFLOW = 99999999
+
+  private def capSql(lenExpr: String): String =
+    LEN_CAPS.map(c => s"WHEN ($lenExpr) <= $c THEN $c").mkString(
+      "CASE ", " ", s" ELSE $OVERFLOW END")
+
+  /** Sequence-length bucketing + padding-waste report — the batching
+    * decision a trainer makes before building fixed-shape batches:
+    * bucket documents by subtoken length on a fixed boundary ladder,
+    * then charge each bucket the padding its longest member forces
+    * (batches pad to the longest sequence in the batch; the bucket max
+    * is the tight upper bound of that). Per bucket: size, real token
+    * mass, the realized max length, the padded mass n_docs * max_len
+    * and the wasted fraction 1 - real/padded. A final bucket_cap = -1
+    * row reports the SAME waste with no bucketing at all (everything
+    * padded to the global max) — the number that justifies bucketing.
+    * One corpus pass, one tiny groupBy on a computed key; the global
+    * row re-aggregates the bounded per-bucket frame, not the corpus. */
+  def qLengthBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val per = t(spark, dir, "documents")
+      .withColumn("len",
+        expr("aggregate(split(text, ' '), CAST(0 AS BIGINT), (a, w) -> a + ((length(w) + 3) div 4))"))
+      .groupBy(expr(capSql("len")).as("bucket_cap"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("len").as("sum_tokens"),
+        max("len").as("max_len"))
+    val global = per.agg(
+      lit(-1).as("bucket_cap"),
+      sum("n_docs").as("n_docs"),
+      sum("sum_tokens").as("sum_tokens"),
+      max("max_len").as("max_len"))
+    per.unionByName(global)
+      .withColumn("padded_tokens", col("n_docs") * col("max_len"))
+      .withColumn("waste_frac",
+        round(lit(1.0) - col("sum_tokens").cast("double") / col("padded_tokens"), 6))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_length_buckets" -> (qLengthBuckets _),
     "pipeline_mix" -> (qMix _),
     "pipeline_token_budget" -> (qTokenBudget _),
     "pipeline_mix_temperature" -> (qMixTemperature _),
@@ -157,6 +200,21 @@ object Mix {
     "pipeline_weighted_sample" -> (qWeightedSample _))
 
   val oracleSql: Map[String, String] = Map(
+    "pipeline_length_buckets" ->
+      s"""WITH d AS (SELECT list_sum(list_transform(string_split(text, ' '),
+         |    w -> (len(w) + 3) // 4)) AS len FROM documents),
+         |per AS (SELECT ${capSql("len")} AS bucket_cap,
+         |    count(*) AS n_docs, CAST(sum(len) AS BIGINT) AS sum_tokens,
+         |    max(len) AS max_len
+         |  FROM d GROUP BY 1),
+         |allb AS (SELECT * FROM per
+         |  UNION ALL
+         |  SELECT -1, CAST(sum(n_docs) AS BIGINT), CAST(sum(sum_tokens) AS BIGINT),
+         |    max(max_len) FROM per)
+         |SELECT bucket_cap, n_docs, sum_tokens, max_len,
+         |  n_docs * max_len AS padded_tokens,
+         |  round(1.0 - CAST(sum_tokens AS DOUBLE) / (n_docs * max_len), 6) AS waste_frac
+         |FROM allb""".stripMargin,
     "pipeline_mix_temperature" ->
       s"""WITH per AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
          |tot AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS t FROM per),

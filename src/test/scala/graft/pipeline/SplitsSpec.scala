@@ -97,6 +97,26 @@ class SplitsSpec extends AnyFunSuite {
     assert(again == rows)
   }
 
+  test("length buckets: caps respected, global row covers the corpus, bucketing beats padding-to-global-max") {
+    val rows = Mix.qLengthBuckets(spark, sf).collect()
+    val (global, buckets) = rows.partition(_.getAs[Int]("bucket_cap") == -1)
+    assert(global.length == 1 && buckets.nonEmpty)
+    val nDocs = graft.Tables.t(spark, sf, "documents").count()
+    assert(global.head.getAs[Long]("n_docs") == nDocs)
+    assert(buckets.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    buckets.foreach { r =>
+      assert(r.getAs[Long]("max_len") <= r.getAs[Int]("bucket_cap"),
+        "no member exceeds its bucket's cap")
+      val w = r.getAs[Double]("waste_frac")
+      assert(w >= 0.0 && w < 1.0)
+      assert(r.getAs[Long]("padded_tokens") >= r.getAs[Long]("sum_tokens"))
+    }
+    // the whole point: padding within buckets wastes strictly less
+    // than padding everything to the global max
+    assert(buckets.map(_.getAs[Long]("padded_tokens")).sum <
+      global.head.getAs[Long]("padded_tokens"))
+  }
+
   test("event sampling keeps roughly 10% per stratum") {
     val sampled = Splits.qSampleEvents(spark, sf)
       .select("n_sampled").as[Long].collect().sum
