@@ -274,7 +274,47 @@ object Graph {
           .as("assortativity"))
   }
 
+  /** Newman modularity of the VERIFIED-family partition measured
+    * against the CANDIDATE graph — the report that says how much of
+    * the LSH band-collision structure the verified (Jaccard >= 0.8)
+    * families actually explain: candidate edges inside a family are
+    * true near-dup structure, straddling edges are banding false
+    * positives, and Q = intra/m - sum_c d_c^2 / (4 m^2) charges both
+    * against the degree-preserving null model. Every term is an EXACT
+    * integer aggregate (intra-edge count, total edges, sum of squared
+    * per-community degree sums — no double accumulates across rows),
+    * so the closed-form double at the end is bitwise identical
+    * cross-engine instead of ulp-hostage to summation order.
+    * Communities are the staged converged label-prop families;
+    * graph nodes without a verified family are their own singleton
+    * community. One edge-label join + two bounded aggregates. */
+  def qModularity(spark: SparkSession, dir: String): DataFrame = {
+    val labels = Dedup.stagedVerifiedClusters(spark, dir)
+    val edgeCom = stagedCandidates(spark, dir).select("ia", "ib")
+      .join(labels.select(col("doc_id").as("ia"), col("cluster_id").as("ca")), Seq("ia"), "left")
+      .join(labels.select(col("doc_id").as("ib"), col("cluster_id").as("cb")), Seq("ib"), "left")
+      .select(coalesce(col("ca"), col("ia")).as("ga"),
+        coalesce(col("cb"), col("ib")).as("gb"))
+    val eStats = edgeCom.agg(
+      count(lit(1)).as("n_edges"),
+      sum(when(col("ga") === col("gb"), 1L).otherwise(0L)).as("intra_edges"))
+    val dC = undirected(spark, dir)
+      .groupBy("s").agg(count(lit(1)).as("deg"))
+      .join(labels.select(col("doc_id").as("s"), col("cluster_id")), Seq("s"), "left")
+      .select(coalesce(col("cluster_id"), col("s")).as("c"), col("deg"))
+      .groupBy("c").agg(sum("deg").as("dc"))
+    val dStats = dC.agg(count(lit(1)).as("n_communities"),
+      sum(col("dc") * col("dc")).as("sum_dc2"))
+    eStats.crossJoin(broadcast(dStats))
+      .select(col("n_edges"), col("n_communities"), col("intra_edges"),
+        round(col("intra_edges").cast("double") / col("n_edges"), 6).as("intra_frac"),
+        round(col("intra_edges").cast("double") / col("n_edges")
+          - col("sum_dc2").cast("double")
+            / (lit(4.0) * col("n_edges") * col("n_edges")), 6).as("modularity"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_modularity" -> (qModularity _),
     "graph_assortativity" -> (qAssortativity _),
     "graph_pagerank" -> ((s: SparkSession, d: String) => qPageRank(s, d)),
     "graph_triangles" -> (qTriangles _),
@@ -372,6 +412,46 @@ object Graph {
          |${sel(2)}
          |UNION ALL
          |${sel(3)}""".stripMargin
+    },
+    "graph_modularity" -> {
+      val sweep = (in: String, out: String) =>
+        s"""$out AS (SELECT doc_id, min(lbl) AS lbl FROM (
+           |  SELECT e2.d AS doc_id, p.lbl FROM e2 JOIN $in p ON p.doc_id = e2.s
+           |  UNION ALL SELECT doc_id, lbl FROM $in) GROUP BY doc_id)""".stripMargin
+      val sweeps = (1 to 6).map(i => sweep(s"l${i - 1}", s"l$i")).mkString(",\n")
+      s"""WITH ${Dedup.sigSql},
+         |${Dedup.bandsSql},
+         |${Dedup.candsSql},
+         |cm AS MATERIALIZED (SELECT ia, ib FROM cands),
+         |w AS (SELECT doc_id, list_distinct(string_split(${Dedup.NT}, ' ')) AS ws FROM documents),
+         |vp AS MATERIALIZED (SELECT ia, ib FROM (
+         |  SELECT ia, ib,
+         |    CAST(len(list_intersect(wa.ws, wb.ws)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(wa.ws, wb.ws))) AS j
+         |  FROM cm JOIN w wa ON ia = wa.doc_id JOIN w wb ON ib = wb.doc_id)
+         |  WHERE j >= 0.8),
+         |e2 AS (SELECT ia AS s, ib AS d FROM vp
+         |       UNION ALL SELECT ib AS s, ia AS d FROM vp),
+         |nodes AS (SELECT DISTINCT s AS doc_id FROM e2),
+         |l0 AS (SELECT doc_id, doc_id AS lbl FROM nodes),
+         |$sweeps,
+         |lm AS MATERIALIZED (SELECT doc_id, lbl FROM l6),
+         |und AS (SELECT ia AS s FROM cm UNION ALL SELECT ib FROM cm),
+         |deg AS (SELECT s, count(*) AS deg FROM und GROUP BY s),
+         |dc AS (SELECT coalesce(lm.lbl, deg.s) AS c, CAST(sum(deg) AS BIGINT) AS dc
+         |       FROM deg LEFT JOIN lm ON lm.doc_id = deg.s GROUP BY 1),
+         |ds AS (SELECT count(*) AS n_communities,
+         |       CAST(sum(dc * dc) AS BIGINT) AS sum_dc2 FROM dc),
+         |ec AS (SELECT count(*) AS n_edges,
+         |  CAST(sum(CASE WHEN coalesce(la.lbl, cm.ia) = coalesce(lb.lbl, cm.ib)
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS intra_edges
+         |  FROM cm LEFT JOIN lm la ON la.doc_id = cm.ia
+         |          LEFT JOIN lm lb ON lb.doc_id = cm.ib)
+         |SELECT n_edges, n_communities, intra_edges,
+         |  round(CAST(intra_edges AS DOUBLE) / n_edges, 6) AS intra_frac,
+         |  round(CAST(intra_edges AS DOUBLE) / n_edges
+         |    - CAST(sum_dc2 AS DOUBLE) / (4.0 * n_edges * n_edges), 6) AS modularity
+         |FROM ec CROSS JOIN ds""".stripMargin
     },
     "graph_common_neighbors" ->
       s"""WITH ${Dedup.sigSql},

@@ -627,6 +627,18 @@ class Round8OpsSpec extends AnyFunSuite {
       "undirected expansion must produce an even directed count")
   }
 
+  test("modularity: exact-integer terms consistent, Q bounded and below intra fraction") {
+    val r = Graph.qModularity(spark, sf).collect()(0)
+    val (m, intra) = (r.getAs[Long]("n_edges"), r.getAs[Long]("intra_edges"))
+    val (frac, q) = (r.getAs[Double]("intra_frac"), r.getAs[Double]("modularity"))
+    assert(m > 0 && intra >= 0 && intra <= m)
+    assert(math.abs(frac - intra.toDouble / m) < 1e-6)
+    // Q = intra/m - sum(d_c^2)/(4m^2): the null-model term is strictly
+    // positive, so Q < intra_frac; Newman's bounds hold
+    assert(q < frac && q >= -0.5 && q < 1.0, s"Q = $q, intra_frac = $frac")
+    assert(r.getAs[Long]("n_communities") >= 1)
+  }
+
   test("phash pairs: bounded hamming, canonical order, bucket-star shape") {
     val rows = graft.multimodal.Multimodal.qPhashPairs(spark, sf).collect()
     rows.foreach { r =>
