@@ -351,6 +351,57 @@ object SimSearch {
   private val IDCG_AT_K: Double =
     (1 to ANN_TOPK).map(r => 1.0 / (math.log(r + 1.0) / math.log(2.0))).sum
 
+  /** MMR trade-off weight and selection depth (Carbonell-Goldstein's
+    * maximal marginal relevance, the standard diversity re-rank a RAG
+    * retriever applies after top-k: each pick maximizes
+    * lambda * sim(q, d) - (1 - lambda) * max_{r in R} sim(d, r)). */
+  private val MMR_LAMBDA = 0.7
+  private val MMR_K = 3
+
+  /** MMR diversity re-rank of each query's top-10 — greedy selection
+    * unrolled to MMR_K dataframe steps, every one a join + argmax over
+    * the BOUNDED candidate frame (QN x 10 rows): candidate-candidate
+    * sims are a 10 x 10 per-query self-join of the top-k, never a
+    * corpus pass, so the whole re-rank costs one broadcast of the
+    * candidate ids into the embeddings scan and then touches only
+    * tiny frames. Scores round 6 before ranking (ties break on
+    * vec_id) so the greedy argmax is deterministic cross-engine;
+    * rank 1 is pure relevance (R empty), later ranks pay the
+    * redundancy penalty. */
+  def qMmr(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    val cand = qTopK(spark, dir)
+    val withVec = (side: String) =>
+      e.join(broadcast(cand.select(col("q_id"), col("vec_id").as(s"v$side"))),
+        col("vec_id") === col(s"v$side"))
+        .select(col("q_id"), col(s"v$side"), col("embedding").as(s"e$side"))
+    val cc = withVec("a").join(withVec("b"), Seq("q_id"))
+      .filter(col("va") =!= col("vb"))
+      .select(col("q_id"), col("va"), col("vb"), VectorOps.cosine("ea", "eb").as("sim"))
+    val w = Window.partitionBy("q_id").orderBy(col("sc").desc, col("vec_id").asc)
+    val r1 = cand.withColumn("sc", col("cs"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("q_id"), lit(1).as("mmr_rank"), col("vec_id"), col("cs"),
+        col("sc").as("mmr_score"))
+    // fold carries the union of EVERYTHING selected so far — the
+    // redundancy penalty is against the whole selected set R, not
+    // just the previous pick
+    (2 to MMR_K).foldLeft(r1) { (selected, i) =>
+      val pen = cc.join(selected.select(col("q_id"), col("vec_id").as("vb")), Seq("q_id", "vb"))
+        .groupBy(col("q_id"), col("va").as("vec_id"))
+        .agg(max("sim").as("pen"))
+      val pick = cand
+        .join(selected.select(col("q_id"), col("vec_id")), Seq("q_id", "vec_id"), "left_anti")
+        .join(pen, Seq("q_id", "vec_id"))
+        .withColumn("sc", round(lit(MMR_LAMBDA) * col("cs")
+          - lit(1 - MMR_LAMBDA) * col("pen"), 6))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("q_id"), lit(i).as("mmr_rank"), col("vec_id"), col("cs"),
+          col("sc").as("mmr_score"))
+      selected.unionByName(pick)
+    }
+  }
+
   /** Recall CURVE of the IVF searcher against the brute-force truth —
     * recall@k for every k up to the retrieval depth in one pass, the
     * tuning table an ANN deployment reads before picking k and NPROBE
@@ -388,6 +439,7 @@ object SimSearch {
     "simsearch_range" -> (qRange _),
     "simsearch_recall" -> (qRecall _),
     "simsearch_ndcg" -> (qNdcg _),
+    "simsearch_mmr" -> (qMmr _),
     "pipeline_balanced_sample" -> ((s: SparkSession, d: String) => qBalancedSample(s, d)))
 
   val oracleSql: Map[String, String] = Map(
@@ -470,6 +522,51 @@ object SimSearch {
          |    THEN 1.0 / log2(a.rank + 1) ELSE 0.0 END) / $IDCG_AT_K, 6) AS ndcg_at_k
          |FROM ann a LEFT JOIN truth t ON a.q_id = t.q_id AND a.vec_id = t.vec_id
          |GROUP BY a.q_id""".stripMargin,
+    "simsearch_mmr" -> {
+      // interpolate the EXACT doubles Spark multiplies by — writing
+      // "0.3" in SQL would be a different number than 1 - 0.7
+      val lam = s"CAST(${MMR_LAMBDA} AS DOUBLE)"
+      val mu = s"CAST(${1 - MMR_LAMBDA} AS DOUBLE)"
+      val step = (i: Int) =>
+        s"""p$i AS (SELECT cc.q_id, cc.va AS vec_id, max(cc.sim) AS pen
+           |  FROM cc JOIN sel${i - 1} s ON s.q_id = cc.q_id AND s.vec_id = cc.vb
+           |  GROUP BY cc.q_id, cc.va),
+           |x$i AS (SELECT cand.q_id, cand.vec_id, cand.cs,
+           |    round($lam * cand.cs - $mu * p.pen, 6) AS sc
+           |  FROM cand JOIN p$i p ON p.q_id = cand.q_id AND p.vec_id = cand.vec_id
+           |  WHERE NOT EXISTS (SELECT 1 FROM sel${i - 1} s
+           |    WHERE s.q_id = cand.q_id AND s.vec_id = cand.vec_id)),
+           |r$i AS (SELECT q_id, vec_id, cs, sc FROM (
+           |  SELECT *, row_number() OVER (
+           |    PARTITION BY q_id ORDER BY sc DESC, vec_id ASC) AS rn FROM x$i)
+           |  WHERE rn = 1),
+           |sel$i AS (SELECT q_id, vec_id FROM sel${i - 1}
+           |          UNION ALL SELECT q_id, vec_id FROM r$i)""".stripMargin
+      val steps = (2 to MMR_K).map(step).mkString(",\n")
+      val unions = (2 to MMR_K).map(i =>
+        s"UNION ALL SELECT q_id, $i AS mmr_rank, vec_id, cs, sc AS mmr_score FROM r$i")
+        .mkString("\n")
+      s"""WITH c AS (SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+         |    ${VectorOps.cosineSql("q.embedding", "e.embedding")} AS cs
+         |  FROM embeddings q JOIN embeddings e ON q.vec_id <= $QN AND q.vec_id != e.vec_id),
+         |cand AS MATERIALIZED (SELECT q_id, vec_id, cs FROM (
+         |  SELECT q_id, vec_id, cs, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY cs DESC, vec_id ASC) AS rank FROM c)
+         |  WHERE rank <= $TOPK),
+         |cc AS MATERIALIZED (SELECT a.q_id, a.vec_id AS va, b.vec_id AS vb,
+         |    ${VectorOps.cosineSql("ea.embedding", "eb.embedding")} AS sim
+         |  FROM cand a JOIN cand b ON a.q_id = b.q_id AND a.vec_id != b.vec_id
+         |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+         |  JOIN embeddings eb ON eb.vec_id = b.vec_id),
+         |r1 AS (SELECT q_id, vec_id, cs, cs AS sc FROM (
+         |  SELECT q_id, vec_id, cs, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY cs DESC, vec_id ASC) AS rn FROM cand)
+         |  WHERE rn = 1),
+         |sel1 AS (SELECT q_id, vec_id FROM r1),
+         |$steps
+         |SELECT q_id, 1 AS mmr_rank, vec_id, cs, sc AS mmr_score FROM r1
+         |$unions""".stripMargin
+    },
     "simsearch_range" ->
       s"""SELECT q_id, vec_id, cs FROM (
          |  SELECT q.vec_id AS q_id, e.vec_id AS vec_id,

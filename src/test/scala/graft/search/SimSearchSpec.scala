@@ -97,6 +97,30 @@ class SimSearchSpec extends AnyFunSuite {
     }
   }
 
+  test("mmr picks k distinct candidates from the top-10, leads with pure relevance") {
+    val top = SimSearch.qTopK(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"), r.getAs[Int]("rank")))
+    val top10 = top.groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val best = top.filter(_._3 == 1).map(r => r._1 -> r._2).toMap
+    val byQ = SimSearch.qMmr(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("mmr_rank"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("cs"), r.getAs[Double]("mmr_score")))
+      .groupBy(_._1)
+    assert(byQ.keySet == best.keySet)
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1 to 3), "dense mmr ranks")
+      assert(rs.map(_._3).distinct.length == 3, "no candidate picked twice")
+      assert(rs.forall(r => top10(q).contains(r._3)), "picks come from the top-10 pool")
+      val first = rs.find(_._2 == 1).get
+      assert(first._3 == best(q), "rank 1 is the plain relevance argmax")
+      assert(math.abs(first._5 - first._4) < 1e-9, "rank-1 score is its cosine")
+      // later ranks: score = 0.7*cs - 0.3*pen with pen a cosine in [-1,1]
+      rs.filter(_._2 > 1).foreach { r =>
+        assert(math.abs(r._5 - 0.7 * r._4) <= 0.3 + 1e-6, s"q=$q score out of band: $r")
+      }
+    }
+  }
+
   test("cosine of a vector with itself is 1") {
     import org.apache.spark.sql.functions._
     val df = Seq(Tuple1(Array(1.0f, 2.0f, 3.0f))).toDF("embedding")
