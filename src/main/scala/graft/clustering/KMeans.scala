@@ -161,6 +161,45 @@ object KMeans {
     } finally { pts.unpersist(); () }
   }
 
+  /** BIC/AIC model selection over the elbow trajectory (the X-means
+    * family's answer to "which k": the SSE-based information criteria
+    * BIC = n ln(SSE/n) + kD ln(n), AIC = n ln(SSE/n) + 2kD charge the
+    * variance drop against the parameter count, and the k minimizing
+    * BIC is the selected model — an argmin the eyeballed elbow only
+    * approximates). Same deterministic per-k Lloyd chains as qElbow
+    * (first-K init, ELBOW_ITERS sweeps), one extra sum(dist^2)
+    * aggregate per k; the criteria arithmetic runs driver-side on the
+    * ELBOW_KS.size-row result, mirrored term-for-term in the oracle
+    * (ln noise across libm/Java <= 1 ulp — invisible at round 6). */
+  def qBic(spark: SparkSession, dir: String): DataFrame = {
+    val pts = Points.lineitem4d(spark, dir).cache()
+    try {
+      val d = dims.size
+      def r6(x: Double): Double =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val rows = ELBOW_KS.map { k =>
+        var centers = Points.firstKCenters(pts, k)
+        for (_ <- 1 to ELBOW_ITERS) {
+          val byK = update(assign(pts, centers)).collect()
+            .map(r => r.getAs[Int]("k") ->
+              dims.indices.map(i => r.getDouble(2 + i)).toArray).toMap
+          centers = Array.tabulate(k)(i => byK.getOrElse(i, centers(i)))
+        }
+        val r = assign(pts, centers)
+          .agg(count(lit(1)).as("n"),
+            (sum(col("dist") * col("dist")) / count(lit(1))).as("msd"))
+          .collect()(0)
+        val (n, msd) = (r.getLong(0), r.getDouble(1))
+        val fit = n * math.log(msd)
+        (k, n, r6(msd), r6(fit + (k * d) * math.log(n.toDouble)), r6(fit + 2 * k * d))
+      }
+      val bestK = rows.minBy(t => (t._4, t._1))._1
+      import spark.implicits._
+      rows.map(t => (t._1, t._2, t._3, t._4, t._5, t._1 == bestK))
+        .toDF("k_clusters", "n", "mean_sq_dist", "bic", "aic", "is_best")
+    } finally { pts.unpersist(); () }
+  }
+
   /** SIMPLIFIED silhouette per cluster over the kmeans_full solution —
     * the cluster-quality metric next to the SSE objective: for each
     * point, a = distance to its own (final) center, b = distance to
@@ -416,28 +455,53 @@ object KMeans {
        |SELECT * FROM u$ITERS""".stripMargin
   }
 
-  /** The elbow sweep's oracle: one namespaced unrolled Lloyd chain
-    * per candidate k, each finishing with a final assignment whose
-    * (n, avg dist) is the SSE point on the curve. */
-  val oracleElbow: String = {
-    val chains = ELBOW_KS.map { k =>
-      val p = s"e$k"
-      val stages = (1 to ELBOW_ITERS).map { i =>
-        val cIn = if (i == 1) s"${p}c0" else s"${p}u${i - 1}"
-        s"${wid(k, cIn, s"${cIn}w")},\n${asg(k, s"${cIn}w", s"${p}a$i")},\n" +
-          ClusterSql.updateSql(s"${p}a$i", s"${p}u$i", dims)
-      }.mkString(",\n")
-      s"""${ClusterSql.c0Sql(k, ptsSql, dims, s"${p}c0")},
-         |$stages,
-         |${wid(k, s"${p}u$ELBOW_ITERS", s"${p}fw")},
-         |${asg(k, s"${p}fw", s"${p}af")}""".stripMargin
+  /** The per-k unrolled Lloyd chains the elbow AND the BIC/AIC
+    * oracles share: one namespaced chain per candidate k, each
+    * finishing with the final assignment table e{k}af. */
+  private val elbowChainsSql: String = ELBOW_KS.map { k =>
+    val p = s"e$k"
+    val stages = (1 to ELBOW_ITERS).map { i =>
+      val cIn = if (i == 1) s"${p}c0" else s"${p}u${i - 1}"
+      s"${wid(k, cIn, s"${cIn}w")},\n${asg(k, s"${cIn}w", s"${p}a$i")},\n" +
+        ClusterSql.updateSql(s"${p}a$i", s"${p}u$i", dims)
     }.mkString(",\n")
+    s"""${ClusterSql.c0Sql(k, ptsSql, dims, s"${p}c0")},
+       |$stages,
+       |${wid(k, s"${p}u$ELBOW_ITERS", s"${p}fw")},
+       |${asg(k, s"${p}fw", s"${p}af")}""".stripMargin
+  }.mkString(",\n")
+
+  /** The elbow sweep's oracle: each chain's final assignment yields
+    * the (n, avg dist) point on the curve. */
+  val oracleElbow: String = {
     val selects = ELBOW_KS.map(k =>
       s"SELECT CAST($k AS INT) AS k_clusters, count(*) AS n, " +
         s"round(avg(dist), 3) AS avg_dist FROM e${k}af").mkString("\nUNION ALL ")
     s"""WITH pts AS ($ptsSql),
-       |$chains
+       |$elbowChainsSql
        |$selects""".stripMargin
+  }
+
+  /** BIC/AIC oracle: the same chains, scored by the information
+    * criteria (ln mirrored; libm-vs-Java ln differ by <= 1 ulp, which
+    * is ~1e-10 at these magnitudes — invisible at round 6). */
+  val oracleBic: String = {
+    val stats = ELBOW_KS.map(k =>
+      s"SELECT CAST($k AS INT) AS k_clusters, count(*) AS n, " +
+        s"sum(dist * dist) / count(*) AS msd FROM e${k}af").mkString("\nUNION ALL ")
+    s"""WITH pts AS ($ptsSql),
+       |$elbowChainsSql,
+       |stats AS ($stats),
+       |scored AS (SELECT k_clusters, n,
+       |    round(msd, 6) AS mean_sq_dist,
+       |    round(n * ln(msd) + (k_clusters * ${dims.size}) * ln(n), 6) AS bic,
+       |    round(n * ln(msd) + 2 * k_clusters * ${dims.size}, 6) AS aic
+       |  FROM stats),
+       |best AS (SELECT k_clusters AS bk FROM scored
+       |         ORDER BY bic, k_clusters LIMIT 1)
+       |SELECT k_clusters, n, mean_sq_dist, bic, aic,
+       |  k_clusters = bk AS is_best
+       |FROM scored CROSS JOIN best""".stripMargin
   }
 
   /** Min-max normalization of the point set — completing the
@@ -883,6 +947,7 @@ object KMeans {
     "kmeans_sse" -> (qSse _),
     "kmeans_full" -> (qFull _),
     "kmeans_elbow" -> (qElbow _),
+    "kmeans_bic" -> (qBic _),
     "kmeans_scalable_init" -> (qScalableInit _),
     "kmeans_silhouette" -> (qSilhouette _),
     "kmeans_davies_bouldin" -> (qDaviesBouldin _),
@@ -908,6 +973,7 @@ object KMeans {
     "kmeans_sse" -> oracleSse,
     "kmeans_full" -> oracleFull,
     "kmeans_elbow" -> oracleElbow,
+    "kmeans_bic" -> oracleBic,
     "kmeans_scalable_init" -> scalableInitSql,
     "kmeans_silhouette" -> silhouetteSql,
     "kmeans_davies_bouldin" -> daviesBouldinSql,

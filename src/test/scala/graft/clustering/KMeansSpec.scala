@@ -92,6 +92,24 @@ class KMeansSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.length <= 4 && out.nonEmpty)
   }
 
+  test("bic/aic: one selected k, selected bic minimal, criteria differ by kD(ln n - 2)") {
+    val rows = KMeans.qBic(spark, sf).collect()
+      .map(r => (r.getAs[Int]("k_clusters"), r.getAs[Long]("n"),
+        r.getAs[Double]("mean_sq_dist"), r.getAs[Double]("bic"),
+        r.getAs[Double]("aic"), r.getAs[Boolean]("is_best")))
+    assert(rows.map(_._1).sorted.toSeq == Seq(2, 3, 4, 6))
+    val best = rows.filter(_._6)
+    assert(best.length == 1, "exactly one selected model")
+    assert(best.head._4 == rows.map(_._4).min, "selected k minimizes BIC")
+    rows.foreach { case (k, n, msd, bic, aic, _) =>
+      assert(msd > 0 && n > 0)
+      // bic - aic = kD ln(n) - 2kD exactly (shared fit term cancels)
+      val expected = k * 4 * (math.log(n.toDouble) - 2)
+      assert(math.abs((bic - aic) - expected) < 1e-4,
+        s"k=$k: bic-aic ${bic - aic} vs $expected")
+    }
+  }
+
   test("calinski-harabasz: positive variance ratio over every assigned point") {
     val r = KMeans.qCalinskiHarabasz(spark, sf).collect()(0)
     assert(r.getAs[Long]("n") == 6000L, "every point participates")
