@@ -41,6 +41,35 @@ object TextAnalysis {
           / size(col("ws")), 6).as("stop_ratio"),
         round(size(array_distinct(col("ws"))).cast("double") / size(col("ws")), 6).as("ttr"))
 
+  /** Flesch reading ease + Flesch-Kincaid grade per document — the
+    * classic readability pair every quality-filtering recipe includes
+    * next to the Gopher rules: ease = 206.835 - 1.015 (words/sent)
+    * - 84.6 (syllables/word); grade = 0.39 (words/sent) + 11.8
+    * (syllables/word) - 15.59. Syllables use the standard vowel-group
+    * heuristic (runs of [aeiouy] in the lowercased word, min 1 per
+    * word) — a per-row fold, no corpus state, no shuffle; sentences
+    * split on '. ' with a floor of 1 (this corpus is single-sentence,
+    * which just pins the sentence term at n_words). Constants parse to
+    * identical doubles in both engines and every division is mirrored
+    * in order, so round 6 is bitwise-stable. */
+  def qReadability(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("n_words", size(col("ws")).cast("long"))
+      .withColumn("n_sentences",
+        greatest(expr("size(filter(split(text, '\\\\. '), p -> length(p) > 0))"), lit(1))
+          .cast("long"))
+      .withColumn("n_syllables", expr(
+        "aggregate(ws, CAST(0 AS BIGINT), (a, w) -> a + (CASE WHEN length(w) = 0 THEN 0 " +
+          "ELSE greatest(CAST(size(regexp_extract_all(lower(w), '[aeiouy]+', 0)) AS BIGINT), 1) END))"))
+      .withColumn("wps", col("n_words").cast("double") / col("n_sentences"))
+      .withColumn("spw", col("n_syllables").cast("double") / col("n_words"))
+      .select(col("doc_id"), col("n_words"), col("n_sentences"), col("n_syllables"),
+        round(lit(206.835) - lit(1.015) * col("wps") - lit(84.6) * col("spw"), 6)
+          .as("flesch_ease"),
+        round(lit(0.39) * col("wps") + lit(11.8) * col("spw") - lit(15.59), 6)
+          .as("fk_grade"))
+
   /** Marker-word language ID; argmax with fixed tie order, 'und' when
     * nothing matches. (The synthetic corpus shares one vocabulary, so
     * this exercises the operator, not real-language accuracy.) */
@@ -372,6 +401,7 @@ object TextAnalysis {
     "pipeline_pack" -> (qPack _),
     "text_fingerprint_dedup" -> (qFingerprintDedup _),
     "text_quality" -> (qQuality _),
+    "text_readability" -> (qReadability _),
     "text_langid" -> (qLangId _),
     "text_langid_eval" -> (qLangIdEval _),
     "text_tokens" -> (qTokens _),
@@ -457,6 +487,26 @@ object TextAnalysis {
           |FROM (SELECT doc_id, list_transform(range(1, len(text) + 1),
           |    i -> substr(text, CAST(i AS INT), 1)) AS cs
           |  FROM documents WHERE len(text) >= 1)""".stripMargin,
+      "text_readability" ->
+        """SELECT doc_id,
+          |  CAST(len(ws) AS BIGINT) AS n_words,
+          |  CAST(greatest(len(list_filter(string_split(text, '. '),
+          |    p -> len(p) > 0)), 1) AS BIGINT) AS n_sentences,
+          |  CAST(list_sum(list_transform(ws, w -> CASE WHEN len(w) = 0 THEN 0
+          |    ELSE greatest(len(regexp_extract_all(lower(w), '[aeiouy]+')), 1) END))
+          |    AS BIGINT) AS n_syllables,
+          |  round(206.835
+          |    - 1.015 * (CAST(len(ws) AS DOUBLE)
+          |        / greatest(len(list_filter(string_split(text, '. '), p -> len(p) > 0)), 1))
+          |    - 84.6 * (CAST(list_sum(list_transform(ws, w -> CASE WHEN len(w) = 0 THEN 0
+          |        ELSE greatest(len(regexp_extract_all(lower(w), '[aeiouy]+')), 1) END))
+          |        AS DOUBLE) / len(ws)), 6) AS flesch_ease,
+          |  round(0.39 * (CAST(len(ws) AS DOUBLE)
+          |        / greatest(len(list_filter(string_split(text, '. '), p -> len(p) > 0)), 1))
+          |    + 11.8 * (CAST(list_sum(list_transform(ws, w -> CASE WHEN len(w) = 0 THEN 0
+          |        ELSE greatest(len(regexp_extract_all(lower(w), '[aeiouy]+')), 1) END))
+          |        AS DOUBLE) / len(ws)) - 15.59, 6) AS fk_grade
+          |FROM (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents)""".stripMargin,
       "text_quality" ->
         """SELECT doc_id,
           |  CAST(len(ws) AS BIGINT) AS n_words,

@@ -173,6 +173,23 @@ class TextSpec extends AnyFunSuite {
     assert(out(1L) != out(2L), "order-sensitive, unlike the vocab fingerprint")
   }
 
+  test("readability: syllable floor holds and both scores recompute from the row's own counts") {
+    val rows = TextAnalysis.qReadability(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nw, ns, nsy) = (r.getAs[Long]("n_words"),
+        r.getAs[Long]("n_sentences"), r.getAs[Long]("n_syllables"))
+      assert(nsy >= nw, "every non-empty word carries at least one syllable")
+      assert(ns >= 1)
+      val wps = nw.toDouble / ns
+      val spw = nsy.toDouble / nw
+      assert(math.abs(r.getAs[Double]("flesch_ease")
+        - (206.835 - 1.015 * wps - 84.6 * spw)) < 1e-5)
+      assert(math.abs(r.getAs[Double]("fk_grade")
+        - (0.39 * wps + 11.8 * spw - 15.59)) < 1e-5)
+    }
+  }
+
   test("char entropy separates uniform, natural and degenerate strings") {
     import org.apache.spark.sql.functions._
     val docs = Seq(
