@@ -257,6 +257,26 @@ object Dedup {
           expr("n_members * (n_members - 1) div 2"), 6).as("density"))
   }
 
+  /** Cross-source duplication matrix: VERIFIED near-dup pairs rolled
+    * up by the (canonically ordered) source pair — the provenance
+    * report a corpus governance pass reads to see which sources copy
+    * from which (diagonal cells = within-source duplication, i.e.
+    * crawl redundancy; off-diagonal = cross-source syndication, the
+    * mass a source-level dedup policy must decide an owner for).
+    * Rides the staged verified pairs: two co-partitioned joins
+    * against the doc -> source projection, one bounded
+    * (source, source) aggregate — never touches shingles again. */
+  def qCrossSourceMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val src = t(spark, dir, "documents").select(col("doc_id"), col("source"))
+    stagedVerifiedPairs(spark, dir)
+      .join(src.select(col("doc_id").as("ia"), col("source").as("srca")), "ia")
+      .join(src.select(col("doc_id").as("ib"), col("source").as("srcb")), "ib")
+      .select(least(col("srca"), col("srcb")).as("source_a"),
+        greatest(col("srca"), col("srcb")).as("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Per-document nearest duplicate: each doc's single most-similar
     * candidate partner by MinHash signature agreement — the "who is
     * my closest copy" directory a curator browses, and a second
@@ -1094,6 +1114,7 @@ object Dedup {
     "dedup_cluster_keepers" -> (qClusterKeepers _),
     "dedup_survivorship" -> (qSurvivorship _),
     "dedup_cluster_report" -> (qClusterReport _),
+    "dedup_cross_source_matrix" -> (qCrossSourceMatrix _),
     "dedup_savings" -> (qDedupSavings _),
     "dedup_simhash" -> (qSimhash _),
     "dedup_simhash_pairs" -> (qSimhashPairs _),
@@ -1275,6 +1296,23 @@ object Dedup {
          |      / len(list_distinct(list_concat(ga.gs, gb.gs))) AS jg
          |  FROM cands JOIN g ga ON ia = ga.doc_id JOIN g gb ON ib = gb.doc_id)
          |WHERE jg >= 0.6""".stripMargin,
+    "dedup_cross_source_matrix" ->
+      s"""WITH $sigSql,
+         |$bandsSql,
+         |$candsSql,
+         |w AS (SELECT doc_id, list_distinct(string_split($NT, ' ')) AS ws FROM documents),
+         |vp AS MATERIALIZED (SELECT ia, ib FROM (
+         |  SELECT ia, ib,
+         |    CAST(len(list_intersect(wa.ws, wb.ws)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(wa.ws, wb.ws))) AS j
+         |  FROM cands JOIN w wa ON ia = wa.doc_id JOIN w wb ON ib = wb.doc_id)
+         |  WHERE j >= 0.8)
+         |SELECT least(da.source, db.source) AS source_a,
+         |  greatest(da.source, db.source) AS source_b,
+         |  count(*) AS n_pairs
+         |FROM vp JOIN documents da ON da.doc_id = vp.ia
+         |        JOIN documents db ON db.doc_id = vp.ib
+         |GROUP BY 1, 2""".stripMargin,
     "dedup_cluster_report" -> {
       val sweep = (in: String, out: String) =>
         s"""$out AS (SELECT doc_id, min(lbl) AS lbl FROM (

@@ -265,4 +265,17 @@ class DedupSpec extends AnyFunSuite {
     assert(out(3L).getAs[String]("clean_hash") == expected,
       "doc 3's rebuild must be exactly its novel tail segment")
   }
+
+  test("cross-source matrix: canonical source order, cells partition the verified pairs") {
+    val rows = Dedup.qCrossSourceMatrix(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[String]("source_a") <= r.getAs[String]("source_b"),
+        "cells are canonically ordered")
+      assert(r.getAs[Long]("n_pairs") > 0)
+    }
+    val total = Dedup.stagedVerifiedPairs(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_pairs")).sum == total,
+      "every verified pair lands in exactly one cell")
+  }
 }
