@@ -647,6 +647,34 @@ object Relational {
   def eventsCusum(spark: SparkSession, dir: String): DataFrame =
     cusumOf(t(spark, dir, "events"))
 
+  /** Lag depth for the autocorrelation report (one full day of hourly
+    * lags — where daily seasonality shows up as a peak at 24). */
+  private val ACF_LAGS = 24
+
+  /** Autocorrelation function of the hourly event-count series:
+    * Pearson correlation of count(t) against count(t - lag) for lags
+    * 1..24 — the periodicity diagnostic read before picking a
+    * seasonal-naive offset or an anomaly baseline (a peak at 24 says
+    * the series repeats daily). The series itself is one partial-agg
+    * groupBy on the integer hour index; the lag pairing is a
+    * self-join of that BOUNDED frame (hours, not events) exploded by
+    * lag, so the event table is scanned exactly once regardless of
+    * lag depth. corr aggregates round 6 like every cross-engine
+    * aggregated double (§4). */
+  def eventsAcf(spark: SparkSession, dir: String): DataFrame = {
+    val series = t(spark, dir, "events")
+      .groupBy(expr("cast(unix_timestamp(date_trunc('hour', ts)) div 3600 as bigint)")
+        .as("hb"))
+      .agg(count(lit(1)).as("n"))
+    series.select(col("hb"), col("n").as("n0"),
+        explode(expr(s"sequence(1, $ACF_LAGS)")).as("lag"))
+      .withColumn("hb2", col("hb") - col("lag"))
+      .join(series.select(col("hb").as("hb2"), col("n").as("nl")), Seq("hb2"))
+      .groupBy("lag")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(corr(col("n0").cast("double"), col("nl").cast("double")), 6).as("acf"))
+  }
+
   /** Fixed-width histogram of l_extendedprice — 5k-wide buckets, open
     * top bucket. No width_bucket builtin needed: floor((x-lo)/w) is
     * codegen'd arithmetic, one partial-agg shuffle on the bucket id. */
@@ -890,6 +918,7 @@ object Relational {
     "window_rank" -> (windowRank _),
     "agg_distinct" -> (aggDistinct _),
     "events_hourly" -> (eventsHourly _),
+    "events_acf" -> (eventsAcf _),
     "events_sliding" -> (eventsSliding _),
     "events_sessionize" -> (eventsSessionize _),
     "events_json" -> (eventsJson _),
@@ -1223,6 +1252,13 @@ object Relational {
         |  count(DISTINCT l_suppkey) AS n_supps,
         |  count(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "events_acf" ->
+      """WITH s AS (SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS hb,
+        |    count(*) AS n FROM events GROUP BY 1)
+        |SELECT lag, count(*) AS n_pairs,
+        |  round(corr(CAST(a.n AS DOUBLE), CAST(b.n AS DOUBLE)), 6) AS acf
+        |FROM s a CROSS JOIN range(1, 25) t(lag) JOIN s b ON b.hb = a.hb - t.lag
+        |GROUP BY lag""".stripMargin,
     "events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         |  count(*) AS n_events, round(sum(value), 4) AS sum_value

@@ -172,4 +172,22 @@ class WaveOpsSpec extends AnyFunSuite {
     assert(head > 0.0 && head <= 1.0)
     assert(r.getAs[Double]("zipf_slope") < 0.0, "frequency must fall with rank")
   }
+
+  test("acf: dense lag ladder, correlations bounded, pair counts capped by series length") {
+    val rows = Relational.eventsAcf(spark, sf).collect()
+      .map(r => r.getAs[Int]("lag") ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Double]("acf"))).toMap
+    assert(rows.keySet == (1 to 24).toSet)
+    rows.values.foreach { case (n, a) =>
+      assert(n > 0)
+      assert(a >= -1.0 && a <= 1.0, s"acf out of range: $a")
+    }
+    // with gaps in the series the counts need not be monotone in lag,
+    // but each lag can align at most (distinct hours - lag) pairs
+    val hours = graft.Tables.t(spark, sf, "events")
+      .select(date_trunc("hour", col("ts"))).distinct().count()
+    (1 to 24).foreach { l =>
+      assert(rows(l)._1 <= hours - l, s"lag $l: ${rows(l)._1} pairs vs ${hours - l} max")
+    }
+  }
 }
