@@ -641,6 +641,37 @@ object Analytics {
       .select("event_id", "event_type", "hod", "value", "z")
   }
 
+  /** Minimum gap count before a user's cadence is judged, and the
+    * coefficient-of-variation cut below which it reads as scripted. */
+  private val BOT_MIN_GAPS = 20L
+  private val BOT_CV_CUT = 0.3
+
+  /** Bot-cadence report (abuse-detection primitive next to the
+    * velocity rule): per sufficiently active user, the coefficient of
+    * variation of their inter-event gaps — humans burst and pause
+    * (cv >= 1 typically), schedulers fire metronomically (cv near 0),
+    * so a low cv over many events is the classic scripted-traffic
+    * signature. One per-user lag window (hash-partitioned by user,
+    * never global) + one per-user aggregate; both moments round 6
+    * BEFORE the cv division and the flag compares the rounded cv, so
+    * the verdict is engine-stable. */
+  def qBotRegularity(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    t(spark, dir, "events")
+      .withColumn("prev_ts", lag("ts", 1).over(w))
+      .filter(col("prev_ts").isNotNull)
+      .select(col("user_id"),
+        (col("ts").cast("double") - col("prev_ts").cast("double")).as("gap_s"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_gaps"),
+        round(avg("gap_s"), 6).as("mean_gap_s"),
+        round(stddev_pop(col("gap_s")), 6).as("sd_gap_s"))
+      .filter(col("n_gaps") >= BOT_MIN_GAPS && col("mean_gap_s") > 0.0)
+      .withColumn("cv", round(col("sd_gap_s") / col("mean_gap_s"), 6))
+      .withColumn("metronomic", col("cv") < BOT_CV_CUT)
+      .select("user_id", "n_gaps", "mean_gap_s", "sd_gap_s", "cv", "metronomic")
+  }
+
   /** Two-proportion A/B z-test on user conversion — the experiment
     * readout every product pipeline runs: variant = user_id parity
     * (the deterministic stand-in for an assignment column),
@@ -915,6 +946,7 @@ object Analytics {
     "embed_label_qc" -> (qEmbedLabelQc _),
     "events_bounce_rate" -> (qBounceRate _),
     "events_gap_quantiles" -> (qGapQuantiles _),
+    "events_bot_regularity" -> (qBotRegularity _),
     "embed_qc" -> (qEmbedQc _),
     "revenue_share" -> (qRevenueShare _),
     "events_chi2" -> (qChi2 _),
@@ -1184,6 +1216,21 @@ object Analytics {
         |  CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
         |    AS bounce_rate
         |FROM per GROUP BY user_id""".stripMargin,
+    "events_bot_regularity" ->
+      """WITH gaps AS (
+        |  SELECT user_id,
+        |    CAST(epoch(ts) - epoch(lag(ts) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id)) AS DOUBLE) AS gap_s
+        |  FROM events),
+        |per AS (
+        |  SELECT user_id, count(*) AS n_gaps,
+        |    round(avg(gap_s), 6) AS mean_gap_s,
+        |    round(stddev_pop(gap_s), 6) AS sd_gap_s
+        |  FROM gaps WHERE gap_s IS NOT NULL GROUP BY user_id)
+        |SELECT user_id, n_gaps, mean_gap_s, sd_gap_s,
+        |  round(sd_gap_s / mean_gap_s, 6) AS cv,
+        |  round(sd_gap_s / mean_gap_s, 6) < 0.3 AS metronomic
+        |FROM per WHERE n_gaps >= 20 AND mean_gap_s > 0.0""".stripMargin,
     "events_gap_quantiles" ->
       """WITH gaps AS (
         |  SELECT event_type,

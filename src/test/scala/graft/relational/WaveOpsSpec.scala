@@ -190,4 +190,18 @@ class WaveOpsSpec extends AnyFunSuite {
       assert(rows(l)._1 <= hours - l, s"lag $l: ${rows(l)._1} pairs vs ${hours - l} max")
     }
   }
+
+  test("bot regularity: moments consistent, flag agrees with the rounded cv") {
+    val rows = Analytics.qBotRegularity(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_gaps") >= 20)
+      val (m, sd, cv) = (r.getAs[Double]("mean_gap_s"),
+        r.getAs[Double]("sd_gap_s"), r.getAs[Double]("cv"))
+      assert(m > 0 && sd >= 0)
+      assert(math.abs(cv - BigDecimal(sd / m).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+      assert(r.getAs[Boolean]("metronomic") == (cv < 0.3))
+    }
+  }
 }
