@@ -641,6 +641,28 @@ object Analytics {
       .select("event_id", "event_type", "hod", "value", "z")
   }
 
+  /** Weighted price quartiles: below what unit price does 25/50/75%
+    * of the shipped QUANTITY sit, per return flag — the
+    * quantity-weighted question the unweighted percentile family
+    * cannot answer (a cheap SKU shipped by the pallet moves the
+    * weighted median; the unweighted one counts it once). Runs on the
+    * [[WeightedQuantiles]] engine: bounded-state bucket refinement
+    * with DECIMAL-exact weight masses, so the threshold comparison
+    * cumW >= p*W is exact and the answer is the oracle's
+    * min-value-reaching-the-mass, never a float near-tie. */
+  def qWeightedQuartiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice"), col("l_quantity"))
+    val (qs, totals) = WeightedQuantiles.groupedWithTotals(
+      li, "l_returnflag", "l_extendedprice", "l_quantity", Seq(0.25, 0.5, 0.75))
+    qs.toSeq.sortBy(_._1)
+      .map { case (g, m) =>
+        (g, totals(g).doubleValue, m(0.25), m(0.5), m(0.75))
+      }
+      .toDF("l_returnflag", "w_total", "p25_price", "p50_price", "p75_price")
+  }
+
   /** Minimum gap count before a user's cadence is judged, and the
     * coefficient-of-variation cut below which it reads as scripted. */
   private val BOT_MIN_GAPS = 20L
@@ -947,6 +969,7 @@ object Analytics {
     "events_bounce_rate" -> (qBounceRate _),
     "events_gap_quantiles" -> (qGapQuantiles _),
     "events_bot_regularity" -> (qBotRegularity _),
+    "lineitem_weighted_quartiles" -> (qWeightedQuartiles _),
     "embed_qc" -> (qEmbedQc _),
     "revenue_share" -> (qRevenueShare _),
     "events_chi2" -> (qChi2 _),
@@ -1216,6 +1239,18 @@ object Analytics {
         |  CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
         |    AS bounce_rate
         |FROM per GROUP BY user_id""".stripMargin,
+    "lineitem_weighted_quartiles" ->
+      """WITH c AS (SELECT l_returnflag AS g, CAST(l_extendedprice AS DOUBLE) AS v,
+        |    l_quantity AS w FROM lineitem WHERE l_quantity > 0),
+        |pv AS (SELECT g, v, sum(w) AS wv FROM c GROUP BY g, v),
+        |cw AS (SELECT g, v, sum(wv) OVER (PARTITION BY g ORDER BY v) AS cum FROM pv),
+        |tw AS (SELECT g, sum(w) AS tw FROM c GROUP BY g),
+        |j AS (SELECT cw.g, v, cum, tw.tw FROM cw JOIN tw USING (g))
+        |SELECT g AS l_returnflag, CAST(min(tw) AS DOUBLE) AS w_total,
+        |  min(CASE WHEN cum >= 0.25 * tw THEN v END) AS p25_price,
+        |  min(CASE WHEN cum >= 0.50 * tw THEN v END) AS p50_price,
+        |  min(CASE WHEN cum >= 0.75 * tw THEN v END) AS p75_price
+        |FROM j GROUP BY g""".stripMargin,
     "events_bot_regularity" ->
       """WITH gaps AS (
         |  SELECT user_id,
