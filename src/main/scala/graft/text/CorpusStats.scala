@@ -313,6 +313,32 @@ object CorpusStats {
         round(lit(1.0) - col("n_unique").cast("double") / col("n_docs"), 6)
           .as("exact_dup_rate"))
 
+  /** Corpus-level duplicated-8-gram mass — the memorization-risk
+    * statistic from the public train-data-dedup literature: of all
+    * word-8-gram OCCURRENCES in the (Unicode-normalized) corpus, what
+    * fraction belongs to a gram that appears more than once? Exact
+    * dup rate counts whole-document copies; THIS number also counts
+    * the repeated passages inside otherwise-unique documents — the
+    * mass a span-level dedup pass could reclaim and the one a model
+    * can memorize verbatim. Grams travel as md5 keys (compact shuffle
+    * rows), one gram-keyed partial-agg groupBy + one scalar rollup —
+    * the same two-stage shape at any corpus size. */
+  def qDupGramMass(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .withColumn("ws",
+        split(expr(graft.text.TextAnalysis.normalizeUnicodeSparkSql("text")), " "))
+      .filter(size(col("ws")) >= 8)
+      .select(explode(expr(
+        "transform(sequence(1, size(ws) - 7), " +
+          "i -> md5(array_join(slice(ws, i, 8), ' ')))")).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("n_occ"))
+      .agg(count(lit(1)).as("n_distinct_grams"),
+        sum("n_occ").as("n_occurrences"),
+        sum(when(col("n_occ") >= 2, col("n_occ")).otherwise(0L)).as("dup_occurrences"),
+        max("n_occ").as("max_occ"))
+      .withColumn("dup_frac",
+        round(col("dup_occurrences").cast("double") / col("n_occurrences"), 6))
+
   /** Per-source exact-duplicate rate — the stratified sibling of the
     * dataset card's global rate: the first question when a dup rate
     * spikes is WHICH source started double-crawling. One
@@ -491,6 +517,7 @@ object CorpusStats {
     "text_interp_logprob" -> (qInterpLogprob _),
     "pipeline_corpus_report" -> (qCorpusReport _),
     "pipeline_dup_rate_by_source" -> (qDupRateBySource _),
+    "text_dup_gram_mass" -> (qDupGramMass _),
     "text_lang_thresholds" -> (qLangThresholds _),
     "pipeline_curriculum" -> (qCurriculum _),
     "pipeline_dataset_card" -> (qDatasetCard _),
@@ -602,6 +629,21 @@ object CorpusStats {
         |  round(avg(log2(c / t)), 6) AS avg_log2p
         |FROM w JOIN v USING (word) CROSS JOIN t
         |GROUP BY doc_id""".stripMargin,
+    "text_dup_gram_mass" ->
+      s"""WITH d AS (SELECT string_split(
+         |    ${graft.text.TextAnalysis.normalizeUnicodeSql("text")}, ' ') AS ws
+         |  FROM documents),
+         |gr AS (SELECT unnest(list_transform(range(1, len(ws) - 6),
+         |    i -> md5(array_to_string(ws[CAST(i AS INT):CAST(i + 7 AS INT)], ' ')))) AS g
+         |  FROM d WHERE len(ws) >= 8),
+         |occ AS (SELECT g, count(*) AS n FROM gr GROUP BY g)
+         |SELECT count(*) AS n_distinct_grams,
+         |  CAST(sum(n) AS BIGINT) AS n_occurrences,
+         |  CAST(sum(CASE WHEN n >= 2 THEN n ELSE 0 END) AS BIGINT) AS dup_occurrences,
+         |  max(n) AS max_occ,
+         |  round(CAST(sum(CASE WHEN n >= 2 THEN n ELSE 0 END) AS DOUBLE)
+         |    / CAST(sum(n) AS BIGINT), 6) AS dup_frac
+         |FROM occ""".stripMargin,
     "pipeline_dup_rate_by_source" ->
       s"""SELECT source, count(*) AS n_docs,
          |  CAST(count(DISTINCT ${graft.dedup.Dedup.contentHashSql("text")}) AS BIGINT) AS n_unique,

@@ -190,6 +190,20 @@ class TextSpec extends AnyFunSuite {
     }
   }
 
+  test("dup-gram mass: occurrence accounting consistent with its own histogram") {
+    val r = CorpusStats.qDupGramMass(spark, sf).collect()(0)
+    val (nd, no, dup, mx) = (r.getAs[Long]("n_distinct_grams"),
+      r.getAs[Long]("n_occurrences"), r.getAs[Long]("dup_occurrences"),
+      r.getAs[Long]("max_occ"))
+    assert(nd > 0 && no >= nd, "occurrences cover every distinct gram at least once")
+    assert(dup >= 0 && dup <= no)
+    assert((dup > 0) == (mx >= 2), "dup mass exists iff some gram repeats")
+    // a duplicated gram contributes ALL its occurrences (>= 2 each)
+    assert(dup != 1, "dup mass can never be a single occurrence")
+    val f = r.getAs[Double]("dup_frac")
+    assert(math.abs(f - dup.toDouble / no) < 1e-6)
+  }
+
   test("char entropy separates uniform, natural and degenerate strings") {
     import org.apache.spark.sql.functions._
     val docs = Seq(
