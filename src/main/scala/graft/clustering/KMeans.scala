@@ -140,10 +140,17 @@ object KMeans {
     * the user. ONE cached pass over the points serves every k; each
     * k's loop is the same deterministic first-K-init trajectory as
     * kmeans_full, so the whole sweep is oracled. */
-  def qElbow(spark: SparkSession, dir: String): DataFrame = {
-    val pts = Points.lineitem4d(spark, dir).cache()
-    try {
-      val rows = ELBOW_KS.map { k =>
+  /** The elbow sweep's per-k FINAL centers, trained once per
+    * (JVM, dir) — the stagedFinalCenters discipline applied to the
+    * whole candidate-k ladder: the elbow and the BIC/AIC criteria
+    * evaluate the same deterministic trajectories, so re-running
+    * ELBOW_KS full Lloyd loops per metric buys nothing. Driver
+    * memory: sum(k) x dims doubles. */
+  private val elbowCentersStaged =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[Int, Array[Array[Double]]]]()
+  private def stagedElbowCenters(pts: DataFrame, dir: String): Map[Int, Array[Array[Double]]] =
+    elbowCentersStaged.computeIfAbsent(dir, { _ =>
+      ELBOW_KS.map { k =>
         var centers = Points.firstKCenters(pts, k)
         for (_ <- 1 to ELBOW_ITERS) {
           val byK = update(assign(pts, centers)).collect()
@@ -151,7 +158,16 @@ object KMeans {
               dims.indices.map(i => r.getDouble(2 + i)).toArray).toMap
           centers = Array.tabulate(k)(i => byK.getOrElse(i, centers(i)))
         }
-        val r = assign(pts, centers)
+        k -> centers
+      }.toMap
+    })
+
+  def qElbow(spark: SparkSession, dir: String): DataFrame = {
+    val pts = Points.lineitem4d(spark, dir).cache()
+    try {
+      val byK = stagedElbowCenters(pts, dir)
+      val rows = ELBOW_KS.map { k =>
+        val r = assign(pts, byK(k))
           .agg(count(lit(1)).as("n"), round(avg(col("dist")), 3).as("avg_dist"))
           .collect()(0)
         (k, r.getLong(0), r.getDouble(1))
@@ -177,15 +193,9 @@ object KMeans {
       val d = dims.size
       def r6(x: Double): Double =
         BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val byK = stagedElbowCenters(pts, dir)
       val rows = ELBOW_KS.map { k =>
-        var centers = Points.firstKCenters(pts, k)
-        for (_ <- 1 to ELBOW_ITERS) {
-          val byK = update(assign(pts, centers)).collect()
-            .map(r => r.getAs[Int]("k") ->
-              dims.indices.map(i => r.getDouble(2 + i)).toArray).toMap
-          centers = Array.tabulate(k)(i => byK.getOrElse(i, centers(i)))
-        }
-        val r = assign(pts, centers)
+        val r = assign(pts, byK(k))
           .agg(count(lit(1)).as("n"),
             (sum(col("dist") * col("dist")) / count(lit(1))).as("msd"))
           .collect()(0)

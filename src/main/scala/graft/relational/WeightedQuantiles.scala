@@ -122,12 +122,9 @@ object WeightedQuantiles {
       val (flat, rest) = active.partition { case (_, b) => b.lo == b.hi }
       flat.foreach { case (t, b) => resolved(t) = b.lo }
       val (small, big) = rest.partition { case (_, b) => b.rowsIn <= residualCap }
-      small.foreach { case (t, b) =>
-        resolved(t) = residualAnswer(base, t, b, threshold(t.group, t.prob))
-      }
-      active = big.map { case (t, b) =>
-        t -> refineOnce(base, t, b, threshold(t.group, t.prob), resolved)
-      }.collect { case (t, Some(b)) => t -> b }.toMap
+      if (small.nonEmpty) resolveResidualBatch(base, small, threshold, resolved)
+      active =
+        if (big.nonEmpty) refineBatch(base, big, threshold, resolved) else Map.empty
     }
     require(active.isEmpty, s"weighted refinement did not converge in $pass passes")
 
@@ -148,51 +145,86 @@ object WeightedQuantiles {
     v >= lit(b.lo) && (v < lit(b.hi) || (lit(b.hiClosed) && v <= lit(b.hi)))
   }
 
-  /** One 1024-bucket histogram pass over a single target's bracket;
-    * resolves when the mass-holding bucket is a tie block (min == max),
-    * otherwise returns the narrowed bracket. Jobs per pass are bounded
-    * by |groups| x |probs| (the bounded-group contract). */
-  private def refineOnce(base: DataFrame, t: Target, b: Bracket, thr: JBD,
-                         resolved: scala.collection.mutable.Map[Target, Double])
-      : Option[Bracket] = {
-    val width = b.hi - b.lo
+  /** Per-row tag array for a batch of targets: element tid where the
+    * row belongs to target tid's (group, bracket), null otherwise —
+    * exploded + null-filtered, this turns N per-target scans into ONE
+    * (a row can legitimately serve two targets whose brackets
+    * overlap, so the tag must be an array, not a first-match). */
+  private def tagged(base: DataFrame, targets: Seq[(Target, Bracket)]): DataFrame = {
+    val tags = targets.zipWithIndex.map { case ((t, b), tid) =>
+      when(col("g") === lit(t.group) && member(b), lit(tid))
+        .otherwise(lit(null).cast("int"))
+    }
+    base.select(col("v"), col("w"), explode(array(tags: _*)).as("tid"))
+      .filter(col("tid").isNotNull)
+  }
+
+  /** One batched 1024-bucket histogram pass over every active
+    * bracket — a single scan regardless of target count; a target
+    * resolves when its mass-holding bucket is a tie block (min ==
+    * max), otherwise its bracket narrows >= 1024x. */
+  private def refineBatch(base: DataFrame, targets: Map[Target, Bracket],
+                          threshold: (String, Double) => JBD,
+                          resolved: scala.collection.mutable.Map[Target, Double])
+      : Map[Target, Bracket] = {
+    val ordered = targets.toSeq
+    val lows = ordered.map(_._2.lo).toArray
+    val widths = ordered.map(b => b._2.hi - b._2.lo).toArray
+    val loCol = element_at(typedLit(lows.toSeq), col("tid") + 1)
+    val widthCol = element_at(typedLit(widths.toSeq), col("tid") + 1)
     val idx = least(lit(Buckets - 1), greatest(lit(0),
-      floor((col("v") - lit(b.lo)) / lit(width) * Buckets).cast("int")))
-    val rows = base.filter(col("g") === lit(t.group) && member(b))
-      .groupBy(idx.as("i"))
+      floor((col("v") - loCol) / widthCol * Buckets).cast("int")))
+    val byTid = tagged(base, ordered)
+      .groupBy(col("tid"), idx.as("i"))
       .agg(sum("w").as("ws"), count(lit(1)).as("n"),
         min("v").as("mn"), max("v").as("mx"))
       .collect()
-      .map(r => (r.getInt(0), r.getDecimal(1), r.getLong(2),
-        r.getDouble(3), r.getDouble(4)))
-      .sortBy(_._1)
-    var cum = b.massBelow
-    for ((_, ws, n, mn, mx) <- rows) {
-      val next = cum.add(ws)
-      if (next.compareTo(thr) >= 0) {
-        if (mn == mx) { resolved(t) = mn; return None }
-        return Some(Bracket(mn, mx, hiClosed = true, cum, n))
+      .map(r => (r.getInt(0), r.getInt(1), r.getDecimal(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+      .groupBy(_._1)
+    ordered.zipWithIndex.flatMap { case ((t, b), tid) =>
+      val thr = threshold(t.group, t.prob)
+      val rows = byTid(tid).map(x => (x._2, x._3, x._4, x._5, x._6)).sortBy(_._1)
+      var cum = b.massBelow
+      var out: Option[(Target, Bracket)] = None
+      var done = false
+      for ((_, ws, n, mn, mx) <- rows if !done) {
+        val next = cum.add(ws)
+        if (next.compareTo(thr) >= 0) {
+          if (mn == mx) resolved(t) = mn
+          else out = Some(t -> Bracket(mn, mx, hiClosed = true, cum, n))
+          done = true
+        }
+        cum = next
       }
-      cum = next
-    }
-    throw new IllegalStateException(
-      s"weight mass $thr unreached while refining ${t.group}")
+      require(done, s"weight mass $thr unreached while refining ${t.group}")
+      out
+    }.toMap
   }
 
-  /** Final capped collect: sort the bracket's (v, w) rows by value and
-    * walk the exact decimal mass to the threshold. */
-  private def residualAnswer(base: DataFrame, t: Target, b: Bracket,
-                             thr: JBD): Double = {
-    val rows = base.filter(col("g") === lit(t.group) && member(b))
-      .select("v", "w").collect()
-      .map(r => (r.getDouble(0), r.getDecimal(1)))
-      .sortBy(_._1)
-    var cum = b.massBelow
-    for ((v, w) <- rows) {
-      cum = cum.add(w)
-      if (cum.compareTo(thr) >= 0) return v
+  /** Final batched capped collect: one scan gathers every small
+    * bracket's (v, w) rows (<= residualCap per target by
+    * construction); the driver sorts each target's slice by value and
+    * walks the exact decimal mass to its threshold. */
+  private def resolveResidualBatch(base: DataFrame,
+                                   targets: Map[Target, Bracket],
+                                   threshold: (String, Double) => JBD,
+                                   resolved: scala.collection.mutable.Map[Target, Double])
+      : Unit = {
+    val ordered = targets.toSeq
+    val byTid = tagged(base, ordered)
+      .select("tid", "v", "w").collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDecimal(2)))
+      .groupBy(_._1)
+    ordered.zipWithIndex.foreach { case ((t, b), tid) =>
+      val thr = threshold(t.group, t.prob)
+      var cum = b.massBelow
+      var done = false
+      for ((_, v, w) <- byTid(tid).map(x => (x._1, x._2, x._3)).sortBy(_._2) if !done) {
+        cum = cum.add(w)
+        if (cum.compareTo(thr) >= 0) { resolved(t) = v; done = true }
+      }
+      require(done, s"weight mass $thr unreached in residual for ${t.group}")
     }
-    throw new IllegalStateException(
-      s"weight mass $thr unreached in residual for ${t.group}")
   }
 }
