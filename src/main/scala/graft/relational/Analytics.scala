@@ -641,6 +641,54 @@ object Analytics {
       .select("event_id", "event_type", "hod", "value", "z")
   }
 
+  /** Holt smoothing weights (level alpha, trend beta; 1-beta is
+    * written literally as 0.7 on BOTH sides — 1.0 - 0.3 is the
+    * DIFFERENT double 0.7000000000000001). */
+  private val HOLT_ALPHA = 0.5
+  private val HOLT_BETA = 0.3
+
+  /** Holt double-exponential smoothing of the daily revenue series —
+    * the level+trend forecaster between the seasonal-naive baseline
+    * and a real model: l_t = a x_t + (1-a)(l_{t-1} + b_{t-1}),
+    * b_t = B (l_t - l_{t-1}) + (1-B) b_{t-1}, one-step forecast
+    * f_t = l_{t-1} + b_{t-1}; init l_1 = x_1, b_1 = 0. The fact table
+    * reduces to the DAY-bounded series (DECIMAL-exact daily sums —
+    * the qDailyCumulative discipline); the recursion is inherently
+    * sequential over that bounded frame, so it runs on the driver and
+    * returns a literal frame (the lloyd pattern) — at 100 TB the
+    * daily series is still calendar-sized. Smoothed states carry
+    * UNROUNDED through the recursion in both engines (the oracle is a
+    * recursive CTE mirroring each expression in order); outputs round
+    * 6. */
+  def qHoltForecast(spark: SparkSession, dir: String): DataFrame = {
+    val daily = t(spark, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(col("o_totalprice").cast("decimal(38,2)")).as("rev"))
+      .collect()
+      .map(r => (r.getDate(0), r.getDecimal(1).doubleValue))
+      .sortBy(_._1.getTime)
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var l = daily.head._2
+    var b = 0.0
+    val rows = daily.head match { case (d0, x0) =>
+      org.apache.spark.sql.Row(d0, x0, r6(l), r6(b), null) +:
+        daily.tail.map { case (d, x) =>
+          val fc = l + b
+          val nl = HOLT_ALPHA * x + (1 - HOLT_ALPHA) * (l + b)
+          val nb = HOLT_BETA * (nl - l) + 0.7 * b
+          l = nl; b = nb
+          org.apache.spark.sql.Row(d, x, r6(l), r6(b), r6(fc))
+        }
+    }
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("day", DateType), StructField("rev", DoubleType),
+      StructField("level", DoubleType), StructField("trend", DoubleType),
+      StructField("forecast", DoubleType, nullable = true)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1), schema)
+  }
+
   /** Weighted price quartiles: below what unit price does 25/50/75%
     * of the shipped QUANTITY sit, per return flag — the
     * quantity-weighted question the unweighted percentile family
@@ -970,6 +1018,7 @@ object Analytics {
     "events_gap_quantiles" -> (qGapQuantiles _),
     "events_bot_regularity" -> (qBotRegularity _),
     "lineitem_weighted_quartiles" -> (qWeightedQuartiles _),
+    "orders_holt_forecast" -> (qHoltForecast _),
     "embed_qc" -> (qEmbedQc _),
     "revenue_share" -> (qRevenueShare _),
     "events_chi2" -> (qChi2 _),
@@ -1239,6 +1288,28 @@ object Analytics {
         |  CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
         |    AS bounce_rate
         |FROM per GROUP BY user_id""".stripMargin,
+    "orders_holt_forecast" ->
+      """WITH RECURSIVE i AS (
+        |  SELECT day, rev, row_number() OVER (ORDER BY day) AS rn FROM (
+        |    SELECT CAST(o_orderdate AS DATE) AS day,
+        |      CAST(sum(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS rev
+        |    FROM orders GROUP BY 1)),
+        |h AS (
+        |  SELECT rn, day, rev, rev AS level, CAST(0 AS DOUBLE) AS trend,
+        |    CAST(NULL AS DOUBLE) AS forecast
+        |  FROM i WHERE rn = 1
+        |  UNION ALL
+        |  SELECT i.rn, i.day, i.rev,
+        |    CAST(0.5 AS DOUBLE) * i.rev + CAST(0.5 AS DOUBLE) * (h.level + h.trend),
+        |    CAST(0.3 AS DOUBLE)
+        |      * ((CAST(0.5 AS DOUBLE) * i.rev + CAST(0.5 AS DOUBLE) * (h.level + h.trend))
+        |         - h.level)
+        |      + CAST(0.7 AS DOUBLE) * h.trend,
+        |    h.level + h.trend
+        |  FROM h JOIN i ON i.rn = h.rn + 1)
+        |SELECT day, rev, round(level, 6) AS level, round(trend, 6) AS trend,
+        |  round(forecast, 6) AS forecast
+        |FROM h""".stripMargin,
     "lineitem_weighted_quartiles" ->
       """WITH c AS (SELECT l_returnflag AS g, CAST(l_extendedprice AS DOUBLE) AS v,
         |    l_quantity AS w FROM lineitem WHERE l_quantity > 0),

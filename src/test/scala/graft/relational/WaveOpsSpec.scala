@@ -204,4 +204,25 @@ class WaveOpsSpec extends AnyFunSuite {
       assert(r.getAs[Boolean]("metronomic") == (cv < 0.3))
     }
   }
+
+  test("holt forecast: independent recomputation from the daily series matches every row") {
+    val rows = Analytics.qHoltForecast(spark, sf).collect()
+      .sortBy(_.getAs[java.sql.Date]("day").getTime)
+    assert(rows.length > 100)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var l = rows.head.getAs[Double]("rev")
+    var b = 0.0
+    assert(rows.head.getAs[Double]("level") == r6(l) && rows.head.isNullAt(4))
+    rows.tail.foreach { r =>
+      val x = r.getAs[Double]("rev")
+      val fc = l + b
+      val nl = 0.5 * x + 0.5 * (l + b)
+      val nb = 0.3 * (nl - l) + 0.7 * b
+      assert(r.getAs[Double]("forecast") == r6(fc))
+      assert(r.getAs[Double]("level") == r6(nl))
+      assert(r.getAs[Double]("trend") == r6(nb))
+      l = nl; b = nb
+    }
+  }
 }
