@@ -33,6 +33,7 @@ object SparkEntry {
       search.Quantized.queries ++
       search.PQ.queries ++
       search.IvfPq.queries ++
+      search.Spectrum.queries ++
       text.TextAnalysis.queries ++
       text.Repetition.queries ++
       text.CorpusStats.queries ++
@@ -64,6 +65,7 @@ object SparkEntry {
       search.Quantized.oracleSql ++
       search.PQ.oracleSql ++
       search.IvfPq.oracleSql ++
+      search.Spectrum.oracleSql ++
       text.TextAnalysis.oracleSql ++
       text.Repetition.oracleSql ++
       text.CorpusStats.oracleSql ++

@@ -1,0 +1,177 @@
+package graft.search
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** Embedding covariance + spectral diagnostics — the anisotropy
+  * report a vector-search deployment reads before trusting cosine
+  * geometry (a collapsed spectrum means every query looks like every
+  * other; whitening/recentering decisions start from exactly these
+  * numbers — the public embedding-quality literature's "dominant
+  * direction" diagnostic).
+  *
+  * Scale shape: the covariance reduces to ONE pass accumulating the
+  * d(d+1)/2 upper-triangle product sums per partition in a dense
+  * double array (a mapPartitions kernel — justified under the §6
+  * last-resort rule because this is a pure numeric Gram accumulation:
+  * the declarative alternative explodes n x 2080 product rows through
+  * generic tuple machinery for the identical arithmetic, and public
+  * Spark ML computes its Gram/covariance matrices with the same
+  * treeAggregate-style dense accumulation). Partial arrays merge
+  * pairwise — O(partitions x 2080) driver work — and everything
+  * after (the 64 x 64 eigen step) is bounded driver math on the
+  * ROUNDED matrix, the lloyd literal-frame pattern.
+  *
+  * Determinism: raw sums are order-dependent doubles, so covariance
+  * entries round 6 (the §4 aggregated-double rule) and the power
+  * iteration runs on the ROUNDED matrix with every iterate re-rounded
+  * 6 — both engines then walk bit-identical trajectories, exactly the
+  * k-means center discipline. */
+object Spectrum {
+
+  private val D = 64
+  private val P = D * (D + 1) / 2
+  private val ITERS = 15
+
+  /** (per-dim sums, upper-triangle product sums, row count), staged
+    * once per (JVM, dir). */
+  private val covStaged =
+    new java.util.concurrent.ConcurrentHashMap[String, (Array[Double], Array[Double], Long)]()
+
+  private def stagedSums(spark: SparkSession, dir: String)
+      : (Array[Double], Array[Double], Long) =
+    covStaged.computeIfAbsent(dir, { _ =>
+      t(spark, dir, "embeddings").select("embedding").rdd.mapPartitions { it =>
+        val sums = new Array[Double](D)
+        val prods = new Array[Double](P)
+        var n = 0L
+        it.foreach { row =>
+          val a = row.getSeq[Float](0)
+          require(a.length == D, s"expected $D dims, got ${a.length}")
+          n += 1
+          var i = 0
+          var p = 0
+          while (i < D) {
+            val xi = a(i).toDouble
+            sums(i) += xi
+            var j = i
+            while (j < D) { prods(p) += xi * a(j).toDouble; p += 1; j += 1 }
+            i += 1
+          }
+        }
+        Iterator.single((sums, prods, n))
+      }.reduce { case ((s1, p1, n1), (s2, p2, n2)) =>
+        var i = 0
+        while (i < D) { s1(i) += s2(i); i += 1 }
+        i = 0
+        while (i < P) { p1(i) += p2(i); i += 1 }
+        (s1, p1, n1 + n2)
+      }
+    })
+
+  private def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** The rounded covariance matrix (full, symmetric). */
+  private def covMatrix(spark: SparkSession, dir: String): (Array[Array[Double]], Long) = {
+    val (sums, prods, n) = stagedSums(spark, dir)
+    val c = Array.ofDim[Double](D, D)
+    var p = 0
+    var i = 0
+    while (i < D) {
+      var j = i
+      while (j < D) {
+        val cov = r6(prods(p) / n - (sums(i) / n) * (sums(j) / n))
+        c(i)(j) = cov
+        c(j)(i) = cov
+        p += 1; j += 1
+      }
+      i += 1
+    }
+    (c, n)
+  }
+
+  /** Upper-triangle covariance entries (i <= j), rounded 6. */
+  def qCovariance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (c, _) = covMatrix(spark, dir)
+    (for (i <- 0 until D; j <- i until D) yield (i, j, c(i)(j)))
+      .toDF("i", "j", "cov")
+  }
+
+  /** One-row spectral summary: trace, dominant eigenvalue by ITERS
+    * power iterations from the exactly-representable uniform start
+    * 1/8, and the top direction's explained variance share. */
+  def qSpectrum(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (c, n) = covMatrix(spark, dir)
+    def matvec(v: Array[Double]): Array[Double] =
+      Array.tabulate(D) { i =>
+        var s = 0.0
+        var j = 0
+        while (j < D) { s += c(i)(j) * v(j); j += 1 }
+        r6(s)
+      }
+    var v = Array.fill(D)(0.125)
+    for (_ <- 1 to ITERS) {
+      val u = matvec(v)
+      val nrm = math.sqrt(u.map(x => x * x).sum)
+      v = u.map(x => r6(x / nrm))
+    }
+    val u = matvec(v)
+    val lam = r6(u.indices.map(i => u(i) * v(i)).sum / v.map(x => x * x).sum)
+    val trace = r6((0 until D).map(i => c(i)(i)).sum)
+    Seq((n, D, trace, lam, r6(lam / trace)))
+      .toDF("n_vecs", "dim", "trace", "top_eig", "explained_share")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embed_covariance" -> (qCovariance _),
+    "embed_spectrum" -> (qSpectrum _))
+
+  /** Shared covariance CTE: per-pair product sums via a dimension
+    * range join (the oracle pays generic tuple machinery for the
+    * same arithmetic the Spark kernel fuses). */
+  private val covSql =
+    s"""e AS (SELECT embedding FROM embeddings),
+       |nn AS (SELECT count(*) AS n FROM e),
+       |prods AS (SELECT ii.i AS i, jj.j AS j,
+       |    sum(CAST(embedding[ii.i + 1] AS DOUBLE)
+       |      * CAST(embedding[jj.j + 1] AS DOUBLE)) AS sxy
+       |  FROM e, range(0, $D) ii(i), range(0, $D) jj(j)
+       |  WHERE jj.j >= ii.i GROUP BY ii.i, jj.j),
+       |means AS (SELECT ii.i AS i, sum(CAST(embedding[ii.i + 1] AS DOUBLE)) AS sx
+       |  FROM e, range(0, $D) ii(i) GROUP BY ii.i),
+       |cov AS MATERIALIZED (SELECT prods.i, prods.j,
+       |    round(sxy / n - (mi.sx / n) * (mj.sx / n), 6) AS cov
+       |  FROM prods JOIN means mi ON mi.i = prods.i
+       |             JOIN means mj ON mj.i = prods.j
+       |             CROSS JOIN nn)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "embed_covariance" ->
+      s"""WITH $covSql
+         |SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j, cov FROM cov""".stripMargin,
+    "embed_spectrum" -> {
+      val iter = (k: Int) =>
+        s"""u$k AS MATERIALIZED (SELECT m.i, round(sum(m.cov * v.v), 6) AS u
+           |  FROM m JOIN v${k - 1} v ON v.i = m.j GROUP BY m.i),
+           |v$k AS MATERIALIZED (SELECT i, round(u / sqrt((SELECT sum(u * u) FROM u$k)), 6) AS v
+           |  FROM u$k)""".stripMargin
+      val iters = (1 to ITERS).map(iter).mkString(",\n")
+      s"""WITH $covSql,
+         |m AS MATERIALIZED (SELECT i, j, cov FROM cov
+         |      UNION ALL SELECT j, i, cov FROM cov WHERE i != j),
+         |v0 AS (SELECT ii.i AS i, CAST(0.125 AS DOUBLE) AS v FROM range(0, $D) ii(i)),
+         |$iters,
+         |fu AS (SELECT m.i, round(sum(m.cov * v.v), 6) AS u
+         |  FROM m JOIN v$ITERS v ON v.i = m.j GROUP BY m.i),
+         |lam AS (SELECT round(sum(fu.u * v.v) / sum(v.v * v.v), 6) AS top_eig
+         |  FROM fu JOIN v$ITERS v USING (i)),
+         |tr AS (SELECT round(sum(cov), 6) AS trace FROM cov WHERE i = j)
+         |SELECT n AS n_vecs, $D AS dim, trace, top_eig,
+         |  round(top_eig / trace, 6) AS explained_share
+         |FROM nn CROSS JOIN tr CROSS JOIN lam""".stripMargin
+    })
+}
