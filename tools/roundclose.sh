@@ -15,7 +15,7 @@ cd "$(dirname "$0")/.."
 
 SF=${1:-/root/testdata/sf0.01}
 OUT=${2:-/tmp/verify_roundclose}
-MIN_ENTRIES=${MIN_ENTRIES:-219}
+MIN_ENTRIES=${MIN_ENTRIES:-235}
 
 rm -rf "$OUT"
 SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-8} \
@@ -43,6 +43,11 @@ bad = {k: v.get("err") for k, v in d.items()
 if bad:
     sys.exit(f"roundclose: non-exact queries: {bad}")
 oracled = sum(1 for v in d.values() if v.get("err") is None)
+# an all-"no_oracle" artifact (e.g. Verify ran against a stale
+# oracle_sql.json) carries no correctness signal — refuse it
+if oracled < need * 0.8:
+    sys.exit(f"roundclose: only {oracled} oracle-exact entries of {len(d)} "
+             f"— the artifact carries no real correctness signal")
 print(f"roundclose OK: {len(d)} entries, {oracled} oracle-exact, "
       f"{len(d) - oracled} declared rows-only")
 EOF
