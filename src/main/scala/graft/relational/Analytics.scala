@@ -641,6 +641,45 @@ object Analytics {
       .select("event_id", "event_type", "hod", "value", "z")
   }
 
+  /** OLS discount elasticity: per return flag, the least-squares line
+    * quantity ~ discount — does discounting move volume? The moment
+    * sums are DECIMAL-exact (both columns are 2-dp values, so x, y,
+    * xy, x^2, y^2 are exact 4-dp decimals whose sums are
+    * order-independent), and the closed-form slope / intercept / r2
+    * are computed from those exact scalars with the formula mirrored
+    * term-for-term — bitwise cross-engine, no aggregated-double noise
+    * anywhere. One partial-agg groupBy on the bounded flag key. */
+  def qDiscountOls(spark: SparkSession, dir: String): DataFrame = {
+    val x = col("l_discount").cast("decimal(18,2)")
+    val y = col("l_quantity").cast("decimal(18,2)")
+    t(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum((x * y).cast("decimal(38,4)")).as("sxy"),
+        sum((x * x).cast("decimal(38,4)")).as("sxx"),
+        sum((y * y).cast("decimal(38,4)")).as("syy"))
+      .select(col("l_returnflag"), col("n"),
+        // num/den/deny written ONCE as vals would still inline the
+        // same expression tree; pow() is avoided because pow(x, 2)
+        // is not guaranteed bitwise-equal to x * x across libms
+        expr(s"round($OLS_NUM / $OLS_DEN, 6)").as("slope"),
+        expr(s"round((CAST(sy AS DOUBLE) - ($OLS_NUM / $OLS_DEN) * CAST(sx AS DOUBLE)) / n, 6)")
+          .as("intercept"),
+        expr(s"round(($OLS_NUM * $OLS_NUM) / ($OLS_DEN * $OLS_DENY), 6)").as("r2"))
+  }
+
+  /** The OLS closed-form fragments — ONE string each, spliced into
+    * BOTH the Spark selectExpr and the DuckDB oracle so the engines
+    * evaluate literally the same expression text over the same exact
+    * decimal sums. */
+  private val OLS_NUM =
+    "(n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+  private val OLS_DEN =
+    "(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+  private val OLS_DENY =
+    "(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"
+
   /** Holt smoothing weights (level alpha, trend beta; 1-beta is
     * written literally as 0.7 on BOTH sides — 1.0 - 0.3 is the
     * DIFFERENT double 0.7000000000000001). */
@@ -1019,6 +1058,7 @@ object Analytics {
     "events_bot_regularity" -> (qBotRegularity _),
     "lineitem_weighted_quartiles" -> (qWeightedQuartiles _),
     "orders_holt_forecast" -> (qHoltForecast _),
+    "lineitem_discount_ols" -> (qDiscountOls _),
     "embed_qc" -> (qEmbedQc _),
     "revenue_share" -> (qRevenueShare _),
     "events_chi2" -> (qChi2 _),
@@ -1288,6 +1328,22 @@ object Analytics {
         |  CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
         |    AS bounce_rate
         |FROM per GROUP BY user_id""".stripMargin,
+    "lineitem_discount_ols" ->
+      s"""WITH a AS (SELECT l_returnflag, count(*) AS n,
+         |    sum(CAST(l_discount AS DECIMAL(18,2))) AS sx,
+         |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sy,
+         |    sum(CAST(CAST(l_discount AS DECIMAL(18,2))
+         |      * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sxy,
+         |    sum(CAST(CAST(l_discount AS DECIMAL(18,2))
+         |      * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sxx,
+         |    sum(CAST(CAST(l_quantity AS DECIMAL(18,2))
+         |      * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS syy
+         |  FROM lineitem GROUP BY l_returnflag)
+         |SELECT l_returnflag, n,
+         |  round($OLS_NUM / $OLS_DEN, 6) AS slope,
+         |  round((CAST(sy AS DOUBLE) - ($OLS_NUM / $OLS_DEN) * CAST(sx AS DOUBLE)) / n, 6) AS intercept,
+         |  round(($OLS_NUM * $OLS_NUM) / ($OLS_DEN * $OLS_DENY), 6) AS r2
+         |FROM a""".stripMargin,
     "orders_holt_forecast" ->
       """WITH RECURSIVE i AS (
         |  SELECT day, rev, row_number() OVER (ORDER BY day) AS rn FROM (

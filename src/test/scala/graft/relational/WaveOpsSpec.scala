@@ -225,4 +225,30 @@ class WaveOpsSpec extends AnyFunSuite {
       l = nl; b = nb
     }
   }
+
+  test("discount OLS: closed form recomputes from exact decimal moments per flag") {
+    val raw = graft.Tables.t(spark, sf, "lineitem")
+      .select("l_returnflag", "l_discount", "l_quantity").collect()
+      .map(r => (r.getString(0), BigDecimal(r.getDouble(1)).setScale(2),
+        BigDecimal(r.getDouble(2)).setScale(2)))
+      .groupBy(_._1)
+    val rows = Analytics.qDiscountOls(spark, sf).collect()
+    assert(rows.length == raw.size)
+    rows.foreach { r =>
+      val g = raw(r.getAs[String]("l_returnflag"))
+      val n = g.size.toDouble
+      val (sx, sy) = (g.map(_._2).sum.toDouble, g.map(_._3).sum.toDouble)
+      val sxy = g.map(t => t._2 * t._3).sum.toDouble
+      val sxx = g.map(t => t._2 * t._2).sum.toDouble
+      val syy = g.map(t => t._3 * t._3).sum.toDouble
+      val num = n * sxy - sx * sy
+      val den = n * sxx - sx * sx
+      assert(r.getAs[Long]("n") == g.size)
+      assert(math.abs(r.getAs[Double]("slope") - num / den) < 1e-5)
+      assert(math.abs(r.getAs[Double]("intercept") - (sy - (num / den) * sx) / n) < 1e-5)
+      val r2 = (num * num) / (den * (n * syy - sy * sy))
+      assert(math.abs(r.getAs[Double]("r2") - r2) < 1e-5)
+      assert(r2 >= 0 && r.getAs[Double]("r2") <= 1.0 + 1e-9)
+    }
+  }
 }
