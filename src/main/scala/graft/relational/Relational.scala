@@ -593,6 +593,93 @@ object Relational {
     states.zip(pi).toDF("event_type", "pi")
   }
 
+  /** Absorption sweeps for the removal-effect chain (enough for the
+    * bounded state space to converge well past round-6). */
+  private val ATTR_SWEEPS = 30
+
+  /** Markov removal-effect attribution (the data-driven
+    * multi-touch model from the public marketing-attribution
+    * literature, next to the last-touch report): build each user's
+    * journey START -> touches -> first purchase (CONV) or stream end
+    * (NULL), estimate the transition matrix, and credit each channel
+    * by how much the journey-level conversion probability DROPS when
+    * paths through that channel are severed (transitions INTO the
+    * removed channel land in NULL). Conversion probability =
+    * absorption into CONV from START, iterated ATTR_SWEEPS times.
+    *
+    * Scale shape: journeys and transition counts are two windows +
+    * one bounded (from, to) aggregate over the fact table — the
+    * events_transitions plan; everything after runs on the driver
+    * over the |states|^2 matrix (the markov_stationary discipline:
+    * every sweep's values round 6 in both engines, the per-state
+    * <= |states|-term sum order being the documented §4 sub-ulp
+    * risk). Output per channel: the full-chain conversion
+    * probability, the severed-chain one, the removal effect
+    * 1 - removed/full, and the effect's normalized share. */
+  def qAttributionMarkov(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val ev = t(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("rn", row_number().over(w))
+    val cut = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(min("rn").as("cut"))
+    val j = ev.join(cut, Seq("user_id"), "left")
+      .filter(col("cut").isNull || col("rn") <= col("cut"))
+      .withColumn("nxt", lead("event_type", 1).over(
+        Window.partitionBy("user_id").orderBy("rn")))
+    val steps = j.filter(col("event_type") =!= "purchase")
+      .select(col("event_type").as("from_state"),
+        when(col("nxt").isNull, "NULL")
+          .when(col("nxt") === "purchase", "CONV")
+          .otherwise(col("nxt")).as("to_state"))
+    val starts = j.filter(col("rn") === 1)
+      .select(lit("START").as("from_state"),
+        when(col("event_type") === "purchase", "CONV")
+          .otherwise(col("event_type")).as("to_state"))
+    val counts = steps.unionByName(starts)
+      .groupBy("from_state", "to_state").agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy("from_state").agg(sum("n").as("total"))
+    val tm = counts.join(totals, "from_state")
+      .select(col("from_state"), col("to_state"),
+        round(col("n").cast("double") / col("total"), 6).as("p"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val froms = tm.keys.map(_._1).toSeq.distinct
+    val states = (tm.keys.map(_._1) ++ tm.keys.map(_._2)).toSeq.distinct.sorted
+    val channels = froms.filter(_ != "START").sorted
+    def absorb(removed: Option[String]): Double = {
+      var v = states.map {
+        case "CONV" => 1.0
+        case _ => 0.0
+      }.toArray
+      for (_ <- 1 to ATTR_SWEEPS) {
+        v = states.zipWithIndex.map { case (s, si) =>
+          if (s == "CONV") 1.0
+          else if (s == "NULL") 0.0
+          else r6(states.zipWithIndex.map { case (t2, ti) =>
+            if (removed.contains(t2)) 0.0
+            else tm.getOrElse((s, t2), 0.0) * v(ti)
+          }.sum)
+        }.toArray
+      }
+      v(states.indexOf("START"))
+    }
+    val convFull = absorb(None)
+    val effects = channels.map { c =>
+      val convRem = absorb(Some(c))
+      (c, convRem, r6(1.0 - convRem / convFull))
+    }
+    val totEff = effects.map(_._3).sum
+    effects.map { case (c, convRem, eff) =>
+      (c, convFull, convRem, eff, r6(eff / totEff))
+    }.toDF("channel", "conv_full", "conv_removed", "removal_effect",
+      "attribution_share")
+  }
+
   /** Per-user EWMA of event values over a 10-row trailing window
     * (alpha = 0.5). The recursion s_t = a*x_t + (1-a)*s_(t-1), seeded
     * with the frame's oldest value, runs as the SAME left fold in both
@@ -885,6 +972,7 @@ object Relational {
     "events_transitions" -> (eventsTransitions _),
     "events_attribution" -> (eventsAttribution _),
     "events_markov_stationary" -> ((s: SparkSession, d: String) => qMarkovStationary(s, d)),
+    "events_attribution_markov" -> (qAttributionMarkov _),
     "events_cusum" -> (eventsCusum _),
     "q1_pricing_summary" -> (q1Pricing _),
     "events_funnel_windowed" -> (eventsFunnelWindowed _),
@@ -993,6 +1081,64 @@ object Relational {
         |SELECT (SELECT count(*) FROM s1) AS n_viewed,
         |  (SELECT count(*) FROM s2) AS n_clicked_30m,
         |  (SELECT count(*) FROM s3) AS n_purchased_30m""".stripMargin,
+    "events_attribution_markov" -> {
+      val sweep = (k: Int) =>
+        s"""v$k AS MATERIALIZED (
+           |  SELECT f.removed, f.state,
+           |    CASE WHEN f.state = 'CONV' THEN CAST(1 AS DOUBLE)
+           |         WHEN f.state = 'NULL' THEN CAST(0 AS DOUBLE)
+           |         ELSE round(coalesce(a.x, CAST(0 AS DOUBLE)), 6) END AS v
+           |  FROM v0 f LEFT JOIN (
+           |    SELECT v.removed, tm.from_state AS state, sum(tm.p * v.v) AS x
+           |    FROM tm JOIN v${k - 1} v
+           |      ON v.state = tm.to_state AND tm.to_state != v.removed
+           |    GROUP BY v.removed, tm.from_state) a
+           |  ON a.removed = f.removed AND a.state = f.state)""".stripMargin
+      val sweeps = (1 to 30).map(sweep).mkString(",\n")
+      s"""WITH ev AS (SELECT user_id, event_id, ts, event_type,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+         |  FROM events),
+         |cut AS (SELECT user_id, min(rn) AS cut FROM ev
+         |  WHERE event_type = 'purchase' GROUP BY user_id),
+         |j AS (SELECT e.user_id, e.rn, e.event_type,
+         |    lead(e.event_type) OVER (PARTITION BY e.user_id ORDER BY e.rn) AS nxt
+         |  FROM ev e LEFT JOIN cut USING (user_id)
+         |  WHERE cut.cut IS NULL OR e.rn <= cut.cut),
+         |tr AS (
+         |  SELECT event_type AS from_state,
+         |    CASE WHEN nxt IS NULL THEN 'NULL'
+         |         WHEN nxt = 'purchase' THEN 'CONV' ELSE nxt END AS to_state
+         |  FROM j WHERE event_type != 'purchase'
+         |  UNION ALL
+         |  SELECT 'START',
+         |    CASE WHEN event_type = 'purchase' THEN 'CONV' ELSE event_type END
+         |  FROM j WHERE rn = 1),
+         |tm AS MATERIALIZED (SELECT from_state, to_state,
+         |    round(CAST(count(*) AS DOUBLE)
+         |      / CAST(sum(count(*)) OVER (PARTITION BY from_state) AS BIGINT), 6) AS p
+         |  FROM tr GROUP BY from_state, to_state),
+         |rm AS (SELECT DISTINCT from_state AS removed FROM tm
+         |       WHERE from_state != 'START'
+         |       UNION ALL SELECT 'none'),
+         |sts AS (SELECT DISTINCT state FROM (
+         |  SELECT from_state AS state FROM tm
+         |  UNION SELECT to_state FROM tm)),
+         |v0 AS MATERIALIZED (SELECT rm.removed, sts.state,
+         |    CASE WHEN sts.state = 'CONV' THEN CAST(1 AS DOUBLE)
+         |         ELSE CAST(0 AS DOUBLE) END AS v
+         |  FROM rm CROSS JOIN sts),
+         |$sweeps,
+         |fl AS (SELECT v AS conv_full FROM v30
+         |  WHERE removed = 'none' AND state = 'START'),
+         |eff AS (SELECT removed AS channel, v AS conv_removed,
+         |    round(1 - v / conv_full, 6) AS removal_effect
+         |  FROM v30 CROSS JOIN fl
+         |  WHERE state = 'START' AND removed != 'none'),
+         |tot AS (SELECT sum(removal_effect) AS te FROM eff)
+         |SELECT channel, conv_full, conv_removed, removal_effect,
+         |  round(removal_effect / te, 6) AS attribution_share
+         |FROM eff CROSS JOIN fl CROSS JOIN tot""".stripMargin
+    },
     "events_markov_stationary" -> {
       val sweep = (i: Int) =>
         s"""s$i AS MATERIALIZED (

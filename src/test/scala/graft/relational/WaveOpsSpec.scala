@@ -251,4 +251,24 @@ class WaveOpsSpec extends AnyFunSuite {
       assert(r2 >= 0 && r.getAs[Double]("r2") <= 1.0 + 1e-9)
     }
   }
+
+  test("markov attribution: severing any channel can only hurt conversion; shares normalize") {
+    val rows = Relational.qAttributionMarkov(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val full = rows.head.getAs[Double]("conv_full")
+    assert(full > 0 && full <= 1.0)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("conv_full") == full, "one chain, one full probability")
+      val rem = r.getAs[Double]("conv_removed")
+      assert(rem >= 0 && rem <= full + 1e-6,
+        s"${r.getAs[String]("channel")}: severing a channel cannot raise conversion")
+      val eff = r.getAs[Double]("removal_effect")
+      assert(math.abs(eff - (1.0 - rem / full)) < 1e-5)
+      assert(eff >= -1e-6 && eff <= 1.0)
+    }
+    assert(math.abs(rows.map(_.getAs[Double]("attribution_share")).sum - 1.0) < 1e-4,
+      "normalized shares sum to 1")
+    assert(rows.map(_.getAs[String]("channel")).sorted.toSeq ==
+      rows.map(_.getAs[String]("channel")).distinct.sorted.toSeq)
+  }
 }
