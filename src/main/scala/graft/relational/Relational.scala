@@ -620,25 +620,35 @@ object Relational {
     val spark2 = spark
     import spark2.implicits._
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    val ev = t(spark, dir, "events")
+    // ONE window lineage carries everything: rn + nxt on the running
+    // frame, and the journey cut (the user's first-purchase rank) as
+    // a whole-partition min over the SAME partitioning/sort — no
+    // self-join, so the user-sort is paid once. Full-frame lead is
+    // identical to truncated-frame lead on every row the transition
+    // builder reads (rows truncate AT the first purchase, so every
+    // kept non-purchase row's successor is also kept).
+    val j = t(spark, dir, "events")
       .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
       .withColumn("rn", row_number().over(w))
-    val cut = ev.filter(col("event_type") === "purchase")
-      .groupBy("user_id").agg(min("rn").as("cut"))
-    val j = ev.join(cut, Seq("user_id"), "left")
+      .withColumn("nxt", lead("event_type", 1).over(w))
+      .withColumn("cut", min(when(col("event_type") === "purchase", col("rn")))
+        .over(Window.partitionBy("user_id")))
       .filter(col("cut").isNull || col("rn") <= col("cut"))
-      .withColumn("nxt", lead("event_type", 1).over(
-        Window.partitionBy("user_id").orderBy("rn")))
-    val steps = j.filter(col("event_type") =!= "purchase")
-      .select(col("event_type").as("from_state"),
-        when(col("nxt").isNull, "NULL")
-          .when(col("nxt") === "purchase", "CONV")
-          .otherwise(col("nxt")).as("to_state"))
-    val starts = j.filter(col("rn") === 1)
-      .select(lit("START").as("from_state"),
-        when(col("event_type") === "purchase", "CONV")
-          .otherwise(col("event_type")).as("to_state"))
-    val counts = steps.unionByName(starts)
+    // each row emits its (from, to) contributions in ONE pass — a
+    // steps-UNION-starts formulation re-derives the whole window
+    // lineage once per branch
+    val counts = j.select(explode(array(
+        when(col("event_type") =!= "purchase", struct(
+          col("event_type").as("from_state"),
+          when(col("nxt").isNull, "NULL")
+            .when(col("nxt") === "purchase", "CONV")
+            .otherwise(col("nxt")).as("to_state"))),
+        when(col("rn") === 1, struct(
+          lit("START").as("from_state"),
+          when(col("event_type") === "purchase", "CONV")
+            .otherwise(col("event_type")).as("to_state"))))).as("e"))
+      .filter(col("e").isNotNull)
+      .select(col("e.from_state").as("from_state"), col("e.to_state").as("to_state"))
       .groupBy("from_state", "to_state").agg(count(lit(1)).as("n"))
     val totals = counts.groupBy("from_state").agg(sum("n").as("total"))
     val tm = counts.join(totals, "from_state")
@@ -1098,12 +1108,13 @@ object Relational {
       s"""WITH ev AS (SELECT user_id, event_id, ts, event_type,
          |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
          |  FROM events),
-         |cut AS (SELECT user_id, min(rn) AS cut FROM ev
-         |  WHERE event_type = 'purchase' GROUP BY user_id),
-         |j AS (SELECT e.user_id, e.rn, e.event_type,
-         |    lead(e.event_type) OVER (PARTITION BY e.user_id ORDER BY e.rn) AS nxt
-         |  FROM ev e LEFT JOIN cut USING (user_id)
-         |  WHERE cut.cut IS NULL OR e.rn <= cut.cut),
+         |ev2 AS (SELECT user_id, rn, event_type,
+         |    lead(event_type) OVER (PARTITION BY user_id ORDER BY rn) AS nxt,
+         |    min(CASE WHEN event_type = 'purchase' THEN rn END)
+         |      OVER (PARTITION BY user_id) AS cut
+         |  FROM ev),
+         |j AS (SELECT user_id, rn, event_type, nxt FROM ev2
+         |  WHERE cut IS NULL OR rn <= cut),
          |tr AS (
          |  SELECT event_type AS from_state,
          |    CASE WHEN nxt IS NULL THEN 'NULL'
