@@ -641,6 +641,34 @@ object Analytics {
       .select("event_id", "event_type", "hod", "value", "z")
   }
 
+  /** Weekday seasonality index: mean daily revenue per day-of-week
+    * over the mean daily revenue overall — the seasonal profile the
+    * ACF's lag peaks point at, and the correction factor a
+    * seasonal-naive forecast divides by. Reduces the fact table to
+    * the DAY-bounded DECIMAL-exact series (the qDailyCumulative
+    * discipline), then one bounded 7-key aggregate + a broadcast
+    * 1-row total; every division runs on exact decimal-sourced
+    * scalars mirrored in order. Spark's dayofweek is 1..7 (Sun = 1);
+    * the oracle maps DuckDB's 0..6 with + 1. */
+  def qWeekdayIndex(spark: SparkSession, dir: String): DataFrame = {
+    val daily = t(spark, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(38,2)")).as("rev"))
+    val byDow = daily.groupBy(dayofweek(col("day")).as("dow"))
+      .agg(count(lit(1)).as("n_days"),
+        sum("n_orders").as("n_orders"),
+        sum(col("rev")).as("sd"))
+    val total = daily.agg(count(lit(1)).as("ntd"),
+      sum(col("rev")).as("st"))
+    byDow.crossJoin(broadcast(total))
+      .select(col("dow"), col("n_days"), col("n_orders"),
+        col("sd").cast("double").as("revenue"),
+        round(col("sd").cast("double") / col("n_days"), 6).as("day_mean"),
+        round((col("sd").cast("double") / col("n_days"))
+          / (col("st").cast("double") / col("ntd")), 6).as("seasonal_index"))
+  }
+
   /** OLS discount elasticity: per return flag, the least-squares line
     * quantity ~ discount — does discounting move volume? The moment
     * sums are DECIMAL-exact (both columns are 2-dp values, so x, y,
@@ -1059,6 +1087,7 @@ object Analytics {
     "lineitem_weighted_quartiles" -> (qWeightedQuartiles _),
     "orders_holt_forecast" -> (qHoltForecast _),
     "lineitem_discount_ols" -> (qDiscountOls _),
+    "orders_weekday_index" -> (qWeekdayIndex _),
     "embed_qc" -> (qEmbedQc _),
     "revenue_share" -> (qRevenueShare _),
     "events_chi2" -> (qChi2 _),
@@ -1328,6 +1357,22 @@ object Analytics {
         |  CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
         |    AS bounce_rate
         |FROM per GROUP BY user_id""".stripMargin,
+    "orders_weekday_index" ->
+      """WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |    count(*) AS n_orders,
+        |    sum(CAST(o_totalprice AS DECIMAL(38,2))) AS rev
+        |  FROM orders GROUP BY 1),
+        |bd AS (SELECT dayofweek(day) + 1 AS dow, count(*) AS n_days,
+        |    CAST(sum(n_orders) AS BIGINT) AS n_orders,
+        |    sum(rev) AS sd
+        |  FROM d GROUP BY 1),
+        |tt AS (SELECT count(*) AS ntd, sum(rev) AS st FROM d)
+        |SELECT dow, n_days, n_orders,
+        |  CAST(sd AS DOUBLE) AS revenue,
+        |  round(CAST(sd AS DOUBLE) / n_days, 6) AS day_mean,
+        |  round((CAST(sd AS DOUBLE) / n_days)
+        |    / (CAST(st AS DOUBLE) / ntd), 6) AS seasonal_index
+        |FROM bd CROSS JOIN tt""".stripMargin,
     "lineitem_discount_ols" ->
       s"""WITH a AS (SELECT l_returnflag, count(*) AS n,
          |    sum(CAST(l_discount AS DECIMAL(18,2))) AS sx,

@@ -271,4 +271,19 @@ class WaveOpsSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[String]("channel")).sorted.toSeq ==
       rows.map(_.getAs[String]("channel")).distinct.sorted.toSeq)
   }
+
+  test("weekday index: 7 dense days, day counts cover the calendar, indexes mean-weighted to 1") {
+    val rows = Analytics.qWeekdayIndex(spark, sf).collect()
+      .map(r => r.getAs[Int]("dow") ->
+        (r.getAs[Long]("n_days"), r.getAs[Double]("day_mean"), r.getAs[Double]("seasonal_index")))
+    assert(rows.map(_._1).sorted.toSeq == (1 to 7))
+    val totalDays = rows.map(_._2._1).sum
+    assert(totalDays > 100, "a multi-year order calendar")
+    rows.foreach { case (_, (nd, dm, idx)) =>
+      assert(nd > 0 && dm > 0 && idx > 0)
+    }
+    // weighted by day counts, the seasonal indexes average to 1
+    val weighted = rows.map { case (_, (nd, _, idx)) => nd * idx }.sum / totalDays
+    assert(math.abs(weighted - 1.0) < 1e-3, s"weighted mean index $weighted")
+  }
 }
