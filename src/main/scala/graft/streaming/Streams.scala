@@ -481,6 +481,62 @@ object Streams {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
   }
 
+  // ---- streaming bot-cadence gate (transformWithState) ------------------
+
+  case class CadEv(user_id: Long, event_id: Long, ts_s: Double)
+  case class CadState(lastTs: Double, n: Long, sum: Double, sumSq: Double)
+  case class CadOut(user_id: Long, n_gaps: Long, mean_gap_s: Double,
+                    cv: Double, metronomic: Boolean)
+
+  /** Streaming bot-cadence gate — the cross-micro-batch twin of the
+    * batch events_bot_regularity report: per key, FOUR doubles of
+    * typed state (last timestamp + count/sum/sum-of-squares of
+    * inter-event gaps) reconstruct the gap moments incrementally, so
+    * the coefficient of variation is available on a live stream
+    * without retaining any event history — including the gap that
+    * SPANS a micro-batch boundary, which a per-batch window can never
+    * see. After each batch a key with enough gaps emits its current
+    * verdict (population moments; cv < `cvCut` over `minGaps`+ gaps
+    * reads as scripted traffic). State survives restarts via the
+    * checkpoint exactly like the quota and CUSUM gates. */
+  class CadenceProcessor(minGaps: Long, cvCut: Double)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, CadEv, CadOut] {
+    @transient private var s: org.apache.spark.sql.streaming.ValueState[CadState] = _
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      s = getHandle.getValueState[CadState]("s",
+        org.apache.spark.sql.Encoders.product[CadState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[CadEv],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[CadOut] = {
+      var st = if (s.exists()) s.get() else null
+      // deterministic fold order within a batch
+      rows.toSeq.sortBy(e => (e.ts_s, e.event_id)).foreach { e =>
+        st =
+          if (st == null) CadState(e.ts_s, 0L, 0.0, 0.0)
+          else {
+            val gap = e.ts_s - st.lastTs
+            CadState(e.ts_s, st.n + 1, st.sum + gap, st.sumSq + gap * gap)
+          }
+      }
+      s.update(st)
+      if (st.n >= minGaps && st.sum > 0.0) {
+        val mean = st.sum / st.n
+        val sd = math.sqrt(math.max(0.0, st.sumSq / st.n - mean * mean))
+        val cv = sd / mean
+        Iterator.single(CadOut(key, st.n, mean, cv, cv < cvCut))
+      } else Iterator.empty
+    }
+  }
+
+  def cadenceGate(events: Dataset[CadEv], minGaps: Long = 5L,
+                  cvCut: Double = 0.3): Dataset[CadOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new CadenceProcessor(minGaps, cvCut),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+  }
+
   // ---- streaming heavy hitters (SpaceSaving) ---------------------------
 
   case class TypedEv(event_type: String, user_id: Long)

@@ -673,6 +673,46 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("transformWithState cadence gate: metronomic key flags, bursty key does not, boundary gap counted") {
+    implicit val sqlCtx = spark.sqlContext
+    val saved = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[Streams.CadEv]
+    val q = Streams.cadenceGate(input.toDS(), minGaps = 4L, cvCut = 0.3)
+      .writeStream.format("memory").queryName("cad_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1: perfect 10s metronome; user 2: bursts and pauses
+      input.addData(
+        (0 to 2).map(i => Streams.CadEv(1L, 10L + i, 100.0 + 10.0 * i)) ++
+          Seq(Streams.CadEv(2L, 20L, 100.0), Streams.CadEv(2L, 21L, 101.0),
+            Streams.CadEv(2L, 22L, 200.0)): _*)
+      q.processAllAvailable()
+      // too few gaps (2 each): nothing emitted yet
+      assert(spark.table("cad_out").count() == 0)
+      // batch 2 continues both streams; the gap SPANNING the batch
+      // boundary (120 -> 130 for user 1) must count
+      input.addData(
+        (3 to 5).map(i => Streams.CadEv(1L, 10L + i, 100.0 + 10.0 * i)) ++
+          Seq(Streams.CadEv(2L, 23L, 201.0), Streams.CadEv(2L, 24L, 350.0)): _*)
+      q.processAllAvailable()
+      val rows = spark.table("cad_out").as[Streams.CadOut].collect()
+        .map(r => r.user_id -> r).toMap
+      assert(rows(1L).n_gaps == 5 && rows(1L).cv < 1e-9 && rows(1L).metronomic,
+        s"metronome must flag: ${rows(1L)}")
+      assert(math.abs(rows(1L).mean_gap_s - 10.0) < 1e-9)
+      assert(rows(2L).n_gaps == 4 && !rows(2L).metronomic,
+        s"bursty must not flag: ${rows(2L)}")
+    } finally {
+      q.stop()
+      saved match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming heavy hitters: bounded state, one-sided estimates, heavy key surfaces") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Streams.TypedEv]
