@@ -473,6 +473,63 @@ object Multimodal {
       if (seed.isEmpty) (id + i).toByte else seed(i % seed.length)))
   }
 
+  /** Frames per synthetic container and the aHash-hamming cut above
+    * which consecutive frames read as a scene change. */
+  private val N_FRAMES = 6
+  private val SCENE_CUT = 10
+
+  /** Deterministic multi-frame container view: per doc, a GFV1
+    * container of N_FRAMES PPM frames where frames within a scene are
+    * identical and alternate scenes INVERT the pixel grid (aHash of an
+    * inverted image is the near-complement, so scene boundaries land
+    * far above the hamming cut by construction while within-scene
+    * distance is exactly 0). Scene length derives from doc_id, so
+    * every container's true cut positions are known. */
+  def framesView(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    t(spark, dir, "documents").select("doc_id", "text").as[(Long, String)]
+      .map { case (id, text) =>
+        val sceneLen = 2 + (id % 2).toInt
+        val (w, h, rgb) = mediaPixels(id, text)
+        val frames = (0 until N_FRAMES).map { f =>
+          val inverted = (f / sceneLen) % 2 == 1
+          val px = if (inverted) rgb.map(b => (255 - (b & 0xff)).toByte) else rgb
+          encodePpm(w, h, px)
+        }
+        MediaRecord(id, "gfv", encodeFrames(frames))
+      }
+  }
+
+  /** Scene-change detection over frame containers: decode every
+    * frame, aHash it, and flag consecutive-frame hamming above the
+    * cut — the standard shot-boundary heuristic from the public
+    * video-processing literature, and the sampling anchor a video
+    * curation pipeline keyframes on. One mapPartitions decode pass
+    * (codec work — the justified slot), per-container output only.
+    * Rows-only by §4 policy like the rest of the codec family;
+    * MultimodalSpec pins the detected cuts against the containers'
+    * KNOWN scene boundaries. */
+  def qSceneCuts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    framesView(spark, dir).map { m =>
+      val buf = java.nio.ByteBuffer.wrap(m.payload)
+      val magic = new Array[Byte](4); buf.get(magic)
+      val n = buf.getInt
+      val hashes = (0 until n).map { _ =>
+        val len = buf.getInt
+        val frame = new Array[Byte](len)
+        buf.get(frame)
+        aHash64(MediaRecord(m.doc_id, "ppm", frame))
+      }
+      val cuts = hashes.sliding(2).zipWithIndex.collect {
+        case (Seq(Some(a), Some(b)), i)
+          if java.lang.Long.bitCount(a ^ b) > SCENE_CUT => i + 1
+      }.toSeq
+      (m.doc_id, n.toLong, cuts.length.toLong,
+        cuts.headOption.map(_.toLong).getOrElse(-1L))
+    }.toDF("doc_id", "n_frames", "n_cuts", "first_cut_frame")
+  }
+
   /** Oracled metadata query: the SQL-expressible half of the pipeline
     * (declared format + content identity). The binary payload sizes
     * and dimensions live in the decode path, verified by spec. */
@@ -774,6 +831,7 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_meta" -> (qMeta _),
     "multimodal_phash_dedup" -> (qPhashDedup _),
+    "multimodal_scene_cuts" -> (qSceneCuts _),
     "multimodal_phash_pairs" -> ((s: SparkSession, d: String) => qPhashPairs(s, d)),
     "multimodal_phash_recall" -> ((s: SparkSession, d: String) => qPhashRecall(s, d)))
 

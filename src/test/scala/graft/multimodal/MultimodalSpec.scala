@@ -338,4 +338,20 @@ class MultimodalSpec extends AnyFunSuite {
     assert(java.lang.Long.bitCount(base ^ drifted) == 6)
     assert((base >>> 48) != (drifted >>> 48), "drift crosses the old prefix probe")
   }
+
+  test("scene cuts match every container's known scene boundaries") {
+    val rows = Multimodal.qSceneCuts(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_frames"), r.getAs[Long]("n_cuts"), r.getAs[Long]("first_cut_frame")))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, (nf, cuts, first)) =>
+      assert(nf == 6)
+      val sceneLen = 2 + (id % 2)
+      val expectedCuts = (6 + sceneLen - 1) / sceneLen - 1
+      assert(cuts == expectedCuts,
+        s"doc $id (sceneLen $sceneLen): $cuts cuts vs $expectedCuts expected")
+      assert(first == sceneLen,
+        s"doc $id: first cut at frame $first, scene length $sceneLen")
+    }
+  }
 }
