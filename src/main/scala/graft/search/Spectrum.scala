@@ -126,9 +126,46 @@ object Spectrum {
       .toDF("n_vecs", "dim", "trace", "top_eig", "explained_share")
   }
 
+  /** Correlation-spectrum summary — the post-standardization
+    * anisotropy check: divide the covariance by the per-dimension
+    * scales (corr_ij = cov_ij / sqrt(var_i var_j)) and re-run the
+    * power iteration. If the RAW dominant share was driven by a few
+    * high-variance dimensions, diagonal standardization (the cheap
+    * half of whitening) collapses it; a share that SURVIVES here is
+    * genuine correlated structure only a full rotation can remove —
+    * the number that decides between per-dim scaling and PCA
+    * whitening. The correlation trace is exactly D (each rounded
+    * diagonal divides by itself), so the share is top_eig / D. All
+    * driver math on the rounded matrix; same staged Gram sums. */
+  def qCorrSpectrum(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (c, n) = covMatrix(spark, dir)
+    (0 until D).foreach(i => require(c(i)(i) > 0.0, s"zero variance in dim $i"))
+    val cr = Array.tabulate(D, D)((i, j) =>
+      r6(c(i)(j) / math.sqrt(c(i)(i) * c(j)(j))))
+    def matvec(v: Array[Double]): Array[Double] =
+      Array.tabulate(D) { i =>
+        var s = 0.0
+        var j = 0
+        while (j < D) { s += cr(i)(j) * v(j); j += 1 }
+        r6(s)
+      }
+    var v = Array.fill(D)(0.125)
+    for (_ <- 1 to ITERS) {
+      val u = matvec(v)
+      val nrm = math.sqrt(u.map(x => x * x).sum)
+      v = u.map(x => r6(x / nrm))
+    }
+    val u = matvec(v)
+    val lam = r6(u.indices.map(i => u(i) * v(i)).sum / v.map(x => x * x).sum)
+    Seq((n, D, lam, r6(lam / D)))
+      .toDF("n_vecs", "dim", "top_eig", "explained_share")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embed_covariance" -> (qCovariance _),
-    "embed_spectrum" -> (qSpectrum _))
+    "embed_spectrum" -> (qSpectrum _),
+    "embed_corr_spectrum" -> (qCorrSpectrum _))
 
   /** Shared covariance CTE: per-pair product sums via a dimension
     * range join (the oracle pays generic tuple machinery for the
@@ -149,29 +186,46 @@ object Spectrum {
        |             JOIN means mj ON mj.i = prods.j
        |             CROSS JOIN nn)""".stripMargin
 
+  /** The power-iteration CTE chain over whatever `m` matrix the
+    * caller's WITH-prefix defined; shared by both spectrum oracles. */
+  private def iterChainSql: String = {
+    val iter = (k: Int) =>
+      s"""u$k AS MATERIALIZED (SELECT m.i, round(sum(m.cov * v.v), 6) AS u
+         |  FROM m JOIN v${k - 1} v ON v.i = m.j GROUP BY m.i),
+         |v$k AS MATERIALIZED (SELECT i, round(u / sqrt((SELECT sum(u * u) FROM u$k)), 6) AS v
+         |  FROM u$k)""".stripMargin
+    val iters = (1 to ITERS).map(iter).mkString(",\n")
+    s"""v0 AS (SELECT ii.i AS i, CAST(0.125 AS DOUBLE) AS v FROM range(0, $D) ii(i)),
+       |$iters,
+       |fu AS (SELECT m.i, round(sum(m.cov * v.v), 6) AS u
+       |  FROM m JOIN v$ITERS v ON v.i = m.j GROUP BY m.i),
+       |lam AS (SELECT round(sum(fu.u * v.v) / sum(v.v * v.v), 6) AS top_eig
+       |  FROM fu JOIN v$ITERS v USING (i))""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "embed_corr_spectrum" ->
+      s"""WITH $covSql,
+         |corr AS MATERIALIZED (SELECT a.i, a.j,
+         |    round(a.cov / sqrt(di.cov * dj.cov), 6) AS cov
+         |  FROM cov a JOIN cov di ON di.i = a.i AND di.j = a.i
+         |             JOIN cov dj ON dj.i = a.j AND dj.j = a.j),
+         |m AS MATERIALIZED (SELECT i, j, cov FROM corr
+         |      UNION ALL SELECT j, i, cov FROM corr WHERE i != j),
+         |$iterChainSql
+         |SELECT n AS n_vecs, $D AS dim, top_eig,
+         |  round(top_eig / $D, 6) AS explained_share
+         |FROM nn CROSS JOIN lam""".stripMargin,
     "embed_covariance" ->
       s"""WITH $covSql
          |SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j, cov FROM cov""".stripMargin,
-    "embed_spectrum" -> {
-      val iter = (k: Int) =>
-        s"""u$k AS MATERIALIZED (SELECT m.i, round(sum(m.cov * v.v), 6) AS u
-           |  FROM m JOIN v${k - 1} v ON v.i = m.j GROUP BY m.i),
-           |v$k AS MATERIALIZED (SELECT i, round(u / sqrt((SELECT sum(u * u) FROM u$k)), 6) AS v
-           |  FROM u$k)""".stripMargin
-      val iters = (1 to ITERS).map(iter).mkString(",\n")
+    "embed_spectrum" ->
       s"""WITH $covSql,
          |m AS MATERIALIZED (SELECT i, j, cov FROM cov
          |      UNION ALL SELECT j, i, cov FROM cov WHERE i != j),
-         |v0 AS (SELECT ii.i AS i, CAST(0.125 AS DOUBLE) AS v FROM range(0, $D) ii(i)),
-         |$iters,
-         |fu AS (SELECT m.i, round(sum(m.cov * v.v), 6) AS u
-         |  FROM m JOIN v$ITERS v ON v.i = m.j GROUP BY m.i),
-         |lam AS (SELECT round(sum(fu.u * v.v) / sum(v.v * v.v), 6) AS top_eig
-         |  FROM fu JOIN v$ITERS v USING (i)),
+         |$iterChainSql,
          |tr AS (SELECT round(sum(cov), 6) AS trace FROM cov WHERE i = j)
          |SELECT n AS n_vecs, $D AS dim, trace, top_eig,
          |  round(top_eig / trace, 6) AS explained_share
-         |FROM nn CROSS JOIN tr CROSS JOIN lam""".stripMargin
-    })
+         |FROM nn CROSS JOIN tr CROSS JOIN lam""".stripMargin)
 }

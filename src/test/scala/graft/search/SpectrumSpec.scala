@@ -38,4 +38,14 @@ class SpectrumSpec extends AnyFunSuite {
     assert(math.abs(share - BigDecimal(lam / tr).setScale(6,
       BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
   }
+
+  test("correlation spectrum: dominant eigenvalue between the mean (1) and the trace (64)") {
+    val r = Spectrum.qCorrSpectrum(spark, sf).collect()(0)
+    val lam = r.getAs[Double]("top_eig")
+    // the correlation matrix has unit diagonal: 64 eigenvalues summing
+    // to 64, so the largest is at least the mean and at most the sum
+    assert(lam >= 1.0 - 1e-4 && lam <= 64.0 + 1e-6, s"top_eig $lam")
+    assert(math.abs(r.getAs[Double]("explained_share") - BigDecimal(lam / 64)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+  }
 }
