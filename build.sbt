@@ -14,6 +14,19 @@ Test / fork := true
 // (cacheManager emptiness); concurrent suites would race those asserts.
 Test / parallelExecution := false
 run / fork := true
+// The round driver parses the LAST stdout line of `sbt runMain graft.Bench`
+// as JSON. Two sbt default behaviors broke that for three straight rounds
+// (BENCH_r9..r11 "parsed": null): the forked process's stdout is re-logged
+// with an "[info] " prefix, and sbt appends a "[success] Total time: ..."
+// epilogue AFTER the program's output. Route forked stdout through raw
+// (no prefix) and suppress the epilogue so the program's own final line
+// is the process's final line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / showTiming := false
+// the two keys above are consumed by sbt's command engine, which the
+// unused-setting lint can't see
+Global / excludeLintKeys ++= Set(showSuccess, showTiming)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

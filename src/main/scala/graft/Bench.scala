@@ -128,8 +128,21 @@ object Bench {
     val topShuffle = metrics.toSeq.sortBy(-_._2.take(2).sum).take(5)
       .map { case (k, Seq(r, w, _, _)) =>
         s"\"$k\":\"${(r + w) / 1024}KB\"" }.mkString("{", ",", "}")
+    val summary =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"slowest":$top,"top_shufflers":$topShuffle,"errors":$errs,"reps":$REPS,"sf":"$sfDir","full":"$outFile"}"""
+    // The compact summary must survive ANY harness capture policy:
+    // last-line parse (summary is the final stdout line; build.sbt
+    // suppresses sbt's own epilogue + [info] prefix for forked runs),
+    // bounded-tail parse (printed both before and after the full dump
+    // so a ~2KB tail window always contains one complete line), and
+    // file pickup (BENCH_SUMMARY.json beside BENCH_FULL.json).
+    val summaryFile =
+      if (only.isDefined) "/tmp/BENCH_SUMMARY_ONLY.json" else "BENCH_SUMMARY.json"
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(summaryFile), summary + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] write $summaryFile: $e") }
+    println(summary)
     println(full)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"slowest":$top,"top_shufflers":$topShuffle,"errors":$errs,"reps":$REPS,"sf":"$sfDir","full":"$outFile"}""")
     spark.stop()
+    println(summary)
   }
 }

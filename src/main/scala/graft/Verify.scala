@@ -23,12 +23,30 @@ object Verify {
     val selected = SparkEntry.queries.filter { case (name, _) =>
       only.forall(_.contains(name))
     }
+    // Per-query pass/fail persisted UNCONDITIONALLY and incrementally
+    // (rewritten after every query): the round driver's correctness
+    // artifact arrived empty in rounds 9-11, so even a Verify run that
+    // is killed mid-flight must leave machine-readable evidence of
+    // which queries already produced output.
+    val status = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def persistStatus(): Unit = {
+      val body = status.map { case (k, v) => s""""$k": $v""" }
+        .mkString("{\n", ",\n", "\n}\n")
+      try Files.writeString(Paths.get(s"$outDir/verify_status.json"), body)
+      catch { case e: Throwable => System.err.println(s"[verify] status write: $e") }
+    }
     selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        status(name) = f"""{"ok": true, "sec": ${(System.nanoTime() - t0) / 1e9}%.2f}"""
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = String.valueOf(e.getMessage).replaceAll("[\"\\\\\\n\\r\\t]", " ").take(160)
+        status(name) = s"""{"ok": false, "err": "$msg"}"""
       }
+      persistStatus()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

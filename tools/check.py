@@ -17,7 +17,7 @@ round's hard correctness signal exists even if the driver artifact
 arrives empty (the round-9 failure mode). Default artifact path is the
 repo root next to tools/; pass a third arg to override.
 """
-import sys, json, glob, math, os
+import sys, json, glob, math, os, time
 import duckdb
 import pandas as pd
 
@@ -70,6 +70,7 @@ def main(sfdir, outdir, artifact=None):
                               err="no_oracle")
     n_ok = 0
     for name in sorted(oracle):
+        t0 = time.time()
         files = glob.glob(f"{outdir}/{name}/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark output")
@@ -110,7 +111,9 @@ def main(sfdir, outdir, artifact=None):
                   f"({len(got)} rows)")
         else:
             n_ok += 1
-            print(f"OK   {name}: {len(got)} rows exact")
+            # per-oracle wall time: the expensive DuckDB oracles are the
+            # prime suspect for the driver's empty-correctness timeouts
+            print(f"OK   {name}: {len(got)} rows exact ({time.time()-t0:.1f}s)")
     with open(artifact, "w") as f:
         json.dump(dict(sorted(results.items())), f, indent=2)
     print(f"== {n_ok}/{len(oracle)} queries exact ==")

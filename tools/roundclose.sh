@@ -1,21 +1,21 @@
 #!/usr/bin/env bash
 # Round-close gate (SURVEY §7): the hard correctness signal MUST exist
 # in the repo at every round close — the driver's CORRECTNESS_r{N}.json
-# arrived empty in rounds 9 and 10, so the round's exactness evidence
+# arrived empty in rounds 9-11, so the round's exactness evidence
 # lives in CORRECTNESS_local.json, produced and committed HERE.
 #
 #   tools/roundclose.sh [sfDir] [verifyOutDir]
 #
 # Runs graft.Verify over the full registry, compares every query to its
 # DuckDB oracle via tools/check.py (writing CORRECTNESS_local.json),
-# REFUSES to exit 0 if the artifact is absent/small/non-exact, then
+# REFUSES to exit 0 if the artifact is absent / smaller than the live
+# registry / non-exact / carrying an UNDECLARED rows-only entry, then
 # stages and commits the artifact. Run it as the LAST step of a round.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
 SF=${1:-/root/testdata/sf0.01}
 OUT=${2:-/tmp/verify_roundclose}
-MIN_ENTRIES=${MIN_ENTRIES:-235}
 
 rm -rf "$OUT"
 SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-8} \
@@ -28,28 +28,48 @@ fi
 
 python3 tools/check.py "$SF" "$OUT" CORRECTNESS_local.json | tail -3
 
-python3 - <<'EOF'
-import json, sys
+# The gate floor is NOT a hand-maintained constant (round-11's 235 vs a
+# 242-query registry would have let 7 queries silently unregister): the
+# live registry size comes from verify_status.json, which graft.Verify
+# writes unconditionally with one entry per registered query.
+VERIFY_STATUS="$OUT/verify_status.json" python3 - <<'EOF'
+import json, os, sys
 try:
     d = json.load(open("CORRECTNESS_local.json"))
 except Exception as e:
     sys.exit(f"roundclose: artifact unreadable: {e}")
-import os
-need = int(os.environ.get("MIN_ENTRIES", "219"))
-if len(d) < need:
-    sys.exit(f"roundclose: artifact too small: {len(d)} entries < {need}")
+try:
+    status = json.load(open(os.environ["VERIFY_STATUS"]))
+except Exception as e:
+    sys.exit(f"roundclose: verify_status.json unreadable: {e}")
+registry = len(status)
+not_ok = {k: v for k, v in status.items() if not v.get("ok")}
+if not_ok:
+    sys.exit(f"roundclose: queries failed during Verify: {sorted(not_ok)}")
+if len(d) != registry:
+    sys.exit(f"roundclose: artifact has {len(d)} entries but the live "
+             f"registry has {registry} — a query silently dropped out "
+             f"of the compare")
 bad = {k: v.get("err") for k, v in d.items()
        if v.get("err") not in (None, "no_oracle")}
 if bad:
     sys.exit(f"roundclose: non-exact queries: {bad}")
-oracled = sum(1 for v in d.values() if v.get("err") is None)
-# an all-"no_oracle" artifact (e.g. Verify ran against a stale
-# oracle_sql.json) carries no correctness signal — refuse it
-if oracled < need * 0.8:
-    sys.exit(f"roundclose: only {oracled} oracle-exact entries of {len(d)} "
-             f"— the artifact carries no real correctness signal")
-print(f"roundclose OK: {len(d)} entries, {oracled} oracle-exact, "
-      f"{len(d) - oracled} declared rows-only")
+# Rows-only (oracle-free) entries must be EXACTLY the declared §4 set —
+# an oracle silently dropping from SparkEntry.oracleSql must fail here.
+DECLARED_ROWS_ONLY = {
+    "agg_approx_distinct", "events_freq_items", "gka_full",
+    "kmeans_metrics", "kmeans_mllib", "multimodal_phash_dedup",
+    "multimodal_phash_pairs", "multimodal_phash_recall",
+    "multimodal_scene_cuts", "percentile_approx_qty", "pso_full",
+}
+rows_only = {k for k, v in d.items() if v.get("err") == "no_oracle"}
+if rows_only != DECLARED_ROWS_ONLY:
+    sys.exit(f"roundclose: rows-only set drifted from the declared list: "
+             f"undeclared={sorted(rows_only - DECLARED_ROWS_ONLY)} "
+             f"missing={sorted(DECLARED_ROWS_ONLY - rows_only)}")
+oracled = len(d) - len(rows_only)
+print(f"roundclose OK: {len(d)} entries (= registry), {oracled} "
+      f"oracle-exact, {len(rows_only)} declared rows-only")
 EOF
 
 git add CORRECTNESS_local.json
