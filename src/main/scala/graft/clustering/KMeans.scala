@@ -199,9 +199,13 @@ object KMeans {
           .agg(count(lit(1)).as("n"),
             (sum(col("dist") * col("dist")) / count(lit(1))).as("msd"))
           .collect()(0)
-        val (n, msd) = (r.getLong(0), r.getDouble(1))
+        // msd is an order-dependent aggregated double; it rounds 6
+        // BEFORE feeding n*ln(msd) (the neighboring Calinski-Harabasz
+        // rounds B and W the same way) — otherwise the factor n
+        // amplifies a sub-ulp cross-engine sum difference past round 6
+        val (n, msd) = (r.getLong(0), r6(r.getDouble(1)))
         val fit = n * math.log(msd)
-        (k, n, r6(msd), r6(fit + (k * d) * math.log(n.toDouble)), r6(fit + 2 * k * d))
+        (k, n, msd, r6(fit + (k * d) * math.log(n.toDouble)), r6(fit + 2 * k * d))
       }
       val bestK = rows.minBy(t => (t._4, t._1))._1
       import spark.implicits._
@@ -498,7 +502,7 @@ object KMeans {
   val oracleBic: String = {
     val stats = ELBOW_KS.map(k =>
       s"SELECT CAST($k AS INT) AS k_clusters, count(*) AS n, " +
-        s"sum(dist * dist) / count(*) AS msd FROM e${k}af").mkString("\nUNION ALL ")
+        s"round(sum(dist * dist) / count(*), 6) AS msd FROM e${k}af").mkString("\nUNION ALL ")
     s"""WITH pts AS ($ptsSql),
        |$elbowChainsSql,
        |stats AS ($stats),

@@ -661,6 +661,17 @@ object Relational {
     val froms = tm.keys.map(_._1).toSeq.distinct
     val states = (tm.keys.map(_._1) ++ tm.keys.map(_._2)).toSeq.distinct.sorted
     val channels = froms.filter(_ != "START").sorted
+    // The oracle encodes the UNSEVERED chain with the sentinel removed-
+    // label 'none' (and synthesizes 'START'/'CONV'/'NULL' states); an
+    // event_type literally named one of those would be severed by the
+    // oracle's `to_state != removed` join while this Option-based
+    // removal keeps it — refuse such adversarial data instead of
+    // silently diverging cross-engine.
+    locally {
+      val sentinels = Set("none", "START", "CONV", "NULL")
+      channels.foreach(c => require(!sentinels(c),
+        s"event_type '$c' collides with a reserved Markov sentinel state"))
+    }
     def absorb(removed: Option[String]): Double = {
       var v = states.map {
         case "CONV" => 1.0

@@ -116,11 +116,15 @@ object Spectrum {
     var v = Array.fill(D)(0.125)
     for (_ <- 1 to ITERS) {
       val u = matvec(v)
-      val nrm = math.sqrt(u.map(x => x * x).sum)
+      // the 64-term norm/Rayleigh sums are themselves order-dependent
+      // doubles, so they round 6 BEFORE the divide like every other
+      // cross-engine intermediate (IEEE sqrt of an equal double is
+      // bit-identical, so rounding the sum suffices)
+      val nrm = math.sqrt(r6(u.map(x => x * x).sum))
       v = u.map(x => r6(x / nrm))
     }
     val u = matvec(v)
-    val lam = r6(u.indices.map(i => u(i) * v(i)).sum / v.map(x => x * x).sum)
+    val lam = r6(r6(u.indices.map(i => u(i) * v(i)).sum) / r6(v.map(x => x * x).sum))
     val trace = r6((0 until D).map(i => c(i)(i)).sum)
     Seq((n, D, trace, lam, r6(lam / trace)))
       .toDF("n_vecs", "dim", "trace", "top_eig", "explained_share")
@@ -153,11 +157,12 @@ object Spectrum {
     var v = Array.fill(D)(0.125)
     for (_ <- 1 to ITERS) {
       val u = matvec(v)
-      val nrm = math.sqrt(u.map(x => x * x).sum)
+      // rounded-sum discipline as in qSpectrum above
+      val nrm = math.sqrt(r6(u.map(x => x * x).sum))
       v = u.map(x => r6(x / nrm))
     }
     val u = matvec(v)
-    val lam = r6(u.indices.map(i => u(i) * v(i)).sum / v.map(x => x * x).sum)
+    val lam = r6(r6(u.indices.map(i => u(i) * v(i)).sum) / r6(v.map(x => x * x).sum))
     Seq((n, D, lam, r6(lam / D)))
       .toDF("n_vecs", "dim", "top_eig", "explained_share")
   }
@@ -192,14 +197,14 @@ object Spectrum {
     val iter = (k: Int) =>
       s"""u$k AS MATERIALIZED (SELECT m.i, round(sum(m.cov * v.v), 6) AS u
          |  FROM m JOIN v${k - 1} v ON v.i = m.j GROUP BY m.i),
-         |v$k AS MATERIALIZED (SELECT i, round(u / sqrt((SELECT sum(u * u) FROM u$k)), 6) AS v
+         |v$k AS MATERIALIZED (SELECT i, round(u / sqrt(round((SELECT sum(u * u) FROM u$k), 6)), 6) AS v
          |  FROM u$k)""".stripMargin
     val iters = (1 to ITERS).map(iter).mkString(",\n")
     s"""v0 AS (SELECT ii.i AS i, CAST(0.125 AS DOUBLE) AS v FROM range(0, $D) ii(i)),
        |$iters,
        |fu AS (SELECT m.i, round(sum(m.cov * v.v), 6) AS u
        |  FROM m JOIN v$ITERS v ON v.i = m.j GROUP BY m.i),
-       |lam AS (SELECT round(sum(fu.u * v.v) / sum(v.v * v.v), 6) AS top_eig
+       |lam AS (SELECT round(round(sum(fu.u * v.v), 6) / round(sum(v.v * v.v), 6), 6) AS top_eig
        |  FROM fu JOIN v$ITERS v USING (i))""".stripMargin
   }
 
