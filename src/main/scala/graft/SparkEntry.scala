@@ -35,6 +35,7 @@ object SparkEntry {
       search.IvfPq.queries ++
       search.Spectrum.queries ++
       text.TextAnalysis.queries ++
+      text.Pii.queries ++
       text.Repetition.queries ++
       text.CorpusStats.queries ++
       multimodal.Multimodal.queries ++
@@ -67,6 +68,7 @@ object SparkEntry {
       search.IvfPq.oracleSql ++
       search.Spectrum.oracleSql ++
       text.TextAnalysis.oracleSql ++
+      text.Pii.oracleSql ++
       text.Repetition.oracleSql ++
       text.CorpusStats.oracleSql ++
       multimodal.Multimodal.oracleSql ++

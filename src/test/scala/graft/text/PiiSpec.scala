@@ -1,0 +1,68 @@
+package graft.text
+
+import graft.clustering.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class PiiSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def run(texts: Seq[String]) = {
+    val df = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, "s", t) }
+      .toDF("doc_id", "source", "aug")
+    Pii.detectorsOf(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+  }
+
+  test("detectors find phone / IPv4 / Luhn-valid card and reject bad checksums") {
+    val m = run(Seq(
+      "call (415) 555-0199 after lunch",            // phone
+      "host 192.168.1.77 went dark",                // IPv4
+      "card 4111111111111111 on file",              // the classic Luhn-valid test PAN
+      "card 4111111111111112 on file",              // checksum off by one
+      "digits 123 and 45.6 but no pii here"))
+    assert(m(0L).getAs[scala.collection.Seq[String]]("phones") == scala.collection.Seq("(415) 555-0199"))
+    assert(m(1L).getAs[scala.collection.Seq[String]]("ips") == scala.collection.Seq("192.168.1.77"))
+    assert(m(2L).getAs[scala.collection.Seq[String]]("ccs") == scala.collection.Seq("4111111111111111"))
+    assert(m(2L).getAs[Int]("cc_valid") == 1)
+    assert(m(3L).getAs[scala.collection.Seq[String]]("ccs").nonEmpty, "candidate still detected")
+    assert(m(3L).getAs[Int]("cc_valid") == 0, "Luhn must reject the bad check digit")
+    assert(m(4L).getAs[scala.collection.Seq[String]]("phones").isEmpty
+      && m(4L).getAs[scala.collection.Seq[String]]("ips").isEmpty
+      && m(4L).getAs[scala.collection.Seq[String]]("ccs").isEmpty)
+  }
+
+  test("redaction round-trip: scrubbed text has zero residual detections") {
+    val m = run(Seq(
+      "reach me at (212) 555-7788 or 10.0.0.1, card 4111111111111111",
+      "two phones (303) 555-0000 (303) 555-0001 and ip 255.255.255.255"))
+    m.values.foreach { r =>
+      assert(r.getAs[Int]("residual") == 0, s"residual in: ${r.getAs[String]("scrubbed")}")
+    }
+    val s0 = m(0L).getAs[String]("scrubbed")
+    assert(s0.contains("[PHONE]") && s0.contains("[IP]") && s0.contains("[CC]"))
+    assert(!s0.exists(_.isDigit) || !s0.matches(""".*\d{4}.*"""),
+      s"long digit runs survived: $s0")
+    assert(m(1L).getAs[String]("scrubbed")
+      .sliding("[PHONE]".length).count(_ == "[PHONE]") == 2)
+  }
+
+  test("corpus report: every injected arm lands, rates bounded, scrub verified") {
+    val rows = Pii.qPiiReport(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    val totals = rows.map(r => (r.getAs[Long]("phone_hits"), r.getAs[Long]("ip_hits"),
+      r.getAs[Long]("cc_candidates"), r.getAs[Long]("cc_valid"),
+      r.getAs[Long]("residual_hits")))
+    assert(totals.map(_._1).sum > 0, "phone arm missing")
+    assert(totals.map(_._2).sum > 0, "ip arm missing")
+    val (cand, valid) = (totals.map(_._3).sum, totals.map(_._4).sum)
+    assert(cand > 0 && valid > 0 && valid < cand,
+      s"Luhn filter must split candidates: $valid of $cand")
+    assert(totals.map(_._5).sum == 0, "scrub left residual PII")
+    rows.foreach { r =>
+      val rate = r.getAs[Double]("pii_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+  }
+}
