@@ -36,6 +36,7 @@ object SparkEntry {
       search.Spectrum.queries ++
       text.TextAnalysis.queries ++
       text.Pii.queries ++
+      text.QualityClf.queries ++
       text.Repetition.queries ++
       text.CorpusStats.queries ++
       multimodal.Multimodal.queries ++
@@ -69,6 +70,7 @@ object SparkEntry {
       search.Spectrum.oracleSql ++
       text.TextAnalysis.oracleSql ++
       text.Pii.oracleSql ++
+      text.QualityClf.oracleSql ++
       text.Repetition.oracleSql ++
       text.CorpusStats.oracleSql ++
       multimodal.Multimodal.oracleSql ++

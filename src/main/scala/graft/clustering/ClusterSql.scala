@@ -15,8 +15,9 @@ private[graft] object ClusterSql {
     * A non-default prefix keeps column names distinct when several
     * widened codebooks join into one scope (the PQ ADC table). */
   def widenSql(k: Int, cIn: String, out: String,
-               dims: Seq[String] = Points.dims, prefix: String = "k"): String =
-    s"$out AS (SELECT " +
+               dims: Seq[String] = Points.dims, prefix: String = "k",
+               mat: Boolean = false): String =
+    s"$out AS ${if (mat) "MATERIALIZED " else ""}(SELECT " +
       (0 until k).flatMap(ki => dims.indices.map(j =>
         s"max(CASE WHEN k = $ki THEN c${j + 1} END) AS $prefix${ki}_${j + 1}")).mkString(", ") +
       s" FROM $cIn)"
@@ -37,15 +38,21 @@ private[graft] object ClusterSql {
     * behave exactly like the Spark side's +inf sentinel (a raw NULL
     * d$i would NULL-out whole CASE arms and fall through to ELSE k-1,
     * silently assigning the wrong class). */
+  /** `mat` materializes BOTH emitted CTEs — required where a consumer
+    * references them repeatedly (the IVF probe union reads `acell_d`
+    * once per cell; DuckDB re-inlines a plain CTE per reference, so
+    * without the hint the whole upstream Lloyd chain re-evaluates
+    * CELLS times — measured minutes-per-oracle at sf0.01). */
   def assignSql(k: Int, cwIn: String, out: String, src: String = "pts",
-                dims: Seq[String] = Points.dims): String = {
+                dims: Seq[String] = Points.dims, mat: Boolean = false): String = {
+    val m = if (mat) "MATERIALIZED " else ""
     val ds = (0 until k).map(ki =>
       s"coalesce(${distExprSql(ki, "k", dims)}, CAST('infinity' AS DOUBLE)) AS d$ki").mkString(", ")
     val caseArm = (0 until k - 1).map(i =>
       "WHEN " + (i + 1 until k).map(j => s"d$i <= d$j").mkString(" AND ") + s" THEN $i").mkString(" ")
-    s"""${out}_d AS (
+    s"""${out}_d AS $m(
        |  SELECT p.*, $ds FROM $src p CROSS JOIN $cwIn),
-       |$out AS (
+       |$out AS $m(
        |  SELECT *, least(${(0 until k).map("d" + _).mkString(", ")}) AS dist,
        |    CASE $caseArm ELSE ${k - 1} END AS k
        |  FROM ${out}_d)""".stripMargin
@@ -68,8 +75,9 @@ private[graft] object ClusterSql {
        |  FROM (SELECT * FROM $src ORDER BY $oc LIMIT $k))""".stripMargin
   }
 
-  def updateSql(aIn: String, out: String, dims: Seq[String]): String =
-    s"""$out AS (
+  def updateSql(aIn: String, out: String, dims: Seq[String],
+                mat: Boolean = false): String =
+    s"""$out AS ${if (mat) "MATERIALIZED " else ""}(
        |  SELECT k, count(*) AS n,
        |         ${dims.zipWithIndex.map { case (d, i) => s"round(avg($d), 6) AS c${i + 1}" }.mkString(", ")}
        |  FROM $aIn GROUP BY k)""".stripMargin

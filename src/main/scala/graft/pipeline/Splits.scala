@@ -18,7 +18,7 @@ object Splits {
 
   /** 0..4095 from the first 3 hex nibbles of `hexExpr` (SQL string
     * already holding a lowercase hex digest column/expression). */
-  private[pipeline] def nibblesSql(hexExpr: String): String =
+  private[graft] def nibblesSql(hexExpr: String): String =
     (1 to 3).map(i =>
       s"(instr('0123456789abcdef', substr($hexExpr, $i, 1)) - 1) * ${math.pow(16, 3 - i).toInt}")
       .mkString("(", " + ", ")")
@@ -26,7 +26,7 @@ object Splits {
   /** 0..4095 from the first 3 md5 nibbles of `keyExpr` (SQL string).
     * Shared with Mix — the one cross-engine row hash every
     * deterministic gate in the pipeline uses. */
-  private[pipeline] def nibbleHashSql(keyExpr: String): String =
+  private[graft] def nibbleHashSql(keyExpr: String): String =
     nibblesSql(s"md5($keyExpr)")
 
   private def nibbleHash(keyExpr: String): Column = expr(nibbleHashSql(keyExpr))

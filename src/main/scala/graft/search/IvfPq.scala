@@ -189,7 +189,7 @@ object IvfPq {
     }.mkString(",\n    ")
     s"""WITH pts AS (${Points.embedPtsSql}),
        |${SimSearch.ivfChainSql},
-       |rpts AS (SELECT a.pid,
+       |rpts AS MATERIALIZED (SELECT a.pid,
        |    $resCols
        |  FROM acell a CROSS JOIN cw),
        |${PQ.pqTrainSql("rpts")},

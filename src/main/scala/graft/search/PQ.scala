@@ -179,10 +179,12 @@ object PQ {
   private[search] def pqTrainSql(src: String = "pts"): String = {
     val train = (0 until M).map { s =>
       val sd = sub(s)
+      // u1_s is read by BOTH the encode widen and the qtab widen —
+      // materialize so each subspace's training runs once
       s"""${ClusterSql.c0Sql(PQ_K, Points.embedPtsSql, sd, s"c0_$s", src)},
          |${ClusterSql.widenSql(PQ_K, s"c0_$s", s"c0w_$s", sd)},
          |${ClusterSql.assignSql(PQ_K, s"c0w_$s", s"a1_$s", src, sd)},
-         |${ClusterSql.updateSql(s"a1_$s", s"u1_$s", sd)},
+         |${ClusterSql.updateSql(s"a1_$s", s"u1_$s", sd, mat = true)},
          |${ClusterSql.widenSql(PQ_K, s"u1_$s", s"cw_$s", sd)},
          |${ClusterSql.assignSql(PQ_K, s"cw_$s", s"enc_$s", src, sd)}""".stripMargin
     }.mkString(",\n")

@@ -239,10 +239,13 @@ object SimSearch {
     val probeUnion = (0 until CELLS).map(k =>
       s"SELECT pid AS q_id, $k AS cell, d$k AS dist FROM acell_d WHERE pid <= $QN")
       .mkString(" UNION ALL ")
+    // cw (the trained centers, 1 row) and acell/acell_d are each read
+    // several times downstream (probe union: once per cell; residual
+    // IVFPQ: rpts + rq) — materialize so the Lloyd chain runs ONCE
     s"""${ClusterSql.c0Sql(CELLS, Points.embedPtsSql, ed)},
        |$stages,
-       |${ClusterSql.widenSql(CELLS, s"u$IVF_ITERS", "cw", ed)},
-       |${ClusterSql.assignSql(CELLS, "cw", "acell", "pts", ed)},
+       |${ClusterSql.widenSql(CELLS, s"u$IVF_ITERS", "cw", ed, mat = true)},
+       |${ClusterSql.assignSql(CELLS, "cw", "acell", "pts", ed, mat = true)},
        |probe AS (SELECT * FROM ($probeUnion) WHERE dist IS NOT NULL),
        |pr AS (SELECT q_id, cell FROM (
        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY dist, cell) AS rn
@@ -497,11 +500,11 @@ object SimSearch {
          |bc AS (SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
          |    ${graft.functions.VectorOps.cosineSql("q.embedding", "e.embedding")} AS cs
          |  FROM embeddings q JOIN embeddings e ON q.vec_id <= $QN AND q.vec_id != e.vec_id),
-         |truth AS (SELECT q_id, vec_id, rank AS trank FROM (
+         |truth AS MATERIALIZED (SELECT q_id, vec_id, rank AS trank FROM (
          |  SELECT q_id, vec_id, row_number() OVER (
          |    PARTITION BY q_id ORDER BY cs DESC, vec_id ASC) AS rank FROM bc)
          |  WHERE rank <= $IVF_TOPK),
-         |j AS (SELECT truth.q_id, truth.vec_id, trank, arank
+         |j AS MATERIALIZED (SELECT truth.q_id, truth.vec_id, trank, arank
          |  FROM truth JOIN ivf ON ivf.q_id = truth.q_id AND ivf.vec_id = truth.vec_id),
          |qn AS (SELECT CAST(count(DISTINCT q_id) AS BIGINT) AS n FROM truth),
          |m AS ($mk)

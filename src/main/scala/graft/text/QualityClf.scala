@@ -1,0 +1,169 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** Trained quality-classifier scoring — the fastText/DCLM-style stage
+  * the rule bundles (Gopher) and LM scores (unigram/bigram/KN) sit
+  * next to in every public curation stack: a DISCRIMINATIVE model
+  * trained to tell a curated reference slice from the raw remainder,
+  * then applied to every document as the keep/drop (or curriculum)
+  * signal. Here the reference slice is the corpus's English documents
+  * (the learned language/reference filter — the one label with a
+  * genuinely distinct word-frequency profile in this corpus),
+  * features are hashed word unigrams over a BOUNDED space —
+  * F=32 md5-nibble buckets + bias, the same cross-engine row hash
+  * every pipeline gate uses (Splits.nibbleHashSql) — and training is
+  * batch gradient descent with a fixed iteration count.
+  *
+  * Determinism (the kmeans/Holt oracle discipline): the per-doc
+  * logit folds 33 products in index order and rounds 6; the sigmoid
+  * rounds 6 (libm-vs-Java exp differ <= 1 ulp — invisible at round
+  * 6); each weight update rounds the WHOLE expression
+  * w - LR*grad/N once. The update must NOT round the gradient first:
+  * r6(grad) lands on the 1e-6 grid, and an exactly-representable LR
+  * like 0.5 maps every odd grid point onto a 0.5e-6 rounding MIDPOINT
+  * — a structural cross-engine tie where sub-ulp noise picks the side
+  * (measured: 8 of 33 weights diverged at iteration 1 before the fix).
+  * Rounding once leaves only the generic sub-ulp-near-boundary risk
+  * every rounded aggregate in this repo carries. Both engines then
+  * walk the same 10-step weight trajectory, so scores compare
+  * EXACTLY.
+  *
+  * Scale shape: featurization is one corpus pass into a staged
+  * 33-double vector per doc (per-row HOF work, no shuffle); each GD
+  * iteration is ONE map + 34-aggregate reduce over the staged
+  * features (10 iterations = 10 cheap passes, the standard batch-GD
+  * shape — at 100 TB you'd train on a sampled slice and score the
+  * full corpus, which is exactly the one-pass scoring step here);
+  * weights live driver-side (33 doubles, the lloyd literal-frame
+  * pattern). */
+object QualityClf {
+
+  private val F = 32 // hashed unigram buckets; index F is the bias
+  private val ITERS = 10
+  // exactly-representable learning rate: 0.5 * g is a pure exponent
+  // shift, so the update w - LR*g loses no precision before its round
+  private val LR = "0.5"
+
+  private def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Per-doc label + feature vector: y = reference-slice indicator
+    * (lang = 'en'), x = 32 normalized hashed-unigram frequencies
+    * + bias 1.0. Takes any frame with (doc_id, source, lang, text)
+    * so specs can train on crafted corpora. */
+  private[text] def featurizeDocs(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("ws", expr("filter(split(text, ' '), w -> w != '')"))
+      .withColumn("bks", expr(
+        s"transform(ws, w -> ${graft.pipeline.Splits.nibbleHashSql("w")} % $F)"))
+      .withColumn("x", expr(
+        s"""concat(
+           |  transform(sequence(0, ${F - 1}),
+           |    f -> CAST(size(filter(bks, b -> b = f)) AS DOUBLE) / size(ws)),
+           |  array(CAST(1.0 AS DOUBLE)))""".stripMargin))
+      .withColumn("y", expr("CAST(lang = 'en' AS DOUBLE)"))
+      .select(col("doc_id"), col("source"), col("y"), col("x"))
+
+  private val stagedFeats =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def features(spark: SparkSession, dir: String): DataFrame = {
+    val path = stagedFeats.computeIfAbsent(dir, { _ =>
+      val p = java.nio.file.Files.createTempDirectory("graft-staged")
+      p.toFile.deleteOnExit()
+      featurizeDocs(t(spark, dir, "documents"))
+        .write.mode("overwrite").parquet(p.toString)
+      p.toString
+    })
+    spark.read.parquet(path)
+  }
+
+  /** Index-order 33-term dot product of x with the given weight
+    * literals, rounded 6, then the rounded sigmoid. */
+  private def scoreExpr(w: Array[Double]): String = {
+    val wLits = w.map(_.toString).mkString(", ")
+    s"""round(1.0 / (1.0 + exp(-round(
+       |  aggregate(zip_with(x, array($wLits), (a, b) -> a * b),
+       |            CAST(0.0 AS DOUBLE), (acc, v) -> acc + v), 6))), 6)""".stripMargin
+  }
+
+  /** The 10-step GD weight trajectory (driver-side, each step one
+    * Spark aggregate over the feature frame). */
+  private[text] def trainOn(feats: DataFrame): Array[Double] = {
+    var w = Array.fill(F + 1)(0.0)
+    for (_ <- 1 to ITERS) {
+      val scored = feats.withColumn("p", expr(scoreExpr(w)))
+      val aggs = (0 to F).map(f =>
+        sum(expr(s"(p - y) * x[$f]")).as(s"g$f")) :+ count(lit(1)).as("n")
+      val r = scored.agg(aggs.head, aggs.tail: _*).collect()(0)
+      val n = r.getLong(F + 1).toDouble
+      w = Array.tabulate(F + 1) { f =>
+        r6(w(f) - 0.5 * (r.getDouble(f) / n))
+      }
+    }
+    w
+  }
+
+  /** Per-doc classifier score over the full corpus with the trained
+    * weights — the curation stack's learned keep signal. */
+  /** Scores any feature frame with the given weights. */
+  private[text] def scoreOn(feats: DataFrame, w: Array[Double]): DataFrame =
+    feats
+      .withColumn("clf_score", expr(scoreExpr(w)))
+      .select(col("doc_id"), col("y").cast("int").as("label"),
+        col("clf_score"), (col("clf_score") >= 0.5).as("keep"))
+
+  def qQualityClf(spark: SparkSession, dir: String): DataFrame = {
+    val feats = features(spark, dir)
+    scoreOn(feats, trainOn(feats))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_quality_clf" -> (qQualityClf _))
+
+  /** DuckDB mirror: the same feature build, then the 10 GD steps as
+    * an unrolled MATERIALIZED CTE chain (feats and every w_k are
+    * referenced more than once — without the hint DuckDB re-inlines
+    * the whole training history per reference). The dot product runs
+    * in list index order like the Spark fold. */
+  val oracleSql: Map[String, String] = {
+    val nib = graft.pipeline.Splits.nibbleHashSql("w")
+    val dot = (wRef: String) =>
+      s"round(list_sum(list_transform(range(1, ${F + 2}), i -> x[CAST(i AS INT)] * $wRef[CAST(i AS INT)])), 6)"
+    val sig = (wRef: String) => s"round(1.0 / (1.0 + exp(-${dot(wRef)})), 6)"
+    // DuckDB rejects subqueries inside lambda bodies, so every step
+    // CROSS JOINs the one-row weight CTE in and indexes the column
+    val steps = (1 to ITERS).map { k =>
+      s"""p$k AS (SELECT doc_id, y, x, ${sig("wl")} AS p
+         |  FROM feats CROSS JOIN w${k - 1}),
+         |g$k AS (SELECT ff.f,
+         |    sum((p.p - p.y) * p.x[ff.f + 1]) / (SELECT count(*) FROM feats) AS g
+         |  FROM p$k p, range(0, ${F + 1}) ff(f) GROUP BY ff.f),
+         |w$k AS MATERIALIZED (SELECT list(
+         |    round(wl[f + 1] - $LR * g, 6) ORDER BY f) AS wl
+         |  FROM g$k CROSS JOIN w${k - 1})""".stripMargin
+    }.mkString(",\n")
+    Map("text_quality_clf" ->
+      s"""WITH feats AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    CAST(lang = 'en' AS DOUBLE) AS y,
+         |    list_append(list_transform(range(0, $F),
+         |      f -> CAST(len(list_filter(bks, b -> b = f)) AS DOUBLE) / len(ws)),
+         |      CAST(1.0 AS DOUBLE)) AS x
+         |  FROM (SELECT doc_id, lang, ws,
+         |          list_transform(ws, w -> $nib % $F) AS bks
+         |        FROM (SELECT doc_id, lang,
+         |                list_filter(string_split(text, ' '), w -> w != '') AS ws
+         |              FROM documents))),
+         |w0 AS (SELECT list_transform(range(0, ${F + 1}),
+         |         i -> CAST(0.0 AS DOUBLE)) AS wl),
+         |$steps
+         |SELECT doc_id, CAST(y AS INT) AS label,
+         |  ${sig("wl")} AS clf_score,
+         |  ${sig("wl")} >= 0.5 AS keep
+         |FROM feats CROSS JOIN w$ITERS""".stripMargin)
+  }
+}

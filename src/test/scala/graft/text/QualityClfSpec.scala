@@ -1,0 +1,71 @@
+package graft.text
+
+import graft.clustering.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class QualityClfSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // crafted corpus with genuinely separable vocabularies: "good"
+  // reference docs use one word set, "bad" crawl docs another —
+  // the regime a fastText-style curation classifier is built for
+  private def crafted = {
+    val good = Seq(
+      "clear prose reads well structured argument flows clear prose",
+      "well structured argument clear reads prose flows argument well",
+      "prose argument flows structured well clear reads reads flows",
+      "flows clear structured prose well argument reads clear well")
+    val bad = Seq(
+      "buy click spam free winner click buy spam free spam",
+      "winner free spam buy click spam winner buy click free",
+      "spam click buy free winner buy spam click winner spam",
+      "free winner click spam buy winner free spam buy click")
+    (good.map((_, "en")) ++ bad.map((_, "xx"))).zipWithIndex
+      .map { case ((text, lang), i) => (i.toLong, s"src$i", lang, text) }
+      .toDF("doc_id", "source", "lang", "text")
+  }
+
+  test("GD separates a crafted good/bad corpus") {
+    val feats = QualityClf.featurizeDocs(crafted)
+    val w = QualityClf.trainOn(feats)
+    assert(w.exists(_ != 0.0), "training left all weights at zero")
+    val rows = QualityClf.scoreOn(feats, w).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("label"), r.getAs[Double]("clf_score"), r.getAs[Boolean]("keep")))
+      .toMap
+    val goodScores = rows.values.filter(_._1 == 1).map(_._2)
+    val badScores = rows.values.filter(_._1 == 0).map(_._2)
+    assert(goodScores.min > badScores.max,
+      s"classifier failed to separate: good ${goodScores.toSeq.sorted} " +
+        s"vs bad ${badScores.toSeq.sorted}")
+    rows.values.foreach { case (label, _, keep) =>
+      assert(keep == (label == 1), "keep flag must follow the learned boundary")
+    }
+  }
+
+  test("training is deterministic and scores are round-6 stable") {
+    val feats = QualityClf.featurizeDocs(crafted)
+    val w1 = QualityClf.trainOn(feats)
+    val w2 = QualityClf.trainOn(feats)
+    assert(w1.toSeq == w2.toSeq, "same corpus must yield bit-identical weights")
+    w1.foreach { wf =>
+      assert(wf == BigDecimal(wf).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        s"weight $wf not on the round-6 grid")
+    }
+    val scores = QualityClf.scoreOn(feats, w1).collect().map(_.getAs[Double]("clf_score"))
+    scores.foreach { s =>
+      assert(s > 0.0 && s < 1.0)
+      assert(s == BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+  }
+
+  test("corpus query: one score per document, all on the round-6 grid") {
+    val rows = QualityClf.qQualityClf(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length == 500)
+    assert(rows.map(_.getAs[Long]("doc_id")).distinct.length == 500)
+    assert(rows.forall { r =>
+      val s = r.getAs[Double]("clf_score"); s > 0.0 && s < 1.0
+    })
+  }
+}
