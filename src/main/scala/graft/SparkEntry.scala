@@ -34,6 +34,7 @@ object SparkEntry {
       search.PQ.queries ++
       search.IvfPq.queries ++
       search.Spectrum.queries ++
+      search.IvfIncremental.queries ++
       text.TextAnalysis.queries ++
       text.Pii.queries ++
       text.QualityClf.queries ++
@@ -68,6 +69,7 @@ object SparkEntry {
       search.PQ.oracleSql ++
       search.IvfPq.oracleSql ++
       search.Spectrum.oracleSql ++
+      search.IvfIncremental.oracleSql ++
       text.TextAnalysis.oracleSql ++
       text.Pii.oracleSql ++
       text.QualityClf.oracleSql ++

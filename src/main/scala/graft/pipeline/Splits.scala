@@ -217,8 +217,11 @@ object Splits {
     // <= 5 sweeps at every tested SF (measured; min-propagation is
     // idempotent past the fixpoint, so extra sweeps are no-ops)
     "pipeline_split_by_cluster" -> {
+      // every sweep reads its predecessor TWICE (join + union) — the
+      // §4 DuckDB re-inlining trap: unhinted, l0's verify chain
+      // re-evaluates 2^6 times (measured 23 s of a 3-row oracle)
       val sweep = (in: String, out: String) =>
-        s"""$out AS (SELECT doc_id, min(lbl) AS lbl FROM (
+        s"""$out AS MATERIALIZED (SELECT doc_id, min(lbl) AS lbl FROM (
            |  SELECT e2.d AS doc_id, p.lbl FROM e2 JOIN $in p ON p.doc_id = e2.s
            |  UNION ALL SELECT doc_id, lbl FROM $in) GROUP BY doc_id)""".stripMargin
       val sweeps = (1 to 6).map(i => sweep(s"l${i - 1}", s"l$i")).mkString(",\n")
@@ -226,13 +229,13 @@ object Splits {
          |${graft.dedup.Dedup.bandsSql},
          |${graft.dedup.Dedup.candsSql},
          |w AS (SELECT doc_id, list_distinct(string_split(${graft.dedup.Dedup.NT}, ' ')) AS ws FROM documents),
-         |vp AS (SELECT ia, ib FROM (
+         |vp AS MATERIALIZED (SELECT ia, ib FROM (
          |  SELECT ia, ib,
          |    CAST(len(list_intersect(wa.ws, wb.ws)) AS DOUBLE)
          |      / len(list_distinct(list_concat(wa.ws, wb.ws))) AS j
          |  FROM cands JOIN w wa ON ia = wa.doc_id JOIN w wb ON ib = wb.doc_id)
          |  WHERE j >= 0.8),
-         |e2 AS (SELECT ia AS s, ib AS d FROM vp
+         |e2 AS MATERIALIZED (SELECT ia AS s, ib AS d FROM vp
          |       UNION ALL SELECT ib AS s, ia AS d FROM vp),
          |nodes AS (SELECT DISTINCT s AS doc_id FROM e2),
          |l0 AS (SELECT doc_id, doc_id AS lbl FROM nodes),

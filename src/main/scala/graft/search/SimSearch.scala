@@ -113,7 +113,7 @@ object SimSearch {
 
   private[search] val CELLS = 8
   private[search] val NPROBE = 2
-  private val IVF_ITERS = 2
+  private[search] val IVF_ITERS = 2
   private val IVF_TOPK = 5
 
   /** Coarse-quantizer training, shared by IVF and IVFPQ: centers move
