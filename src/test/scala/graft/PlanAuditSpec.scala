@@ -24,7 +24,17 @@ class PlanAuditSpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.001"
 
   private case class Audit(cartesian: Seq[String], percentile: Seq[String],
-                           compileFailures: Seq[String], fallbackWarns: Seq[String])
+                           compileFailures: Seq[String], fallbackWarns: Seq[String],
+                           globalWindows: Seq[String])
+
+  /** An UNPARTITIONED window sorts the whole input on one reducer —
+    * fine over a bounded frame (a day-keyed aggregate, a post-limit
+    * top-k), a scale-killer over a corpus-sized one. */
+  private def globalWindowsIn(plan: org.apache.spark.sql.execution.SparkPlan): Boolean =
+    plan.collectFirst {
+      case w: org.apache.spark.sql.execution.window.WindowExecBase
+          if w.partitionSpec.isEmpty => w
+    }.nonEmpty
 
   /** One pass over the registry, shared by all tests below. */
   private lazy val audit: Audit = {
@@ -66,6 +76,7 @@ class PlanAuditSpec extends AnyFunSuite {
     val cartesian = Seq.newBuilder[String]
     val percentile = Seq.newBuilder[String]
     val compileFailures = Seq.newBuilder[String]
+    val globalWindows = Seq.newBuilder[String]
     val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
@@ -82,6 +93,7 @@ class PlanAuditSpec extends AnyFunSuite {
         // must go through graft.relational.Quantiles instead.
         // (percentile_approx / ApproximatePercentile is bounded and fine.)
         if (planStr.contains("percentile(")) percentile += name
+        if (globalWindowsIn(plan)) globalWindows += name
         plan.foreach {
           case w: WholeStageCodegenExec =>
             // two fallback flavors (round-10 advice): janino throwing
@@ -111,8 +123,22 @@ class PlanAuditSpec extends AnyFunSuite {
     }
     import scala.jdk.CollectionConverters._
     Audit(cartesian.result(), percentile.result(),
-      compileFailures.result(), warns.asScala.toSeq)
+      compileFailures.result(), warns.asScala.toSeq, globalWindows.result())
   }
+
+  /** Queries KNOWN to plan an unpartitioned window over a frame that
+    * is provably bounded BEFORE the window sorts it (round-11 verdict
+    * audit, re-justified here so the whitelist stays reviewable). Any
+    * new query that plans a global window must either bound its frame
+    * and be added here with a justification, or partition the window. */
+  private val boundedGlobalWindowQueries = Set(
+    "text_zipf",                    // rank over a post-limit(100) head
+    "text_bm25",                    // rank over a post-limit(10) head
+    "orders_daily_cumulative",      // running total over day-keyed aggregates (calendar-bounded)
+    "orders_backtest_snaive",       // same day-bounded daily series
+    "dedup_embed_threshold_curve",  // cumulative counts over a ~20-point threshold grid
+    "dedup_minhash_agreement_curve" // cumulative counts over the signature-agreement grid
+  )
 
   test("no registered query plans a CartesianProduct or a single-buffer exact percentile") {
     assert(audit.cartesian.isEmpty,
@@ -154,6 +180,31 @@ class PlanAuditSpec extends AnyFunSuite {
       }
       assert(failed.contains(true),
         "the 128-tree unrolled projection must fail the compile gate")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+  }
+
+  test("unpartitioned windows appear only above known bounded frames") {
+    val offenders = audit.globalWindows.distinct.sorted
+      .filterNot(boundedGlobalWindowQueries)
+    assert(offenders.isEmpty,
+      s"corpus-sized global window risk in: ${offenders.mkString(", ")} — " +
+        "bound the frame and whitelist with a justification, or partition the window")
+  }
+
+  test("the global-window gate is not vacuous: a corpus-sized global window is caught") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // the shape the gate exists to block: row_number over the WHOLE
+    // documents table with no partition key — one reducer sorts the
+    // corpus. AQE off as in the audit pass: AdaptiveSparkPlanExec
+    // hides the WindowExec from a plan walk until execution.
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val violation = graft.Tables.t(spark, sf, "documents")
+        .withColumn("rn", row_number().over(Window.orderBy("doc_id")))
+      assert(globalWindowsIn(violation.queryExecution.executedPlan),
+        "the detector must flag an unpartitioned corpus-wide window")
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
   }
 
