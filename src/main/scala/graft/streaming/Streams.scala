@@ -196,13 +196,34 @@ object Streams {
       .filter(col("__n") >= minWords && col("__stop") <= maxStopRatio)
       .drop("__ws", "__n", "__stop")
 
+  /** Stateless PII redaction on a document stream — the release-gate
+    * twin of the batch text_pii_scrub (same card/phone/IP detectors,
+    * same fixed redaction order), applied BEFORE content hashing so
+    * the landed identity is the scrubbed text: two documents equal up
+    * to their PII redact to the same content key, and raw PII never
+    * reaches the landing zone or the dedup state store. Pure per-row
+    * regexp work — no state, composes anywhere in the front door. */
+  def piiScrubGate(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("text", graft.text.Pii.scrub(col("text")))
+      .withColumn("content_hash", graft.dedup.Dedup.contentHash(col("text")))
+
   /** The streaming ingest front door, composed end-to-end: quality
     * gate (stateless) -> drop corpus-known content (broadcast
     * anti-join) -> in-stream exact dedup (watermark-bounded state).
     * What lands is new, clean, unique content — the streaming twin of
-    * the batch clean-corpus + incremental-dedup composition. */
+    * the batch clean-corpus + incremental-dedup composition. Expects
+    * `content_hash` precomputed by the source (the DocLog contract). */
   def ingestPipeline(stream: DataFrame, corpusIndex: DataFrame): DataFrame =
     incrementalDedupStream(qualityGate(stream), corpusIndex)
+
+  /** The PII-safe front door: scrub FIRST (re-keying content identity
+    * to the scrubbed text — two documents equal up to their PII redact
+    * to the same key and dedup together; raw PII never reaches the
+    * landing zone or the dedup state store), then the standard
+    * gate -> corpus-drop -> dedup chain. */
+  def ingestPipelineScrubbed(stream: DataFrame, corpusIndex: DataFrame): DataFrame =
+    ingestPipeline(piiScrubGate(stream), corpusIndex)
 
   /** Non-memory streaming ingress over Spark's built-in `rate` source
     * — the front-door shape every production feed uses, minus the

@@ -79,9 +79,7 @@ object Pii {
         expr(s"size(filter(ccs, c -> ${luhnSumSql("c", 16, 1)} % 10 = 0))"))
       // redaction: cards first (the longest digit runs), then phones,
       // then addresses — same fixed order in the oracle
-      .withColumn("scrubbed",
-        regexp_replace(regexp_replace(regexp_replace(col("aug"),
-          CC_RE, "[CC]"), PHONE_RE, "[PHONE]"), IP_RE, "[IP]"))
+      .withColumn("scrubbed", scrub(col("aug")))
       .withColumn("residual",
         expr(s"size(regexp_extract_all(scrubbed, '${sqlRe(PHONE_RE)}', 0))") +
           expr(s"size(regexp_extract_all(scrubbed, '${sqlRe(IP_RE)}', 0))") +
@@ -90,6 +88,14 @@ object Pii {
   /** Spark SQL string literals escape-process backslashes; double them
     * so the regex survives the parse. */
   private def sqlRe(re: String): String = re.replace("\\", "\\\\")
+
+  /** The redaction column alone — a stateless per-row transform, so it
+    * composes anywhere (the streaming front door scrubs with exactly
+    * this before content hashing). Cards first (the longest digit
+    * runs), then phones, then addresses. */
+  private[graft] def scrub(c: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(c,
+      CC_RE, "[CC]"), PHONE_RE, "[PHONE]"), IP_RE, "[IP]")
 
   /** Per-source PII census: hit counts by detector, Luhn-rejected card
     * candidates, the per-source PII document rate, and the residual

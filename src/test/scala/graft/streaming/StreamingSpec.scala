@@ -253,6 +253,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("PII-safe front door scrubs before hashing: redacted twins dedup, raw PII never lands") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, String)]
+    val df = input.toDF().toDF("ts", "content_hash", "text")
+    val filler = Array.fill(24)("alpha").mkString(" ")
+    // two documents identical up to their (different) phone numbers:
+    // after redaction they carry the same content key and must dedup
+    val piiA = s"$filler call (415) 555-0101"
+    val piiB = s"$filler call (415) 555-0202"
+    val clean = s"$filler nothing sensitive here"
+    val q = Streams.ingestPipelineScrubbed(df, Seq.empty[String].toDF("content_hash"))
+      .writeStream.format("memory").queryName("pii_ingest_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        (ts(0), "ignored0", piiA),
+        (ts(1), "ignored1", piiB),   // redacted twin of piiA: dropped
+        (ts(2), "ignored2", clean))
+      q.processAllAvailable()
+      val out = spark.table("pii_ingest_out").select("text").as[String].collect()
+      assert(out.length == 2, s"redacted twins must land once: ${out.toSeq}")
+      assert(out.count(_.contains("[PHONE]")) == 1)
+      assert(!out.exists(_.matches(""".*\d{3}.*""")), "raw PII digits landed")
+      // the landed content key is the hash of the SCRUBBED text
+      val keyed = spark.table("pii_ingest_out").select("content_hash", "text")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      keyed.foreach { case (h, text) =>
+        val expect = Seq(text).toDF("text")
+          .select(Dedup.contentHash(org.apache.spark.sql.functions.col("text")))
+          .collect()(0).getString(0)
+        assert(h == expect, "content key must be derived from the scrubbed text")
+      }
+    } finally q.stop()
+  }
+
   test("rate-source ingress drives the ingest pipeline end-to-end (non-memory source)") {
     // The real front door: a rate-limited source (rowsPerSecond is the
     // maxOffsetsPerTrigger analog), explicit trigger cadence, and the
