@@ -103,29 +103,49 @@ object Spectrum {
   /** One-row spectral summary: trace, dominant eigenvalue by ITERS
     * power iterations from the exactly-representable uniform start
     * 1/8, and the top direction's explained variance share. */
-  def qSpectrum(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val (c, n) = covMatrix(spark, dir)
+  /** Every input of the power-iteration sums is a ROUND-6 grid value,
+    * so each sum's TRUE value lies on the 1e-12 decimal grid — which
+    * contains the 0.5e-6 rounding midpoints. A raw double sum sits
+    * within sub-ulp of that exact value, and when the exact value IS
+    * a midpoint, summation-order noise decides the rounded result: a
+    * structural cross-engine (and run-to-run) coin flip, observed live
+    * on embed_spectrum's Rayleigh numerator at sf0.01. The fix is the
+    * OLS DECIMAL-exact-moments pattern: recover each factor's exact
+    * decimal (setScale 6 of a value that IS a 6-decimal), sum the
+    * exact scale-12 products in BigDecimal (order-free), and only then
+    * round half-up — deterministically, because the decision happens
+    * on the exact decimal, not a nearby double. The oracle mirrors
+    * with DECIMAL(18,6) casts and DECIMAL sums. Divisions and sqrt
+    * then act on bit-identical doubles in both engines (a binary
+    * double can never equal a scale-7 decimal midpoint, so identical
+    * doubles always round identically). */
+  private def d6(x: Double): BigDecimal =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+
+  private def gridDot(a: Array[Double], b: Array[Double]): BigDecimal =
+    a.indices.map(i => d6(a(i)) * d6(b(i))).sum
+
+  /** ITERS power iterations over a round-6 grid matrix + final
+    * Rayleigh quotient, all grid sums decimal-exact. */
+  private def powerIterate(c: Array[Array[Double]]): Double = {
     def matvec(v: Array[Double]): Array[Double] =
-      Array.tabulate(D) { i =>
-        var s = 0.0
-        var j = 0
-        while (j < D) { s += c(i)(j) * v(j); j += 1 }
-        r6(s)
-      }
+      Array.tabulate(D)(i => gridDot(c(i), v)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
     var v = Array.fill(D)(0.125)
     for (_ <- 1 to ITERS) {
       val u = matvec(v)
-      // the 64-term norm/Rayleigh sums are themselves order-dependent
-      // doubles, so they round 6 BEFORE the divide like every other
-      // cross-engine intermediate (IEEE sqrt of an equal double is
-      // bit-identical, so rounding the sum suffices)
-      val nrm = math.sqrt(r6(u.map(x => x * x).sum))
+      val nrm = math.sqrt(gridDot(u, u).toDouble)
       v = u.map(x => r6(x / nrm))
     }
     val u = matvec(v)
-    val lam = r6(r6(u.indices.map(i => u(i) * v(i)).sum) / r6(v.map(x => x * x).sum))
-    val trace = r6((0 until D).map(i => c(i)(i)).sum)
+    r6(gridDot(u, v).toDouble / gridDot(v, v).toDouble)
+  }
+
+  def qSpectrum(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (c, n) = covMatrix(spark, dir)
+    val lam = powerIterate(c)
+    val trace = (0 until D).map(i => d6(c(i)(i))).sum.toDouble
     Seq((n, D, trace, lam, r6(lam / trace)))
       .toDF("n_vecs", "dim", "trace", "top_eig", "explained_share")
   }
@@ -147,23 +167,14 @@ object Spectrum {
     (0 until D).foreach(i => require(c(i)(i) > 0.0, s"zero variance in dim $i"))
     val cr = Array.tabulate(D, D)((i, j) =>
       r6(c(i)(j) / math.sqrt(c(i)(i) * c(j)(j))))
-    def matvec(v: Array[Double]): Array[Double] =
-      Array.tabulate(D) { i =>
-        var s = 0.0
-        var j = 0
-        while (j < D) { s += cr(i)(j) * v(j); j += 1 }
-        r6(s)
-      }
-    var v = Array.fill(D)(0.125)
-    for (_ <- 1 to ITERS) {
-      val u = matvec(v)
-      // rounded-sum discipline as in qSpectrum above
-      val nrm = math.sqrt(r6(u.map(x => x * x).sum))
-      v = u.map(x => r6(x / nrm))
-    }
-    val u = matvec(v)
-    val lam = r6(r6(u.indices.map(i => u(i) * v(i)).sum) / r6(v.map(x => x * x).sum))
-    Seq((n, D, lam, r6(lam / D)))
+    val lam = powerIterate(cr)
+    // lam/64 is a grid value scaled by a power of two — its exact
+    // decimal terminates at scale 12, so the share rounds on the
+    // exact decimal too (lam/64 lands on a midpoint whenever the
+    // grid integer is 32 mod 64 — a 1/64 structural tie as a double)
+    val share = (d6(lam) * BigDecimal("0.015625"))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Seq((n, D, lam, share))
       .toDF("n_vecs", "dim", "top_eig", "explained_share")
   }
 
@@ -192,19 +203,30 @@ object Spectrum {
        |             CROSS JOIN nn)""".stripMargin
 
   /** The power-iteration CTE chain over whatever `m` matrix the
-    * caller's WITH-prefix defined; shared by both spectrum oracles. */
+    * caller's WITH-prefix defined; shared by both spectrum oracles.
+    * Grid-input sums run DECIMAL-exact (see [[powerIterate]]'s doc):
+    * CAST(x AS DECIMAL(18,6)) recovers the exact decimal of a round-6
+    * double, products are exact scale-12 decimals, DECIMAL sums are
+    * order-free, and round(DECIMAL, 6) ties away from zero exactly
+    * like BigDecimal HALF_UP — so both engines make every rounding
+    * decision on the same exact number. */
+  private def decDot(a: String, b: String): String =
+    s"sum(CAST($a AS DECIMAL(18,6)) * CAST($b AS DECIMAL(18,6)))"
   private def iterChainSql: String = {
     val iter = (k: Int) =>
-      s"""u$k AS MATERIALIZED (SELECT m.i, round(sum(m.cov * v.v), 6) AS u
+      s"""u$k AS MATERIALIZED (SELECT m.i,
+         |    CAST(round(${decDot("m.cov", "v.v")}, 6) AS DOUBLE) AS u
          |  FROM m JOIN v${k - 1} v ON v.i = m.j GROUP BY m.i),
-         |v$k AS MATERIALIZED (SELECT i, round(u / sqrt(round((SELECT sum(u * u) FROM u$k), 6)), 6) AS v
+         |v$k AS MATERIALIZED (SELECT i,
+         |    round(u / sqrt(CAST((SELECT ${decDot("u", "u")} FROM u$k) AS DOUBLE)), 6) AS v
          |  FROM u$k)""".stripMargin
     val iters = (1 to ITERS).map(iter).mkString(",\n")
     s"""v0 AS (SELECT ii.i AS i, CAST(0.125 AS DOUBLE) AS v FROM range(0, $D) ii(i)),
        |$iters,
-       |fu AS (SELECT m.i, round(sum(m.cov * v.v), 6) AS u
+       |fu AS (SELECT m.i, CAST(round(${decDot("m.cov", "v.v")}, 6) AS DOUBLE) AS u
        |  FROM m JOIN v$ITERS v ON v.i = m.j GROUP BY m.i),
-       |lam AS (SELECT round(round(sum(fu.u * v.v), 6) / round(sum(v.v * v.v), 6), 6) AS top_eig
+       |lam AS (SELECT round(CAST(${decDot("fu.u", "v.v")} AS DOUBLE)
+       |    / CAST(${decDot("v.v", "v.v")} AS DOUBLE), 6) AS top_eig
        |  FROM fu JOIN v$ITERS v USING (i))""".stripMargin
   }
 
@@ -219,7 +241,7 @@ object Spectrum {
          |      UNION ALL SELECT j, i, cov FROM corr WHERE i != j),
          |$iterChainSql
          |SELECT n AS n_vecs, $D AS dim, top_eig,
-         |  round(top_eig / $D, 6) AS explained_share
+         |  CAST(round(CAST(top_eig AS DECIMAL(18,6)) * 0.015625, 6) AS DOUBLE) AS explained_share
          |FROM nn CROSS JOIN lam""".stripMargin,
     "embed_covariance" ->
       s"""WITH $covSql
@@ -229,7 +251,8 @@ object Spectrum {
          |m AS MATERIALIZED (SELECT i, j, cov FROM cov
          |      UNION ALL SELECT j, i, cov FROM cov WHERE i != j),
          |$iterChainSql,
-         |tr AS (SELECT round(sum(cov), 6) AS trace FROM cov WHERE i = j)
+         |tr AS (SELECT CAST(sum(CAST(cov AS DECIMAL(18,6))) AS DOUBLE) AS trace
+         |  FROM cov WHERE i = j)
          |SELECT n AS n_vecs, $D AS dim, trace, top_eig,
          |  round(top_eig / trace, 6) AS explained_share
          |FROM nn CROSS JOIN tr CROSS JOIN lam""".stripMargin)
