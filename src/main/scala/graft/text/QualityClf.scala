@@ -146,8 +146,40 @@ object QualityClf {
     scoreOn(feats, trainOn(feats))
   }
 
+  /** Calibration/reliability report over the trained scores — the
+    * ML-ops gate before anyone uses clf_score as a keep threshold: a
+    * probability-calibrated classifier's mean score per bin tracks the
+    * bin's empirical label rate. Scores bin on their EXACT decimal
+    * (CAST to DECIMAL(18,6) then scale by 10 — grid values never
+    * straddle a bin edge as doubles might), per-bin mean scores sum
+    * DECIMAL-exact per the §4 grid-sum rule, and the expected
+    * calibration error (bin-mass-weighted |mean - rate|) repeats per
+    * row like the IVF retrain flag. One groupBy over the scored
+    * corpus. */
+  def qClfCalibration(spark: SparkSession, dir: String): DataFrame =
+    calibrationOf(qQualityClf(spark, dir))
+
+  /** The report over any scored frame (label, clf_score) — separated
+    * so specs can calibrate crafted score distributions. */
+  private[text] def calibrationOf(scored: DataFrame): DataFrame = {
+    val binned = scored.withColumn("bin",
+      least(floor(expr("CAST(clf_score AS DECIMAL(18,6)) * 10")).cast("int"), lit(9)))
+    val rep = binned.groupBy("bin").agg(
+      count(lit(1)).as("n_docs"),
+      round(expr("CAST(sum(CAST(clf_score AS DECIMAL(18,6))) AS DOUBLE)") /
+        count(lit(1)), 6).as("mean_score"),
+      round(sum("label").cast("double") / count(lit(1)), 6).as("label_rate"))
+      .withColumn("abs_gap", round(abs(col("mean_score") - col("label_rate")), 6))
+    val ece = rep.agg(
+      round(expr("CAST(sum(CAST(abs_gap AS DECIMAL(18,6)) * n_docs) AS DOUBLE)") /
+        sum("n_docs"), 6).as("ece"))
+    rep.crossJoin(broadcast(ece))
+      .select("bin", "n_docs", "mean_score", "label_rate", "abs_gap", "ece")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "text_quality_clf" -> (qQualityClf _))
+    "text_quality_clf" -> (qQualityClf _),
+    "text_quality_clf_calibration" -> (qClfCalibration _))
 
   /** DuckDB mirror: the same feature build, then the 10 GD steps as
     * an unrolled MATERIALIZED CTE chain (feats and every w_k are
@@ -171,7 +203,7 @@ object QualityClf {
          |    round(wl[f + 1] - $LR * g, 6) ORDER BY f) AS wl
          |  FROM g$k CROSS JOIN w${k - 1})""".stripMargin
     }.mkString(",\n")
-    Map("text_quality_clf" ->
+    val clfSql =
       s"""WITH feats AS MATERIALIZED (
          |  SELECT doc_id,
          |    CAST(lang = 'en' AS DOUBLE) AS y,
@@ -189,6 +221,25 @@ object QualityClf {
          |SELECT doc_id, CAST(y AS INT) AS label,
          |  ${sig("wl")} AS clf_score,
          |  ${sig("wl")} >= 0.5 AS keep
-         |FROM feats CROSS JOIN w$ITERS""".stripMargin)
+         |FROM feats CROSS JOIN w$ITERS""".stripMargin
+    Map(
+      "text_quality_clf" -> clfSql,
+      "text_quality_clf_calibration" ->
+        s"""WITH clf AS MATERIALIZED (SELECT * FROM ($clfSql) q),
+           |binned AS (SELECT *,
+           |    least(CAST(floor(CAST(clf_score AS DECIMAL(18,6)) * 10) AS INT), 9) AS bin
+           |  FROM clf),
+           |rep AS MATERIALIZED (SELECT bin,
+           |    count(*) AS n_docs,
+           |    round(CAST(sum(CAST(clf_score AS DECIMAL(18,6))) AS DOUBLE)
+           |      / count(*), 6) AS mean_score,
+           |    round(CAST(sum(label) AS DOUBLE) / count(*), 6) AS label_rate
+           |  FROM binned GROUP BY bin),
+           |g AS MATERIALIZED (SELECT *,
+           |    round(abs(mean_score - label_rate), 6) AS abs_gap FROM rep),
+           |e AS (SELECT round(CAST(sum(CAST(abs_gap AS DECIMAL(18,6)) * n_docs) AS DOUBLE)
+           |    / CAST(sum(n_docs) AS DOUBLE), 6) AS ece FROM g)
+           |SELECT bin, n_docs, mean_score, label_rate, abs_gap, ece
+           |FROM g CROSS JOIN e""".stripMargin)
   }
 }

@@ -60,6 +60,23 @@ class QualityClfSpec extends AnyFunSuite {
     }
   }
 
+  test("calibration report: bins partition the corpus, ECE recomputes from its own rows") {
+    val feats = QualityClf.featurizeDocs(crafted)
+    val scored = QualityClf.scoreOn(feats, QualityClf.trainOn(feats))
+    val rows = QualityClf.calibrationOf(scored).collect()
+    assert(rows.length >= 2, "separated good/bad scores must span >= 2 bins")
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == 8L, "bins must partition the docs")
+    val n = rows.map(_.getAs[Long]("n_docs")).sum.toDouble
+    val ece = rows.map(r => r.getAs[Long]("n_docs") * r.getAs[Double]("abs_gap")).sum / n
+    val reported = rows.head.getAs[Double]("ece")
+    assert(rows.forall(_.getAs[Double]("ece") == reported), "ece must be global")
+    assert(math.abs(ece - reported) < 1e-6, s"ece $reported != recomputed $ece")
+    rows.foreach { r =>
+      assert(r.getAs[Double]("mean_score") >= 0.0 && r.getAs[Double]("mean_score") <= 1.0)
+      assert(r.getAs[Double]("label_rate") >= 0.0 && r.getAs[Double]("label_rate") <= 1.0)
+    }
+  }
+
   test("corpus query: one score per document, all on the round-6 grid") {
     val rows = QualityClf.qQualityClf(spark, "/root/testdata/sf0.001").collect()
     assert(rows.length == 500)
