@@ -177,9 +177,58 @@ object QualityClf {
       .select("bin", "n_docs", "mean_score", "label_rate", "abs_gap", "ece")
   }
 
+  /** Held-out evaluation — the train/eval hygiene a classifier-scored
+    * release requires: train on the SAME deterministic 80% hash split
+    * every pipeline gate uses (nibble bucket < 80, pipeline_split's
+    * exact convention), score the held-out 20%, and report accuracy
+    * plus the tie-corrected Mann-Whitney AUC. The AUC runs over
+    * PER-DISTINCT-SCORE aggregates: U = sum_s pos_s*(negBelow_s +
+    * neg_s/2) — all integer/half-integer arithmetic, exact in both
+    * engines — and the one unpartitioned cumulative window is bounded
+    * by the round-6 score grid (<= 1e6+1 distinct values at ANY corpus
+    * size), not by the corpus. */
+  def qClfEval(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val feats = features(spark, dir).withColumn("b",
+      expr(s"${graft.pipeline.Splits.nibbleHashSql("CAST(doc_id AS STRING)")} % 100"))
+    val trainF = feats.filter(col("b") < 80)
+    val evalF = feats.filter(col("b") >= 80)
+    val w = trainOn(trainF)
+    val scored = scoreOn(evalF, w)
+    val u = aucParts(scored)
+    val acc = scored.agg(
+      count(lit(1)).as("n_eval"),
+      sum(when((col("clf_score") >= 0.5) === (col("label") === 1), 1L)
+        .otherwise(0L)).as("n_correct"))
+    val nTrain = trainF.agg(count(lit(1)).as("n_train"))
+    nTrain.crossJoin(broadcast(acc)).crossJoin(broadcast(u))
+      .select(col("n_train"), col("n_eval"), col("n_pos").as("n_pos_eval"),
+        round(col("n_correct").cast("double") / col("n_eval"), 6).as("accuracy"),
+        round(col("u") / (col("n_pos") * col("n_neg")).cast("double"), 6).as("auc"))
+  }
+
+  /** Tie-corrected Mann-Whitney U over per-distinct-score aggregates
+    * (exposed for specs): one row (u, n_pos, n_neg); AUC = u/(n1*n0).
+    * All terms integer/half-integer — exact in any summation order. */
+  private[text] def aucParts(scored: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perScore = scored.groupBy("clf_score").agg(
+      sum("label").cast("long").as("pos"),
+      count(lit(1)).as("tot"))
+      .withColumn("neg", col("tot") - col("pos"))
+    val win = Window.orderBy("clf_score")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perScore
+      .withColumn("neg_below", coalesce(sum("neg").over(win), lit(0L)))
+      .agg(sum(col("pos") * (col("neg_below").cast("double") + col("neg") * 0.5))
+        .as("u"),
+        sum("pos").as("n_pos"), sum("neg").as("n_neg"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_quality_clf" -> (qQualityClf _),
-    "text_quality_clf_calibration" -> (qClfCalibration _))
+    "text_quality_clf_calibration" -> (qClfCalibration _),
+    "text_quality_clf_eval" -> (qClfEval _))
 
   /** DuckDB mirror: the same feature build, then the 10 GD steps as
     * an unrolled MATERIALIZED CTE chain (feats and every w_k are
@@ -203,9 +252,10 @@ object QualityClf {
          |    round(wl[f + 1] - $LR * g, 6) ORDER BY f) AS wl
          |  FROM g$k CROSS JOIN w${k - 1})""".stripMargin
     }.mkString(",\n")
-    val clfSql =
-      s"""WITH feats AS MATERIALIZED (
-         |  SELECT doc_id,
+    // the raw per-doc feature build; `extra` threads additional
+    // columns (the eval split bucket) through the nesting
+    def featsBody(extra: String): String =
+      s"""SELECT doc_id,$extra
          |    CAST(lang = 'en' AS DOUBLE) AS y,
          |    list_append(list_transform(range(0, $F),
          |      f -> CAST(len(list_filter(bks, b -> b = f)) AS DOUBLE) / len(ws)),
@@ -214,16 +264,55 @@ object QualityClf {
          |          list_transform(ws, w -> $nib % $F) AS bks
          |        FROM (SELECT doc_id, lang,
          |                list_filter(string_split(text, ' '), w -> w != '') AS ws
-         |              FROM documents))),
-         |w0 AS (SELECT list_transform(range(0, ${F + 1}),
-         |         i -> CAST(0.0 AS DOUBLE)) AS wl),
+         |              FROM documents))""".stripMargin
+    val w0Sql =
+      s"""w0 AS (SELECT list_transform(range(0, ${F + 1}),
+         |         i -> CAST(0.0 AS DOUBLE)) AS wl)""".stripMargin
+    val clfSql =
+      s"""WITH feats AS MATERIALIZED (
+         |  ${featsBody("")}),
+         |$w0Sql,
          |$steps
          |SELECT doc_id, CAST(y AS INT) AS label,
          |  ${sig("wl")} AS clf_score,
          |  ${sig("wl")} >= 0.5 AS keep
          |FROM feats CROSS JOIN w$ITERS""".stripMargin
+    // eval: the training chain's `feats` IS the 80% train split; the
+    // held-out 20% scores against the final weights
+    val evalSql =
+      s"""WITH afeats AS MATERIALIZED (
+         |  ${featsBody(
+             s"""
+                |    ${graft.pipeline.Splits.nibbleHashSql("CAST(doc_id AS VARCHAR)")} % 100 AS b,""".stripMargin)}),
+         |feats AS MATERIALIZED (SELECT doc_id, y, x FROM afeats WHERE b < 80),
+         |$w0Sql,
+         |$steps,
+         |escored AS MATERIALIZED (SELECT doc_id, CAST(y AS INT) AS label,
+         |    ${sig("wl")} AS clf_score
+         |  FROM (SELECT doc_id, y, x FROM afeats WHERE b >= 80) ef
+         |  CROSS JOIN w$ITERS),
+         |per AS (SELECT clf_score,
+         |    CAST(sum(label) AS BIGINT) AS pos, count(*) AS tot
+         |  FROM escored GROUP BY clf_score),
+         |cum AS (SELECT *, tot - pos AS neg,
+         |    coalesce(sum(tot - pos) OVER (ORDER BY clf_score
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS neg_below
+         |  FROM per),
+         |uu AS (SELECT sum(pos * (CAST(neg_below AS DOUBLE) + neg * 0.5)) AS u,
+         |    CAST(sum(pos) AS BIGINT) AS n_pos, CAST(sum(neg) AS BIGINT) AS n_neg
+         |  FROM cum),
+         |aa AS (SELECT count(*) AS n_eval,
+         |    CAST(sum(CASE WHEN (clf_score >= 0.5) = (label = 1)
+         |             THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+         |  FROM escored),
+         |tt AS (SELECT count(*) AS n_train FROM feats)
+         |SELECT n_train, n_eval, n_pos AS n_pos_eval,
+         |  round(CAST(n_correct AS DOUBLE) / n_eval, 6) AS accuracy,
+         |  round(u / CAST(n_pos * n_neg AS DOUBLE), 6) AS auc
+         |FROM tt CROSS JOIN aa CROSS JOIN uu""".stripMargin
     Map(
       "text_quality_clf" -> clfSql,
+      "text_quality_clf_eval" -> evalSql,
       "text_quality_clf_calibration" ->
         s"""WITH clf AS MATERIALIZED (SELECT * FROM ($clfSql) q),
            |binned AS (SELECT *,

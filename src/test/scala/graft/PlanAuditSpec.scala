@@ -137,7 +137,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "orders_daily_cumulative",      // running total over day-keyed aggregates (calendar-bounded)
     "orders_backtest_snaive",       // same day-bounded daily series
     "dedup_embed_threshold_curve",  // cumulative counts over a ~20-point threshold grid
-    "dedup_minhash_agreement_curve" // cumulative counts over the signature-agreement grid
+    "dedup_minhash_agreement_curve", // cumulative counts over the signature-agreement grid
+    "text_quality_clf_eval"         // AUC cumulative over DISTINCT round-6 scores (<= 1e6+1 rows at any corpus size)
   )
 
   test("no registered query plans a CartesianProduct or a single-buffer exact percentile") {

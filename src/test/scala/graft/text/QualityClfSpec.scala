@@ -77,6 +77,27 @@ class QualityClfSpec extends AnyFunSuite {
     }
   }
 
+  test("AUC machinery: perfect separation, reversal, and ties match pairwise truth") {
+    def auc(rows: Seq[(Int, Double)]): Double = {
+      val scored = rows.zipWithIndex
+        .map { case ((l, s), i) => (i.toLong, l, s) }.toDF("doc_id", "label", "clf_score")
+      val r = QualityClf.aucParts(scored).collect()(0)
+      r.getAs[Double]("u") / (r.getAs[Long]("n_pos") * r.getAs[Long]("n_neg"))
+    }
+    // brute-force pairwise truth: P(score_pos > score_neg) + 0.5 P(tie)
+    def truth(rows: Seq[(Int, Double)]): Double = {
+      val pos = rows.filter(_._1 == 1).map(_._2); val neg = rows.filter(_._1 == 0).map(_._2)
+      pos.flatMap(p => neg.map(n => if (p > n) 1.0 else if (p == n) 0.5 else 0.0))
+        .sum / (pos.length * neg.length)
+    }
+    val perfect = Seq((1, 0.9), (1, 0.8), (0, 0.2), (0, 0.1))
+    assert(auc(perfect) == 1.0)
+    val reversed = perfect.map { case (l, s) => (1 - l, s) }
+    assert(auc(reversed) == 0.0)
+    val tied = Seq((1, 0.5), (0, 0.5), (1, 0.7), (0, 0.3), (1, 0.3), (0, 0.9))
+    assert(auc(tied) == truth(tied), s"${auc(tied)} vs pairwise ${truth(tied)}")
+  }
+
   test("corpus query: one score per document, all on the round-6 grid") {
     val rows = QualityClf.qQualityClf(spark, "/root/testdata/sf0.001").collect()
     assert(rows.length == 500)
