@@ -217,6 +217,33 @@ object Streams {
   def ingestPipeline(stream: DataFrame, corpusIndex: DataFrame): DataFrame =
     incrementalDedupStream(qualityGate(stream), corpusIndex)
 
+  /** Stateless model-serving gate — the trained quality classifier
+    * (graft.text.QualityClf) deployed INTO the ingest stream: the
+    * driver trains once on the standing corpus, the 33 learned weights
+    * ship as literals, and each streaming document scores in ONE fold
+    * over its words (w·x = sum_words w[bucket(word)]/n + bias — the
+    * hashed-unigram dot product rearranged so no count vector is ever
+    * materialized per row). No state, composes anywhere; documents
+    * under the threshold (or with no words) never reach the landing
+    * zone. */
+  def clfScoreGate(docs: DataFrame, w: Array[Double], minScore: Double): DataFrame = {
+    require(w.length == 33, s"expected 32 bucket weights + bias, got ${w.length}")
+    val wLits = w.take(32).map(_.toString).mkString(", ")
+    docs
+      .withColumn("__ws", expr("filter(split(text, ' '), x -> x != '')"))
+      // a wordless document has no score (and ANSI mode would reject
+      // the 0-divisor): it never reaches the landing zone
+      .filter(size(col("__ws")) > 0)
+      .withColumn("__z", expr(
+        s"""aggregate(__ws, CAST(0.0 AS DOUBLE),
+           |  (acc, wd) -> acc + element_at(array($wLits),
+           |    (${graft.pipeline.Splits.nibbleHashSql("wd")} % 32) + 1))
+           |/ size(__ws) + ${w(32)}""".stripMargin))
+      .withColumn("clf_score", expr("1.0 / (1.0 + exp(-__z))"))
+      .filter(col("clf_score") >= minScore)
+      .drop("__ws", "__z")
+  }
+
   /** The PII-safe front door: scrub FIRST (re-keying content identity
     * to the scrubbed text — two documents equal up to their PII redact
     * to the same key and dedup together; raw PII never reaches the

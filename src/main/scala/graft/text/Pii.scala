@@ -4,18 +4,19 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.t
 
-/** Structured PII detection + redaction — the corpus-release gate the
-  * scrub stage (TextAnalysis.qScrub: email/long-number) does not cover:
-  * phone numbers, IPv4 addresses, and credit-card numbers validated by
-  * the Luhn checksum (a bare 16-digit run is only PII if the check
+/** Structured PII detection + redaction — the corpus-release gate
+  * beyond the scrub stage's blanket long-number rule: phone numbers,
+  * IPv4 addresses, email addresses, and credit-card numbers validated
+  * by the Luhn checksum (a bare 16-digit run is only PII if the check
   * digit holds — the standard false-positive filter, and integer-exact
   * cross-engine).
   *
   * The synthetic documents corpus contains no digits at all, so —
   * exactly like the multimodal family's deterministic fake codecs —
   * the detectors run over an AUGMENTED corpus: every document gets one
-  * deterministic doc_id-derived contact span appended (doc_id%4 picks
-  * phone / IPv4 / Luhn-VALID card / Luhn-INVALID card). The injection
+  * deterministic doc_id-derived contact span appended (doc_id%5 picks
+  * phone / IPv4 / Luhn-VALID card / Luhn-INVALID card / email). The
+  * injection
   * is integer arithmetic mirrored in the oracle, the invalid-card arm
   * proves the Luhn filter actually rejects, and the report's residual
   * column re-runs every detector on the REDACTED text (the round-trip
@@ -32,6 +33,7 @@ object Pii {
   private val PHONE_RE = """\(\d{3}\) \d{3}-\d{4}"""
   private val IP_RE = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
   private val CC_RE = """\b\d{16}\b"""
+  private val EMAIL_RE = """[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"""
 
   /** Luhn sum of a FIXED-LENGTH digit string as a SQL expression over
     * Spark's HOFs: from the RIGHT, every second digit doubles (minus 9
@@ -59,12 +61,13 @@ object Pii {
       .withColumn("chk",
         expr(s"(10 - ${luhnSumSql("cc15", 15, 1)} % 10) % 10"))
       .withColumn("aug", concat(col("text"), lit(" "),
-        expr("""CASE CAST(doc_id % 4 AS INT)
+        expr("""CASE CAST(doc_id % 5 AS INT)
           WHEN 0 THEN concat('(415) 555-', lpad(CAST(doc_id % 10000 AS STRING), 4, '0'))
           WHEN 1 THEN concat('10.', CAST(doc_id % 256 AS STRING), '.',
                              CAST((doc_id div 7) % 256 AS STRING), '.42')
           WHEN 2 THEN concat(cc15, CAST(chk AS STRING))
-          ELSE concat(cc15, CAST((chk + 5) % 10 AS STRING)) END""")))
+          WHEN 3 THEN concat(cc15, CAST((chk + 5) % 10 AS STRING))
+          ELSE concat('user', CAST(doc_id AS STRING), '@example.com') END""")))
       .transform(detectorsOf)
 
   /** The detector/redactor stage over any frame with an `aug` text
@@ -75,6 +78,7 @@ object Pii {
       .withColumn("phones", expr(s"regexp_extract_all(aug, '${sqlRe(PHONE_RE)}', 0)"))
       .withColumn("ips", expr(s"regexp_extract_all(aug, '${sqlRe(IP_RE)}', 0)"))
       .withColumn("ccs", expr(s"regexp_extract_all(aug, '${sqlRe(CC_RE)}', 0)"))
+      .withColumn("emails", expr(s"regexp_extract_all(aug, '${sqlRe(EMAIL_RE)}', 0)"))
       .withColumn("cc_valid",
         expr(s"size(filter(ccs, c -> ${luhnSumSql("c", 16, 1)} % 10 = 0))"))
       // redaction: cards first (the longest digit runs), then phones,
@@ -83,7 +87,8 @@ object Pii {
       .withColumn("residual",
         expr(s"size(regexp_extract_all(scrubbed, '${sqlRe(PHONE_RE)}', 0))") +
           expr(s"size(regexp_extract_all(scrubbed, '${sqlRe(IP_RE)}', 0))") +
-          expr(s"size(regexp_extract_all(scrubbed, '${sqlRe(CC_RE)}', 0))"))
+          expr(s"size(regexp_extract_all(scrubbed, '${sqlRe(CC_RE)}', 0))") +
+          expr(s"size(regexp_extract_all(scrubbed, '${sqlRe(EMAIL_RE)}', 0))"))
 
   /** Spark SQL string literals escape-process backslashes; double them
     * so the regex survives the parse. */
@@ -94,8 +99,8 @@ object Pii {
     * this before content hashing). Cards first (the longest digit
     * runs), then phones, then addresses. */
   private[graft] def scrub(c: Column): Column =
-    regexp_replace(regexp_replace(regexp_replace(c,
-      CC_RE, "[CC]"), PHONE_RE, "[PHONE]"), IP_RE, "[IP]")
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(c,
+      CC_RE, "[CC]"), PHONE_RE, "[PHONE]"), IP_RE, "[IP]"), EMAIL_RE, "[EMAIL]")
 
   /** Per-source PII census: hit counts by detector, Luhn-rejected card
     * candidates, the per-source PII document rate, and the residual
@@ -109,8 +114,9 @@ object Pii {
         sum(size(col("ips"))).as("ip_hits"),
         sum(size(col("ccs"))).as("cc_candidates"),
         sum(col("cc_valid")).as("cc_valid"),
-        sum(when(size(col("phones")) + size(col("ips")) + col("cc_valid") > 0, 1L)
-          .otherwise(0L)).as("pii_docs"),
+        sum(size(col("emails"))).as("email_hits"),
+        sum(when(size(col("phones")) + size(col("ips")) + size(col("emails"))
+          + col("cc_valid") > 0, 1L).otherwise(0L)).as("pii_docs"),
         sum(col("residual")).as("residual_hits"))
       .withColumn("pii_rate",
         round(col("pii_docs").cast("double") / col("docs"), 6))
@@ -145,26 +151,29 @@ object Pii {
        |    (10 - ${luhnSumDuck("cc15", 15, 1)} % 10) % 10 AS chk
        |  FROM base),
        |aug AS MATERIALIZED (SELECT doc_id, source,
-       |    text || ' ' || CASE CAST(doc_id % 4 AS INT)
+       |    text || ' ' || CASE CAST(doc_id % 5 AS INT)
        |      WHEN 0 THEN '(415) 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
        |      WHEN 1 THEN '10.' || CAST(doc_id % 256 AS VARCHAR) || '.' ||
        |                  CAST((doc_id // 7) % 256 AS VARCHAR) || '.42'
        |      WHEN 2 THEN cc15 || CAST(chk AS VARCHAR)
-       |      ELSE cc15 || CAST((chk + 5) % 10 AS VARCHAR) END AS aug
+       |      WHEN 3 THEN cc15 || CAST((chk + 5) % 10 AS VARCHAR)
+       |      ELSE 'user' || CAST(doc_id AS VARCHAR) || '@example.com' END AS aug
        |  FROM chk),
        |det AS (SELECT doc_id, source,
        |    regexp_extract_all(aug, '$PHONE_RE') AS phones,
        |    regexp_extract_all(aug, '$IP_RE') AS ips,
        |    regexp_extract_all(aug, '$CC_RE') AS ccs,
-       |    regexp_replace(regexp_replace(regexp_replace(aug,
+       |    regexp_extract_all(aug, '$EMAIL_RE') AS emails,
+       |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(aug,
        |      '$CC_RE', '[CC]', 'g'), '$PHONE_RE', '[PHONE]', 'g'),
-       |      '$IP_RE', '[IP]', 'g') AS scrubbed
+       |      '$IP_RE', '[IP]', 'g'), '$EMAIL_RE', '[EMAIL]', 'g') AS scrubbed
        |  FROM aug),
-       |scored AS (SELECT doc_id, source, phones, ips, ccs, scrubbed,
+       |scored AS (SELECT doc_id, source, phones, ips, ccs, emails, scrubbed,
        |    len(list_filter(ccs, c -> ${luhnSumDuck("c", 16, 1)} % 10 = 0)) AS cc_valid,
        |    len(regexp_extract_all(scrubbed, '$PHONE_RE'))
        |      + len(regexp_extract_all(scrubbed, '$IP_RE'))
-       |      + len(regexp_extract_all(scrubbed, '$CC_RE')) AS residual
+       |      + len(regexp_extract_all(scrubbed, '$CC_RE'))
+       |      + len(regexp_extract_all(scrubbed, '$EMAIL_RE')) AS residual
        |  FROM det)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
@@ -176,10 +185,11 @@ object Pii {
          |  CAST(sum(len(ips)) AS BIGINT) AS ip_hits,
          |  CAST(sum(len(ccs)) AS BIGINT) AS cc_candidates,
          |  CAST(sum(cc_valid) AS BIGINT) AS cc_valid,
-         |  CAST(sum(CASE WHEN len(phones) + len(ips) + cc_valid > 0
+         |  CAST(sum(len(emails)) AS BIGINT) AS email_hits,
+         |  CAST(sum(CASE WHEN len(phones) + len(ips) + len(emails) + cc_valid > 0
          |           THEN 1 ELSE 0 END) AS BIGINT) AS pii_docs,
          |  CAST(sum(residual) AS BIGINT) AS residual_hits,
-         |  round(CAST(sum(CASE WHEN len(phones) + len(ips) + cc_valid > 0
+         |  round(CAST(sum(CASE WHEN len(phones) + len(ips) + len(emails) + cc_valid > 0
          |             THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS pii_rate
          |FROM scored GROUP BY source""".stripMargin,
     "text_pii_scrub" ->

@@ -54,7 +54,7 @@ object QualityClf {
     * (lang = 'en'), x = 32 normalized hashed-unigram frequencies
     * + bias 1.0. Takes any frame with (doc_id, source, lang, text)
     * so specs can train on crafted corpora. */
-  private[text] def featurizeDocs(docs: DataFrame): DataFrame = {
+  private[graft] def featurizeDocs(docs: DataFrame): DataFrame = {
     // wordcount shape, not per-bucket HOF scans: the first formulation
     // ran `filter(bks, b -> b = f)` once per bucket — 32 array
     // allocations per document — and measured 2.7 ms/doc (13.5 s of
@@ -105,7 +105,7 @@ object QualityClf {
 
   /** The 10-step GD weight trajectory (driver-side, each step one
     * Spark aggregate over the feature frame). */
-  private[text] def trainOn(feats: DataFrame): Array[Double] = {
+  private[graft] def trainOn(feats: DataFrame): Array[Double] = {
     var w = Array.fill(F + 1)(0.0)
     for (_ <- 1 to ITERS) {
       // one per-row residual-scaled feature ARRAY, then one grouped

@@ -288,6 +288,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("trained classifier serves in-stream: below-threshold docs never land") {
+    implicit val sqlCtx = spark.sqlContext
+    // train once on a static reference corpus with separable vocab
+    val corpus = Seq(
+      (0L, "s", "en", "clear prose reads well structured argument flows clear prose"),
+      (1L, "s", "en", "well structured argument clear reads prose flows argument well"),
+      (2L, "s", "xx", "buy click spam free winner click buy spam free spam"),
+      (3L, "s", "xx", "winner free spam buy click spam winner buy click free"))
+      .toDF("doc_id", "source", "lang", "text")
+    val w = graft.text.QualityClf.trainOn(graft.text.QualityClf.featurizeDocs(corpus))
+    val input = MemoryStream[(Timestamp, String)]
+    val df = input.toDF().toDF("ts", "text")
+    val q = Streams.clfScoreGate(df, w, 0.5)
+      .writeStream.format("memory").queryName("clf_gate_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        (ts(0), "structured prose argument flows well and reads clear"),
+        (ts(1), "spam click winner buy free spam click buy"),
+        (ts(2), ""))                                     // no words: dropped
+      q.processAllAvailable()
+      val out = spark.table("clf_gate_out").select("text").as[String].collect()
+      assert(out.length == 1 && out.head.contains("prose"),
+        s"only the reference-like doc lands: ${out.toSeq}")
+      val scores = spark.table("clf_gate_out").select("clf_score")
+        .as[Double].collect()
+      assert(scores.forall(_ >= 0.5))
+    } finally q.stop()
+  }
+
   test("rate-source ingress drives the ingest pipeline end-to-end (non-memory source)") {
     // The real front door: a rate-limited source (rowsPerSecond is the
     // maxOffsetsPerTrigger analog), explicit trigger cadence, and the

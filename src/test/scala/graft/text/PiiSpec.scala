@@ -21,8 +21,13 @@ class PiiSpec extends AnyFunSuite {
       "host 192.168.1.77 went dark",                // IPv4
       "card 4111111111111111 on file",              // the classic Luhn-valid test PAN
       "card 4111111111111112 on file",              // checksum off by one
-      "digits 123 and 45.6 but no pii here"))
+      "digits 123 and 45.6 but no pii here",
+      "mail me at jane.doe+spam@corp.example.org today"))
     assert(m(0L).getAs[scala.collection.Seq[String]]("phones") == scala.collection.Seq("(415) 555-0199"))
+    assert(m(5L).getAs[scala.collection.Seq[String]]("emails") ==
+      scala.collection.Seq("jane.doe+spam@corp.example.org"))
+    assert(m(5L).getAs[Int]("residual") == 0 &&
+      m(5L).getAs[String]("scrubbed").contains("[EMAIL]"))
     assert(m(1L).getAs[scala.collection.Seq[String]]("ips") == scala.collection.Seq("192.168.1.77"))
     assert(m(2L).getAs[scala.collection.Seq[String]]("ccs") == scala.collection.Seq("4111111111111111"))
     assert(m(2L).getAs[Int]("cc_valid") == 1)
@@ -30,7 +35,8 @@ class PiiSpec extends AnyFunSuite {
     assert(m(3L).getAs[Int]("cc_valid") == 0, "Luhn must reject the bad check digit")
     assert(m(4L).getAs[scala.collection.Seq[String]]("phones").isEmpty
       && m(4L).getAs[scala.collection.Seq[String]]("ips").isEmpty
-      && m(4L).getAs[scala.collection.Seq[String]]("ccs").isEmpty)
+      && m(4L).getAs[scala.collection.Seq[String]]("ccs").isEmpty
+      && m(4L).getAs[scala.collection.Seq[String]]("emails").isEmpty)
   }
 
   test("redaction round-trip: scrubbed text has zero residual detections") {
@@ -53,9 +59,10 @@ class PiiSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
     val totals = rows.map(r => (r.getAs[Long]("phone_hits"), r.getAs[Long]("ip_hits"),
       r.getAs[Long]("cc_candidates"), r.getAs[Long]("cc_valid"),
-      r.getAs[Long]("residual_hits")))
+      r.getAs[Long]("residual_hits"), r.getAs[Long]("email_hits")))
     assert(totals.map(_._1).sum > 0, "phone arm missing")
     assert(totals.map(_._2).sum > 0, "ip arm missing")
+    assert(totals.map(_._6).sum > 0, "email arm missing")
     val (cand, valid) = (totals.map(_._3).sum, totals.map(_._4).sum)
     assert(cand > 0 && valid > 0 && valid < cand,
       s"Luhn filter must split candidates: $valid of $cand")
