@@ -178,10 +178,42 @@ object Spectrum {
       .toDF("n_vecs", "dim", "top_eig", "explained_share")
   }
 
+  /** Per-dimension standardization APPLIED — the action the spectrum
+    * diagnostics decide on (corr-spectrum share low => per-dim scaling
+    * suffices; this is that scaling): z = (x - mean_d) / sd_d with the
+    * mean rounded 6 and sd = sqrt of the round-6 variance, so the
+    * transform itself is bit-identical cross-engine, then ONE
+    * verification pass recomputes each scaled dimension's mean and
+    * variance from the transformed data (var_after == 1 within round-6
+    * is the proof the applied transform matches the diagnosed moments).
+    * Scale shape: rides the staged Gram sums (no new first pass); the
+    * verification is one shuffle-free 128-aggregate pass. */
+  def qStandardize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (sums, _, n) = stagedSums(spark, dir)
+    val (c, _) = covMatrix(spark, dir)
+    val mean = Array.tabulate(D)(i => r6(sums(i) / n))
+    val sd = Array.tabulate(D)(i => math.sqrt(c(i)(i)))
+    (0 until D).foreach(i => require(sd(i) > 0.0, s"zero variance in dim $i"))
+    val e = graft.Tables.t(spark, dir, "embeddings")
+    val sExprs = (0 until D).map(d =>
+      expr(s"(CAST(element_at(embedding, ${d + 1}) AS DOUBLE) - ${mean(d)}) / ${sd(d)}"))
+    val aggs = (0 until D).flatMap(d => Seq(
+      sum(sExprs(d)).as(s"s$d"), sum(sExprs(d) * sExprs(d)).as(s"ss$d")))
+    val r = e.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val rows = (0 until D).map { d =>
+      val s = r.getDouble(2 * d); val ss = r.getDouble(2 * d + 1)
+      (d, mean(d), c(d)(d),
+        r6(s / n), r6(ss / n - (s / n) * (s / n)))
+    }
+    rows.toDF("dim", "mean", "var_before", "mean_after", "var_after")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embed_covariance" -> (qCovariance _),
     "embed_spectrum" -> (qSpectrum _),
-    "embed_corr_spectrum" -> (qCorrSpectrum _))
+    "embed_corr_spectrum" -> (qCorrSpectrum _),
+    "embed_standardize" -> (qStandardize _))
 
   /** Shared covariance CTE: per-pair product sums via a dimension
     * range join (the oracle pays generic tuple machinery for the
@@ -231,6 +263,24 @@ object Spectrum {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "embed_standardize" ->
+      s"""WITH $covSql,
+         |mn AS MATERIALIZED (SELECT means.i,
+         |    round(sx / n, 6) AS mean,
+         |    sqrt((SELECT cov FROM cov c WHERE c.i = means.i AND c.j = means.i)) AS sd
+         |  FROM means CROSS JOIN nn),
+         |sdim AS (SELECT mn.i AS d,
+         |    (CAST(embedding[mn.i + 1] AS DOUBLE) - mn.mean) / mn.sd AS s
+         |  FROM e CROSS JOIN mn),
+         |ver AS (SELECT d,
+         |    round(sum(s) / count(*), 6) AS mean_after,
+         |    round(sum(s * s) / count(*)
+         |      - (sum(s) / count(*)) * (sum(s) / count(*)), 6) AS var_after
+         |  FROM sdim GROUP BY d)
+         |SELECT CAST(ver.d AS INT) AS dim, mn.mean,
+         |  (SELECT cov FROM cov c WHERE c.i = ver.d AND c.j = ver.d) AS var_before,
+         |  mean_after, var_after
+         |FROM ver JOIN mn ON mn.i = ver.d""".stripMargin,
     "embed_corr_spectrum" ->
       s"""WITH $covSql,
          |corr AS MATERIALIZED (SELECT a.i, a.j,

@@ -8,6 +8,19 @@ class SpectrumSpec extends AnyFunSuite {
   private val spark = SparkTestSession.spark
   private val sf = "/root/testdata/sf0.001"
 
+  test("standardization: transformed dims verify to zero mean, unit variance") {
+    val rows = Spectrum.qStandardize(spark, sf).collect()
+    assert(rows.length == 64)
+    rows.foreach { r =>
+      val d = r.getAs[Int]("dim")
+      assert(math.abs(r.getAs[Double]("mean_after")) < 1e-4,
+        s"dim $d mean_after ${r.getAs[Double]("mean_after")}")
+      assert(math.abs(r.getAs[Double]("var_after") - 1.0) < 1e-3,
+        s"dim $d var_after ${r.getAs[Double]("var_after")}")
+      assert(r.getAs[Double]("var_before") > 0.0)
+    }
+  }
+
   test("covariance: full upper triangle, nonnegative diagonal, matches var_pop") {
     val rows = Spectrum.qCovariance(spark, sf).collect()
       .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
