@@ -141,9 +141,19 @@ object QualityClf {
       .select(col("doc_id"), col("y").cast("int").as("label"),
         col("clf_score"), (col("clf_score") >= 0.5).as("keep"))
 
+  /** Trained weights staged per (JVM, dir, split) — the staged-index
+    * discipline applied to model state: the corpus query, the
+    * calibration report and the eval query share one training run
+    * instead of re-walking the 10-job GD chain each (training is
+    * deterministic, so staging cannot change results). */
+  private val stagedW =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Double]]()
+  private def stagedTrain(key: String)(feats: => DataFrame): Array[Double] =
+    stagedW.computeIfAbsent(key, _ => trainOn(feats))
+
   def qQualityClf(spark: SparkSession, dir: String): DataFrame = {
     val feats = features(spark, dir)
-    scoreOn(feats, trainOn(feats))
+    scoreOn(feats, stagedTrain(s"full:$dir")(feats))
   }
 
   /** Calibration/reliability report over the trained scores — the
@@ -193,7 +203,7 @@ object QualityClf {
       expr(s"${graft.pipeline.Splits.nibbleHashSql("CAST(doc_id AS STRING)")} % 100"))
     val trainF = feats.filter(col("b") < 80)
     val evalF = feats.filter(col("b") >= 80)
-    val w = trainOn(trainF)
+    val w = stagedTrain(s"train80:$dir")(trainF)
     val scored = scoreOn(evalF, w)
     val u = aucParts(scored)
     val acc = scored.agg(
