@@ -39,6 +39,47 @@ class PiiSpec extends AnyFunSuite {
       && m(4L).getAs[scala.collection.Seq[String]]("emails").isEmpty)
   }
 
+  test("Luhn property: random PANs validate, any single-digit mutation is rejected") {
+    // independent textbook reimplementation of the checksum as the
+    // test oracle (the shipped detector is a SQL HOF fold)
+    def luhnOk(pan: String): Boolean = {
+      val s = pan.reverse.zipWithIndex.map { case (c, i) =>
+        val d = c - '0'
+        if (i % 2 == 1) { val t = 2 * d; if (t > 9) t - 9 else t } else d
+      }.sum
+      s % 10 == 0
+    }
+    val rnd = new scala.util.Random(42) // fixed seed: deterministic test
+    val pans = (1 to 25).map { _ =>
+      val payload = (1 to 15).map(_ => rnd.nextInt(10)).mkString
+      val s = (payload + "0").reverse.zipWithIndex.map { case (c, i) =>
+        val d = c - '0'
+        if (i % 2 == 1) { val t = 2 * d; if (t > 9) t - 9 else t } else d
+      }.sum
+      payload + ((10 - s % 10) % 10)
+    }
+    pans.foreach(p => assert(luhnOk(p), s"test-oracle self-check failed for $p"))
+    val mutated = pans.map { p =>
+      val i = rnd.nextInt(16)
+      val d = p(i) - '0'
+      val nd = (d + 1 + rnd.nextInt(9)) % 10 // any digit but the original
+      p.updated(i, ('0' + nd).toChar)
+    }
+    val texts = pans.map(p => s"card $p on file") ++
+      mutated.map(p => s"card $p on file")
+    val m = run(texts)
+    pans.indices.foreach { i =>
+      assert(m(i.toLong).getAs[Int]("cc_valid") == 1,
+        s"valid PAN ${pans(i)} rejected by the shipped detector")
+    }
+    mutated.indices.foreach { i =>
+      val row = m((pans.length + i).toLong)
+      assert(row.getAs[scala.collection.Seq[String]]("ccs").nonEmpty)
+      assert(row.getAs[Int]("cc_valid") == 0,
+        s"mutated PAN ${mutated(i)} passed the shipped detector")
+    }
+  }
+
   test("redaction round-trip: scrubbed text has zero residual detections") {
     val m = run(Seq(
       "reach me at (212) 555-7788 or 10.0.0.1, card 4111111111111111",
