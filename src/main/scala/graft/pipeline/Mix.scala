@@ -185,10 +185,20 @@ object Mix {
       sum("n_docs").as("n_docs"),
       sum("sum_tokens").as("sum_tokens"),
       max("max_len").as("max_len"))
+    // waste_frac = (padded - real) / padded rounded 6 as an EXACT
+    // integer HALF_UP division (round-12 driver flake: the binary-
+    // double quotient of two exact integers was rounded by two
+    // different round() implementations — Spark via BigDecimal,
+    // DuckDB via an fp multiply — which disagree near a midpoint).
+    // q = (2*num*1e6 + den) div (2*den) with num = padded - real >= 0
+    // ties away from zero exactly like HALF_UP; BIGINT-exact for
+    // padded_tokens < 4.6e12 (any realistic per-bucket mass — the
+    // oracle mirror runs the identical formula in HUGEINT).
     per.unionByName(global)
       .withColumn("padded_tokens", col("n_docs") * col("max_len"))
-      .withColumn("waste_frac",
-        round(lit(1.0) - col("sum_tokens").cast("double") / col("padded_tokens"), 6))
+      .withColumn("waste_frac", expr(
+        """CAST((2 * (padded_tokens - sum_tokens) * 1000000 + padded_tokens)
+          |     DIV (2 * padded_tokens) AS DOUBLE) / 1000000.0""".stripMargin))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -213,7 +223,10 @@ object Mix {
          |    max(max_len) FROM per)
          |SELECT bucket_cap, n_docs, sum_tokens, max_len,
          |  n_docs * max_len AS padded_tokens,
-         |  round(1.0 - CAST(sum_tokens AS DOUBLE) / (n_docs * max_len), 6) AS waste_frac
+         |  CAST((2 * CAST(n_docs * max_len - sum_tokens AS HUGEINT) * 1000000
+         |        + (n_docs * max_len))
+         |       // (2 * CAST(n_docs * max_len AS HUGEINT)) AS DOUBLE)
+         |    / 1000000.0 AS waste_frac
          |FROM allb""".stripMargin,
     "pipeline_mix_temperature" ->
       s"""WITH per AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),

@@ -402,15 +402,16 @@ object Analytics {
       .select(col("embedding")).as[Seq[Float]]
       .select(graft.functions.GramMatrix.toColumn)
       .collect()(0)
-    // unflatten the upper-triangle buffer to (i, j) rows; rounding
-    // mirrors the previous declarative aggregate (HALF_UP, 6)
+    // unflatten the upper-triangle buffer to (i, j) rows; buffer sums
+    // are exact 1e-12-unit integers (MicroGrid), so the round-6 is an
+    // exact integer division — layout/host-invariant by construction
     val d = ((math.sqrt(8.0 * r.sums.length + 1) - 1) / 2).round.toInt
     val rows = for {
       i <- 1 to d; j <- i to d
     } yield {
       val t0 = (i - 1) * d - (i - 1) * (i - 2) / 2 + (j - i)
       (i, j, r.n,
-        BigDecimal(r.sums(t0)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        graft.functions.MicroGrid.roundDiv6(BigInt(r.sums(t0)), BigInt(1000000)))
     }
     rows.toDF("i", "j", "n", "gram")
   }
@@ -1286,16 +1287,18 @@ object Analytics {
         |SELECT label, n_vecs, centroid_norm, mean_dist, min_sep
         |FROM coh JOIN nrm USING (label) JOIN sep USING (label)""".stripMargin,
     "embed_gram" ->
-      """WITH xs AS (SELECT vec_id,
-        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xs
+      s"""WITH xs AS (SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> ${graft.functions.MicroGrid.sqlQuantize("CAST(x AS DOUBLE)")}) AS qs
         |  FROM embeddings),
         |g AS (SELECT CAST(r.i AS INT) AS i, CAST(s.j AS INT) AS j,
-        |    xs[CAST(r.i AS INT)] * xs[CAST(s.j AS INT)] AS p
+        |    qs[CAST(r.i AS INT)] * qs[CAST(s.j AS INT)] AS p
         |  FROM xs
         |  CROSS JOIN range(1, 65) r(i)
         |  CROSS JOIN range(1, 65) s(j)
-        |  WHERE s.j >= r.i AND r.i <= len(xs) AND s.j <= len(xs))
-        |SELECT i, j, count(*) AS n, round(sum(p), 6) AS gram
+        |  WHERE s.j >= r.i AND r.i <= len(qs) AND s.j <= len(qs))
+        |SELECT i, j, count(*) AS n,
+        |  ${graft.functions.MicroGrid.sqlRoundDiv6("sum(p)", "CAST(1000000 AS HUGEINT)")} AS gram
         |FROM g GROUP BY i, j""".stripMargin,
     "orders_pareto" ->
       """WITH per AS (SELECT o_custkey,

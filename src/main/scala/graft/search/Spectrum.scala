@@ -3,6 +3,7 @@ package graft.search
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.t
+import graft.functions.MicroGrid
 
 /** Embedding covariance + spectral diagnostics — the anisotropy
   * report a vector-search deployment reads before trusting cosine
@@ -13,76 +14,100 @@ import graft.Tables.t
   *
   * Scale shape: the covariance reduces to ONE pass accumulating the
   * d(d+1)/2 upper-triangle product sums per partition in a dense
-  * double array (a mapPartitions kernel — justified under the §6
+  * array (a mapPartitions kernel — justified under the §6
   * last-resort rule because this is a pure numeric Gram accumulation:
   * the declarative alternative explodes n x 2080 product rows through
   * generic tuple machinery for the identical arithmetic, and public
   * Spark ML computes its Gram/covariance matrices with the same
   * treeAggregate-style dense accumulation). Partial arrays merge
-  * pairwise — O(partitions x 2080) driver work — and everything
-  * after (the 64 x 64 eigen step) is bounded driver math on the
-  * ROUNDED matrix, the lloyd literal-frame pattern.
+  * driver-side — O(partitions x 2080) work — and everything after
+  * (the 64 x 64 eigen step) is bounded driver math on the rounded
+  * matrix, the lloyd literal-frame pattern.
   *
-  * Determinism: raw sums are order-dependent doubles, so covariance
-  * entries round 6 (the §4 aggregated-double rule) and the power
-  * iteration runs on the ROUNDED matrix with every iterate re-rounded
-  * 6 — both engines then walk bit-identical trajectories, exactly the
-  * k-means center discipline. */
+  * Determinism (HOST-invariant since round 13): raw double Gram sums
+  * are order-dependent — partition-internal accumulation order varies
+  * with split layout and partials merge in task-completion order — and
+  * round-12's driver run proved a covariance entry can land on a
+  * 0.5e-6 midpoint and flip with the layout. The fix is the MicroGrid
+  * discipline end-to-end: each embedding component quantizes to
+  * integer micro-units at read (an exact scale-0 decision both engines
+  * share), sums and products accumulate as exact integers (order-free
+  * by construction), and each covariance entry's round-6 is an exact
+  * integer HALF_UP division — no order-dependent double is ever
+  * rounded. Long per-partition partials are overflow-checked
+  * (Math.addExact) and merge into BigInt, so no data scale can
+  * silently wrap. */
 object Spectrum {
 
   private val D = 64
   private val P = D * (D + 1) / 2
   private val ITERS = 15
 
-  /** (per-dim sums, upper-triangle product sums, row count), staged
-    * once per (JVM, dir). */
+  /** (per-dim micro sums, upper-triangle micro-product sums, row
+    * count) — exact integers, staged once per (JVM, dir). */
   private val covStaged =
-    new java.util.concurrent.ConcurrentHashMap[String, (Array[Double], Array[Double], Long)]()
+    new java.util.concurrent.ConcurrentHashMap[String, (Array[BigInt], Array[BigInt], Long)]()
 
   private def stagedSums(spark: SparkSession, dir: String)
-      : (Array[Double], Array[Double], Long) =
+      : (Array[BigInt], Array[BigInt], Long) =
     covStaged.computeIfAbsent(dir, { _ =>
-      t(spark, dir, "embeddings").select("embedding").rdd.mapPartitions { it =>
-        val sums = new Array[Double](D)
-        val prods = new Array[Double](P)
+      val parts = t(spark, dir, "embeddings").select("embedding").rdd.mapPartitions { it =>
+        val sums = new Array[Long](D)
+        val prods = new Array[Long](P)
         var n = 0L
+        val q = new Array[Long](D)
         it.foreach { row =>
           val a = row.getSeq[Float](0)
           require(a.length == D, s"expected $D dims, got ${a.length}")
           n += 1
           var i = 0
+          while (i < D) { q(i) = MicroGrid.quantize(a(i).toDouble); i += 1 }
+          i = 0
           var p = 0
           while (i < D) {
-            val xi = a(i).toDouble
-            sums(i) += xi
+            sums(i) = Math.addExact(sums(i), q(i))
             var j = i
-            while (j < D) { prods(p) += xi * a(j).toDouble; p += 1; j += 1 }
+            while (j < D) {
+              prods(p) = Math.addExact(prods(p), Math.multiplyExact(q(i), q(j)))
+              p += 1; j += 1
+            }
             i += 1
           }
         }
         Iterator.single((sums, prods, n))
-      }.reduce { case ((s1, p1, n1), (s2, p2, n2)) =>
+      }.collect()
+      // order-free exact merge (BigInt): any permutation of partials
+      // produces the identical integers
+      val s = Array.fill(D)(BigInt(0))
+      val pr = Array.fill(P)(BigInt(0))
+      var n = 0L
+      parts.foreach { case (ps, pp, pn) =>
         var i = 0
-        while (i < D) { s1(i) += s2(i); i += 1 }
+        while (i < D) { s(i) += ps(i); i += 1 }
         i = 0
-        while (i < P) { p1(i) += p2(i); i += 1 }
-        (s1, p1, n1 + n2)
+        while (i < P) { pr(i) += pp(i); i += 1 }
+        n += pn
       }
+      (s, pr, n)
     })
 
   private def r6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
-  /** The rounded covariance matrix (full, symmetric). */
+  /** The rounded covariance matrix (full, symmetric): each entry is
+    * the EXACT HALF_UP round-6 of (n*Pij - Si*Sj) / (n^2 * 1e12) —
+    * pure integer arithmetic, bit-identical on any host or layout. */
   private def covMatrix(spark: SparkSession, dir: String): (Array[Array[Double]], Long) = {
     val (sums, prods, n) = stagedSums(spark, dir)
+    val bn = BigInt(n)
+    val den = bn * bn * 1000000L
     val c = Array.ofDim[Double](D, D)
     var p = 0
     var i = 0
     while (i < D) {
       var j = i
       while (j < D) {
-        val cov = r6(prods(p) / n - (sums(i) / n) * (sums(j) / n))
+        val cov = MicroGrid.roundDiv6(prods(p) * bn - sums(i) * sums(j), den)
         c(i)(j) = cov
         c(j)(i) = cov
         p += 1; j += 1
@@ -127,11 +152,11 @@ object Spectrum {
 
   /** ITERS power iterations over a round-6 grid matrix + final
     * Rayleigh quotient, all grid sums decimal-exact. */
-  private def powerIterate(c: Array[Array[Double]]): Double = {
+  private[search] def powerIterate(c: Array[Array[Double]]): Double = {
     def matvec(v: Array[Double]): Array[Double] =
-      Array.tabulate(D)(i => gridDot(c(i), v)
+      Array.tabulate(c.length)(i => gridDot(c(i), v)
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
-    var v = Array.fill(D)(0.125)
+    var v = Array.fill(c.length)(0.125)
     for (_ <- 1 to ITERS) {
       val u = matvec(v)
       val nrm = math.sqrt(gridDot(u, u).toDouble)
@@ -140,6 +165,28 @@ object Spectrum {
     val u = matvec(v)
     r6(gridDot(u, v).toDouble / gridDot(v, v).toDouble)
   }
+
+  /** The converged (ITERS-iteration) unit eigenvector on the round-6
+    * grid — shared with the whitening stage (Whiten.scala), which
+    * removes this direction. Same trajectory as [[powerIterate]]. */
+  private[search] def powerVector(c: Array[Array[Double]]): Array[Double] = {
+    def matvec(v: Array[Double]): Array[Double] =
+      Array.tabulate(c.length)(i => gridDot(c(i), v)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    var v = Array.fill(c.length)(0.125)
+    for (_ <- 1 to ITERS) {
+      val u = matvec(v)
+      val nrm = math.sqrt(gridDot(u, u).toDouble)
+      v = u.map(x => r6(x / nrm))
+    }
+    v
+  }
+
+  private[search] def covarianceOf(spark: SparkSession, dir: String)
+      : (Array[Array[Double]], Long) = covMatrix(spark, dir)
+
+  private[search] def microSums(spark: SparkSession, dir: String)
+      : (Array[BigInt], Array[BigInt], Long) = stagedSums(spark, dir)
 
   def qSpectrum(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -181,30 +228,43 @@ object Spectrum {
   /** Per-dimension standardization APPLIED — the action the spectrum
     * diagnostics decide on (corr-spectrum share low => per-dim scaling
     * suffices; this is that scaling): z = (x - mean_d) / sd_d with the
-    * mean rounded 6 and sd = sqrt of the round-6 variance, so the
-    * transform itself is bit-identical cross-engine, then ONE
-    * verification pass recomputes each scaled dimension's mean and
-    * variance from the transformed data (var_after == 1 within round-6
-    * is the proof the applied transform matches the diagnosed moments).
+    * mean an exact integer round-6 and sd = sqrt of the exact round-6
+    * variance, so the transform itself is bit-identical cross-engine.
+    * ONE verification pass then recomputes each scaled dimension's
+    * mean and variance from the transformed data (var_after == 1
+    * within round-6 is the proof the applied transform matches the
+    * diagnosed moments). The verification sums are MicroGrid-exact
+    * too: each z quantizes to integer micro-units in-engine (exact
+    * scale-0 decision on identical doubles), the 128 aggregates sum
+    * those integers in DECIMAL(38,0) (order-free), and the reported
+    * moments round via exact integer division — so the verification
+    * pass is as layout-invariant as the covariance it checks.
     * Scale shape: rides the staged Gram sums (no new first pass); the
     * verification is one shuffle-free 128-aggregate pass. */
   def qStandardize(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val (sums, _, n) = stagedSums(spark, dir)
     val (c, _) = covMatrix(spark, dir)
-    val mean = Array.tabulate(D)(i => r6(sums(i) / n))
+    val bn = BigInt(n)
+    val mean = Array.tabulate(D)(i => MicroGrid.roundDiv6(sums(i), bn))
     val sd = Array.tabulate(D)(i => math.sqrt(c(i)(i)))
     (0 until D).foreach(i => require(sd(i) > 0.0, s"zero variance in dim $i"))
     val e = graft.Tables.t(spark, dir, "embeddings")
-    val sExprs = (0 until D).map(d =>
-      expr(s"(CAST(element_at(embedding, ${d + 1}) AS DOUBLE) - ${mean(d)}) / ${sd(d)}"))
+    // quantized z in micro-units; Spark round(DOUBLE) makes the same
+    // exact scale-0 decision as DuckDB's round (see MicroGrid)
+    val zqExprs = (0 until D).map(d =>
+      expr(s"""CAST(round(((CAST(element_at(embedding, ${d + 1}) AS DOUBLE)
+              | - ${mean(d)}) / ${sd(d)}) * 1000000.0) AS BIGINT)""".stripMargin))
     val aggs = (0 until D).flatMap(d => Seq(
-      sum(sExprs(d)).as(s"s$d"), sum(sExprs(d) * sExprs(d)).as(s"ss$d")))
+      sum(zqExprs(d).cast("decimal(38,0)")).as(s"s$d"),
+      sum((zqExprs(d) * zqExprs(d)).cast("decimal(38,0)")).as(s"ss$d")))
     val r = e.agg(aggs.head, aggs.tail: _*).collect()(0)
     val rows = (0 until D).map { d =>
-      val s = r.getDouble(2 * d); val ss = r.getDouble(2 * d + 1)
+      val sz = BigInt(r.getDecimal(2 * d).toBigInteger)
+      val szz = BigInt(r.getDecimal(2 * d + 1).toBigInteger)
       (d, mean(d), c(d)(d),
-        r6(s / n), r6(ss / n - (s / n) * (s / n)))
+        MicroGrid.roundDiv6(sz, bn),
+        MicroGrid.roundDiv6(szz * bn - sz * sz, bn * bn * 1000000L))
     }
     rows.toDF("dim", "mean", "var_before", "mean_after", "var_after")
   }
@@ -215,24 +275,30 @@ object Spectrum {
     "embed_corr_spectrum" -> (qCorrSpectrum _),
     "embed_standardize" -> (qStandardize _))
 
-  /** Shared covariance CTE: per-pair product sums via a dimension
-    * range join (the oracle pays generic tuple machinery for the
-    * same arithmetic the Spark kernel fuses). */
-  private val covSql =
-    s"""e AS (SELECT embedding FROM embeddings),
+  /** Shared covariance CTE — the MicroGrid integer mirror: quantized
+    * HUGEINT components, exact integer product/mean sums via a
+    * dimension range join, and each entry's round-6 as the exact
+    * integer HALF_UP division (n*Pij - Si*Sj over n^2*1e6 micro). */
+  private[search] val covSql = {
+    val num = "CAST(nn.n AS HUGEINT) * pxy - mi.sx * mj.sx"
+    val den = "CAST(nn.n AS HUGEINT) * nn.n * 1000000"
+    s"""e AS (SELECT embedding,
+       |    list_transform(embedding,
+       |      x -> ${MicroGrid.sqlQuantize("CAST(x AS DOUBLE)")}) AS qv
+       |  FROM embeddings),
        |nn AS (SELECT count(*) AS n FROM e),
        |prods AS (SELECT ii.i AS i, jj.j AS j,
-       |    sum(CAST(embedding[ii.i + 1] AS DOUBLE)
-       |      * CAST(embedding[jj.j + 1] AS DOUBLE)) AS sxy
+       |    sum(qv[ii.i + 1] * qv[jj.j + 1]) AS pxy
        |  FROM e, range(0, $D) ii(i), range(0, $D) jj(j)
        |  WHERE jj.j >= ii.i GROUP BY ii.i, jj.j),
-       |means AS (SELECT ii.i AS i, sum(CAST(embedding[ii.i + 1] AS DOUBLE)) AS sx
+       |means AS (SELECT ii.i AS i, sum(qv[ii.i + 1]) AS sx
        |  FROM e, range(0, $D) ii(i) GROUP BY ii.i),
        |cov AS MATERIALIZED (SELECT prods.i, prods.j,
-       |    round(sxy / n - (mi.sx / n) * (mj.sx / n), 6) AS cov
+       |    ${MicroGrid.sqlRoundDiv6(num, den)} AS cov
        |  FROM prods JOIN means mi ON mi.i = prods.i
        |             JOIN means mj ON mj.i = prods.j
        |             CROSS JOIN nn)""".stripMargin
+  }
 
   /** The power-iteration CTE chain over whatever `m` matrix the
     * caller's WITH-prefix defined; shared by both spectrum oracles.
@@ -244,7 +310,7 @@ object Spectrum {
     * decision on the same exact number. */
   private def decDot(a: String, b: String): String =
     s"sum(CAST($a AS DECIMAL(18,6)) * CAST($b AS DECIMAL(18,6)))"
-  private def iterChainSql: String = {
+  private[search] def iterChainSql: String = {
     val iter = (k: Int) =>
       s"""u$k AS MATERIALIZED (SELECT m.i,
          |    CAST(round(${decDot("m.cov", "v.v")}, 6) AS DOUBLE) AS u
@@ -263,24 +329,27 @@ object Spectrum {
   }
 
   val oracleSql: Map[String, String] = Map(
-    "embed_standardize" ->
+    "embed_standardize" -> {
+      val nH = "CAST(nn.n AS HUGEINT)"
       s"""WITH $covSql,
          |mn AS MATERIALIZED (SELECT means.i,
-         |    round(sx / n, 6) AS mean,
+         |    ${MicroGrid.sqlRoundDiv6("means.sx", nH)} AS mean,
          |    sqrt((SELECT cov FROM cov c WHERE c.i = means.i AND c.j = means.i)) AS sd
          |  FROM means CROSS JOIN nn),
          |sdim AS (SELECT mn.i AS d,
-         |    (CAST(embedding[mn.i + 1] AS DOUBLE) - mn.mean) / mn.sd AS s
+         |    ${MicroGrid.sqlQuantize(
+               "(CAST(embedding[mn.i + 1] AS DOUBLE) - mn.mean) / mn.sd")} AS zq
          |  FROM e CROSS JOIN mn),
-         |ver AS (SELECT d,
-         |    round(sum(s) / count(*), 6) AS mean_after,
-         |    round(sum(s * s) / count(*)
-         |      - (sum(s) / count(*)) * (sum(s) / count(*)), 6) AS var_after
+         |ver AS (SELECT d, sum(zq) AS sz, sum(zq * zq) AS szz
          |  FROM sdim GROUP BY d)
          |SELECT CAST(ver.d AS INT) AS dim, mn.mean,
          |  (SELECT cov FROM cov c WHERE c.i = ver.d AND c.j = ver.d) AS var_before,
-         |  mean_after, var_after
-         |FROM ver JOIN mn ON mn.i = ver.d""".stripMargin,
+         |  ${MicroGrid.sqlRoundDiv6("ver.sz", "CAST(nn.n AS HUGEINT)")} AS mean_after,
+         |  ${MicroGrid.sqlRoundDiv6(
+             "ver.szz * CAST(nn.n AS HUGEINT) - ver.sz * ver.sz",
+             "CAST(nn.n AS HUGEINT) * nn.n * 1000000")} AS var_after
+         |FROM ver JOIN mn ON mn.i = ver.d CROSS JOIN nn""".stripMargin
+    },
     "embed_corr_spectrum" ->
       s"""WITH $covSql,
          |corr AS MATERIALIZED (SELECT a.i, a.j,
