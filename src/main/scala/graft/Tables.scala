@@ -32,8 +32,20 @@ object Tables {
     *    reads natively as TIMESTAMP_NTZ — cast to TimestampType so
     *    every downstream time function sees one type.
     */
+  /** Builder-side determinism sweep hook (tools/roundclose.sh): when
+    * SPARK_GRAFT_LAYOUT_JITTER=<parts> is set, every table read is
+    * round-robin repartitioned to that many partitions, scrambling
+    * row-to-partition assignment and accumulation order. Two Verify
+    * runs — one direct, one jittered at different parallelism — must
+    * produce identical results for every oracled query; any
+    * order-dependent rounding flips here before it flips on the
+    * driver's host. Never set in driver or bench runs. */
+  private val layoutJitter: Option[Int] =
+    sys.env.get("SPARK_GRAFT_LAYOUT_JITTER").map(_.toInt)
+
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
+    val read = spark.read.parquet(s"$dir/$name.parquet")
+    val df = layoutJitter.fold(read)(read.repartition)
     if (name == "events") df.schema("ts").dataType match {
       case LongType =>
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))

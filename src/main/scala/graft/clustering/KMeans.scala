@@ -195,15 +195,21 @@ object KMeans {
         BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
       val byK = stagedElbowCenters(pts, dir)
       val rows = ELBOW_KS.map { k =>
+        // dist^2 sums at ~1e12 magnitude accumulate more double error
+        // than the round-6 grid resolves — the round-13 dual-layout
+        // sweep caught msd flipping with the partition layout. The
+        // MicroGrid fix: quantize each dist^2 on a scale-3 grid per
+        // row (|dist^2 * 1e3| stays under 2^52, so the scale-0
+        // decision is exact in both engines), sum the integers in
+        // DECIMAL (order-free), and round msd via exact integer
+        // division: msd*1e6 = sq*1e3 / n.
         val r = assign(pts, byK(k))
           .agg(count(lit(1)).as("n"),
-            (sum(col("dist") * col("dist")) / count(lit(1))).as("msd"))
+            sum(expr("CAST(round(dist * dist * 1000.0) AS DECIMAL(38,0))")).as("sq"))
           .collect()(0)
-        // msd is an order-dependent aggregated double; it rounds 6
-        // BEFORE feeding n*ln(msd) (the neighboring Calinski-Harabasz
-        // rounds B and W the same way) — otherwise the factor n
-        // amplifies a sub-ulp cross-engine sum difference past round 6
-        val (n, msd) = (r.getLong(0), r6(r.getDouble(1)))
+        val n = r.getLong(0)
+        val sq = BigInt(r.getDecimal(1).toBigInteger)
+        val msd = graft.functions.MicroGrid.roundDiv6(sq * 1000L, BigInt(n))
         val fit = n * math.log(msd)
         (k, n, msd, r6(fit + (k * d) * math.log(n.toDouble)), r6(fit + 2 * k * d))
       }
@@ -323,22 +329,37 @@ object KMeans {
     try {
       val centers = stagedFinalCenters(pts, dir)
       val fa = assign(pts, centers)
+      // W at ~1e12 magnitude: a raw double sum carries more error than
+      // the scale-3 grid (round-13 dual-layout sweep caught the flip).
+      // MicroGrid: per-row scale-3 quantized dist^2, order-free exact
+      // DECIMAL sum; W = sum/1e3 is then an exact 3-decimal (< 2^53,
+      // so the double conversion is exact too).
       val tot = fa.agg(count(lit(1)).as("n"),
-        round(sum(col("dist") * col("dist")), 3).as("w")).collect()(0)
+        sum(expr("CAST(round(dist * dist * 1000.0) AS DECIMAL(38,0))")).as("wq"))
+        .collect()(0)
+      // BigInt.toDouble and DuckDB's HUGEINT->DOUBLE cast are both
+      // correctly rounded, so w is identical cross-engine at any
+      // magnitude (exactly the 3-decimal while wq < 2^53)
       val n = tot.getLong(0)
-      val w = tot.getDouble(1)
+      val wq = BigInt(tot.getDecimal(1).toBigInteger)
+      val w = wq.toDouble / 1000.0
       val gmCols = dims.map(d => round(avg(col(d)), 6).as(d))
       val gmRow = pts.agg(gmCols.head, gmCols.tail: _*).collect()(0)
       val gm = dims.indices.map(gmRow.getDouble).toArray
       val sizes = fa.groupBy("k").agg(count(lit(1)).as("n_i")).collect()
         .map(r => r.getAs[Int]("k") -> r.getLong(1)).toMap
       val kUsed = sizes.size.toLong
-      val b = BigDecimal((0 until K).filter(sizes.contains).map { i =>
+      // B's K-bounded terms are products of round-6 grid values, so the
+      // raw sum's true value sits on a decimal grid CONTAINING the
+      // 0.5e-3 midpoints (the §4 structural-tie class): quantize each
+      // term scale-3 (exact decision) and sum the integers instead.
+      val bq = (0 until K).filter(sizes.contains).map { i =>
         val sq = dims.indices.map { x =>
           val d0 = centers(i)(x) - gm(x); d0 * d0
         }.reduce(_ + _)
-        sizes(i).toDouble * sq
-      }.sum).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+        graft.functions.MicroGrid.quantizeBig(sizes(i).toDouble * sq, 1000.0)
+      }.sum
+      val b = bq.toDouble / 1000.0
       val ch = BigDecimal((b / (kUsed - 1)) / (w / (n - kUsed)))
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
       import org.apache.spark.sql.types._
@@ -368,10 +389,14 @@ object KMeans {
        |$stages,
        |${widenSql(s"u$ITERS", "fw")},
        |${assignSql("fw", "fa")},
-       |tot AS (SELECT count(*) AS n, round(sum(dist * dist), 3) AS w FROM fa),
+       |tot AS (SELECT count(*) AS n,
+       |    CAST(sum(CAST(round(dist * dist * 1000.0) AS HUGEINT)) AS DOUBLE)
+       |      / 1000.0 AS w FROM fa),
        |gm AS (SELECT $gmCols FROM pts),
        |sz AS (SELECT k, count(*) AS n_i FROM fa GROUP BY k),
-       |bb AS (SELECT round(sum(CAST(n_i AS DOUBLE) * ($bExpr)), 3) AS b,
+       |bb AS (SELECT
+       |    CAST(sum(CAST(round(CAST(n_i AS DOUBLE) * ($bExpr) * 1000.0) AS HUGEINT))
+       |      AS DOUBLE) / 1000.0 AS b,
        |    CAST(count(*) AS BIGINT) AS k_used
        |  FROM sz JOIN u$ITERS c USING (k) CROSS JOIN gm)
        |SELECT n, k_used, b, w,
@@ -500,16 +525,20 @@ object KMeans {
     * criteria (ln mirrored; libm-vs-Java ln differ by <= 1 ulp, which
     * is ~1e-10 at these magnitudes — invisible at round 6). */
   val oracleBic: String = {
+    // mirrors the Spark side's MicroGrid discipline: scale-3 quantized
+    // dist^2, exact HUGEINT sum, msd = exact integer round-6 division
     val stats = ELBOW_KS.map(k =>
       s"SELECT CAST($k AS INT) AS k_clusters, count(*) AS n, " +
-        s"round(sum(dist * dist) / count(*), 6) AS msd FROM e${k}af").mkString("\nUNION ALL ")
+        s"sum(CAST(round(dist * dist * 1000.0) AS HUGEINT)) AS sq FROM e${k}af").mkString("\nUNION ALL ")
+    val msd6 = graft.functions.MicroGrid.sqlRoundDiv6(
+      "sq * 1000", "CAST(n AS HUGEINT)")
     s"""WITH pts AS ($ptsSql),
        |$elbowChainsSql,
        |stats AS ($stats),
        |scored AS (SELECT k_clusters, n,
-       |    round(msd, 6) AS mean_sq_dist,
-       |    round(n * ln(msd) + (k_clusters * ${dims.size}) * ln(n), 6) AS bic,
-       |    round(n * ln(msd) + 2 * k_clusters * ${dims.size}, 6) AS aic
+       |    $msd6 AS mean_sq_dist,
+       |    round(n * ln($msd6) + (k_clusters * ${dims.size}) * ln(n), 6) AS bic,
+       |    round(n * ln($msd6) + 2 * k_clusters * ${dims.size}, 6) AS aic
        |  FROM stats),
        |best AS (SELECT k_clusters AS bk FROM scored
        |         ORDER BY bic, k_clusters LIMIT 1)

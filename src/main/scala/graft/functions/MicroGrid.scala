@@ -27,11 +27,28 @@ package graft.functions
   *    HUGEINT `//` on the same nonnegative operands. */
 object MicroGrid {
 
-  /** round-half-away(x * 1e6) as Long — the exact scale-0 decision. */
-  def quantize(x: Double): Long = {
-    val y = x * 1e6
-    require(math.abs(y) < 4.5e15, s"value $x outside micro-grid range")
+  /** round-half-away(x * scaleFactor) as Long — the exact scale-0
+    * decision at any power-of-ten grid (coarser grids for larger
+    * magnitudes: the decision is only exact while |x*scale| < 2^52,
+    * where every tie value k+0.5 is itself a representable double). */
+  def quantizeAt(x: Double, scaleFactor: Double): Long = {
+    val y = x * scaleFactor
+    require(math.abs(y) < 4.5e15, s"value $x outside grid range at scale $scaleFactor")
     BigDecimal(y).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+  }
+
+  /** round-half-away(x * 1e6) as Long — the exact scale-0 decision. */
+  def quantize(x: Double): Long = quantizeAt(x, 1e6)
+
+  /** [[quantizeAt]] without the Long-range bound: above 2^52 every
+    * double is already integral, so round(y) is the identity in both
+    * engines and the decision stays exact at ANY magnitude (the grid
+    * merely coarsens to the double's own ulp); BigInt holds the
+    * result. DuckDB mirror: CAST(round(y) AS HUGEINT). */
+  def quantizeBig(x: Double, scaleFactor: Double): BigInt = {
+    val y = x * scaleFactor
+    require(!y.isNaN && !y.isInfinite, s"cannot quantize $x at scale $scaleFactor")
+    BigDecimal(y).setScale(0, BigDecimal.RoundingMode.HALF_UP).toBigInt
   }
 
   /** Exact HALF_UP round of (num/den)/1e6 → the round-6 double.

@@ -159,7 +159,8 @@ object Relational {
       .createOrReplaceTempView("rollup_src")
     spark.sql(
       """SELECT coalesce(r_name, 'ALL') AS r_name, coalesce(n_name, 'ALL') AS n_name,
-        |  count(*) AS n_orders, round(sum(o_totalprice), 1) AS revenue
+        |  count(*) AS n_orders,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,2))), 1) AS DOUBLE) AS revenue
         |FROM rollup_src GROUP BY ROLLUP(r_name, n_name)""".stripMargin)
   }
 
@@ -1472,7 +1473,8 @@ object Relational {
         |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)""".stripMargin,
     "rollup_revenue" ->
       """SELECT coalesce(r_name, 'ALL') AS r_name, coalesce(n_name, 'ALL') AS n_name,
-        |  count(*) AS n_orders, round(sum(o_totalprice), 1) AS revenue
+        |  count(*) AS n_orders,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,2))), 1) AS DOUBLE) AS revenue
         |FROM orders
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey

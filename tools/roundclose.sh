@@ -28,6 +28,25 @@ fi
 
 python3 tools/check.py "$SF" "$OUT" CORRECTNESS_local.json | tail -3
 
+# Dual-layout determinism sweep (round-13 gate): rerun Verify under a
+# DIFFERENT partition layout (odd parallelism + round-robin jittered
+# table reads) and require every oracled query's result to be
+# value-identical across the two Spark runs. A single-host single-layout
+# gate cannot see order-dependent rounding (round-12's embed_covariance
+# / pipeline_length_buckets flipped only on the driver's host); this
+# catches the class locally. tools/test_layout_diff.py proves the gate
+# trips on a 1e-6 flip.
+OUT2="${OUT}_jitter"
+rm -rf "$OUT2"
+SPARK_GRAFT_CPUS=3 SPARK_GRAFT_LAYOUT_JITTER=7 \
+  sbt -batch "runMain graft.Verify $SF $OUT2" 2>&1 \
+  | { grep -E '\[verify\].*failed' || true; } | tee /tmp/roundclose_jitter_failures.txt
+if [ -s /tmp/roundclose_jitter_failures.txt ]; then
+  echo "roundclose: queries THREW during jittered Verify (above)" >&2
+  exit 1
+fi
+python3 tools/layout_diff.py "$OUT" "$OUT2" | tail -5
+
 # The gate floor is NOT a hand-maintained constant (round-11's 235 vs a
 # 242-query registry would have let 7 queries silently unregister): the
 # live registry size comes from verify_status.json, which graft.Verify
