@@ -103,12 +103,12 @@ object Analytics {
     val o = t(spark, dir, "orders")
     val cut = "2024-01-01"
     def partial(df: DataFrame) = df.groupBy("o_orderpriority")
-      .agg(count(lit(1)).as("n"), sum("o_totalprice").as("s"))
+      .agg(count(lit(1)).as("n"), sum(col("o_totalprice").cast("decimal(18,2)")).as("s"))
     val standing = partial(o.filter(col("o_orderdate") < lit(cut)))
     val batch = partial(o.filter(col("o_orderdate") >= lit(cut)))
     standing.unionByName(batch)
       .groupBy("o_orderpriority")
-      .agg(sum("n").as("n_orders"), round(sum("s"), 1).as("revenue"))
+      .agg(sum("n").as("n_orders"), expr("CAST(round(sum(s), 1) AS DOUBLE)").as("revenue"))
   }
 
   /** Per-user value change-points: consecutive same-user events whose
@@ -1560,7 +1560,7 @@ object Analytics {
         |FROM s""".stripMargin,
     "agg_incremental" ->
       """SELECT o_orderpriority, count(*) AS n_orders,
-        |  round(sum(o_totalprice), 1) AS revenue
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 1) AS DOUBLE) AS revenue
         |FROM orders GROUP BY 1""".stripMargin,
     "events_change_points" ->
       """WITH lagged AS (

@@ -23,8 +23,8 @@ object Relational {
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         round(sum("l_quantity"), 2).as("sum_qty"),
-        round(sum("l_extendedprice"), 1).as("sum_base"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 1).as("sum_disc"),
+        expr("CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 1) AS DOUBLE)").as("sum_base"),
+        expr("CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1.0 - CAST(l_discount AS DECIMAL(4,2)))), 1) AS DOUBLE)").as("sum_disc"),
         count(lit(1)).as("cnt"))
 
   /** Row-level filter + projection; predicate and the two-column read
@@ -45,7 +45,7 @@ object Relational {
       .agg(
         countDistinct("c_custkey").as("n_cust"),
         count(lit(1)).as("n_orders"),
-        round(sum("o_totalprice"), 1).as("revenue"))
+        expr("CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 1) AS DOUBLE)").as("revenue"))
 
   /** Star join across 4 tables; every dimension broadcast, so the only
     * shuffle is the final aggregation on (r_name, n_name). */
@@ -55,7 +55,7 @@ object Relational {
       .join(broadcast(t(spark, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(t(spark, dir, "region")), col("n_regionkey") === col("r_regionkey"))
       .groupBy("r_name", "n_name")
-      .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 1).as("revenue"))
+      .agg(count(lit(1)).as("n_orders"), expr("CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 1) AS DOUBLE)").as("revenue"))
 
   /** Top-k by ordered limit — Spark's TakeOrderedAndProject keeps only k
     * rows per partition then merges, no global sort materialized. */
@@ -252,7 +252,7 @@ object Relational {
     t(spark, dir, "lineitem")
       .cube(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("n"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 1).as("revenue"))
+        expr("CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1.0 - CAST(l_discount AS DECIMAL(4,2)))), 1) AS DOUBLE)").as("revenue"))
       .select(coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
         coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
         col("n"), col("revenue"))
@@ -267,7 +267,7 @@ object Relational {
       """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
         |  coalesce(l_linestatus, 'ALL') AS l_linestatus,
         |  count(*) AS n,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 1) AS revenue
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1.0 - CAST(l_discount AS DECIMAL(4,2)))), 1) AS DOUBLE) AS revenue
         |FROM __gs_lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin)
   }
@@ -303,7 +303,7 @@ object Relational {
         li("l_orderkey") === ord("o_orderkey") && li("salt") === ord("salt"))
       .groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n_items"),
-        round(sum("l_extendedprice"), 1).as("sum_price"))
+        expr("CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 1) AS DOUBLE)").as("sum_price"))
   }
 
   /** Approximate distinct (HyperLogLog++) next to the exact count —
@@ -516,9 +516,9 @@ object Relational {
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         round(sum("l_quantity"), 1).as("sum_qty"),
-        round(sum("l_extendedprice"), 1).as("sum_base_price"),
-        round(sum(disc), 1).as("sum_disc_price"),
-        round(sum(disc * (lit(1.0) + col("l_tax"))), 1).as("sum_charge"),
+        expr("CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 1) AS DOUBLE)").as("sum_base_price"),
+        expr("CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1.0 - CAST(l_discount AS DECIMAL(4,2)))), 1) AS DOUBLE)").as("sum_disc_price"),
+        expr("CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1.0 - CAST(l_discount AS DECIMAL(4,2))) * (1.0 + CAST(l_tax AS DECIMAL(4,2)))), 1) AS DOUBLE)").as("sum_charge"),
         round(avg("l_quantity"), 4).as("avg_qty"),
         round(avg("l_extendedprice"), 4).as("avg_price"),
         round(avg("l_discount"), 6).as("avg_disc"),
@@ -1196,9 +1196,9 @@ object Relational {
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 1) AS sum_qty,
-        |  round(sum(l_extendedprice), 1) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 1) AS sum_disc_price,
-        |  round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 1) AS sum_charge,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 1) AS DOUBLE) AS sum_base_price,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1.0 - CAST(l_discount AS DECIMAL(4,2)))), 1) AS DOUBLE) AS sum_disc_price,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1.0 - CAST(l_discount AS DECIMAL(4,2))) * (1.0 + CAST(l_tax AS DECIMAL(4,2)))), 1) AS DOUBLE) AS sum_charge,
         |  round(avg(l_quantity), 4) AS avg_qty,
         |  round(avg(l_extendedprice), 4) AS avg_price,
         |  round(avg(l_discount), 6) AS avg_disc,
@@ -1340,7 +1340,7 @@ object Relational {
       """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
         |  coalesce(l_linestatus, 'ALL') AS l_linestatus,
         |  count(*) AS n,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 1) AS revenue
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1.0 - CAST(l_discount AS DECIMAL(4,2)))), 1) AS DOUBLE) AS revenue
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
     "join_outer" ->
@@ -1367,7 +1367,7 @@ object Relational {
       """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
         |  coalesce(l_linestatus, 'ALL') AS l_linestatus,
         |  count(*) AS n,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 1) AS revenue
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1.0 - CAST(l_discount AS DECIMAL(4,2)))), 1) AS DOUBLE) AS revenue
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
     "pivot_qty" ->
       """SELECT l_returnflag,
@@ -1376,14 +1376,14 @@ object Relational {
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "join_salted" ->
       """SELECT o_orderstatus, count(*) AS n_items,
-        |  round(sum(l_extendedprice), 1) AS sum_price
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 1) AS DOUBLE) AS sum_price
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderstatus""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
-        |  round(sum(l_extendedprice), 1) AS sum_base,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 1) AS sum_disc,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 1) AS DOUBLE) AS sum_base,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1.0 - CAST(l_discount AS DECIMAL(4,2)))), 1) AS DOUBLE) AS sum_disc,
         |  count(*) AS cnt
         |FROM lineitem WHERE l_discount <= 0.08
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
@@ -1395,12 +1395,12 @@ object Relational {
       """SELECT c_mktsegment,
         |  count(DISTINCT c_custkey) AS n_cust,
         |  count(*) AS n_orders,
-        |  round(sum(o_totalprice), 1) AS revenue
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 1) AS DOUBLE) AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment""".stripMargin,
     "join_multi" ->
       """SELECT r_name, n_name, count(*) AS n_orders,
-        |  round(sum(o_totalprice), 1) AS revenue
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 1) AS DOUBLE) AS revenue
         |FROM orders
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
