@@ -28,6 +28,20 @@ object Verify {
     // artifact arrived empty in rounds 9-11, so even a Verify run that
     // is killed mid-flight must leave machine-readable evidence of
     // which queries already produced output.
+    // JSON string escape: backslash, quote, ALL control chars (<0x20),
+    // and unpaired-surrogate-safe — an exotic char in an exception
+    // message or builder-authored SQL must never make verify_status /
+    // oracle_sql unparseable (that silently zeroes the round's
+    // correctness — the rounds-9..11 failure mode).
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' || (c >= '\ud800' && c <= '\udfff') => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     val status = scala.collection.mutable.LinkedHashMap.empty[String, String]
     def persistStatus(): Unit = {
       val body = status.map { case (k, v) => s""""$k": $v""" }
@@ -43,23 +57,10 @@ object Verify {
         status(name) = f"""{"ok": true, "sec": ${(System.nanoTime() - t0) / 1e9}%.2f}"""
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        val msg = String.valueOf(e.getMessage).replaceAll("[\"\\\\\\n\\r\\t]", " ").take(160)
-        status(name) = s"""{"ok": false, "err": "$msg"}"""
+        status(name) = s"""{"ok": false, "err": ${q(String.valueOf(e.getMessage).take(160))}}"""
       }
       persistStatus()
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

@@ -77,8 +77,21 @@ object IvfIncremental {
       .withColumn("share_after",
         round(col("n_total").cast("double") / col("tt"), 6))
       .withColumn("overloaded", col("n_total") * CELLS > lit(2) * col("tt"))
-    flagged.crossJoin(broadcast(flagged.agg(max("overloaded").as("retrain"))))
+    // the report is CELLS-bounded: collect it ONCE (the lloyd
+    // literal-frame pattern) and derive the global retrain flag —
+    // one boolean — driver-side, instead of the earlier
+    // flagged.crossJoin(broadcast(flagged.agg(max(...)))) which
+    // re-executed the whole uncached assignment lineage a second
+    // time to compute the flag
+    val rows = flagged
       .select("cell", "n_standing", "n_added", "n_total",
+        "share_before", "share_after", "overloaded")
+      .collect()
+    val retrain = rows.exists(_.getAs[Boolean]("overloaded"))
+    import spark.implicits._
+    rows.toSeq.map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getBoolean(6), retrain))
+      .toDF("cell", "n_standing", "n_added", "n_total",
         "share_before", "share_after", "overloaded", "retrain")
   }
 

@@ -54,6 +54,11 @@ object QualityClf {
     * (lang = 'en'), x = 32 normalized hashed-unigram frequencies
     * + bias 1.0. Takes any frame with (doc_id, source, lang, text)
     * so specs can train on crafted corpora. */
+  /** Wordless (empty/whitespace-only) documents are DROPPED from
+    * featurization — the explode of an empty word list yields no row
+    * here, and the oracle's featsBody filters `len(ws) > 0`
+    * explicitly, so both engines exclude the same rows (a wordless
+    * doc's features would otherwise be a 0/0 NaN division). */
   private[graft] def featurizeDocs(docs: DataFrame): DataFrame = {
     // wordcount shape, not per-bucket HOF scans: the first formulation
     // ran `filter(bks, b -> b = f)` once per bucket — 32 array
@@ -123,6 +128,7 @@ object QualityClf {
         .groupBy("pos")
         .agg(sum("col").as("g"), count(lit(1)).as("n"))
         .collect()
+      require(r.nonEmpty, "empty training corpus — no featurized documents")
       val n = r.head.getLong(2).toDouble
       val g = r.map(row => row.getInt(0) -> row.getDouble(1)).toMap
       w = Array.tabulate(F + 1) { f =>
@@ -274,7 +280,8 @@ object QualityClf {
          |          list_transform(ws, w -> $nib % $F) AS bks
          |        FROM (SELECT doc_id, lang,
          |                list_filter(string_split(text, ' '), w -> w != '') AS ws
-         |              FROM documents))""".stripMargin
+         |              FROM documents)
+         |        WHERE len(ws) > 0)""".stripMargin
     val w0Sql =
       s"""w0 AS (SELECT list_transform(range(0, ${F + 1}),
          |         i -> CAST(0.0 AS DOUBLE)) AS wl)""".stripMargin
