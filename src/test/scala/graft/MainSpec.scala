@@ -79,6 +79,41 @@ class MainSpec extends AnyFunSuite {
     assert(lp.init.map(_.split(",")(2).toDouble).forall(s => !s.isNaN && s >= 0))
   }
 
+  test("gka + pso CLI on shuttle.txt (all three algorithms on the reference's biggest file)") {
+    val sh = "/root/reference/dataset/shuttle.txt"
+    val outG = java.io.File.createTempFile("shuttle_gka", ".csv").getPath
+    Main.run(spark, "gka", sh, numIter = 2, numK = 5, outG, numRun = 1,
+      rest = Array("3", "0.5", "2.0"))
+    val lg = lines(outG)
+    assert(lg.length == 2 + 1 && lg.head.split(",").length == 5)
+    assert(lg.init.map(_.split(",")(3).toDouble).forall(s => !s.isNaN && s > 0))
+    val outP = java.io.File.createTempFile("shuttle_pso", ".csv").getPath
+    Main.run(spark, "pso", sh, numIter = 2, numK = 5, outP, numRun = 1,
+      rest = Array("3", "2.0", "2.0", "0.9", "0.4"))
+    val lp = lines(outP)
+    assert(lp.length == 2 + 1 && lp.head.split(",").length == 5)
+    assert(lp.init.map(_.split(",")(2).toDouble).forall(s => !s.isNaN && s >= 0))
+  }
+
+  test("kmeans CLI multi-run best-of on User-locations-Finland (all three algorithms on both files)") {
+    val fin = "/root/reference/dataset/User-locations-Finland_N13467-D2.txt"
+    val out = java.io.File.createTempFile("fin_kmeans", ".csv").getPath
+    Main.run(spark, "kmeans", fin, numIter = 2, numK = 4, out, numRun = 2,
+      rest = Array.empty)
+    val ls = lines(out)
+    assert(ls.length == 2 * 2 + 1, s"2 runs x 2 iters + total line: $ls")
+    assert(ls.last.endsWith("ms"))
+    val fields = ls.init.map(_.split(","))
+    assert(fields.forall(_.length == 5))
+    // each run's best column is its own running min (the reference's
+    // per-run best-of contract, same check as the iris case) and
+    // never exceeds that iteration's SSE
+    val byRun = fields.groupBy(_.head).values
+    assert(byRun.forall(b => b.map(_(3).toDouble).sliding(2)
+      .forall { case Seq(a, c) => c <= a; case _ => true }))
+    assert(fields.forall(f => f(3).toDouble <= f(2).toDouble))
+  }
+
   test("report CLI commits the four release-report CSVs in one atomic bundle") {
     val out = java.nio.file.Files.createTempDirectory("graft_report").toString
     Main.reportRun(spark, "/root/testdata/sf0.001", out)
