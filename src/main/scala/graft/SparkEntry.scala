@@ -34,6 +34,7 @@ object SparkEntry {
       search.PQ.queries ++
       search.IvfPq.queries ++
       search.Spectrum.queries ++
+      search.Whiten.queries ++
       search.IvfIncremental.queries ++
       text.TextAnalysis.queries ++
       text.Pii.queries ++
@@ -69,6 +70,7 @@ object SparkEntry {
       search.PQ.oracleSql ++
       search.IvfPq.oracleSql ++
       search.Spectrum.oracleSql ++
+      search.Whiten.oracleSql ++
       search.IvfIncremental.oracleSql ++
       text.TextAnalysis.oracleSql ++
       text.Pii.oracleSql ++

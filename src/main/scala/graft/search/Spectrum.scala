@@ -310,23 +310,28 @@ object Spectrum {
     * decision on the same exact number. */
   private def decDot(a: String, b: String): String =
     s"sum(CAST($a AS DECIMAL(18,6)) * CAST($b AS DECIMAL(18,6)))"
-  private[search] def iterChainSql: String = {
+  /** `p` prefixes every generated CTE name and `m` names the input
+    * matrix CTE, so one query can run the chain twice (embed_whiten
+    * iterates the raw covariance AND the deflated matrix). */
+  private[search] def iterChainSql(p: String = "", m: String = "m"): String = {
     val iter = (k: Int) =>
-      s"""u$k AS MATERIALIZED (SELECT m.i,
-         |    CAST(round(${decDot("m.cov", "v.v")}, 6) AS DOUBLE) AS u
-         |  FROM m JOIN v${k - 1} v ON v.i = m.j GROUP BY m.i),
-         |v$k AS MATERIALIZED (SELECT i,
-         |    round(u / sqrt(CAST((SELECT ${decDot("u", "u")} FROM u$k) AS DOUBLE)), 6) AS v
-         |  FROM u$k)""".stripMargin
+      s"""${p}u$k AS MATERIALIZED (SELECT $m.i,
+         |    CAST(round(${decDot(s"$m.cov", "v.v")}, 6) AS DOUBLE) AS u
+         |  FROM $m JOIN ${p}v${k - 1} v ON v.i = $m.j GROUP BY $m.i),
+         |${p}v$k AS MATERIALIZED (SELECT i,
+         |    round(u / sqrt(CAST((SELECT ${decDot("u", "u")} FROM ${p}u$k) AS DOUBLE)), 6) AS v
+         |  FROM ${p}u$k)""".stripMargin
     val iters = (1 to ITERS).map(iter).mkString(",\n")
-    s"""v0 AS (SELECT ii.i AS i, CAST(0.125 AS DOUBLE) AS v FROM range(0, $D) ii(i)),
+    s"""${p}v0 AS (SELECT ii.i AS i, CAST(0.125 AS DOUBLE) AS v FROM range(0, $D) ii(i)),
        |$iters,
-       |fu AS (SELECT m.i, CAST(round(${decDot("m.cov", "v.v")}, 6) AS DOUBLE) AS u
-       |  FROM m JOIN v$ITERS v ON v.i = m.j GROUP BY m.i),
-       |lam AS (SELECT round(CAST(${decDot("fu.u", "v.v")} AS DOUBLE)
+       |${p}fu AS (SELECT $m.i, CAST(round(${decDot(s"$m.cov", "v.v")}, 6) AS DOUBLE) AS u
+       |  FROM $m JOIN ${p}v$ITERS v ON v.i = $m.j GROUP BY $m.i),
+       |${p}lam AS (SELECT round(CAST(${decDot(s"${p}fu.u", "v.v")} AS DOUBLE)
        |    / CAST(${decDot("v.v", "v.v")} AS DOUBLE), 6) AS top_eig
-       |  FROM fu JOIN v$ITERS v USING (i))""".stripMargin
+       |  FROM ${p}fu JOIN ${p}v$ITERS v USING (i))""".stripMargin
   }
+  private[search] def spectrumIters: Int = ITERS
+  private[search] def dims: Int = D
 
   val oracleSql: Map[String, String] = Map(
     "embed_standardize" -> {
@@ -358,7 +363,7 @@ object Spectrum {
          |             JOIN cov dj ON dj.i = a.j AND dj.j = a.j),
          |m AS MATERIALIZED (SELECT i, j, cov FROM corr
          |      UNION ALL SELECT j, i, cov FROM corr WHERE i != j),
-         |$iterChainSql
+         |${iterChainSql()}
          |SELECT n AS n_vecs, $D AS dim, top_eig,
          |  CAST(round(CAST(top_eig AS DECIMAL(18,6)) * 0.015625, 6) AS DOUBLE) AS explained_share
          |FROM nn CROSS JOIN lam""".stripMargin,
@@ -369,7 +374,7 @@ object Spectrum {
       s"""WITH $covSql,
          |m AS MATERIALIZED (SELECT i, j, cov FROM cov
          |      UNION ALL SELECT j, i, cov FROM cov WHERE i != j),
-         |$iterChainSql,
+         |${iterChainSql()},
          |tr AS (SELECT CAST(sum(CAST(cov AS DECIMAL(18,6))) AS DOUBLE) AS trace
          |  FROM cov WHERE i = j)
          |SELECT n AS n_vecs, $D AS dim, trace, top_eig,
