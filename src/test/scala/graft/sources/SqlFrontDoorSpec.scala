@@ -56,8 +56,8 @@ class SqlFrontDoorSpec extends AnyFunSuite {
     val viaSql = spark.sql(
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
-        |  round(sum(l_extendedprice), 1) AS sum_base,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 1) AS sum_disc,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 1) AS DOUBLE) AS sum_base,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1.0 - CAST(l_discount AS DECIMAL(4,2)))), 1) AS DOUBLE) AS sum_disc,
         |  count(*) AS cnt
         |FROM lineitem WHERE l_discount <= 0.08
         |GROUP BY l_returnflag, l_linestatus""".stripMargin)
