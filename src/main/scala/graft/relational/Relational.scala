@@ -525,6 +525,36 @@ object Relational {
         count(lit(1)).as("count_order"))
   }
 
+  /** TPC-H Q3 shape — shipping-priority top-k: the revenue of each
+    * as-yet-unshipped order in one market segment, top 10. The classic
+    * selective-star + top-k composite: customer filters to ~1/5 of a
+    * DIMENSION and broadcasts; orders prunes against it BEFORE the
+    * only real shuffle (the orderkey join with lineitem — at scale the
+    * co-partitioned/bucketed pair, §5); revenue sums DECIMAL-exact per
+    * the round-13 money rule; the final top 10 is TakeOrderedAndProject
+    * (per-partition heaps, no global sort). Ordering is a total order
+    * (revenue DESC, o_orderdate ASC, l_orderkey ASC), so the result
+    * set is deterministic and fully oracled. */
+  def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cut = lit("1997-06-01 00:00:00").cast("timestamp")
+    val cust = t(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val ord = t(spark, dir, "orders")
+      .filter(col("o_orderdate") < cut)
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") > cut)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(expr("CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1.0 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE)")
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderdate").asc, col("l_orderkey").asc)
+      .limit(10)
+      .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+  }
+
   def eventsAttribution(spark: SparkSession, dir: String): DataFrame =
     attributionOf(t(spark, dir, "events"))
 
@@ -997,6 +1027,7 @@ object Relational {
     "events_attribution_markov" -> (qAttributionMarkov _),
     "events_cusum" -> (eventsCusum _),
     "q1_pricing_summary" -> (q1Pricing _),
+    "q3_shipping_priority" -> (q3ShippingPriority _),
     "events_funnel_windowed" -> (eventsFunnelWindowed _),
     "lineitem_ship_latency" -> (shipLatency _),
     "events_velocity" -> ((s: SparkSession, d: String) => eventsVelocity(s, d)),
@@ -1193,6 +1224,20 @@ object Relational {
          |$sweeps
          |SELECT event_type, pi FROM n15""".stripMargin
     },
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (1.0 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue,
+        |  o_orderdate, o_orderpriority
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1997-06-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1997-06-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+        |LIMIT 10""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 1) AS sum_qty,
