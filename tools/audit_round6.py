@@ -185,6 +185,17 @@ Known residual (documented, accepted): GENERIC sites are probabilistic
 by nature; the sweep is the detection net, and the conversion recipe
 (MicroGrid quantization at a magnitude-appropriate grid) is proven by
 the five round-13 conversions.
+
+Empirical INT-RATIO evidence (round 13): a cross-engine rounding tie
+needs v2(den) >= 7 + v2(num) (2e6 = 2^7 * 5^6 * ...). Every testdata
+table count has v2 <= 6 — sf0.001: documents/embeddings 500 (v2=2),
+events 1000 (3), lineitem 6000 (4), orders 1500 (2), customer 150 (1);
+sf0.01: lineitem 60000 (5), events 10000 (4); sf0.1: lineitem 600000
+(6), embeddings 2000 (4) — so every INT-RATIO site whose denominator
+is a whole-table (or whole-corpus truth-set) count is PROVABLY
+tie-free on the driver's data; only small per-group counts divisible
+by 128 could tie, and such a flip fails the oracle gate loudly on its
+first run rather than silently.
 """
 
 if __name__ == '__main__':
