@@ -555,6 +555,32 @@ object Relational {
       .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
   }
 
+  /** TPC-H Q18 shape — large-order customers: orders whose total line
+    * quantity exceeds a threshold, with customer attribution, top 100
+    * by order value. Completes the classic decision-support trio next
+    * to Q1 (pure aggregate) and Q3 (selective star + top-k): this one
+    * is the aggregate-HAVING + join pattern — the qualifying-key set
+    * comes from a partial-aggregated groupBy on the FACT table and
+    * joins back to orders ON THE SAME KEY (orderkey-to-orderkey: the
+    * co-partitioned/bucketed pair at scale, §5 — no broadcast of a
+    * potentially unbounded qualifying set), customer broadcasts, and
+    * the top 100 is TakeOrderedAndProject over a total order.
+    * l_quantity is integral (INT-EXACT per AUDIT_ROUND6), so sum_qty
+    * is exact in both engines with no decimal machinery. */
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val qty = t(spark, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(round(sum("l_quantity"), 2).as("sum_qty"))
+      .filter(col("sum_qty") > 200.0)
+    t(spark, dir, "orders")
+      .join(qty, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(t(spark, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(100)
+      .select("c_custkey", "c_mktsegment", "o_orderkey", "o_orderdate",
+        "o_totalprice", "sum_qty")
+  }
+
   def eventsAttribution(spark: SparkSession, dir: String): DataFrame =
     attributionOf(t(spark, dir, "events"))
 
@@ -1028,6 +1054,7 @@ object Relational {
     "events_cusum" -> (eventsCusum _),
     "q1_pricing_summary" -> (q1Pricing _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
+    "q18_large_orders" -> (q18LargeOrders _),
     "events_funnel_windowed" -> (eventsFunnelWindowed _),
     "lineitem_ship_latency" -> (shipLatency _),
     "events_velocity" -> ((s: SparkSession, d: String) => eventsVelocity(s, d)),
@@ -1224,6 +1251,16 @@ object Relational {
          |$sweeps
          |SELECT event_type, pi FROM n15""".stripMargin
     },
+    "q18_large_orders" ->
+      """WITH qty AS (SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey HAVING round(sum(l_quantity), 2) > 200.0)
+        |SELECT c_custkey, c_mktsegment, o_orderkey, o_orderdate,
+        |  o_totalprice, sum_qty
+        |FROM orders
+        |JOIN qty ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey ASC
+        |LIMIT 100""".stripMargin,
     "q3_shipping_priority" ->
       """SELECT l_orderkey,
         |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
