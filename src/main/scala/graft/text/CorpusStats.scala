@@ -363,6 +363,35 @@ object CorpusStats {
         round(avg(col("n_chars")), 6).as("avg_chars"),
         countDistinct("lang").as("n_langs"))
 
+  /** Incremental corpus-statistics maintenance — the agg_incremental
+    * pattern on the INGEST path: the per-source release stats a
+    * standing corpus publishes (doc count, word mass, estimated
+    * subtoken mass, char mass — all mergeable integer sums) kept as a
+    * tiny persisted partial-agg table and merged with each day's
+    * BATCH partials, never rescanning the standing data. The split is
+    * simulated by doc_id % 10 (the incremental-dedup convention); the
+    * oracle recomputes over the FULL corpus, proving merged ==
+    * recomputed. Every aggregate is an INT-EXACT sum (§4 audit class),
+    * so the merge is order-free and host-invariant by construction.
+    * At 100 TB each night costs one scan of the batch only. */
+  def qStatsIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+      .withColumn("ws", split(col("text"), " "))
+    def partial(df: DataFrame) = df.groupBy("source").agg(
+      count(lit(1)).as("n"),
+      sum(size(col("ws")).cast("long")).as("w"),
+      sum(expr(
+        "aggregate(ws, CAST(0 AS BIGINT), (a, x) -> a + ((length(x) + 3) div 4))"))
+        .as("st"),
+      sum("n_chars").as("ch"))
+    val standing = partial(d.filter(col("doc_id") % 10 =!= 0))
+    val batch = partial(d.filter(col("doc_id") % 10 === 0))
+    standing.unionByName(batch)
+      .groupBy("source")
+      .agg(sum("n").as("n_docs"), sum("w").as("n_words"),
+        sum("st").as("n_subtokens"), sum("ch").as("n_chars"))
+  }
+
   /** Per-language adaptive quality thresholds: the median TTR of each
     * language's documents becomes that language's gate (fixed global
     * thresholds misfire across languages — the standard fix is
@@ -516,6 +545,7 @@ object CorpusStats {
     "pipeline_dsir_weights" -> (qDsirWeights _),
     "text_interp_logprob" -> (qInterpLogprob _),
     "pipeline_corpus_report" -> (qCorpusReport _),
+    "pipeline_stats_incremental" -> (qStatsIncremental _),
     "pipeline_dup_rate_by_source" -> (qDupRateBySource _),
     "text_dup_gram_mass" -> (qDupGramMass _),
     "text_lang_thresholds" -> (qLangThresholds _),
@@ -649,6 +679,13 @@ object CorpusStats {
          |  CAST(count(DISTINCT ${graft.dedup.Dedup.contentHashSql("text")}) AS BIGINT) AS n_unique,
          |  round(1.0 - CAST(count(DISTINCT ${graft.dedup.Dedup.contentHashSql("text")}) AS DOUBLE) / count(*), 6) AS dup_rate
          |FROM documents GROUP BY source""".stripMargin,
+    "pipeline_stats_incremental" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_words,
+        |  CAST(sum(list_sum(list_transform(string_split(text, ' '),
+        |    w -> (len(w) + 3) // 4))) AS BIGINT) AS n_subtokens,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars
+        |FROM documents GROUP BY source""".stripMargin,
     "pipeline_corpus_report" ->
       """SELECT source, count(*) AS n_docs,
         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_words,
