@@ -581,6 +581,145 @@ object Relational {
         "o_totalprice", "sum_qty")
   }
 
+  /** TPC-H Q6 shape — the forecasting-revenue-change probe: zero joins,
+    * one predicate-pushed scan (date range + discount band + quantity
+    * cap ALL reach the parquet scan as PushedFilters) into a single-row
+    * aggregate. The canonical "is the scan doing the work" query: at
+    * 100 TB this reads only the shipdate-pruned partitions and the four
+    * referenced columns. Revenue = sum(extendedprice * discount) is
+    * DECIMAL-exact per the round-13 money rule. */
+  def q6RevenueDelta(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp")
+        && col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp")
+        && col("l_discount") >= lit(0.05) && col("l_discount") <= lit(0.07)
+        && col("l_quantity") < lit(24.0))
+      .agg(
+        expr("CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(4,2))), 2) AS DOUBLE)")
+          .as("revenue"),
+        count(lit(1)).as("n_lines"))
+
+  /** TPC-H Q4 shape — order-priority checking: how many orders placed
+    * in a half-year window had at least one line shipped more than 90
+    * days after the order date, per priority. The EXISTS becomes a
+    * LEFT-SEMI equi-join on the order key with the lateness predicate
+    * as a join-side filter — the semi join keeps each qualifying order
+    * exactly once regardless of how many late lines it has, and at
+    * scale it is the co-partitioned orderkey-to-orderkey pair (§5)
+    * with no row amplification. */
+  def q4OrderPriority(spark: SparkSession, dir: String): DataFrame = {
+    val ord = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1997-01-01 00:00:00").cast("timestamp")
+        && col("o_orderdate") < lit("1997-07-01 00:00:00").cast("timestamp"))
+    val li = t(spark, dir, "lineitem").select("l_orderkey", "l_shipdate")
+    ord.join(li,
+        col("o_orderkey") === col("l_orderkey")
+          && col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+  }
+
+  /** TPC-H Q14 shape — promo revenue share per ship month of 1996: the
+    * conditional-aggregate + ratio pattern. part is a broadcast
+    * dimension; the only shuffle is the 12-group month rollup. The
+    * share is computed with the waste_frac discipline (Mix.scala): both
+    * money sums are exact DECIMAL(38,4) values, scaled to exact integer
+    * ten-thousandths, and the 6-dp share comes from an exact integer
+    * HALF_UP division — no binary-double quotient ever reaches a
+    * round(), so the result is host- and engine-invariant. DECIMAL(38)
+    * arithmetic keeps the 2e6-scaled numerator overflow-safe at any SF
+    * (the DuckDB mirror runs HUGEINT). */
+  def q14PromoShare(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp")
+        && col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
+      .join(broadcast(t(spark, dir, "part").select("p_partkey", "p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(month(col("l_shipdate")).as("ship_month"))
+      .agg(
+        expr("""sum(CASE WHEN p_type = 'PROMO'
+                THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1.0 - CAST(l_discount AS DECIMAL(4,2)))
+                ELSE CAST(0.0 AS DECIMAL(20,4)) END)""").as("promo"),
+        expr("sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1.0 - CAST(l_discount AS DECIMAL(4,2))))")
+          .as("tot"),
+        count(lit(1)).as("n_lines"))
+      .select(col("ship_month"), col("n_lines"),
+        col("promo").cast("double").as("promo_revenue"),
+        col("tot").cast("double").as("total_revenue"),
+        expr("""CAST((2 * CAST(promo * 10000 AS DECIMAL(38,0)) * 1000000
+                     + CAST(tot * 10000 AS DECIMAL(38,0)))
+                 DIV (2 * CAST(tot * 10000 AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0""")
+          .as("promo_share"))
+
+  /** TPC-H Q19 shape — disjunctive brand/size/quantity predicate over
+    * lineitem ⋈ part: the OR-of-conjunctions probe (can the optimizer
+    * keep a broadcast hash join and evaluate the disjunction post-join
+    * rather than falling to a nested loop). part broadcasts; one-row
+    * DECIMAL-exact revenue output. */
+  def q19BrandQuantity(spark: SparkSession, dir: String): DataFrame = {
+    val p = broadcast(t(spark, dir, "part").select("p_partkey", "p_brand", "p_size"))
+    val arm = (brand: String, sizeHi: Int, qLo: Double, qHi: Double) =>
+      col("p_brand") === brand &&
+        col("p_size").between(1, sizeHi) &&
+        col("l_quantity").between(qLo, qHi)
+    t(spark, dir, "lineitem")
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .filter(arm("Brand#13", 5, 1.0, 11.0)
+        || arm("Brand#20", 10, 10.0, 20.0)
+        || arm("Brand#23", 15, 20.0, 30.0))
+      .agg(
+        expr("CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1.0 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE)")
+          .as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** TPC-H Q12 shape — shipping-latency priority matrix: per latency
+    * class (late = shipped more than 90 days after the order date),
+    * how many lineitems belong to critical-priority orders (1-URGENT /
+    * 2-HIGH) vs the rest — the conditional-aggregate (CASE inside
+    * sum) + fact-fact join pattern. One orderkey shuffle (§5
+    * co-partitioned pair), two-row output. */
+  def q12PriorityLatency(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp")
+        && col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
+      .select("l_orderkey", "l_shipdate")
+      .join(t(spark, dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(when(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+        lit("late")).otherwise(lit("ontime")).as("latency_class"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("n_critical"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L).otherwise(1L))
+          .as("n_other"))
+
+  /** TPC-H Q10 shape — returned-item reporting: the 20 customers who
+    * returned the most revenue in a quarter, with nation attribution.
+    * lineitem(returnflag)⋈orders is the one fact-fact shuffle (the §5
+    * co-partitioned orderkey pair); customer and nation broadcast; the
+    * top 20 is TakeOrderedAndProject over the total order
+    * (revenue DESC, c_custkey ASC). */
+  def q10ReturnedCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val ord = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1997-07-01 00:00:00").cast("timestamp")
+        && col("o_orderdate") < lit("1997-10-01 00:00:00").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    t(spark, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(spark, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(spark, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "c_mktsegment", "n_name")
+      .agg(expr("CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1.0 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE)")
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20)
+  }
+
   def eventsAttribution(spark: SparkSession, dir: String): DataFrame =
     attributionOf(t(spark, dir, "events"))
 
@@ -1054,6 +1193,12 @@ object Relational {
     "events_cusum" -> (eventsCusum _),
     "q1_pricing_summary" -> (q1Pricing _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
+    "q4_order_priority" -> (q4OrderPriority _),
+    "q6_revenue_delta" -> (q6RevenueDelta _),
+    "q10_returned_customers" -> (q10ReturnedCustomers _),
+    "q12_priority_latency" -> (q12PriorityLatency _),
+    "q14_promo_share" -> (q14PromoShare _),
+    "q19_brand_quantity" -> (q19BrandQuantity _),
     "q18_large_orders" -> (q18LargeOrders _),
     "events_funnel_windowed" -> (eventsFunnelWindowed _),
     "lineitem_ship_latency" -> (shipLatency _),
@@ -1251,6 +1396,79 @@ object Relational {
          |$sweeps
          |SELECT event_type, pi FROM n15""".stripMargin
     },
+    "q6_revenue_delta" ->
+      """SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * CAST(l_discount AS DECIMAL(4,2))), 2) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24.0""".stripMargin,
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q14_promo_share" ->
+      """WITH m AS (
+        |  SELECT month(l_shipdate) AS ship_month, count(*) AS n_lines,
+        |    sum(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1.0 - CAST(l_discount AS DECIMAL(4,2)))
+        |      ELSE CAST(0.0 AS DECIMAL(20,4)) END) AS promo,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1.0 - CAST(l_discount AS DECIMAL(4,2)))) AS tot
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  GROUP BY 1)
+        |SELECT ship_month, n_lines,
+        |  CAST(promo AS DOUBLE) AS promo_revenue,
+        |  CAST(tot AS DOUBLE) AS total_revenue,
+        |  CAST((2 * CAST(promo * 10000 AS HUGEINT) * 1000000
+        |        + CAST(tot * 10000 AS HUGEINT))
+        |       // (2 * CAST(tot * 10000 AS HUGEINT)) AS DOUBLE) / 1000000.0
+        |    AS promo_share
+        |FROM m""".stripMargin,
+    "q12_priority_latency" ->
+      """SELECT CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |    THEN 'late' ELSE 'ontime' END AS latency_class,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_critical,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS n_other
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY 1""".stripMargin,
+    "q19_brand_quantity" ->
+      """SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (1.0 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 5
+        |       AND l_quantity BETWEEN 1.0 AND 11.0)
+        |   OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 10.0 AND 20.0)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 20.0 AND 30.0)""".stripMargin,
+    "q10_returned_customers" ->
+      """SELECT c_custkey, c_name, c_mktsegment, n_name,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (1.0 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-10-01 00:00:00'
+        |GROUP BY c_custkey, c_name, c_mktsegment, n_name
+        |ORDER BY revenue DESC, c_custkey ASC
+        |LIMIT 20""".stripMargin,
     "q18_large_orders" ->
       """WITH qty AS (SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
         |  FROM lineitem GROUP BY l_orderkey HAVING round(sum(l_quantity), 2) > 200.0)

@@ -1,0 +1,110 @@
+package graft.relational
+
+import graft.clustering.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavioral specs for the round-13 TPC-H-shape additions: Q4 (EXISTS
+  * semi-join), Q6 (pure pushdown scan), Q10 (returned-item top-k),
+  * Q14 (conditional-agg ratio), Q19 (disjunctive join predicate).
+  * Reference semantics: TPC-H spec queries adapted to the testdata
+  * star schema (no partsupp/commitdate/shipmode columns). */
+class TpchSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q6: revenue equals the hand-rolled filter aggregate") {
+    val got = Relational.q6RevenueDelta(spark, sf).collect()(0)
+    val rows = graft.Tables.t(spark, sf, "lineitem")
+      .select(col("l_shipdate").cast("string"), col("l_discount"),
+        col("l_quantity"), col("l_extendedprice"))
+      .collect()
+      .filter { r =>
+        val d = r.getString(0)
+        d >= "1996-01-01" && d < "1997-01-01" &&
+          r.getDouble(1) >= 0.05 && r.getDouble(1) <= 0.07 && r.getDouble(2) < 24.0
+      }
+    assert(got.getLong(1) == rows.length)
+    val exp = rows.map { r =>
+      (BigDecimal(r.getDouble(3)).setScale(2, BigDecimal.RoundingMode.HALF_UP) *
+        BigDecimal(r.getDouble(1)).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+    }.sum.setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    assert(math.abs(got.getDouble(0) - exp.toDouble) < 1e-9, s"got $got exp $exp")
+  }
+
+  test("q4: each qualifying order counts once however many late lines it has") {
+    // distinct-order count must equal the semi-join count per priority
+    val got = Relational.q4OrderPriority(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ord = graft.Tables.t(spark, sf, "orders")
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp")
+        && col("o_orderdate") < lit("1997-07-01").cast("timestamp"))
+    val exp = ord.join(graft.Tables.t(spark, sf, "lineitem"),
+        col("o_orderkey") === col("l_orderkey")
+          && col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      .select("o_orderkey", "o_orderpriority").distinct()
+      .groupBy("o_orderpriority").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == exp && got.values.sum > 0)
+  }
+
+  test("q14: promo share is promo/total in exact 1e-6 units, within [0,1]") {
+    val rows = Relational.q14PromoShare(spark, sf).collect()
+    assert(rows.length == 12)
+    rows.foreach { r =>
+      val promo = r.getDouble(2); val tot = r.getDouble(3); val share = r.getDouble(4)
+      assert(promo >= 0.0 && promo <= tot)
+      assert(share >= 0.0 && share <= 1.0)
+      // share is the HALF_UP 6-dp rounding of the exact ratio
+      assert(math.abs(share - promo / tot) <= 5e-7 + 1e-12, s"$share vs ${promo / tot}")
+    }
+  }
+
+  test("q19: disjunctive filter matches a union of the three arms") {
+    val got = Relational.q19BrandQuantity(spark, sf).collect()(0)
+    val joined = graft.Tables.t(spark, sf, "lineitem")
+      .join(graft.Tables.t(spark, sf, "part"), col("l_partkey") === col("p_partkey"))
+    def arm(b: String, s: Int, lo: Double, hi: Double) =
+      joined.filter(col("p_brand") === b && col("p_size").between(1, s)
+        && col("l_quantity").between(lo, hi)).select("l_orderkey", "l_linenumber")
+    val expN = arm("Brand#13", 5, 1.0, 11.0)
+      .union(arm("Brand#20", 10, 10.0, 20.0))
+      .union(arm("Brand#23", 15, 20.0, 30.0)).distinct().count()
+    assert(got.getLong(1) == expN && expN > 0)
+  }
+
+  test("q10: exactly 20 rows, revenue non-increasing, custkey tiebreak") {
+    val rows = Relational.q10ReturnedCustomers(spark, sf).collect()
+    assert(rows.length == 20)
+    val revs = rows.map(_.getDouble(4))
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b })
+    rows.zip(rows.tail).foreach { case (a, b) =>
+      if (a.getDouble(4) == b.getDouble(4))
+        assert(a.getLong(0) < b.getLong(0))
+    }
+  }
+
+  test("q12: critical + other equals total joined lines in the window") {
+    val rows = Relational.q12PriorityLatency(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSet == Set("late", "ontime"))
+    val total = rows.map(r => r.getLong(1) + r.getLong(2)).sum
+    val exp = graft.Tables.t(spark, sf, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(graft.Tables.t(spark, sf, "orders"),
+        col("l_orderkey") === col("o_orderkey")).count()
+    assert(total == exp && exp > 0)
+  }
+
+  test("q6/q19 plans: broadcast join for q19, no shuffle join; q6 scans with pushed filters") {
+    val p19 = Relational.q19BrandQuantity(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p19.contains("BroadcastHashJoin"), p19)
+    assert(!p19.contains("SortMergeJoin"), p19)
+    val p6 = Relational.q6RevenueDelta(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p6.contains("PushedFilters: ["), p6)
+    assert(!p6.contains("Exchange hashpartitioning"), p6) // single-row agg only
+  }
+}
