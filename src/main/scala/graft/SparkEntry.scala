@@ -37,6 +37,8 @@ object SparkEntry {
       search.Whiten.queries ++
       search.IvfIncremental.queries ++
       text.TextAnalysis.queries ++
+      text.Bpe.queries ++
+      text.C4Rules.queries ++
       text.Pii.queries ++
       text.QualityClf.queries ++
       text.Repetition.queries ++
@@ -73,6 +75,8 @@ object SparkEntry {
       search.Whiten.oracleSql ++
       search.IvfIncremental.oracleSql ++
       text.TextAnalysis.oracleSql ++
+      text.Bpe.oracleSql ++
+      text.C4Rules.oracleSql ++
       text.Pii.oracleSql ++
       text.QualityClf.oracleSql ++
       text.Repetition.oracleSql ++

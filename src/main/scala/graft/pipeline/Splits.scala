@@ -160,7 +160,38 @@ object Splits {
         sum(col("pos").cast("long") * (col("hv") % 997)).as("order_sum"))
   }
 
+  /** Deterministic minority-class oversampling — the class-rebalancing
+    * step before training on an imbalanced corpus: each language class
+    * replicates every document floor(max_class/n_class) times (an
+    * integer factor >= 1, so the majority class keeps factor 1 and no
+    * document is ever dropped). No RNG: replication is a bounded
+    * explode(sequence(1, factor)), so reruns and engines agree row for
+    * row. The report carries n_before/factor/n_after plus an
+    * order-free replica checksum sum(doc_id * replica_idx) that proves
+    * each replica materialized distinctly (a factor-multiplied count
+    * could not fake it). Scale shape: class stats are a K-row bounded
+    * aggregate broadcast back; the explode is the oversampling itself
+    * (output-sized, irreducible); one final per-class rollup. */
+  def qOversample(spark: SparkSession, dir: String): DataFrame =
+    oversampleOf(t(spark, dir, "documents"))
+
+  private[pipeline] def oversampleOf(docs: DataFrame): DataFrame = {
+    val per = docs.groupBy("lang").agg(count(lit(1)).as("n_before"))
+    val mx = per.agg(max("n_before").as("mx"))
+    val fac = per.crossJoin(broadcast(mx))
+      .select(col("lang"), col("n_before"),
+        expr("CAST(mx DIV n_before AS BIGINT)").as("factor"))
+    docs.select("lang", "doc_id")
+      .join(broadcast(fac), "lang")
+      .select(col("lang"), col("n_before"), col("factor"), col("doc_id"),
+        explode(expr("sequence(1, factor)")).as("rep"))
+      .groupBy("lang", "n_before", "factor")
+      .agg(count(lit(1)).as("n_after"),
+        sum(col("doc_id") * col("rep")).as("replica_checksum"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_oversample" -> (qOversample _),
     "pipeline_epoch_shuffle" -> (qEpochShuffle _),
     "pipeline_split" -> (qSplit _),
     "pipeline_sample_events" -> (qSampleEvents _),
@@ -168,6 +199,17 @@ object Splits {
     "pipeline_split_leakage" -> (qSplitLeakage _))
 
   val oracleSql: Map[String, String] = Map(
+    "pipeline_oversample" ->
+      """WITH per AS (SELECT lang, count(*) AS n_before FROM documents GROUP BY lang),
+        |mx AS (SELECT max(n_before) AS mx FROM per),
+        |fac AS (SELECT lang, n_before, CAST(mx // n_before AS BIGINT) AS factor
+        |  FROM per, mx),
+        |rep AS (SELECT d.lang, f.n_before, f.factor, d.doc_id,
+        |    unnest(range(1, f.factor + 1)) AS rep
+        |  FROM documents d JOIN fac f USING (lang))
+        |SELECT lang, n_before, factor, count(*) AS n_after,
+        |  CAST(sum(doc_id * rep) AS BIGINT) AS replica_checksum
+        |FROM rep GROUP BY lang, n_before, factor""".stripMargin,
     "pipeline_epoch_shuffle" ->
       s"""WITH d AS (SELECT doc_id,
          |    list_sum(list_transform(string_split(text, ' '),
