@@ -45,7 +45,7 @@ object Bpe {
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("c"))
-      .select(trim(regexp_replace(col("w"), "(.)", "$1 ")).as("rep"), col("c"))
+      .select(col("w"), trim(regexp_replace(col("w"), "(.)", "$1 ")).as("rep"), col("c"))
 
   /** Adjacent-symbol pair counts over a rep frame. Single-symbol reps
     * (fully merged or 1-char words like "a") carry no pairs and must
@@ -78,12 +78,14 @@ object Bpe {
   def qBpeMerges(spark: SparkSession, dir: String): DataFrame =
     mergesOf(spark, t(spark, dir, "documents"))
 
-  private[text] def mergesOf(spark: SparkSession, docs: DataFrame): DataFrame = {
+  /** Runs the merge loop; returns the final rep table and the merge
+    * trajectory. Stops early when the vocabulary is fully merged. */
+  private[text] def train(docs: DataFrame)
+      : (DataFrame, Seq[(Int, String, String, String, Long)]) = {
     var reps = vocabOf(docs).localCheckpoint()
     val merges = Seq.newBuilder[(Int, String, String, String, Long)]
     var r = 1
     var exhausted = false
-    // stops early when the vocabulary is fully merged (no pairs left)
     while (r <= ROUNDS && !exhausted) {
       pairCounts(reps)
         .orderBy(col("n").desc, col("pair").asc).limit(1)
@@ -96,14 +98,19 @@ object Bpe {
           r += 1
       }
     }
-    import spark.implicits._
-    merges.result().toDF("merge_round", "lhs", "rhs", "merged", "n")
+    (reps, merges.result())
   }
 
-  /** Unrolled-round oracle: each round is a (pairs -> top1 -> merged
-    * reps) CTE triple; the merge fold mirrors mergePass with
-    * list_reduce (same sentinel-tag discipline). */
-  private def bpeOracle: String = {
+  private[text] def mergesOf(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    train(docs)._2.toDF("merge_round", "lhs", "rhs", "merged", "n")
+  }
+
+  /** Unrolled-round oracle chain shared by both heads: each round is a
+    * (pairs -> top1 -> merged reps) CTE triple carrying (w, rep, c);
+    * the merge fold mirrors mergePass with list_reduce (same
+    * sentinel-tag discipline). */
+  private def bpeChain: String = {
     def round(r: Int): String = {
       val prev = s"r${r - 1}"
       s"""p$r AS MATERIALIZED (
@@ -118,7 +125,7 @@ object Bpe {
          |    string_split(pair, ' ')[1] AS a, string_split(pair, ' ')[2] AS b, n
          |  FROM p$r ORDER BY n DESC, pair ASC LIMIT 1),
          |r$r AS MATERIALIZED (
-         |  SELECT CASE WHEN len(string_split(rep, ' ')) = 1 THEN rep
+         |  SELECT w, CASE WHEN len(string_split(rep, ' ')) = 1 THEN rep
          |    ELSE replace(list_reduce(string_split(rep, ' '),
          |      (acc, x) -> CASE
          |        WHEN x = t$r.b AND (acc = t$r.a OR ends_with(acc, ' ' || t$r.a))
@@ -127,20 +134,69 @@ object Bpe {
          |  FROM $prev, t$r)""".stripMargin
     }
     val rounds = (1 to ROUNDS).map(round).mkString(",\n")
+    s"""r0 AS MATERIALIZED (
+       |  SELECT w, trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS rep, count(*) AS c
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE len(w) > 0 GROUP BY 1),
+       |$rounds""".stripMargin
+  }
+
+  private def mergesOracle: String = {
     val heads = (1 to ROUNDS)
       .map(r => s"SELECT merge_round, a AS lhs, b AS rhs, a || b AS merged, n FROM t$r")
       .mkString("\nUNION ALL\n")
-    s"""WITH r0 AS MATERIALIZED (
-       |  SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS rep, count(*) AS c
-       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-       |  WHERE len(w) > 0 GROUP BY 1),
-       |$rounds
-       |$heads""".stripMargin
+    s"WITH $bpeChain\n$heads"
   }
 
+  /** Tokenize the corpus with the TRAINED tokenizer — the step after
+    * merge induction: every corpus word maps to its final symbol count
+    * through the trained rep table (an equi-join on the word key that
+    * co-partitions both sides at scale — the vocabulary is only
+    * broadcast-sized in tests), rolled up per source with the measured
+    * subtokens-per-word fertility. The fertility ratio is an exact
+    * integer HALF_UP division (the waste_frac discipline) in
+    * DECIMAL(38)/HUGEINT, so no binary-double quotient reaches a
+    * round(). */
+  def qBpeTokenize(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val reps = train(docs)._1
+      .select(col("w"), size(split(col("rep"), " ")).cast("long").as("n_sym"))
+    docs.select(col("source"), col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .join(reps, "w")
+      .groupBy("source")
+      .agg(
+        countDistinct("doc_id").as("n_docs"),
+        count(lit(1)).as("n_words"),
+        sum("n_sym").as("n_tokens"))
+      .withColumn("fertility", expr(
+        """CAST((2 * CAST(n_tokens AS DECIMAL(38,0)) * 1000000
+          |     + CAST(n_words AS DECIMAL(38,0)))
+          | DIV (2 * CAST(n_words AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0""".stripMargin))
+  }
+
+  private def tokenizeOracle: String =
+    s"""WITH $bpeChain,
+       |wtok AS MATERIALIZED (
+       |  SELECT w, CAST(len(string_split(rep, ' ')) AS BIGINT) AS n_sym
+       |  FROM r$ROUNDS),
+       |cw AS (
+       |  SELECT source, doc_id, unnest(string_split(text, ' ')) AS w
+       |  FROM documents),
+       |j AS (SELECT source, doc_id, n_sym FROM cw JOIN wtok USING (w)
+       |  WHERE len(w) > 0)
+       |SELECT source, count(DISTINCT doc_id) AS n_docs,
+       |  count(*) AS n_words,
+       |  CAST(sum(n_sym) AS BIGINT) AS n_tokens,
+       |  CAST((2 * CAST(sum(n_sym) AS HUGEINT) * 1000000 + CAST(count(*) AS HUGEINT))
+       |       // (2 * CAST(count(*) AS HUGEINT)) AS DOUBLE) / 1000000.0 AS fertility
+       |FROM j GROUP BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "text_bpe_merges" -> (qBpeMerges _))
+    "text_bpe_merges" -> (qBpeMerges _),
+    "text_bpe_tokenize" -> (qBpeTokenize _))
 
   val oracleSql: Map[String, String] = Map(
-    "text_bpe_merges" -> bpeOracle)
+    "text_bpe_merges" -> mergesOracle,
+    "text_bpe_tokenize" -> tokenizeOracle)
 }

@@ -55,6 +55,24 @@ class BpeSpec extends AnyFunSuite {
     assert(m(1).getString(3) == "abab" && m(1).getLong(4) == 2L)
   }
 
+  test("tokenize: token mass shrinks vs chars and never below word count") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Bpe.qBpeTokenize(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nWords = r.getLong(2); val nTokens = r.getLong(3); val fert = r.getDouble(4)
+      assert(nTokens >= nWords)              // every word is >= 1 symbol
+      assert(fert >= 1.0)
+      assert(math.abs(fert - nTokens.toDouble / nWords) <= 5e-7 + 1e-12)
+    }
+    // the 5 learned merges must have compressed SOMETHING: total tokens
+    // strictly below total characters
+    val chars = graft.Tables.t(spark, sf, "documents")
+      .select(sum(length(regexp_replace(col("text"), " ", ""))))
+      .collect()(0).getLong(0)
+    assert(rows.map(_.getLong(3)).sum < chars)
+  }
+
   test("corpus trajectory is deterministic and count-monotone per prefix") {
     val sf = "/root/testdata/sf0.001"
     val m1 = Bpe.qBpeMerges(spark, sf).orderBy("merge_round").collect()
