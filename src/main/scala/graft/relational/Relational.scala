@@ -720,6 +720,96 @@ object Relational {
       .limit(20)
   }
 
+  /** TPC-H Q13 shape — customer order-count distribution: how many
+    * customers placed exactly k orders, INCLUDING k = 0 (the LEFT
+    * join + two-level aggregation pattern; the zero bucket is the part
+    * a naive inner-join rollup silently loses). customer LEFT JOINs
+    * orders on the broadcastable dimension side; both aggregations are
+    * partial-agg shuffles on bounded keys. */
+  def q13CustomerDistribution(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer").select("c_custkey")
+      .join(t(spark, dir, "orders").select("o_orderkey", "o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count")) // count(col) skips NULLs
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+
+  /** TPC-H Q15 shape — top supplier(s) by quarterly revenue: the
+    * argmax-over-aggregate pattern WITH ties kept (the spec's view +
+    * max subquery). Per-supplier revenue sums DECIMAL-exact, the 1-row
+    * max broadcasts back, and equality on the exact decimal keeps
+    * every tied supplier — no top-1 LIMIT that would break ties
+    * arbitrarily. */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp")
+        && col("l_shipdate") < lit("1996-04-01 00:00:00").cast("timestamp"))
+      .groupBy("l_suppkey")
+      .agg(expr("sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1.0 - CAST(l_discount AS DECIMAL(4,2))))")
+        .as("total_rev"))
+    val mx = rev.agg(max("total_rev").as("max_rev"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("total_rev") === col("max_rev"))
+      .join(broadcast(t(spark, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("total_rev").cast("double").as("total_rev"))
+      .orderBy("s_suppkey")
+  }
+
+  /** TPC-H Q17 shape — small-quantity-order revenue: lines of one
+    * brand whose quantity is below 20% of that part's average ordered
+    * quantity (the correlated-aggregate pattern: the per-part average
+    * joins back on the part key — co-partitioned at scale — never a
+    * correlated subquery per row). The threshold avg is the quotient
+    * of an exact integral sum and a count (IEEE-deterministic in both
+    * engines); revenue sums DECIMAL-exact. */
+  def q17SmallQuantity(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+    val avgQ = li.groupBy(col("l_partkey").as("p_key"))
+      .agg((sum("l_quantity") / count(lit(1))).as("avg_qty"))
+    val brand = broadcast(t(spark, dir, "part")
+      .filter(col("p_brand") === "Brand#13").select("p_partkey"))
+    li.join(brand, col("l_partkey") === col("p_partkey"))
+      .join(avgQ, col("l_partkey") === col("p_key"))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg(
+        expr("CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE)")
+          .as("small_qty_revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** TPC-H Q22 shape — idle wealthy customers: customers with an
+    * account balance above the average POSITIVE balance and no order
+    * in the calendar's final year (every synthetic customer has SOME
+    * order, so "never ordered" would be vacuous — "idle lately" keeps
+    * the anti-join non-trivial), counted per nation. Two patterns
+    * composed: the scalar-threshold comparison runs MULTIPLY-FORM on
+    * exact decimals (balance * n_pos > total_pos — no division, so no
+    * cross-engine rounding surface; Spark's raw double sum would be
+    * layout-dependent), and idleness is a LEFT-ANTI join against the
+    * date-pruned orders scan. acctbal sums roll up DECIMAL-exact per
+    * nation. */
+  def q22IdleCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"),
+        expr("CAST(c_acctbal AS DECIMAL(18,2))").as("bal"))
+    val pos = cust.filter(col("bal") > 0)
+      .agg(sum("bal").as("total_pos"),
+        count(lit(1)).cast("decimal(20,0)").as("n_pos"))
+    cust.crossJoin(broadcast(pos))
+      .filter(col("bal") * col("n_pos") > col("total_pos"))
+      .join(t(spark, dir, "orders")
+          .filter(col("o_orderdate") >= lit("2000-09-01 00:00:00").cast("timestamp"))
+          .select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(t(spark, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("numcust"),
+        expr("CAST(sum(bal) AS DOUBLE)").as("totacctbal"))
+  }
+
   def eventsAttribution(spark: SparkSession, dir: String): DataFrame =
     attributionOf(t(spark, dir, "events"))
 
@@ -1197,6 +1287,10 @@ object Relational {
     "q6_revenue_delta" -> (q6RevenueDelta _),
     "q10_returned_customers" -> (q10ReturnedCustomers _),
     "q12_priority_latency" -> (q12PriorityLatency _),
+    "q13_customer_distribution" -> (q13CustomerDistribution _),
+    "q15_top_supplier" -> (q15TopSupplier _),
+    "q17_small_quantity" -> (q17SmallQuantity _),
+    "q22_idle_customers" -> (q22IdleCustomers _),
     "q14_promo_share" -> (q14PromoShare _),
     "q19_brand_quantity" -> (q19BrandQuantity _),
     "q18_large_orders" -> (q18LargeOrders _),
@@ -1433,6 +1527,55 @@ object Relational {
         |       // (2 * CAST(tot * 10000 AS HUGEINT)) AS DOUBLE) / 1000000.0
         |    AS promo_share
         |FROM m""".stripMargin,
+    "q13_customer_distribution" ->
+      """WITH per AS (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |SELECT c_count, count(*) AS custdist
+        |FROM per GROUP BY c_count""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |        * (1.0 - CAST(l_discount AS DECIMAL(4,2)))) AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey),
+        |mx AS (SELECT max(total_rev) AS max_rev FROM rev)
+        |SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_rev
+        |FROM rev, mx
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_rev = max_rev
+        |ORDER BY s_suppkey""".stripMargin,
+    "q17_small_quantity" ->
+      """WITH avgq AS (
+        |  SELECT l_partkey AS p_key,
+        |    sum(l_quantity) / count(*) AS avg_qty
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+        |    AS small_qty_revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN avgq ON l_partkey = p_key
+        |WHERE p_brand = 'Brand#13'
+        |  AND l_quantity < 0.2 * avg_qty""".stripMargin,
+    "q22_idle_customers" ->
+      """WITH cust AS (
+        |  SELECT c_custkey, c_nationkey, CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+        |  FROM customer),
+        |pos AS (
+        |  SELECT sum(bal) AS total_pos, CAST(count(*) AS DECIMAL(20,0)) AS n_pos
+        |  FROM cust WHERE bal > 0)
+        |SELECT n_name, count(*) AS numcust, CAST(sum(bal) AS DOUBLE) AS totacctbal
+        |FROM cust, pos
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE bal * n_pos > total_pos
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |    AND o_orderdate >= TIMESTAMP '2000-09-01 00:00:00')
+        |GROUP BY n_name""".stripMargin,
     "q12_priority_latency" ->
       """SELECT CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
         |    THEN 'late' ELSE 'ontime' END AS latency_class,

@@ -97,6 +97,46 @@ class TpchSpec extends AnyFunSuite {
     assert(total == exp && exp > 0)
   }
 
+  test("q13: distribution covers every customer exactly once, including zero-order ones") {
+    val rows = Relational.q13CustomerDistribution(spark, sf).collect()
+    val totalCust = rows.map(_.getLong(1)).sum
+    val nCust = graft.Tables.t(spark, sf, "customer").count()
+    assert(totalCust == nCust)
+    val totalOrders = rows.map(r => r.getLong(0) * r.getLong(1)).sum
+    assert(totalOrders == graft.Tables.t(spark, sf, "orders").count())
+  }
+
+  test("q15: every returned supplier carries the same maximal revenue") {
+    val rows = Relational.q15TopSupplier(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val revs = rows.map(_.getDouble(2)).distinct
+    assert(revs.length == 1)
+  }
+
+  test("q17: small-quantity lines are a strict subset of the brand's lines") {
+    val got = Relational.q17SmallQuantity(spark, sf).collect()(0)
+    val brandLines = graft.Tables.t(spark, sf, "lineitem")
+      .join(graft.Tables.t(spark, sf, "part")
+        .filter(col("p_brand") === "Brand#13"),
+        col("l_partkey") === col("p_partkey")).count()
+    assert(got.getLong(1) < brandLines)
+  }
+
+  test("q22: threshold in multiply-form matches the division-form definition") {
+    val rows = Relational.q22IdleCustomers(spark, sf).collect()
+    val cust = graft.Tables.t(spark, sf, "customer")
+    val stats = cust.filter(col("c_acctbal") > 0)
+      .agg(sum("c_acctbal"), count(lit(1))).collect()(0)
+    val avg = stats.getDouble(0) / stats.getLong(1)
+    val recent = graft.Tables.t(spark, sf, "orders")
+      .filter(col("o_orderdate") >= lit("2000-09-01").cast("timestamp"))
+      .select("o_custkey")
+    val expected = cust.filter(col("c_acctbal") > avg)
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .count()
+    assert(rows.map(_.getLong(1)).sum == expected)
+  }
+
   test("q6/q19 plans: broadcast join for q19, no shuffle join; q6 scans with pushed filters") {
     val p19 = Relational.q19BrandQuantity(spark, sf)
       .queryExecution.executedPlan.toString
