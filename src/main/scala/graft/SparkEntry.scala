@@ -49,6 +49,7 @@ object SparkEntry {
       pipeline.Mix.queries ++
       pipeline.Assembly.queries ++
       pipeline.Upsert.queries ++
+      pipeline.Forget.queries ++
       pipeline.DataChecks.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -87,5 +88,6 @@ object SparkEntry {
       pipeline.Mix.oracleSql ++
       pipeline.Assembly.oracleSql ++
       pipeline.Upsert.oracleSql ++
+      pipeline.Forget.oracleSql ++
       pipeline.DataChecks.oracleSql
 }
