@@ -36,7 +36,10 @@ object SparkEntry {
       search.Spectrum.queries ++
       search.Whiten.queries ++
       search.IvfIncremental.queries ++
+      search.KnnEval.queries ++
+      search.PcaScatter.queries ++
       text.TextAnalysis.queries ++
+      text.Encoding.queries ++
       text.Bpe.queries ++
       text.C4Rules.queries ++
       text.Pii.queries ++
@@ -75,7 +78,10 @@ object SparkEntry {
       search.Spectrum.oracleSql ++
       search.Whiten.oracleSql ++
       search.IvfIncremental.oracleSql ++
+      search.KnnEval.oracleSql ++
+      search.PcaScatter.oracleSql ++
       text.TextAnalysis.oracleSql ++
+      text.Encoding.oracleSql ++
       text.Bpe.oracleSql ++
       text.C4Rules.oracleSql ++
       text.Pii.oracleSql ++

@@ -810,6 +810,126 @@ object Relational {
         expr("CAST(sum(bal) AS DOUBLE)").as("totacctbal"))
   }
 
+  /** TPC-H Q5 shape — local-supplier volume: revenue per nation from
+    * orders where the CUSTOMER and the SUPPLIER share that nation,
+    * restricted to one region and one order year. The distinguishing
+    * pattern vs the plain star join is the same-nation equality
+    * BETWEEN two dimension foreign keys (c_nationkey = s_nationkey):
+    * it rides the broadcast supplier join as an extra join-side
+    * condition, so the plan stays one fact-fact orderkey shuffle (the
+    * §5 co-partitioned pair) plus broadcasts — never a second shuffle
+    * for the dimension-dimension constraint. Region pruning happens on
+    * the broadcast customer side BEFORE the fact join. Revenue sums
+    * DECIMAL-exact per the round-13 money rule. */
+  def q5LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val nat = t(spark, dir, "nation")
+      .join(t(spark, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .select("n_nationkey", "n_name")
+    val cust = t(spark, dir, "customer")
+      .join(nat, col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey", "c_nationkey", "n_name")
+    val ord = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp")
+        && col("o_orderdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "c_nationkey", "n_name")
+    t(spark, dir, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(spark, dir, "supplier").select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey")
+          && col("c_nationkey") === col("s_nationkey"))
+      .groupBy("n_name")
+      .agg(
+        expr("CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1.0 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE)")
+          .as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** TPC-H Q7 shape — volume shipping between two nations: revenue of
+    * goods shipped by a supplier in one nation to a customer in the
+    * other, BOTH directions, split by ship year. The disjunctive
+    * nation-pair predicate ((s=A and c=B) or (s=B and c=A)) evaluates
+    * after the two broadcast nation joins; both fact tables prune to
+    * the 2-year ship window before the single orderkey shuffle. The
+    * 2x2x2-bounded rollup keys (supp_nation, cust_nation, year) make
+    * the final aggregation trivially small at any SF. */
+  def q7VolumeShipping(spark: SparkSession, dir: String): DataFrame = {
+    val supp = t(spark, dir, "supplier")
+      .join(t(spark, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = t(spark, dir, "customer")
+      .join(t(spark, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val ord = t(spark, dir, "orders").select("o_orderkey", "o_custkey")
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "cust_nation")
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp")
+        && col("l_shipdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+      .select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .filter((col("supp_nation") === "NATION_18" && col("cust_nation") === "NATION_19")
+        || (col("supp_nation") === "NATION_19" && col("cust_nation") === "NATION_18"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(
+        expr("CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1.0 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE)")
+          .as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** TPC-H Q8 shape — national market share: of all STANDARD-type
+    * parts sold into AMERICA-region customers over two order years,
+    * the fraction of revenue supplied by NATION_3, per year. The
+    * conditional-sum-over-total ratio pattern one level above Q14:
+    * the numerator is a CASE-gated arm of the SAME decimal sum, and
+    * the share is an exact integer HALF_UP division of the two
+    * DECIMAL(38,4) masses scaled to ten-thousandths (the waste_frac
+    * discipline — no binary-double quotient ever reaches a round(),
+    * so the result is host- and engine-invariant; DuckDB mirrors with
+    * HUGEINT). part/supplier/customer/nation all broadcast; the one
+    * shuffle is lineitem⋈orders on the co-partitioned orderkey. */
+  def q8MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer")
+      .join(t(spark, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .join(t(spark, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "AMERICA")
+      .select("c_custkey")
+    val supp = t(spark, dir, "supplier")
+      .join(t(spark, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val ord = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp")
+        && col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "o_orderdate")
+    t(spark, dir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(broadcast(t(spark, dir, "part")
+        .filter(col("p_type") === "STANDARD").select("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        expr("""sum(CASE WHEN supp_nation = 'NATION_3'
+                THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1.0 - CAST(l_discount AS DECIMAL(4,2)))
+                ELSE CAST(0.0 AS DECIMAL(20,4)) END)""").as("nat"),
+        expr("sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1.0 - CAST(l_discount AS DECIMAL(4,2))))")
+          .as("tot"),
+        count(lit(1)).as("n_lines"))
+      .select(col("o_year"), col("n_lines"),
+        col("nat").cast("double").as("nation_revenue"),
+        col("tot").cast("double").as("total_revenue"),
+        expr("""CAST((2 * CAST(nat * 10000 AS DECIMAL(38,0)) * 1000000
+                     + CAST(tot * 10000 AS DECIMAL(38,0)))
+                 DIV (2 * CAST(tot * 10000 AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0""")
+          .as("mkt_share"))
+  }
+
   def eventsAttribution(spark: SparkSession, dir: String): DataFrame =
     attributionOf(t(spark, dir, "events"))
 
@@ -1292,6 +1412,9 @@ object Relational {
     "q17_small_quantity" -> (q17SmallQuantity _),
     "q22_idle_customers" -> (q22IdleCustomers _),
     "q14_promo_share" -> (q14PromoShare _),
+    "q5_local_supplier" -> (q5LocalSupplier _),
+    "q7_volume_shipping" -> (q7VolumeShipping _),
+    "q8_market_share" -> (q8MarketShare _),
     "q19_brand_quantity" -> (q19BrandQuantity _),
     "q18_large_orders" -> (q18LargeOrders _),
     "events_funnel_windowed" -> (eventsFunnelWindowed _),
@@ -1526,6 +1649,65 @@ object Relational {
         |        + CAST(tot * 10000 AS HUGEINT))
         |       // (2 * CAST(tot * 10000 AS HUGEINT)) AS DOUBLE) / 1000000.0
         |    AS promo_share
+        |FROM m""".stripMargin,
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (1.0 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name""".stripMargin,
+    "q7_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  year(l_shipdate) AS l_year,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (1.0 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE ((n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+        |    OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18'))
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q8_market_share" ->
+      """WITH m AS (
+        |  SELECT year(o_orderdate) AS o_year, count(*) AS n_lines,
+        |    sum(CASE WHEN n1.n_name = 'NATION_3'
+        |      THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1.0 - CAST(l_discount AS DECIMAL(4,2)))
+        |      ELSE CAST(0.0 AS DECIMAL(20,4)) END) AS nat,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1.0 - CAST(l_discount AS DECIMAL(4,2)))) AS tot
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  JOIN region ON n2.n_regionkey = r_regionkey
+        |  WHERE r_name = 'AMERICA' AND p_type = 'STANDARD'
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  GROUP BY 1)
+        |SELECT o_year, n_lines,
+        |  CAST(nat AS DOUBLE) AS nation_revenue,
+        |  CAST(tot AS DOUBLE) AS total_revenue,
+        |  CAST((2 * CAST(nat * 10000 AS HUGEINT) * 1000000
+        |        + CAST(tot * 10000 AS HUGEINT))
+        |       // (2 * CAST(tot * 10000 AS HUGEINT)) AS DOUBLE) / 1000000.0
+        |    AS mkt_share
         |FROM m""".stripMargin,
     "q13_customer_distribution" ->
       """WITH per AS (

@@ -137,6 +137,72 @@ class TpchSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(1)).sum == expected)
   }
 
+  test("q5: only ASIA nations returned; revenue matches the same-nation recompute") {
+    val rows = Relational.q5LocalSupplier(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val asia = graft.Tables.t(spark, sf, "nation")
+      .join(graft.Tables.t(spark, sf, "region"),
+        col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .select("n_name").collect().map(_.getString(0)).toSet
+    assert(rows.map(_.getString(0)).forall(asia.contains))
+    // independent recompute: plain five-table join, same-nation filter LAST
+    val exp = graft.Tables.t(spark, sf, "lineitem")
+      .join(graft.Tables.t(spark, sf, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(graft.Tables.t(spark, sf, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(graft.Tables.t(spark, sf, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("c_nationkey") === col("s_nationkey"))
+      .join(graft.Tables.t(spark, sf, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+        && col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .filter(col("n_name").isin(asia.toSeq: _*))
+      .groupBy("n_name").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.map(r => r.getString(0) -> r.getLong(2)).toMap == exp)
+  }
+
+  test("q7: both shipping directions present, nation pair fixed, years within window") {
+    val rows = Relational.q7VolumeShipping(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val combos = rows.map(r => (r.getString(0), r.getString(1))).toSet
+    assert(combos.subsetOf(Set(("NATION_18", "NATION_19"), ("NATION_19", "NATION_18"))))
+    assert(rows.map(_.getInt(2)).forall(y => y == 1996 || y == 1997))
+    // the (pair, year) line counts re-derive from a direction-agnostic recompute
+    val total = rows.map(_.getLong(4)).sum
+    val exp = graft.Tables.t(spark, sf, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(graft.Tables.t(spark, sf, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(graft.Tables.t(spark, sf, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(graft.Tables.t(spark, sf, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .filter((col("s_nationkey") === 18 && col("c_nationkey") === 19)
+        || (col("s_nationkey") === 19 && col("c_nationkey") === 18))
+      .count()
+    assert(total == exp && exp > 0)
+  }
+
+  test("q8: market share is nation/total in exact 1e-6 units, within [0,1]") {
+    val rows = Relational.q8MarketShare(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).toSet == Set(1996, 1997))
+    rows.foreach { r =>
+      val nat = r.getDouble(2); val tot = r.getDouble(3); val share = r.getDouble(4)
+      assert(nat >= 0.0 && nat <= tot)
+      assert(share >= 0.0 && share <= 1.0)
+      assert(math.abs(share - nat / tot) <= 5e-7 + 1e-12, s"$share vs ${nat / tot}")
+    }
+  }
+
+  test("q5/q7/q8 plans: single fact-fact shuffle, dimensions broadcast") {
+    for (df <- Seq(Relational.q5LocalSupplier(spark, sf),
+                   Relational.q7VolumeShipping(spark, sf),
+                   Relational.q8MarketShare(spark, sf))) {
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastHashJoin"), p)
+      // the only SortMergeJoin (if any) is the lineitem-orders orderkey pair
+      assert(p.split("SortMergeJoin").length <= 2, p)
+    }
+  }
+
   test("q6/q19 plans: broadcast join for q19, no shuffle join; q6 scans with pushed filters") {
     val p19 = Relational.q19BrandQuantity(spark, sf)
       .queryExecution.executedPlan.toString
