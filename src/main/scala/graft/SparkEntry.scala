@@ -38,8 +38,10 @@ object SparkEntry {
       search.IvfIncremental.queries ++
       search.KnnEval.queries ++
       search.PcaScatter.queries ++
+      search.Drift.queries ++
       text.TextAnalysis.queries ++
       text.Encoding.queries ++
+      text.LengthStats.queries ++
       text.Bpe.queries ++
       text.C4Rules.queries ++
       text.Pii.queries ++
@@ -80,8 +82,10 @@ object SparkEntry {
       search.IvfIncremental.oracleSql ++
       search.KnnEval.oracleSql ++
       search.PcaScatter.oracleSql ++
+      search.Drift.oracleSql ++
       text.TextAnalysis.oracleSql ++
       text.Encoding.oracleSql ++
+      text.LengthStats.oracleSql ++
       text.Bpe.oracleSql ++
       text.C4Rules.oracleSql ++
       text.Pii.oracleSql ++
