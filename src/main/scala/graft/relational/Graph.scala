@@ -313,7 +313,44 @@ object Graph {
             / (lit(4.0) * col("n_edges") * col("n_edges")), 6).as("modularity"))
   }
 
+  /** Multi-source bounded-depth BFS over the dup-candidate graph: the
+    * per-seed distance histogram (how many docs sit 1, 2, ... hops from
+    * each probe document — the "how far does this boilerplate family
+    * reach" reachability question, and the standard BFS primitive the
+    * graph family was missing). Seeds are the 8 smallest node ids
+    * (deterministic); depth is bounded at 4.
+    *
+    * Scale shape: each round is ONE equi-join of the (bounded)
+    * frontier against the partitioned edge list + an anti-join against
+    * the visited set — frontier and visited stay seed-bounded, the
+    * corpus-sized edge list is never re-derived (staged candidates),
+    * and the loop localCheckpoints per round (the label-propagation
+    * discipline) so the plan never compounds. Counts INT-EXACT. */
+  def qBfsDistances(spark: SparkSession, dir: String, depth: Int = 4): DataFrame =
+    bfsDistancesOf(undirected(spark, dir), depth)
+
+  /** [[qBfsDistances]] over any (s, d) undirected edge frame. */
+  private[relational] def bfsDistancesOf(und: DataFrame, depth: Int): DataFrame = {
+    val seeds = und.select("s").distinct().orderBy("s").limit(8)
+      .select(col("s").as("seed"), col("s").as("node"), lit(0).as("dist"))
+      .localCheckpoint(true)
+    var visited = seeds
+    var frontier = seeds
+    for (k <- 1 to depth) {
+      val nxt = frontier
+        .join(und, frontier("node") === und("s"))
+        .select(col("seed"), col("d").as("node")).distinct()
+        .join(visited, Seq("seed", "node"), "left_anti")
+        .withColumn("dist", lit(k))
+        .localCheckpoint(true)
+      visited = visited.unionByName(nxt).localCheckpoint(true)
+      frontier = nxt
+    }
+    visited.groupBy("seed", "dist").agg(count(lit(1)).as("n_nodes"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_bfs_distances" -> ((s: SparkSession, d: String) => qBfsDistances(s, d)),
     "graph_modularity" -> (qModularity _),
     "graph_assortativity" -> (qAssortativity _),
     "graph_pagerank" -> ((s: SparkSession, d: String) => qPageRank(s, d)),
@@ -329,6 +366,31 @@ object Graph {
       |deg AS (SELECT s, count(*) AS deg FROM und GROUP BY s)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "graph_bfs_distances" -> {
+      val round = (k: Int) =>
+        s"""f$k AS (SELECT DISTINCT seed, und.d AS node
+           |  FROM n${k - 1} JOIN und ON und.s = n${k - 1}.node),
+           |n$k AS MATERIALIZED (SELECT seed, node, $k AS dist
+           |  FROM f$k ANTI JOIN vis${k - 1} USING (seed, node)),
+           |vis$k AS MATERIALIZED (SELECT seed, node FROM vis${k - 1}
+           |  UNION ALL SELECT seed, node FROM n$k)""".stripMargin
+      val rounds = (1 to 4).map(round).mkString(",\n")
+      s"""WITH ${Dedup.sigSql},
+         |${Dedup.bandsSql},
+         |${Dedup.candsSql},
+         |$undSql,
+         |n0 AS (SELECT s AS seed, s AS node, 0 AS dist
+         |  FROM (SELECT DISTINCT s FROM und ORDER BY s LIMIT 8)),
+         |vis0 AS (SELECT seed, node FROM n0),
+         |$rounds,
+         |allv AS (SELECT seed, dist FROM n0
+         |  UNION ALL SELECT seed, dist FROM n1
+         |  UNION ALL SELECT seed, dist FROM n2
+         |  UNION ALL SELECT seed, dist FROM n3
+         |  UNION ALL SELECT seed, dist FROM n4)
+         |SELECT seed, CAST(dist AS INT) AS dist, count(*) AS n_nodes
+         |FROM allv GROUP BY seed, dist""".stripMargin
+    },
     "graph_pagerank" -> {
       val iter = (i: Int) =>
         s"""r$i AS (SELECT d AS node, 0.15 + 0.85 * sum(r / deg) AS r

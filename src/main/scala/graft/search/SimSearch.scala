@@ -100,6 +100,48 @@ object SimSearch {
       .select("q_id", "vec_id", "rank", "cs")
   }
 
+  /** Filtered ANN — vector search under a metadata predicate (the
+    * production "same-label only" retrieval: RAG with a tenant/language
+    * filter). Strategy = PRE-FILTER: the label equality rides the
+    * bucket equi-join as a join-side condition, so wrong-label
+    * candidates die before scoring (the qHardNegatives trick applied
+    * to the ANN path). The report measures what that costs: per query,
+    * the surviving candidate count and recall@5 against the exact
+    * FILTERED truth (label-matching full scan) — the number that
+    * decides pre-filter vs search-then-filter at a given selectivity.
+    * Same one-corpus-pass broadcast shape as qAnn. */
+  def qFilteredAnn(spark: SparkSession, dir: String): DataFrame = {
+    val b = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), col("label"),
+        VectorOps.signBucket("embedding", BITS).as("bk"))
+    val q = b.filter(col("vec_id") <= QN)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+        col("label").as("ql"), col("bk").as("qbk"))
+    val cand = b.join(broadcast(q),
+        col("qbk") === col("bk") && col("ql") === col("label")
+          && col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"), VectorOps.cosine("qe", "embedding").as("cs"))
+    val w = Window.partitionBy("q_id").orderBy(col("cs").desc, col("vec_id").asc)
+    val ann = cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= ANN_TOPK)
+      .select(col("q_id"), col("vec_id"), lit(1).as("hit"))
+    val nCand = cand.groupBy("q_id").agg(count(lit(1)).as("n_candidates"))
+    val truthScored = b.join(broadcast(q),
+        col("ql") === col("label") && col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"), VectorOps.cosine("qe", "embedding").as("cs"))
+    truthScored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= ANN_TOPK)
+      .select("q_id", "vec_id")
+      .join(ann, Seq("q_id", "vec_id"), "left")
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("k"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
+      .join(nCand, Seq("q_id"), "left")
+      .select(col("q_id"), coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        col("k"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("k"), 6).as("recall_at_k"))
+  }
+
   /** Radius (range) search: every corpus vector within a cosine
     * threshold of each query. Thresholding a rounded float carries the
     * inherent 1-ulp boundary risk SURVEY.md §4 documents for all
@@ -475,6 +517,7 @@ object SimSearch {
     "embed_cell_outliers" -> (qCellOutliers _),
     "simsearch_range" -> (qRange _),
     "simsearch_recall" -> (qRecall _),
+    "simsearch_filtered_ann" -> (qFilteredAnn _),
     "simsearch_ndcg" -> (qNdcg _),
     "simsearch_mmr" -> (qMmr _),
     "pipeline_balanced_sample" -> ((s: SparkSession, d: String) => qBalancedSample(s, d)))
@@ -512,6 +555,36 @@ object SimSearch {
          |  round(CAST(n_matched AS DOUBLE) / (k * qn.n), 6) AS recall_at_k
          |FROM m CROSS JOIN qn""".stripMargin
     },
+    "simsearch_filtered_ann" ->
+      s"""WITH b AS (SELECT vec_id, embedding, label,
+         |  ${VectorOps.signBucketSql("embedding", BITS)} AS bk FROM embeddings),
+         |cand AS (SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+         |    ${VectorOps.cosineSql("q.embedding", "e.embedding")} AS cs
+         |  FROM b q JOIN b e ON q.vec_id <= $QN AND q.bk = e.bk
+         |    AND q.label = e.label AND q.vec_id != e.vec_id),
+         |ann AS (SELECT q_id, vec_id FROM (
+         |  SELECT q_id, vec_id, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY cs DESC, vec_id ASC) AS rank FROM cand)
+         |  WHERE rank <= $ANN_TOPK),
+         |nc AS (SELECT q_id, count(*) AS n_candidates FROM cand GROUP BY q_id),
+         |tc AS (SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+         |    ${VectorOps.cosineSql("q.embedding", "e.embedding")} AS cs
+         |  FROM b q JOIN b e ON q.vec_id <= $QN
+         |    AND q.label = e.label AND q.vec_id != e.vec_id),
+         |truth AS (SELECT q_id, vec_id FROM (
+         |  SELECT q_id, vec_id, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY cs DESC, vec_id ASC) AS rank FROM tc)
+         |  WHERE rank <= $ANN_TOPK)
+         |SELECT t.q_id,
+         |  CAST(coalesce(max(nc.n_candidates), 0) AS BIGINT) AS n_candidates,
+         |  count(*) AS k,
+         |  CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+         |  round(CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*), 6) AS recall_at_k
+         |FROM truth t
+         |LEFT JOIN ann a ON t.q_id = a.q_id AND t.vec_id = a.vec_id
+         |LEFT JOIN nc ON nc.q_id = t.q_id
+         |GROUP BY t.q_id""".stripMargin,
     "simsearch_recall" ->
       s"""WITH c AS (SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
          |    ${VectorOps.cosineSql("q.embedding", "e.embedding")} AS cs
