@@ -930,6 +930,39 @@ object Relational {
           .as("mkt_share"))
   }
 
+  /** Order-vs-lineitem reconciliation — the classic two-table data-
+    * quality audit (does the order header's total agree with the sum
+    * of its lines?): per priority class, how many orders have NO
+    * lines, and how the derived/header ratio distributes across
+    * multiply-form bands. Every comparison runs on exact integer
+    * ten-thousandths (the q22 MULTIPLY-FORM trick: 2d < t etc. — no
+    * division, no rounding surface), the derived total is a
+    * DECIMAL(38,4)-exact money sum, and all outputs are INT-EXACT
+    * counters. The one shuffle is the §5 co-partitioned orderkey
+    * fact-fact pair; the rollup keys are bounded (5 priorities). */
+  def ordersReconciliation(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(expr("sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1.0 - CAST(l_discount AS DECIMAL(4,2))))")
+        .as("net"))
+    t(spark, dir, "orders")
+      .join(li, col("o_orderkey") === col("l_orderkey"), "left")
+      .withColumn("d", expr("CAST(net * 10000 AS DECIMAL(38,0))"))
+      .withColumn("tt", expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 10000 AS DECIMAL(38,0))"))
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(when(col("d").isNull, 1L).otherwise(0L)).as("n_missing"),
+        sum(when(col("d").isNotNull && col("d") * 2 < col("tt"), 1L).otherwise(0L))
+          .as("n_under_half"),
+        sum(when(col("d").isNotNull && col("d") * 2 >= col("tt")
+          && col("d") < col("tt"), 1L).otherwise(0L)).as("n_half_to_1x"),
+        sum(when(col("d").isNotNull && col("d") >= col("tt")
+          && col("d") < col("tt") * 2, 1L).otherwise(0L)).as("n_1x_to_2x"),
+        sum(when(col("d").isNotNull && col("d") >= col("tt") * 2, 1L).otherwise(0L))
+          .as("n_over_2x"))
+  }
+
   def eventsAttribution(spark: SparkSession, dir: String): DataFrame =
     attributionOf(t(spark, dir, "events"))
 
@@ -1415,6 +1448,7 @@ object Relational {
     "q5_local_supplier" -> (q5LocalSupplier _),
     "q7_volume_shipping" -> (q7VolumeShipping _),
     "q8_market_share" -> (q8MarketShare _),
+    "orders_reconciliation" -> (ordersReconciliation _),
     "q19_brand_quantity" -> (q19BrandQuantity _),
     "q18_large_orders" -> (q18LargeOrders _),
     "events_funnel_windowed" -> (eventsFunnelWindowed _),
@@ -1650,6 +1684,28 @@ object Relational {
         |       // (2 * CAST(tot * 10000 AS HUGEINT)) AS DOUBLE) / 1000000.0
         |    AS promo_share
         |FROM m""".stripMargin,
+    "orders_reconciliation" ->
+      """WITH li AS (
+        |  SELECT l_orderkey,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |        * (1.0 - CAST(l_discount AS DECIMAL(4,2)))) AS net
+        |  FROM lineitem GROUP BY l_orderkey),
+        |j AS (
+        |  SELECT o_orderpriority,
+        |    CAST(net * 10000 AS HUGEINT) AS d,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 10000 AS HUGEINT) AS tt
+        |  FROM orders LEFT JOIN li ON o_orderkey = l_orderkey)
+        |SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(CASE WHEN d IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
+        |  CAST(sum(CASE WHEN d IS NOT NULL AND d * 2 < tt THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_under_half,
+        |  CAST(sum(CASE WHEN d IS NOT NULL AND d * 2 >= tt AND d < tt THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_half_to_1x,
+        |  CAST(sum(CASE WHEN d IS NOT NULL AND d >= tt AND d < tt * 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_1x_to_2x,
+        |  CAST(sum(CASE WHEN d IS NOT NULL AND d >= tt * 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_over_2x
+        |FROM j GROUP BY o_orderpriority""".stripMargin,
     "q5_local_supplier" ->
       """SELECT n_name,
         |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))

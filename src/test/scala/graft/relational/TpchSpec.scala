@@ -203,6 +203,17 @@ class TpchSpec extends AnyFunSuite {
     }
   }
 
+  test("reconciliation: the bands partition every order exactly once") {
+    val rows = Relational.ordersReconciliation(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val parts = (2 to 6).map(r.getLong).sum
+      assert(parts == r.getLong(1), r.toString)
+    }
+    assert(rows.map(_.getLong(1)).sum ==
+      graft.Tables.t(spark, sf, "orders").count())
+  }
+
   test("q6/q19 plans: broadcast join for q19, no shuffle join; q6 scans with pushed filters") {
     val p19 = Relational.q19BrandQuantity(spark, sf)
       .queryExecution.executedPlan.toString
