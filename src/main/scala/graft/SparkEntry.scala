@@ -42,6 +42,7 @@ object SparkEntry {
       text.TextAnalysis.queries ++
       text.Encoding.queries ++
       text.LengthStats.queries ++
+      text.Winnowing.queries ++
       text.Bpe.queries ++
       text.C4Rules.queries ++
       text.Pii.queries ++
@@ -86,6 +87,7 @@ object SparkEntry {
       text.TextAnalysis.oracleSql ++
       text.Encoding.oracleSql ++
       text.LengthStats.oracleSql ++
+      text.Winnowing.oracleSql ++
       text.Bpe.oracleSql ++
       text.C4Rules.oracleSql ++
       text.Pii.oracleSql ++

@@ -84,6 +84,9 @@ RULES = [
     (r'Relational', r'SELECT sum\(raw\)', 'BOUNDED'),
     # DSIR/source-KL ratio-term sums: off-grid ratios
     (r'CorpusStats', r'CAST\(csw AS DOUBLE\) / ns', 'GENERIC'),
+    # centroid-drift oracle: diff is an exact DECIMAL(18,6) grid value,
+    # sum(diff*diff) is an exact scale-12 DECIMAL sum (order-free)
+    (r'search/Drift', r'sum\(diff \* diff\)', 'GRID-EXACT'),
 ]
 
 def classify(path, line):
