@@ -16,6 +16,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     relational.Relational.queries ++
+      relational.TpchClosure.queries ++
       relational.Analytics.queries ++
       relational.Graph.queries ++
       relational.CountMin.queries ++
@@ -62,6 +63,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     relational.Relational.oracleSql ++
+      relational.TpchClosure.oracleSql ++
       relational.Analytics.oracleSql ++
       relational.Graph.oracleSql ++
       relational.CountMin.oracleSql ++

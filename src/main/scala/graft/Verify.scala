@@ -17,6 +17,14 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Freshness handshake (round-14): one run id, stamped into the
+    // output root AND into every query dir this run (re)writes, so a
+    // compare over stale/partial output is detectable (tools/check.py
+    // marks unstamped dirs STALE; roundclose refuses them). The id is
+    // wall-clock + JVM name — unique per run, no coordination needed.
+    val runId = s"${System.currentTimeMillis()}-" +
+      java.lang.management.ManagementFactory.getRuntimeMXBean.getName
+        .replaceAll("[^A-Za-z0-9]", "")
     // optional comma-separated allowlist for fast targeted reruns
     // (builder-side tool; the driver never sets it)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
@@ -54,6 +62,7 @@ object Verify {
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
+        Files.writeString(Paths.get(s"$outDir/$name/_RUN_STAMP"), runId)
         status(name) = f"""{"ok": true, "sec": ${(System.nanoTime() - t0) / 1e9}%.2f}"""
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
@@ -64,6 +73,10 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/run_stamp.json"),
+      s"""{"run_id": ${q(runId)}, "sf_dir": ${q(sfDir)}, """ +
+        s""""n_queries": ${selected.size}, """ +
+        s""""finished_ms": ${System.currentTimeMillis()}}""")
     spark.stop()
   }
 }

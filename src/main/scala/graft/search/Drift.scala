@@ -49,12 +49,12 @@ object Drift {
       ((r.getInt(0), r.getInt(1)), (sums, r.getLong(2 + D)))
     }.toMap
     val labels = byKey.keys.map(_._1).toSeq.distinct.sorted
-    val out = labels.map { l =>
-      val (sa, na) = byKey.getOrElse((l, 0),
-        sys.error(s"label $l missing from batch 0"))
-      val (sb, nb) = byKey.getOrElse((l, 1),
-        sys.error(s"label $l missing from batch 1"))
-      require(na > 0 && nb > 0, s"degenerate batch for label $l")
+    // A label present in only one parity batch (e.g. a single-vector
+    // class) has no drift to report: SKIP it, matching the oracle's
+    // inner join on (label, batch) — a crash here would turn a
+    // plausible data condition into a query failure (advice r13).
+    val out = labels.flatMap { l =>
+      for ((sa, na) <- byKey.get((l, 0)); (sb, nb) <- byKey.get((l, 1))) yield {
       val diffs = Array.tabulate(D) { d =>
         BigDecimal(MicroGrid.roundDiv6(sa(d), BigInt(na)))
           .setScale(6, BigDecimal.RoundingMode.HALF_UP) -
@@ -66,6 +66,7 @@ object Drift {
       val topDim = diffs.zipWithIndex
         .maxBy { case (x, d) => (x.abs, BigDecimal(-d)) }._2
       (l, na, nb, drift2, topDim, diffs(topDim).toDouble)
+      }
     }
     out.toDF("label", "n_a", "n_b", "drift2", "top_dim", "top_dim_shift")
   }

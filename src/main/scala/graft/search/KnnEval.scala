@@ -23,16 +23,21 @@ import graft.Tables.t
   * reported ratio is an exact integer HALF_UP division — no
   * order-dependent double ever reaches a comparison or a round.
   *
-  * Scale shape: both operators broadcast a BOUNDED eval/query set
-  * against the corpus (one corpus pass, no corpus-side shuffle — the
-  * qTopK shape); the k-NN windows partition on the bounded eval id, so
-  * the only shuffles are eval-set-sized. A full all-pairs LOO would be
-  * N^2 — the deterministic vec_id%10 eval subsample is the documented
-  * bound, exactly like the ANN family's QN query set. */
+  * Scale shape: both operators broadcast a CONSTANT-size eval/query
+  * set against the corpus (one corpus pass, no corpus-side shuffle —
+  * the qTopK shape). The LOO eval set is ABSOLUTE-bounded: vec_id%10
+  * picks the deterministic decimation and `vec_id < 10*EN` caps it at
+  * EN ids regardless of corpus size (the QN convention of every other
+  * eval operator — r13's `vec_id % 10` alone grew WITH the corpus:
+  * broadcast OOM + an N^2/10 scoring pass at 1B vectors). The 5-NN
+  * cut runs through the TopKPerKey physical operator (bounded k-row
+  * heap per eval id, map-side combinable) instead of a full-sort
+  * row_number window over the corpus x eval join. */
 object KnnEval {
 
   private val D = 64
   private val K = 5
+  private val EN = 1000 // absolute eval-set cap: vec_id % 10 == 0 AND vec_id < 10*EN
   private val DIMS = Seq(8, 16, 32, 64)
 
   /** MicroGrid-quantized BIGINT vector of an embedding column. */
@@ -50,8 +55,9 @@ object KnnEval {
 
   /** Leave-one-out 5-NN majority-vote classification over the labeled
     * embeddings, accuracy per true label. Eval set: vec_id % 10 == 0
-    * (deterministic ~10% subsample); each eval point scores against
-    * the FULL corpus minus itself. */
+    * AND vec_id < 10*EN (deterministic decimation, ABSOLUTE cap of EN
+    * points); each eval point scores against the FULL corpus minus
+    * itself. */
   def qKnnClassify(spark: SparkSession, dir: String): DataFrame =
     knnClassifyOf(t(spark, dir, "embeddings"))
 
@@ -59,15 +65,20 @@ object KnnEval {
   private[search] def knnClassifyOf(emb: DataFrame): DataFrame = {
     val e = emb
       .select(col("vec_id"), col("label"), expr(qvec("embedding")).as("q"))
-    val ev = e.filter(col("vec_id") % 10 === 0)
+    val ev = e.filter(col("vec_id") % 10 === 0 && col("vec_id") < 10L * EN)
       .select(col("vec_id").as("e_id"), col("label").as("true_label"),
         col("q").as("eq"))
     val scored = e.join(broadcast(ev), col("e_id") =!= col("vec_id"))
       .select(col("e_id"), col("true_label"), col("vec_id"), col("label"),
         expr(d2("eq", "q")).as("dist2"))
-    val w = Window.partitionBy("e_id").orderBy(col("dist2").asc, col("vec_id").asc)
-    val votes = scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= K)
+    // 5-NN cut through the bounded-heap TopKPerKey exec, not a full-
+    // sort window: rank by (-dist2 DESC, vec_id ASC) == (dist2 ASC,
+    // vec_id ASC). dist2 < 1e14 < 2^53, so the double negation is
+    // exact and the ordering is identical to the BIGINT one.
+    val votes = graft.plans.TopKPerKey(
+        scored.withColumn("negd", -col("dist2").cast("double")),
+        Seq("e_id"), "negd", "vec_id", K)
+      .drop("negd", "rank")
       .groupBy("e_id", "true_label", "label")
       .agg(count(lit(1)).as("n"))
     val wv = Window.partitionBy("e_id").orderBy(col("n").desc, col("label").asc)
@@ -128,7 +139,7 @@ object KnnEval {
     "embed_knn_classify" ->
       s"""WITH e AS (SELECT vec_id, label, $sqlQvec AS q FROM embeddings),
          |ev AS (SELECT vec_id AS e_id, label AS true_label, q AS eq
-         |  FROM e WHERE vec_id % 10 = 0),
+         |  FROM e WHERE vec_id % 10 = 0 AND vec_id < ${10L * EN}),
          |sc AS (SELECT e_id, true_label, e.vec_id, e.label,
          |    list_sum(list_transform(range(1, ${D + 1}),
          |      i -> (eq[i] - q[i]) * (eq[i] - q[i]))) AS dist2

@@ -66,8 +66,12 @@ object Winnowing {
         col("doc_id"),
         col("n_kgrams"),
         size(col("sel")).cast("long").as("n_selected"),
+        // size() is IntegerType: widen BEFORE the *1e6 multiply — in
+        // 32-bit the numerator wraps past ~1073 selected fingerprints
+        // (~2.7k chars at 2/(w+1) density) while the HUGEINT oracle
+        // doesn't (advice r13).
         expr(s"""CASE WHEN n_kgrams >= 1 THEN
-                |  CAST((2 * size(sel) * 1000000 + n_kgrams)
+                |  CAST((2 * CAST(size(sel) AS BIGINT) * 1000000 + n_kgrams)
                 |       DIV (2 * n_kgrams) AS DOUBLE) / 1000000.0
                 |ELSE 0.0 END""".stripMargin).as("density"),
         expr(s"aggregate(sel, CAST(0 AS BIGINT), (a, x) -> a + (x DIV $PACK))")

@@ -39,6 +39,16 @@ class DriftSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(5) + 0.5) < 1e-9) // batch0 - batch1 = -0.5
   }
 
+  test("a label present in only one parity batch is skipped, not a crash") {
+    // label 9 has a single (even-id) vector -> no batch-1 half; the
+    // oracle's inner join drops it, so the operator must too
+    val rows = (0 until 6).map(j => (j.toLong, Array.fill(64)(0.2f), 1)) :+
+      ((100L, Array.fill(64)(0.9f), 9))
+    val out = Drift.centroidDriftOf(rows.toDF("vec_id", "embedding", "label"))
+      .collect()
+    assert(out.length == 1 && out(0).getInt(0) == 1)
+  }
+
   test("identical batches drift exactly zero with the tie-broken top dim 0") {
     val rows = (0 until 6).map(j => (j.toLong, Array.fill(64)(0.2f), 1))
     val out = Drift.centroidDriftOf(rows.toDF("vec_id", "embedding", "label"))

@@ -12,11 +12,11 @@ class KnnEvalSpec extends AnyFunSuite {
   import spark.implicits._
   private val sf = "/root/testdata/sf0.001"
 
-  test("knn classify: eval census matches the vec_id%10 subsample, accuracy within [0,1]") {
+  test("knn classify: eval census matches the capped vec_id%10 subsample, accuracy within [0,1]") {
     val rows = KnnEval.qKnnClassify(spark, sf).collect()
     val nEval = rows.map(_.getLong(1)).sum
     val expected = graft.Tables.t(spark, sf, "embeddings")
-      .filter(col("vec_id") % 10 === 0).count()
+      .filter(col("vec_id") % 10 === 0 && col("vec_id") < 10000L).count()
     assert(nEval == expected && expected > 0)
     rows.foreach { r =>
       assert(r.getLong(2) <= r.getLong(1))
@@ -38,6 +38,19 @@ class KnnEvalSpec extends AnyFunSuite {
     val out = KnnEval.knnClassifyOf(df).collect()
     assert(out.nonEmpty)
     out.foreach(r => assert(r.getDouble(3) == 1.0, r.toString))
+  }
+
+  test("knn classify: eval set is ABSOLUTE-bounded — ids past the cap never evaluate") {
+    // 2100 vectors: %10 alone would admit 210 eval points; the cap
+    // admits only vec_id < 10000, i.e. ALL here — so craft ids above
+    // the cap instead: ids 10000..10090 are %10==0 but past the cap
+    def v(j: Int): Array[Float] = Array.tabulate(64)(i => (i * j % 7) * 0.01f)
+    val rows = (0 until 40).map(j => (j.toLong, v(j), j % 2)) ++
+      (0 until 10).map(j => (10000L + 10 * j, v(j + 40), 0))
+    val out = KnnEval.knnClassifyOf(rows.toDF("vec_id", "embedding", "label"))
+      .collect()
+    // only the 4 in-cap %10 ids (0,10,20,30) evaluate
+    assert(out.map(_.getLong(1)).sum == 4)
   }
 
   test("matryoshka: full-dim control row has recall exactly 1, all recalls bounded") {

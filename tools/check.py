@@ -51,10 +51,29 @@ def spark_row_count(con, files):
     except Exception:
         return None
 
+def read_stamp(path):
+    try:
+        with open(path) as f:
+            return f.read().strip()
+    except OSError:
+        return None
+
 def main(sfdir, outdir, artifact=None):
     if artifact is None:
         artifact = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 "..", "CORRECTNESS_local.json")
+    # Freshness handshake (round-14 gate): graft.Verify stamps one run
+    # id into <outdir>/run_stamp.json and into every query dir it
+    # (re)writes. A query dir whose stamp is absent or different was
+    # NOT produced by this Verify run — compare it anyway, but mark it
+    # stale so a stale-artifact compare can never read as a clean
+    # verdict (the r12/r13 pipeline_length_buckets ambiguity).
+    run_meta = {}
+    try:
+        run_meta = json.load(open(f"{outdir}/run_stamp.json"))
+    except Exception:
+        pass
+    run_id = run_meta.get("run_id")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
@@ -114,9 +133,31 @@ def main(sfdir, outdir, artifact=None):
             # per-oracle wall time: the expensive DuckDB oracles are the
             # prime suspect for the driver's empty-correctness timeouts
             print(f"OK   {name}: {len(got)} rows exact ({time.time()-t0:.1f}s)")
+    stale = []
+    if run_id is not None:
+        for name in results:
+            if not os.path.isdir(f"{outdir}/{name}"):
+                continue  # already reported as no_spark_output
+            ok = read_stamp(f"{outdir}/{name}/_RUN_STAMP") == run_id
+            results[name]["run_stamp_ok"] = ok
+            if not ok:
+                stale.append(name)
+        if stale:
+            shown = ", ".join(stale[:8]) + (" …" if len(stale) > 8 else "")
+            print(f"STALE dirs not stamped by run {run_id}: {shown}")
     with open(artifact, "w") as f:
         json.dump(dict(sorted(results.items())), f, indent=2)
+    meta = {"run_id": run_id, "run_meta": run_meta, "stale": sorted(stale),
+            "checked_at_ms": int(time.time() * 1000), "n_entries": len(results)}
+    with open(os.path.splitext(artifact)[0] + ".meta.json", "w") as f:
+        json.dump(meta, f, indent=2)
     print(f"== {n_ok}/{len(oracle)} queries exact ==")
+    if run_id is None:
+        print("== WARNING: no run_stamp.json in verify output — freshness unchecked ==")
+    elif stale:
+        print(f"== STALE: {len(stale)} query dirs not from run {run_id} ==")
+    else:
+        print(f"== freshness OK: all {len(results)} dirs stamped by run {run_id} ==")
     print(f"== artifact: {os.path.normpath(artifact)} "
           f"({len(results)} entries) ==")
 

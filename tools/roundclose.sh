@@ -86,14 +86,30 @@ if rows_only != DECLARED_ROWS_ONLY:
     sys.exit(f"roundclose: rows-only set drifted from the declared list: "
              f"undeclared={sorted(rows_only - DECLARED_ROWS_ONLY)} "
              f"missing={sorted(DECLARED_ROWS_ONLY - rows_only)}")
+# Freshness handshake (round-14 gate): every compared query dir must
+# carry THIS Verify run's stamp — a stale/partial output can otherwise
+# masquerade as a clean (or failing) compare, the exact ambiguity that
+# cost pipeline_length_buckets two rounds of `weak`.
+try:
+    meta = json.load(open("CORRECTNESS_local.meta.json"))
+except Exception as e:
+    sys.exit(f"roundclose: freshness meta unreadable: {e}")
+if not meta.get("run_id"):
+    sys.exit("roundclose: verify output carries no run_stamp.json — "
+             "rebuild (graft.Verify stamps every run)")
+if meta.get("stale"):
+    sys.exit(f"roundclose: STALE query dirs (not from run "
+             f"{meta['run_id']}): {meta['stale']}")
 oracled = len(d) - len(rows_only)
 print(f"roundclose OK: {len(d)} entries (= registry), {oracled} "
-      f"oracle-exact, {len(rows_only)} declared rows-only")
+      f"oracle-exact, {len(rows_only)} declared rows-only, "
+      f"all dirs stamped by run {meta['run_id']}")
 EOF
 
-git add CORRECTNESS_local.json
-if ! git diff --cached --quiet -- CORRECTNESS_local.json; then
-  git commit -m "round close: refresh CORRECTNESS_local.json" -- CORRECTNESS_local.json
+git add CORRECTNESS_local.json CORRECTNESS_local.meta.json
+if ! git diff --cached --quiet -- CORRECTNESS_local.json CORRECTNESS_local.meta.json; then
+  git commit -m "round close: refresh CORRECTNESS_local.json" -- \
+    CORRECTNESS_local.json CORRECTNESS_local.meta.json
 else
   echo "roundclose: CORRECTNESS_local.json unchanged (already committed)"
 fi
