@@ -48,8 +48,10 @@ object Bench {
     val errors = scala.collection.mutable.ListBuffer.empty[String]
     // two timed repetitions per query, report the MIN: a single-shot
     // timing is hostage to GC pauses / host noise (observed 10x swings
-    // on identical plans); the min over reps estimates intrinsic cost
-    val REPS = 2
+    // on identical plans); the min over reps estimates intrinsic cost.
+    // SPARK_GRAFT_REPS raises it for targeted re-measures of noisy
+    // queries (round-13 regression adjudication) without code churn.
+    val REPS = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(2)
     // iteration aid: SPARK_GRAFT_ONLY=q1,q2 times just those queries
     // (same convention as Verify); unset = the full registry
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -75,12 +77,7 @@ object Bench {
     val results = selected.map { case (name, fn) =>
       var m0 = M.snap()
       val stagedBefore = stagedDirCount()
-      val times = (1 to REPS).map { rep =>
-        // snapshot before the LAST rep only: the first rep of a query
-        // that stages a derived index pays the one-time build shuffle,
-        // which would smear into a "per-run" average — the final rep
-        // is the steady-state bytes the artifact should carry
-        if (rep == REPS) m0 = M.snap()
+      def runOnce(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() }
         catch { case e: Throwable =>
@@ -90,6 +87,22 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
+      // Pre-staging (round-14, acting on the staged_rep1 flag): if the
+      // first run built a one-time staged index (detected by a staged-
+      // dir delta), it was the BUILD run — exclude it from timing and
+      // take the min over REPS clean steady-state reps instead, so a
+      // staged query's artifact row never carries build cost (the
+      // round-13 dedup_prefix_join oscillation attribution).
+      val first = runOnce()
+      val staged = stagedDirCount() > stagedBefore
+      val steadyReps = if (staged) REPS else REPS - 1
+      val times = first +: (1 to steadyReps).map { rep =>
+        // snapshot before the LAST rep only — the final rep is the
+        // steady-state bytes the artifact should carry
+        if (rep == steadyReps) m0 = M.snap()
+        runOnce()
+      }
+      val timed = if (staged && times.size > 1) times.tail else times
       // leftover cached frames from a query that errored mid-flight (or
       // a future query that forgets to release) would tax every LATER
       // query's GC in the sweep — the recorded cross-query drift pattern
@@ -99,8 +112,8 @@ object Bench {
       // untouched (they are parquet reads, not cache entries).
       spark.catalog.clearCache()
       metrics(name) = M.snap().zip(m0).map { case (a, b) => a - b }
-      stagedIn(name) = stagedDirCount() > stagedBefore
-      name -> times.min
+      stagedIn(name) = staged
+      name -> timed.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

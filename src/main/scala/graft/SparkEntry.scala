@@ -44,6 +44,8 @@ object SparkEntry {
       text.Encoding.queries ++
       text.LengthStats.queries ++
       text.Winnowing.queries ++
+      text.Watermark.queries ++
+      text.Coverage.queries ++
       text.Bpe.queries ++
       text.C4Rules.queries ++
       text.Pii.queries ++
@@ -90,6 +92,8 @@ object SparkEntry {
       text.Encoding.oracleSql ++
       text.LengthStats.oracleSql ++
       text.Winnowing.oracleSql ++
+      text.Watermark.oracleSql ++
+      text.Coverage.oracleSql ++
       text.Bpe.oracleSql ++
       text.C4Rules.oracleSql ++
       text.Pii.oracleSql ++

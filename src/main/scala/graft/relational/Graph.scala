@@ -349,7 +349,48 @@ object Graph {
     visited.groupBy("seed", "dist").agg(count(lit(1)).as("n_nodes"))
   }
 
+  /** Synchronous label propagation (Raghavan et al. 2007), 3 sweeps:
+    * every node starts as its own community, then simultaneously
+    * adopts its neighbors' MODE label (ties to the smallest label —
+    * the deterministic variant; async/random LPA is not reproducible).
+    * Communities are finer than connected components (which this
+    * corpus collapses into one giant blob via band-collision chains) —
+    * LPA finds the dense dup-family cores inside it. Output is the
+    * community-size histogram.
+    *
+    * Scale shape per sweep: one edge-label join shuffling on node id +
+    * one bounded-fanout groupBy — PageRank's exact envelope; the mode
+    * is a per-node argmax via row_number over the (node, label) vote
+    * counts, partition size bounded by degree. Lineage cut per sweep
+    * with localCheckpoint (the kcore discipline). */
+  def qLabelPropagation(spark: SparkSession, dir: String, sweeps: Int = 3): DataFrame =
+    labelPropagationOf(undirected(spark, dir), sweeps)
+
+  /** [[qLabelPropagation]] over any (s, d) undirected edge frame. */
+  private[relational] def labelPropagationOf(und: DataFrame, sweeps: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nodes = und.select(col("s").as("node")).distinct().localCheckpoint(true)
+    var lbl = nodes.withColumn("lbl", col("node"))
+    for (_ <- 1 to sweeps) {
+      val votes = und
+        .join(lbl, und("d") === lbl("node"))
+        .select(und("s").as("v"), col("lbl"))
+        .groupBy("v", "lbl").agg(count(lit(1)).as("n"))
+      val mode = votes
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("v").orderBy(col("n").desc, col("lbl").asc)))
+        .filter(col("rk") === 1)
+        .select(col("v"), col("lbl").as("new_lbl"))
+      lbl = nodes.join(mode, col("node") === col("v"), "left")
+        .select(col("node"), coalesce(col("new_lbl"), col("node")).as("lbl"))
+        .localCheckpoint(true)
+    }
+    lbl.groupBy("lbl").agg(count(lit(1)).as("community_size"))
+      .groupBy("community_size").agg(count(lit(1)).as("n_communities"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_label_propagation" -> ((s: SparkSession, d: String) => qLabelPropagation(s, d)),
     "graph_bfs_distances" -> ((s: SparkSession, d: String) => qBfsDistances(s, d)),
     "graph_modularity" -> (qModularity _),
     "graph_assortativity" -> (qAssortativity _),
@@ -366,6 +407,29 @@ object Graph {
       |deg AS (SELECT s, count(*) AS deg FROM und GROUP BY s)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "graph_label_propagation" -> {
+      val sweep = (k: Int) =>
+        s"""v$k AS (SELECT und.s AS node, l${k - 1}.lbl, count(*) AS n
+           |  FROM und JOIN l${k - 1} ON und.d = l${k - 1}.node GROUP BY 1, 2),
+           |m$k AS (SELECT node, lbl FROM (
+           |  SELECT node, lbl, row_number() OVER (
+           |    PARTITION BY node ORDER BY n DESC, lbl ASC) AS rk FROM v$k)
+           |  WHERE rk = 1),
+           |l$k AS MATERIALIZED (
+           |  SELECT nodes.node, coalesce(m$k.lbl, nodes.node) AS lbl
+           |  FROM nodes LEFT JOIN m$k ON m$k.node = nodes.node)""".stripMargin
+      val sweeps = (1 to 3).map(sweep).mkString(",\n")
+      s"""WITH ${Dedup.sigSql},
+         |${Dedup.bandsSql},
+         |${Dedup.candsSql},
+         |$undSql,
+         |nodes AS (SELECT DISTINCT s AS node FROM und),
+         |l0 AS (SELECT node, node AS lbl FROM nodes),
+         |$sweeps,
+         |sz AS (SELECT lbl, count(*) AS community_size FROM l3 GROUP BY lbl)
+         |SELECT community_size, count(*) AS n_communities
+         |FROM sz GROUP BY community_size""".stripMargin
+    },
     "graph_bfs_distances" -> {
       val round = (k: Int) =>
         s"""f$k AS (SELECT DISTINCT seed, und.d AS node

@@ -420,6 +420,27 @@ object SimSearch {
   private val IDCG_AT_K: Double =
     (1 to ANN_TOPK).map(r => 1.0 / (math.log(r + 1.0) / math.log(2.0))).sum
 
+  /** MRR@k of the LSH-ANN searcher against the brute-force truth — the
+    * third standard retrieval metric beside recall@k and NDCG@k: per
+    * query, the reciprocal of the FIRST approximate rank that lands in
+    * the exact top-k (0.0 if none did). The number a RAG deployment
+    * cares about when only the best hit feeds the prompt. Reuses the
+    * staged bounded frames — no new corpus work; rr is one division on
+    * a small integer, identical IEEE in both engines. */
+  def qMrr(spark: SparkSession, dir: String): DataFrame = {
+    val truth = stagedTopK(spark, dir).filter(col("rank") <= ANN_TOPK)
+      .select(col("q_id"), col("vec_id"))
+    val hits = stagedAnn(spark, dir).select(col("q_id"), col("vec_id"), col("rank"))
+      .join(truth, Seq("q_id", "vec_id"), "left_semi")
+      .groupBy("q_id").agg(min("rank").as("__fhr"))
+    truth.select("q_id").distinct()
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("__fhr"), lit(0)).cast("long").as("first_hit_rank"),
+        round(when(col("__fhr").isNotNull, lit(1.0) / col("__fhr"))
+          .otherwise(lit(0.0)), 6).as("rr_at_k"))
+  }
+
   /** MMR trade-off weight and selection depth (Carbonell-Goldstein's
     * maximal marginal relevance, the standard diversity re-rank a RAG
     * retriever applies after top-k: each pick maximizes
@@ -519,6 +540,7 @@ object SimSearch {
     "simsearch_recall" -> (qRecall _),
     "simsearch_filtered_ann" -> (qFilteredAnn _),
     "simsearch_ndcg" -> (qNdcg _),
+    "simsearch_mrr" -> (qMrr _),
     "simsearch_mmr" -> (qMmr _),
     "pipeline_balanced_sample" -> ((s: SparkSession, d: String) => qBalancedSample(s, d)))
 
@@ -632,6 +654,30 @@ object SimSearch {
          |    THEN 1.0 / log2(a.rank + 1) ELSE 0.0 END) / $IDCG_AT_K, 6) AS ndcg_at_k
          |FROM ann a LEFT JOIN truth t ON a.q_id = t.q_id AND a.vec_id = t.vec_id
          |GROUP BY a.q_id""".stripMargin,
+    "simsearch_mrr" ->
+      s"""WITH c AS (SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+         |    ${VectorOps.cosineSql("q.embedding", "e.embedding")} AS cs
+         |  FROM embeddings q JOIN embeddings e ON q.vec_id <= $QN AND q.vec_id != e.vec_id),
+         |truth AS (SELECT q_id, vec_id FROM (
+         |  SELECT q_id, vec_id, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY cs DESC, vec_id ASC) AS rank FROM c)
+         |  WHERE rank <= $ANN_TOPK),
+         |b AS (SELECT vec_id, embedding,
+         |  ${VectorOps.signBucketSql("embedding", BITS)} AS bk FROM embeddings),
+         |ac AS (SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+         |    ${VectorOps.cosineSql("q.embedding", "e.embedding")} AS cs
+         |  FROM b q JOIN b e ON q.vec_id <= $QN AND q.bk = e.bk AND q.vec_id != e.vec_id),
+         |ann AS (SELECT q_id, vec_id, rank FROM (
+         |  SELECT q_id, vec_id, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY cs DESC, vec_id ASC) AS rank FROM ac)
+         |  WHERE rank <= $ANN_TOPK),
+         |h AS (SELECT q_id, min(rank) AS fhr
+         |  FROM ann SEMI JOIN truth USING (q_id, vec_id) GROUP BY q_id)
+         |SELECT t.q_id, CAST(coalesce(h.fhr, 0) AS BIGINT) AS first_hit_rank,
+         |  CASE WHEN h.fhr IS NOT NULL THEN round(1.0 / h.fhr, 6)
+         |       ELSE 0.0 END AS rr_at_k
+         |FROM (SELECT DISTINCT q_id FROM truth) t
+         |LEFT JOIN h ON h.q_id = t.q_id""".stripMargin,
     "simsearch_mmr" -> {
       // interpolate the EXACT doubles Spark multiplies by — writing
       // "0.3" in SQL would be a different number than 1 - 0.7

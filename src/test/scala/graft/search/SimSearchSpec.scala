@@ -18,6 +18,20 @@ class SimSearchSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("mrr: one row per truth query, rr consistent with recall hits") {
+    val mrr = SimSearch.qMrr(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val recall = SimSearch.qRecall(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(mrr.keySet == recall.keySet && mrr.nonEmpty)
+    mrr.foreach { case (q, (fhr, rr)) =>
+      // a query with any recall hit has a first-hit rank in [1, k]
+      if (recall(q) > 0) assert(fhr >= 1 && fhr <= 10 &&
+        math.abs(rr - (math.rint(1e6 / fhr) / 1e6)) < 1e-9)
+      else assert(fhr == 0 && rr == 0.0)
+    }
+  }
+
   test("ann results are a subset of the query's sign bucket") {
     val out = SimSearch.qAnn(spark, sf)
     assert(out.count() > 0)

@@ -101,9 +101,28 @@ if meta.get("stale"):
     sys.exit(f"roundclose: STALE query dirs (not from run "
              f"{meta['run_id']}): {meta['stale']}")
 oracled = len(d) - len(rows_only)
+# Scale-sweep gate (round-14): a query may not ship scale-unmeasured.
+# BENCH_SF1.json must cover the live registry (give or take nothing),
+# and any over-bound outlier must carry an adjudicated note.
+try:
+    sweep = json.load(open("BENCH_SF1.json"))
+except Exception as e:
+    sys.exit(f"roundclose: BENCH_SF1.json unreadable: {e}")
+swept = set(sweep.get("queries", {}))
+missing_sweep = set(status) - swept
+if missing_sweep:
+    sys.exit(f"roundclose: {len(missing_sweep)} registered queries have "
+             f"no sf1 sweep row: {sorted(missing_sweep)[:10]} — rerun "
+             f"tools/gen_sf1.py + TimeQ ALL + tools/sf1_sweep.py")
+unnoted = [q for q in sweep.get("outliers_over_bound", [])
+           if q not in sweep.get("outlier_notes", {})]
+if unnoted:
+    sys.exit(f"roundclose: sf1 outliers without an adjudicated note: "
+             f"{unnoted}")
 print(f"roundclose OK: {len(d)} entries (= registry), {oracled} "
       f"oracle-exact, {len(rows_only)} declared rows-only, "
-      f"all dirs stamped by run {meta['run_id']}")
+      f"all dirs stamped by run {meta['run_id']}, sf1 sweep covers "
+      f"{len(swept)} queries")
 EOF
 
 git add CORRECTNESS_local.json CORRECTNESS_local.meta.json
