@@ -38,6 +38,75 @@ case class TopKPerKeyNode(
     copy(child = newChild)
 }
 
+/** Shared per-partition bounded-heap pruning for the partial and final
+  * execs: per key, keep only the top-k rows by (value DESC NULLS LAST,
+  * tie ASC NULLS FIRST), buffer never exceeding 2k rows per key. */
+private[plans] object TopKHeap {
+  /** Sort key matching Spark's (value desc_nulls_last, tie asc)
+    * exactly: NaN is the LARGEST double (group 0, first under DESC),
+    * then real values by -v, then NULLs last (group 2); the tie gets
+    * its own null group — asc in Spark is NULLS FIRST — so a null
+    * tie sorts before every long (a Long.MaxValue sentinel would
+    * both misplace nulls and collide with genuine MaxValue ties). */
+  def rankKey(v: java.lang.Double, t: java.lang.Long): (Int, Double, Int, Long) = {
+    val (tg, tt) = if (t == null) (0, 0L) else (1, t.longValue())
+    if (v == null) (2, 0.0, tg, tt)
+    else if (v.isNaN) (0, 0.0, tg, tt)
+    else (1, -v.doubleValue(), tg, tt)
+  }
+
+  /** Consume one partition, returning the per-key pruned buffers in
+    * first-seen key order; each buffer is sorted and <= k rows. */
+  def pruneTopK(
+      it: Iterator[InternalRow], keys: Seq[Expression], value: Expression,
+      tie: Expression, k: Int, childOutput: Seq[Attribute])
+    : Iterator[mutable.ArrayBuffer[((Int, Double, Int, Long), UnsafeRow)]] = {
+    val keyProj = UnsafeProjection.create(keys, childOutput)
+    val valEval = BindReferences.bindReference(value, childOutput)
+    val tieEval = BindReferences.bindReference(tie, childOutput)
+    val rowCopy = UnsafeProjection.create(childOutput.map(_.dataType).toArray)
+    val buffers = mutable.LinkedHashMap.empty[UnsafeRow, mutable.ArrayBuffer[((Int, Double, Int, Long), UnsafeRow)]]
+    def prune(b: mutable.ArrayBuffer[((Int, Double, Int, Long), UnsafeRow)]): Unit = {
+      val kept = b.sortBy(_._1).take(k)
+      b.clear(); b ++= kept
+    }
+    it.foreach { row =>
+      val key = keyProj(row).copy()
+      val buf = buffers.getOrElseUpdate(key, mutable.ArrayBuffer.empty)
+      buf += ((rankKey(valEval.eval(row).asInstanceOf[java.lang.Double],
+        tieEval.eval(row).asInstanceOf[java.lang.Long]), rowCopy(row).copy()))
+      if (buf.length > 2 * k) prune(buf)
+    }
+    buffers.valuesIterator.map { buf => prune(buf); buf }
+  }
+}
+
+/** Map-side partial top-k (the partial-aggregation pattern applied to
+  * per-key top-k): per PARTITION, per key, emit only the local top-k
+  * rows — no rank, no required distribution — so the exchange feeding
+  * the final [[TopKPerKeyExec]] moves at most partitions x keys x k
+  * rows instead of every input row. The global top-k per key is the
+  * top-k of the union of per-partition top-k's (min-of-mins), so the
+  * final pass is unchanged. */
+case class TopKPerKeyPartialExec(
+    keys: Seq[Expression], value: Expression, tie: Expression, k: Int,
+    child: SparkPlan)
+  extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyPartialExec =
+    copy(child = newChild)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val (childOutput, ks, v, t, kL) = (child.output, keys, value, tie, k)
+    child.execute().mapPartitions { it =>
+      TopKHeap.pruneTopK(it, ks, v, t, kL, childOutput)
+        .flatMap(_.iterator.map(_._2))
+    }
+  }
+}
+
 case class TopKPerKeyExec(
     keys: Seq[Expression], value: Expression, tie: Expression, k: Int,
     rankAttr: AttributeReference, child: SparkPlan)
@@ -55,42 +124,12 @@ case class TopKPerKeyExec(
     copy(child = newChild)
 
   override protected def doExecute(): RDD[InternalRow] = {
-    val childOutput = child.output
-    val kLocal = k
+    val (childOutput, ks, v, t, kL) = (child.output, keys, value, tie, k)
+    val outTypes = output.map(_.dataType).toArray
     child.execute().mapPartitions { it =>
-      val keyProj = UnsafeProjection.create(keys, childOutput)
-      val valEval = BindReferences.bindReference(value, childOutput)
-      val tieEval = BindReferences.bindReference(tie, childOutput)
-      val rowCopy = UnsafeProjection.create(childOutput.map(_.dataType).toArray)
-      // Sort key matching Spark's (value desc_nulls_last, tie asc)
-      // exactly: NaN is the LARGEST double (group 0, first under DESC),
-      // then real values by -v, then NULLs last (group 2); the tie gets
-      // its own null group — asc in Spark is NULLS FIRST — so a null
-      // tie sorts before every long (a Long.MaxValue sentinel would
-      // both misplace nulls and collide with genuine MaxValue ties).
-      def rankKey(v: java.lang.Double, t: java.lang.Long): (Int, Double, Int, Long) = {
-        val (tg, tt) = if (t == null) (0, 0L) else (1, t.longValue())
-        if (v == null) (2, 0.0, tg, tt)
-        else if (v.isNaN) (0, 0.0, tg, tt)
-        else (1, -v.doubleValue(), tg, tt)
-      }
-      // per key: buffer of (sortKey, row) kept <= 2k, pruned to top-k
-      val buffers = mutable.LinkedHashMap.empty[UnsafeRow, mutable.ArrayBuffer[((Int, Double, Int, Long), UnsafeRow)]]
-      def prune(b: mutable.ArrayBuffer[((Int, Double, Int, Long), UnsafeRow)]): Unit = {
-        val kept = b.sortBy(_._1).take(kLocal)
-        b.clear(); b ++= kept
-      }
-      it.foreach { row =>
-        val key = keyProj(row).copy()
-        val buf = buffers.getOrElseUpdate(key, mutable.ArrayBuffer.empty)
-        buf += ((rankKey(valEval.eval(row).asInstanceOf[java.lang.Double],
-          tieEval.eval(row).asInstanceOf[java.lang.Long]), rowCopy(row).copy()))
-        if (buf.length > 2 * kLocal) prune(buf)
-      }
-      val outProj = UnsafeProjection.create(output.map(_.dataType).toArray)
+      val outProj = UnsafeProjection.create(outTypes)
       val joined = new JoinedRow
-      buffers.iterator.flatMap { case (_, buf) =>
-        prune(buf)
+      TopKHeap.pruneTopK(it, ks, v, t, kL, childOutput).flatMap { buf =>
         buf.iterator.zipWithIndex.map { case ((_, row), i) =>
           outProj(joined(row, new GenericInternalRow(Array[Any](i + 1))))
         }
@@ -161,7 +200,11 @@ object TopKRewriteRule extends org.apache.spark.sql.catalyst.rules.Rule[LogicalP
 object TopKPerKeyStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKeyNode(keys, value, tie, k, child, rankAttr) =>
-      TopKPerKeyExec(keys, value, tie, k, rankAttr, planLater(child)) :: Nil
+      // partial below the (EnsureRequirements-inserted) exchange, final
+      // above it — the aggregation physical-planning shape: the shuffle
+      // moves at most partitions x keys x k pre-pruned rows
+      TopKPerKeyExec(keys, value, tie, k, rankAttr,
+        TopKPerKeyPartialExec(keys, value, tie, k, planLater(child))) :: Nil
     case _ => Nil
   }
 }

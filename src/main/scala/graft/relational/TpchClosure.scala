@@ -243,9 +243,18 @@ object TpchClosure {
     val li = lineitemDated(spark, dir)
       .select(col("l_orderkey"), col("l_suppkey"),
         (col("l_receiptdate") > col("l_commitdate")).as("late"))
-    val perOrder = li.groupBy("l_orderkey")
-      .agg(countDistinct("l_suppkey").as("n_supp"),
-        countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"))
+    // Two-level aggregate instead of a double countDistinct: a pair of
+    // DISTINCT aggs makes Spark Expand every input row 2x before the
+    // shuffle (measured: the registry's top shuffler at 53 MB/sf0.1).
+    // Reducing to (orderkey, suppkey) grain first is a map-side
+    // combinable plain agg, and both levels + the later join share the
+    // orderkey partitioning.
+    val perOrder = li
+      .groupBy("l_orderkey", "l_suppkey")
+      .agg(max(col("late")).as("supp_late"))
+      .groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_supp"),
+        sum(when(col("supp_late"), 1L).otherwise(0L)).as("n_late_supp"))
       .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
       .select(col("l_orderkey").as("q_orderkey"))
     val fOrders = t(spark, dir, "orders")

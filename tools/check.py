@@ -157,7 +157,8 @@ def main(sfdir, outdir, artifact=None):
     elif stale:
         print(f"== STALE: {len(stale)} query dirs not from run {run_id} ==")
     else:
-        print(f"== freshness OK: all {len(results)} dirs stamped by run {run_id} ==")
+        n_dirs = sum(1 for n in results if os.path.isdir(f"{outdir}/{n}"))
+        print(f"== freshness OK: all {n_dirs} present dirs stamped by run {run_id} ==")
     print(f"== artifact: {os.path.normpath(artifact)} "
           f"({len(results)} entries) ==")
 
