@@ -17,6 +17,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     relational.Relational.queries ++
       relational.TpchClosure.queries ++
+      relational.Did.queries ++
       relational.Analytics.queries ++
       relational.Graph.queries ++
       relational.CountMin.queries ++
@@ -66,6 +67,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     relational.Relational.oracleSql ++
       relational.TpchClosure.oracleSql ++
+      relational.Did.oracleSql ++
       relational.Analytics.oracleSql ++
       relational.Graph.oracleSql ++
       relational.CountMin.oracleSql ++
