@@ -828,7 +828,87 @@ object Multimodal {
         round(col("n_pipeline").cast("double") / col("n_true_pairs"), 6))
   }
 
+  // ---- voice-activity detection -----------------------------------------
+
+  /** Per-doc VAD report: frame counts, voiced fraction, longest run. */
+  case class VadReport(doc_id: Long, n_frames: Long, n_voiced: Long,
+      voiced_frac: Double, longest_run: Long)
+
+  /** Raw 16-bit samples of a WAV payload (chunk walk as in
+    * [[decodeWavBytes]]); None on anything malformed. */
+  private[multimodal] def wavSamples(b: Array[Byte]): Option[Array[Short]] = {
+    if (b.length < 12 || new String(b.take(4), "US-ASCII") != "RIFF" ||
+      new String(b.slice(8, 12), "US-ASCII") != "WAVE") return None
+    try {
+      val buf = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var pos = 12; var bits = 0; var dataOff = -1; var dataLen = 0
+      while (pos + 8 <= b.length) {
+        val id = new String(b.slice(pos, pos + 4), "US-ASCII")
+        val len = buf.getInt(pos + 4)
+        if (id == "fmt " && pos + 24 <= b.length) bits = buf.getShort(pos + 22)
+        else if (id == "data") { dataOff = pos + 8; dataLen = len }
+        pos += 8 + len + (len & 1)
+      }
+      if (bits != 16 || dataOff < 0) return None
+      val n = math.min(dataLen, b.length - dataOff) / 2
+      Some(Array.tabulate(n)(i => buf.getShort(dataOff + i * 2)))
+    } catch { case _: Throwable => None }
+  }
+
+  /** Segmented audio view with KNOWN voice-activity ground truth: 8
+    * segments x 400 samples (8 kHz mono), segment j carries a square
+    * tone iff bit j of doc_id is set, silence otherwise — so every
+    * frame's voiced/silent state is exactly derivable from the id
+    * (the Pii/C4Rules/Encoding injected-ground-truth pattern). */
+  def vadAudioView(spark: SparkSession, dir: String): Dataset[AudioRecord] = {
+    import spark.implicits._
+    t(spark, dir, "documents").select("doc_id").as[Long].map { id =>
+      val samples = Array.tabulate(8 * 400) { i =>
+        val seg = i / 400
+        if (((id >> seg) & 1L) == 1L) (if (i % 8 < 4) 6000 else -6000).toShort
+        else 0.toShort
+      }
+      AudioRecord(id, encodeWav(8000, 1, samples))
+    }
+  }
+
+  /** Energy-threshold voice-activity detection — the first pass an
+    * audio curation pipeline runs to drop silence and measure speech
+    * density before any model sees the clip: 80-sample (10 ms) frames,
+    * a frame is voiced iff its mean |amplitude| exceeds 1000 raw
+    * units. ALL frame math is exact integer (sums of |s16| over fixed
+    * frames; the threshold compare is sum > 1000*80 cross-multiplied),
+    * voiced_frac is the exact HALF_UP 6-dp division. One mapPartitions
+    * decode pass, per-doc output, zero shuffle — rows-only per the §4
+    * codec policy (no SQL engine parses RIFF/WAVE). */
+  def qAudioVad(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val FRAME = 80
+    val THRESH = 1000L
+    vadAudioView(spark, dir).mapPartitions(_.map { a =>
+      val s = wavSamples(a.payload).getOrElse(Array.empty[Short])
+      val nFrames = s.length / FRAME
+      var voiced = 0L; var run = 0L; var best = 0L
+      var f = 0
+      while (f < nFrames) {
+        var sum = 0L; var i = f * FRAME
+        val end = i + FRAME
+        while (i < end) { sum += math.abs(s(i).toLong); i += 1 }
+        if (sum > THRESH * FRAME) {
+          voiced += 1; run += 1; if (run > best) best = run
+        } else run = 0
+        f += 1
+      }
+      val frac =
+        if (nFrames > 0)
+          ((2L * voiced * 1000000L + nFrames) / (2L * nFrames)).toDouble / 1e6
+        else 0.0
+      VadReport(a.doc_id, nFrames.toLong, voiced, frac, best)
+    }).toDF()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_audio_vad" -> (qAudioVad _),
     "multimodal_meta" -> (qMeta _),
     "multimodal_phash_dedup" -> (qPhashDedup _),
     "multimodal_scene_cuts" -> (qSceneCuts _),

@@ -339,6 +339,28 @@ class MultimodalSpec extends AnyFunSuite {
     assert((base >>> 48) != (drifted >>> 48), "drift crosses the old prefix probe")
   }
 
+  test("audio VAD reads back every doc's injected bit-pattern exactly") {
+    // segment j (5 frames of 80 samples) is a tone iff bit j of doc_id:
+    // voiced frames = 5 * popcount(id & 0xff), longest run = 5 * longest
+    // 1-run in the low 8 bits
+    val rows = Multimodal.qAudioVad(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_frames"), r.getAs[Long]("n_voiced"),
+          r.getAs[Double]("voiced_frac"), r.getAs[Long]("longest_run"))))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, (nf, nv, frac, run)) =>
+      assert(nf == 40)
+      val bits = (0 until 8).map(j => (id >> j) & 1L)
+      assert(nv == 5 * bits.sum, s"doc $id")
+      var best = 0; var cur = 0
+      bits.foreach { b =>
+        if (b == 1L) { cur += 1; best = math.max(best, cur) } else cur = 0
+      }
+      assert(run == 5L * best, s"doc $id")
+      assert(math.abs(frac - math.rint(nv * 1e6 / 40) / 1e6) < 1e-12)
+    }
+  }
+
   test("scene cuts match every container's known scene boundaries") {
     val rows = Multimodal.qSceneCuts(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") ->

@@ -77,9 +77,10 @@ if bad:
 # an oracle silently dropping from SparkEntry.oracleSql must fail here.
 DECLARED_ROWS_ONLY = {
     "agg_approx_distinct", "events_freq_items", "gka_full",
-    "kmeans_metrics", "kmeans_mllib", "multimodal_phash_dedup",
-    "multimodal_phash_pairs", "multimodal_phash_recall",
-    "multimodal_scene_cuts", "percentile_approx_qty", "pso_full",
+    "kmeans_metrics", "kmeans_mllib", "multimodal_audio_vad",
+    "multimodal_phash_dedup", "multimodal_phash_pairs",
+    "multimodal_phash_recall", "multimodal_scene_cuts",
+    "percentile_approx_qty", "pso_full",
 }
 rows_only = {k for k, v in d.items() if v.get("err") == "no_oracle"}
 if rows_only != DECLARED_ROWS_ONLY:
