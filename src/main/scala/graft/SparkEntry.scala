@@ -22,6 +22,7 @@ object SparkEntry {
       relational.Graph.queries ++
       relational.CountMin.queries ++
       clustering.KMeans.queries ++
+      clustering.MiniBatch.queries ++
       clustering.MLlibBridge.queries ++
       clustering.GKA.queries ++
       clustering.PSO.queries ++
@@ -72,6 +73,7 @@ object SparkEntry {
       relational.Graph.oracleSql ++
       relational.CountMin.oracleSql ++
       clustering.KMeans.oracleSql ++
+      clustering.MiniBatch.oracleSql ++
       clustering.GKA.oracleSql ++
       clustering.PSO.oracleSql ++
       clustering.Density.oracleSql ++
