@@ -46,6 +46,7 @@ object SparkEntry {
       text.Encoding.queries ++
       text.LengthStats.queries ++
       text.Winnowing.queries ++
+      text.Rake.queries ++
       text.Watermark.queries ++
       text.Coverage.queries ++
       text.Bpe.queries ++
@@ -96,6 +97,7 @@ object SparkEntry {
       text.Encoding.oracleSql ++
       text.LengthStats.oracleSql ++
       text.Winnowing.oracleSql ++
+      text.Rake.oracleSql ++
       text.Watermark.oracleSql ++
       text.Coverage.oracleSql ++
       text.Bpe.oracleSql ++
