@@ -284,6 +284,50 @@ object Analytics {
           (col("na") * col("nb")), 6).as("lift"))
   }
 
+  /** Frequent TRIPLES via the Apriori candidate prune (Agrawal &
+    * Srikant 1994) on top of the basket pairs: a triple can only be
+    * frequent if ALL THREE of its sub-pairs are, so the per-order
+    * expansion joins the L2 (frequent-pair) list BEFORE generating any
+    * (pa, pb, pc) candidate, and the two remaining sub-pairs prune via
+    * broadcast semi joins — that pre-expansion prune is the entire
+    * point of Apriori and what bounds the blowup at 100 TB (a naive
+    * triple self-join is order-size CUBED; this is frequent-pair
+    * occurrences x order tail). Support reports as the exact HALF_UP
+    * 6-dp share of all orders. */
+  def qBasketTriples(spark: SparkSession, dir: String,
+                     minSupport: Long = 2L): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+      .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
+      .distinct()
+    val nOrders = t(spark, dir, "orders").agg(count(lit(1)).as("n_orders"))
+    val l2 = li.select(col("l_orderkey"), col("l_partkey").as("pa"))
+      .join(li.select(col("l_orderkey"), col("l_partkey").as("pb")), "l_orderkey")
+      .filter(col("pa") < col("pb"))
+      .groupBy("pa", "pb").agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minSupport)
+      .select("pa", "pb")
+    // per-order instances of frequent pairs, extended by a third item
+    val orderPairs = li.select(col("l_orderkey"), col("l_partkey").as("pa"))
+      .join(li.select(col("l_orderkey"), col("l_partkey").as("pb")), "l_orderkey")
+      .filter(col("pa") < col("pb"))
+      .join(broadcast(l2), Seq("pa", "pb"), "left_semi")
+    val cand = orderPairs
+      .join(li.select(col("l_orderkey"), col("l_partkey").as("pc")), "l_orderkey")
+      .filter(col("pb") < col("pc"))
+      .join(broadcast(l2.select(col("pa"), col("pb").as("pc"))),
+        Seq("pa", "pc"), "left_semi")
+      .join(broadcast(l2.select(col("pa").as("pb"), col("pb").as("pc"))),
+        Seq("pb", "pc"), "left_semi")
+    cand.groupBy("pa", "pb", "pc").agg(count(lit(1)).as("n_together"))
+      .filter(col("n_together") >= minSupport)
+      .crossJoin(broadcast(nOrders))
+      .select(col("pa"), col("pb"), col("pc"), col("n_together"),
+        expr("""CAST((2 * n_together * 1000000 + n_orders)
+               |     DIV (2 * n_orders) AS DOUBLE) / 1000000.0""".stripMargin)
+          .as("support"))
+  }
+
   /** Bounce rate on top of the gap-sessionization chain: per user, the
     * share of sessions containing exactly one event — the engagement
     * KPI every product dashboard leads with. Same single user-shuffle
@@ -1077,6 +1121,7 @@ object Analytics {
     "orders_rolling_30d" -> (qRolling30d _),
     "part_best_supplier" -> (qBestSupplier _),
     "basket_lift" -> ((s: SparkSession, d: String) => qBasketLift(s, d)),
+    "basket_triples" -> ((s: SparkSession, d: String) => qBasketTriples(s, d)),
     "orders_abc" -> (qAbc _),
     "events_seasonal_anomaly" -> (qSeasonalAnomaly _),
     "orders_pareto" -> (qPareto _),
@@ -1339,6 +1384,37 @@ object Analytics {
         |JOIN pp na ON na.l_partkey = pa
         |JOIN pp nb ON nb.l_partkey = pb
         |CROSS JOIN n""".stripMargin,
+    "basket_triples" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |n AS (SELECT count(*) AS n_orders FROM orders),
+        |l2 AS (
+        |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |  WHERE a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2
+        |  HAVING count(*) >= 2),
+        |op AS (
+        |  SELECT a.l_orderkey, a.l_partkey AS pa, b.l_partkey AS pb
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |  WHERE a.l_partkey < b.l_partkey),
+        |opf AS (SELECT op.* FROM op SEMI JOIN l2 USING (pa, pb)),
+        |cand AS (
+        |  SELECT opf.pa, opf.pb, c.l_partkey AS pc
+        |  FROM opf JOIN li c ON c.l_orderkey = opf.l_orderkey
+        |  WHERE opf.pb < c.l_partkey),
+        |candf AS (
+        |  SELECT cand.* FROM cand
+        |  SEMI JOIN l2 ac ON ac.pa = cand.pa AND ac.pb = cand.pc
+        |  SEMI JOIN l2 bc ON bc.pa = cand.pb AND bc.pb = cand.pc),
+        |tri AS (
+        |  SELECT pa, pb, pc, count(*) AS n_together
+        |  FROM candf GROUP BY 1, 2, 3
+        |  HAVING count(*) >= 2)
+        |SELECT pa, pb, pc, n_together,
+        |  CAST((2 * CAST(n_together AS HUGEINT) * 1000000 + n_orders)
+        |       // (2 * CAST(n_orders AS HUGEINT)) AS DOUBLE) / 1000000.0
+        |    AS support
+        |FROM tri CROSS JOIN n""".stripMargin,
     "events_bounce_rate" ->
       """WITH flagged AS (
         |  SELECT user_id, ts, event_id,
