@@ -18,6 +18,7 @@ object SparkEntry {
     relational.Relational.queries ++
       relational.TpchClosure.queries ++
       relational.Did.queries ++
+      relational.Benford.queries ++
       relational.Analytics.queries ++
       relational.Graph.queries ++
       relational.CountMin.queries ++
@@ -47,6 +48,7 @@ object SparkEntry {
       text.LengthStats.queries ++
       text.Winnowing.queries ++
       text.Rake.queries ++
+      text.Burstiness.queries ++
       text.Watermark.queries ++
       text.Coverage.queries ++
       text.Bpe.queries ++
@@ -70,6 +72,7 @@ object SparkEntry {
     relational.Relational.oracleSql ++
       relational.TpchClosure.oracleSql ++
       relational.Did.oracleSql ++
+      relational.Benford.oracleSql ++
       relational.Analytics.oracleSql ++
       relational.Graph.oracleSql ++
       relational.CountMin.oracleSql ++
@@ -98,6 +101,7 @@ object SparkEntry {
       text.LengthStats.oracleSql ++
       text.Winnowing.oracleSql ++
       text.Rake.oracleSql ++
+      text.Burstiness.oracleSql ++
       text.Watermark.oracleSql ++
       text.Coverage.oracleSql ++
       text.Bpe.oracleSql ++
