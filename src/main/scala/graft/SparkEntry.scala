@@ -19,6 +19,11 @@ object SparkEntry {
       relational.TpchClosure.queries ++
       relational.Did.queries ++
       relational.Benford.queries ++
+      relational.Hll.queries ++
+      relational.Inequality.queries ++
+      relational.Survival.queries ++
+      relational.Growth.queries ++
+      relational.Sequencing.queries ++
       relational.Analytics.queries ++
       relational.Graph.queries ++
       relational.CountMin.queries ++
@@ -41,6 +46,7 @@ object SparkEntry {
       search.Whiten.queries ++
       search.IvfIncremental.queries ++
       search.KnnEval.queries ++
+      search.RankEval.queries ++
       search.PcaScatter.queries ++
       search.Drift.queries ++
       text.TextAnalysis.queries ++
@@ -49,6 +55,7 @@ object SparkEntry {
       text.Winnowing.queries ++
       text.Rake.queries ++
       text.Burstiness.queries ++
+      text.Heaps.queries ++
       text.Watermark.queries ++
       text.Coverage.queries ++
       text.Bpe.queries ++
@@ -73,6 +80,11 @@ object SparkEntry {
       relational.TpchClosure.oracleSql ++
       relational.Did.oracleSql ++
       relational.Benford.oracleSql ++
+      relational.Hll.oracleSql ++
+      relational.Inequality.oracleSql ++
+      relational.Survival.oracleSql ++
+      relational.Growth.oracleSql ++
+      relational.Sequencing.oracleSql ++
       relational.Analytics.oracleSql ++
       relational.Graph.oracleSql ++
       relational.CountMin.oracleSql ++
@@ -94,6 +106,7 @@ object SparkEntry {
       search.Whiten.oracleSql ++
       search.IvfIncremental.oracleSql ++
       search.KnnEval.oracleSql ++
+      search.RankEval.oracleSql ++
       search.PcaScatter.oracleSql ++
       search.Drift.oracleSql ++
       text.TextAnalysis.oracleSql ++
@@ -102,6 +115,7 @@ object SparkEntry {
       text.Winnowing.oracleSql ++
       text.Rake.oracleSql ++
       text.Burstiness.oracleSql ++
+      text.Heaps.oracleSql ++
       text.Watermark.oracleSql ++
       text.Coverage.oracleSql ++
       text.Bpe.oracleSql ++

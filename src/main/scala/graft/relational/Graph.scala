@@ -200,6 +200,59 @@ object Graph {
   def qCommonNeighbors(spark: SparkSession, dir: String, cap: Int = 32): DataFrame =
     commonNeighborsOf(Dedup.stagedVerifiedPairs(spark, dir), cap)
 
+  /** The mutual hub-capped undirected edge frame + its degree table —
+    * shared by the common-neighbor and resource-allocation link
+    * predictors (see [[commonNeighborsOf]]'s scaladoc for why the cap
+    * must be MUTUAL). Materialized once (localCheckpoint, the
+    * label-propagation discipline): it feeds both wedge arms AND the
+    * degree frame, and each self-join branch otherwise re-derives the
+    * whole explode+TopKPerKey chain — the plan showed the exec
+    * running 4x and the edge explode 6x per query. */
+  private def cappedMutual(e: DataFrame, cap: Int): (DataFrame, DataFrame) = {
+    val und = e.select(explode(array(
+        struct(col("ia").as("s"), col("ib").as("d")),
+        struct(col("ib").as("s"), col("ia").as("d")))).as("x"))
+      .select(col("x.s").as("s"), col("x.d").as("d"))
+    // constant rank value => TopKPerKey orders purely by the long tie
+    // column (neighbor id ASC), the deterministic first-cap truncation
+    val ranked = graft.plans.TopKPerKey(
+        und.withColumn("nv", lit(0.0)), Seq("s"), "nv", "d", cap)
+      .select(col("s"), col("d"))
+    val capped = ranked.join(
+        ranked.select(col("d").as("s"), col("s").as("d")), Seq("s", "d"))
+      .localCheckpoint(true)
+    (capped, capped.groupBy("s").agg(count(lit(1)).as("deg")))
+  }
+
+  def qResourceAlloc(spark: SparkSession, dir: String, cap: Int = 32): DataFrame =
+    resourceAllocOf(Dedup.stagedVerifiedPairs(spark, dir), cap)
+
+  /** Resource-allocation link prediction (Zhou-Lu-Zhang 2009) over the
+    * same capped mutual neighborhoods as [[commonNeighborsOf]]: a
+    * predicted pair's score is sum over common neighbors w of
+    * 1/deg(w) — common-neighbor counting that discounts hub wedges,
+    * the strongest simple index in the link-prediction literature.
+    *
+    * Determinism: each center's weight is the exact FIXED-POINT
+    * integer 1e12 DIV deg (BIGINT), so the per-pair score is an
+    * order-free integer sum — no floating accumulation anywhere; the
+    * reported double is one division of that integer. Same bounded
+    * wedge work (cap^2 per center) and anti-join against existing
+    * edges as the CN index. */
+  def resourceAllocOf(e: DataFrame, cap: Int = 32): DataFrame = {
+    val (capped, deg) = cappedMutual(e, cap)
+    val weighted = capped.join(
+      deg.withColumn("w", expr("1000000000000 DIV deg")).select("s", "w"), "s")
+    weighted.as("x").join(capped.as("y"),
+        col("x.s") === col("y.s") && col("x.d") < col("y.d"))
+      .groupBy(col("x.d").as("p"), col("y.d").as("q"))
+      .agg(count(lit(1)).as("cn"), sum(col("x.w")).as("ra_e12"))
+      .filter(col("cn") >= 2)
+      .join(e.select(col("ia").as("p"), col("ib").as("q")), Seq("p", "q"), "left_anti")
+      .select(col("p"), col("q"), col("cn"), col("ra_e12"),
+        round(col("ra_e12").cast("double") / lit(1e12), 6).as("ra_score"))
+  }
+
   /** Common-neighbor scores over any canonical (ia < ib, distinct)
     * edge frame, with MUTUAL per-center HUB CAPPING: each center
     * keeps only its first `cap` neighbors (by neighbor id — a
@@ -220,24 +273,7 @@ object Graph {
     * per-group sort — plus one co-partitioned self-join for the
     * mutuality check. */
   def commonNeighborsOf(e: DataFrame, cap: Int = 32): DataFrame = {
-    val und = e.select(explode(array(
-        struct(col("ia").as("s"), col("ib").as("d")),
-        struct(col("ib").as("s"), col("ia").as("d")))).as("x"))
-      .select(col("x.s").as("s"), col("x.d").as("d"))
-    // constant rank value => TopKPerKey orders purely by the long tie
-    // column (neighbor id ASC), the deterministic first-cap truncation
-    val ranked = graft.plans.TopKPerKey(
-        und.withColumn("nv", lit(0.0)), Seq("s"), "nv", "d", cap)
-      .select(col("s"), col("d"))
-    // materialize the capped edge list ONCE (localCheckpoint, the
-    // label-propagation discipline): it feeds both wedge arms AND the
-    // degree frame, and each self-join branch otherwise re-derives
-    // the whole explode+TopKPerKey chain — the plan showed the exec
-    // running 4x and the edge explode 6x per query
-    val capped = ranked.join(
-        ranked.select(col("d").as("s"), col("s").as("d")), Seq("s", "d"))
-      .localCheckpoint(true)
-    val deg = capped.groupBy("s").agg(count(lit(1)).as("deg"))
+    val (capped, deg) = cappedMutual(e, cap)
     val cn = capped.as("x").join(capped.as("y"),
         col("x.s") === col("y.s") && col("x.d") < col("y.d"))
       .groupBy(col("x.d").as("p"), col("y.d").as("q"))
@@ -399,6 +435,7 @@ object Graph {
     "graph_components" -> (qComponents _),
     "graph_kcore" -> ((s: SparkSession, d: String) => qKCore(s, d)),
     "graph_common_neighbors" -> ((s: SparkSession, d: String) => qCommonNeighbors(s, d)),
+    "graph_resource_alloc" -> ((s: SparkSession, d: String) => qResourceAlloc(s, d)),
     "graph_degree_stats" -> (qDegreeStats _))
 
   private val undSql =
@@ -608,6 +645,37 @@ object Graph {
          |SELECT p, q, cn,
          |  round(CAST(cn AS DOUBLE) / (dp.deg + dq.deg - cn), 6) AS score
          |FROM cn JOIN vdeg dp ON dp.s = p JOIN vdeg dq ON dq.s = q""".stripMargin,
+    "graph_resource_alloc" ->
+      s"""WITH ${Dedup.sigSql},
+         |${Dedup.bandsSql},
+         |${Dedup.candsSql},
+         |w AS (SELECT doc_id, list_distinct(string_split(${Dedup.NT}, ' ')) AS ws FROM documents),
+         |vp AS MATERIALIZED (SELECT ia, ib FROM (
+         |  SELECT ia, ib,
+         |    CAST(len(list_intersect(wa.ws, wb.ws)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(wa.ws, wb.ws))) AS j
+         |  FROM cands JOIN w wa ON ia = wa.doc_id JOIN w wb ON ib = wb.doc_id)
+         |  WHERE j >= 0.8),
+         |vund AS (SELECT ia AS s, ib AS d FROM vp
+         |         UNION ALL SELECT ib AS s, ia AS d FROM vp),
+         |rnk AS (SELECT s, d FROM (
+         |    SELECT s, d, row_number() OVER (PARTITION BY s ORDER BY d) AS rn
+         |    FROM vund) WHERE rn <= 32),
+         |cund AS (SELECT r1.s, r1.d FROM rnk r1
+         |         JOIN rnk r2 ON r1.s = r2.d AND r1.d = r2.s),
+         |vdeg AS (SELECT s, count(*) AS deg FROM cund GROUP BY s),
+         |wgt AS (SELECT s, 1000000000000 // deg AS w FROM vdeg),
+         |ra AS (
+         |  SELECT p, q, cn, ra_e12 FROM (
+         |    SELECT x.d AS p, y.d AS q, count(*) AS cn, sum(g.w) AS ra_e12
+         |    FROM cund x JOIN cund y ON x.s = y.s AND x.d < y.d
+         |    JOIN wgt g ON g.s = x.s
+         |    GROUP BY x.d, y.d
+         |    HAVING count(*) >= 2) c
+         |  WHERE NOT EXISTS (SELECT 1 FROM vp WHERE vp.ia = c.p AND vp.ib = c.q))
+         |SELECT p, q, cn, CAST(ra_e12 AS BIGINT) AS ra_e12,
+         |  round(CAST(ra_e12 AS DOUBLE) / 1e12, 6) AS ra_score
+         |FROM ra""".stripMargin,
     "graph_components" ->
       s"""WITH ${Dedup.clusterChainSql},
          |comp AS (

@@ -1,0 +1,125 @@
+package graft.relational
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** Deterministic HyperLogLog distinct-count sketch, oracled EXACTLY.
+  *
+  * The standing `agg_approx_distinct` row exercises Spark's built-in
+  * HLL++ (rows-only: its hash is engine-private). This operator builds
+  * the sketch itself from first principles (Flajolet et al. 2007) with
+  * a fully-specified integer hash, so the DuckDB oracle reproduces
+  * every register and the final estimate bit-for-bit — the sketch
+  * accuracy analog of `dedup_minhash_estimate`: report the estimate
+  * NEXT TO the exact distinct count and the relative error.
+  *
+  * Item stream: distinct (user_id, calendar day) pairs per event_type
+  * — "distinct user-days", the de-facto engagement denominator.
+  *
+  * Determinism: the 32-bit avalanche hash is multiply/xor/shift
+  * arithmetic on BIGINT (multiplier 73244475 < 2^31, so no product
+  * leaves the 63-bit range); bucket = low 8 bits, substream = high 24.
+  * The register value is the HLL rank statistic taken over the
+  * substream's REVERSED bit order — rho = trailing zeros + 1, isolated
+  * with w & -w and counted exactly via bit_count(L-1)+1 (identical
+  * geometric law, and exact integer ops in both engines, where a
+  * leading-zero count would need floating log2). The harmonic sum is
+  * held EXACT by scaling: sum(2^(25-rho)) in BIGINT (rho <= 25), so
+  * the only floating steps are one division, the small-range ln()
+  * branch, and the final round(6) — identical IEEE in both engines.
+  *
+  * Scale shape: one scan into a (type x 256)-bounded partial
+  * aggregate (map-side combine on max) plus one exact distinct per
+  * type for the error report; nothing grows with the corpus. At
+  * 100 TB the exact-count companion column is the expensive side —
+  * the sketch itself stays 256 registers per group. */
+object Hll {
+
+  private val M = 256 // registers (p = 8)
+  /** alpha_m * m^2 * 2^25 — the scaled-harmonic numerator, one Scala
+    * double so the oracle interpolates the bit-identical literal. */
+  private val ALPHA_M2P: Double =
+    0.7213 / (1 + 1.079 / M) * M.toDouble * M.toDouble * 33554432.0
+  /** Small-range correction threshold: 2.5 * m. */
+  private val SMALL = 2.5 * M
+
+  /** Shared estimate expression (Spark and DuckDB dialects agree on
+    * every function used); operates on columns sum_scaled (BIGINT,
+    * = 2^25 * sum(2^-rho)) and n_zero_buckets. */
+  private def estSql: String =
+    s"""CASE WHEN CAST($ALPHA_M2P AS DOUBLE) / sum_scaled <= $SMALL
+       |          AND n_zero_buckets > 0
+       |     THEN $M.0 * ln($M.0 / n_zero_buckets)
+       |     ELSE CAST($ALPHA_M2P AS DOUBLE) / sum_scaled END""".stripMargin
+
+  def qHllSketch(spark: SparkSession, dir: String): DataFrame =
+    hllOf(t(spark, dir, "events")
+      .select(col("event_type"), expr("user_id * 100 + day(ts)").as("k")))
+
+  /** [[qHllSketch]] over any (event_type, k: BIGINT >= 0) frame. */
+  private[relational] def hllOf(base: DataFrame): DataFrame = {
+    val hashed = base
+      .withColumn("h0", expr("k % 4294967296"))
+      .withColumn("h1", expr("((h0 ^ shiftright(h0, 16)) * 73244475) % 4294967296"))
+      .withColumn("h2", expr("((h1 ^ shiftright(h1, 16)) * 73244475) % 4294967296"))
+      .withColumn("h", expr("h2 ^ shiftright(h2, 16)"))
+      .withColumn("bucket", expr(s"h % $M"))
+      .withColumn("w", expr(s"h DIV $M"))
+      .withColumn("rho", expr(
+        "CASE WHEN w = 0 THEN 25 ELSE bit_count((w & -w) - 1) + 1 END"))
+    val regs = hashed.groupBy("event_type", "bucket").agg(max("rho").as("r"))
+    val agg = regs.groupBy("event_type")
+      .agg(count(lit(1)).as("nb"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), 25 - r)")).as("sp"))
+      .withColumn("n_zero_buckets", lit(M.toLong) - col("nb"))
+      .withColumn("sum_scaled",
+        col("n_zero_buckets") * lit(33554432L) + col("sp"))
+    val exact = base.groupBy("event_type")
+      .agg(countDistinct("k").as("n_exact"))
+    agg.join(exact, "event_type")
+      .select(col("event_type"), col("n_exact"),
+        col("n_zero_buckets"), col("sum_scaled"),
+        expr(s"round($estSql, 6)").as("estimate"),
+        expr(s"round(($estSql - n_exact) * 100.0 / n_exact, 6)")
+          .as("rel_err_pct"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_hll_sketch" -> (qHllSketch _))
+
+  val oracleSql: Map[String, String] = Map(
+    "agg_hll_sketch" -> {
+      // same estimate expression, DuckDB spellings: xor() for ^
+      val est = estSql
+      s"""WITH base AS (
+         |  SELECT event_type, user_id * 100 + EXTRACT(day FROM ts) AS k
+         |  FROM events),
+         |h0s AS (SELECT event_type, k, k % 4294967296 AS h0 FROM base),
+         |h1s AS (SELECT event_type, k,
+         |  (xor(h0, h0 >> 16) * 73244475) % 4294967296 AS h1 FROM h0s),
+         |h2s AS (SELECT event_type, k,
+         |  (xor(h1, h1 >> 16) * 73244475) % 4294967296 AS h2 FROM h1s),
+         |hs AS (SELECT event_type, k, xor(h2, h2 >> 16) AS h FROM h2s),
+         |hashed AS (
+         |  SELECT event_type, k, h % $M AS bucket,
+         |    CASE WHEN h // $M = 0 THEN 25
+         |         ELSE bit_count(((h // $M) & -(h // $M)) - 1) + 1 END AS rho
+         |  FROM hs),
+         |regs AS (SELECT event_type, bucket, max(rho) AS r
+         |  FROM hashed GROUP BY 1, 2),
+         |agg AS (
+         |  SELECT event_type, $M - count(*) AS n_zero_buckets,
+         |    ($M - count(*)) * 33554432 +
+         |      sum(CAST(1 AS BIGINT) << (25 - r)) AS sum_scaled
+         |  FROM regs GROUP BY 1),
+         |ex AS (SELECT event_type, count(DISTINCT k) AS n_exact
+         |  FROM base GROUP BY 1)
+         |SELECT agg.event_type, CAST(n_exact AS BIGINT) AS n_exact,
+         |  CAST(n_zero_buckets AS BIGINT) AS n_zero_buckets,
+         |  CAST(sum_scaled AS BIGINT) AS sum_scaled,
+         |  round($est, 6) AS estimate,
+         |  round(($est - n_exact) * 100.0 / n_exact, 6) AS rel_err_pct
+         |FROM agg JOIN ex ON agg.event_type = ex.event_type""".stripMargin
+    })
+}

@@ -18,9 +18,9 @@ import graft.functions.VectorOps
 object SimSearch {
 
   private[search] val QN = 5 // query vectors: vec_id <= QN
-  private val TOPK = 10
-  private val ANN_TOPK = 5
-  private val BITS = 4
+  private[search] val TOPK = 10
+  private[search] val ANN_TOPK = 5
+  private[search] val BITS = 4
 
   /** Shared brute-force shape: broadcast the small query set against
     * the corpus, score every (query, vector) pair by cosine. */

@@ -1,0 +1,44 @@
+package graft.relational
+
+import graft.clustering.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavioral specs for the deterministic HyperLogLog sketch. */
+class HllSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def run(keys: Seq[(String, Long)]) =
+    Hll.hllOf(keys.toDF("event_type", "k")).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+
+  test("estimate tracks the exact distinct count within HLL error") {
+    // m=256 -> relative sigma ~ 1.04/16 = 6.5%; allow 4 sigma
+    val m = run((1L to 5000L).map(k => ("a", k)))
+    val (exact, _, _, est) = m("a")
+    assert(exact == 5000L)
+    assert(math.abs(est - 5000.0) / 5000.0 < 0.26)
+  }
+
+  test("duplicate items do not move the sketch (set semantics)") {
+    val once = run((1L to 800L).map(k => ("a", k)))
+    val twice = run((1L to 800L).flatMap(k => Seq(("a", k), ("a", k))))
+    assert(once("a") == twice("a"))
+  }
+
+  test("small-range correction engages: few distinct, most buckets zero") {
+    val m = run((1L to 20L).map(k => ("s", k)))
+    val (exact, zeros, _, est) = m("s")
+    assert(exact == 20L)
+    assert(zeros >= 236L) // at most 20 of 256 buckets touched
+    // linear counting is tight at this occupancy
+    assert(math.abs(est - 20.0) < 3.0)
+  }
+
+  test("groups sketch independently") {
+    val m = run((1L to 300L).map(k => ("a", k)) ++ (1L to 300L).map(k => ("b", k)))
+    assert(m("a") == m("b")) // identical key sets -> identical registers
+  }
+}
