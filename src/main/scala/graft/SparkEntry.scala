@@ -24,6 +24,7 @@ object SparkEntry {
       relational.Survival.queries ++
       relational.Growth.queries ++
       relational.Sequencing.queries ++
+      relational.Anova.queries ++
       relational.Analytics.queries ++
       relational.Graph.queries ++
       relational.CountMin.queries ++
@@ -47,6 +48,7 @@ object SparkEntry {
       search.IvfIncremental.queries ++
       search.KnnEval.queries ++
       search.RankEval.queries ++
+      search.Outliers.queries ++
       search.PcaScatter.queries ++
       search.Drift.queries ++
       text.TextAnalysis.queries ++
@@ -85,6 +87,7 @@ object SparkEntry {
       relational.Survival.oracleSql ++
       relational.Growth.oracleSql ++
       relational.Sequencing.oracleSql ++
+      relational.Anova.oracleSql ++
       relational.Analytics.oracleSql ++
       relational.Graph.oracleSql ++
       relational.CountMin.oracleSql ++
@@ -107,6 +110,7 @@ object SparkEntry {
       search.IvfIncremental.oracleSql ++
       search.KnnEval.oracleSql ++
       search.RankEval.oracleSql ++
+      search.Outliers.oracleSql ++
       search.PcaScatter.oracleSql ++
       search.Drift.oracleSql ++
       text.TextAnalysis.oracleSql ++

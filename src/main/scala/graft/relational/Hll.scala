@@ -85,8 +85,54 @@ object Hll {
           .as("rel_err_pct"))
   }
 
+  // ---- KMV (k-minimum-values) companion sketch ------------------------
+
+  private val KMV_K = 64
+
+  /** K-minimum-values distinct estimator (Bar-Yossef et al. 2002) over
+    * the SAME item stream and avalanche hash as the HLL sketch — the
+    * second classic cardinality sketch, kept beside the first so their
+    * error profiles can be compared on identical data: if the k-th
+    * smallest of the distinct 32-bit hashes is h_k, the stream behaves
+    * like ~ (k-1) * 2^32 / h_k distinct uniform draws. Exact fallback
+    * when a group has fewer than k distinct hashes.
+    *
+    * Scale shape: one distinct on (type, hash) — the same cost class
+    * as the exact count it is reported against — then a bounded k-row
+    * heap per group (TopKPerKey, map-side combinable): the k-th
+    * smallest never sorts the corpus. */
+  def qKmvSketch(spark: SparkSession, dir: String): DataFrame =
+    kmvOf(t(spark, dir, "events")
+      .select(col("event_type"), expr("user_id * 100 + day(ts)").as("k")))
+
+  /** [[qKmvSketch]] over any (event_type, k: BIGINT >= 0) frame. */
+  private[relational] def kmvOf(base: DataFrame): DataFrame = {
+    val hashes = base
+      .withColumn("h0", expr("k % 4294967296"))
+      .withColumn("h1", expr("((h0 ^ shiftright(h0, 16)) * 73244475) % 4294967296"))
+      .withColumn("h2", expr("((h1 ^ shiftright(h1, 16)) * 73244475) % 4294967296"))
+      .select(col("event_type"), expr("h2 ^ shiftright(h2, 16)").as("h"))
+      .distinct()
+    // smallest k hashes per group: h < 2^32 < 2^53, so the double
+    // negation is exact and TopKPerKey's (value DESC, tie ASC) order
+    // is exactly ascending-h
+    val kept = graft.plans.TopKPerKey(
+        hashes.withColumn("negh", -col("h").cast("double")),
+        Seq("event_type"), "negh", "h", KMV_K)
+    val agg = kept.groupBy("event_type")
+      .agg(count(lit(1)).as("n_kept"), max("h").as("kth_hash"))
+    val exact = base.groupBy("event_type").agg(countDistinct("k").as("n_exact"))
+    val est = s"""CASE WHEN n_kept < $KMV_K THEN CAST(n_kept AS DOUBLE)
+                 |     ELSE ${KMV_K - 1}.0 * 4294967296.0 / kth_hash END""".stripMargin
+    agg.join(exact, "event_type")
+      .select(col("event_type"), col("n_exact"), col("n_kept"), col("kth_hash"),
+        expr(s"round($est, 6)").as("estimate"),
+        expr(s"round(($est - n_exact) * 100.0 / n_exact, 6)").as("rel_err_pct"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "agg_hll_sketch" -> (qHllSketch _))
+    "agg_hll_sketch" -> (qHllSketch _),
+    "agg_kmv_sketch" -> (qKmvSketch _))
 
   val oracleSql: Map[String, String] = Map(
     "agg_hll_sketch" -> {
@@ -118,6 +164,30 @@ object Hll {
          |SELECT agg.event_type, CAST(n_exact AS BIGINT) AS n_exact,
          |  CAST(n_zero_buckets AS BIGINT) AS n_zero_buckets,
          |  CAST(sum_scaled AS BIGINT) AS sum_scaled,
+         |  round($est, 6) AS estimate,
+         |  round(($est - n_exact) * 100.0 / n_exact, 6) AS rel_err_pct
+         |FROM agg JOIN ex ON agg.event_type = ex.event_type""".stripMargin
+    },
+    "agg_kmv_sketch" -> {
+      val est = s"""CASE WHEN n_kept < $KMV_K THEN CAST(n_kept AS DOUBLE)
+                   |     ELSE ${KMV_K - 1}.0 * 4294967296.0 / kth_hash END""".stripMargin
+      s"""WITH base AS (
+         |  SELECT event_type, user_id * 100 + EXTRACT(day FROM ts) AS k
+         |  FROM events),
+         |h0s AS (SELECT event_type, k, k % 4294967296 AS h0 FROM base),
+         |h1s AS (SELECT event_type, k,
+         |  (xor(h0, h0 >> 16) * 73244475) % 4294967296 AS h1 FROM h0s),
+         |h2s AS (SELECT event_type, k,
+         |  (xor(h1, h1 >> 16) * 73244475) % 4294967296 AS h2 FROM h1s),
+         |hs AS (SELECT DISTINCT event_type, xor(h2, h2 >> 16) AS h FROM h2s),
+         |rk AS (SELECT event_type, h, row_number() OVER (
+         |    PARTITION BY event_type ORDER BY h ASC) AS rn FROM hs),
+         |agg AS (SELECT event_type, count(*) AS n_kept, max(h) AS kth_hash
+         |  FROM rk WHERE rn <= $KMV_K GROUP BY 1),
+         |ex AS (SELECT event_type, count(DISTINCT k) AS n_exact
+         |  FROM base GROUP BY 1)
+         |SELECT agg.event_type, CAST(n_exact AS BIGINT) AS n_exact,
+         |  CAST(n_kept AS BIGINT) AS n_kept, CAST(kth_hash AS BIGINT) AS kth_hash,
          |  round($est, 6) AS estimate,
          |  round(($est - n_exact) * 100.0 / n_exact, 6) AS rel_err_pct
          |FROM agg JOIN ex ON agg.event_type = ex.event_type""".stripMargin

@@ -93,8 +93,41 @@ object Survival {
         col("km_survival"))
   }
 
+  /** Cohort repeat rate: per first-order month, the share of the
+    * cohort that placed a SECOND order within 90 days — the single
+    *-number acquisition-quality readout product teams track per
+    * cohort (the KM curve above is its full-resolution counterpart).
+    * Same first/second-order derivation; counts are exact integers,
+    * the rate one exact HALF_UP division; output bounded by the
+    * calendar-month frame. */
+  def qRepeatRate(spark: SparkSession, dir: String): DataFrame =
+    repeatRateOf(t(spark, dir, "orders")
+      .select("o_custkey", "o_orderdate", "o_orderkey"))
+
+  /** [[qRepeatRate]] over any (o_custkey, o_orderdate, o_orderkey). */
+  private[relational] def repeatRateOf(orders: DataFrame): DataFrame = {
+    val byCust = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    orders
+      .withColumn("rn", row_number().over(byCust))
+      .filter(col("rn") <= 2)
+      .groupBy("o_custkey")
+      .agg(min(when(col("rn") === 1, col("o_orderdate"))).as("fd"),
+        min(when(col("rn") === 2, col("o_orderdate"))).as("sd"))
+      .withColumn("cohort", date_format(col("fd"), "yyyy-MM"))
+      .withColumn("repeated",
+        expr("CASE WHEN sd IS NOT NULL AND datediff(sd, fd) <= 90 THEN 1 ELSE 0 END"))
+      .groupBy("cohort")
+      .agg(count(lit(1)).as("n_customers"),
+        sum("repeated").cast("long").as("n_repeaters"))
+      .withColumn("repeat_rate", expr(
+        """CAST((2 * n_repeaters * 1000000 + n_customers)
+          |     DIV (2 * n_customers) AS DOUBLE) / 1000000.0""".stripMargin))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "orders_churn_km" -> (qChurnKm _))
+    "orders_churn_km" -> (qChurnKm _),
+    "orders_repeat_rate" -> (qRepeatRate _))
 
   val oracleSql: Map[String, String] = Map(
     "orders_churn_km" ->
@@ -151,5 +184,27 @@ object Survival {
          |  CAST(d AS BIGINT) AS n_events,
          |  round(CAST(d AS DOUBLE) / at_risk, 6) AS hazard,
          |  CASE WHEN absorbed = 1 THEN 0.0 ELSE round(kmv, 6) END AS km_survival
-         |FROM km""".stripMargin)
+         |FROM km""".stripMargin,
+    "orders_repeat_rate" ->
+      """WITH ranked AS (
+        |  SELECT o_custkey, o_orderdate,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate ASC, o_orderkey ASC) AS rn
+        |  FROM orders),
+        |ft AS (
+        |  SELECT o_custkey,
+        |    min(CASE WHEN rn = 1 THEN o_orderdate END) AS fd,
+        |    min(CASE WHEN rn = 2 THEN o_orderdate END) AS sd
+        |  FROM ranked WHERE rn <= 2 GROUP BY 1),
+        |c AS (
+        |  SELECT strftime(fd, '%Y-%m') AS cohort,
+        |    count(*) AS n_customers,
+        |    sum(CASE WHEN sd IS NOT NULL AND date_diff('day', fd, sd) <= 90
+        |        THEN 1 ELSE 0 END) AS n_repeaters
+        |  FROM ft GROUP BY 1)
+        |SELECT cohort, CAST(n_customers AS BIGINT) AS n_customers,
+        |  CAST(n_repeaters AS BIGINT) AS n_repeaters,
+        |  CAST((2 * n_repeaters * 1000000 + n_customers)
+        |       // (2 * n_customers) AS DOUBLE) / 1000000.0 AS repeat_rate
+        |FROM c""".stripMargin)
 }

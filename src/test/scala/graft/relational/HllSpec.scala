@@ -41,4 +41,30 @@ class HllSpec extends AnyFunSuite {
     val m = run((1L to 300L).map(k => ("a", k)) ++ (1L to 300L).map(k => ("b", k)))
     assert(m("a") == m("b")) // identical key sets -> identical registers
   }
+
+  private def kmv(keys: Seq[(String, Long)]) =
+    Hll.kmvOf(keys.toDF("event_type", "k")).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(4), r.getDouble(5))))
+      .toMap
+
+  test("KMV exact fallback below k: estimate equals the kept count") {
+    val m = kmv((1L to 40L).map(k => ("s", k)))
+    val (exact, kept, est, err) = m("s")
+    assert(exact == 40L && kept == 40L && est == 40.0 && err == 0.0)
+  }
+
+  test("KMV estimate tracks the exact count within sketch error") {
+    // sigma ~ 1/sqrt(k-1) = 12.6%; allow 4 sigma
+    val m = kmv((1L to 5000L).map(k => ("a", k)))
+    val (exact, kept, est, _) = m("a")
+    assert(exact == 5000L && kept == 64L)
+    assert(math.abs(est - 5000.0) / 5000.0 < 0.51)
+  }
+
+  test("KMV duplicates do not move the sketch") {
+    val once = kmv((1L to 900L).map(k => ("a", k)))
+    val twice = kmv((1L to 900L).flatMap(k => Seq(("a", k), ("a", k))))
+    assert(once("a") == twice("a"))
+  }
 }

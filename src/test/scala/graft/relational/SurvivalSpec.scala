@@ -41,4 +41,19 @@ class SurvivalSpec extends AnyFunSuite {
       (2L, "2001-06-08 00:00:00", 2L)))
     assert(m.values.forall(v => v._2 == 0L && v._4 == 1.0))
   }
+
+  test("cohort repeat rate: inside vs outside the 90-day window") {
+    val rows = Survival.repeatRateOf(spark.createDataFrame(Seq(
+        (1L, java.sql.Timestamp.valueOf("2000-01-05 00:00:00"), 1L),
+        (1L, java.sql.Timestamp.valueOf("2000-02-01 00:00:00"), 2L), // +27d: repeat
+        (2L, java.sql.Timestamp.valueOf("2000-01-20 00:00:00"), 3L),
+        (2L, java.sql.Timestamp.valueOf("2000-09-01 00:00:00"), 4L), // +225d: no
+        (3L, java.sql.Timestamp.valueOf("2000-03-10 00:00:00"), 5L)))
+        .toDF("o_custkey", "o_orderdate", "o_orderkey"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(rows("2000-01") == ((2L, 1L, 0.5)))
+    assert(rows("2000-03") == ((1L, 0L, 0.0)))
+  }
 }
