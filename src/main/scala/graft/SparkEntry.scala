@@ -38,6 +38,7 @@ object SparkEntry {
       dedup.Bloom.queries ++
       dedup.Incremental.queries ++
       dedup.PrefixJoin.queries ++
+      dedup.Cdc.queries ++
       search.SimSearch.queries ++
       search.RandomProjection.queries ++
       search.Quantized.queries ++
@@ -49,6 +50,7 @@ object SparkEntry {
       search.KnnEval.queries ++
       search.RankEval.queries ++
       search.Outliers.queries ++
+      search.Prf.queries ++
       search.PcaScatter.queries ++
       search.Drift.queries ++
       text.TextAnalysis.queries ++
@@ -100,6 +102,7 @@ object SparkEntry {
       dedup.Bloom.oracleSql ++
       dedup.Incremental.oracleSql ++
       dedup.PrefixJoin.oracleSql ++
+      dedup.Cdc.oracleSql ++
       search.SimSearch.oracleSql ++
       search.RandomProjection.oracleSql ++
       search.Quantized.oracleSql ++
@@ -111,6 +114,7 @@ object SparkEntry {
       search.KnnEval.oracleSql ++
       search.RankEval.oracleSql ++
       search.Outliers.oracleSql ++
+      search.Prf.oracleSql ++
       search.PcaScatter.oracleSql ++
       search.Drift.oracleSql ++
       text.TextAnalysis.oracleSql ++

@@ -1,0 +1,121 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** Content-defined chunking (CDC) dedup census — the rolling-hash
+  * chunking behind file/backup dedup systems (LBFS/Rabin chunking),
+  * applied to the corpus: a chunk boundary falls wherever the rolling
+  * hash of the last W characters is 0 mod DIV, so boundaries move WITH
+  * the content — an insertion early in a document shifts byte offsets
+  * but re-synchronizes the remaining chunk stream, which fixed-size
+  * blocking never does. The census reports, per source, how much chunk
+  * mass is duplicated corpus-wide — the storage/near-dup signal at
+  * sub-document granularity (the line/paragraph rows cut on syntax;
+  * CDC cuts on content).
+  *
+  * Determinism: the window hash is the repo's standard 31-poly mod
+  * 1e9+7 fold (exact integers); boundary positions are integer
+  * comparisons; chunks join on their literal substring (no hash
+  * collision surface); counts are exact, fractions one HALF_UP
+  * division each.
+  *
+  * Scale shape: one HOF chunking projection per document (let-bound
+  * hash array — the Winnowing O(n^2) guard), one explode to
+  * corpus-linear chunk instances, one groupBy on the chunk key + one
+  * broadcast-size source rollup. */
+object Cdc {
+
+  private val W = 8    // rolling window (chars)
+  private val DIV = 32 // boundary divisor -> expected chunk ~32 chars
+
+  def qCdcChunks(spark: SparkSession, dir: String): DataFrame =
+    cdcChunksOf(t(spark, dir, "documents"))
+
+  /** [[qCdcChunks]] over any (doc_id, text, source) frame. */
+  private[dedup] def cdcChunksOf(docs: DataFrame): DataFrame = {
+    val chunks = docs
+      .withColumn("len", length(col("text")).cast("long"))
+      // boundary ends: i in [W, len) where 31-poly(text[i-W+1..i]) % DIV == 0
+      .withColumn("chunks", expr(
+        s"""CASE WHEN len >= $W THEN
+           |  element_at(transform(array(
+           |    concat(array(CAST(0 AS BIGINT)),
+           |      filter(transform(sequence($W, CAST(len AS INT)), i ->
+           |        CASE WHEN i < len AND
+           |          aggregate(transform(sequence(i - ${W - 1}, i),
+           |              j -> CAST(ascii(substring(text, j, 1)) AS BIGINT)),
+           |            CAST(0 AS BIGINT), (h, c) -> (h * 31 + c) % 1000000007)
+           |          % $DIV = 0
+           |        THEN CAST(i AS BIGINT) ELSE CAST(-1 AS BIGINT) END),
+           |        p -> p >= 0),
+           |      array(len))),
+           |    bs -> transform(sequence(1, size(bs) - 1), k ->
+           |      substring(text, CAST(element_at(bs, k) + 1 AS INT),
+           |        CAST(element_at(bs, k + 1) - element_at(bs, k) AS INT)))), 1)
+           |WHEN len >= 1 THEN array(text)
+           |ELSE array() END""".stripMargin))
+      .select(col("doc_id"), col("source"), explode(col("chunks")).as("chunk"))
+      .filter(length(col("chunk")) > 0)
+    val census = chunks.groupBy("chunk").agg(count(lit(1)).as("cnt"))
+    chunks.join(census, "chunk")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(length(col("chunk")).cast("long")).as("n_chars"),
+        sum(when(col("cnt") >= 2, 1L).otherwise(0L)).as("dup_chunks"),
+        sum(when(col("cnt") >= 2, length(col("chunk")).cast("long"))
+          .otherwise(0L)).as("dup_chars"))
+      .select(col("source"), col("n_chunks"), col("n_chars"),
+        col("dup_chunks"), col("dup_chars"),
+        expr("""CAST((2 * dup_chars * 1000000 + n_chars)
+               |     DIV (2 * n_chars) AS DOUBLE) / 1000000.0""".stripMargin)
+          .as("dup_char_frac"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_cdc_chunks" -> (qCdcChunks _))
+
+  val oracleSql: Map[String, String] = Map(
+    "dedup_cdc_chunks" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, source, text, length(text) AS len,
+         |    CASE WHEN length(text) >= $W THEN
+         |      list_concat(
+         |        list_concat([CAST(0 AS BIGINT)],
+         |          list_filter(list_transform(range($W, length(text) + 1), i ->
+         |            CASE WHEN i < length(text) AND
+         |              list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |                  list_transform(range(i - ${W - 1}, i + 1),
+         |                    j -> CAST(ascii(substring(text, CAST(j AS INT), 1)) AS BIGINT))),
+         |                (h, c) -> (h * 31 + c) % 1000000007)
+         |              % $DIV = 0
+         |            THEN CAST(i AS BIGINT) ELSE CAST(-1 AS BIGINT) END),
+         |            p -> p >= 0)),
+         |        [CAST(length(text) AS BIGINT)])
+         |    ELSE NULL END AS bs
+         |  FROM documents),
+         |ch AS (
+         |  SELECT doc_id, source, unnest(
+         |    CASE WHEN len >= $W THEN
+         |      list_transform(range(1, len(bs)), k ->
+         |        substring(text, CAST(bs[CAST(k AS INT)] + 1 AS INT),
+         |          CAST(bs[CAST(k + 1 AS INT)] - bs[CAST(k AS INT)] AS INT)))
+         |    WHEN len >= 1 THEN [text]
+         |    ELSE [] END) AS chunk
+         |  FROM b),
+         |chf AS (SELECT doc_id, source, chunk FROM ch WHERE length(chunk) > 0),
+         |census AS (SELECT chunk, count(*) AS cnt FROM chf GROUP BY 1)
+         |SELECT source,
+         |  count(*) AS n_chunks,
+         |  CAST(sum(length(chf.chunk)) AS BIGINT) AS n_chars,
+         |  CAST(sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks,
+         |  CAST(sum(CASE WHEN cnt >= 2 THEN length(chf.chunk) ELSE 0 END) AS BIGINT)
+         |    AS dup_chars,
+         |  CAST((2 * CAST(sum(CASE WHEN cnt >= 2 THEN length(chf.chunk) ELSE 0 END) AS HUGEINT)
+         |        * 1000000 + sum(length(chf.chunk)))
+         |       // (2 * CAST(sum(length(chf.chunk)) AS HUGEINT)) AS DOUBLE) / 1000000.0
+         |    AS dup_char_frac
+         |FROM chf JOIN census ON chf.chunk = census.chunk
+         |GROUP BY source""".stripMargin)
+}
