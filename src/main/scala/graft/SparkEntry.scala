@@ -25,6 +25,7 @@ object SparkEntry {
       relational.Growth.queries ++
       relational.Sequencing.queries ++
       relational.Anova.queries ++
+      relational.SlidingUniques.queries ++
       relational.Analytics.queries ++
       relational.Graph.queries ++
       relational.CountMin.queries ++
@@ -75,6 +76,8 @@ object SparkEntry {
       pipeline.Assembly.queries ++
       pipeline.Upsert.queries ++
       pipeline.Forget.queries ++
+      pipeline.ReleaseDiff.queries ++
+      pipeline.Interleave.queries ++
       pipeline.DataChecks.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -90,6 +93,7 @@ object SparkEntry {
       relational.Growth.oracleSql ++
       relational.Sequencing.oracleSql ++
       relational.Anova.oracleSql ++
+      relational.SlidingUniques.oracleSql ++
       relational.Analytics.oracleSql ++
       relational.Graph.oracleSql ++
       relational.CountMin.oracleSql ++
@@ -139,5 +143,7 @@ object SparkEntry {
       pipeline.Assembly.oracleSql ++
       pipeline.Upsert.oracleSql ++
       pipeline.Forget.oracleSql ++
+      pipeline.ReleaseDiff.oracleSql ++
+      pipeline.Interleave.oracleSql ++
       pipeline.DataChecks.oracleSql
 }
