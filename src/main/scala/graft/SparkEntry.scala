@@ -26,6 +26,8 @@ object SparkEntry {
       relational.Sequencing.queries ++
       relational.Anova.queries ++
       relational.SlidingUniques.queries ++
+      relational.Ivm.queries ++
+      relational.Audit.queries ++
       relational.Analytics.queries ++
       relational.Graph.queries ++
       relational.CountMin.queries ++
@@ -94,6 +96,8 @@ object SparkEntry {
       relational.Sequencing.oracleSql ++
       relational.Anova.oracleSql ++
       relational.SlidingUniques.oracleSql ++
+      relational.Ivm.oracleSql ++
+      relational.Audit.oracleSql ++
       relational.Analytics.oracleSql ++
       relational.Graph.oracleSql ++
       relational.CountMin.oracleSql ++

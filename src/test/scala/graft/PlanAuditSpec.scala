@@ -138,7 +138,14 @@ class PlanAuditSpec extends AnyFunSuite {
     "orders_backtest_snaive",       // same day-bounded daily series
     "dedup_embed_threshold_curve",  // cumulative counts over a ~20-point threshold grid
     "dedup_minhash_agreement_curve", // cumulative counts over the signature-agreement grid
-    "text_quality_clf_eval"         // AUC cumulative over DISTINCT round-6 scores (<= 1e6+1 rows at any corpus size)
+    "text_quality_clf_eval",        // AUC cumulative over DISTINCT round-6 scores (<= 1e6+1 rows at any corpus size)
+    "orders_gini",                  // stripe census cumulative (rows = max revenue / $100k, value-bounded) + 10-row Lorenz deciles
+    "orders_churn_km",              // at-risk/KM cumulatives over the 26-row week frame
+    "orders_mom_growth",            // lag/rolling over the calendar-month frame (~80 rows)
+    "orders_repeat_rate",           // (no global window; listed defensively with the cohort family) -- calendar-month frame
+    "text_heaps",                   // OLS moment cumulatives over the 10-row checkpoint frame
+    "events_markov_entropy",        // entropy-rate cumulative over the <=|event types| state frame
+    "pipeline_interleave"           // source-index + prefix cumulative over (sources) and (10 deciles) frames
   )
 
   test("no registered query plans a CartesianProduct or a single-buffer exact percentile") {

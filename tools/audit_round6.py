@@ -87,6 +87,11 @@ RULES = [
     # centroid-drift oracle: diff is an exact DECIMAL(18,6) grid value,
     # sum(diff*diff) is an exact scale-12 DECIMAL sum (order-free)
     (r'search/Drift', r'sum\(diff \* diff\)', 'GRID-EXACT'),
+    # KM survival: ln(1-d/n) terms over the 26-row week frame,
+    # accumulated by an ORDERED running window (sequential identical
+    # order both engines at this frame size — measured; see
+    # Survival.scala scaladoc), then exp + round 6
+    (r'relational/Survival', r'exp\(sum\("lnterm"\)', 'BOUNDED'),
 ]
 
 def classify(path, line):
