@@ -28,6 +28,8 @@ object SparkEntry {
       relational.SlidingUniques.queries ++
       relational.Ivm.queries ++
       relational.Audit.queries ++
+      relational.Cuped.queries ++
+      relational.Power.queries ++
       relational.Analytics.queries ++
       relational.Graph.queries ++
       relational.CountMin.queries ++
@@ -98,6 +100,8 @@ object SparkEntry {
       relational.SlidingUniques.oracleSql ++
       relational.Ivm.oracleSql ++
       relational.Audit.oracleSql ++
+      relational.Cuped.oracleSql ++
+      relational.Power.oracleSql ++
       relational.Analytics.oracleSql ++
       relational.Graph.oracleSql ++
       relational.CountMin.oracleSql ++

@@ -33,29 +33,43 @@ object Cdc {
   def qCdcChunks(spark: SparkSession, dir: String): DataFrame =
     cdcChunksOf(t(spark, dir, "documents"))
 
-  /** [[qCdcChunks]] over any (doc_id, text, source) frame. */
+  /** [[qCdcChunks]] over any (doc_id, text, source) frame.
+    *
+    * Two O(n)-guards (both measured, 58 s -> sub-second at sf0.1):
+    * the char-code array is LET-BOUND once per doc so each window
+    * hash is a slice + fold instead of per-position substring walks
+    * (the Winnowing discipline), and the chunk array materializes
+    * through a localCheckpoint BEFORE the explode — Spark's
+    * InferFiltersFromGenerate otherwise clones the entire chunking
+    * expression into a pushed `size(...) > 0` filter, and the census
+    * self-join doubles everything again (6 evaluations per doc). */
   private[dedup] def cdcChunksOf(docs: DataFrame): DataFrame = {
-    val chunks = docs
+    val chunked = docs
       .withColumn("len", length(col("text")).cast("long"))
       // boundary ends: i in [W, len) where 31-poly(text[i-W+1..i]) % DIV == 0
       .withColumn("chunks", expr(
         s"""CASE WHEN len >= $W THEN
            |  element_at(transform(array(
-           |    concat(array(CAST(0 AS BIGINT)),
-           |      filter(transform(sequence($W, CAST(len AS INT)), i ->
-           |        CASE WHEN i < len AND
-           |          aggregate(transform(sequence(i - ${W - 1}, i),
-           |              j -> CAST(ascii(substring(text, j, 1)) AS BIGINT)),
-           |            CAST(0 AS BIGINT), (h, c) -> (h * 31 + c) % 1000000007)
-           |          % $DIV = 0
-           |        THEN CAST(i AS BIGINT) ELSE CAST(-1 AS BIGINT) END),
-           |        p -> p >= 0),
-           |      array(len))),
-           |    bs -> transform(sequence(1, size(bs) - 1), k ->
-           |      substring(text, CAST(element_at(bs, k) + 1 AS INT),
-           |        CAST(element_at(bs, k + 1) - element_at(bs, k) AS INT)))), 1)
+           |    transform(sequence(1, CAST(len AS INT)),
+           |      j -> CAST(ascii(substring(text, j, 1)) AS BIGINT))), cs ->
+           |    element_at(transform(array(
+           |      concat(array(CAST(0 AS BIGINT)),
+           |        filter(transform(sequence($W, CAST(len AS INT)), i ->
+           |          CASE WHEN i < len AND
+           |            aggregate(slice(cs, i - ${W - 1}, $W),
+           |              CAST(0 AS BIGINT), (h, c) -> (h * 31 + c) % 1000000007)
+           |            % $DIV = 0
+           |          THEN CAST(i AS BIGINT) ELSE CAST(-1 AS BIGINT) END),
+           |          p -> p >= 0),
+           |        array(len))),
+           |      bs -> transform(sequence(1, size(bs) - 1), k ->
+           |        substring(text, CAST(element_at(bs, k) + 1 AS INT),
+           |          CAST(element_at(bs, k + 1) - element_at(bs, k) AS INT)))), 1)), 1)
            |WHEN len >= 1 THEN array(text)
            |ELSE array() END""".stripMargin))
+      .select(col("doc_id"), col("source"), col("chunks"))
+      .localCheckpoint(true)
+    val chunks = chunked
       .select(col("doc_id"), col("source"), explode(col("chunks")).as("chunk"))
       .filter(length(col("chunk")) > 0)
     val census = chunks.groupBy("chunk").agg(count(lit(1)).as("cnt"))

@@ -1,0 +1,37 @@
+package graft.relational
+
+import graft.clustering.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavioral specs for the MDE power / sample-size planner. */
+class PowerSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val zc = {
+    val za = 1.9599639845400545; val zb = 0.8416212335729143
+    2.0 * (za + zb) * (za + zb)
+  }
+
+  private def run(rows: Seq[(String, Long, Long)]) =
+    Power.mdePowerOf(rows.toDF("event_type", "user_id", "v")).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(5))))
+      .toMap
+
+  test("zero variance needs zero samples; known variance matches the formula") {
+    val m = run(Seq(
+      ("a", 1L, 3000000L), ("a", 2L, 3000000L), // constant metric
+      ("b", 1L, 0L), ("b", 2L, 2000000L)))      // mean 1, pop var 1
+    assert(m("a") == ((2L, 3.0, 0.0, 0L)))
+    val (n, mean, variance, req) = m("b")
+    assert(n == 2L && mean == 1.0 && variance == 1.0)
+    assert(req == math.ceil(zc * 1.0 / (0.05 * 0.05)).toLong)
+  }
+
+  test("per-user aggregation happens before the moments") {
+    // one user with two events of 1 unit each = one metric of 2
+    val m = run(Seq(("a", 1L, 1000000L), ("a", 1L, 1000000L)))
+    assert(m("a")._1 == 1L && m("a")._2 == 2.0)
+  }
+}
