@@ -58,8 +58,42 @@ object Power {
           .as("n_required_per_arm"))
   }
 
+  // ---- sample-ratio-mismatch health check ----------------------------
+
+  /** chi-square(1) critical value at alpha = 0.001 — the conventional
+    * SRM alarm threshold (SRM checks run continuously, so the alarm
+    * uses a stricter alpha than the readout tests). */
+  private val SRM_CRIT = 10.828
+
+  /** Sample-ratio mismatch check — the first experiment-health gate:
+    * under the 50/50 parity assignment the treat/ctrl USER counts
+    * must match a fair split; chi2 = (n_treat - n_ctrl)^2 / n flags
+    * randomization/logging bugs before any metric is read.
+    *
+    * Determinism: distinct-user counts are exact; chi2 is one HALF_UP
+    * division of exact integers; the flag is decided in EXACT integer
+    * form d*d*1000 > crit*1000*n (the watermark-flag convention — the
+    * double never reaches the comparison). */
+  def qSrmCheck(spark: SparkSession, dir: String): DataFrame =
+    srmCheckOf(t(spark, dir, "events").select("user_id"))
+
+  /** [[qSrmCheck]] over any (user_id) frame. */
+  private[relational] def srmCheckOf(events: DataFrame): DataFrame =
+    events.distinct()
+      .agg(count(lit(1)).as("n_users"),
+        sum(expr("CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END")).as("n_treat"),
+        sum(expr("CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END")).as("n_ctrl"))
+      .withColumn("d", col("n_treat") - col("n_ctrl"))
+      .select(col("n_users"), col("n_treat"), col("n_ctrl"),
+        expr("""CAST((2 * d * d * 1000000 + n_users)
+               |     DIV (2 * n_users) AS DOUBLE) / 1000000.0""".stripMargin)
+          .as("chi2"),
+        expr(s"CAST(CASE WHEN d * d * 1000 > ${(SRM_CRIT * 1000).toLong} * n_users" +
+          " THEN 1 ELSE 0 END AS BIGINT)").as("srm_flag"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "events_mde_power" -> (qMdePower _))
+    "events_mde_power" -> (qMdePower _),
+    "events_srm_check" -> (qSrmCheck _))
 
   val oracleSql: Map[String, String] = Map(
     "events_mde_power" ->
@@ -85,5 +119,20 @@ object Power {
          |  round(mde_abs, 6) AS mde_abs,
          |  CAST(ceil($ZC * variance / (mde_abs * mde_abs)) AS BIGINT)
          |    AS n_required_per_arm
-         |FROM e""".stripMargin)
+         |FROM e""".stripMargin,
+    "events_srm_check" ->
+      s"""WITH u AS (SELECT DISTINCT user_id FROM events),
+         |c AS (SELECT count(*) AS n_users,
+         |    sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS n_treat,
+         |    sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS n_ctrl
+         |  FROM u),
+         |d AS (SELECT *, n_treat - n_ctrl AS d FROM c)
+         |SELECT CAST(n_users AS BIGINT) AS n_users,
+         |  CAST(n_treat AS BIGINT) AS n_treat,
+         |  CAST(n_ctrl AS BIGINT) AS n_ctrl,
+         |  CAST((2 * d * d * 1000000 + n_users)
+         |       // (2 * n_users) AS DOUBLE) / 1000000.0 AS chi2,
+         |  CAST(CASE WHEN d * d * 1000 > ${(SRM_CRIT * 1000).toLong} * n_users
+         |       THEN 1 ELSE 0 END AS BIGINT) AS srm_flag
+         |FROM d""".stripMargin)
 }

@@ -34,4 +34,23 @@ class PowerSpec extends AnyFunSuite {
     val m = run(Seq(("a", 1L, 1000000L), ("a", 1L, 1000000L)))
     assert(m("a")._1 == 1L && m("a")._2 == 2.0)
   }
+
+  private def srm(users: Seq[Long]) = {
+    val r = Power.srmCheckOf(users.toDF("user_id")).collect().head
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4))
+  }
+
+  test("SRM: a fair split passes, a broken split alarms") {
+    val fair = srm((1L to 1000L))
+    assert(fair == ((1000L, 500L, 500L, 0.0, 0L)))
+    // 990 odd vs 10 even users: chi2 = 980^2/1000 = 960.4
+    val broken = srm((1L to 1980L by 2) ++ (2L to 20L by 2))
+    assert(broken._4 == 960.4 && broken._5 == 1L)
+  }
+
+  test("SRM flag boundary is decided in integer form") {
+    // chi2 just below 10.828 must NOT flag: d=104, n=1000 -> 10.816
+    val below = srm((1L to 1104L by 2) ++ (2L to 896L by 2))
+    assert(below._4 == 10.816 && below._5 == 0L)
+  }
 }
