@@ -30,6 +30,8 @@ object SparkEntry {
       relational.Audit.queries ++
       relational.Cuped.queries ++
       relational.Power.queries ++
+      relational.KsTest.queries ++
+      relational.FunnelAb.queries ++
       relational.Analytics.queries ++
       relational.Graph.queries ++
       relational.CountMin.queries ++
@@ -102,6 +104,8 @@ object SparkEntry {
       relational.Audit.oracleSql ++
       relational.Cuped.oracleSql ++
       relational.Power.oracleSql ++
+      relational.KsTest.oracleSql ++
+      relational.FunnelAb.oracleSql ++
       relational.Analytics.oracleSql ++
       relational.Graph.oracleSql ++
       relational.CountMin.oracleSql ++
