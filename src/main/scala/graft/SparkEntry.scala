@@ -31,6 +31,7 @@ object SparkEntry {
       relational.Cuped.queries ++
       relational.Power.queries ++
       relational.KsTest.queries ++
+      relational.AttributionCompare.queries ++
       relational.FunnelAb.queries ++
       relational.Analytics.queries ++
       relational.Graph.queries ++
@@ -105,6 +106,7 @@ object SparkEntry {
       relational.Cuped.oracleSql ++
       relational.Power.oracleSql ++
       relational.KsTest.oracleSql ++
+      relational.AttributionCompare.oracleSql ++
       relational.FunnelAb.oracleSql ++
       relational.Analytics.oracleSql ++
       relational.Graph.oracleSql ++

@@ -324,8 +324,24 @@ object Graph {
     * Communities are the staged converged label-prop families;
     * graph nodes without a verified family are their own singleton
     * community. One edge-label join + two bounded aggregates. */
-  def qModularity(spark: SparkSession, dir: String): DataFrame = {
-    val labels = Dedup.stagedVerifiedClusters(spark, dir)
+  def qModularity(spark: SparkSession, dir: String): DataFrame =
+    modularityStats(spark, dir, Dedup.stagedVerifiedClusters(spark, dir))
+
+  /** Newman modularity of the LABEL-PROPAGATION partition against the
+    * same candidate graph — community QUALITY for the communities the
+    * engine itself finds (qModularity scores the verified families;
+    * this scores `graph_label_propagation`'s output, closing the
+    * find-communities -> score-communities loop with two already-
+    * oracled building blocks). Same bounded aggregates. */
+  def qLpModularity(spark: SparkSession, dir: String): DataFrame =
+    modularityStats(spark, dir,
+      lpLabelsOf(undirected(spark, dir), 3)
+        .select(col("node").as("doc_id"), col("lbl").as("cluster_id")))
+
+  /** Modularity statistics of any (doc_id, cluster_id) partition over
+    * the staged candidate graph. */
+  private def modularityStats(spark: SparkSession, dir: String,
+                              labels: DataFrame): DataFrame = {
     val edgeCom = stagedCandidates(spark, dir).select("ia", "ib")
       .join(labels.select(col("doc_id").as("ia"), col("cluster_id").as("ca")), Seq("ia"), "left")
       .join(labels.select(col("doc_id").as("ib"), col("cluster_id").as("cb")), Seq("ib"), "left")
@@ -402,8 +418,10 @@ object Graph {
   def qLabelPropagation(spark: SparkSession, dir: String, sweeps: Int = 3): DataFrame =
     labelPropagationOf(undirected(spark, dir), sweeps)
 
-  /** [[qLabelPropagation]] over any (s, d) undirected edge frame. */
-  private[relational] def labelPropagationOf(und: DataFrame, sweeps: Int): DataFrame = {
+  /** Per-node converged labels of [[qLabelPropagation]]'s synchronous
+    * sweeps — exposed so community-QUALITY consumers (LP modularity)
+    * share the exact partition the census reports. */
+  private[relational] def lpLabelsOf(und: DataFrame, sweeps: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val nodes = und.select(col("s").as("node")).distinct().localCheckpoint(true)
     var lbl = nodes.withColumn("lbl", col("node"))
@@ -421,14 +439,20 @@ object Graph {
         .select(col("node"), coalesce(col("new_lbl"), col("node")).as("lbl"))
         .localCheckpoint(true)
     }
-    lbl.groupBy("lbl").agg(count(lit(1)).as("community_size"))
-      .groupBy("community_size").agg(count(lit(1)).as("n_communities"))
+    lbl
   }
+
+  /** [[qLabelPropagation]] over any (s, d) undirected edge frame. */
+  private[relational] def labelPropagationOf(und: DataFrame, sweeps: Int): DataFrame =
+    lpLabelsOf(und, sweeps)
+      .groupBy("lbl").agg(count(lit(1)).as("community_size"))
+      .groupBy("community_size").agg(count(lit(1)).as("n_communities"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_label_propagation" -> ((s: SparkSession, d: String) => qLabelPropagation(s, d)),
     "graph_bfs_distances" -> ((s: SparkSession, d: String) => qBfsDistances(s, d)),
     "graph_modularity" -> (qModularity _),
+    "graph_lp_modularity" -> (qLpModularity _),
     "graph_assortativity" -> (qAssortativity _),
     "graph_pagerank" -> ((s: SparkSession, d: String) => qPageRank(s, d)),
     "graph_triangles" -> (qTriangles _),
@@ -466,6 +490,41 @@ object Graph {
          |sz AS (SELECT lbl, count(*) AS community_size FROM l3 GROUP BY lbl)
          |SELECT community_size, count(*) AS n_communities
          |FROM sz GROUP BY community_size""".stripMargin
+    },
+    "graph_lp_modularity" -> {
+      val sweep = (k: Int) =>
+        s"""v$k AS (SELECT und.s AS node, l${k - 1}.lbl, count(*) AS n
+           |  FROM und JOIN l${k - 1} ON und.d = l${k - 1}.node GROUP BY 1, 2),
+           |m$k AS (SELECT node, lbl FROM (
+           |  SELECT node, lbl, row_number() OVER (
+           |    PARTITION BY node ORDER BY n DESC, lbl ASC) AS rk FROM v$k)
+           |  WHERE rk = 1),
+           |l$k AS MATERIALIZED (
+           |  SELECT nodes.node, coalesce(m$k.lbl, nodes.node) AS lbl
+           |  FROM nodes LEFT JOIN m$k ON m$k.node = nodes.node)""".stripMargin
+      val sweeps = (1 to 3).map(sweep).mkString(",\n")
+      s"""WITH ${Dedup.sigSql},
+         |${Dedup.bandsSql},
+         |${Dedup.candsSql},
+         |$undSql,
+         |nodes AS (SELECT DISTINCT s AS node FROM und),
+         |l0 AS (SELECT node, node AS lbl FROM nodes),
+         |$sweeps,
+         |lm AS MATERIALIZED (SELECT node AS doc_id, lbl FROM l3),
+         |dc AS (SELECT coalesce(lm.lbl, deg.s) AS c, CAST(sum(deg) AS BIGINT) AS dc
+         |       FROM deg LEFT JOIN lm ON lm.doc_id = deg.s GROUP BY 1),
+         |ds AS (SELECT count(*) AS n_communities,
+         |       CAST(sum(dc * dc) AS BIGINT) AS sum_dc2 FROM dc),
+         |ec AS (SELECT count(*) AS n_edges,
+         |  CAST(sum(CASE WHEN coalesce(la.lbl, cands.ia) = coalesce(lb.lbl, cands.ib)
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS intra_edges
+         |  FROM cands LEFT JOIN lm la ON la.doc_id = cands.ia
+         |             LEFT JOIN lm lb ON lb.doc_id = cands.ib)
+         |SELECT n_edges, n_communities, intra_edges,
+         |  round(CAST(intra_edges AS DOUBLE) / n_edges, 6) AS intra_frac,
+         |  round(CAST(intra_edges AS DOUBLE) / n_edges
+         |    - CAST(sum_dc2 AS DOUBLE) / (4.0 * n_edges * n_edges), 6) AS modularity
+         |FROM ec CROSS JOIN ds""".stripMargin
     },
     "graph_bfs_distances" -> {
       val round = (k: Int) =>

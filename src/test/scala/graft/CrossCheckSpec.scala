@@ -49,6 +49,25 @@ class CrossCheckSpec extends AnyFunSuite {
     assert(ent == trans)
   }
 
+  test("both modularity queries score the SAME candidate graph") {
+    val m1 = relational.Graph.qModularity(spark, sf).collect().head
+    val m2 = relational.Graph.qLpModularity(spark, sf).collect().head
+    assert(m1.getLong(0) == m2.getLong(0)) // identical n_edges
+    Seq(m1, m2).foreach { r =>
+      val q = r.getAs[Double]("modularity")
+      assert(q >= -0.5 && q <= 1.0)
+    }
+  }
+
+  test("attribution-compare shares are distributions; ranks are permutations") {
+    val rows = relational.AttributionCompare.qAttributionCompare(spark, sf).collect()
+    val sLt = rows.map(_.getAs[Double]("share_last_touch")).sum
+    assert(math.abs(sLt - 1.0) < 1e-4)
+    val n = rows.length
+    assert(rows.map(_.getAs[Int]("rank_last_touch")).sorted.toSeq == (1 to n))
+    assert(rows.map(_.getAs[Int]("rank_markov")).sorted.toSeq == (1 to n))
+  }
+
   test("survival at week 26 is consistent with the repeat-rate censuses") {
     // customers entering the KM study = customers in the repeat-rate
     // cohort census (same first-order derivation)

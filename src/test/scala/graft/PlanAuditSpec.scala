@@ -145,7 +145,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "orders_repeat_rate",           // (no global window; listed defensively with the cohort family) -- calendar-month frame
     "text_heaps",                   // OLS moment cumulatives over the 10-row checkpoint frame
     "events_markov_entropy",        // entropy-rate cumulative over the <=|event types| state frame
-    "pipeline_interleave"           // source-index + prefix cumulative over (sources) and (10 deciles) frames
+    "pipeline_interleave",          // source-index + prefix cumulative over (sources) and (10 deciles) frames
+    "orders_ks_test",               // stripe-census offsets over the value-bounded stripe frame
+    "events_attribution_compare"    // rank windows over the <=|channels| frame
   )
 
   test("no registered query plans a CartesianProduct or a single-buffer exact percentile") {
