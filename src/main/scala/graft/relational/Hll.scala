@@ -57,8 +57,10 @@ object Hll {
     hllOf(t(spark, dir, "events")
       .select(col("event_type"), expr("user_id * 100 + day(ts)").as("k")))
 
-  /** [[qHllSketch]] over any (event_type, k: BIGINT >= 0) frame. */
-  private[relational] def hllOf(base: DataFrame): DataFrame = {
+  /** [[qHllSketch]] over any (event_type, k: BIGINT >= 0) frame.
+    * `private[graft]`: the streaming twin's spec asserts estimate
+    * equality against this exact operator. */
+  private[graft] def hllOf(base: DataFrame): DataFrame = {
     val hashed = base
       .withColumn("h0", expr("k % 4294967296"))
       .withColumn("h1", expr("((h0 ^ shiftright(h0, 16)) * 73244475) % 4294967296"))

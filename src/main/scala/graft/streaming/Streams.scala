@@ -585,6 +585,84 @@ object Streams {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
   }
 
+  // ---- streaming HLL uniques (transformWithState) ----------------------
+
+  case class HEv(group: String, item: Long)
+  case class HllUniquesOut(group: String, n_events: Long, estimate: Double)
+
+  /** The batch `agg_hll_sketch` avalanche hash + register update,
+    * replicated in Scala STEP FOR STEP (same mul/xor/shift chain, same
+    * reversed-bit rank statistic) so the streaming sketch is provably
+    * the same sketch — StreamingHllSpec asserts the streamed estimate
+    * equals the batch operator's on the identical item set. */
+  private[streaming] object HllCore {
+    val M = 256
+    private val ALPHA_M2P =
+      0.7213 / (1 + 1.079 / M) * M.toDouble * M.toDouble * 33554432.0
+    def bucketRho(k: Long): (Int, Byte) = {
+      val h0 = k % 4294967296L
+      val h1 = ((h0 ^ (h0 >>> 16)) * 73244475L) % 4294967296L
+      val h2 = ((h1 ^ (h1 >>> 16)) * 73244475L) % 4294967296L
+      val h = h2 ^ (h2 >>> 16)
+      val w = h / M
+      val rho = if (w == 0) 25 else java.lang.Long.numberOfTrailingZeros(w) + 1
+      ((h % M).toInt, rho.toByte)
+    }
+    def estimate(regs: Array[Byte]): Double = {
+      var sum = 0L; var zeros = 0
+      var i = 0
+      while (i < M) {
+        sum += 1L << (25 - regs(i)); if (regs(i) == 0) zeros += 1; i += 1
+      }
+      val raw = ALPHA_M2P / sum
+      if (raw <= 2.5 * M && zeros > 0) M * math.log(M.toDouble / zeros) else raw
+    }
+  }
+
+  /** Streaming distinct-uniques sketch per group on transformWithState
+    * — the live twin of the batch `agg_hll_sketch` row: 256 bytes of
+    * typed ValueState per key hold the full HyperLogLog register
+    * bank, every micro-batch folds its items in (max per register —
+    * idempotent under replay and duplicates, the property exact
+    * distinct counting loses the moment state must stay bounded), and
+    * each batch emits the group's running estimate. This is the
+    * "uniques today so far" dashboard feed at 100 TB: state per key
+    * is CONSTANT regardless of cardinality. */
+  class HllUniquesProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, HEv, HllUniquesOut] {
+    @transient private var regs: org.apache.spark.sql.streaming.ValueState[Array[Byte]] = _
+    @transient private var seen: org.apache.spark.sql.streaming.ValueState[Long] = _
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      regs = getHandle.getValueState[Array[Byte]]("regs",
+        org.apache.spark.sql.Encoders.BINARY,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      seen = getHandle.getValueState[Long]("seen",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+    override def handleInputRows(key: String, rows: Iterator[HEv],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[HllUniquesOut] = {
+      val r = if (regs.exists()) regs.get() else new Array[Byte](HllCore.M)
+      var n = if (seen.exists()) seen.get() else 0L
+      rows.foreach { e =>
+        val (b, rho) = HllCore.bucketRho(e.item)
+        if (rho > r(b)) r(b) = rho
+        n += 1
+      }
+      regs.update(r)
+      seen.update(n)
+      Iterator.single(HllUniquesOut(key, n, HllCore.estimate(r)))
+    }
+  }
+
+  def hllUniques(events: Dataset[HEv]): Dataset[HllUniquesOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.group)
+      .transformWithState(new HllUniquesProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+  }
+
   // ---- streaming heavy hitters (SpaceSaving) ---------------------------
 
   case class TypedEv(event_type: String, user_id: Long)
