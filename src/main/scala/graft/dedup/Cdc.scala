@@ -44,6 +44,25 @@ object Cdc {
     * expression into a pushed `size(...) > 0` filter, and the census
     * self-join doubles everything again (6 evaluations per doc). */
   private[dedup] def cdcChunksOf(docs: DataFrame): DataFrame = {
+    val chunks = chunkFrame(docs)
+    val census = chunks.groupBy("chunk").agg(count(lit(1)).as("cnt"))
+    chunks.join(census, "chunk")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(length(col("chunk")).cast("long")).as("n_chars"),
+        sum(when(col("cnt") >= 2, 1L).otherwise(0L)).as("dup_chunks"),
+        sum(when(col("cnt") >= 2, length(col("chunk")).cast("long"))
+          .otherwise(0L)).as("dup_chars"))
+      .select(col("source"), col("n_chunks"), col("n_chars"),
+        col("dup_chunks"), col("dup_chars"),
+        expr("""CAST((2 * dup_chars * 1000000 + n_chars)
+               |     DIV (2 * n_chars) AS DOUBLE) / 1000000.0""".stripMargin)
+          .as("dup_char_frac"))
+  }
+
+  /** The exploded (doc_id, source, chunk) frame both CDC consumers
+    * share. */
+  private def chunkFrame(docs: DataFrame): DataFrame = {
     val chunked = docs
       .withColumn("len", length(col("text")).cast("long"))
       // boundary ends: i in [W, len) where 31-poly(text[i-W+1..i]) % DIV == 0
@@ -69,56 +88,100 @@ object Cdc {
            |ELSE array() END""".stripMargin))
       .select(col("doc_id"), col("source"), col("chunks"))
       .localCheckpoint(true)
-    val chunks = chunked
+    chunked
       .select(col("doc_id"), col("source"), explode(col("chunks")).as("chunk"))
       .filter(length(col("chunk")) > 0)
-    val census = chunks.groupBy("chunk").agg(count(lit(1)).as("cnt"))
-    chunks.join(census, "chunk")
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_chunks"),
-        sum(length(col("chunk")).cast("long")).as("n_chars"),
-        sum(when(col("cnt") >= 2, 1L).otherwise(0L)).as("dup_chunks"),
-        sum(when(col("cnt") >= 2, length(col("chunk")).cast("long"))
-          .otherwise(0L)).as("dup_chars"))
-      .select(col("source"), col("n_chunks"), col("n_chars"),
-        col("dup_chunks"), col("dup_chars"),
-        expr("""CAST((2 * dup_chars * 1000000 + n_chars)
-               |     DIV (2 * n_chars) AS DOUBLE) / 1000000.0""".stripMargin)
-          .as("dup_char_frac"))
+  }
+
+  // ---- CDC near-dup pairs ---------------------------------------------
+
+  private val MIN_CHUNK = 16 // evidence chunks: skip trivially-short ones
+  private val CAP = 16       // per-chunk posting cap (hot-chunk guard)
+  private val MIN_SHARED = 3 // pair evidence threshold
+  private val TOPP = 20
+
+  def qCdcPairs(spark: SparkSession, dir: String): DataFrame =
+    cdcPairsOf(t(spark, dir, "documents"))
+
+  /** Near-dup PAIRS from shared CDC chunks — the end-use of the chunk
+    * census: two documents sharing MIN_SHARED content-defined chunks
+    * of >= MIN_CHUNK chars are near-duplicates at sub-document
+    * granularity, robust to insertions (the boundary re-sync
+    * property). Hot boilerplate chunks are CAPPED to their first CAP
+    * holders by doc id (bounded-heap TopKPerKey — the prefix-join
+    * posting discipline), so a chunk shared by a million docs
+    * contributes CAP^2 candidate pairs, never a million squared.
+    * Top-20 under a total order. */
+  private[dedup] def cdcPairsOf(docs: DataFrame): DataFrame = {
+    val evidence = chunkFrame(docs)
+      .filter(length(col("chunk")) >= MIN_CHUNK)
+      .select(col("chunk"), col("doc_id")).distinct()
+    val capped = graft.plans.TopKPerKey(
+        evidence.withColumn("nv", lit(0.0)), Seq("chunk"), "nv", "doc_id", CAP)
+      .select("chunk", "doc_id")
+    capped.as("a").join(capped.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("shared_chunks"))
+      .filter(col("shared_chunks") >= MIN_SHARED)
+      .orderBy(col("shared_chunks").desc, col("da").asc, col("db").asc)
+      .limit(TOPP)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "dedup_cdc_chunks" -> (qCdcChunks _))
+    "dedup_cdc_chunks" -> (qCdcChunks _),
+    "dedup_cdc_pairs" -> (qCdcPairs _))
+
+  /** The chunking CTE chain (b -> ch -> chf) both oracles share. */
+  private val chunkCtesSql =
+    s"""b AS (
+       |  SELECT doc_id, source, text, length(text) AS len,
+       |    CASE WHEN length(text) >= $W THEN
+       |      list_concat(
+       |        list_concat([CAST(0 AS BIGINT)],
+       |          list_filter(list_transform(range($W, length(text) + 1), i ->
+       |            CASE WHEN i < length(text) AND
+       |              list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |                  list_transform(range(i - ${W - 1}, i + 1),
+       |                    j -> CAST(ascii(substring(text, CAST(j AS INT), 1)) AS BIGINT))),
+       |                (h, c) -> (h * 31 + c) % 1000000007)
+       |              % $DIV = 0
+       |            THEN CAST(i AS BIGINT) ELSE CAST(-1 AS BIGINT) END),
+       |            p -> p >= 0)),
+       |        [CAST(length(text) AS BIGINT)])
+       |    ELSE NULL END AS bs
+       |  FROM documents),
+       |ch AS (
+       |  SELECT doc_id, source, unnest(
+       |    CASE WHEN len >= $W THEN
+       |      list_transform(range(1, len(bs)), k ->
+       |        substring(text, CAST(bs[CAST(k AS INT)] + 1 AS INT),
+       |          CAST(bs[CAST(k + 1 AS INT)] - bs[CAST(k AS INT)] AS INT)))
+       |    WHEN len >= 1 THEN [text]
+       |    ELSE [] END) AS chunk
+       |  FROM b),
+       |chf AS (SELECT doc_id, source, chunk FROM ch WHERE length(chunk) > 0)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "dedup_cdc_pairs" ->
+      s"""WITH $chunkCtesSql,
+         |ev AS (SELECT DISTINCT chunk, doc_id FROM chf
+         |  WHERE length(chunk) >= $MIN_CHUNK),
+         |capped AS (SELECT chunk, doc_id FROM (
+         |    SELECT chunk, doc_id, row_number() OVER (
+         |      PARTITION BY chunk ORDER BY doc_id ASC) AS rn FROM ev)
+         |  WHERE rn <= $CAP),
+         |pairs AS (
+         |  SELECT a.doc_id AS da, b2.doc_id AS db, count(*) AS shared_chunks
+         |  FROM capped a JOIN capped b2
+         |    ON a.chunk = b2.chunk AND a.doc_id < b2.doc_id
+         |  GROUP BY 1, 2
+         |  HAVING count(*) >= $MIN_SHARED)
+         |SELECT da, db, shared_chunks FROM pairs
+         |ORDER BY shared_chunks DESC, da ASC, db ASC
+         |LIMIT $TOPP""".stripMargin,
     "dedup_cdc_chunks" ->
-      s"""WITH b AS (
-         |  SELECT doc_id, source, text, length(text) AS len,
-         |    CASE WHEN length(text) >= $W THEN
-         |      list_concat(
-         |        list_concat([CAST(0 AS BIGINT)],
-         |          list_filter(list_transform(range($W, length(text) + 1), i ->
-         |            CASE WHEN i < length(text) AND
-         |              list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |                  list_transform(range(i - ${W - 1}, i + 1),
-         |                    j -> CAST(ascii(substring(text, CAST(j AS INT), 1)) AS BIGINT))),
-         |                (h, c) -> (h * 31 + c) % 1000000007)
-         |              % $DIV = 0
-         |            THEN CAST(i AS BIGINT) ELSE CAST(-1 AS BIGINT) END),
-         |            p -> p >= 0)),
-         |        [CAST(length(text) AS BIGINT)])
-         |    ELSE NULL END AS bs
-         |  FROM documents),
-         |ch AS (
-         |  SELECT doc_id, source, unnest(
-         |    CASE WHEN len >= $W THEN
-         |      list_transform(range(1, len(bs)), k ->
-         |        substring(text, CAST(bs[CAST(k AS INT)] + 1 AS INT),
-         |          CAST(bs[CAST(k + 1 AS INT)] - bs[CAST(k AS INT)] AS INT)))
-         |    WHEN len >= 1 THEN [text]
-         |    ELSE [] END) AS chunk
-         |  FROM b),
-         |chf AS (SELECT doc_id, source, chunk FROM ch WHERE length(chunk) > 0),
+      s"""WITH $chunkCtesSql,
          |census AS (SELECT chunk, count(*) AS cnt FROM chf GROUP BY 1)
          |SELECT source,
          |  count(*) AS n_chunks,

@@ -38,4 +38,24 @@ class CdcSpec extends AnyFunSuite {
     val m = report(Seq((1L, "tiny", "s"), (2L, "tiny", "s")))
     assert(m("s") == ((2L, 8L, 2L, 8L, 1.0)))
   }
+
+  test("near-dup pairs: copies pair up, disjoint docs never do") {
+    val rows = Cdc.cdcPairsOf(Seq(
+        (1L, body, "a"), (2L, body, "b"),          // full copies
+        (3L, "0123456789" + body, "c"),            // prefix-shifted copy
+        (4L, "Z" * 400, "d")).toDF("doc_id", "text", "source"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(rows.contains((1L, 2L))) // identical docs share all chunks
+    assert(rows.contains((1L, 3L))) // re-synced chunks carry the pair
+    assert(rows.keys.forall { case (a, b) => a != 4L && b != 4L })
+  }
+
+  test("pair evidence requires MIN_SHARED chunks of MIN_CHUNK length") {
+    // two docs sharing only short/few chunks stay unpaired
+    val rows = Cdc.cdcPairsOf(Seq(
+        (1L, "abcdefgh", "s"), (2L, "abcdefgh", "s")) // one 8-char chunk
+        .toDF("doc_id", "text", "source"))
+      .collect()
+    assert(rows.isEmpty)
+  }
 }
