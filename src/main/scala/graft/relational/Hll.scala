@@ -87,6 +87,65 @@ object Hll {
           .as("rel_err_pct"))
   }
 
+  // ---- sketch-merge identity proof ------------------------------------
+
+  /** HLL mergeability report — the property that makes the sketch THE
+    * distributed cardinality structure at 100 TB: registers built on
+    * disjoint partitions merge by per-bucket max into EXACTLY the
+    * registers of a whole-corpus build (max is associative/commutative
+    * — the same reason the register aggregate is map-side combinable).
+    * The operator builds the user-parity half sketches and the whole
+    * sketch through two DIFFERENT aggregation paths and reports both
+    * estimates plus an integer identity flag the oracle must agree is
+    * 1 — the `join_incremental` self-verification pattern applied to
+    * sketch state. */
+  def qHllMerge(spark: SparkSession, dir: String): DataFrame =
+    hllMergeOf(t(spark, dir, "events")
+      .select(col("event_type"), col("user_id"),
+        expr("user_id * 100 + day(ts)").as("k")))
+
+  /** [[qHllMerge]] over any (event_type, user_id, k) frame. */
+  private[relational] def hllMergeOf(base: DataFrame): DataFrame = {
+    val rho = base
+      .withColumn("half", expr("CAST(user_id % 2 AS INT)"))
+      .withColumn("h0", expr("k % 4294967296"))
+      .withColumn("h1", expr("((h0 ^ shiftright(h0, 16)) * 73244475) % 4294967296"))
+      .withColumn("h2", expr("((h1 ^ shiftright(h1, 16)) * 73244475) % 4294967296"))
+      .withColumn("h", expr("h2 ^ shiftright(h2, 16)"))
+      .withColumn("bucket", expr(s"h % $M"))
+      .withColumn("rho", expr(
+        s"CASE WHEN h DIV $M = 0 THEN 25 ELSE bit_count(((h DIV $M) & -(h DIV $M)) - 1) + 1 END"))
+      .select("event_type", "half", "bucket", "rho")
+    def scaled(regs: DataFrame): DataFrame =
+      regs.groupBy("event_type")
+        .agg(count(lit(1)).as("nb"),
+          sum(expr("shiftleft(CAST(1 AS BIGINT), 25 - r)")).as("sp"))
+        .withColumn("sum_scaled",
+          (lit(M.toLong) - col("nb")) * lit(33554432L) + col("sp"))
+        .withColumn("n_zero_buckets", lit(M.toLong) - col("nb"))
+    val halfRegs = rho.groupBy("event_type", "half", "bucket").agg(max("rho").as("r"))
+    val merged = scaled(
+      halfRegs.groupBy("event_type", "bucket").agg(max("r").as("r")))
+      .select(col("event_type"), col("sum_scaled").as("ss_merged"),
+        col("n_zero_buckets").as("z_merged"))
+    val whole = scaled(
+      rho.groupBy("event_type", "bucket").agg(max("rho").as("r")))
+      .select(col("event_type"), col("sum_scaled").as("ss_whole"),
+        col("n_zero_buckets").as("z_whole"))
+    def estOf(ss: String, z: String): String =
+      s"""CASE WHEN CAST($ALPHA_M2P AS DOUBLE) / $ss <= $SMALL AND $z > 0
+         |     THEN $M.0 * ln($M.0 / $z)
+         |     ELSE CAST($ALPHA_M2P AS DOUBLE) / $ss END""".stripMargin
+    merged.join(whole, "event_type")
+      .select(col("event_type"),
+        col("ss_merged"), col("ss_whole"),
+        expr(s"round(${estOf("ss_merged", "z_merged")}, 6)").as("est_merged"),
+        expr(s"round(${estOf("ss_whole", "z_whole")}, 6)").as("est_whole"),
+        expr("""CAST(CASE WHEN ss_merged = ss_whole AND z_merged = z_whole
+               |     THEN 1 ELSE 0 END AS BIGINT)""".stripMargin)
+          .as("merge_identity"))
+  }
+
   // ---- KMV (k-minimum-values) companion sketch ------------------------
 
   private val KMV_K = 64
@@ -134,6 +193,7 @@ object Hll {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_hll_sketch" -> (qHllSketch _),
+    "agg_hll_merge" -> (qHllMerge _),
     "agg_kmv_sketch" -> (qKmvSketch _))
 
   val oracleSql: Map[String, String] = Map(
@@ -169,6 +229,49 @@ object Hll {
          |  round($est, 6) AS estimate,
          |  round(($est - n_exact) * 100.0 / n_exact, 6) AS rel_err_pct
          |FROM agg JOIN ex ON agg.event_type = ex.event_type""".stripMargin
+    },
+    "agg_hll_merge" -> {
+      def estOf(ss: String, z: String): String =
+        s"""CASE WHEN CAST($ALPHA_M2P AS DOUBLE) / $ss <= $SMALL AND $z > 0
+           |     THEN $M.0 * ln($M.0 / $z)
+           |     ELSE CAST($ALPHA_M2P AS DOUBLE) / $ss END""".stripMargin
+      s"""WITH base AS (
+         |  SELECT event_type, CAST(user_id % 2 AS INT) AS half,
+         |    user_id * 100 + EXTRACT(day FROM ts) AS k
+         |  FROM events),
+         |h0s AS (SELECT event_type, half, k, k % 4294967296 AS h0 FROM base),
+         |h1s AS (SELECT event_type, half, k,
+         |  (xor(h0, h0 >> 16) * 73244475) % 4294967296 AS h1 FROM h0s),
+         |h2s AS (SELECT event_type, half, k,
+         |  (xor(h1, h1 >> 16) * 73244475) % 4294967296 AS h2 FROM h1s),
+         |hs AS (SELECT event_type, half, xor(h2, h2 >> 16) AS h FROM h2s),
+         |rho AS (
+         |  SELECT event_type, half, h % $M AS bucket,
+         |    CASE WHEN h // $M = 0 THEN 25
+         |         ELSE bit_count(((h // $M) & -(h // $M)) - 1) + 1 END AS rho
+         |  FROM hs),
+         |hr AS (SELECT event_type, half, bucket, max(rho) AS r
+         |  FROM rho GROUP BY 1, 2, 3),
+         |mregs AS (SELECT event_type, bucket, max(r) AS r FROM hr GROUP BY 1, 2),
+         |wregs AS (SELECT event_type, bucket, max(rho) AS r FROM rho GROUP BY 1, 2),
+         |m AS (SELECT event_type,
+         |    ($M - count(*)) * 33554432 + sum(CAST(1 AS BIGINT) << (25 - r))
+         |      AS ss_merged,
+         |    $M - count(*) AS z_merged
+         |  FROM mregs GROUP BY 1),
+         |w AS (SELECT event_type,
+         |    ($M - count(*)) * 33554432 + sum(CAST(1 AS BIGINT) << (25 - r))
+         |      AS ss_whole,
+         |    $M - count(*) AS z_whole
+         |  FROM wregs GROUP BY 1)
+         |SELECT m.event_type,
+         |  CAST(ss_merged AS BIGINT) AS ss_merged,
+         |  CAST(ss_whole AS BIGINT) AS ss_whole,
+         |  round(${estOf("ss_merged", "z_merged")}, 6) AS est_merged,
+         |  round(${estOf("ss_whole", "z_whole")}, 6) AS est_whole,
+         |  CAST(CASE WHEN ss_merged = ss_whole AND z_merged = z_whole
+         |       THEN 1 ELSE 0 END AS BIGINT) AS merge_identity
+         |FROM m JOIN w ON m.event_type = w.event_type""".stripMargin
     },
     "agg_kmv_sketch" -> {
       val est = s"""CASE WHEN n_kept < $KMV_K THEN CAST(n_kept AS DOUBLE)

@@ -42,6 +42,18 @@ class HllSpec extends AnyFunSuite {
     assert(m("a") == m("b")) // identical key sets -> identical registers
   }
 
+  test("half-sketch merge reproduces the whole-corpus registers exactly") {
+    val rows = Hll.hllMergeOf(
+        (1L to 2000L).map(k => ("a", k % 7, k)) // users 0..6 across halves
+          .toDF("event_type", "user_id", "k"))
+      .collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getLong(1) == r.getLong(2)) // ss_merged == ss_whole
+    assert(r.getDouble(3) == r.getDouble(4)) // identical estimates
+    assert(r.getLong(5) == 1L) // merge_identity
+  }
+
   private def kmv(keys: Seq[(String, Long)]) =
     Hll.kmvOf(keys.toDF("event_type", "k")).collect()
       .map(r => r.getString(0) ->
