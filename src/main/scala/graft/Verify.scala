@@ -63,6 +63,13 @@ object Verify {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         Files.writeString(Paths.get(s"$outDir/$name/_RUN_STAMP"), runId)
+        // Canonical compare-side hash (round-14 verdict demand #2):
+        // re-read the bytes just written and record the sha256 of the
+        // canonical compared form; tools/check.py recomputes it from
+        // the same bytes through DuckDB+Python and verifies equality,
+        // so a checker-side discrepancy is provable bytes-on-disk.
+        Files.writeString(Paths.get(s"$outDir/$name/_CANONICAL.sha256"),
+          Canonical.hashOf(spark.read.parquet(s"$outDir/$name")))
         status(name) = f"""{"ok": true, "sec": ${(System.nanoTime() - t0) / 1e9}%.2f}"""
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

@@ -17,9 +17,11 @@ import graft.Tables.t
   *
   * Determinism: the window hash is the repo's standard 31-poly mod
   * 1e9+7 fold (exact integers); boundary positions are integer
-  * comparisons; chunks join on their literal substring (no hash
-  * collision surface); counts are exact, fractions one HALF_UP
-  * division each.
+  * comparisons; chunks join on md5(chunk) — the repo's standing
+  * collision-free-by-convention content key (survivorship, line
+  * dedup), so only bounded 32-char keys shuffle, never the chunk
+  * text; counts are exact, fractions one HALF_UP division each
+  * widened to DECIMAL(38,0)/HUGEINT.
   *
   * Scale shape: one HOF chunking projection per document (let-bound
   * hash array — the Winnowing O(n^2) guard), one explode to
@@ -44,19 +46,29 @@ object Cdc {
     * expression into a pushed `size(...) > 0` filter, and the census
     * self-join doubles everything again (6 evaluations per doc). */
   private[dedup] def cdcChunksOf(docs: DataFrame): DataFrame = {
+    // census + join-back keyed on md5(chunk), not the literal text:
+    // the standing md5 key convention (survivorship, line dedup) —
+    // bounded 32-char keys instead of arbitrary-length chunk tails on
+    // BOTH sides of the census shuffle; the length rides along so the
+    // text itself never shuffles
     val chunks = chunkFrame(docs)
-    val census = chunks.groupBy("chunk").agg(count(lit(1)).as("cnt"))
-    chunks.join(census, "chunk")
+      .select(col("source"), md5(col("chunk")).as("ck"),
+        length(col("chunk")).cast("long").as("clen"))
+    val census = chunks.groupBy("ck").agg(count(lit(1)).as("cnt"))
+    chunks.join(census, "ck")
       .groupBy("source")
       .agg(count(lit(1)).as("n_chunks"),
-        sum(length(col("chunk")).cast("long")).as("n_chars"),
+        sum(col("clen")).as("n_chars"),
         sum(when(col("cnt") >= 2, 1L).otherwise(0L)).as("dup_chunks"),
-        sum(when(col("cnt") >= 2, length(col("chunk")).cast("long"))
-          .otherwise(0L)).as("dup_chars"))
+        sum(when(col("cnt") >= 2, col("clen")).otherwise(0L)).as("dup_chars"))
+      // dup_char_frac widened to DECIMAL(38,0) BEFORE the multiply —
+      // the Inequality/KsTest convention; BIGINT saturates past
+      // ~4.6e12 duplicated chars, a corpus size 100 TB reaches
       .select(col("source"), col("n_chunks"), col("n_chars"),
         col("dup_chunks"), col("dup_chars"),
-        expr("""CAST((2 * dup_chars * 1000000 + n_chars)
-               |     DIV (2 * n_chars) AS DOUBLE) / 1000000.0""".stripMargin)
+        expr("""CAST((2 * CAST(dup_chars AS DECIMAL(38,0)) * 1000000 + n_chars)
+               |     DIV (2 * CAST(n_chars AS DECIMAL(38,0))) AS DOUBLE)
+               |  / 1000000.0""".stripMargin)
           .as("dup_char_frac"))
   }
 
@@ -113,14 +125,17 @@ object Cdc {
     * contributes CAP^2 candidate pairs, never a million squared.
     * Top-20 under a total order. */
   private[dedup] def cdcPairsOf(docs: DataFrame): DataFrame = {
+    // posting key = md5(chunk): bounded keys through the distinct, the
+    // TopKPerKey heap, and both self-join sides (same convention as
+    // the census above)
     val evidence = chunkFrame(docs)
       .filter(length(col("chunk")) >= MIN_CHUNK)
-      .select(col("chunk"), col("doc_id")).distinct()
+      .select(md5(col("chunk")).as("ck"), col("doc_id")).distinct()
     val capped = graft.plans.TopKPerKey(
-        evidence.withColumn("nv", lit(0.0)), Seq("chunk"), "nv", "doc_id", CAP)
-      .select("chunk", "doc_id")
+        evidence.withColumn("nv", lit(0.0)), Seq("ck"), "nv", "doc_id", CAP)
+      .select("ck", "doc_id")
     capped.as("a").join(capped.as("b"),
-        col("a.chunk") === col("b.chunk") && col("a.doc_id") < col("b.doc_id"))
+        col("a.ck") === col("b.ck") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .agg(count(lit(1)).as("shared_chunks"))
       .filter(col("shared_chunks") >= MIN_SHARED)
@@ -165,16 +180,16 @@ object Cdc {
   val oracleSql: Map[String, String] = Map(
     "dedup_cdc_pairs" ->
       s"""WITH $chunkCtesSql,
-         |ev AS (SELECT DISTINCT chunk, doc_id FROM chf
+         |ev AS (SELECT DISTINCT md5(chunk) AS ck, doc_id FROM chf
          |  WHERE length(chunk) >= $MIN_CHUNK),
-         |capped AS (SELECT chunk, doc_id FROM (
-         |    SELECT chunk, doc_id, row_number() OVER (
-         |      PARTITION BY chunk ORDER BY doc_id ASC) AS rn FROM ev)
+         |capped AS (SELECT ck, doc_id FROM (
+         |    SELECT ck, doc_id, row_number() OVER (
+         |      PARTITION BY ck ORDER BY doc_id ASC) AS rn FROM ev)
          |  WHERE rn <= $CAP),
          |pairs AS (
          |  SELECT a.doc_id AS da, b2.doc_id AS db, count(*) AS shared_chunks
          |  FROM capped a JOIN capped b2
-         |    ON a.chunk = b2.chunk AND a.doc_id < b2.doc_id
+         |    ON a.ck = b2.ck AND a.doc_id < b2.doc_id
          |  GROUP BY 1, 2
          |  HAVING count(*) >= $MIN_SHARED)
          |SELECT da, db, shared_chunks FROM pairs
@@ -182,17 +197,18 @@ object Cdc {
          |LIMIT $TOPP""".stripMargin,
     "dedup_cdc_chunks" ->
       s"""WITH $chunkCtesSql,
-         |census AS (SELECT chunk, count(*) AS cnt FROM chf GROUP BY 1)
+         |ck AS (SELECT source, md5(chunk) AS ck, length(chunk) AS clen FROM chf),
+         |census AS (SELECT ck, count(*) AS cnt FROM ck GROUP BY 1)
          |SELECT source,
          |  count(*) AS n_chunks,
-         |  CAST(sum(length(chf.chunk)) AS BIGINT) AS n_chars,
+         |  CAST(sum(clen) AS BIGINT) AS n_chars,
          |  CAST(sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks,
-         |  CAST(sum(CASE WHEN cnt >= 2 THEN length(chf.chunk) ELSE 0 END) AS BIGINT)
+         |  CAST(sum(CASE WHEN cnt >= 2 THEN clen ELSE 0 END) AS BIGINT)
          |    AS dup_chars,
-         |  CAST((2 * CAST(sum(CASE WHEN cnt >= 2 THEN length(chf.chunk) ELSE 0 END) AS HUGEINT)
-         |        * 1000000 + sum(length(chf.chunk)))
-         |       // (2 * CAST(sum(length(chf.chunk)) AS HUGEINT)) AS DOUBLE) / 1000000.0
+         |  CAST((2 * CAST(sum(CASE WHEN cnt >= 2 THEN clen ELSE 0 END) AS HUGEINT)
+         |        * 1000000 + sum(clen))
+         |       // (2 * CAST(sum(clen) AS HUGEINT)) AS DOUBLE) / 1000000.0
          |    AS dup_char_frac
-         |FROM chf JOIN census ON chf.chunk = census.chunk
+         |FROM ck JOIN census USING (ck)
          |GROUP BY source""".stripMargin)
 }

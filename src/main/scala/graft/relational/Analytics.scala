@@ -280,8 +280,13 @@ object Analytics {
         col("n_orders_part").as("nb")), "pb")
       .crossJoin(broadcast(nOrders))
       .select(col("pa"), col("pb"), col("n_together"),
-        round(col("n_together").cast("double") * col("n_orders") /
-          (col("na") * col("nb")), 6).as("lift"))
+        // exact-integer HALF_UP 6-dp of (n_together*n_orders)/(na*nb)
+        // — DECIMAL(38,0)-widened so the *1e6 numerator stays exact at
+        // 100 TB counts (the round-12 flip class otherwise)
+        expr("""CAST((2 * CAST(n_together AS DECIMAL(38,0)) * n_orders * 1000000
+               |        + CAST(na AS DECIMAL(38,0)) * nb)
+               |     DIV (2 * CAST(na AS DECIMAL(38,0)) * nb) AS DOUBLE)
+               |  / 1000000.0""".stripMargin).as("lift"))
   }
 
   /** Frequent TRIPLES via the Apriori candidate prune (Agrawal &
@@ -293,9 +298,23 @@ object Analytics {
     * point of Apriori and what bounds the blowup at 100 TB (a naive
     * triple self-join is order-size CUBED; this is frequent-pair
     * occurrences x order tail). Support reports as the exact HALF_UP
-    * 6-dp share of all orders. */
+    * 6-dp share of all orders.
+    *
+    * `broadcastL2` guards the L2 prune's join strategy: the default
+    * broadcast assumes the frequent-pair list fits the driver/executor
+    * broadcast budget (spark.sql.autoBroadcastJoinThreshold-class,
+    * ~10s of MB — holds for any minSupport that makes Apriori useful).
+    * A LOW minSupport at 100 TB can blow L2 past that, so pass
+    * broadcastL2 = false to run the same three prunes as shuffled
+    * co-partitioned left-semi joins — identical semantics (the spec
+    * asserts both paths row-equal), no driver materialization; the
+    * semi-join build sides then shuffle on the same (pa,pb)-class keys
+    * the probe sides already hash on. */
   def qBasketTriples(spark: SparkSession, dir: String,
-                     minSupport: Long = 2L): DataFrame = {
+                     minSupport: Long = 2L,
+                     broadcastL2: Boolean = true): DataFrame = {
+    val hinted: DataFrame => DataFrame =
+      if (broadcastL2) broadcast else identity
     val li = t(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_partkey"))
       .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
@@ -311,13 +330,13 @@ object Analytics {
     val orderPairs = li.select(col("l_orderkey"), col("l_partkey").as("pa"))
       .join(li.select(col("l_orderkey"), col("l_partkey").as("pb")), "l_orderkey")
       .filter(col("pa") < col("pb"))
-      .join(broadcast(l2), Seq("pa", "pb"), "left_semi")
+      .join(hinted(l2), Seq("pa", "pb"), "left_semi")
     val cand = orderPairs
       .join(li.select(col("l_orderkey"), col("l_partkey").as("pc")), "l_orderkey")
       .filter(col("pb") < col("pc"))
-      .join(broadcast(l2.select(col("pa"), col("pb").as("pc"))),
+      .join(hinted(l2.select(col("pa"), col("pb").as("pc"))),
         Seq("pa", "pc"), "left_semi")
-      .join(broadcast(l2.select(col("pa").as("pb"), col("pb").as("pc"))),
+      .join(hinted(l2.select(col("pa").as("pb"), col("pb").as("pc"))),
         Seq("pb", "pc"), "left_semi")
     cand.groupBy("pa", "pb", "pc").agg(count(lit(1)).as("n_together"))
       .filter(col("n_together") >= minSupport)
@@ -1378,8 +1397,10 @@ object Analytics {
         |  GROUP BY 1, 2
         |  HAVING count(*) >= 2)
         |SELECT pa, pb, n_together,
-        |  round(CAST(n_together AS DOUBLE) * n.n_orders /
-        |    (na.n_orders_part * nb.n_orders_part), 6) AS lift
+        |  CAST((2 * CAST(n_together AS HUGEINT) * n.n_orders * 1000000
+        |          + CAST(na.n_orders_part AS HUGEINT) * nb.n_orders_part)
+        |       // (2 * CAST(na.n_orders_part AS HUGEINT) * nb.n_orders_part)
+        |    AS DOUBLE) / 1000000.0 AS lift
         |FROM pairs
         |JOIN pp na ON na.l_partkey = pa
         |JOIN pp nb ON nb.l_partkey = pb

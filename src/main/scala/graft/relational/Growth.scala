@@ -14,10 +14,17 @@ import graft.Tables.t
   * reports.
   *
   * Determinism: revenue quantizes to cents at read and sums in
-  * BIGINT; growth_pct is (rev - prev) * 100 / prev — double division
-  * of exact integers in one IEEE op chain, rounded 6; the lag/rolling
-  * windows run over the calendar-month frame (~80 rows, bounded by
-  * the date span, not the corpus).
+  * BIGINT; growth_pct is the EXACT-integer HALF_UP 6-dp division of
+  * (rev - prev) * 100 by prev — the signed variant of the Mix
+  * length-buckets idiom (round 12 proved round() of a raw double
+  * quotient can flip between Spark's BigDecimal and DuckDB's fp
+  * rounding near a 1e-6 midpoint; this formula has no floating step
+  * at all). Mirrored on sign since rev - prev can be negative: ties
+  * round away from zero, exactly BigDecimal HALF_UP. Widened to
+  * DECIMAL(38,0) so the *1e8 numerator never leaves exact range at
+  * 100 TB revenue; the lag/rolling windows run over the
+  * calendar-month frame (~80 rows, bounded by the date span, not the
+  * corpus).
   *
   * Scale shape: one scan into a month-bounded aggregate; windows only
   * over the bounded month frame. */
@@ -37,9 +44,18 @@ object Growth {
       .withColumn("prev_rev_cents", lag("rev_cents", 1).over(byMonth))
       .withColumn("rev_3m_cents", sum("rev_cents").over(rolling))
       .select(col("month"), col("rev_cents"), col("prev_rev_cents"),
-        round(expr(
-          "CAST(rev_cents - prev_rev_cents AS DOUBLE) * 100.0 / prev_rev_cents"),
-          6).as("growth_pct"),
+        expr("""CASE WHEN prev_rev_cents IS NULL THEN CAST(NULL AS DOUBLE)
+               |WHEN rev_cents >= prev_rev_cents THEN
+               |  CAST((2 * (CAST(rev_cents AS DECIMAL(38,0)) - prev_rev_cents)
+               |          * 100000000 + prev_rev_cents)
+               |       DIV (2 * CAST(prev_rev_cents AS DECIMAL(38,0))) AS DOUBLE)
+               |    / 1000000.0
+               |ELSE
+               |  -(CAST((2 * (CAST(prev_rev_cents AS DECIMAL(38,0)) - rev_cents)
+               |            * 100000000 + prev_rev_cents)
+               |         DIV (2 * CAST(prev_rev_cents AS DECIMAL(38,0))) AS DOUBLE)
+               |      / 1000000.0)
+               |END""".stripMargin).as("growth_pct"),
         col("rev_3m_cents"))
   }
 
@@ -51,13 +67,26 @@ object Growth {
       """WITH m AS (
         |  SELECT strftime(o_orderdate, '%Y-%m') AS month,
         |    sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS rev_cents
-        |  FROM orders GROUP BY 1)
-        |SELECT month, rev_cents,
-        |  lag(rev_cents, 1) OVER (ORDER BY month) AS prev_rev_cents,
-        |  round(CAST(rev_cents - lag(rev_cents, 1) OVER (ORDER BY month)
-        |        AS DOUBLE) * 100.0
-        |    / lag(rev_cents, 1) OVER (ORDER BY month), 6) AS growth_pct,
-        |  sum(rev_cents) OVER (ORDER BY month
-        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS rev_3m_cents
-        |FROM m""".stripMargin)
+        |  FROM orders GROUP BY 1),
+        |g AS (
+        |  SELECT month, rev_cents,
+        |    lag(rev_cents, 1) OVER (ORDER BY month) AS prev_rev_cents,
+        |    sum(rev_cents) OVER (ORDER BY month
+        |      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS rev_3m_cents
+        |  FROM m)
+        |SELECT month, rev_cents, prev_rev_cents,
+        |  CASE WHEN prev_rev_cents IS NULL THEN CAST(NULL AS DOUBLE)
+        |  WHEN rev_cents >= prev_rev_cents THEN
+        |    CAST((2 * CAST(rev_cents - prev_rev_cents AS HUGEINT)
+        |            * 100000000 + prev_rev_cents)
+        |         // (2 * CAST(prev_rev_cents AS HUGEINT)) AS DOUBLE)
+        |      / 1000000.0
+        |  ELSE
+        |    -(CAST((2 * CAST(prev_rev_cents - rev_cents AS HUGEINT)
+        |              * 100000000 + prev_rev_cents)
+        |           // (2 * CAST(prev_rev_cents AS HUGEINT)) AS DOUBLE)
+        |        / 1000000.0)
+        |  END AS growth_pct,
+        |  rev_3m_cents
+        |FROM g""".stripMargin)
 }

@@ -15,7 +15,13 @@ import graft.Tables.t
   * NEXT TO the exact distinct count and the relative error.
   *
   * Item stream: distinct (user_id, calendar day) pairs per event_type
-  * — "distinct user-days", the de-facto engagement denominator.
+  * — "distinct user-days", the de-facto engagement denominator. The
+  * day half of the key is the EPOCH-DAY index from a fixed date
+  * (datediff from 1990-01-01), not day-of-month — day(ts) alone would
+  * silently conflate the same day-of-month across different months
+  * the moment the corpus spans more than one (round-14 advice).
+  * user_id * 100000 leaves ~273 years of headroom below the next
+  * user, and the whole key stays well inside BIGINT.
   *
   * Determinism: the 32-bit avalanche hash is multiply/xor/shift
   * arithmetic on BIGINT (multiplier 73244475 < 2^31, so no product
@@ -55,7 +61,7 @@ object Hll {
 
   def qHllSketch(spark: SparkSession, dir: String): DataFrame =
     hllOf(t(spark, dir, "events")
-      .select(col("event_type"), expr("user_id * 100 + day(ts)").as("k")))
+      .select(col("event_type"), expr("user_id * 100000 + datediff(CAST(ts AS DATE), DATE '1990-01-01')").as("k")))
 
   /** [[qHllSketch]] over any (event_type, k: BIGINT >= 0) frame.
     * `private[graft]`: the streaming twin's spec asserts estimate
@@ -102,7 +108,7 @@ object Hll {
   def qHllMerge(spark: SparkSession, dir: String): DataFrame =
     hllMergeOf(t(spark, dir, "events")
       .select(col("event_type"), col("user_id"),
-        expr("user_id * 100 + day(ts)").as("k")))
+        expr("user_id * 100000 + datediff(CAST(ts AS DATE), DATE '1990-01-01')").as("k")))
 
   /** [[qHllMerge]] over any (event_type, user_id, k) frame. */
   private[relational] def hllMergeOf(base: DataFrame): DataFrame = {
@@ -164,7 +170,7 @@ object Hll {
     * smallest never sorts the corpus. */
   def qKmvSketch(spark: SparkSession, dir: String): DataFrame =
     kmvOf(t(spark, dir, "events")
-      .select(col("event_type"), expr("user_id * 100 + day(ts)").as("k")))
+      .select(col("event_type"), expr("user_id * 100000 + datediff(CAST(ts AS DATE), DATE '1990-01-01')").as("k")))
 
   /** [[qKmvSketch]] over any (event_type, k: BIGINT >= 0) frame. */
   private[relational] def kmvOf(base: DataFrame): DataFrame = {
@@ -201,7 +207,7 @@ object Hll {
       // same estimate expression, DuckDB spellings: xor() for ^
       val est = estSql
       s"""WITH base AS (
-         |  SELECT event_type, user_id * 100 + EXTRACT(day FROM ts) AS k
+         |  SELECT event_type, user_id * 100000 + date_diff('day', DATE '1990-01-01', CAST(ts AS DATE)) AS k
          |  FROM events),
          |h0s AS (SELECT event_type, k, k % 4294967296 AS h0 FROM base),
          |h1s AS (SELECT event_type, k,
@@ -237,7 +243,7 @@ object Hll {
            |     ELSE CAST($ALPHA_M2P AS DOUBLE) / $ss END""".stripMargin
       s"""WITH base AS (
          |  SELECT event_type, CAST(user_id % 2 AS INT) AS half,
-         |    user_id * 100 + EXTRACT(day FROM ts) AS k
+         |    user_id * 100000 + date_diff('day', DATE '1990-01-01', CAST(ts AS DATE)) AS k
          |  FROM events),
          |h0s AS (SELECT event_type, half, k, k % 4294967296 AS h0 FROM base),
          |h1s AS (SELECT event_type, half, k,
@@ -277,7 +283,7 @@ object Hll {
       val est = s"""CASE WHEN n_kept < $KMV_K THEN CAST(n_kept AS DOUBLE)
                    |     ELSE ${KMV_K - 1}.0 * 4294967296.0 / kth_hash END""".stripMargin
       s"""WITH base AS (
-         |  SELECT event_type, user_id * 100 + EXTRACT(day FROM ts) AS k
+         |  SELECT event_type, user_id * 100000 + date_diff('day', DATE '1990-01-01', CAST(ts AS DATE)) AS k
          |  FROM events),
          |h0s AS (SELECT event_type, k, k % 4294967296 AS h0 FROM base),
          |h1s AS (SELECT event_type, k,

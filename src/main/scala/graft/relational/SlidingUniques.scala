@@ -10,15 +10,21 @@ import graft.Tables.t
   * decompose over window panes, so the exact answer needs the
   * dedup-then-window shape — reduce the corpus to distinct
   * (user, hour) pairs FIRST (one hash shuffle, corpus-linear), then
-  * fan each pair out to the <= 6 target hours it can serve via a
-  * broadcast hour-frame range join (calendar-bounded), and count
-  * distinct users per target hour over that bounded expansion.
+  * STATICALLY REPLICATE each pair to the <= 6 target hours it can
+  * serve (`explode(sequence(hr, hr+5h))` — the `events_rolling_wau`
+  * idiom: a pure projection, no join predicate at all), semi-join the
+  * replicas to the observed-hour frame (broadcast HASH equi-join, ~720
+  * rows), and count distinct users per target hour over that bounded
+  * expansion. A range join against the hour frame would plan as a
+  * BroadcastNestedLoopJoin evaluating |pairs| x |hours| predicates —
+  * linear in BOTH corpus and calendar span; the replication is 6x the
+  * pair set regardless of how long the calendar grows.
   *
   * Determinism: pure integer/timestamp set arithmetic — counts exact.
   *
-  * Scale shape: the only corpus-sized shuffle is the first distinct;
-  * the range join fans out 6x the DISTINCT pair set (not the event
-  * stream) against a ~720-row broadcast frame. */
+  * Scale shape: the only corpus-sized shuffles are the first distinct
+  * and the 6x-replicated count-distinct aggregate; the hour frame
+  * rides along as a broadcast hash semi join. */
 object SlidingUniques {
 
   private val TRAIL = 6 // trailing window, hours
@@ -31,9 +37,11 @@ object SlidingUniques {
   private[relational] def slidingUniquesOf(events: DataFrame): DataFrame = {
     val pairs = events.distinct()
     val hours = pairs.select(col("hr").as("h")).distinct()
-    val fanned = pairs.join(broadcast(hours),
-      col("hr") <= col("h") &&
-        col("hr") >= col("h") - expr(s"INTERVAL ${TRAIL - 1} HOURS"))
+    val fanned = pairs
+      .select(col("user_id"), col("hr"), explode(expr(
+        s"sequence(hr, hr + INTERVAL ${TRAIL - 1} HOURS, INTERVAL 1 HOUR)"))
+        .as("h"))
+      .join(broadcast(hours), Seq("h"), "left_semi")
     fanned.groupBy("h")
       .agg(countDistinct(when(col("hr") === col("h"), col("user_id")))
         .as("uniques_1h"),

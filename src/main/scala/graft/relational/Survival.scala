@@ -20,8 +20,9 @@ import graft.Tables.t
   *
   * Determinism: week indices are exact integer date arithmetic; the
   * at-risk counts come from a cumulative over the W-row week frame
-  * (bounded, calendar-class); hazard is one IEEE division of exact
-  * integers rounded 6; the KM product is exp(running sum of
+  * (bounded, calendar-class); hazard is the exact-integer HALF_UP
+  * 6-dp division (the Mix idiom — no floating step at all); the KM
+  * product is exp(running sum of
   * ln(1 - d/n)) where the running sum is an ORDERED window — both
   * engines accumulate the identical doubles in identical week order
   * (ln/exp libm parity is the standing convention, cf. the LM-scoring
@@ -89,7 +90,11 @@ object Survival {
         when(col("absorbed") === 1, lit(0.0))
           .otherwise(round(exp(sum("lnterm").over(kmW)), 6)))
       .select(col("week"), col("at_risk"), col("d").as("n_events"),
-        round(expr("CAST(d AS DOUBLE) / at_risk"), 6).as("hazard"),
+        // exact-integer HALF_UP 6-dp (the Mix idiom): round() of the
+        // raw double quotient is the round-12 cross-engine flip class
+        expr("""CAST((2 * d * 1000000 + at_risk)
+               |     DIV (2 * at_risk) AS DOUBLE) / 1000000.0""".stripMargin)
+          .as("hazard"),
         col("km_survival"))
   }
 
@@ -182,7 +187,8 @@ object Survival {
          |  FROM risk WHERE at_risk > 0)
          |SELECT week, CAST(at_risk AS BIGINT) AS at_risk,
          |  CAST(d AS BIGINT) AS n_events,
-         |  round(CAST(d AS DOUBLE) / at_risk, 6) AS hazard,
+         |  CAST((2 * d * 1000000 + at_risk)
+         |       // (2 * at_risk) AS DOUBLE) / 1000000.0 AS hazard,
          |  CASE WHEN absorbed = 1 THEN 0.0 ELSE round(kmv, 6) END AS km_survival
          |FROM km""".stripMargin,
     "orders_repeat_rate" ->

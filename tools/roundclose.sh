@@ -101,7 +101,34 @@ if not meta.get("run_id"):
 if meta.get("stale"):
     sys.exit(f"roundclose: STALE query dirs (not from run "
              f"{meta['run_id']}): {meta['stale']}")
+# Canonical-hash gate (round-15): every compared query dir must carry
+# graft.Verify's _CANONICAL.sha256 AND the DuckDB+Python recomputation
+# must agree — so a checker-vs-checker discrepancy is provable from
+# bytes on disk instead of adjudicated (the pipeline_length_buckets
+# three-round ambiguity).
+if meta.get("canon_mismatch"):
+    sys.exit(f"roundclose: canonical-hash mismatches between reader "
+             f"stacks: {meta['canon_mismatch']}")
+no_canon = sorted(k for k, v in d.items()
+                  if v.get("err") != "no_spark_output"
+                  and not v.get("canon_stamp_ok"))
+if no_canon:
+    sys.exit(f"roundclose: query dirs without a verified _CANONICAL."
+             f"sha256: {no_canon[:10]} ({len(no_canon)} total)")
 oracled = len(d) - len(rows_only)
+# Registry <-> SURVEY §2 equality (round-15 gate): every registered
+# query key must appear backticked in a §2 row — a green query with no
+# coverage-contract row is silent inventory drift (round-13
+# text_winnowing, round-14 simsearch_ivfpq_residual).
+import re
+survey = open("SURVEY.md").read()
+s2_start = survey.index("## §2 ")
+s2 = survey[s2_start:survey.index("\n## ", s2_start + 1)]
+s2_keys = set(re.findall(r"`([a-z0-9_]+)`", s2))
+unlisted = sorted(k for k in status if k not in s2_keys)
+if unlisted:
+    sys.exit(f"roundclose: registered queries with no SURVEY §2 row: "
+             f"{unlisted}")
 # Scale-sweep gate (round-14): a query may not ship scale-unmeasured.
 # BENCH_SF1.json must cover the live registry (give or take nothing),
 # and any over-bound outlier must carry an adjudicated note.
