@@ -34,6 +34,7 @@ object SparkEntry {
       relational.AttributionCompare.queries ++
       relational.FunnelAb.queries ++
       relational.Analytics.queries ++
+      relational.UserHhi.queries ++
       relational.Graph.queries ++
       relational.CountMin.queries ++
       clustering.KMeans.queries ++
@@ -76,6 +77,7 @@ object SparkEntry {
       text.QualityClf.queries ++
       text.Repetition.queries ++
       text.CorpusStats.queries ++
+      text.SourceOverlap.queries ++
       multimodal.Multimodal.queries ++
       pipeline.CleanCorpus.queries ++
       pipeline.Splits.queries ++
@@ -109,6 +111,7 @@ object SparkEntry {
       relational.AttributionCompare.oracleSql ++
       relational.FunnelAb.oracleSql ++
       relational.Analytics.oracleSql ++
+      relational.UserHhi.oracleSql ++
       relational.Graph.oracleSql ++
       relational.CountMin.oracleSql ++
       clustering.KMeans.oracleSql ++
@@ -150,6 +153,7 @@ object SparkEntry {
       text.QualityClf.oracleSql ++
       text.Repetition.oracleSql ++
       text.CorpusStats.oracleSql ++
+      text.SourceOverlap.oracleSql ++
       multimodal.Multimodal.oracleSql ++
       pipeline.CleanCorpus.oracleSql ++
       pipeline.Splits.oracleSql ++

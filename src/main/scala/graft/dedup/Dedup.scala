@@ -253,8 +253,9 @@ object Dedup {
     members.join(edges, Seq("cluster_id"), "left")
       .select(col("cluster_id"), col("n_members"),
         coalesce(col("n_edges"), lit(0L)).as("n_edges"),
-        round(coalesce(col("n_edges"), lit(0L)).cast("double") /
-          expr("n_members * (n_members - 1) div 2"), 6).as("density"))
+        expr("CASE WHEN n_members < 2 THEN CAST(NULL AS DOUBLE) ELSE " +
+          graft.functions.Exact.rate6("coalesce(n_edges, CAST(0 AS BIGINT))",
+            "n_members * (n_members - 1) DIV 2") + " END").as("density"))
   }
 
   /** Cross-source duplication matrix: VERIFIED near-dup pairs rolled
@@ -377,7 +378,7 @@ object Dedup {
       .agg(count(lit(1)).as("n_windows"),
         sum(when(col("n_occ") >= 2, 1L).otherwise(0L)).as("n_repeated"))
       .withColumn("repeated_frac",
-        round(col("n_repeated").cast("double") / col("n_windows"), 6))
+        expr(graft.functions.Exact.rate6("n_repeated", "n_windows")))
   }
 
   /** Distinct char-5-grams of the text column. Guard: sequence(1, n)
@@ -669,11 +670,16 @@ object Dedup {
     val quality = t(spark, dir, "documents")
       .withColumn("ws", split(col("text"), " "))
       .select(col("doc_id"),
-        round(size(array_distinct(col("ws"))).cast("double")
-          / size(col("ws")), 6).as("ttr"))
+        // exact HALF_UP micro-TTR integer: the ranking key AND the
+        // reported ttr derive from the same integer, so a rounding
+        // flip can never change the keeper choice
+        expr("""CAST((2 * CAST(size(array_distinct(ws)) AS BIGINT) * 1000000
+               |       + size(ws)) DIV (2 * CAST(size(ws) AS BIGINT)) AS BIGINT)"""
+          .stripMargin).as("ttrk"))
     clusters.join(quality, "doc_id")
+      .withColumn("ttr", expr("CAST(ttrk AS DOUBLE) / 1000000.0"))
       .withColumn("__key",
-        round(col("ttr") * 1e6).cast("long") * lit(1000000000000L) - col("doc_id"))
+        col("ttrk") * lit(1000000000000L) - col("doc_id"))
       .groupBy("cluster_id")
       .agg(count(lit(1)).as("n_members"),
         max_by(col("doc_id"), col("__key")).as("keeper_id"),
@@ -733,7 +739,7 @@ object Dedup {
         sum(when(col("cluster_id").isNotNull && col("cluster_id") =!= col("doc_id"),
           col("n_chars")).otherwise(0L)).as("redundant_chars"))
       .withColumn("savings_frac",
-        round(col("redundant_chars").cast("double") / col("total_chars"), 6))
+        expr(graft.functions.Exact.rate6("redundant_chars", "total_chars")))
   }
 
   /** LSH index-health report: per band, the bucket count, the largest
@@ -748,8 +754,11 @@ object Dedup {
       .groupBy("band")
       .agg(count(lit(1)).as("n_buckets"),
         max("sz").as("max_bucket"),
-        round(avg("sz"), 6).as("avg_bucket"),
+        sum("sz").as("__ssz"),
         sum(col("sz") - 1).as("n_candidates"))
+      .select(col("band"), col("n_buckets"), col("max_bucket"),
+        expr(graft.functions.Exact.rate6("__ssz", "n_buckets")).as("avg_bucket"),
+        col("n_candidates"))
 
   // ---- SimHash ---------------------------------------------------------
 
@@ -830,11 +839,11 @@ object Dedup {
       sum(when(anyBand(16), 1L).otherwise(0L)).as("n_band16x4"),
       sum(when(anyBand(8), 1L).otherwise(0L)).as("n_band8x8"))
       .withColumn("recall_prefix16",
-        round(col("n_prefix16").cast("double") / col("n_true_pairs"), 6))
+        expr(graft.functions.Exact.rate6("n_prefix16", "n_true_pairs")))
       .withColumn("recall_band16x4",
-        round(col("n_band16x4").cast("double") / col("n_true_pairs"), 6))
+        expr(graft.functions.Exact.rate6("n_band16x4", "n_true_pairs")))
       .withColumn("recall_band8x8",
-        round(col("n_band8x8").cast("double") / col("n_true_pairs"), 6))
+        expr(graft.functions.Exact.rate6("n_band8x8", "n_true_pairs")))
   }
 
   /** Edit-distance near-dup: levenshtein over 40-char prefixes of the
@@ -1184,7 +1193,7 @@ object Dedup {
          |bk AS (SELECT band, bh, count(*) AS sz FROM bands GROUP BY band, bh)
          |SELECT band, count(*) AS n_buckets,
          |  CAST(max(sz) AS BIGINT) AS max_bucket,
-         |  round(avg(sz), 6) AS avg_bucket,
+         |  ${graft.functions.Exact.duck6("sum(sz)", "count(*)")} AS avg_bucket,
          |  CAST(sum(sz - 1) AS BIGINT) AS n_candidates
          |FROM bk GROUP BY band""".stripMargin,
     "dedup_minhash_lsh" ->
@@ -1259,15 +1268,15 @@ object Dedup {
          |  FROM cands JOIN w wa ON ia = wa.doc_id JOIN w wb ON ib = wb.doc_id)
          |WHERE containment >= 0.9""".stripMargin,
     "dedup_repeated_spans" ->
-      """WITH w AS (SELECT doc_id, unnest(list_transform(
+      s"""WITH w AS (SELECT doc_id, unnest(list_transform(
         |    range(1, len(text) - 62, 8),
         |    i -> md5(substr(text, CAST(i AS INT), 64)))) AS wh
         |  FROM documents WHERE len(text) >= 64),
         |c AS (SELECT wh, count(*) AS n_occ FROM w GROUP BY wh)
         |SELECT doc_id, count(*) AS n_windows,
         |  CAST(sum(CASE WHEN n_occ >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeated,
-        |  round(CAST(sum(CASE WHEN n_occ >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
-        |    / count(*), 6) AS repeated_frac
+        |  ${graft.functions.Exact.duck6(
+             "sum(CASE WHEN n_occ >= 2 THEN 1 ELSE 0 END)", "count(*)")} AS repeated_frac
         |FROM w JOIN c USING (wh) GROUP BY doc_id""".stripMargin,
     "dedup_paragraphs" ->
       """WITH parts AS (
@@ -1339,8 +1348,9 @@ object Dedup {
          |  FROM vp JOIN l6 ON l6.doc_id = vp.ia GROUP BY l6.lbl)
          |SELECT cluster_id, n_members,
          |  CAST(coalesce(n_edges, 0) AS BIGINT) AS n_edges,
-         |  round(CAST(coalesce(n_edges, 0) AS DOUBLE)
-         |    / (n_members * (n_members - 1) // 2), 6) AS density
+         |  CASE WHEN n_members < 2 THEN CAST(NULL AS DOUBLE)
+         |    ELSE ${graft.functions.Exact.duck6("coalesce(n_edges, 0)",
+                "n_members * (n_members - 1) // 2")} END AS density
          |FROM m LEFT JOIN ed USING (cluster_id)""".stripMargin
     },
     "dedup_clusters" ->
@@ -1353,8 +1363,9 @@ object Dedup {
          |  CAST(sum(CASE WHEN lbl IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_clustered,
          |  CAST(sum(CASE WHEN lbl IS NOT NULL AND lbl != doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_redundant,
          |  CAST(sum(CASE WHEN lbl IS NOT NULL AND lbl != doc_id THEN n_chars ELSE 0 END) AS BIGINT) AS redundant_chars,
-         |  round(CAST(sum(CASE WHEN lbl IS NOT NULL AND lbl != doc_id THEN n_chars ELSE 0 END) AS DOUBLE)
-         |    / sum(n_chars), 6) AS savings_frac
+         |  ${graft.functions.Exact.duck6(
+              "sum(CASE WHEN lbl IS NOT NULL AND lbl != doc_id THEN n_chars ELSE 0 END)",
+              "sum(n_chars)")} AS savings_frac
          |FROM documents LEFT JOIN l3 USING (doc_id)""".stripMargin,
     "dedup_survivorship" ->
       s"""WITH $clusterChainSql,
@@ -1372,11 +1383,13 @@ object Dedup {
     "dedup_cluster_keepers" ->
       s"""WITH $clusterChainSql,
          |q AS (SELECT doc_id,
-         |    round(CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 6) AS ttr
+         |    (2 * CAST(len(list_distinct(ws)) AS BIGINT) * 1000000 + len(ws))
+         |      // (2 * CAST(len(ws) AS BIGINT)) AS ttrk,
+         |    CAST((2 * CAST(len(list_distinct(ws)) AS BIGINT) * 1000000 + len(ws))
+         |      // (2 * CAST(len(ws) AS BIGINT)) AS DOUBLE) / 1000000.0 AS ttr
          |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))
          |SELECT cluster_id, count(*) AS n_members,
-         |  max_by(doc_id, CAST(round(ttr * 1000000) AS BIGINT)
-         |    * 1000000000000 - doc_id) AS keeper_id,
+         |  max_by(doc_id, ttrk * 1000000000000 - doc_id) AS keeper_id,
          |  max(ttr) AS best_ttr
          |FROM (SELECT doc_id, lbl AS cluster_id FROM l3) c JOIN q USING (doc_id)
          |GROUP BY cluster_id""".stripMargin,
@@ -1429,9 +1442,15 @@ object Dedup {
          |  CAST(sum(CASE WHEN substr(fa, 1, 16) = substr(fb, 1, 16) THEN 1 ELSE 0 END) AS BIGINT) AS n_prefix16,
          |  CAST(sum(CASE WHEN ${anyBand(16)} THEN 1 ELSE 0 END) AS BIGINT) AS n_band16x4,
          |  CAST(sum(CASE WHEN ${anyBand(8)} THEN 1 ELSE 0 END) AS BIGINT) AS n_band8x8,
-         |  round(CAST(sum(CASE WHEN substr(fa, 1, 16) = substr(fb, 1, 16) THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS recall_prefix16,
-         |  round(CAST(sum(CASE WHEN ${anyBand(16)} THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS recall_band16x4,
-         |  round(CAST(sum(CASE WHEN ${anyBand(8)} THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS recall_band8x8
+         |  ${graft.functions.Exact.duck6(
+              "sum(CASE WHEN substr(fa, 1, 16) = substr(fb, 1, 16) THEN 1 ELSE 0 END)",
+              "count(*)")} AS recall_prefix16,
+         |  ${graft.functions.Exact.duck6(
+              "sum(CASE WHEN " + anyBand(16) + " THEN 1 ELSE 0 END)",
+              "count(*)")} AS recall_band16x4,
+         |  ${graft.functions.Exact.duck6(
+              "sum(CASE WHEN " + anyBand(8) + " THEN 1 ELSE 0 END)",
+              "count(*)")} AS recall_band8x8
          |FROM t""".stripMargin
     },
     "dedup_edit_distance" ->

@@ -36,7 +36,7 @@ object DataChecks {
         .otherwise(0L)).as("n_disc_ok"),
       sum(when(col("l_returnflag").isin("A", "N", "R"), 1L).otherwise(0L)).as("n_rf_ok"),
       sum(when(col("l_extendedprice") >= 0.0, 1L).otherwise(0L)).as("n_price_ok"))
-    def frac(n: String) = round(col(n).cast("double") / col("n_rows"), 6)
+    def frac(n: String) = expr(graft.functions.Exact.rate6(n, "n_rows"))
     def check(name: String, column: String, observed: org.apache.spark.sql.Column,
               passed: org.apache.spark.sql.Column) =
       struct(lit(name).as("check"), lit(column).as("col_name"),
@@ -84,19 +84,19 @@ object DataChecks {
          |SELECT 'size' AS check, '*' AS col_name,
          |  CAST(n_rows AS DOUBLE) AS observed, n_rows > 0 AS passed FROM a
          |UNION ALL SELECT 'completeness', 'l_quantity',
-         |  round(CAST(n_qty AS DOUBLE) / n_rows, 6), n_qty = n_rows FROM a
+         |  ${graft.functions.Exact.duck6("n_qty", "n_rows")}, n_qty = n_rows FROM a
          |UNION ALL SELECT 'completeness', 'l_returnflag',
-         |  round(CAST(n_rf AS DOUBLE) / n_rows, 6), n_rf = n_rows FROM a
+         |  ${graft.functions.Exact.duck6("n_rf", "n_rows")}, n_rf = n_rows FROM a
          |UNION ALL SELECT 'uniqueness', 'l_orderkey:l_linenumber',
-         |  round(CAST(n_key AS DOUBLE) / n_rows, 6), n_key = n_rows FROM a
+         |  ${graft.functions.Exact.duck6("n_key", "n_rows")}, n_key = n_rows FROM a
          |UNION ALL SELECT 'min_bound', 'l_quantity',
          |  min_qty, min_qty >= $MIN_QTY FROM a
          |UNION ALL SELECT 'range_0_1', 'l_discount',
-         |  round(CAST(n_disc_ok AS DOUBLE) / n_rows, 6), n_disc_ok = n_rows FROM a
+         |  ${graft.functions.Exact.duck6("n_disc_ok", "n_rows")}, n_disc_ok = n_rows FROM a
          |UNION ALL SELECT 'in_set_ANR', 'l_returnflag',
-         |  round(CAST(n_rf_ok AS DOUBLE) / n_rows, 6), n_rf_ok = n_rows FROM a
+         |  ${graft.functions.Exact.duck6("n_rf_ok", "n_rows")}, n_rf_ok = n_rows FROM a
          |UNION ALL SELECT 'non_negative', 'l_extendedprice',
-         |  round(CAST(n_price_ok AS DOUBLE) / n_rows, 6), n_price_ok = n_rows FROM a
+         |  ${graft.functions.Exact.duck6("n_price_ok", "n_rows")}, n_price_ok = n_rows FROM a
          |UNION ALL SELECT 'referential', 'l_orderkey->o_orderkey',
          |  CAST(n_orphans AS DOUBLE), n_orphans = 0 FROM
          |  (SELECT count(*) AS n_orphans FROM lineitem l

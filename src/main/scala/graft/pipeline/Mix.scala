@@ -40,7 +40,7 @@ object Mix {
         count(lit(1)).as("n_docs"),
         sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
       .withColumn("realized_rate",
-        round(col("n_kept").cast("double") / col("n_docs"), 6))
+        expr(graft.functions.Exact.rate6("n_kept", "n_docs")))
 
   /** Token budget per run (a literal so the oracle reproduces). */
   private val TOKEN_BUDGET = 1000000L
@@ -68,7 +68,7 @@ object Mix {
     val total = per.agg(sum("subtokens").as("__t"))
     per.crossJoin(broadcast(total))
       .select(col("source"), col("n_kept"), col("subtokens"),
-        round(col("subtokens").cast("double") / col("__t"), 6).as("token_share"),
+        expr(graft.functions.Exact.rate6("subtokens", "__t")).as("token_share"),
         ceil(lit(TOKEN_BUDGET).cast("double") * col("n_kept") / col("__t"))
           .cast("long").as("docs_for_budget"))
   }
@@ -91,7 +91,7 @@ object Mix {
       .groupBy("source").agg(count(lit(1)).as("n_docs"))
     val tot = per.agg(sum("n_docs").as("__t"))
     val shared = per.crossJoin(broadcast(tot))
-      .withColumn("share", round(col("n_docs").cast("double") / col("__t"), 6))
+      .withColumn("share", expr(graft.functions.Exact.rate6("n_docs", "__t")))
       .withColumn("w", pow(col("share"), lit(MIX_ALPHA)))
     val norm = shared.agg(round(sum("w"), 6).as("__z"))
     shared.crossJoin(broadcast(norm))
@@ -230,9 +230,9 @@ object Mix {
          |FROM allb""".stripMargin,
     "pipeline_mix_temperature" ->
       s"""WITH per AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
-         |tot AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS t FROM per),
+         |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS t FROM per),
          |sh AS (SELECT source, n_docs,
-         |    round(CAST(n_docs AS DOUBLE) / t, 6) AS share
+         |    ${graft.functions.Exact.duck6("n_docs", "t")} AS share
          |  FROM per CROSS JOIN tot),
          |wz AS (SELECT source, n_docs, share, pow(share, $MIX_ALPHA) AS w FROM sh),
          |z AS (SELECT round(sum(w), 6) AS z FROM wz)
@@ -251,14 +251,14 @@ object Mix {
          |per AS (SELECT source, count(*) AS n_kept,
          |    CAST(sum(nst) AS BIGINT) AS subtokens
          |  FROM kept GROUP BY source),
-         |tot AS (SELECT CAST(sum(subtokens) AS DOUBLE) AS t FROM per)
+         |tot AS (SELECT CAST(sum(subtokens) AS BIGINT) AS t FROM per)
          |SELECT source, n_kept, subtokens,
-         |  round(CAST(subtokens AS DOUBLE) / t, 6) AS token_share,
+         |  ${graft.functions.Exact.duck6("subtokens", "t")} AS token_share,
          |  CAST(ceil($TOKEN_BUDGET.0 * n_kept / t) AS BIGINT) AS docs_for_budget
          |FROM per CROSS JOIN tot""".stripMargin,
     "pipeline_mix" ->
       s"""SELECT source, n_docs, n_kept,
-         |  round(CAST(n_kept AS DOUBLE) / n_docs, 6) AS realized_rate
+         |  ${graft.functions.Exact.duck6("n_kept", "n_docs")} AS realized_rate
          |FROM (
          |  SELECT source, count(*) AS n_docs,
          |    CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept

@@ -177,9 +177,16 @@ object Analytics {
         round(max("v"), 6).as("max_v"),
         // mean from an exact DECIMAL sum: double addition is not
         // associative, so a distributed double mean lands on either
-        // side of the round-6 boundary depending on partitioning
-        round((sum(col("v").cast("decimal(38,6)")).cast("double") /
-          count(col("v"))), 6).as("mean_v"))
+        // side of the round-6 boundary depending on partitioning;
+        // the division itself is the exact HALF_UP idiom (numerator
+        // scaled to micro-units, common 1e6 factor cancels in DIV)
+        sum(col("v").cast("decimal(38,6)")).as("sv"),
+        count(col("v")).as("nv"))
+      .select(col("col_name"), col("n_rows"), col("n_nulls"), col("n_distinct"),
+        col("min_v"), col("max_v"),
+        expr(graft.functions.Exact.rate6(
+          "CAST(sv * 1000000 AS DECIMAL(38,0))",
+          "CAST(nv AS DECIMAL(38,0)) * 1000000")).as("mean_v"))
   }
 
   /** Daily revenue with running total — the reporting staple. The raw
@@ -408,7 +415,8 @@ object Analytics {
     per.crossJoin(broadcast(total))
       .select(col("o_orderpriority"),
         col("rev").cast("double").as("revenue"),
-        round(col("rev").cast("double") / col("tot").cast("double"), 6).as("share"))
+        expr(graft.functions.Exact.rate6("CAST(rev * 100 AS DECIMAL(38,0))",
+          "CAST(tot * 100 AS DECIMAL(38,0))")).as("share"))
   }
 
   /** Label-conditioned embedding QC — the separability report a
@@ -647,12 +655,13 @@ object Analytics {
       .select(
         lit(n).as("n_customers"),
         col("__t").cast("double").as("total_revenue"),
-        round(lit(2.0) * col("__w").cast("double")
-          / (lit(n).cast("double") * col("__t").cast("double"))
-          - (lit(n).cast("double") + 1.0) / lit(n).cast("double"),
-          6).as("gini"),
-        round(col("__top").cast("double") / col("__t").cast("double"), 6)
-          .as("top_decile_share"))
+        // gini = (2W - (n+1)T) / (nT): one SIGNED exact integer
+        // quotient after scaling the 2-dp decimals to cents
+        expr(graft.functions.Exact.srate6(
+          s"2 * CAST(__w * 100 AS DECIMAL(38,0)) - ($n + 1) * CAST(__t * 100 AS DECIMAL(38,0))",
+          s"$n * CAST(__t * 100 AS DECIMAL(38,0))")).as("gini"),
+        expr(graft.functions.Exact.rate6("CAST(__top * 100 AS DECIMAL(38,0))",
+          "CAST(__t * 100 AS DECIMAL(38,0))")).as("top_decile_share"))
     literalFrame(res, release)
   }
 
@@ -728,9 +737,16 @@ object Analytics {
     byDow.crossJoin(broadcast(total))
       .select(col("dow"), col("n_days"), col("n_orders"),
         col("sd").cast("double").as("revenue"),
-        round(col("sd").cast("double") / col("n_days"), 6).as("day_mean"),
-        round((col("sd").cast("double") / col("n_days"))
-          / (col("st").cast("double") / col("ntd")), 6).as("seasonal_index"))
+        // both indexes are ratios of exact DECIMAL(38,2)/integer
+        // scalars: day_mean scales to cents; seasonal_index
+        // cross-multiplies to (sd*ntd)/(n_days*st) — pure integer
+        // quotients, exact HALF_UP
+        expr(graft.functions.Exact.rate6("CAST(sd * 100 AS DECIMAL(38,0))",
+          "CAST(n_days AS DECIMAL(38,0)) * 100")).as("day_mean"),
+        expr(graft.functions.Exact.rate6(
+          "CAST(sd * 100 AS DECIMAL(38,0)) * ntd",
+          "CAST(n_days AS DECIMAL(38,0)) * CAST(st * 100 AS DECIMAL(38,0))"))
+          .as("seasonal_index"))
   }
 
   /** OLS discount elasticity: per return flag, the least-squares line
@@ -904,8 +920,8 @@ object Analytics {
       max(when(col("variant") === 1, col("n_conv"))).as("conv_b"))
     wide.select(
       col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
-      round(col("conv_a").cast("double") / col("n_a"), 6).as("rate_a"),
-      round(col("conv_b").cast("double") / col("n_b"), 6).as("rate_b"),
+      expr(graft.functions.Exact.rate6("conv_a", "n_a")).as("rate_a"),
+      expr(graft.functions.Exact.rate6("conv_b", "n_b")).as("rate_b"),
       // degenerate arms (pooled rate 0 or 1) have zero pooled variance:
       // z is undefined -> NULL, identically in both engines via nullif
       round(
@@ -1013,10 +1029,18 @@ object Analytics {
     daily.withColumn("rev7", lag("rev", 7).over(w))
       .filter(col("rev7").isNotNull)
       .agg(count(lit(1)).as("n_days_scored"),
-        round((sum(abs(col("rev") - col("rev7"))).cast("double") /
-          count(lit(1))), 6).as("mae"),
-        round((sum(col("rev") - col("rev7")).cast("double") /
-          count(lit(1))), 6).as("bias"))
+        sum(abs(col("rev") - col("rev7"))).as("sabs"),
+        sum(col("rev") - col("rev7")).as("sdiff"))
+      // mae/bias: exact DECIMAL(38,2) sums over a count — scale the
+      // numerator to cents and both by 100 so the quotient is pure
+      // integer; bias is signed (HALF_UP away from zero)
+      .select(col("n_days_scored"),
+        expr(graft.functions.Exact.rate6(
+          "CAST(sabs * 100 AS DECIMAL(38,0))",
+          "CAST(n_days_scored AS DECIMAL(38,0)) * 100")).as("mae"),
+        expr(graft.functions.Exact.srate6(
+          "CAST(sdiff * 100 AS DECIMAL(38,0))",
+          "CAST(n_days_scored AS DECIMAL(38,0)) * 100")).as("bias"))
   }
 
   /** Revenue LTV cohort triangle: customers grouped by first-order
@@ -1233,7 +1257,7 @@ object Analytics {
         |JOIN nation sn ON s_nationkey = sn.n_nationkey
         |GROUP BY 1, 2""".stripMargin,
     "orders_backtest_snaive" ->
-      """WITH daily AS (
+      s"""WITH daily AS (
         |  SELECT CAST(o_orderdate AS DATE) AS day,
         |    sum(CAST(o_totalprice AS DECIMAL(38,2))) AS rev
         |  FROM orders GROUP BY 1),
@@ -1241,8 +1265,10 @@ object Analytics {
         |    lag(rev, 7) OVER (ORDER BY day) AS rev7
         |  FROM daily)
         |SELECT count(*) AS n_days_scored,
-        |  round(CAST(sum(abs(rev - rev7)) AS DOUBLE) / count(*), 6) AS mae,
-        |  round(CAST(sum(rev - rev7) AS DOUBLE) / count(*), 6) AS bias
+        |  ${graft.functions.Exact.duck6("CAST(sum(abs(rev - rev7)) * 100 AS HUGEINT)",
+             "count(*) * 100")} AS mae,
+        |  ${graft.functions.Exact.sduck6("CAST(sum(rev - rev7) * 100 AS HUGEINT)",
+             "count(*) * 100")} AS bias
         |FROM l WHERE rev7 IS NOT NULL""".stripMargin,
     "orders_rolling_30d" ->
       """SELECT o_custkey, o_orderkey,
@@ -1263,7 +1289,7 @@ object Analytics {
         |  round(unit_price, 6) AS best_unit_price
         |FROM r WHERE rn = 1""".stripMargin,
     "events_ab_test" ->
-      """WITH u AS (
+      s"""WITH u AS (
         |  SELECT user_id,
         |    CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
         |      THEN 1 ELSE 0 END AS conv,
@@ -1278,8 +1304,8 @@ object Analytics {
         |    CAST(max(CASE WHEN variant = 1 THEN n_conv END) AS BIGINT) AS conv_b
         |  FROM arms)
         |SELECT n_a, conv_a, n_b, conv_b,
-        |  round(CAST(conv_a AS DOUBLE) / n_a, 6) AS rate_a,
-        |  round(CAST(conv_b AS DOUBLE) / n_b, 6) AS rate_b,
+        |  ${graft.functions.Exact.duck6("conv_a", "n_a")} AS rate_a,
+        |  ${graft.functions.Exact.duck6("conv_b", "n_b")} AS rate_b,
         |  round((CAST(conv_b AS DOUBLE) / n_b - CAST(conv_a AS DOUBLE) / n_a)
         |    / nullif(sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
         |      * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
@@ -1365,7 +1391,7 @@ object Analytics {
         |  ${graft.functions.MicroGrid.sqlRoundDiv6("sum(p)", "CAST(1000000 AS HUGEINT)")} AS gram
         |FROM g GROUP BY i, j""".stripMargin,
     "orders_pareto" ->
-      """WITH per AS (SELECT o_custkey,
+      s"""WITH per AS (SELECT o_custkey,
         |    sum(CAST(o_totalprice AS DECIMAL(38,2))) AS rev
         |  FROM orders GROUP BY o_custkey),
         |r AS (SELECT o_custkey, rev,
@@ -1380,11 +1406,11 @@ object Analytics {
         |  FROM r)
         |SELECT n_customers,
         |  CAST(t AS DOUBLE) AS total_revenue,
-        |  round(2.0 * CAST(w AS DOUBLE)
-        |    / (CAST(n_customers AS DOUBLE) * CAST(t AS DOUBLE))
-        |    - (CAST(n_customers AS DOUBLE) + 1.0) / CAST(n_customers AS DOUBLE),
-        |    6) AS gini,
-        |  round(CAST(top AS DOUBLE) / CAST(t AS DOUBLE), 6) AS top_decile_share
+        |  ${graft.functions.Exact.sduck6(
+             "2 * CAST(w * 100 AS HUGEINT) - (n_customers + 1) * CAST(t * 100 AS HUGEINT)",
+             "n_customers * CAST(t * 100 AS HUGEINT)")} AS gini,
+        |  ${graft.functions.Exact.duck6("CAST(top * 100 AS HUGEINT)",
+             "CAST(t * 100 AS HUGEINT)")} AS top_decile_share
         |FROM a""".stripMargin,
     "basket_lift" ->
       """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
@@ -1458,7 +1484,7 @@ object Analytics {
         |    AS bounce_rate
         |FROM per GROUP BY user_id""".stripMargin,
     "orders_weekday_index" ->
-      """WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+      s"""WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
         |    count(*) AS n_orders,
         |    sum(CAST(o_totalprice AS DECIMAL(38,2))) AS rev
         |  FROM orders GROUP BY 1),
@@ -1469,9 +1495,10 @@ object Analytics {
         |tt AS (SELECT count(*) AS ntd, sum(rev) AS st FROM d)
         |SELECT dow, n_days, n_orders,
         |  CAST(sd AS DOUBLE) AS revenue,
-        |  round(CAST(sd AS DOUBLE) / n_days, 6) AS day_mean,
-        |  round((CAST(sd AS DOUBLE) / n_days)
-        |    / (CAST(st AS DOUBLE) / ntd), 6) AS seasonal_index
+        |  ${graft.functions.Exact.duck6("CAST(sd * 100 AS HUGEINT)",
+             "n_days * 100")} AS day_mean,
+        |  ${graft.functions.Exact.duck6("CAST(sd * 100 AS HUGEINT) * ntd",
+             "n_days * CAST(st * 100 AS HUGEINT)")} AS seasonal_index
         |FROM bd CROSS JOIN tt""".stripMargin,
     "lineitem_discount_ols" ->
       s"""WITH a AS (SELECT l_returnflag, count(*) AS n,
@@ -1562,12 +1589,13 @@ object Analytics {
         |  round(max(nrm), 6) AS max_norm
         |FROM v""".stripMargin,
     "revenue_share" ->
-      """WITH per AS (
+      s"""WITH per AS (
         |  SELECT o_orderpriority, sum(CAST(o_totalprice AS DECIMAL(38,2))) AS rev
         |  FROM orders GROUP BY 1),
         |t AS (SELECT sum(rev) AS tot FROM per)
         |SELECT o_orderpriority, CAST(rev AS DOUBLE) AS revenue,
-        |  round(CAST(rev AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share
+        |  ${graft.functions.Exact.duck6("CAST(rev * 100 AS HUGEINT)",
+             "CAST(tot * 100 AS HUGEINT)")} AS share
         |FROM per CROSS JOIN t""".stripMargin,
     "events_chi2" ->
       """WITH obs AS (
@@ -1602,7 +1630,9 @@ object Analytics {
            |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
            |  count(DISTINCT $c) AS n_distinct,
            |  round(min($c), 6) AS min_v, round(max($c), 6) AS max_v,
-           |  round(CAST(sum(CAST($c AS DECIMAL(38,6))) AS DOUBLE) / count($c), 6) AS mean_v
+           |  ${graft.functions.Exact.duck6(
+                  s"CAST(sum(CAST($c AS DECIMAL(38,6))) * 1000000 AS HUGEINT)",
+                  s"count($c) * 1000000")} AS mean_v
            |FROM lineitem""".stripMargin).mkString(" UNION ALL ")
     },
     "orders_daily_cumulative" ->

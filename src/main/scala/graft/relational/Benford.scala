@@ -33,7 +33,7 @@ object Benford {
     val total = digits.agg(sum("n").as("n_total"))
     digits.crossJoin(broadcast(total))
       .select(col("digit"), col("n"),
-        round(col("n").cast("double") / col("n_total"), 6).as("observed"),
+        expr(graft.functions.Exact.rate6("n", "n_total")).as("observed"),
         round(log10(lit(1.0) + lit(1.0) / col("digit")), 6).as("expected"),
         round(col("n").cast("double") / col("n_total") -
           log10(lit(1.0) + lit(1.0) / col("digit")), 6).as("deviation"),
@@ -49,13 +49,13 @@ object Benford {
 
   val oracleSql: Map[String, String] = Map(
     "orders_benford" ->
-      """WITH d AS (
+      s"""WITH d AS (
         |  SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT)
         |    AS digit, count(*) AS n
         |  FROM orders GROUP BY 1),
         |t AS (SELECT sum(n) AS n_total FROM d)
         |SELECT digit, CAST(n AS BIGINT) AS n,
-        |  round(CAST(n AS DOUBLE) / n_total, 6) AS observed,
+        |  ${graft.functions.Exact.duck6("n", "n_total")} AS observed,
         |  round(log10(1.0 + 1.0 / digit), 6) AS expected,
         |  round(CAST(n AS DOUBLE) / n_total - log10(1.0 + 1.0 / digit), 6)
         |    AS deviation,

@@ -51,8 +51,10 @@ object FunnelAb {
     // NULL rate/z (identically both engines), not an ANSI error
     def nz(c: org.apache.spark.sql.Column) = nullif(c.cast("double"), lit(0.0))
     steps.select(col("step"), col("n_a"), col("k_a"), col("n_b"), col("k_b"),
-      round(col("k_a").cast("double") / nz(col("n_a")), 6).as("rate_a"),
-      round(col("k_b").cast("double") / nz(col("n_b")), 6).as("rate_b"),
+      expr("CASE WHEN n_a IS NULL OR n_a = 0 THEN CAST(NULL AS DOUBLE) ELSE " +
+        graft.functions.Exact.rate6("k_a", "n_a") + " END").as("rate_a"),
+      expr("CASE WHEN n_b IS NULL OR n_b = 0 THEN CAST(NULL AS DOUBLE) ELSE " +
+        graft.functions.Exact.rate6("k_b", "n_b") + " END").as("rate_b"),
       round(
         (col("k_b").cast("double") / nz(col("n_b")) - col("k_a").cast("double") / nz(col("n_a"))) /
           nullif(sqrt(((col("k_a") + col("k_b")).cast("double") / nz(col("n_a") + col("n_b"))) *
@@ -65,7 +67,7 @@ object FunnelAb {
 
   val oracleSql: Map[String, String] = Map(
     "events_funnel_ab" ->
-      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+      s"""WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
         |  WHERE event_type = 'view' GROUP BY 1),
         |s2 AS (SELECT e.user_id, min(ts) AS t2 FROM events e
         |  JOIN s1 ON e.user_id = s1.user_id
@@ -97,8 +99,10 @@ object FunnelAb {
         |  SELECT 3 AS step, k2_a AS n_a, k3_a AS k_a, k2_b AS n_b, k3_b AS k_b FROM w)
         |SELECT step, CAST(n_a AS BIGINT) AS n_a, CAST(k_a AS BIGINT) AS k_a,
         |  CAST(n_b AS BIGINT) AS n_b, CAST(k_b AS BIGINT) AS k_b,
-        |  round(CAST(k_a AS DOUBLE) / nullif(CAST(n_a AS DOUBLE), 0.0), 6) AS rate_a,
-        |  round(CAST(k_b AS DOUBLE) / nullif(CAST(n_b AS DOUBLE), 0.0), 6) AS rate_b,
+        |  CASE WHEN n_a IS NULL OR n_a = 0 THEN CAST(NULL AS DOUBLE)
+        |    ELSE ${graft.functions.Exact.duck6("k_a", "n_a")} END AS rate_a,
+        |  CASE WHEN n_b IS NULL OR n_b = 0 THEN CAST(NULL AS DOUBLE)
+        |    ELSE ${graft.functions.Exact.duck6("k_b", "n_b")} END AS rate_b,
         |  round((CAST(k_b AS DOUBLE) / nullif(CAST(n_b AS DOUBLE), 0.0)
         |      - CAST(k_a AS DOUBLE) / nullif(CAST(n_a AS DOUBLE), 0.0)) /
         |    nullif(sqrt((CAST(k_a + k_b AS DOUBLE) / nullif(CAST(n_a + n_b AS DOUBLE), 0.0)) *

@@ -250,7 +250,7 @@ object Graph {
       .filter(col("cn") >= 2)
       .join(e.select(col("ia").as("p"), col("ib").as("q")), Seq("p", "q"), "left_anti")
       .select(col("p"), col("q"), col("cn"), col("ra_e12"),
-        round(col("ra_e12").cast("double") / lit(1e12), 6).as("ra_score"))
+        expr(graft.functions.Exact.rate6("ra_e12", "1000000000000")).as("ra_score"))
   }
 
   /** Common-neighbor scores over any canonical (ia < ib, distinct)
@@ -288,8 +288,7 @@ object Graph {
     cn.join(deg.select(col("s").as("p"), col("deg").as("dp")), "p")
       .join(deg.select(col("s").as("q"), col("deg").as("dq")), "q")
       .select(col("p"), col("q"), col("cn"),
-        round(col("cn").cast("double") / (col("dp") + col("dq") - col("cn")), 6)
-          .as("score"))
+        expr(graft.functions.Exact.rate6("cn", "dp + dq - cn")).as("score"))
   }
 
   /** Degree assortativity (Newman's r, from the public
@@ -359,10 +358,10 @@ object Graph {
       sum(col("dc") * col("dc")).as("sum_dc2"))
     eStats.crossJoin(broadcast(dStats))
       .select(col("n_edges"), col("n_communities"), col("intra_edges"),
-        round(col("intra_edges").cast("double") / col("n_edges"), 6).as("intra_frac"),
-        round(col("intra_edges").cast("double") / col("n_edges")
-          - col("sum_dc2").cast("double")
-            / (lit(4.0) * col("n_edges") * col("n_edges")), 6).as("modularity"))
+        expr(graft.functions.Exact.rate6("intra_edges", "n_edges")).as("intra_frac"),
+        expr(graft.functions.Exact.srate6(
+          "4 * CAST(n_edges AS DECIMAL(38,0)) * intra_edges - sum_dc2",
+          "4 * CAST(n_edges AS DECIMAL(38,0)) * n_edges")).as("modularity"))
   }
 
   /** Multi-source bounded-depth BFS over the dup-candidate graph: the
@@ -521,9 +520,10 @@ object Graph {
          |  FROM cands LEFT JOIN lm la ON la.doc_id = cands.ia
          |             LEFT JOIN lm lb ON lb.doc_id = cands.ib)
          |SELECT n_edges, n_communities, intra_edges,
-         |  round(CAST(intra_edges AS DOUBLE) / n_edges, 6) AS intra_frac,
-         |  round(CAST(intra_edges AS DOUBLE) / n_edges
-         |    - CAST(sum_dc2 AS DOUBLE) / (4.0 * n_edges * n_edges), 6) AS modularity
+         |  ${graft.functions.Exact.duck6("intra_edges", "n_edges")} AS intra_frac,
+         |  ${graft.functions.Exact.sduck6(
+              "4 * CAST(n_edges AS HUGEINT) * intra_edges - sum_dc2",
+              "4 * CAST(n_edges AS HUGEINT) * n_edges")} AS modularity
          |FROM ec CROSS JOIN ds""".stripMargin
     },
     "graph_bfs_distances" -> {
@@ -670,9 +670,10 @@ object Graph {
          |  FROM cm LEFT JOIN lm la ON la.doc_id = cm.ia
          |          LEFT JOIN lm lb ON lb.doc_id = cm.ib)
          |SELECT n_edges, n_communities, intra_edges,
-         |  round(CAST(intra_edges AS DOUBLE) / n_edges, 6) AS intra_frac,
-         |  round(CAST(intra_edges AS DOUBLE) / n_edges
-         |    - CAST(sum_dc2 AS DOUBLE) / (4.0 * n_edges * n_edges), 6) AS modularity
+         |  ${graft.functions.Exact.duck6("intra_edges", "n_edges")} AS intra_frac,
+         |  ${graft.functions.Exact.sduck6(
+              "4 * CAST(n_edges AS HUGEINT) * intra_edges - sum_dc2",
+              "4 * CAST(n_edges AS HUGEINT) * n_edges")} AS modularity
          |FROM ec CROSS JOIN ds""".stripMargin
     },
     "graph_common_neighbors" ->
@@ -702,7 +703,7 @@ object Graph {
          |    HAVING count(*) >= 2) c
          |  WHERE NOT EXISTS (SELECT 1 FROM vp WHERE vp.ia = c.p AND vp.ib = c.q))
          |SELECT p, q, cn,
-         |  round(CAST(cn AS DOUBLE) / (dp.deg + dq.deg - cn), 6) AS score
+         |  ${graft.functions.Exact.duck6("cn", "dp.deg + dq.deg - cn")} AS score
          |FROM cn JOIN vdeg dp ON dp.s = p JOIN vdeg dq ON dq.s = q""".stripMargin,
     "graph_resource_alloc" ->
       s"""WITH ${Dedup.sigSql},
@@ -733,7 +734,7 @@ object Graph {
          |    HAVING count(*) >= 2) c
          |  WHERE NOT EXISTS (SELECT 1 FROM vp WHERE vp.ia = c.p AND vp.ib = c.q))
          |SELECT p, q, cn, CAST(ra_e12 AS BIGINT) AS ra_e12,
-         |  round(CAST(ra_e12 AS DOUBLE) / 1e12, 6) AS ra_score
+         |  ${graft.functions.Exact.duck6("ra_e12", "1000000000000")} AS ra_score
          |FROM ra""".stripMargin,
     "graph_components" ->
       s"""WITH ${Dedup.clusterChainSql},

@@ -129,7 +129,11 @@ object Relational {
     t(spark, dir, "events")
       .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
       .groupBy("event_type")
-      .agg(count(lit(1)).as("n_events"), sum("k").as("sum_k"), round(avg("k"), 6).as("avg_k"))
+      .agg(count(lit(1)).as("n_events"), sum("k").as("sum_k"),
+        count(col("k")).as("__nk"))
+      // avg over NON-NULL k (avg() semantics), as the exact idiom
+      .withColumn("avg_k", expr(graft.functions.Exact.rate6("sum_k", "__nk")))
+      .drop("__nk")
 
   /** Left anti join: customers with no large order (every customer has
     * SOME order in the testdata, so the predicate keeps the result
@@ -384,7 +388,7 @@ object Relational {
       .agg(countDistinct("user_id").as("n_active"))
       .join(broadcast(sizes), "cohort")
       .select(col("cohort"), col("offset"), col("n_active"), col("n_cohort"),
-        round(col("n_active").cast("double") / col("n_cohort"), 6).as("retention"))
+        expr(graft.functions.Exact.rate6("n_active", "n_cohort")).as("retention"))
   }
 
   def eventsRetention(spark: SparkSession, dir: String): DataFrame =
@@ -993,7 +997,7 @@ object Relational {
     val totals = pairs.groupBy("event_type").agg(sum("n").as("total"))
     pairs.join(broadcast(totals), "event_type")
       .select(col("event_type"), col("next_type"), col("n"),
-        round(col("n").cast("double") / col("total"), 6).as("p"))
+        expr(graft.functions.Exact.rate6("n", "total")).as("p"))
   }
 
   def eventsTransitions(spark: SparkSession, dir: String): DataFrame =
@@ -1092,7 +1096,7 @@ object Relational {
     val totals = counts.groupBy("from_state").agg(sum("n").as("total"))
     val tm = counts.join(totals, "from_state")
       .select(col("from_state"), col("to_state"),
-        round(col("n").cast("double") / col("total"), 6).as("p"))
+        expr(graft.functions.Exact.rate6("n", "total")).as("p"))
       .collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
     def r6(x: Double): Double =
@@ -1639,7 +1643,7 @@ object Relational {
          |tt AS (SELECT event_type, sum(n) AS total FROM pairs GROUP BY event_type),
          |pr AS MATERIALIZED (
          |  SELECT event_type AS i, next_type AS j,
-         |    round(CAST(n AS DOUBLE) / total, 6) AS p
+         |    ${graft.functions.Exact.duck6("n", "total")} AS p
          |  FROM pairs JOIN tt USING (event_type)),
          |st AS MATERIALIZED (SELECT DISTINCT i AS event_type FROM pr),
          |n0 AS (SELECT event_type,
@@ -1897,7 +1901,7 @@ object Relational {
         |WHERE event_type = 'purchase' AND touch_type IS NOT NULL
         |GROUP BY touch_type""".stripMargin,
     "events_transitions" ->
-      """WITH p AS (
+      s"""WITH p AS (
         |  SELECT event_type, next_type, count(*) AS n FROM (
         |    SELECT event_type,
         |      lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
@@ -1906,7 +1910,7 @@ object Relational {
         |  GROUP BY event_type, next_type),
         |t AS (SELECT event_type, sum(n) AS total FROM p GROUP BY event_type)
         |SELECT event_type, next_type, n,
-        |  round(CAST(n AS DOUBLE) / total, 6) AS p
+        |  ${graft.functions.Exact.duck6("n", "total")} AS p
         |FROM p JOIN t USING (event_type)""".stripMargin,
     "events_ewma" ->
       """SELECT user_id, event_id,
@@ -1933,7 +1937,7 @@ object Relational {
         |FROM events JOIN s USING (event_type)
         |WHERE abs(value - mu) > 3.0 * sd""".stripMargin,
     "events_retention" ->
-      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+      s"""WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
         |c AS (SELECT user_id, min(day) AS cohort FROM ev GROUP BY user_id),
         |sz AS (SELECT cohort, CAST(count(DISTINCT user_id) AS BIGINT) AS n_cohort
         |       FROM c GROUP BY cohort),
@@ -1944,7 +1948,7 @@ object Relational {
         |        CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
         |      FROM act GROUP BY cohort, "offset")
         |SELECT cohort, "offset", n_active, n_cohort,
-        |  round(CAST(n_active AS DOUBLE) / n_cohort, 6) AS retention
+        |  ${graft.functions.Exact.duck6("n_active", "n_cohort")} AS retention
         |FROM g JOIN sz USING (cohort)""".stripMargin,
     "events_moving_avg" ->
       """SELECT user_id, event_id,
@@ -2141,9 +2145,11 @@ object Relational {
         |  round(sum(value), 4) AS sum_value
         |FROM sessions GROUP BY user_id, session_id""".stripMargin,
     "events_json" ->
-      """SELECT event_type, count(*) AS n_events,
-        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-        |  round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k
+      s"""SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  ${graft.functions.Exact.duck6(
+             "sum(CAST(json_extract_string(props, '$.k') AS BIGINT))",
+             "count(CAST(json_extract_string(props, '$.k') AS BIGINT))")} AS avg_k
         |FROM events GROUP BY event_type""".stripMargin,
     "join_anti" ->
       """SELECT c_custkey, c_name FROM customer

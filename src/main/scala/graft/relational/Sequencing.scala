@@ -87,7 +87,7 @@ object Sequencing {
       .select(round(col("rcum"), 6).as("entropy_rate"))
     hState.crossJoin(broadcast(total)).crossJoin(broadcast(rate))
       .select(col("cur").as("event_type"), col("n_out"),
-        round(expr("CAST(n_out AS DOUBLE) / n_total"), 6).as("p_state"),
+        expr(graft.functions.Exact.rate6("n_out", "n_total")).as("p_state"),
         round(col("h"), 6).as("next_entropy"),
         col("entropy_rate"))
   }
@@ -113,7 +113,7 @@ object Sequencing {
          |ORDER BY n_sessions DESC, path ASC
          |LIMIT $TOPP""".stripMargin,
     "events_markov_entropy" ->
-      """WITH pairs AS (
+      s"""WITH pairs AS (
         |  SELECT event_type AS cur,
         |    lead(event_type, 1) OVER (PARTITION BY user_id
         |      ORDER BY ts ASC, event_id ASC) AS nxt
@@ -142,7 +142,7 @@ object Sequencing {
         |    FROM hs CROSS JOIN tot)
         |  WHERE rk = 1)
         |SELECT cur AS event_type, CAST(n_out AS BIGINT) AS n_out,
-        |  round(CAST(n_out AS DOUBLE) / n_total, 6) AS p_state,
+        |  ${graft.functions.Exact.duck6("n_out", "n_total")} AS p_state,
         |  round(h, 6) AS next_entropy, entropy_rate
         |FROM hs CROSS JOIN tot CROSS JOIN rt""".stripMargin)
 }

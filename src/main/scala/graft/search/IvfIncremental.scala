@@ -73,9 +73,9 @@ object IvfIncremental {
     val tot = rep.agg(sum("n_standing").as("ts"), sum("n_total").as("tt"))
     val flagged = rep.crossJoin(broadcast(tot))
       .withColumn("share_before",
-        round(col("n_standing").cast("double") / col("ts"), 6))
+        expr(graft.functions.Exact.rate6("n_standing", "ts")))
       .withColumn("share_after",
-        round(col("n_total").cast("double") / col("tt"), 6))
+        expr(graft.functions.Exact.rate6("n_total", "tt")))
       .withColumn("overloaded", col("n_total") * CELLS > lit(2) * col("tt"))
     // the report is CELLS-bounded: collect it ONCE (the lloyd
     // literal-frame pattern) and derive the global retrain flag —
@@ -138,8 +138,8 @@ object IvfIncremental {
          |    rep.n_total * $CELLS > 2 * tt AS overloaded
          |  FROM rep CROSS JOIN tot)
          |SELECT cell, n_standing, n_added, n_total,
-         |  round(CAST(n_standing AS DOUBLE) / ts, 6) AS share_before,
-         |  round(CAST(n_total AS DOUBLE) / tt, 6) AS share_after,
+         |  ${graft.functions.Exact.duck6("n_standing", "ts")} AS share_before,
+         |  ${graft.functions.Exact.duck6("n_total", "tt")} AS share_after,
          |  overloaded,
          |  (SELECT max(overloaded) FROM flagged) AS retrain
          |FROM flagged""".stripMargin)

@@ -139,7 +139,7 @@ object SimSearch {
       .join(nCand, Seq("q_id"), "left")
       .select(col("q_id"), coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
         col("k"), col("n_hit"),
-        round(col("n_hit").cast("double") / col("k"), 6).as("recall_at_k"))
+        expr(graft.functions.Exact.rate6("n_hit", "k")).as("recall_at_k"))
   }
 
   /** Radius (range) search: every corpus vector within a cosine
@@ -391,7 +391,7 @@ object SimSearch {
       .groupBy("q_id")
       .agg(count(lit(1)).as("k"),
         sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
-      .withColumn("recall_at_k", round(col("n_hit").cast("double") / col("k"), 6))
+      .withColumn("recall_at_k", expr(graft.functions.Exact.rate6("n_hit", "k")))
   }
 
   /** NDCG@k of the LSH-ANN searcher against the brute-force truth —
@@ -437,8 +437,9 @@ object SimSearch {
       .join(hits, Seq("q_id"), "left")
       .select(col("q_id"),
         coalesce(col("__fhr"), lit(0)).cast("long").as("first_hit_rank"),
-        round(when(col("__fhr").isNotNull, lit(1.0) / col("__fhr"))
-          .otherwise(lit(0.0)), 6).as("rr_at_k"))
+        when(col("__fhr").isNotNull,
+          expr(graft.functions.Exact.rate6("1", "__fhr")))
+          .otherwise(lit(0.0)).as("rr_at_k"))
   }
 
   /** MMR trade-off weight and selection depth (Carbonell-Goldstein's
@@ -574,7 +575,7 @@ object SimSearch {
          |qn AS (SELECT CAST(count(DISTINCT q_id) AS BIGINT) AS n FROM truth),
          |m AS ($mk)
          |SELECT k, n_matched,
-         |  round(CAST(n_matched AS DOUBLE) / (k * qn.n), 6) AS recall_at_k
+         |  ${graft.functions.Exact.duck6("n_matched", "k * qn.n")} AS recall_at_k
          |FROM m CROSS JOIN qn""".stripMargin
     },
     "simsearch_filtered_ann" ->
@@ -601,8 +602,9 @@ object SimSearch {
          |  CAST(coalesce(max(nc.n_candidates), 0) AS BIGINT) AS n_candidates,
          |  count(*) AS k,
          |  CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
-         |  round(CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
-         |    / count(*), 6) AS recall_at_k
+         |  ${graft.functions.Exact.duck6(
+              "sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)",
+              "count(*)")} AS recall_at_k
          |FROM truth t
          |LEFT JOIN ann a ON t.q_id = a.q_id AND t.vec_id = a.vec_id
          |LEFT JOIN nc ON nc.q_id = t.q_id
@@ -626,8 +628,9 @@ object SimSearch {
          |  WHERE rank <= $ANN_TOPK)
          |SELECT t.q_id, count(*) AS k,
          |  CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
-         |  round(CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
-         |    / count(*), 6) AS recall_at_k
+         |  ${graft.functions.Exact.duck6(
+              "sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)",
+              "count(*)")} AS recall_at_k
          |FROM truth t LEFT JOIN ann a ON t.q_id = a.q_id AND t.vec_id = a.vec_id
          |GROUP BY t.q_id""".stripMargin,
     "simsearch_ndcg" ->
@@ -674,7 +677,7 @@ object SimSearch {
          |h AS (SELECT q_id, min(rank) AS fhr
          |  FROM ann SEMI JOIN truth USING (q_id, vec_id) GROUP BY q_id)
          |SELECT t.q_id, CAST(coalesce(h.fhr, 0) AS BIGINT) AS first_hit_rank,
-         |  CASE WHEN h.fhr IS NOT NULL THEN round(1.0 / h.fhr, 6)
+         |  CASE WHEN h.fhr IS NOT NULL THEN ${graft.functions.Exact.duck6("1", "h.fhr")}
          |       ELSE 0.0 END AS rr_at_k
          |FROM (SELECT DISTINCT q_id FROM truth) t
          |LEFT JOIN h ON h.q_id = t.q_id""".stripMargin,

@@ -98,7 +98,7 @@ object CorpusStats {
       .agg(count(lit(1)).as("n_grams"),
         sum(coalesce(col("__f"), lit(0L))).as("n_frequent"))
       .withColumn("frequent_frac",
-        round(col("n_frequent").cast("double") / col("n_grams"), 6))
+        expr(graft.functions.Exact.rate6("n_frequent", "n_grams")))
   }
 
   /** Per-document novelty: share of the doc's distinct char-5-grams
@@ -123,7 +123,7 @@ object CorpusStats {
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
       .withColumn("novel_frac",
-        round(col("n_novel").cast("double") / col("n_grams"), 6))
+        expr(graft.functions.Exact.rate6("n_novel", "n_grams")))
   }
 
   /** Bigram-LM document score: mean log2 MLE conditional probability
@@ -306,11 +306,11 @@ object CorpusStats {
         countDistinct("source").as("n_sources"),
         countDistinct("lang").as("n_langs"),
         sum(size(col("ws"))).cast("long").as("n_words"),
-        round(avg(size(col("ws"))), 6).as("avg_doc_words"),
         countDistinct(graft.dedup.Dedup.contentHash(col("text"))).as("n_unique"))
       .select(col("n_docs"), col("n_sources"), col("n_langs"),
-        col("n_words"), col("avg_doc_words"),
-        round(lit(1.0) - col("n_unique").cast("double") / col("n_docs"), 6)
+        col("n_words"),
+        expr(graft.functions.Exact.rate6("n_words", "n_docs")).as("avg_doc_words"),
+        expr(graft.functions.Exact.rate6("n_docs - n_unique", "n_docs"))
           .as("exact_dup_rate"))
 
   /** Corpus-level duplicated-8-gram mass — the memorization-risk
@@ -337,7 +337,7 @@ object CorpusStats {
         sum(when(col("n_occ") >= 2, col("n_occ")).otherwise(0L)).as("dup_occurrences"),
         max("n_occ").as("max_occ"))
       .withColumn("dup_frac",
-        round(col("dup_occurrences").cast("double") / col("n_occurrences"), 6))
+        expr(graft.functions.Exact.rate6("dup_occurrences", "n_occurrences")))
 
   /** Per-source exact-duplicate rate — the stratified sibling of the
     * dataset card's global rate: the first question when a dup rate
@@ -349,7 +349,7 @@ object CorpusStats {
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(graft.dedup.Dedup.contentHash(col("text"))).as("n_unique"))
       .select(col("source"), col("n_docs"), col("n_unique"),
-        round(lit(1.0) - col("n_unique").cast("double") / col("n_docs"), 6)
+        expr(graft.functions.Exact.rate6("n_docs - n_unique", "n_docs"))
           .as("dup_rate"))
 
   /** Per-source composition report: what a mix dashboard shows after
@@ -360,8 +360,11 @@ object CorpusStats {
       .agg(
         count(lit(1)).as("n_docs"),
         sum(size(split(col("text"), " "))).cast("long").as("n_words"),
-        round(avg(col("n_chars")), 6).as("avg_chars"),
+        sum(col("n_chars")).cast("long").as("__sc"),
         countDistinct("lang").as("n_langs"))
+      .select(col("source"), col("n_docs"), col("n_words"),
+        expr(graft.functions.Exact.rate6("__sc", "n_docs")).as("avg_chars"),
+        col("n_langs"))
 
   /** Incremental corpus-statistics maintenance — the agg_incremental
     * pattern on the INGEST path: the per-source release stats a
@@ -497,8 +500,8 @@ object CorpusStats {
       sum("c").as("head_tokens"))
     overall.crossJoin(broadcast(head))
       .select(col("n_types"), col("n_tokens"),
-        round(col("n_hapax").cast("double") / col("n_types"), 6).as("hapax_frac"),
-        round(col("head_tokens").cast("double") / col("n_tokens"), 6).as("head_share"),
+        expr(graft.functions.Exact.rate6("n_hapax", "n_types")).as("hapax_frac"),
+        expr(graft.functions.Exact.rate6("head_tokens", "n_tokens")).as("head_share"),
         col("zipf_slope"))
   }
 
@@ -557,6 +560,12 @@ object CorpusStats {
     "text_bigram_logprob" -> (qBigramLogprob _),
     "text_kn_logprob" -> (qKnLogprob _))
 
+  /** "distinct-content complement" numerator shared by the dup-rate
+    * oracles (hoisted: nested escaped quotes inside interpolation
+    * blocks do not parse). */
+  private val dupNumSql: String =
+    "count(*) - count(DISTINCT " + graft.dedup.Dedup.contentHashSql("text") + ")"
+
   val oracleSql: Map[String, String] = Map(
     "text_pmi_pairs" ->
       """WITH w AS (
@@ -595,8 +604,8 @@ object CorpusStats {
         |d AS (SELECT g, count(*) AS df FROM gs GROUP BY g)
         |SELECT doc_id, count(*) AS n_grams,
         |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
-        |  round(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
-        |    / count(*), 6) AS novel_frac
+        |  ${graft.functions.Exact.duck6(
+               "sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)", "count(*)")} AS novel_frac
         |FROM gs JOIN d USING (g) GROUP BY doc_id""".stripMargin,
     "text_source_keywords" ->
       """WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS word FROM documents),
@@ -617,7 +626,7 @@ object CorpusStats {
         |  round(score, 6) AS log_odds
         |FROM ranked WHERE rank <= 5""".stripMargin,
     "text_zipf" ->
-      """WITH v AS (SELECT word, count(*) AS c FROM (
+      s"""WITH v AS (SELECT word, count(*) AS c FROM (
         |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
         |  GROUP BY word),
         |o AS (SELECT count(*) AS n_types, sum(c) AS n_tokens,
@@ -627,8 +636,8 @@ object CorpusStats {
         |h AS (SELECT round(regr_slope(log2(c), log2(rank)), 6) AS zipf_slope,
         |    sum(c) AS head_tokens FROM top)
         |SELECT n_types, CAST(n_tokens AS BIGINT) AS n_tokens,
-        |  round(CAST(n_hapax AS DOUBLE) / n_types, 6) AS hapax_frac,
-        |  round(CAST(head_tokens AS DOUBLE) / n_tokens, 6) AS head_share,
+        |  ${graft.functions.Exact.duck6("n_hapax", "n_types")} AS hapax_frac,
+        |  ${graft.functions.Exact.duck6("head_tokens", "n_tokens")} AS head_share,
         |  zipf_slope
         |FROM o CROSS JOIN h""".stripMargin,
     "text_vocab_topk" ->
@@ -671,13 +680,14 @@ object CorpusStats {
          |  CAST(sum(n) AS BIGINT) AS n_occurrences,
          |  CAST(sum(CASE WHEN n >= 2 THEN n ELSE 0 END) AS BIGINT) AS dup_occurrences,
          |  max(n) AS max_occ,
-         |  round(CAST(sum(CASE WHEN n >= 2 THEN n ELSE 0 END) AS DOUBLE)
-         |    / CAST(sum(n) AS BIGINT), 6) AS dup_frac
+         |  ${graft.functions.Exact.duck6(
+                "sum(CASE WHEN n >= 2 THEN n ELSE 0 END)", "sum(n)")} AS dup_frac
          |FROM occ""".stripMargin,
     "pipeline_dup_rate_by_source" ->
       s"""SELECT source, count(*) AS n_docs,
          |  CAST(count(DISTINCT ${graft.dedup.Dedup.contentHashSql("text")}) AS BIGINT) AS n_unique,
-         |  round(1.0 - CAST(count(DISTINCT ${graft.dedup.Dedup.contentHashSql("text")}) AS DOUBLE) / count(*), 6) AS dup_rate
+         |  ${graft.functions.Exact.duck6(
+                dupNumSql, "count(*)")} AS dup_rate
          |FROM documents GROUP BY source""".stripMargin,
     "pipeline_stats_incremental" ->
       """SELECT source, count(*) AS n_docs,
@@ -687,9 +697,9 @@ object CorpusStats {
         |  CAST(sum(n_chars) AS BIGINT) AS n_chars
         |FROM documents GROUP BY source""".stripMargin,
     "pipeline_corpus_report" ->
-      """SELECT source, count(*) AS n_docs,
+      s"""SELECT source, count(*) AS n_docs,
         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_words,
-        |  round(avg(n_chars), 6) AS avg_chars,
+        |  ${graft.functions.Exact.duck6("sum(n_chars)", "count(*)")} AS avg_chars,
         |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
         |FROM documents GROUP BY source""".stripMargin,
     "pipeline_dataset_card" ->
@@ -697,8 +707,10 @@ object CorpusStats {
          |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
          |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
          |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_words,
-         |  round(avg(len(string_split(text, ' '))), 6) AS avg_doc_words,
-         |  round(1.0 - CAST(count(DISTINCT ${graft.dedup.Dedup.contentHashSql("text")}) AS DOUBLE) / count(*), 6)
+         |  ${graft.functions.Exact.duck6(
+                "sum(len(string_split(text, ' ')))", "count(*)")} AS avg_doc_words,
+         |  ${graft.functions.Exact.duck6(
+                dupNumSql, "count(*)")}
          |    AS exact_dup_rate
          |FROM documents""".stripMargin,
     "pipeline_curriculum" ->
@@ -733,8 +745,8 @@ object CorpusStats {
          |      HAVING count(DISTINCT doc_id) >= $BP_MIN_DF)
          |SELECT doc_id, count(*) AS n_grams,
          |  CAST(sum(CASE WHEN f.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_frequent,
-         |  round(CAST(sum(CASE WHEN f.gram IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
-         |        / count(*), 6) AS frequent_frac
+         |  ${graft.functions.Exact.duck6(
+                "sum(CASE WHEN f.gram IS NOT NULL THEN 1 ELSE 0 END)", "count(*)")} AS frequent_frac
          |FROM g LEFT JOIN f ON g.gram = f.gram
          |GROUP BY doc_id""".stripMargin,
     "text_interp_logprob" ->

@@ -3,6 +3,7 @@ package graft.text
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.t
+import graft.functions.Exact
 
 /** Structured PII detection + redaction — the corpus-release gate
   * beyond the scrub stage's blanket long-number rule: phone numbers,
@@ -118,8 +119,7 @@ object Pii {
         sum(when(size(col("phones")) + size(col("ips")) + size(col("emails"))
           + col("cc_valid") > 0, 1L).otherwise(0L)).as("pii_docs"),
         sum(col("residual")).as("residual_hits"))
-      .withColumn("pii_rate",
-        round(col("pii_docs").cast("double") / col("docs"), 6))
+      .withColumn("pii_rate", expr(Exact.rate6("pii_docs", "docs")))
 
   /** The redacted corpus itself — the scrub variant as a first-class
     * surface (exact string compare against the oracle's redaction). */
@@ -189,8 +189,9 @@ object Pii {
          |  CAST(sum(CASE WHEN len(phones) + len(ips) + len(emails) + cc_valid > 0
          |           THEN 1 ELSE 0 END) AS BIGINT) AS pii_docs,
          |  CAST(sum(residual) AS BIGINT) AS residual_hits,
-         |  round(CAST(sum(CASE WHEN len(phones) + len(ips) + len(emails) + cc_valid > 0
-         |             THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS pii_rate
+         |  ${graft.functions.Exact.duck6(
+             """sum(CASE WHEN len(phones) + len(ips) + len(emails) + cc_valid > 0
+               |             THEN 1 ELSE 0 END)""".stripMargin, "count(*)")} AS pii_rate
          |FROM scored GROUP BY source""".stripMargin,
     "text_pii_scrub" ->
       s"""WITH $detectedSql

@@ -180,15 +180,27 @@ object QualityClf {
   private[text] def calibrationOf(scored: DataFrame): DataFrame = {
     val binned = scored.withColumn("bin",
       least(floor(expr("CAST(clf_score AS DECIMAL(18,6)) * 10")).cast("int"), lit(9)))
+    // mean_score/ece divide a 6-dp-exact DECIMAL sum by a count: scale
+    // the numerator to micro-units and both by 1e6 so the quotient is
+    // pure integer and the HALF_UP idiom applies (c*a DIV c*b = a DIV
+    // b, so the common 1e6 factor cancels exactly); label_rate is a
+    // plain integer rate. abs_gap stays round(): the difference of two
+    // 6-dp values is never near a 0.5e-6 midpoint.
     val rep = binned.groupBy("bin").agg(
       count(lit(1)).as("n_docs"),
-      round(expr("CAST(sum(CAST(clf_score AS DECIMAL(18,6))) AS DOUBLE)") /
-        count(lit(1)), 6).as("mean_score"),
-      round(sum("label").cast("double") / count(lit(1)), 6).as("label_rate"))
+      sum(expr("CAST(clf_score AS DECIMAL(18,6))")).as("ssum"),
+      sum("label").cast("long").as("npos"))
+      .withColumn("mean_score", expr(graft.functions.Exact.rate6(
+        "CAST(ssum * 1000000 AS DECIMAL(38,0))",
+        "CAST(n_docs AS DECIMAL(38,0)) * 1000000")))
+      .withColumn("label_rate", expr(graft.functions.Exact.rate6("npos", "n_docs")))
       .withColumn("abs_gap", round(abs(col("mean_score") - col("label_rate")), 6))
     val ece = rep.agg(
-      round(expr("CAST(sum(CAST(abs_gap AS DECIMAL(18,6)) * n_docs) AS DOUBLE)") /
-        sum("n_docs"), 6).as("ece"))
+      sum(expr("CAST(abs_gap AS DECIMAL(18,6)) * n_docs")).as("gsum"),
+      sum("n_docs").as("nd"))
+      .select(expr(graft.functions.Exact.rate6(
+        "CAST(gsum * 1000000 AS DECIMAL(38,0))",
+        "CAST(nd AS DECIMAL(38,0)) * 1000000")).as("ece"))
     rep.crossJoin(broadcast(ece))
       .select("bin", "n_docs", "mean_score", "label_rate", "abs_gap", "ece")
   }
@@ -219,8 +231,11 @@ object QualityClf {
     val nTrain = trainF.agg(count(lit(1)).as("n_train"))
     nTrain.crossJoin(broadcast(acc)).crossJoin(broadcast(u))
       .select(col("n_train"), col("n_eval"), col("n_pos").as("n_pos_eval"),
-        round(col("n_correct").cast("double") / col("n_eval"), 6).as("accuracy"),
-        round(col("u") / (col("n_pos") * col("n_neg")).cast("double"), 6).as("auc"))
+        expr(graft.functions.Exact.rate6("n_correct", "n_eval")).as("accuracy"),
+        // u is an exact half-integer (tie term n/2), so 2u is an exact
+        // integer and auc = 2u / (2*n_pos*n_neg) is a pure integer rate
+        expr(graft.functions.Exact.rate6("CAST(2 * u AS DECIMAL(38,0))",
+          "2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg")).as("auc"))
   }
 
   /** Tie-corrected Mann-Whitney U over per-distinct-score aggregates
@@ -324,8 +339,9 @@ object QualityClf {
          |  FROM escored),
          |tt AS (SELECT count(*) AS n_train FROM feats)
          |SELECT n_train, n_eval, n_pos AS n_pos_eval,
-         |  round(CAST(n_correct AS DOUBLE) / n_eval, 6) AS accuracy,
-         |  round(u / CAST(n_pos * n_neg AS DOUBLE), 6) AS auc
+         |  ${graft.functions.Exact.duck6("n_correct", "n_eval")} AS accuracy,
+         |  ${graft.functions.Exact.duck6("CAST(2 * u AS HUGEINT)",
+              "2 * CAST(n_pos AS HUGEINT) * n_neg")} AS auc
          |FROM tt CROSS JOIN aa CROSS JOIN uu""".stripMargin
     Map(
       "text_quality_clf" -> clfSql,
@@ -337,14 +353,16 @@ object QualityClf {
            |  FROM clf),
            |rep AS MATERIALIZED (SELECT bin,
            |    count(*) AS n_docs,
-           |    round(CAST(sum(CAST(clf_score AS DECIMAL(18,6))) AS DOUBLE)
-           |      / count(*), 6) AS mean_score,
-           |    round(CAST(sum(label) AS DOUBLE) / count(*), 6) AS label_rate
+           |    ${graft.functions.Exact.duck6(
+                  "CAST(sum(CAST(clf_score AS DECIMAL(18,6))) * 1000000 AS HUGEINT)",
+                  "count(*) * 1000000")} AS mean_score,
+           |    ${graft.functions.Exact.duck6("sum(label)", "count(*)")} AS label_rate
            |  FROM binned GROUP BY bin),
            |g AS MATERIALIZED (SELECT *,
            |    round(abs(mean_score - label_rate), 6) AS abs_gap FROM rep),
-           |e AS (SELECT round(CAST(sum(CAST(abs_gap AS DECIMAL(18,6)) * n_docs) AS DOUBLE)
-           |    / CAST(sum(n_docs) AS DOUBLE), 6) AS ece FROM g)
+           |e AS (SELECT ${graft.functions.Exact.duck6(
+                  "CAST(sum(CAST(abs_gap AS DECIMAL(18,6)) * n_docs) * 1000000 AS HUGEINT)",
+                  "sum(n_docs) * 1000000")} AS ece FROM g)
            |SELECT bin, n_docs, mean_score, label_rate, abs_gap, ece
            |FROM g CROSS JOIN e""".stripMargin)
   }

@@ -3,6 +3,7 @@ package graft.text
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.t
+import graft.functions.Exact
 
 /** Repetition / degeneracy quality filters in the style public LM
   * training reports describe (Gopher/C4-family rules): documents
@@ -41,6 +42,13 @@ object Repetition {
   def repetitionOf(docs: DataFrame): DataFrame =
     docs
       .withColumn("ws", split(col("text"), " "))
+      // distinct-bigram count through the NATIVE fused-loop
+      // expression (BigramSpec proves it bitwise-equal to the
+      // size(array_distinct(transform(...))) form): the declarative
+      // bigram array cost 2.6 s of every clean-corpus run at sf0.1.
+      // size(g2) == n_words - 1 for n_words >= 2, by construction.
+      .withColumn("dbg",
+        graft.functions.GraftFunctions.distinctBigramCount(col("ws")).cast("long"))
       .select(
         col("doc_id"),
         size(col("ws")).cast("long").as("n_words"),
@@ -49,25 +57,24 @@ object Repetition {
         // nested filter-per-distinct-word (HOF lambdas are
         // interpreted, so the quadratic form dominated the whole
         // clean-corpus composition). Same integer, oracle unchanged.
-        round(expr(
+        // All three rates below are integer/integer: exact HALF_UP
+        // idiom (graft.functions.Exact), never a rounded double
+        // quotient; dup_2gram_frac's complement 1 - d/n computes as
+        // (n - d)/n so it too stays in integers.
+        expr(Exact.rate6L(
           "aggregate(array_sort(ws), named_struct('prev', '', 'run', 0, 'best', 0), " +
             "(acc, w) -> named_struct('prev', w, " +
             "'run', CASE WHEN w = acc.prev THEN acc.run + 1 ELSE 1 END, " +
             "'best', greatest(acc.best, CASE WHEN w = acc.prev THEN acc.run + 1 ELSE 1 END)), " +
-            "acc -> acc.best)")
-          .cast("double") / size(col("ws")), 6).as("top_word_ratio"),
-        // distinct-bigram count through the NATIVE fused-loop
-        // expression (BigramSpec proves it bitwise-equal to the
-        // size(array_distinct(transform(...))) form): the declarative
-        // bigram array cost 2.6 s of every clean-corpus run at sf0.1.
-        // size(g2) == n_words - 1 for n_words >= 2, by construction.
-        round(when(size(col("ws")) >= 2,
-          lit(1.0) - graft.functions.GraftFunctions.distinctBigramCount(col("ws")).cast("double")
-            / (size(col("ws")) - 1))
-          .otherwise(lit(0.0)), 6).as("dup_2gram_frac"),
-        round(when(length(col("text")) > 0,
-          length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast("double") / length(col("text")))
-          .otherwise(lit(0.0)), 6).as("symbol_ratio"))
+            "acc -> acc.best)",
+          "size(ws)")).as("top_word_ratio"),
+        when(size(col("ws")) >= 2,
+          expr(Exact.rate6L("(size(ws) - 1) - dbg", "size(ws) - 1")))
+          .otherwise(lit(0.0)).as("dup_2gram_frac"),
+        when(length(col("text")) > 0,
+          expr(Exact.rate6L("length(regexp_replace(text, '[a-z0-9 ]', ''))",
+            "length(text)")))
+          .otherwise(lit(0.0)).as("symbol_ratio"))
       .withColumn("keep",
         col("top_word_ratio") <= MAX_TOP_WORD_RATIO &&
           col("dup_2gram_frac") <= MAX_DUP_2GRAM_FRAC &&
@@ -126,8 +133,7 @@ object Repetition {
         fails("r_stop"), fails("r_sym"),
         sum(when(col("r_words") && col("r_mwl") && col("r_alpha") &&
           col("r_stop") && col("r_sym"), 1L).otherwise(0L)).as("n_pass"))
-      .withColumn("pass_rate",
-        round(col("n_pass").cast("double") / col("n_docs"), 6))
+      .withColumn("pass_rate", expr(Exact.rate6("n_pass", "n_docs")))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -163,8 +169,9 @@ object Repetition {
          |  CAST(sum(CASE WHEN NOT r_sym THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_sym,
          |  CAST(sum(CASE WHEN r_words AND r_mwl AND r_alpha AND r_stop AND r_sym
          |    THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
-         |  round(CAST(sum(CASE WHEN r_words AND r_mwl AND r_alpha AND r_stop AND r_sym
-         |    THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS pass_rate
+         |  ${graft.functions.Exact.duck6(
+             """sum(CASE WHEN r_words AND r_mwl AND r_alpha AND r_stop AND r_sym
+               |    THEN 1 ELSE 0 END)""".stripMargin, "count(*)")} AS pass_rate
          |FROM r GROUP BY source""".stripMargin,
     "text_repetition" ->
       s"""WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
@@ -173,14 +180,18 @@ object Repetition {
          |    i -> ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT) + 1]) AS g2 FROM d),
          |m AS (SELECT doc_id,
          |  CAST(len(ws) AS BIGINT) AS n_words,
-         |  round(CAST(list_max(list_transform(list_distinct(ws),
-         |    x -> len(list_filter(ws, w -> w = x)))) AS DOUBLE) / len(ws), 6) AS top_word_ratio,
-         |  round(CASE WHEN len(g2) > 0
-         |    THEN 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2)
-         |    ELSE 0.0 END, 6) AS dup_2gram_frac,
-         |  round(CASE WHEN len(text) > 0
-         |    THEN CAST(len(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) / len(text)
-         |    ELSE 0.0 END, 6) AS symbol_ratio
+         |  ${graft.functions.Exact.duck6(
+             """list_max(list_transform(list_distinct(ws),
+               |    x -> len(list_filter(ws, w -> w = x))))""".stripMargin,
+             "len(ws)")} AS top_word_ratio,
+         |  CASE WHEN len(g2) > 0
+         |    THEN ${graft.functions.Exact.duck6(
+               "len(g2) - len(list_distinct(g2))", "len(g2)")}
+         |    ELSE 0.0 END AS dup_2gram_frac,
+         |  CASE WHEN len(text) > 0
+         |    THEN ${graft.functions.Exact.duck6(
+               "len(regexp_replace(text, '[a-z0-9 ]', '', 'g'))", "len(text)")}
+         |    ELSE 0.0 END AS symbol_ratio
          |FROM g)
          |SELECT doc_id, n_words, top_word_ratio, dup_2gram_frac, symbol_ratio,
          |  (top_word_ratio <= $MAX_TOP_WORD_RATIO AND dup_2gram_frac <= $MAX_DUP_2GRAM_FRAC

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables.t
+import graft.functions.Exact
 
 /** Text-analysis operators over the documents corpus: quality
   * scoring, language-ID heuristic, token counting, canonical
@@ -35,11 +36,14 @@ object TextAnalysis {
         col("doc_id"),
         size(col("ws")).cast("long").as("n_words"),
         size(array_distinct(col("ws"))).cast("long").as("n_distinct"),
-        round(expr("aggregate(ws, 0, (a, w) -> a + length(w))").cast("double") / size(col("ws")), 6)
-          .as("avg_word_len"),
-        round(expr(s"size(filter(ws, w -> array_contains(${inList(STOP)}, w)))").cast("double")
-          / size(col("ws")), 6).as("stop_ratio"),
-        round(size(array_distinct(col("ws"))).cast("double") / size(col("ws")), 6).as("ttr"))
+        // all three rates are integer/integer: exact HALF_UP idiom
+        // (graft.functions.Exact), never a rounded double quotient
+        expr(Exact.rate6L("aggregate(ws, 0, (a, w) -> a + length(w))",
+          "size(ws)")).as("avg_word_len"),
+        expr(Exact.rate6L(
+          s"size(filter(ws, w -> array_contains(${inList(STOP)}, w)))",
+          "size(ws)")).as("stop_ratio"),
+        expr(Exact.rate6L("size(array_distinct(ws))", "size(ws)")).as("ttr"))
 
   /** Flesch reading ease + Flesch-Kincaid grade per document — the
     * classic readability pair every quality-filtering recipe includes
@@ -120,8 +124,8 @@ object TextAnalysis {
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
         sum("nw").as("n_words"),
-        sum("nst").as("n_subtokens"),
-        round(sum("nst").cast("double") / sum("nw"), 6).as("fertility"))
+        sum("nst").as("n_subtokens"))
+      .withColumn("fertility", expr(Exact.rate6("n_subtokens", "n_words")))
 
   /** Normalization + PII scrubbing: lowercase, redact email addresses
     * and long digit runs, collapse runs of spaces — the standard
@@ -234,7 +238,7 @@ object TextAnalysis {
     val totals = cells.groupBy("lang").agg(sum("n").as("total"))
     cells.join(broadcast(totals), "lang")
       .select(col("lang"), col("pred_lang"), col("n"),
-        round(col("n").cast("double") / col("total"), 6).as("share"))
+        expr(Exact.rate6("n", "total")).as("share"))
   }
 
   private val CHUNK = 50
@@ -377,7 +381,7 @@ object TextAnalysis {
       .withColumn("tot", expr(
         "aggregate(transform(starts, s -> size(array_distinct(slice(ws, s, wlen)))), 0, (a, x) -> a + x)"))
       .select(col("doc_id"), size(col("starts")).as("n_windows"),
-        round(col("tot").cast("double") / (size(col("starts")) * col("wlen")), 6).as("mattr"))
+        expr(Exact.rate6L("tot", "size(starts) * wlen")).as("mattr"))
 
   // ---- oracle SQL ------------------------------------------------------
 
@@ -421,7 +425,7 @@ object TextAnalysis {
     }.mkString(" ")
     Map(
       "text_mattr" ->
-        """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        ("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
           |p AS (SELECT doc_id, ws, least(len(ws), 50) AS wlen,
           |    range(1, len(ws) - least(len(ws), 50) + 2, 25) AS starts
           |  FROM d),
@@ -430,8 +434,10 @@ object TextAnalysis {
           |      s -> len(list_distinct(ws[CAST(s AS INT):CAST(s + wlen - 1 AS INT)])))) AS tot
           |  FROM p)
           |SELECT doc_id, CAST(n_windows AS INT) AS n_windows,
-          |  round(CAST(tot AS DOUBLE) / (n_windows * wlen), 6) AS mattr
-          |FROM a""".stripMargin,
+          |  """.stripMargin +
+        graft.functions.Exact.duck6("tot", "n_windows * wlen") +
+        """ AS mattr
+          |FROM a""".stripMargin),
       "text_scrub" ->
         """SELECT doc_id,
           |  trim(regexp_replace(regexp_replace(regexp_replace(lower(text),
@@ -508,13 +514,18 @@ object TextAnalysis {
           |        AS DOUBLE) / len(ws)) - 15.59, 6) AS fk_grade
           |FROM (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents)""".stripMargin,
       "text_quality" ->
-        """SELECT doc_id,
+        ("""SELECT doc_id,
           |  CAST(len(ws) AS BIGINT) AS n_words,
           |  CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct,
-          |  round(CAST(list_sum(list_transform(ws, w -> len(w))) AS DOUBLE) / len(ws), 6) AS avg_word_len,
-          |  round(CAST(len(list_filter(ws, w -> list_contains(['the', 'and', 'of', 'to', 'in', 'is'], w))) AS DOUBLE) / len(ws), 6) AS stop_ratio,
-          |  round(CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 6) AS ttr
-          |FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)""".stripMargin,
+          |  """.stripMargin +
+        graft.functions.Exact.duck6("list_sum(list_transform(ws, w -> len(w)))",
+          "len(ws)") + " AS avg_word_len,\n" +
+        graft.functions.Exact.duck6(
+          "len(list_filter(ws, w -> list_contains(['the', 'and', 'of', 'to', 'in', 'is'], w)))",
+          "len(ws)") + " AS stop_ratio,\n" +
+        graft.functions.Exact.duck6("len(list_distinct(ws))", "len(ws)") +
+        """ AS ttr
+          |FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)""".stripMargin),
       "text_langid" ->
         s"""SELECT doc_id, ${langs.map(l => s"s_$l").mkString(", ")},
            |  CASE WHEN greatest(${langs.map(l => s"s_$l").mkString(", ")}) = 0 THEN 'und'
@@ -534,17 +545,18 @@ object TextAnalysis {
            |  GROUP BY d.lang, p.pred_lang),
            |t AS (SELECT lang, sum(n) AS total FROM cells GROUP BY lang)
            |SELECT lang, pred_lang, n,
-           |  round(CAST(n AS DOUBLE) / total, 6) AS share
+           |  ${graft.functions.Exact.duck6("n", "total")} AS share
            |FROM cells JOIN t USING (lang)""".stripMargin,
       "text_token_fertility" ->
-        """WITH d AS (SELECT lang, string_split(text, ' ') AS ws FROM documents)
-          |SELECT lang, count(*) AS n_docs,
-          |  CAST(sum(len(ws)) AS BIGINT) AS n_words,
-          |  CAST(sum(list_sum(list_transform(ws, w -> (len(w) + 3) // 4))) AS BIGINT)
-          |    AS n_subtokens,
-          |  round(CAST(sum(list_sum(list_transform(ws, w -> (len(w) + 3) // 4))) AS DOUBLE)
-          |    / sum(len(ws)), 6) AS fertility
-          |FROM d GROUP BY lang""".stripMargin,
+        s"""WITH d AS (SELECT lang, string_split(text, ' ') AS ws FROM documents),
+           |a AS (SELECT lang, count(*) AS n_docs,
+           |  CAST(sum(len(ws)) AS BIGINT) AS n_words,
+           |  CAST(sum(list_sum(list_transform(ws, w -> (len(w) + 3) // 4))) AS BIGINT)
+           |    AS n_subtokens
+           |  FROM d GROUP BY lang)
+           |SELECT lang, n_docs, n_words, n_subtokens,
+           |  ${graft.functions.Exact.duck6("n_subtokens", "n_words")} AS fertility
+           |FROM a""".stripMargin,
       "text_tokens" ->
         """SELECT doc_id,
           |  CAST(len(ws) AS BIGINT) AS n_tokens,

@@ -34,6 +34,17 @@ class BasketTriplesSpec extends AnyFunSuite {
     assert(got == expected && got.nonEmpty)
   }
 
+  test("broadcastL2 guard: shuffled semi-join fallback is row-identical") {
+    // the 100 TB low-minSupport path (broadcastL2 = false) must give
+    // exactly the broadcast plan's answer — same rows, same support
+    def rows(bcast: Boolean) =
+      Analytics.qBasketTriples(spark, sf, broadcastL2 = bcast).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4))).toSet
+    val b = rows(bcast = true)
+    assert(rows(bcast = false) == b && b.nonEmpty)
+  }
+
   test("Apriori closure: every reported triple's sub-pairs are frequent") {
     Analytics.qBasketTriples(spark, sf).collect().foreach { r =>
       val (a, b, c) = (r.getLong(0), r.getLong(1), r.getLong(2))
