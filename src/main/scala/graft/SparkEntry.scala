@@ -35,6 +35,7 @@ object SparkEntry {
       relational.FunnelAb.queries ++
       relational.Analytics.queries ++
       relational.UserHhi.queries ++
+      relational.MarkovBacktest.queries ++
       relational.Graph.queries ++
       relational.CountMin.queries ++
       clustering.KMeans.queries ++
@@ -62,6 +63,7 @@ object SparkEntry {
       search.Prf.queries ++
       search.PcaScatter.queries ++
       search.Drift.queries ++
+      search.Isotropy.queries ++
       text.TextAnalysis.queries ++
       text.Encoding.queries ++
       text.LengthStats.queries ++
@@ -112,6 +114,7 @@ object SparkEntry {
       relational.FunnelAb.oracleSql ++
       relational.Analytics.oracleSql ++
       relational.UserHhi.oracleSql ++
+      relational.MarkovBacktest.oracleSql ++
       relational.Graph.oracleSql ++
       relational.CountMin.oracleSql ++
       clustering.KMeans.oracleSql ++
@@ -138,6 +141,7 @@ object SparkEntry {
       search.Prf.oracleSql ++
       search.PcaScatter.oracleSql ++
       search.Drift.oracleSql ++
+      search.Isotropy.oracleSql ++
       text.TextAnalysis.oracleSql ++
       text.Encoding.oracleSql ++
       text.LengthStats.oracleSql ++

@@ -205,6 +205,40 @@ object QualityClf {
       .select("bin", "n_docs", "mean_score", "label_rate", "abs_gap", "ece")
   }
 
+  /** Brier score + skill vs the base-rate forecaster — the proper
+    * scoring rule beside the calibration table: brier = mean((p-y)²),
+    * brier_base = r(1-r) for base rate r = n_pos/n (the score of
+    * always predicting the prevalence), skill = 1 - brier/brier_base
+    * (the Brier skill score; > 0 means the classifier beats the
+    * prior). Exactness: clf_score is 6-dp by construction, so its
+    * micro-unit integer k = round(score·1e6) is EXACT and
+    * (k - y·1e6)² sums as exact integers (DECIMAL(38,0)-widened);
+    * brier, brier_base and skill are each ONE exact HALF_UP division
+    * of integers — skill via cross-multiplication, so no rounded
+    * intermediate feeds another round. One scan, one 1-row rollup. */
+  def qClfBrier(spark: SparkSession, dir: String): DataFrame =
+    brierOf(qQualityClf(spark, dir))
+
+  /** The report over any scored (label, clf_score) frame. */
+  private[text] def brierOf(scored: DataFrame): DataFrame =
+    scored
+      .withColumn("k", expr("CAST(round(clf_score * 1000000.0) AS BIGINT)"))
+      .withColumn("d", expr("k - label * 1000000"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("label")).cast("long").as("n_pos"),
+        sum(expr("CAST(d AS DECIMAL(38,0)) * d")).as("sse"))
+      .select(col("n_docs"), col("n_pos"),
+        expr(graft.functions.Exact.rate6("sse",
+          "CAST(n_docs AS DECIMAL(38,0)) * 1000000000000")).as("brier"),
+        expr("CASE WHEN n_pos = 0 OR n_pos = n_docs THEN CAST(NULL AS DOUBLE) ELSE " +
+          graft.functions.Exact.rate6("CAST(n_pos AS DECIMAL(38,0)) * (n_docs - n_pos)",
+            "CAST(n_docs AS DECIMAL(38,0)) * n_docs") + " END").as("brier_base"),
+        expr("CASE WHEN n_pos = 0 OR n_pos = n_docs THEN CAST(NULL AS DOUBLE) ELSE " +
+          graft.functions.Exact.srate6(
+            "CAST(n_pos AS DECIMAL(38,0)) * (n_docs - n_pos) * 1000000000000 - CAST(sse AS DECIMAL(38,0)) * n_docs",
+            "CAST(n_pos AS DECIMAL(38,0)) * (n_docs - n_pos) * 1000000000000") +
+          " END").as("skill"))
+
   /** Held-out evaluation — the train/eval hygiene a classifier-scored
     * release requires: train on the SAME deterministic 80% hash split
     * every pipeline gate uses (nibble bucket < 80, pipeline_split's
@@ -259,6 +293,7 @@ object QualityClf {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_quality_clf" -> (qQualityClf _),
     "text_quality_clf_calibration" -> (qClfCalibration _),
+    "text_quality_clf_brier" -> (qClfBrier _),
     "text_quality_clf_eval" -> (qClfEval _))
 
   /** DuckDB mirror: the same feature build, then the 10 GD steps as
@@ -346,6 +381,27 @@ object QualityClf {
     Map(
       "text_quality_clf" -> clfSql,
       "text_quality_clf_eval" -> evalSql,
+      "text_quality_clf_brier" ->
+        s"""WITH clf AS MATERIALIZED (SELECT * FROM ($clfSql) q),
+           |m AS (SELECT label,
+           |    CAST(round(clf_score * 1000000.0) AS BIGINT) - label * 1000000 AS d
+           |  FROM clf),
+           |a AS (SELECT count(*) AS n_docs,
+           |    CAST(sum(label) AS BIGINT) AS n_pos,
+           |    sum(CAST(d AS HUGEINT) * d) AS sse
+           |  FROM m)
+           |SELECT n_docs, n_pos,
+           |  ${graft.functions.Exact.duck6("sse",
+                "CAST(n_docs AS HUGEINT) * 1000000000000")} AS brier,
+           |  CASE WHEN n_pos = 0 OR n_pos = n_docs THEN CAST(NULL AS DOUBLE)
+           |    ELSE ${graft.functions.Exact.duck6(
+                  "CAST(n_pos AS HUGEINT) * (n_docs - n_pos)",
+                  "CAST(n_docs AS HUGEINT) * n_docs")} END AS brier_base,
+           |  CASE WHEN n_pos = 0 OR n_pos = n_docs THEN CAST(NULL AS DOUBLE)
+           |    ELSE ${graft.functions.Exact.sduck6(
+                  "CAST(n_pos AS HUGEINT) * (n_docs - n_pos) * 1000000000000 - CAST(sse AS HUGEINT) * n_docs",
+                  "CAST(n_pos AS HUGEINT) * (n_docs - n_pos) * 1000000000000")} END AS skill
+           |FROM a""".stripMargin,
       "text_quality_clf_calibration" ->
         s"""WITH clf AS MATERIALIZED (SELECT * FROM ($clfSql) q),
            |binned AS (SELECT *,
