@@ -36,6 +36,8 @@ object SparkEntry {
       relational.Analytics.queries ++
       relational.UserHhi.queries ++
       relational.MarkovBacktest.queries ++
+      relational.ChapmanKolmogorov.queries ++
+      relational.BasketRules.queries ++
       relational.Graph.queries ++
       relational.CountMin.queries ++
       clustering.KMeans.queries ++
@@ -115,6 +117,8 @@ object SparkEntry {
       relational.Analytics.oracleSql ++
       relational.UserHhi.oracleSql ++
       relational.MarkovBacktest.oracleSql ++
+      relational.ChapmanKolmogorov.oracleSql ++
+      relational.BasketRules.oracleSql ++
       relational.Graph.oracleSql ++
       relational.CountMin.oracleSql ++
       clustering.KMeans.oracleSql ++
