@@ -39,9 +39,14 @@ object ChapmanKolmogorov {
   /** [[qCkTest]] over any (user_id, ts, event_id, event_type) frame. */
   private[relational] def ckOf(events: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    // one-step micro-probabilities k_ij (exact integers)
-    val p1 = events
+    // BOTH leads in one window projection: the two census branches
+    // below then share an identical scan+shuffle+sort subtree, which
+    // ReuseExchange collapses to a single user-partitioned pass
+    val led = events
       .withColumn("to1", lead("event_type", 1).over(w))
+      .withColumn("to2", lead("event_type", 2).over(w))
+    // one-step micro-probabilities k_ij (exact integers)
+    val p1 = led
       .filter(col("to1").isNotNull)
       .groupBy(col("event_type").as("i"), col("to1").as("j"))
       .agg(count(lit(1)).as("n"))
@@ -54,9 +59,8 @@ object ChapmanKolmogorov {
       .join(k1.select(col("i").as("m"), col("j"), col("k").as("kb")), "m")
       .groupBy("i", "j")
       .agg(sum(expr("ka * kb")).as("s12"))
-    // empirical two-step micro-probabilities
-    val p2 = events
-      .withColumn("to2", lead("event_type", 2).over(w))
+    // empirical two-step micro-probabilities (same shared window pass)
+    val p2 = led
       .filter(col("to2").isNotNull)
       .groupBy(col("event_type").as("i"), col("to2").as("j"))
       .agg(count(lit(1)).as("m2"))

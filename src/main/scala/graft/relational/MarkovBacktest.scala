@@ -54,17 +54,16 @@ object MarkovBacktest {
       .withColumn("rk", row_number().over(argmaxW))
       .filter(col("rk") === 1)
       .select(col("event_type"), col("next_type").as("predicted_next"))
-    val perState = pairs.filter(!col("is_train"))
-      .groupBy("event_type").agg(count(lit(1)).as("n_test"))
-      .join(predicted, Seq("event_type"), "left")
-    val correct = pairs.filter(!col("is_train"))
-      .join(predicted, Seq("event_type"), "left")
+    // one pass over the test transitions: join the state-bounded
+    // prediction table (broadcast-sized by construction) once, then
+    // count support and hits in the same aggregate
+    val per = pairs.filter(!col("is_train"))
+      .join(broadcast(predicted), Seq("event_type"), "left")
       .groupBy("event_type")
-      .agg(sum(when(col("next_type") === col("predicted_next"), 1L)
-        .otherwise(0L)).as("n_correct"))
-    val per = perState.join(correct, "event_type")
-      .select(col("event_type"), col("predicted_next"),
-        col("n_test"), col("n_correct"))
+      .agg(max(col("predicted_next")).as("predicted_next"),
+        count(lit(1)).as("n_test"),
+        sum(when(col("next_type") === col("predicted_next"), 1L)
+          .otherwise(0L)).as("n_correct"))
     val all = per.agg(sum("n_test").as("n_test"), sum("n_correct").as("n_correct"))
       .select(lit("__ALL__").as("event_type"),
         lit(null).cast("string").as("predicted_next"),
