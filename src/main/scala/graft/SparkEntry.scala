@@ -38,6 +38,7 @@ object SparkEntry {
       relational.MarkovBacktest.queries ++
       relational.ChapmanKolmogorov.queries ++
       relational.BasketRules.queries ++
+      relational.Stickiness.queries ++
       relational.Graph.queries ++
       relational.CountMin.queries ++
       clustering.KMeans.queries ++
@@ -119,6 +120,7 @@ object SparkEntry {
       relational.MarkovBacktest.oracleSql ++
       relational.ChapmanKolmogorov.oracleSql ++
       relational.BasketRules.oracleSql ++
+      relational.Stickiness.oracleSql ++
       relational.Graph.oracleSql ++
       relational.CountMin.oracleSql ++
       clustering.KMeans.oracleSql ++

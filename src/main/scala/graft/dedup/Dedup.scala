@@ -846,6 +846,68 @@ object Dedup {
         expr(graft.functions.Exact.rate6("n_band8x8", "n_true_pairs")))
   }
 
+  /** Ingest-gate PRECISION report — the other axis of the gate-tuning
+    * plane qGateRecall covers: of the candidate stream each bucketing
+    * scheme EMITS, what fraction is a true near-dup (the verified
+    * hd<=12 set)? Low precision means the gate wastes verify work;
+    * together with recall it prices the scheme. Candidate volume is
+    * counted WITHOUT materializing a single pair — per block key,
+    * c(c-1)/2 summed (the LSH-stats discipline): prefix16 blocks
+    * partition the corpus so its count is exact distinct pairs; the
+    * multi-band schemes count PER COLLIDING BAND (a pair colliding in
+    * two bands counts twice — that is the verify workload the gate
+    * actually generates, and the true-side numerator counts matches
+    * with the same multiplicity, so the ratio is precision per
+    * emitted candidate). All counts exact integers; precisions one
+    * exact HALF_UP division each, NULL on an empty stream.
+    *
+    * Scale shape: one fingerprint-table census per scheme (the band
+    * keys explode 4x/8x the FINGERPRINT table, never documents), one
+    * bounded truth aggregate, 1-row broadcasts. */
+  def qGatePrecision(spark: SparkSession, dir: String,
+                     maxHamming: Int = 12): DataFrame = {
+    val fp = stagedSimhash(spark, dir)
+    def collisions(w: Int, name: String): DataFrame =
+      fp.select(posexplode(expr(
+          s"transform(sequence(0, ${64 / w - 1}), i -> substring(simhash, i * $w + 1, $w))"))
+          .as(Seq("band", "bk")))
+        .groupBy("band", "bk").agg(count(lit(1)).as("c"))
+        .agg(coalesce(sum(expr("c * (c - 1) DIV 2")), lit(0L)).as(name))
+    val candP16 = fp
+      .groupBy(substring(col("simhash"), 1, 16).as("bk"))
+      .agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(expr("c * (c - 1) DIV 2")), lit(0L)).as("n_cand_prefix16"))
+    val truth = stagedCandidates(spark, dir)
+      .join(fp.select(col("doc_id").as("ia"), col("simhash").as("fa")), "ia")
+      .join(fp.select(col("doc_id").as("ib"), col("simhash").as("fb")), "ib")
+      .withColumn("hd", graft.functions.GraftFunctions.hamming(col("fa"), col("fb")))
+      .filter(col("hd") <= maxHamming)
+    def bandMatches(w: Int): Column =
+      (0 until 64 / w).map(i =>
+        when(substring(col("fa"), i * w + 1, w) ===
+          substring(col("fb"), i * w + 1, w), 1L).otherwise(0L))
+        .reduce(_ + _)
+    val tru = truth.agg(
+      sum(when(substring(col("fa"), 1, 16) === substring(col("fb"), 1, 16), 1L)
+        .otherwise(0L)).as("n_true_prefix16"),
+      sum(bandMatches(16)).as("n_true_coll_band16x4"),
+      sum(bandMatches(8)).as("n_true_coll_band8x8"))
+    def prec(num: String, den: String): Column =
+      expr(s"CASE WHEN $den = 0 THEN CAST(NULL AS DOUBLE) ELSE " +
+        graft.functions.Exact.rate6(num, den) + " END")
+    candP16
+      .crossJoin(broadcast(collisions(16, "n_coll_band16x4")))
+      .crossJoin(broadcast(collisions(8, "n_coll_band8x8")))
+      .crossJoin(broadcast(tru))
+      .select(
+        col("n_cand_prefix16"), col("n_true_prefix16"),
+        prec("n_true_prefix16", "n_cand_prefix16").as("precision_prefix16"),
+        col("n_coll_band16x4"), col("n_true_coll_band16x4"),
+        prec("n_true_coll_band16x4", "n_coll_band16x4").as("precision_band16x4"),
+        col("n_coll_band8x8"), col("n_true_coll_band8x8"),
+        prec("n_true_coll_band8x8", "n_coll_band8x8").as("precision_band8x8"))
+  }
+
   /** Edit-distance near-dup: levenshtein over 40-char prefixes of the
     * banded candidates (prefix cap bounds the O(n*m) DP per pair —
     * the standard trick before paying full edit distance at scale). */
@@ -1128,6 +1190,7 @@ object Dedup {
     "dedup_simhash" -> (qSimhash _),
     "dedup_simhash_pairs" -> (qSimhashPairs _),
     "dedup_gate_recall" -> ((s: SparkSession, d: String) => qGateRecall(s, d)),
+    "dedup_gate_precision" -> ((s: SparkSession, d: String) => qGatePrecision(s, d)),
     "dedup_edit_distance" -> (qEditDistance _),
     "dedup_tfidf_cosine" -> (qTfidfCosine _),
     "dedup_embed" -> (qEmbed _),
@@ -1452,6 +1515,49 @@ object Dedup {
               "sum(CASE WHEN " + anyBand(8) + " THEN 1 ELSE 0 END)",
               "count(*)")} AS recall_band8x8
          |FROM t""".stripMargin
+    },
+    "dedup_gate_precision" -> {
+      val bandSum = (w: Int) => (0 until 64 / w).map(i =>
+        s"CASE WHEN substr(fa, ${i * w + 1}, $w) = substr(fb, ${i * w + 1}, $w) THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      val coll = (w: Int, name: String) =>
+        s"""$name AS (SELECT coalesce(sum(c * (c - 1) // 2), 0) AS $name FROM (
+           |  SELECT b.i, substr(simhash, CAST(b.i * $w + 1 AS INT), $w) AS bk,
+           |    count(*) AS c
+           |  FROM fp CROSS JOIN range(0, ${64 / w}) b(i)
+           |  GROUP BY 1, 2))""".stripMargin
+      def prec(num: String, den: String) =
+        s"""CASE WHEN $den = 0 THEN CAST(NULL AS DOUBLE)
+           |  ELSE ${graft.functions.Exact.duck6(num, den)} END""".stripMargin
+      s"""WITH $sigSql,
+         |$bandsSql,
+         |$candsSql,
+         |fp AS ($simhashFpSql),
+         |${coll(16, "c16")},
+         |${coll(8, "c8")},
+         |p16 AS (SELECT coalesce(sum(c * (c - 1) // 2), 0) AS n_cand_prefix16
+         |  FROM (SELECT substr(simhash, 1, 16) AS bk, count(*) AS c
+         |        FROM fp GROUP BY 1)),
+         |t AS (SELECT fa, fb FROM (
+         |  SELECT fa.simhash AS fa, fb.simhash AS fb,
+         |    CAST(len(list_filter(range(1, 65),
+         |      i -> substr(fa.simhash, CAST(i AS INT), 1) != substr(fb.simhash, CAST(i AS INT), 1))) AS INT) AS hd
+         |  FROM cands JOIN fp fa ON ia = fa.doc_id JOIN fp fb ON ib = fb.doc_id)
+         |WHERE hd <= 12),
+         |tr AS (SELECT
+         |    CAST(sum(CASE WHEN substr(fa, 1, 16) = substr(fb, 1, 16) THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_true_prefix16,
+         |    CAST(sum(${bandSum(16)}) AS BIGINT) AS n_true_coll_band16x4,
+         |    CAST(sum(${bandSum(8)}) AS BIGINT) AS n_true_coll_band8x8
+         |  FROM t)
+         |SELECT CAST(n_cand_prefix16 AS BIGINT) AS n_cand_prefix16,
+         |  n_true_prefix16,
+         |  ${prec("n_true_prefix16", "n_cand_prefix16")} AS precision_prefix16,
+         |  CAST(c16 AS BIGINT) AS n_coll_band16x4, n_true_coll_band16x4,
+         |  ${prec("n_true_coll_band16x4", "c16")} AS precision_band16x4,
+         |  CAST(c8 AS BIGINT) AS n_coll_band8x8, n_true_coll_band8x8,
+         |  ${prec("n_true_coll_band8x8", "c8")} AS precision_band8x8
+         |FROM p16 CROSS JOIN c16 CROSS JOIN c8 CROSS JOIN tr""".stripMargin
     },
     "dedup_edit_distance" ->
       s"""WITH $sigSql,
