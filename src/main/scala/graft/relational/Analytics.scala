@@ -264,22 +264,16 @@ object Analytics {
     * and the order total rides in as a broadcast 1-row aggregate
     * instead of a separate driver-side count job. */
   def qBasketLift(spark: SparkSession, dir: String, minSupport: Long = 2L): DataFrame = {
-    // The explicit not-null filter matches what the optimizer infers
-    // for the self-join sides, so all three consumers see an IDENTICAL
-    // distinct subtree and ReuseExchange collapses them to one shuffle
-    // (keys are never null in the data; no semantic change).
-    val pairs = t(spark, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_partkey"))
-      .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
-      .distinct()
+    // Items projection and pair census ride the staged basket index
+    // (BasketStage, §2 #112): the three basket consumers were the
+    // bench's top three shufflers, each re-paying the same distinct +
+    // self-join + census per invocation.
+    val items = BasketStage.items(spark, dir)
     val nOrders = t(spark, dir, "orders").agg(count(lit(1)).as("n_orders"))
-    val perPart = pairs
+    val perPart = items
       .groupBy(col("l_partkey")).agg(count(lit(1)).as("n_orders_part"))
-    pairs.select(col("l_orderkey"), col("l_partkey").as("pa"))
-      .join(pairs.select(col("l_orderkey"), col("l_partkey").as("pb")),
-        "l_orderkey")
-      .filter(col("pa") < col("pb"))
-      .groupBy("pa", "pb").agg(count(lit(1)).as("n_together"))
+    BasketStage.pairCounts(spark, dir)
+      .withColumnRenamed("n_ab", "n_together")
       .filter(col("n_together") >= minSupport)
       .join(perPart.select(col("l_partkey").as("pa"),
         col("n_orders_part").as("na")), "pa")
@@ -322,16 +316,12 @@ object Analytics {
                      broadcastL2: Boolean = true): DataFrame = {
     val hinted: DataFrame => DataFrame =
       if (broadcastL2) broadcast else identity
-    val li = t(spark, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_partkey"))
-      .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
-      .distinct()
+    // Staged basket index (BasketStage, §2 #112): items + pair census
+    // are shared with basket_lift / basket_rules instead of rebuilt.
+    val li = BasketStage.items(spark, dir)
     val nOrders = t(spark, dir, "orders").agg(count(lit(1)).as("n_orders"))
-    val l2 = li.select(col("l_orderkey"), col("l_partkey").as("pa"))
-      .join(li.select(col("l_orderkey"), col("l_partkey").as("pb")), "l_orderkey")
-      .filter(col("pa") < col("pb"))
-      .groupBy("pa", "pb").agg(count(lit(1)).as("n_pair"))
-      .filter(col("n_pair") >= minSupport)
+    val l2 = BasketStage.pairCounts(spark, dir)
+      .filter(col("n_ab") >= minSupport)
       .select("pa", "pb")
     // per-order instances of frequent pairs, extended by a third item
     val orderPairs = li.select(col("l_orderkey"), col("l_partkey").as("pa"))

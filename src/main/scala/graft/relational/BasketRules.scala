@@ -23,24 +23,22 @@ import graft.functions.Exact
   *
   * Scale shape: identical to basket_lift — the pair explosion is a
   * co-partitioned self-equi-join on the order key with order-size-
-  * bounded fan-out, marginals ride a shuffle join keyed on the part,
-  * and only the bounded top-50 survives (TopK over the pair frame). */
+  * bounded fan-out (paid ONCE per (JVM, dir) in the staged basket
+  * index, BasketStage), marginals ride a shuffle join keyed on the
+  * part, and only the bounded top-50 survives (TopK over the pair
+  * frame). */
 object BasketRules {
 
   private val MIN_SUPPORT = 2L
   private val TOPK = 50
 
   def qBasketRules(spark: SparkSession, dir: String): DataFrame = {
-    val li = t(spark, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_partkey"))
-      .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
-      .distinct()
+    // Staged basket index (BasketStage, §2 #112): items + pair census
+    // shared with basket_lift / basket_triples instead of rebuilt.
+    val li = BasketStage.items(spark, dir)
     val nOrders = t(spark, dir, "orders").agg(count(lit(1)).as("n_orders"))
     val perPart = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_part"))
-    val pairs = li.select(col("l_orderkey"), col("l_partkey").as("pa"))
-      .join(li.select(col("l_orderkey"), col("l_partkey").as("pb")), "l_orderkey")
-      .filter(col("pa") < col("pb"))
-      .groupBy("pa", "pb").agg(count(lit(1)).as("n_ab"))
+    val pairs = BasketStage.pairCounts(spark, dir)
       .filter(col("n_ab") >= MIN_SUPPORT)
     val directed = pairs.select(col("pa").as("antecedent"),
         col("pb").as("consequent"), col("n_ab"))
