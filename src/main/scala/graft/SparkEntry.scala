@@ -52,6 +52,8 @@ object SparkEntry {
       dedup.Incremental.queries ++
       dedup.PrefixJoin.queries ++
       dedup.Cdc.queries ++
+      dedup.LongestSpan.queries ++
+      dedup.DecontaminateMatrix.queries ++
       search.SimSearch.queries ++
       search.RandomProjection.queries ++
       search.Quantized.queries ++
@@ -133,6 +135,8 @@ object SparkEntry {
       dedup.Incremental.oracleSql ++
       dedup.PrefixJoin.oracleSql ++
       dedup.Cdc.oracleSql ++
+      dedup.LongestSpan.oracleSql ++
+      dedup.DecontaminateMatrix.oracleSql ++
       search.SimSearch.oracleSql ++
       search.RandomProjection.oracleSql ++
       search.Quantized.oracleSql ++

@@ -1,0 +1,89 @@
+package graft.dedup
+
+import graft.clustering.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavioral specs for the longest-duplicate-span report. */
+class LongestSpanSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  // Deterministic filler with no 64-char self-similarity: a counter
+  // stream, so distinct regions never collide on a window hash.
+  private def filler(seed: Int, n: Int): String =
+    Iterator.from(seed).map(i => s"<$i>").flatten.take(n).mkString
+
+  test("planted aligned copy of length L reports >= L - stride") {
+    for (l <- Seq(64, 71, 100, 200, 321)) {
+      val shared = filler(1000, l)
+      // distinct boundary chars so the TRUE shared prefix is exactly L
+      // (both fillers start with '<', which would extend it by one)
+      val d = docs(
+        (1L, shared + "A" + filler(5000, 120)),
+        (2L, shared + "B" + filler(9000, 80)))
+      val got = LongestSpan.longestSpanOf(d).collect()
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(got.keySet == Set(1L, 2L))
+      assert(got(1L) >= l - 8, s"L=$l got ${got(1L)}")
+      assert(got(1L) <= l, s"span cannot exceed the plant: L=$l got ${got(1L)}")
+      assert(got(2L) == got(1L), "span is symmetric for an aligned prefix plant")
+    }
+  }
+
+  test("scattered matches do not merge: two separate 64-windows beat no run") {
+    // doc 1 and doc 2 share two DISALIGNED 64-char blocks separated by
+    // differing filler: each anchors its own run, longest stays ~64.
+    val b1 = filler(100, 64).take(64)
+    val b2 = filler(300, 64).take(64)
+    val d = docs(
+      (1L, b1 + filler(7000, 160) + b2),
+      (2L, b1 + filler(8000, 240) + b2))
+    val got = LongestSpan.longestSpanOf(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got(1L) >= 64 && got(1L) < 128,
+      s"separated blocks must not chain into one span: ${got(1L)}")
+  }
+
+  test("no cross-doc collision -> empty report; self-repeats do not count") {
+    // doc 3 repeats its own block twice but shares nothing with doc 4.
+    val b = filler(400, 80).take(80)
+    val d = docs(
+      (3L, b + filler(6000, 100) + b),
+      (4L, filler(12000, 300)))
+    assert(LongestSpan.longestSpanOf(d).collect().isEmpty)
+  }
+
+  test("partner tie-break picks the smallest partner id at the max span") {
+    val shared = filler(2000, 96)
+    val d = docs(
+      (1L, shared + filler(5000, 50)),
+      (2L, shared + filler(5500, 60)),
+      (3L, shared + filler(5800, 70)))
+    val got = LongestSpan.longestSpanOf(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L)._1 == 2L, s"doc 1 ties at 2 and 3, must pick 2: ${got(1L)}")
+    assert(got(2L)._1 == 1L && got(3L)._1 == 1L)
+  }
+
+  test("real corpus: rows are sane and consistent with repeated_spans") {
+    val rows = LongestSpan.qLongestSpan(spark, sf).collect()
+    val repeated = Dedup.qRepeatedSpans(spark, sf).collect()
+      .filter(_.getLong(2) > 0).map(_.getLong(0)).toSet
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 64 && r.getLong(2) % 8 == 0,
+        "spans live on the 64 + 8k grid")
+      assert(r.getLong(0) != r.getLong(1))
+    }
+    // every doc with a cross-doc maximal span has >= 1 repeated window
+    // (the converse is false: repeated_spans also counts boilerplate
+    // windows the CAP excludes and self-repeats)
+    val spanDocs = rows.map(_.getLong(0)).toSet
+    assert(spanDocs.subsetOf(repeated),
+      s"span docs outside the repeated-window census: ${spanDocs.diff(repeated).take(5)}")
+  }
+}
