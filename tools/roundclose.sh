@@ -153,6 +153,16 @@ print(f"roundclose OK: {len(d)} entries (= registry), {oracled} "
       f"{len(swept)} queries")
 EOF
 
+# Bench noise-band verdicts (round-16 gate, print-only): departures
+# beyond band median x 1.5 classify as NOISE (byte-identical shuffle —
+# the adjudicated min-of-reps host-noise class) vs REGRESS (bytes
+# moved — re-measure). Turns the per-round regression adjudication
+# into arithmetic; a REGRESS verdict is evidence for the round log,
+# handled by the REMEASURE protocol, not a commit blocker.
+if [ -f BENCH_BANDS.json ] && [ -f BENCH_FULL.json ]; then
+  python3 tools/bench_bands.py verdict BENCH_FULL.json || true
+fi
+
 git add CORRECTNESS_local.json CORRECTNESS_local.meta.json
 if ! git diff --cached --quiet -- CORRECTNESS_local.json CORRECTNESS_local.meta.json; then
   git commit -m "round close: refresh CORRECTNESS_local.json" -- \
