@@ -70,6 +70,72 @@ class LongestSpanSpec extends AnyFunSuite {
     assert(got(2L)._1 == 1L && got(3L)._1 == 1L)
   }
 
+  test("span mass: one aligned plant yields one island of the detected span") {
+    val shared = filler(2000, 200)
+    val d = docs(
+      (1L, shared + "A" + filler(5000, 120)),
+      (2L, shared + "B" + filler(9000, 80)))
+    val mass = LongestSpan.spanMassOf(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val longest = LongestSpan.longestSpanOf(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    for (id <- Seq(1L, 2L)) {
+      val (nIslands, chars, len) = mass(id)
+      assert(nIslands == 1, s"doc $id islands $nIslands")
+      assert(chars == longest(id),
+        s"single plant: mass must equal the longest span ($chars vs ${longest(id)})")
+      assert(chars <= len)
+    }
+  }
+
+  test("span mass: two separated plants sum, longest does not") {
+    val b1 = filler(100, 96)
+    val b2 = filler(300, 96)
+    val d = docs(
+      (1L, b1 + "A" + filler(7000, 159) + "C" + b2),
+      (2L, b1 + "B" + filler(8000, 239) + "D" + b2))
+    // both plants grid-aligned in doc 1: b2 starts at 96+1+159+1+1 = 257 (mod 8 = 1)
+    val mass = LongestSpan.spanMassOf(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val longest = LongestSpan.longestSpanOf(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(longest(1L) <= 96, "separated plants must not chain in longest")
+    assert(mass(1L)._2 > longest(1L),
+      s"mass must count BOTH plants: ${mass(1L)._2} vs longest ${longest(1L)}")
+  }
+
+  test("rebuild: the loser's cut excises the span, winners and clean docs pass through") {
+    val shared = filler(2000, 200) // detected span 200 (grid-aligned prefix)
+    val t1 = shared + "A" + filler(5000, 120)
+    val t2 = shared + "B" + filler(9000, 80)
+    val t3 = filler(12000, 300)
+    val d = docs((1L, t1), (2L, t2), (3L, t3))
+    val got = LongestSpan.spanRebuildOf(d).collect()
+      .map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5)))
+      .toMap
+    assert(got.keySet == Set(1L, 2L, 3L), "rebuild outputs the FULL corpus")
+    // doc 2 loses to doc 1 (doc_id > partner), span 200 >= MIN_CUT
+    val (cut2, start2, len2, after2, md5b) = got(2L)
+    assert(cut2 && start2 == 1L && len2 == 200L)
+    assert(after2 == t2.length - 200)
+    val expected2 = t2.substring(200) // cut [1, 200] 1-based = drop first 200 chars
+    assert(md5b == java.security.MessageDigest.getInstance("MD5")
+      .digest(expected2.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+    // doc 1 wins (partner 2 > 1): untouched; doc 3 clean: untouched
+    assert(!got(1L)._1 && got(1L)._4 == t1.length)
+    assert(!got(3L)._1 && got(3L)._4 == t3.length)
+  }
+
+  test("rebuild: a sub-MIN_CUT shared span is kept (64-char match, no cut)") {
+    val b = filler(100, 64)
+    val d = docs(
+      (1L, b + "A" + filler(7000, 100)),
+      (2L, b + "B" + filler(8000, 100)))
+    val got = LongestSpan.spanRebuildOf(d).collect()
+    assert(got.forall(!_.getBoolean(1)), "64 < MIN_CUT must not cut")
+  }
+
   test("real corpus: rows are sane and consistent with repeated_spans") {
     val rows = LongestSpan.qLongestSpan(spark, sf).collect()
     val repeated = Dedup.qRepeatedSpans(spark, sf).collect()

@@ -42,7 +42,8 @@ class Rate6LBoundSpec extends AnyFunSuite {
     assert(sites == Map(
       "Exact.scala" -> 1,          // the definition itself
       "TextAnalysis.scala" -> 4,   // avg_word_len, stop_ratio, ttr, mattr
-      "Repetition.scala" -> 3      // top_word_ratio, dup_2gram_frac, symbol_ratio
+      "Repetition.scala" -> 3,     // top_word_ratio, dup_2gram_frac, symbol_ratio
+      "LongestSpan.scala" -> 1     // dup_span_frac: union of in-doc intervals <= len(text)
     ), s"rate6L call-site drift: $sites — prove the new numerator's " +
       "per-document bound below or widen via rate6")
   }
@@ -70,6 +71,18 @@ class Rate6LBoundSpec extends AnyFunSuite {
           .as("slack"))
         .agg(max("slack")).head.getLong(0)
       assert(over <= 0, s"$name numerator exceeds the per-doc bound by $over")
+    }
+  }
+
+  test("dup_span_frac's numerator is the in-doc interval union: <= len(text)") {
+    // the LongestSpan.scala site: dup_span_chars is a union of
+    // [p, p+63] intervals all inside the doc, so it cannot exceed the
+    // doc's own length — checked on the real corpus rows
+    val rows = graft.dedup.LongestSpan.spanMassOf(
+      graft.Tables.t(spark, "/root/testdata/sf0.001", "documents")).collect()
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(3),
+        s"doc ${r.getLong(0)}: dup_span_chars ${r.getLong(2)} > len ${r.getLong(3)}")
     }
   }
 
