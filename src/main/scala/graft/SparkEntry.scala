@@ -54,6 +54,7 @@ object SparkEntry {
       dedup.Cdc.queries ++
       dedup.LongestSpan.queries ++
       dedup.DecontaminateMatrix.queries ++
+      dedup.ReleaseGate.queries ++
       search.SimSearch.queries ++
       search.RandomProjection.queries ++
       search.Quantized.queries ++
@@ -137,6 +138,7 @@ object SparkEntry {
       dedup.Cdc.oracleSql ++
       dedup.LongestSpan.oracleSql ++
       dedup.DecontaminateMatrix.oracleSql ++
+      dedup.ReleaseGate.oracleSql ++
       search.SimSearch.oracleSql ++
       search.RandomProjection.oracleSql ++
       search.Quantized.oracleSql ++

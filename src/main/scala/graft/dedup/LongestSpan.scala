@@ -230,6 +230,15 @@ object LongestSpan {
        |    CAST($WIDTH + $STRIDE * (count(*) - 1) AS BIGINT) AS span
        |  FROM rgrp GROUP BY da, db, off, grp)""".stripMargin
 
+  /** Run CTEs + the loser-pick — shared with the span-savings rollup. */
+  private[dedup] val rebuildCtes =
+    s"""$runCtes,
+       |losers AS (SELECT doc_id, partner, off, start, span,
+       |    row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY span DESC, partner ASC, off ASC, start ASC) AS r
+       |  FROM runs WHERE doc_id > partner AND span >= $MIN_CUT),
+       |cuts AS (SELECT doc_id, start, span FROM losers WHERE r = 1)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "dedup_longest_span" ->
       s"""WITH $runCtes,
@@ -262,12 +271,7 @@ object LongestSpan {
          |    AS dup_span_frac
          |FROM per p JOIN documents d ON d.doc_id = p.doc_id""".stripMargin,
     "dedup_span_rebuild" ->
-      s"""WITH $runCtes,
-         |losers AS (SELECT doc_id, partner, off, start, span,
-         |    row_number() OVER (PARTITION BY doc_id
-         |      ORDER BY span DESC, partner ASC, off ASC, start ASC) AS r
-         |  FROM runs WHERE doc_id > partner AND span >= $MIN_CUT),
-         |cuts AS (SELECT doc_id, start, span FROM losers WHERE r = 1)
+      s"""WITH $rebuildCtes
          |SELECT d.doc_id,
          |  c.span IS NOT NULL AS cut,
          |  COALESCE(c.start, 0) AS cut_start,
