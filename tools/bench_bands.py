@@ -43,8 +43,12 @@ def mine():
     shas = subprocess.check_output(
         ["git", "log", "--format=%H", "--", "BENCH_FULL.json"],
         cwd=REPO, text=True).split()
-    samples = {}   # query -> [sec, ...] oldest-last
-    bytes_of = {}  # query -> most recent (read+write)
+    samples = {}    # query -> [sec, ...] oldest-last
+    bytes_of = {}   # query -> most recent (read+write)
+    byte_sets = {}  # query -> ALL historical totals (staged families
+                    # swap byte attribution with build order - the
+                    # graph_resource_alloc REGRESS false positive,
+                    # REMEASURE_r16 - so "unchanged" means "seen before")
     kept = 0
     for sha in shas:  # newest first
         try:
@@ -59,19 +63,21 @@ def mine():
         for q, sec in doc.get("queries", {}).items():
             samples.setdefault(q, []).append(float(sec))
         for q, b in doc.get("bytes", {}).items():
+            tot = int(b.get("shuffle_read", 0)) + int(b.get("shuffle_write", 0))
             if q not in bytes_of:
-                bytes_of[q] = int(b.get("shuffle_read", 0)) + \
-                    int(b.get("shuffle_write", 0))
-    return kept, samples, bytes_of
+                bytes_of[q] = tot
+            byte_sets.setdefault(q, set()).add(tot)
+    return kept, samples, bytes_of, byte_sets
 
 
 def build():
-    kept, samples, bytes_of = mine()
+    kept, samples, bytes_of, byte_sets = mine()
     bands = {q: {
         "n": len(ss),
         "min": round(min(ss), 3),
         "median": round(statistics.median(ss), 3),
         "bytes": bytes_of.get(q),
+        "byte_set": sorted(byte_sets.get(q, [])),
     } for q, ss in sorted(samples.items())}
     doc = {
         "what": ("Per-query sf0.1 min-of-2 bench history mined from every "
@@ -102,8 +108,9 @@ def verdict(path):
             continue
         if sec <= max(band["median"] * FACTOR, MIN_SEC):
             continue
-        same_bytes = band["bytes"] is not None and \
-            cur_bytes.get(q) == band["bytes"]
+        seen = set(band.get("byte_set") or
+                   ([band["bytes"]] if band["bytes"] is not None else []))
+        same_bytes = cur_bytes.get(q) in seen
         kind = "NOISE" if same_bytes else "REGRESS"
         flags[kind].append(q)
         print(f"{kind:7s} {q}: {sec:.2f}s vs band median {band['median']}s "
