@@ -27,8 +27,9 @@ import graft.Tables.t
   *
   * Scale shape: both are bounded rollups over frames whose members
   * already scale (the bloom-prefiltered gram leg, the broadcast
-  * bench-vector leg, the staged span match frame); the drop set is a
-  * bench-bounded broadcast anti-join, never a corpus shuffle. */
+  * bench-vector leg, the staged span match frame); the drop set anti-join
+  * moves only (doc_id, source, subtok) rows and lets AQE broadcast
+  * the (sparse-in-practice) flagged side. */
 object ReleaseGate {
 
   /** Subtoken estimate shared with the Mix family: ceil(word/4). */
@@ -42,11 +43,19 @@ object ReleaseGate {
       .union(Dedup.qDecontaminateEmbed(spark, dir, benchMaxId)
         .select(col("vec_id").as("doc_id")))
       .distinct()
-    val corpus = t(spark, dir, "documents").filter(col("doc_id") > benchMaxId)
+    // Subtokens are projected BEFORE the anti-join so the join moves
+    // (doc_id, source, subtok) rows, never full text; no broadcast
+    // hint — contamination is sparse in practice (the flagged set is
+    // tiny and AQE broadcasts it), but an adversarial all-contaminated
+    // corpus degrades gracefully to a co-partitioned shuffle instead
+    // of an unbounded driver broadcast.
+    val corpus = t(spark, dir, "documents")
+      .filter(col("doc_id") > benchMaxId)
+      .select(col("doc_id"), col("source"), expr(SUBTOK).as("subtok"))
     val kept = corpus
-      .join(broadcast(flagged), Seq("doc_id"), "left_anti")
+      .join(flagged, Seq("doc_id"), "left_anti")
       .groupBy("source")
-      .agg(count(lit(1)).as("k"), sum(expr(SUBTOK)).as("st"))
+      .agg(count(lit(1)).as("k"), sum("subtok").as("st"))
     // total-spined: a source whose every doc was dropped still reports
     corpus.groupBy("source").agg(count(lit(1)).as("n_docs"))
       .join(kept, Seq("source"), "left")
