@@ -1,5 +1,6 @@
 #!/usr/bin/env python3
-"""Per-query bench noise bands (round-16, verdict-15 demand #7).
+"""Per-query bench noise bands (round-16, verdict-15 demand #7;
+rep-normalized + era-aware in round 17, verdict-16 demand #2).
 
 Round after round, 5-10 flag-slots went to "regressions" that were
 min-of-2 host noise with byte-identical shuffle (r13: six heads, r14:
@@ -10,45 +11,77 @@ into arithmetic:
            Mines every committed version of BENCH_FULL.json (the
            complete per-query artifact; the driver's BENCH_r*.json
            keep only a truncated tail) from git history, keeps sf0.1
-           default-rep runs, and reduces to BENCH_BANDS.json:
-           per query {n, min, median, bytes} where bytes is the
-           shuffle read+write of the most recent sample.
+           default-rep runs (EXACT sf-dir basename match - an sf0.15
+           run must not pollute the bands), and reduces to
+           BENCH_BANDS.json: per query {n, min, median, bytes,
+           byte_latest, byte_set}.
+
+           Byte normalization (round-17): the r16 driver run reported
+           shuffle bytes at exactly HALF the historical totals on
+           309/345 queries - a per-rep vs summed-over-reps accounting
+           shift, not 309 plan changes. Every byte total is therefore
+           recorded in BOTH accountings, {total, total // reps}, and
+           matching happens on the union, so either accounting of the
+           same plan compares byte-identical.
 
   verdict  python3 tools/bench_bands.py verdict [BENCH_FULL.json]
            Compares a bench artifact against the bands and prints one
            verdict per departing query:
-             NOISE    sec > median*1.5 but shuffle bytes byte-identical
-                      to the band -> the established min-of-reps noise
-                      class, no action
-             REGRESS  sec > median*1.5 AND bytes changed -> a real
-                      plan/data change, re-measure (REMEASURE protocol)
-             NEW      query not in the bands yet (no history)
+             NOISE     sec > median*1.5 but shuffle bytes match the
+                       MOST RECENT banded run -> the established
+                       min-of-reps noise class, no action
+             BYTE_ERA  sec > median*1.5 and bytes match only an OLDER
+                       run's bytes -> possibly a plan REVERSION to a
+                       pre-optimization era (the basket-staging class)
+                       - re-measure and diff the plan; never silently
+                       passed as noise (advice r16)
+             REGRESS   sec > median*1.5 AND bytes match no banded run
+                       -> a real plan/data change, re-measure
+                       (REMEASURE protocol)
+             NEW       query not in the bands yet (no history)
            Exit code stays 0 - the verdicts are evidence for the
            round log, not a gate (a genuine REGRESS gets adjudicated
            with a reps>=5 REMEASURE artifact, not an rm -rf).
 """
 import json
+import os
 import statistics
 import subprocess
 import sys
-import os
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 BANDS = os.path.join(REPO, "BENCH_BANDS.json")
 FACTOR = 1.5
 MIN_SEC = 0.5  # sub-noise-floor queries never flag
+SF = "sf0.1"   # bands are the sf0.1 protocol only
+
+
+def sf_of(doc):
+    """Exact sf-dir basename ('/root/testdata/sf0.1' and 'sf0.1' both
+    -> 'sf0.1'; 'sf0.15' stays distinct - advice r16)."""
+    return os.path.basename(str(doc.get("sf", "")).rstrip("/"))
+
+
+def byte_candidates(total, reps):
+    """Both byte accountings of one run: the recorded total and its
+    per-rep value (when the total divides evenly)."""
+    cands = {int(total)}
+    if reps and int(total) % int(reps) == 0:
+        cands.add(int(total) // int(reps))
+    return cands
 
 
 def mine():
     shas = subprocess.check_output(
         ["git", "log", "--format=%H", "--", "BENCH_FULL.json"],
         cwd=REPO, text=True).split()
-    samples = {}    # query -> [sec, ...] oldest-last
-    bytes_of = {}   # query -> most recent (read+write)
-    byte_sets = {}  # query -> ALL historical totals (staged families
-                    # swap byte attribution with build order - the
-                    # graph_resource_alloc REGRESS false positive,
-                    # REMEASURE_r16 - so "unchanged" means "seen before")
+    samples = {}     # query -> [sec, ...] NEWEST-first (git log order)
+    bytes_of = {}    # query -> most recent recorded total (display)
+    byte_latest = {} # query -> candidates from the NEWEST run seen
+    byte_sets = {}   # query -> candidates across ALL history (staged
+                     # families swap byte attribution with build order
+                     # - the graph_resource_alloc false positive,
+                     # REMEASURE_r16 - so era membership is a set)
     kept = 0
     for sha in shas:  # newest first
         try:
@@ -57,34 +90,41 @@ def mine():
                 cwd=REPO, text=True))
         except Exception:
             continue
-        if "sf0.1" not in str(doc.get("sf", "")) or doc.get("reps", 2) != 2:
+        reps = doc.get("reps", 2)
+        if sf_of(doc) != SF or reps != 2:
             continue  # bands are the sf0.1 min-of-2 protocol only
         kept += 1
         for q, sec in doc.get("queries", {}).items():
             samples.setdefault(q, []).append(float(sec))
         for q, b in doc.get("bytes", {}).items():
             tot = int(b.get("shuffle_read", 0)) + int(b.get("shuffle_write", 0))
+            cands = byte_candidates(tot, reps)
             if q not in bytes_of:
                 bytes_of[q] = tot
-            byte_sets.setdefault(q, set()).add(tot)
-    return kept, samples, bytes_of, byte_sets
+                byte_latest[q] = cands
+            byte_sets.setdefault(q, set()).update(cands)
+    return kept, samples, bytes_of, byte_latest, byte_sets
 
 
 def build():
-    kept, samples, bytes_of, byte_sets = mine()
+    kept, samples, bytes_of, byte_latest, byte_sets = mine()
     bands = {q: {
         "n": len(ss),
         "min": round(min(ss), 3),
         "median": round(statistics.median(ss), 3),
         "bytes": bytes_of.get(q),
+        "byte_latest": sorted(byte_latest.get(q, [])),
         "byte_set": sorted(byte_sets.get(q, [])),
     } for q, ss in sorted(samples.items())}
     doc = {
         "what": ("Per-query sf0.1 min-of-2 bench history mined from every "
-                 "committed BENCH_FULL.json; verdict mode flags a query "
-                 f"only when sec > median*{FACTOR} AND its shuffle bytes "
-                 "changed - byte-identical departures are the adjudicated "
-                 "min-of-reps host-noise class (REMEASURE_r14/r15)."),
+                 "committed BENCH_FULL.json. Byte totals carry BOTH rep "
+                 "accountings {total, total//reps}. verdict mode flags a "
+                 f"query only when sec > median*{FACTOR}: bytes matching "
+                 "the most recent run -> NOISE (adjudicated min-of-reps "
+                 "host-noise class, REMEASURE_r14/r15/r16); bytes matching "
+                 "only an older run -> BYTE_ERA (possible plan reversion, "
+                 "re-measure); no match -> REGRESS."),
         "factor": FACTOR,
         "n_history_runs": kept,
         "queries": bands,
@@ -98,9 +138,10 @@ def build():
 def verdict(path):
     bands = json.load(open(BANDS))["queries"]
     cur = json.load(open(path))
+    reps = cur.get("reps", 2)
     cur_bytes = {q: int(b.get("shuffle_read", 0)) + int(b.get("shuffle_write", 0))
                  for q, b in cur.get("bytes", {}).items()}
-    flags = {"NOISE": [], "REGRESS": [], "NEW": []}
+    flags = {"NOISE": [], "BYTE_ERA": [], "REGRESS": [], "NEW": []}
     for q, sec in sorted(cur.get("queries", {}).items()):
         band = bands.get(q)
         if band is None or band["n"] < 2:
@@ -108,18 +149,23 @@ def verdict(path):
             continue
         if sec <= max(band["median"] * FACTOR, MIN_SEC):
             continue
-        seen = set(band.get("byte_set") or
-                   ([band["bytes"]] if band["bytes"] is not None else []))
-        same_bytes = cur_bytes.get(q) in seen
-        kind = "NOISE" if same_bytes else "REGRESS"
+        cands = byte_candidates(cur_bytes.get(q, 0), reps)
+        latest = set(band.get("byte_latest") or
+                     ([band["bytes"]] if band["bytes"] is not None else []))
+        seen = set(band.get("byte_set") or []) | latest
+        if cands & latest:
+            kind, note = "NOISE", "byte-identical to latest -> min-of-reps noise class"
+        elif cands & seen:
+            kind, note = "BYTE_ERA", "bytes match an OLDER era only -> possible plan reversion, re-measure"
+        else:
+            kind, note = "REGRESS", "bytes match no banded run -> re-measure"
         flags[kind].append(q)
-        print(f"{kind:7s} {q}: {sec:.2f}s vs band median {band['median']}s "
+        print(f"{kind:8s} {q}: {sec:.2f}s vs band median {band['median']}s "
               f"(min {band['min']}s, n={band['n']}), bytes "
-              f"{cur_bytes.get(q)} vs {band['bytes']}"
-              + (" [byte-identical -> min-of-reps noise class]"
-                 if same_bytes else " [bytes moved -> re-measure]"))
+              f"{cur_bytes.get(q)} vs latest {sorted(latest)} [{note}]")
     print(f"band verdicts: {len(flags['REGRESS'])} REGRESS, "
-          f"{len(flags['NOISE'])} noise, {len(flags['NEW'])} new/unbanded "
+          f"{len(flags['BYTE_ERA'])} byte-era, {len(flags['NOISE'])} noise, "
+          f"{len(flags['NEW'])} new/unbanded "
           f"of {len(cur.get('queries', {}))} queries")
 
 
