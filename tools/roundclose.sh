@@ -116,6 +116,30 @@ if no_canon:
     sys.exit(f"roundclose: query dirs without a verified _CANONICAL."
              f"sha256: {no_canon[:10]} ({len(no_canon)} total)")
 oracled = len(d) - len(rows_only)
+# Probe retirement (round-17 gate, verdict-16 demand #6): diagnostic
+# probe keys (`*_probe` twins, `*_pN` per-column ladders) are ONE-ROUND
+# experiments — once a committed driver CORRECTNESS_r*.json carries a
+# probe's row, the experiment has been read and the key must leave the
+# registry (the r16 twins inflated the registry with duplicate rows).
+import re as _re, subprocess as _sp
+probe_keys = sorted(k for k in status
+                    if _re.search(r"(_probe|_p[0-9]+)$", k))
+if probe_keys:
+    tracked = _sp.check_output(
+        ["git", "ls-files", "CORRECTNESS_r*.json"], text=True).split()
+    stale_probes = set()
+    for f in tracked:
+        try:
+            rows = json.load(open(f))
+        except Exception:
+            continue
+        stale_probes |= {k for k in probe_keys if k in rows}
+    if stale_probes:
+        sys.exit(f"roundclose: probe keys whose driver CORRECTNESS has "
+                 f"been read must be retired from the registry: "
+                 f"{sorted(stale_probes)}")
+    print(f"roundclose: {len(probe_keys)} live probe keys (no driver "
+          f"CORRECTNESS row yet — retire next round): {probe_keys}")
 # Registry <-> SURVEY §2 equality (round-15 gate): every registered
 # query key must appear backticked in a §2 row — a green query with no
 # coverage-contract row is silent inventory drift (round-13
