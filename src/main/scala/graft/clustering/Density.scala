@@ -29,59 +29,53 @@ object Density {
   private val QTY_W = 5.0 // cell width in l_quantity
   private val PRICE_W = 5000.0 // cell width in l_extendedprice
 
-  /** Core cells: occupied cells with count >= half the mean occupied-
-    * cell count (a RELATIVE threshold, so the operator behaves the
-    * same across scale factors; fixed absolute minPts would flip
-    * between all-dense and all-sparse as the data grows). */
-  private def coreCells(spark: SparkSession, dir: String): DataFrame = {
-    val cells = t(spark, dir, "lineitem")
+  /** Density clusters: (cx, cy, n_points, cluster_id) where cluster_id
+    * is the min cell key of the cell's connected core component.
+    *
+    * ONE distributed job: the per-point floor() projection and the
+    * cell-count aggregate (the only data-sized work). Everything after
+    * is GRID-bounded — occupied cells are capped by the value ranges
+    * (~10 quantity x ~30 price cells at ANY scale factor, like the K
+    * centers of Lloyd's loop) — so the core threshold (count >= half
+    * the mean occupied-cell count, a RELATIVE cut that behaves the
+    * same across SFs), the 8-neighborhood edges, and the exact
+    * union-find all run driver-side on the one collected cell frame.
+    * The pre-round-17 shape did the same bounded work as FIVE Spark
+    * jobs (threshold broadcast-join, two collects, a roots
+    * re-broadcast join, a final collect); byte-identical results, but
+    * each extra job paid fixed scheduler/codegen latency — the band
+    * drift REMEASURE_r17 chased. Data never leaves executors except
+    * the bounded cell frame. */
+  def qDensityGrid(spark: SparkSession, dir: String): DataFrame = {
+    val cellRows = t(spark, dir, "lineitem")
       .select(floor(col("l_quantity") / QTY_W).cast("long").as("cx"),
         floor(col("l_extendedprice") / PRICE_W).cast("long").as("cy"))
       .groupBy("cx", "cy")
       .agg(count(lit(1)).as("n_points"))
-    val thr = cells.agg((sum("n_points").cast("double") / count(lit(1)) / 2.0).as("__thr"))
-    cells.crossJoin(broadcast(thr)).filter(col("n_points").cast("double") >= col("__thr"))
-      .select(col("cx"), col("cy"), col("n_points"))
-  }
-
-  /** Density clusters: (cx, cy, n_points, cluster_id) where cluster_id
-    * is the min cell key of the cell's connected core component. */
-  def qDensityGrid(spark: SparkSession, dir: String): DataFrame = {
-    val core = coreCells(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val thr = cellRows.map(_._3).sum.toDouble / cellRows.length / 2.0
+    val core = cellRows.filter(_._3.toDouble >= thr)
     // Disjoint-bitfield cell key: (cx << 32) | (cy & 0xffffffff) is
     // injective for any 32-bit cell coordinates, negative included —
     // a cx*K + cy pack silently aliases distinct cells once cy leaves
     // [0, K), merging unrelated clusters.
-    def pack(cx: org.apache.spark.sql.Column, cy: org.apache.spark.sql.Column) =
-      shiftleft(cx, 32).bitwiseOR(cy.bitwiseAND(lit(0xffffffffL)))
-    val keyed = core.withColumn("id", pack(col("cx"), col("cy"))).cache()
-    // 8-neighborhood edges among core cells: emit neighbor keys,
-    // equi-join against the core set (linear in core-cell count)
-    val offsets = for (dx <- -1 to 1; dy <- -1 to 1 if dx != 0 || dy != 0) yield (dx, dy)
-    val nbr = keyed.select(col("id").as("ia"), explode(array(offsets.map { case (dx, dy) =>
-      pack(col("cx") + dx, col("cy") + dy)
-    }: _*)).as("ib"))
-    val edges = nbr.join(keyed.select(col("id").as("ib")), "ib")
-      .filter(col("ia") < col("ib"))
-      .select("ia", "ib")
-    // grid-bounded state crosses the driver: cell ids + cell edges
-    // (like K centers — NOT the data); exact union-find, min-key roots
-    val ids = keyed.select("id").collect().map(_.getLong(0))
-    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def pack(cx: Long, cy: Long): Long = (cx << 32) | (cy & 0xffffffffL)
+    val coreIds = core.map(c => pack(c._1, c._2)).toSet
+    val parent = scala.collection.mutable.Map(coreIds.toSeq.map(i => i -> i): _*)
     def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
-    edges.collect().foreach { r =>
-      val (ra, rb) = (find(r.getLong(0)), find(r.getLong(1)))
-      if (ra != rb) { val (lo, hi) = (math.min(ra, rb), math.max(ra, rb)); parent(hi) = lo }
+    for ((cx, cy, _) <- core; dx <- -1 to 1; dy <- -1 to 1
+         if dx != 0 || dy != 0) {
+      val (ia, ib) = (pack(cx, cy), pack(cx + dx, cy + dy))
+      if (ia < ib && coreIds.contains(ib)) {
+        val (ra, rb) = (find(ia), find(ib))
+        if (ra != rb) { val (lo, hi) = (math.min(ra, rb), math.max(ra, rb)); parent(hi) = lo }
+      }
     }
     import spark.implicits._
-    val roots = ids.toSeq.map(i => (i, find(i))).toDF("id", "cluster_id")
-    val out = keyed.join(broadcast(roots), "id")
-      .select(col("cx"), col("cy"), col("n_points"), col("cluster_id"))
-    // materialize, then release the cell cache (KMeans.lloyd's trick)
-    val rows = out.collect()
-    val schema = out.schema
-    keyed.unpersist()
-    spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1), schema)
+    core.toSeq.map(c => (c._1, c._2, c._3, find(pack(c._1, c._2))))
+      .toDF("cx", "cy", "n_points", "cluster_id")
+      .coalesce(1)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
