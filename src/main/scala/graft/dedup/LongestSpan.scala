@@ -93,19 +93,10 @@ object LongestSpan {
       .select(col("da"), col("db"), col("pa"), (col("pb") - col("pa")).as("off"))
   }
 
-  private val matchStaged =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
-  private def stagedMatches(spark: SparkSession, dir: String): DataFrame = {
-    val path = matchStaged.computeIfAbsent(dir, { _ =>
-      val p = java.nio.file.Files.createTempDirectory("graft-staged")
-      p.toFile.deleteOnExit()
+  private def stagedMatches(spark: SparkSession, dir: String): DataFrame =
+    graft.StagedCache.parquet(spark, dir, "span-matches") {
       matchesOf(t(spark, dir, "documents"))
-        .write.mode("overwrite").parquet(p.toString)
-      p.toString
-    })
-    spark.read.parquet(path)
-  }
+    }
 
   /** Maximal runs (doc_id, partner, start, span) from a match frame. */
   private def runsOf(matches: DataFrame): DataFrame = {
@@ -201,10 +192,183 @@ object LongestSpan {
   private[dedup] def spanRebuildOf(docs: DataFrame): DataFrame =
     rebuildFrom(matchesOf(docs), docs)
 
+  /** Multi-cut corpus rebuild (round-17, verdict-16 demand #5):
+    * excise EVERY qualifying shared run from each losing doc, not just
+    * the maximal one — a doc sharing three disjoint 200-char spans
+    * loses all three. All (doc_id > partner, span >= MIN_CUT) runs
+    * become [start, start+span) intervals, the per-doc interval UNION
+    * is taken with the same gaps-and-islands frame the span-mass KPI
+    * uses (break when an interval starts past the running max end),
+    * and the merged intervals are multi-spliced out with one bounded
+    * aggregate-HOF fold over the per-doc interval list (intervals per
+    * doc <= len/MIN_CUT — single digits — so the collect_list is
+    * doc-bounded, never corpus-sized). Winners and clean docs pass
+    * through; per-doc audit = cuts, chars cut, chars after, md5. */
+  private def rebuildAllFrom(matches: DataFrame, docs: DataFrame): DataFrame = {
+    val iv = runsOf(matches)
+      .filter(col("doc_id") > col("partner") && col("span") >= MIN_CUT)
+      .select(col("doc_id"), col("start").as("s"),
+        (col("start") + col("span")).as("e"))
+      .distinct()
+    val byDoc = Window.partitionBy("doc_id").orderBy("s", "e")
+    val merged = iv
+      .withColumn("brk", when(col("s") > max("e").over(
+        byDoc.rowsBetween(Window.unboundedPreceding, -1)), 1).otherwise(0))
+      .withColumn("isl", sum("brk").over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "isl")
+      .agg(min("s").as("s"), max("e").as("e"))
+    val perDoc = merged.groupBy("doc_id").agg(
+      count(lit(1)).as("n_cuts"),
+      sum(col("e") - col("s")).as("cut_chars"),
+      sort_array(collect_list(struct(col("s"), col("e")))).as("ivs"))
+    docs.select(col("doc_id"), col("text"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .withColumn("new_text",
+        when(col("ivs").isNull, col("text"))
+          .otherwise(expr(
+            """aggregate(ivs, named_struct('pos', CAST(1 AS BIGINT), 'acc', ''),
+              |  (st, iv) -> named_struct(
+              |    'pos', iv.e,
+              |    'acc', concat(st.acc,
+              |      substring(text, CAST(st.pos AS INT),
+              |        CAST(iv.s - st.pos AS INT)))),
+              |  st -> concat(st.acc, substring(text, CAST(st.pos AS INT))))"""
+              .stripMargin)))
+      .select(col("doc_id"),
+        coalesce(col("n_cuts"), lit(0L)).as("n_cuts"),
+        coalesce(col("cut_chars"), lit(0L)).as("cut_chars"),
+        length(col("new_text")).cast("long").as("n_chars_after"),
+        md5(col("new_text")).as("new_md5"))
+  }
+
+  def qSpanRebuildAll(spark: SparkSession, dir: String): DataFrame =
+    rebuildAllFrom(stagedMatches(spark, dir), t(spark, dir, "documents"))
+
+  private[dedup] def spanRebuildAllOf(docs: DataFrame): DataFrame =
+    rebuildAllFrom(matchesOf(docs), docs)
+
+  // ---- Winnowing-anchored spans (round-17, verdict-16 demand #4) ----
+  //
+  // The stride-8 grid above misses copies inserted at arbitrary offsets
+  // when edits recur every < WIDTH chars (each 64-char grid window then
+  // straddles an edit). Winnowing selection (Schleimer/Wilkerson/Aiken
+  // 2003 — the engine's #200 text_winnowing) is position-INDEPENDENT:
+  // which k-grams are selected depends only on a local w-window of
+  // content, so a copied region selects the same anchors in both docs
+  // no matter where it lands. Anchoring the same closed-form run
+  // extension on winnowing-selected k-grams makes span detection
+  // robust to unaligned copies: any shared substring of length >=
+  // WK + WW - 1 = 47 chars shares a selected anchor, and consecutive
+  // selected positions inside a shared region are <= WW apart — since
+  // WW <= WK the matched k-grams OVERLAP, so a gaps-and-islands run
+  // (break on gap > WW) proves the whole claimed span is shared, and a
+  // planted copy of length L reports >= L - (WK + WW) regardless of
+  // grid phase (LongestSpanSpec plants at a deliberately non-grid
+  // offset). Match keys are md5 of the anchored k-gram (exact), the
+  // 31-poly hash is only the selection rule — one false-anchor class
+  // fewer than matching on the selection hash itself.
+  //
+  // Scale shape mirrors the grid family: per-doc codegen HOF selection
+  // (zero shuffle, ~2/(WW+1) anchor density vs the grid's 1/STRIDE),
+  // anchor-key census, CAP-bounded match join, bounded (doc, partner,
+  // offset) windows.
+
+  private val WK = 32          // anchor k-gram length
+  private val WW = 16          // winnowing window (density 2/(WW+1))
+  private val WPACK = 1L << 21 // (hash, pos) packing — Winnowing.scala
+
+  /** Winnowing-selected anchors (doc_id, p, ah): the rightmost-min
+    * selection of Winnowing.scala at span-grain (WK, WW), with the
+    * selected POSITION unpacked and the k-gram md5'd for exact
+    * matching.
+    *
+    * TWO let-binding levels via transform(array(..))[1] (the
+    * Winnowing.scala idiom): `codes` binds the per-CHAR code array —
+    * ascii(substring(text, j, 1)) walks the UTF-8 string from the
+    * front, so folding it per k-gram position is O(n^2 * k) per doc
+    * (measured: 16 s for 500 docs at WK=32); one split('') pass makes
+    * every later code lookup an O(1) element_at — and `hs` binds the
+    * k-gram hash array the window pass indexes into. */
+  private def winnowedAnchorsOf(docs: DataFrame): DataFrame =
+    docs
+      .filter(length(col("text")) >= WK + WW - 1)
+      .withColumn("n_kgrams", (length(col("text")) - (WK - 1)).cast("long"))
+      .withColumn("p", explode(expr(
+        s"""transform(
+           |  element_at(transform(array(
+           |    transform(split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+           |    codes ->
+           |      element_at(transform(array(
+           |        transform(sequence(1, CAST(n_kgrams AS INT)), i ->
+           |          aggregate(sequence(i, i + ${WK - 1}),
+           |            CAST(0 AS BIGINT),
+           |            (h, j) -> (h * 31 + element_at(codes, j)) % 1000000007))),
+           |        hs -> array_distinct(
+           |          transform(sequence(1, CAST(n_kgrams - ${WW - 1} AS INT)), s ->
+           |            array_min(transform(sequence(s, s + ${WW - 1}),
+           |              j -> element_at(hs, j) * $WPACK + (${WPACK - 1} - j)))))),
+           |        1)), 1),
+           |  x -> CAST(${WPACK - 1} - (x % $WPACK) AS INT))""".stripMargin)))
+      .select(col("doc_id"), col("p"),
+        expr(s"md5(substring(text, p, $WK))").as("ah"))
+
+  /** Cap-bounded cross-doc matched-ANCHOR frame (da, db, pa, off). */
+  private[dedup] def winnowedMatchesOf(docs: DataFrame): DataFrame = {
+    val anchors = winnowedAnchorsOf(docs)
+    val eligible = anchors.join(
+      anchors.groupBy("ah").agg(count(lit(1)).as("n_occ"))
+        .filter(col("n_occ") <= CAP)
+        .select("ah"),
+      "ah")
+    eligible
+      .select(col("ah"), col("doc_id").as("da"), col("p").as("pa"))
+      .join(eligible.select(col("ah"), col("doc_id").as("db"), col("p").as("pb")),
+        "ah")
+      .filter(col("da") =!= col("db"))
+      .select(col("da"), col("db"), col("pa"), (col("pb") - col("pa")).as("off"))
+  }
+
+  /** Maximal anchored runs: winnowing guarantees consecutive selected
+    * positions in a shared region gap <= WW, so break on gap > WW;
+    * WW <= WK keeps consecutive matched k-grams overlapping, making
+    * every claimed span exactly proven. */
+  private def winnowedRunsOf(matches: DataFrame): DataFrame = {
+    val byOff = Window.partitionBy("da", "db", "off").orderBy("pa")
+    matches
+      .withColumn("brk",
+        when(col("pa") - lag("pa", 1).over(byOff) > WW, 1).otherwise(0))
+      .withColumn("run", sum("brk").over(
+        byOff.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("da", "db", "off", "run")
+      .agg(min("pa").as("pmin"), max("pa").as("pmax"))
+      .select(col("da").as("doc_id"), col("db").as("partner"),
+        col("off"), col("pmin").cast("long").as("start"),
+        (col("pmax") - col("pmin") + WK).cast("long").as("span"))
+  }
+
+  /** Winnowed matches staged per (JVM, dir) like the grid family's
+    * match frame — the anchor projection is referenced four times
+    * through the census + self-join, so materializing the match frame
+    * once is the ingest-time index a deployment would store. */
+  private def stagedWinnowedMatches(spark: SparkSession, dir: String): DataFrame =
+    graft.StagedCache.parquet(spark, dir, "span-winnowed-matches") {
+      winnowedMatchesOf(t(spark, dir, "documents"))
+    }
+
+  def qSpanWinnowed(spark: SparkSession, dir: String): DataFrame =
+    longestFromRuns(winnowedRunsOf(stagedWinnowedMatches(spark, dir)))
+
+  /** The winnowed report over any (doc_id, text) frame (spec entry). */
+  private[dedup] def spanWinnowedOf(docs: DataFrame): DataFrame =
+    longestFromRuns(winnowedRunsOf(winnowedMatchesOf(docs)))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_longest_span" -> (qLongestSpan _),
     "dedup_span_mass" -> (qSpanMass _),
-    "dedup_span_rebuild" -> (qSpanRebuild _))
+    "dedup_span_rebuild" -> (qSpanRebuild _),
+    "dedup_span_rebuild_all" -> (qSpanRebuildAll _),
+    "dedup_span_winnowed" -> (qSpanWinnowed _))
 
   /** Shared CTE chain: strided windows -> posting-cap -> match frame. */
   private val matchCtes =
@@ -239,7 +403,56 @@ object LongestSpan {
        |  FROM runs WHERE doc_id > partner AND span >= $MIN_CUT),
        |cuts AS (SELECT doc_id, start, span FROM losers WHERE r = 1)""".stripMargin
 
+  /** Winnowed-anchor CTE chain (mirrors Winnowing.scala's oracle with
+    * (WK, WW) + the md5 anchor, then the grid family's run shape). */
+  private val winnowedRunCtes =
+    s"""wdoc AS (
+       |  SELECT doc_id, text,
+       |    length(text) - ${WK - 1} AS n_kgrams,
+       |    list_transform(range(1, length(text) - ${WK - 1} + 1), i ->
+       |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |          list_transform(range(i, i + $WK),
+       |            j -> CAST(ascii(substring(text, CAST(j AS INT), 1)) AS BIGINT))),
+       |        (h, c) -> (h * 31 + c) % 1000000007)) AS hs
+       |  FROM documents WHERE length(text) >= ${WK + WW - 1}),
+       |wsel AS (
+       |  SELECT doc_id, text,
+       |    list_distinct(list_transform(range(1, n_kgrams - ${WW - 1} + 1), s ->
+       |      list_min(list_transform(range(s, s + $WW),
+       |        j -> hs[CAST(j AS INT)] * $WPACK + (${WPACK - 1} - j))))) AS sel
+       |  FROM wdoc),
+       |wa AS (
+       |  SELECT doc_id,
+       |    CAST(${WPACK - 1} - (x % $WPACK) AS INT) AS p,
+       |    md5(substr(text, CAST(${WPACK - 1} - (x % $WPACK) AS INT), $WK)) AS ah
+       |  FROM (SELECT doc_id, text, unnest(sel) AS x FROM wsel)),
+       |welig AS (SELECT wa.doc_id, wa.p, wa.ah FROM wa
+       |  JOIN (SELECT ah FROM wa GROUP BY ah HAVING count(*) <= $CAP) c
+       |  USING (ah)),
+       |wm AS (SELECT a.doc_id AS da, b.doc_id AS db, a.p AS pa,
+       |    b.p - a.p AS off
+       |  FROM welig a JOIN welig b ON a.ah = b.ah AND a.doc_id != b.doc_id),
+       |wbrk AS (SELECT da, db, off, pa,
+       |    CASE WHEN pa - lag(pa) OVER (PARTITION BY da, db, off ORDER BY pa)
+       |      > $WW THEN 1 ELSE 0 END AS brk
+       |  FROM wm),
+       |wisl AS (SELECT da, db, off, pa,
+       |    sum(brk) OVER (PARTITION BY da, db, off ORDER BY pa
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+       |  FROM wbrk),
+       |wruns AS (SELECT da AS doc_id, db AS partner,
+       |    CAST(max(pa) - min(pa) + $WK AS BIGINT) AS span
+       |  FROM wisl GROUP BY da, db, off, run)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "dedup_span_winnowed" ->
+      s"""WITH $winnowedRunCtes,
+         |wper AS (SELECT doc_id, partner, max(span) AS span
+         |  FROM wruns GROUP BY doc_id, partner),
+         |wrk AS (SELECT doc_id, partner, span, row_number() OVER (
+         |    PARTITION BY doc_id ORDER BY span DESC, partner ASC) AS r
+         |  FROM wper)
+         |SELECT doc_id, partner, span AS longest_span FROM wrk WHERE r = 1""".stripMargin,
     "dedup_longest_span" ->
       s"""WITH $runCtes,
          |per AS (SELECT doc_id, partner, max(span) AS span
@@ -270,6 +483,48 @@ object LongestSpan {
          |  ${graft.functions.Exact.duck6("p.dup_span_chars", "len(d.text)")}
          |    AS dup_span_frac
          |FROM per p JOIN documents d ON d.doc_id = p.doc_id""".stripMargin,
+    "dedup_span_rebuild_all" ->
+      s"""WITH $runCtes,
+         |qiv AS (SELECT DISTINCT doc_id, start AS s, start + span AS e
+         |  FROM runs WHERE doc_id > partner AND span >= $MIN_CUT),
+         |mbrk AS (SELECT doc_id, s, e,
+         |    CASE WHEN s > max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |    THEN 1 ELSE 0 END AS brk
+         |  FROM qiv),
+         |misl AS (SELECT doc_id, s, e,
+         |    sum(brk) OVER (PARTITION BY doc_id ORDER BY s, e
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+         |  FROM mbrk),
+         |merged AS (SELECT doc_id, min(s) AS s, max(e) AS e
+         |  FROM misl GROUP BY doc_id, isl),
+         |lagged AS (SELECT doc_id, s, e,
+         |    coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 1) AS prev_e
+         |  FROM merged),
+         |pieces AS (
+         |  SELECT l.doc_id, l.s AS ord,
+         |    substr(d.text, CAST(l.prev_e AS INT),
+         |      CAST(l.s - l.prev_e AS INT)) AS piece
+         |  FROM lagged l JOIN documents d USING (doc_id)
+         |  UNION ALL
+         |  SELECT m.doc_id, CAST(1000000000 AS BIGINT),
+         |    substr(d.text, CAST(max(m.e) AS INT)) AS piece
+         |  FROM merged m JOIN documents d USING (doc_id)
+         |  GROUP BY m.doc_id, d.text),
+         |rebuilt AS (SELECT doc_id,
+         |    string_agg(piece, '' ORDER BY ord) AS new_text
+         |  FROM pieces GROUP BY doc_id),
+         |stats AS (SELECT doc_id, count(*) AS n_cuts,
+         |    CAST(sum(e - s) AS BIGINT) AS cut_chars
+         |  FROM merged GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(s.n_cuts, 0) AS BIGINT) AS n_cuts,
+         |  CAST(coalesce(s.cut_chars, 0) AS BIGINT) AS cut_chars,
+         |  len(coalesce(r.new_text, d.text)) AS n_chars_after,
+         |  md5(coalesce(r.new_text, d.text)) AS new_md5
+         |FROM documents d
+         |LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
+         |LEFT JOIN stats s ON s.doc_id = d.doc_id""".stripMargin,
     "dedup_span_rebuild" ->
       s"""WITH $rebuildCtes
          |SELECT d.doc_id,

@@ -25,41 +25,31 @@ import graft.Tables.t
   * "graft-staged" temp-dir convention; consumers pay a parquet scan. */
 object BasketStage {
 
-  private val staged =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
-
-  private def stage(spark: SparkSession, dir: String): (String, String) =
-    staged.computeIfAbsent(dir, { _ =>
-      val itemsP = java.nio.file.Files.createTempDirectory("graft-staged")
-      itemsP.toFile.deleteOnExit()
-      // The explicit not-null filter matches what the optimizer infers
-      // for the self-join sides (keys are never null in the data; no
-      // semantic change) — kept from the pre-staging shape so the
-      // staged frame is byte-identical to what consumers built inline.
+  /** Distinct (l_orderkey, l_partkey) basket items, staged per
+    * (JVM, dir, dataset fingerprint) — StagedCache keys on a dir
+    * fingerprint so a regenerated dataset rebuilds the stage (advice
+    * r16). The explicit not-null filter matches what the optimizer
+    * infers for the self-join sides (keys are never null in the data;
+    * no semantic change) — kept from the pre-staging shape so the
+    * staged frame is byte-identical to what consumers built inline. */
+  def items(spark: SparkSession, dir: String): DataFrame =
+    graft.StagedCache.parquet(spark, dir, "basket-items") {
       t(spark, dir, "lineitem")
         .select(col("l_orderkey"), col("l_partkey"))
         .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
         .distinct()
-        .write.mode("overwrite").parquet(itemsP.toString)
-      val items = spark.read.parquet(itemsP.toString)
-      val pairsP = java.nio.file.Files.createTempDirectory("graft-staged")
-      pairsP.toFile.deleteOnExit()
-      // UNFILTERED census (no minSupport cut) so every consumer can
-      // apply its own threshold to the same staged frame.
-      items.select(col("l_orderkey"), col("l_partkey").as("pa"))
-        .join(items.select(col("l_orderkey"), col("l_partkey").as("pb")),
+    }
+
+  /** Unfiltered (pa < pb, n_ab) pair-co-occurrence census, staged.
+    * UNFILTERED (no minSupport cut) so every consumer can apply its
+    * own threshold to the same staged frame. */
+  def pairCounts(spark: SparkSession, dir: String): DataFrame =
+    graft.StagedCache.parquet(spark, dir, "basket-pairs") {
+      val its = items(spark, dir)
+      its.select(col("l_orderkey"), col("l_partkey").as("pa"))
+        .join(its.select(col("l_orderkey"), col("l_partkey").as("pb")),
           "l_orderkey")
         .filter(col("pa") < col("pb"))
         .groupBy("pa", "pb").agg(count(lit(1)).as("n_ab"))
-        .write.mode("overwrite").parquet(pairsP.toString)
-      (itemsP.toString, pairsP.toString)
-    })
-
-  /** Distinct (l_orderkey, l_partkey) basket items, staged. */
-  def items(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(stage(spark, dir)._1)
-
-  /** Unfiltered (pa < pb, n_ab) pair-co-occurrence census, staged. */
-  def pairCounts(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(stage(spark, dir)._2)
+    }
 }

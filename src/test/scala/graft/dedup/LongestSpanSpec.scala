@@ -136,6 +136,107 @@ class LongestSpanSpec extends AnyFunSuite {
     assert(got.forall(!_.getBoolean(1)), "64 < MIN_CUT must not cut")
   }
 
+  test("winnowed: a plant at a NON-grid offset reports >= L - (k + w)") {
+    // offsets 13 and 29 are both off the stride-8 grid AND different
+    // from each other — the fixed-grid detector's blind spot; the
+    // winnowing anchors are position-independent (k=32, w=16)
+    for (l <- Seq(120, 200, 321)) {
+      val shared = filler(1000, l)
+      val d = docs(
+        (1L, filler(5000, 13) + shared + "A" + filler(6000, 60)),
+        (2L, filler(9000, 29) + shared + "B" + filler(7000, 40)))
+      val got = LongestSpan.spanWinnowedOf(d).collect()
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(got.keySet == Set(1L, 2L), s"L=$l missing docs: $got")
+      assert(got(1L) >= l - 48, s"L=$l got ${got(1L)} (guarantee L-(k+w))")
+      assert(got(1L) <= l, s"claimed span cannot exceed the plant: $got")
+      assert(got(2L) == got(1L), "winnowed span is symmetric")
+    }
+  }
+
+  test("winnowed sees what the grid cannot: unaligned copy with edits every ~60 chars") {
+    // identical 60-char segments separated by a one-char edit: every
+    // 64-char grid window straddles an edit, so the grid report is
+    // empty; each 60-char segment clears the winnowing guarantee
+    // (k + w - 1 = 47) and anchors a span
+    val segs = (0 until 5).map(i => filler(2000 + 100 * i, 60))
+    val t1 = filler(5000, 13) + segs.zipWithIndex.map { case (s, i) => s + ('A' + i).toChar }.mkString
+    val t2 = filler(9000, 29) + segs.zipWithIndex.map { case (s, i) => s + ('a' + i).toChar }.mkString
+    val d = docs((1L, t1), (2L, t2))
+    assert(LongestSpan.longestSpanOf(d).collect().isEmpty,
+      "the stride-8/64 grid must miss sub-64 edited segments")
+    val won = LongestSpan.spanWinnowedOf(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(won.keySet == Set(1L, 2L), s"winnowed must detect the segments: $won")
+    assert(won(1L) >= 60 - 48 && won(1L) <= 60, s"got ${won(1L)}")
+  }
+
+  test("winnowed: clean docs stay silent") {
+    val d = docs((1L, filler(5000, 300)), (2L, filler(9000, 300)))
+    assert(LongestSpan.spanWinnowedOf(d).collect().isEmpty)
+  }
+
+  test("rebuild_all: every qualifying span is excised, not just the maximal one") {
+    // doc 2 (the loser) shares TWO disjoint 200-char spans with doc 1,
+    // both grid-aligned in both docs (starts == 1 mod 8)
+    val s1 = filler(2000, 200)
+    val s2 = filler(3000, 200)
+    val t1 = s1 + "A" + filler(5000, 118) + "C" + s2 + "E" + filler(5500, 40)
+    val t2 = s1 + "B" + filler(8000, 158) + "D" + s2 + "F" + filler(8500, 24)
+    val t3 = filler(12000, 300)
+    val d = docs((1L, t1), (2L, t2), (3L, t3))
+    def md5Of(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val all = LongestSpan.spanRebuildAllOf(d).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(all.keySet == Set(1L, 2L, 3L), "rebuild_all outputs the FULL corpus")
+    // loser: both [1,201) and [361,561) cut
+    val (n2, chars2, after2, md2) = all(2L)
+    assert(n2 == 2L && chars2 == 400L, s"expected 2 cuts of 400 chars: $n2/$chars2")
+    val expected2 = t2.substring(200, 360) + t2.substring(560)
+    assert(after2 == expected2.length && md2 == md5Of(expected2),
+      "multi-splice must be byte-exact")
+    // the single-cut variant removes only ONE of the two spans
+    val single = LongestSpan.spanRebuildOf(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(single(2L) == 200L)
+    assert(chars2 > single(2L), "multi-cut savings must exceed single-cut")
+    // winner + clean doc pass through byte-identically
+    assert(all(1L) == ((0L, 0L, t1.length.toLong, md5Of(t1))))
+    assert(all(3L) == ((0L, 0L, t3.length.toLong, md5Of(t3))))
+  }
+
+  test("rebuild_all: overlapping runs merge into one interval before splicing") {
+    // two runs over the SAME region from two partners overlap: the
+    // interval union must excise the region once, not corrupt offsets
+    val s = filler(2000, 240)
+    val d = docs(
+      (1L, s + "A" + filler(5000, 60)),
+      (2L, s.substring(0, 200) + "X" + filler(6000, 99)),
+      (3L, s + "B" + filler(7000, 80)))
+    // doc 3 loses to 1 (span 240) and to 2 (span >= 192, same region)
+    val got = LongestSpan.spanRebuildAllOf(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(3L)._1 == 1L, s"overlapping cuts must merge: ${got(3L)}")
+    assert(got(3L)._2 == 240L, s"merged interval covers the union: ${got(3L)}")
+  }
+
+  test("real corpus: rebuild_all savings >= single-cut savings; winnowed rows sane") {
+    val allCut = LongestSpan.qSpanRebuildAll(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val oneCut = LongestSpan.qSpanRebuild(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(oneCut.keySet == allCut.keySet)
+    oneCut.foreach { case (id, len) =>
+      assert(allCut(id) >= len, s"doc $id: multi-cut ${allCut(id)} < single $len")
+    }
+    LongestSpan.qSpanWinnowed(spark, sf).collect().foreach { r =>
+      assert(r.getLong(2) >= 32, "a winnowed span is at least one anchor k-gram")
+      assert(r.getLong(0) != r.getLong(1))
+    }
+  }
+
   test("real corpus: rows are sane and consistent with repeated_spans") {
     val rows = LongestSpan.qLongestSpan(spark, sf).collect()
     val repeated = Dedup.qRepeatedSpans(spark, sf).collect()
