@@ -26,9 +26,12 @@ import graft.sources.CsvNumericSource
   * num_run > 1 is a genuine multi-restart with best-of tracking like
   * the reference's run loop (kmeans.java:57-62).
   *
-  * Output lines per iteration: run,iter,objective,best_objective,iter_ms
-  * and a trailing total "<ms>ms" line, like print_best
-  * (kmeans.java:261-270).
+  * Output lines per iteration: for kmeans
+  * run,iter,objective,best_objective,map_ms,reduce_ms,iter_ms (the
+  * full print_best column set, kmeans.java:261-270 — map/reduce stage
+  * wall times from a Spark listener); for gka/pso
+  * run,iter,objective,best_objective,iter_ms; and a trailing total
+  * "<ms>ms" line.
   */
 object Main {
 
@@ -125,8 +128,10 @@ object Main {
             // reproducible analog of create_center per restart
             val metrics = KMeans.metricsRun(pts, numK, numIter, ds,
               p => Points.randomCenters(p, numK, seed, ds))
-            metrics.foreach { case (iter, sse, best, ms) =>
-              fw.write(s"$r,$iter,$sse,$best,$ms\n")
+            // column-compatible with print_best (kmeans.java:261-270):
+            // ..., map time, reduce time, iteration time
+            metrics.foreach { case (iter, sse, best, mapMs, redMs, ms) =>
+              fw.write(s"$r,$iter,$sse,$best,$mapMs,$redMs,$ms\n")
             }
           case "gka" =>
             val (numCms, pm, cm) = rest match {

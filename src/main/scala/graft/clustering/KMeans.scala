@@ -831,22 +831,51 @@ object KMeans {
 
   /** Per-iteration Lloyd run with metrics, matching the reference's
     * print_best output (kmeans.java:261-270: iter, best objective,
-    * timings). Generic over k/iters/dims/init — the CLI composes it
-    * over CSV datasets. One fused pass per iteration: the SSE term is
-    * folded into the centroid groupBy so the K-distance projection is
-    * evaluated once. */
+    * map_t, reduce_t, iteration time). Generic over k/iters/dims/init
+    * — the CLI composes it over CSV datasets. One fused pass per
+    * iteration: the SSE term is folded into the centroid groupBy so
+    * the K-distance projection is evaluated once.
+    *
+    * map/reduce wall times come from a per-run SparkListener over
+    * completed stages — the assign + partial-aggregate stage WRITES
+    * shuffle (the reference's map phase, kmeans.java map_t), the
+    * final-merge stage READS it (reduce_t); the bus is flushed before
+    * each per-iteration snapshot so windows don't leak (the Bench
+    * listener discipline). Tuple: (iter, sse, best, map_ms,
+    * reduce_ms, iter_ms). */
   def metricsRun(points: DataFrame, k: Int, iters: Int,
                  ds: Seq[String] = dims,
                  init: DataFrame => Array[Array[Double]] = null)
-      : Seq[(Int, Double, Double, Long)] = {
+      : Seq[(Int, Double, Double, Long, Long, Long)] = {
+    val spark = points.sparkSession
+    object L extends org.apache.spark.scheduler.SparkListener {
+      val mapMs = new java.util.concurrent.atomic.AtomicLong
+      val redMs = new java.util.concurrent.atomic.AtomicLong
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val info = s.stageInfo
+        val dur = (for (a <- info.submissionTime; b <- info.completionTime)
+          yield b - a).getOrElse(0L)
+        val reads = info.taskMetrics != null &&
+          info.taskMetrics.shuffleReadMetrics.totalBytesRead > 0
+        (if (reads) redMs else mapMs).addAndGet(dur)
+      }
+      def snap(): (Long, Long) = {
+        org.apache.spark.sql.GraftBridge.flushListenerBus(spark)
+        (mapMs.get, redMs.get)
+      }
+    }
+    spark.sparkContext.addSparkListener(L)
     val pts = points.cache()
     try {
       var centers =
         if (init == null) Points.firstKCenters(pts, k, ds) else init(pts)
       var best = Double.MaxValue
-      val out = scala.collection.mutable.ListBuffer.empty[(Int, Double, Double, Long)]
+      val out = scala.collection.mutable.ListBuffer
+        .empty[(Int, Double, Double, Long, Long, Long)]
       for (iter <- 1 to iters) {
         val t0 = System.nanoTime()
+        val (m0, r0) = L.snap()
         val rows = assign(pts, centers, ds)
           .groupBy("k")
           .agg(count(lit(1)).as("n"),
@@ -859,17 +888,22 @@ object KMeans {
         val byK = rows.map(r => r.getAs[Int]("k") ->
           ds.indices.map(i => r.getDouble(2 + i)).toArray).toMap
         centers = Array.tabulate(k)(i => byK.getOrElse(i, centers(i)))
-        out += ((iter, sse, best, (System.nanoTime() - t0) / 1000000L))
+        val (m1, r1) = L.snap()
+        out += ((iter, sse, best, m1 - m0, r1 - r0,
+          (System.nanoTime() - t0) / 1000000L))
       }
       out.toSeq
-    } finally { points.unpersist(); () }
+    } finally {
+      points.unpersist()
+      spark.sparkContext.removeSparkListener(L)
+    }
   }
 
   /** Wall-times are nondeterministic -> rows-only entry. */
   def qMetrics(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     metricsRun(Points.lineitem4d(spark, dir), K, ITERS)
-      .toDF("iter", "sse", "best_sse", "iter_ms")
+      .toDF("iter", "sse", "best_sse", "map_ms", "reduce_ms", "iter_ms")
   }
 
   /** Lloyd from SEEDED-RANDOM centers (kmeans.java:240-248

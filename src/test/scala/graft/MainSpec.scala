@@ -11,7 +11,7 @@ class MainSpec extends AnyFunSuite {
   private def lines(path: String): Seq[String] =
     scala.io.Source.fromFile(path).getLines().toSeq
 
-  test("kmeans CLI on iris.txt writes run,iter,sse,best,ms per iteration") {
+  test("kmeans CLI on iris.txt writes run,iter,sse,best,map,reduce,ms per iteration") {
     val out = java.io.File.createTempFile("iris_kmeans", ".csv").getPath
     Main.run(spark, "kmeans", "/root/reference/dataset/iris.txt",
       numIter = 2, numK = 3, out, numRun = 2, rest = Array.empty)
@@ -19,7 +19,14 @@ class MainSpec extends AnyFunSuite {
     assert(ls.length == 2 * 2 + 1, s"2 runs x 2 iters + total line: $ls")
     assert(ls.last.endsWith("ms"))
     val fields = ls.init.map(_.split(","))
-    assert(fields.forall(_.length == 5))
+    // the reference's full print_best column set (kmeans.java:261-270):
+    // run, iter, objective, best, map_t, reduce_t, iteration time
+    assert(fields.forall(_.length == 7))
+    // stage wall times are non-negative and bounded by... nothing
+    // deterministic, but map + reduce must not exceed ~the iteration
+    // wall by more than scheduler slop; assert shape only
+    assert(fields.forall(f => f(4).toLong >= 0 && f(5).toLong >= 0))
+    assert(fields.forall(f => f(6).toLong >= 0))
     // objective never increases within a run's best column
     val bests = fields.groupBy(_.head).values
     assert(bests.forall(b => b.map(_(3).toDouble).sliding(2)
@@ -57,7 +64,7 @@ class MainSpec extends AnyFunSuite {
     val ls = lines(out)
     assert(ls.length == 2 + 1, s"2 iters + total line: $ls")
     val fields = ls.init.map(_.split(","))
-    assert(fields.forall(_.length == 5))
+    assert(fields.forall(_.length == 7))
     // objective is finite and non-increasing across the run
     val sses = fields.map(_(2).toDouble)
     assert(sses.forall(s => !s.isNaN && !s.isInfinite && s > 0))
@@ -104,7 +111,7 @@ class MainSpec extends AnyFunSuite {
     assert(ls.length == 2 * 2 + 1, s"2 runs x 2 iters + total line: $ls")
     assert(ls.last.endsWith("ms"))
     val fields = ls.init.map(_.split(","))
-    assert(fields.forall(_.length == 5))
+    assert(fields.forall(_.length == 7))
     // each run's best column is its own running min (the reference's
     // per-run best-of contract, same check as the iris case) and
     // never exceeds that iteration's SSE
