@@ -204,8 +204,15 @@ object LongestSpan {
     * doc <= len/MIN_CUT — single digits — so the collect_list is
     * doc-bounded, never corpus-sized). Winners and clean docs pass
     * through; per-doc audit = cuts, chars cut, chars after, md5. */
-  private def rebuildAllFrom(matches: DataFrame, docs: DataFrame): DataFrame = {
-    val iv = runsOf(matches)
+  private def rebuildAllFrom(matches: DataFrame, docs: DataFrame): DataFrame =
+    rebuildAllFromRuns(runsOf(matches), docs)
+
+  /** The multi-cut splice over ANY (doc_id, partner, start, span) runs
+    * frame — shared by the grid variant and the winnowed variant (the
+    * winnowed runs prove their spans exactly, so excision is as sound
+    * there as on the grid). */
+  private def rebuildAllFromRuns(runs: DataFrame, docs: DataFrame): DataFrame = {
+    val iv = runs
       .filter(col("doc_id") > col("partner") && col("span") >= MIN_CUT)
       .select(col("doc_id"), col("start").as("s"),
         (col("start") + col("span")).as("e"))
@@ -281,35 +288,17 @@ object LongestSpan {
   /** Winnowing-selected anchors (doc_id, p, ah): the rightmost-min
     * selection of Winnowing.scala at span-grain (WK, WW), with the
     * selected POSITION unpacked and the k-gram md5'd for exact
-    * matching.
-    *
-    * TWO let-binding levels via transform(array(..))[1] (the
-    * Winnowing.scala idiom): `codes` binds the per-CHAR code array —
-    * ascii(substring(text, j, 1)) walks the UTF-8 string from the
-    * front, so folding it per k-gram position is O(n^2 * k) per doc
-    * (measured: 16 s for 500 docs at WK=32); one split('') pass makes
-    * every later code lookup an O(1) element_at — and `hs` binds the
-    * k-gram hash array the window pass indexes into. */
+    * matching. The selection runs through the native
+    * [[graft.functions.WinnowedPositions]] codegen expression — the
+    * declarative HOF form pays ~n*(WK+WW) interpreted lambda
+    * evaluations per doc (measured 219 s on the adversarial 50k-doc
+    * sf1 corpus vs ~2 s compiled); the DuckDB oracle keeps the full
+    * declarative mirror, which pins the expression's semantics. */
   private def winnowedAnchorsOf(docs: DataFrame): DataFrame =
     docs
       .filter(length(col("text")) >= WK + WW - 1)
-      .withColumn("n_kgrams", (length(col("text")) - (WK - 1)).cast("long"))
-      .withColumn("p", explode(expr(
-        s"""transform(
-           |  element_at(transform(array(
-           |    transform(split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
-           |    codes ->
-           |      element_at(transform(array(
-           |        transform(sequence(1, CAST(n_kgrams AS INT)), i ->
-           |          aggregate(sequence(i, i + ${WK - 1}),
-           |            CAST(0 AS BIGINT),
-           |            (h, j) -> (h * 31 + element_at(codes, j)) % 1000000007))),
-           |        hs -> array_distinct(
-           |          transform(sequence(1, CAST(n_kgrams - ${WW - 1} AS INT)), s ->
-           |            array_min(transform(sequence(s, s + ${WW - 1}),
-           |              j -> element_at(hs, j) * $WPACK + (${WPACK - 1} - j)))))),
-           |        1)), 1),
-           |  x -> CAST(${WPACK - 1} - (x % $WPACK) AS INT))""".stripMargin)))
+      .withColumn("p", explode(
+        graft.functions.GraftFunctions.winnowedPositions(col("text"), WK, WW)))
       .select(col("doc_id"), col("p"),
         expr(s"md5(substring(text, p, $WK))").as("ah"))
 
@@ -363,11 +352,24 @@ object LongestSpan {
   private[dedup] def spanWinnowedOf(docs: DataFrame): DataFrame =
     longestFromRuns(winnowedRunsOf(winnowedMatchesOf(docs)))
 
+  /** The ACT stage for UNALIGNED duplicates: the multi-cut rebuild
+    * driven by the winnowed runs instead of the grid runs — a copy
+    * pasted at an arbitrary offset (the grid's blind spot) still gets
+    * excised from the losing doc. Same loser rule, MIN_CUT, interval
+    * union and splice as [[qSpanRebuildAll]]. */
+  def qSpanRebuildWinnowed(spark: SparkSession, dir: String): DataFrame =
+    rebuildAllFromRuns(winnowedRunsOf(stagedWinnowedMatches(spark, dir)),
+      t(spark, dir, "documents"))
+
+  private[dedup] def spanRebuildWinnowedOf(docs: DataFrame): DataFrame =
+    rebuildAllFromRuns(winnowedRunsOf(winnowedMatchesOf(docs)), docs)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_longest_span" -> (qLongestSpan _),
     "dedup_span_mass" -> (qSpanMass _),
     "dedup_span_rebuild" -> (qSpanRebuild _),
     "dedup_span_rebuild_all" -> (qSpanRebuildAll _),
+    "dedup_span_rebuild_winnowed" -> (qSpanRebuildWinnowed _),
     "dedup_span_winnowed" -> (qSpanWinnowed _))
 
   /** Shared CTE chain: strided windows -> posting-cap -> match frame. */
@@ -441,8 +443,54 @@ object LongestSpan {
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
        |  FROM wbrk),
        |wruns AS (SELECT da AS doc_id, db AS partner,
+       |    CAST(min(pa) AS BIGINT) AS start,
        |    CAST(max(pa) - min(pa) + $WK AS BIGINT) AS span
        |  FROM wisl GROUP BY da, db, off, run)""".stripMargin
+
+  /** The multi-cut interval-union + splice tail over any runs CTE
+    * (doc_id, partner, start, span) — shared by the grid and winnowed
+    * rebuild-all oracles. */
+  private def multiCutSql(runsCte: String): String =
+    s"""qiv AS (SELECT DISTINCT doc_id, start AS s, start + span AS e
+       |  FROM $runsCte WHERE doc_id > partner AND span >= $MIN_CUT),
+       |mbrk AS (SELECT doc_id, s, e,
+       |    CASE WHEN s > max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |    THEN 1 ELSE 0 END AS brk
+       |  FROM qiv),
+       |misl AS (SELECT doc_id, s, e,
+       |    sum(brk) OVER (PARTITION BY doc_id ORDER BY s, e
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+       |  FROM mbrk),
+       |merged AS (SELECT doc_id, min(s) AS s, max(e) AS e
+       |  FROM misl GROUP BY doc_id, isl),
+       |lagged AS (SELECT doc_id, s, e,
+       |    coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 1) AS prev_e
+       |  FROM merged),
+       |pieces AS (
+       |  SELECT l.doc_id, l.s AS ord,
+       |    substr(d.text, CAST(l.prev_e AS INT),
+       |      CAST(l.s - l.prev_e AS INT)) AS piece
+       |  FROM lagged l JOIN documents d USING (doc_id)
+       |  UNION ALL
+       |  SELECT m.doc_id, CAST(1000000000 AS BIGINT),
+       |    substr(d.text, CAST(max(m.e) AS INT)) AS piece
+       |  FROM merged m JOIN documents d USING (doc_id)
+       |  GROUP BY m.doc_id, d.text),
+       |rebuilt AS (SELECT doc_id,
+       |    string_agg(piece, '' ORDER BY ord) AS new_text
+       |  FROM pieces GROUP BY doc_id),
+       |stats AS (SELECT doc_id, count(*) AS n_cuts,
+       |    CAST(sum(e - s) AS BIGINT) AS cut_chars
+       |  FROM merged GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(s.n_cuts, 0) AS BIGINT) AS n_cuts,
+       |  CAST(coalesce(s.cut_chars, 0) AS BIGINT) AS cut_chars,
+       |  len(coalesce(r.new_text, d.text)) AS n_chars_after,
+       |  md5(coalesce(r.new_text, d.text)) AS new_md5
+       |FROM documents d
+       |LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
+       |LEFT JOIN stats s ON s.doc_id = d.doc_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "dedup_span_winnowed" ->
@@ -484,47 +532,9 @@ object LongestSpan {
          |    AS dup_span_frac
          |FROM per p JOIN documents d ON d.doc_id = p.doc_id""".stripMargin,
     "dedup_span_rebuild_all" ->
-      s"""WITH $runCtes,
-         |qiv AS (SELECT DISTINCT doc_id, start AS s, start + span AS e
-         |  FROM runs WHERE doc_id > partner AND span >= $MIN_CUT),
-         |mbrk AS (SELECT doc_id, s, e,
-         |    CASE WHEN s > max(e) OVER (PARTITION BY doc_id ORDER BY s, e
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-         |    THEN 1 ELSE 0 END AS brk
-         |  FROM qiv),
-         |misl AS (SELECT doc_id, s, e,
-         |    sum(brk) OVER (PARTITION BY doc_id ORDER BY s, e
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
-         |  FROM mbrk),
-         |merged AS (SELECT doc_id, min(s) AS s, max(e) AS e
-         |  FROM misl GROUP BY doc_id, isl),
-         |lagged AS (SELECT doc_id, s, e,
-         |    coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 1) AS prev_e
-         |  FROM merged),
-         |pieces AS (
-         |  SELECT l.doc_id, l.s AS ord,
-         |    substr(d.text, CAST(l.prev_e AS INT),
-         |      CAST(l.s - l.prev_e AS INT)) AS piece
-         |  FROM lagged l JOIN documents d USING (doc_id)
-         |  UNION ALL
-         |  SELECT m.doc_id, CAST(1000000000 AS BIGINT),
-         |    substr(d.text, CAST(max(m.e) AS INT)) AS piece
-         |  FROM merged m JOIN documents d USING (doc_id)
-         |  GROUP BY m.doc_id, d.text),
-         |rebuilt AS (SELECT doc_id,
-         |    string_agg(piece, '' ORDER BY ord) AS new_text
-         |  FROM pieces GROUP BY doc_id),
-         |stats AS (SELECT doc_id, count(*) AS n_cuts,
-         |    CAST(sum(e - s) AS BIGINT) AS cut_chars
-         |  FROM merged GROUP BY doc_id)
-         |SELECT d.doc_id,
-         |  CAST(coalesce(s.n_cuts, 0) AS BIGINT) AS n_cuts,
-         |  CAST(coalesce(s.cut_chars, 0) AS BIGINT) AS cut_chars,
-         |  len(coalesce(r.new_text, d.text)) AS n_chars_after,
-         |  md5(coalesce(r.new_text, d.text)) AS new_md5
-         |FROM documents d
-         |LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
-         |LEFT JOIN stats s ON s.doc_id = d.doc_id""".stripMargin,
+      s"WITH $runCtes,\n${multiCutSql("runs")}",
+    "dedup_span_rebuild_winnowed" ->
+      s"WITH $winnowedRunCtes,\n${multiCutSql("wruns")}",
     "dedup_span_rebuild" ->
       s"""WITH $rebuildCtes
          |SELECT d.doc_id,

@@ -84,6 +84,10 @@ object GraftFunctions {
   def normalizeText(s: Column): Column =
     GraftBridge.column(NormalizeText(GraftBridge.expression(s)))
 
+  /** 1-based winnowing-selected k-gram positions of a text column. */
+  def winnowedPositions(s: Column, k: Int, w: Int): Column =
+    GraftBridge.column(WinnowedPositions(GraftBridge.expression(s), k, w))
+
   /** PQ nearest-centroid codes of a packed array<double> point; the
     * trained codebook rides as driver-side state, not a child. */
   def pqEncode(xs: Column, codebooks: Array[Array[Array[Double]]]): Column =

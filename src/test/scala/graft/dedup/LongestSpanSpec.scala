@@ -222,6 +222,36 @@ class LongestSpanSpec extends AnyFunSuite {
     assert(got(3L)._2 == 240L, s"merged interval covers the union: ${got(3L)}")
   }
 
+  test("winnowed rebuild excises an UNALIGNED plant the grid rebuild keeps") {
+    val shared = filler(2000, 200)
+    // offsets 13/30 DIFFER by 17 — not a multiple of the stride, so no
+    // grid window pair can align (both sides' windows sit at ≡1 mod 8,
+    // forcing aligned diffs ≡0 mod 8) and the grid family sees
+    // nothing, while the winnowed runs prove the copy and cut it from
+    // the loser (doc 2)
+    val t1 = filler(5000, 13) + shared + "A" + filler(6000, 60)
+    val t2 = filler(9000, 30) + shared + "B" + filler(7000, 40)
+    val d = docs((1L, t1), (2L, t2))
+    assert(LongestSpan.spanRebuildAllOf(d).collect()
+      .forall(_.getLong(1) == 0L), "grid rebuild must see nothing here")
+    val got = LongestSpan.spanRebuildWinnowedOf(d).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    val (n2, chars2, after2, md2) = got(2L)
+    assert(n2 == 1L, s"loser must lose the unaligned copy: $got")
+    assert(chars2 >= 200 - 48 && chars2 <= 200, s"cut ~the plant: $chars2")
+    assert(after2 == t2.length - chars2)
+    // winner untouched
+    assert(got(1L)._1 == 0L && got(1L)._3 == t1.length.toLong)
+    // the cut really is a contiguous splice of t2: md5 must match a
+    // JVM recompute over SOME [s, s+chars2) window inside the plant
+    def md5Of(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val candidates = (0 to t2.length - chars2.toInt).iterator
+      .map(s => md5Of(t2.substring(0, s) + t2.substring(s + chars2.toInt)))
+    assert(candidates.contains(md2), "rebuilt text must be a single splice of t2")
+  }
+
   test("real corpus: rebuild_all savings >= single-cut savings; winnowed rows sane") {
     val allCut = LongestSpan.qSpanRebuildAll(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(2)).toMap
