@@ -28,6 +28,12 @@ object TimeQ {
       val line = f"TIMEQ $n%s rows=$c%d sec=${(System.nanoTime() - t0) / 1e9}%.3f"
       println(line)
       out.foreach { w => w.println(line); w.flush() }
+      // the Bench discipline (Bench.scala): leftover cached frames tax
+      // every LATER query's GC in a full sweep — measured 3-5x
+      // in-sweep inflation vs solo on the verify-leg dedup queries at
+      // sf1; staged parquet dirs are reads, not cache entries, so
+      // staging attribution is unaffected
+      spark.catalog.clearCache()
     }
     out.foreach(_.close())
     spark.stop()
