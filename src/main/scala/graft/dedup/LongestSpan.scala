@@ -129,18 +129,24 @@ object LongestSpan {
   private[dedup] def longestSpanOf(docs: DataFrame): DataFrame =
     longestFromRuns(runsOf(matchesOf(docs)))
 
-  /** Exact union-of-intervals duplicated-char mass per doc. */
-  private def spanMassFrom(matches: DataFrame, docs: DataFrame): DataFrame = {
+  /** Exact union-of-intervals duplicated-char mass per doc: each
+    * matched position proves [p, p+width) shared, positions with gap
+    * <= width merge into one covered island. `width` is the match
+    * grain — the grid's WIDTH, or WK for winnowed anchors (where
+    * consecutive selected positions inside a shared region gap
+    * <= WW < WK, so one shared region is one contiguous island). */
+  private def spanMassFrom(matches: DataFrame, docs: DataFrame,
+                           width: Int = WIDTH): DataFrame = {
     val pos = matches.select(col("da").as("doc_id"), col("pa")).distinct()
     val byDoc = Window.partitionBy("doc_id").orderBy("pa")
     val islands = pos
       .withColumn("brk",
-        when(col("pa") - lag("pa", 1).over(byDoc) > WIDTH, 1).otherwise(0))
+        when(col("pa") - lag("pa", 1).over(byDoc) > width, 1).otherwise(0))
       .withColumn("island", sum("brk").over(
         Window.partitionBy("doc_id").orderBy("pa")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy("doc_id", "island")
-      .agg((max("pa") - min("pa") + WIDTH).cast("long").as("ilen"))
+      .agg((max("pa") - min("pa") + width).cast("long").as("ilen"))
     islands.groupBy("doc_id")
       .agg(count(lit(1)).as("n_islands"),
         sum("ilen").as("dup_span_chars"))
@@ -157,6 +163,16 @@ object LongestSpan {
 
   private[graft] def spanMassOf(docs: DataFrame): DataFrame =
     spanMassFrom(matchesOf(docs), docs)
+
+  /** The MEASURE stage over winnowed anchors — the duplicated-char
+    * KPI robust to unaligned copies, completing the winnowed
+    * detect/measure/act triple symmetric with the grid family. */
+  def qSpanWinnowedMass(spark: SparkSession, dir: String): DataFrame =
+    spanMassFrom(stagedWinnowedMatches(spark, dir),
+      t(spark, dir, "documents"), WK)
+
+  private[dedup] def spanWinnowedMassOf(docs: DataFrame): DataFrame =
+    spanMassFrom(winnowedMatchesOf(docs), docs, WK)
 
   /** Corpus rebuild: each LOSING doc (doc_id > partner) has its
     * maximal shared run excised when the run is >= MIN_CUT chars;
@@ -370,7 +386,8 @@ object LongestSpan {
     "dedup_span_rebuild" -> (qSpanRebuild _),
     "dedup_span_rebuild_all" -> (qSpanRebuildAll _),
     "dedup_span_rebuild_winnowed" -> (qSpanRebuildWinnowed _),
-    "dedup_span_winnowed" -> (qSpanWinnowed _))
+    "dedup_span_winnowed" -> (qSpanWinnowed _),
+    "dedup_span_winnowed_mass" -> (qSpanWinnowedMass _))
 
   /** Shared CTE chain: strided windows -> posting-cap -> match frame. */
   private val matchCtes =
@@ -447,10 +464,10 @@ object LongestSpan {
        |    CAST(max(pa) - min(pa) + $WK AS BIGINT) AS span
        |  FROM wisl GROUP BY da, db, off, run)""".stripMargin
 
-  /** The multi-cut interval-union + splice tail over any runs CTE
+  /** The multi-cut interval-union + splice CTEs over any runs CTE
     * (doc_id, partner, start, span) — shared by the grid and winnowed
-    * rebuild-all oracles. */
-  private def multiCutSql(runsCte: String): String =
+    * rebuild-all oracles and the savings rollup. */
+  private[dedup] def multiCutCtes(runsCte: String): String =
     s"""qiv AS (SELECT DISTINCT doc_id, start AS s, start + span AS e
        |  FROM $runsCte WHERE doc_id > partner AND span >= $MIN_CUT),
        |mbrk AS (SELECT doc_id, s, e,
@@ -482,7 +499,10 @@ object LongestSpan {
        |  FROM pieces GROUP BY doc_id),
        |stats AS (SELECT doc_id, count(*) AS n_cuts,
        |    CAST(sum(e - s) AS BIGINT) AS cut_chars
-       |  FROM merged GROUP BY doc_id)
+       |  FROM merged GROUP BY doc_id)""".stripMargin
+
+  private def multiCutSql(runsCte: String): String =
+    s"""${multiCutCtes(runsCte)}
        |SELECT d.doc_id,
        |  CAST(coalesce(s.n_cuts, 0) AS BIGINT) AS n_cuts,
        |  CAST(coalesce(s.cut_chars, 0) AS BIGINT) AS cut_chars,
@@ -491,6 +511,9 @@ object LongestSpan {
        |FROM documents d
        |LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
        |LEFT JOIN stats s ON s.doc_id = d.doc_id""".stripMargin
+
+  /** Grid run CTEs, shared with the savings rollup (ReleaseGate). */
+  private[dedup] def gridRunCtes: String = runCtes
 
   val oracleSql: Map[String, String] = Map(
     "dedup_span_winnowed" ->
@@ -535,6 +558,28 @@ object LongestSpan {
       s"WITH $runCtes,\n${multiCutSql("runs")}",
     "dedup_span_rebuild_winnowed" ->
       s"WITH $winnowedRunCtes,\n${multiCutSql("wruns")}",
+    "dedup_span_winnowed_mass" ->
+      s"""WITH $winnowedRunCtes,
+         |wpos AS (SELECT DISTINCT da AS doc_id, pa FROM wm),
+         |wmbrk AS (SELECT doc_id, pa,
+         |    CASE WHEN pa - lag(pa) OVER (PARTITION BY doc_id ORDER BY pa)
+         |      > $WK THEN 1 ELSE 0 END AS brk
+         |  FROM wpos),
+         |wmisl AS (SELECT doc_id, pa,
+         |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pa
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+         |  FROM wmbrk),
+         |wilens AS (SELECT doc_id, island,
+         |    CAST(max(pa) - min(pa) + $WK AS BIGINT) AS ilen
+         |  FROM wmisl GROUP BY doc_id, island),
+         |wper AS (SELECT doc_id, count(*) AS n_islands,
+         |    CAST(sum(ilen) AS BIGINT) AS dup_span_chars
+         |  FROM wilens GROUP BY doc_id)
+         |SELECT p.doc_id, p.n_islands, p.dup_span_chars,
+         |  len(d.text) AS n_chars,
+         |  ${graft.functions.Exact.duck6("p.dup_span_chars", "len(d.text)")}
+         |    AS dup_span_frac
+         |FROM wper p JOIN documents d ON d.doc_id = p.doc_id""".stripMargin,
     "dedup_span_rebuild" ->
       s"""WITH $rebuildCtes
          |SELECT d.doc_id,

@@ -80,10 +80,34 @@ object ReleaseGate {
           "chars_before - chars_after", "chars_before")).as("saved_frac"))
   }
 
+  /** The multi-cut sibling of [[qSpanSavings]] (round-17): the 1-row
+    * KPI of `dedup_span_rebuild_all` — since every qualifying run is
+    * excised (not just each loser's maximal one), chars_saved here is
+    * the release's FULL span-dedup recovery and is >= the single-cut
+    * KPI by construction (LongestSpanSpec pins the per-doc
+    * inequality). n_cuts_total counts excised intervals across the
+    * corpus, n_cut the docs touched. */
+  def qSpanSavingsAll(spark: SparkSession, dir: String): DataFrame = {
+    val r = LongestSpan.qSpanRebuildAll(spark, dir)
+    val before = t(spark, dir, "documents")
+      .agg(sum(length(col("text")).cast("long")).as("chars_before"))
+    r.agg(count(lit(1)).as("n_docs"),
+        sum((col("n_cuts") > 0).cast("long")).as("n_cut"),
+        sum("n_cuts").as("n_cuts_total"),
+        sum("n_chars_after").as("chars_after"))
+      .crossJoin(broadcast(before))
+      .select(col("n_docs"), col("n_cut"), col("n_cuts_total"),
+        col("chars_before"), col("chars_after"),
+        (col("chars_before") - col("chars_after")).as("chars_saved"),
+        expr(graft.functions.Exact.rate6(
+          "chars_before - chars_after", "chars_before")).as("saved_frac"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_decontaminated_corpus" ->
       ((s: SparkSession, d: String) => qDecontaminatedCorpus(s, d)),
-    "dedup_span_savings" -> (qSpanSavings _))
+    "dedup_span_savings" -> (qSpanSavings _),
+    "dedup_span_savings_all" -> (qSpanSavingsAll _))
 
   val oracleSql: Map[String, String] = Map(
     "pipeline_decontaminated_corpus" ->
@@ -118,6 +142,26 @@ object ReleaseGate {
          |  t.n_docs - COALESCE(k.n_kept, 0) AS n_dropped,
          |  COALESCE(k.subtokens_kept, 0) AS subtokens_kept
          |FROM tot t LEFT JOIN kept k ON k.source = t.source""".stripMargin,
+    "dedup_span_savings_all" ->
+      s"""WITH ${LongestSpan.gridRunCtes},
+         |${LongestSpan.multiCutCtes("runs")},
+         |reb AS (SELECT d.doc_id,
+         |    len(coalesce(r.new_text, d.text)) AS n_after,
+         |    COALESCE(s.n_cuts, 0) AS n_cuts
+         |  FROM documents d
+         |  LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
+         |  LEFT JOIN stats s ON s.doc_id = d.doc_id),
+         |agg AS (SELECT count(*) AS n_docs,
+         |    CAST(sum(CASE WHEN n_cuts > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_cut,
+         |    CAST(sum(n_cuts) AS BIGINT) AS n_cuts_total,
+         |    CAST(sum(n_after) AS BIGINT) AS chars_after
+         |  FROM reb),
+         |bef AS (SELECT CAST(sum(len(text)) AS BIGINT) AS chars_before FROM documents)
+         |SELECT n_docs, n_cut, n_cuts_total, chars_before, chars_after,
+         |  chars_before - chars_after AS chars_saved,
+         |  ${graft.functions.Exact.duck6(
+             "chars_before - chars_after", "chars_before")} AS saved_frac
+         |FROM agg CROSS JOIN bef""".stripMargin,
     "dedup_span_savings" ->
       s"""WITH ${LongestSpan.rebuildCtes},
          |reb AS (SELECT d.doc_id,

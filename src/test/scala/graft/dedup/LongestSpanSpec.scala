@@ -252,6 +252,37 @@ class LongestSpanSpec extends AnyFunSuite {
     assert(candidates.contains(md2), "rebuilt text must be a single splice of t2")
   }
 
+  test("winnowed mass: an unaligned plant's covered chars track the detected span") {
+    val shared = filler(1000, 200)
+    val d = docs(
+      (1L, filler(5000, 13) + shared + "A" + filler(6000, 60)),
+      (2L, filler(9000, 30) + shared + "B" + filler(7000, 40)))
+    val mass = LongestSpan.spanWinnowedMassOf(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val longest = LongestSpan.spanWinnowedOf(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    for (id <- Seq(1L, 2L)) {
+      val (nIslands, chars, len) = mass(id)
+      assert(nIslands == 1, s"doc $id islands $nIslands")
+      assert(chars == longest(id),
+        s"single unaligned plant: mass must equal the winnowed span ($chars vs ${longest(id)})")
+      assert(chars <= len)
+    }
+    // clean docs stay silent
+    assert(LongestSpan.spanWinnowedMassOf(
+      docs((3L, filler(3000, 300)), (4L, filler(4000, 300)))).collect().isEmpty)
+  }
+
+  test("real corpus: the multi-cut savings KPI dominates the single-cut KPI") {
+    val all = ReleaseGate.qSpanSavingsAll(spark, sf).head
+    val one = ReleaseGate.qSpanSavings(spark, sf).head
+    // columns: savings_all = (n_docs, n_cut, n_cuts_total, before, after, saved, frac)
+    //          savings     = (n_docs, n_cut, before, after, saved, frac)
+    assert(all.getLong(0) == one.getLong(0), "same corpus spine")
+    assert(all.getAs[Long]("chars_saved") >= one.getAs[Long]("chars_saved"))
+    assert(all.getAs[Long]("n_cuts_total") >= all.getAs[Long]("n_cut"))
+  }
+
   test("real corpus: rebuild_all savings >= single-cut savings; winnowed rows sane") {
     val allCut = LongestSpan.qSpanRebuildAll(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(2)).toMap
