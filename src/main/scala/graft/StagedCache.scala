@@ -19,22 +19,30 @@ object StagedCache {
   private val staged =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** Cheap dataset-dir fingerprint: one directory listing. Table files
-    * are written whole (driver-generated parquet / committed staging
-    * dirs), so name+size+mtime over the dir's entries moves whenever
-    * the dataset is regenerated. */
+  /** Cheap dataset-dir fingerprint: a bounded recursive walk hashing
+    * every FILE's relative path + size + mtime. Recursive, not a
+    * top-level listing — a table written as a parquet DIRECTORY whose
+    * part files are overwritten in place leaves the subdir's own
+    * size/mtime untouched, which a shallow listing would read as
+    * "unchanged" and keep serving stale staged frames (the r16
+    * staleness class this key exists to prevent). Spark/duckdb writers
+    * also rename part files per write, so the name set alone moves on
+    * any regeneration. Depth-bounded: dataset dirs are dir/table/part
+    * shaped, never deep trees. */
   private def fingerprint(dir: String): String = {
     val p = java.nio.file.Paths.get(dir)
     if (!java.nio.file.Files.isDirectory(p)) return "absent"
-    val s = java.nio.file.Files.list(p)
+    val s = java.nio.file.Files.walk(p, 4)
     try {
       import scala.jdk.CollectionConverters._
-      val sig = s.iterator().asScala.map { e =>
-        val size = try java.nio.file.Files.size(e) catch { case _: Throwable => -1L }
-        val mtime = try java.nio.file.Files.getLastModifiedTime(e).toMillis
-          catch { case _: Throwable => -1L }
-        s"${e.getFileName}:$size:$mtime"
-      }.toSeq.sorted.mkString("|")
+      val sig = s.iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map { e =>
+          val size = try java.nio.file.Files.size(e) catch { case _: Throwable => -1L }
+          val mtime = try java.nio.file.Files.getLastModifiedTime(e).toMillis
+            catch { case _: Throwable => -1L }
+          s"${p.relativize(e)}:$size:$mtime"
+        }.toSeq.sorted.mkString("|")
       Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(sig))
     } finally s.close()
   }

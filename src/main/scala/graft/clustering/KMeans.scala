@@ -848,17 +848,29 @@ object KMeans {
                  init: DataFrame => Array[Array[Double]] = null)
       : Seq[(Int, Double, Double, Long, Long, Long)] = {
     val spark = points.sparkSession
+    // stages are attributed via a job group: anything ELSE running on
+    // the shared SparkContext between snapshots (concurrent suites,
+    // harness bookkeeping) must not land in this run's map/reduce time
+    val jobGroup = s"graft-kmeans-metrics-${System.nanoTime()}"
     object L extends org.apache.spark.scheduler.SparkListener {
       val mapMs = new java.util.concurrent.atomic.AtomicLong
       val redMs = new java.util.concurrent.atomic.AtomicLong
+      private val ours = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        if (j.properties != null &&
+          jobGroup == j.properties.getProperty("spark.jobGroup.id"))
+          j.stageIds.foreach(id => { ours.add(id); () })
       override def onStageCompleted(
           s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
         val info = s.stageInfo
-        val dur = (for (a <- info.submissionTime; b <- info.completionTime)
-          yield b - a).getOrElse(0L)
-        val reads = info.taskMetrics != null &&
-          info.taskMetrics.shuffleReadMetrics.totalBytesRead > 0
-        (if (reads) redMs else mapMs).addAndGet(dur)
+        if (ours.contains(info.stageId)) {
+          val dur = (for (a <- info.submissionTime; b <- info.completionTime)
+            yield b - a).getOrElse(0L)
+          val reads = info.taskMetrics != null &&
+            info.taskMetrics.shuffleReadMetrics.totalBytesRead > 0
+          (if (reads) redMs else mapMs).addAndGet(dur)
+        }
       }
       def snap(): (Long, Long) = {
         org.apache.spark.sql.GraftBridge.flushListenerBus(spark)
@@ -866,6 +878,8 @@ object KMeans {
       }
     }
     spark.sparkContext.addSparkListener(L)
+    spark.sparkContext.setJobGroup(jobGroup,
+      "kmeans metricsRun per-iteration stage timing", interruptOnCancel = false)
     val pts = points.cache()
     try {
       var centers =
@@ -895,6 +909,7 @@ object KMeans {
       out.toSeq
     } finally {
       points.unpersist()
+      spark.sparkContext.clearJobGroup()
       spark.sparkContext.removeSparkListener(L)
     }
   }

@@ -43,13 +43,17 @@ object BasketStage {
   /** Unfiltered (pa < pb, n_ab) pair-co-occurrence census, staged.
     * UNFILTERED (no minSupport cut) so every consumer can apply its
     * own threshold to the same staged frame. */
-  def pairCounts(spark: SparkSession, dir: String): DataFrame =
+  def pairCounts(spark: SparkSession, dir: String): DataFrame = {
+    // resolve the items staging BEFORE entering the pairs build — a
+    // nested computeIfAbsent on StagedCache's one map is a recursive
+    // update and can throw (the Dedup.stagedClusters discipline)
+    val its = items(spark, dir)
     graft.StagedCache.parquet(spark, dir, "basket-pairs") {
-      val its = items(spark, dir)
       its.select(col("l_orderkey"), col("l_partkey").as("pa"))
         .join(its.select(col("l_orderkey"), col("l_partkey").as("pb")),
           "l_orderkey")
         .filter(col("pa") < col("pb"))
         .groupBy("pa", "pb").agg(count(lit(1)).as("n_ab"))
     }
+  }
 }

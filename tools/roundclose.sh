@@ -122,8 +122,12 @@ oracled = len(d) - len(rows_only)
 # probe's row, the experiment has been read and the key must leave the
 # registry (the r16 twins inflated the registry with duplicate rows).
 import re as _re, subprocess as _sp
-probe_keys = sorted(k for k in status
-                    if _re.search(r"(_probe|_p[0-9]+)$", k))
+# scoped to the known probe families — a generic `_p[0-9]+$` would
+# flag any future legitimate percentile-style key (text_len_p50)
+probe_keys = sorted(
+    k for k in status
+    if _re.search(r"_probe$", k)
+    or _re.match(r"^(orders_mom_growth|pipeline_length_buckets)_p[0-9]+$", k))
 if probe_keys:
     tracked = _sp.check_output(
         ["git", "ls-files", "CORRECTNESS_r*.json"], text=True).split()
