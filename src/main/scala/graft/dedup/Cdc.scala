@@ -76,34 +76,44 @@ object Cdc {
     * share. */
   private def chunkFrame(docs: DataFrame): DataFrame = {
     val chunked = docs
-      .withColumn("len", length(col("text")).cast("long"))
-      // boundary ends: i in [W, len) where 31-poly(text[i-W+1..i]) % DIV == 0
-      .withColumn("chunks", expr(
-        s"""CASE WHEN len >= $W THEN
-           |  element_at(transform(array(
-           |    transform(sequence(1, CAST(len AS INT)),
-           |      j -> CAST(ascii(substring(text, j, 1)) AS BIGINT))), cs ->
-           |    element_at(transform(array(
-           |      concat(array(CAST(0 AS BIGINT)),
-           |        filter(transform(sequence($W, CAST(len AS INT)), i ->
-           |          CASE WHEN i < len AND
-           |            aggregate(slice(cs, i - ${W - 1}, $W),
-           |              CAST(0 AS BIGINT), (h, c) -> (h * 31 + c) % 1000000007)
-           |            % $DIV = 0
-           |          THEN CAST(i AS BIGINT) ELSE CAST(-1 AS BIGINT) END),
-           |          p -> p >= 0),
-           |        array(len))),
-           |      bs -> transform(sequence(1, size(bs) - 1), k ->
-           |        substring(text, CAST(element_at(bs, k) + 1 AS INT),
-           |          CAST(element_at(bs, k + 1) - element_at(bs, k) AS INT)))), 1)), 1)
-           |WHEN len >= 1 THEN array(text)
-           |ELSE array() END""".stripMargin))
+      // chunking rides the NATIVE fused expression (graft.functions.
+      // CdcChunks): the declarative formulation (kept below for the
+      // CdcChunksSpec equivalence pin) re-folds a W-element slice with
+      // interpreted HOF lambdas at every character position — ~n*W
+      // boxed evaluations + n slice allocations per document
+      .withColumn("chunks",
+        graft.functions.GraftFunctions.cdcChunks(col("text"), W, DIV))
       .select(col("doc_id"), col("source"), col("chunks"))
       .localCheckpoint(true)
     chunked
       .select(col("doc_id"), col("source"), explode(col("chunks")).as("chunk"))
       .filter(length(col("chunk")) > 0)
   }
+
+  /** The declarative chunking formulation [[graft.functions.CdcChunks]]
+    * replaced (expects a `len = length(text) AS BIGINT` column beside
+    * `text`) — kept solely as the reference for CdcChunksSpec's
+    * native-vs-declarative equivalence pin. */
+  private[dedup] val declarativeChunksSql: String =
+    s"""CASE WHEN len >= $W THEN
+       |  element_at(transform(array(
+       |    transform(sequence(1, CAST(len AS INT)),
+       |      j -> CAST(ascii(substring(text, j, 1)) AS BIGINT))), cs ->
+       |    element_at(transform(array(
+       |      concat(array(CAST(0 AS BIGINT)),
+       |        filter(transform(sequence($W, CAST(len AS INT)), i ->
+       |          CASE WHEN i < len AND
+       |            aggregate(slice(cs, i - ${W - 1}, $W),
+       |              CAST(0 AS BIGINT), (h, c) -> (h * 31 + c) % 1000000007)
+       |            % $DIV = 0
+       |          THEN CAST(i AS BIGINT) ELSE CAST(-1 AS BIGINT) END),
+       |          p -> p >= 0),
+       |        array(len))),
+       |      bs -> transform(sequence(1, size(bs) - 1), k ->
+       |        substring(text, CAST(element_at(bs, k) + 1 AS INT),
+       |          CAST(element_at(bs, k + 1) - element_at(bs, k) AS INT)))), 1)), 1)
+       |WHEN len >= 1 THEN array(text)
+       |ELSE array() END""".stripMargin
 
   // ---- CDC near-dup pairs ---------------------------------------------
 

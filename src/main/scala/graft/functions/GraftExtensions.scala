@@ -27,6 +27,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         CosineSimilarity(children.head, children(1))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("squared_l2"),
+      new ExpressionInfo(classOf[SquaredL2].getName, "squared_l2"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2 || children.length == 3,
+          "squared_l2(a, b[, p]) takes 2 or 3 arguments")
+        if (children.length == 2) SquaredL2(children.head, children(1))
+        else SquaredL2Prefix(children.head, children(1), children(2))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("intersect_size"),
       new ExpressionInfo(classOf[IntersectSize].getName, "intersect_size"),
       (children: Seq[Expression]) => {
@@ -72,6 +81,14 @@ object GraftFunctions {
   def cosineSim(a: Column, b: Column): Column =
     GraftBridge.column(CosineSimilarity(GraftBridge.expression(a), GraftBridge.expression(b)))
 
+  def squaredL2(a: Column, b: Column): Column =
+    GraftBridge.column(SquaredL2(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Squared-L2 over the first `p` components (Matryoshka curve). */
+  def squaredL2Prefix(a: Column, b: Column, p: Column): Column =
+    GraftBridge.column(SquaredL2Prefix(
+      GraftBridge.expression(a), GraftBridge.expression(b), GraftBridge.expression(p)))
+
   def intersectSize(a: Column, b: Column): Column =
     GraftBridge.column(IntersectSize(GraftBridge.expression(a), GraftBridge.expression(b)))
 
@@ -83,6 +100,10 @@ object GraftFunctions {
 
   def normalizeText(s: Column): Column =
     GraftBridge.column(NormalizeText(GraftBridge.expression(s)))
+
+  /** Content-defined chunks of a text column (window w, divisor div). */
+  def cdcChunks(s: Column, w: Int, div: Int): Column =
+    GraftBridge.column(CdcChunks(GraftBridge.expression(s), w, div))
 
   /** 1-based winnowing-selected k-gram positions of a text column. */
   def winnowedPositions(s: Column, k: Int, w: Int): Column =

@@ -1,0 +1,190 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
+
+/** Native Catalyst expression: exact integer squared-L2 distance of two
+  * `array<bigint>` columns (the MicroGrid-quantized embedding vectors).
+  *
+  * Why a custom Expression: the per-pair distance is THE hot loop of
+  * the k-NN eval family (`embed_knn_classify`, `embed_knn_outliers`,
+  * `simsearch_matryoshka`) — ~corpus x eval-set evaluations per query —
+  * and the declarative formulation
+  *
+  *   aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)),
+  *             0L, (acc, v) -> acc + v)
+  *
+  * does not participate in whole-stage codegen: each pair pays boxed
+  * lambda dispatch per element plus an intermediate products array
+  * (the CosineSimilarity / WinnowedPositions lesson, both measured).
+  * doGenCode emits one fused primitive loop that inlines into the
+  * surrounding generated code.
+  *
+  * Semantics are BITWISE identical to the HOF formulation the oracles
+  * mirror: per-element difference and square in Long arithmetic, summed
+  * left-to-right in a Long register (exact and order-free on integers;
+  * the call sites bound |elements| so no sum approaches 2^63).
+  * Length-mismatched arrays return NULL (zip_with pads the short side
+  * with null, the lambda nulls the product, and the fold nulls the
+  * sum); a null element likewise yields NULL. SquaredL2Spec pins the
+  * equivalence on real embeddings.
+  */
+case class SquaredL2(left: Expression, right: Expression)
+  extends BinaryExpression with Serializable {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "squared_l2"
+
+  private def isLongArray(t: DataType): Boolean = t match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isLongArray(left.dataType) && isLongArray(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<bigint> inputs, " +
+        s"got (${left.dataType}, ${right.dataType})")
+
+  override def eval(input: InternalRow): Any = {
+    val l = left.eval(input)
+    if (l == null) return null
+    val r = right.eval(input)
+    if (r == null) return null
+    SquaredL2.compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $s = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    long $d = $a.getLong($i) - $b.getLong($i);
+         |    $s += $d * $d;
+         |  }
+         |  ${ev.value} = $s;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SquaredL2 =
+    copy(left = newLeft, right = newRight)
+}
+
+object SquaredL2 {
+  /** Static core shared by eval (and reused by the prefix variant):
+    * null on length mismatch or null element, else the exact Long sum. */
+  def compute(a: ArrayData, b: ArrayData): Any = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val d = a.getLong(i) - b.getLong(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  /** Prefix-bounded variant: the fused form of
+    * `aggregate(zip_with(slice(a,1,p), slice(b,1,p), ...), 0L, ...)` —
+    * slice(x, 1, p) keeps min(p, n) elements, so the effective lengths
+    * are compared post-truncation exactly as zip_with would see them. */
+  def computePrefix(a: ArrayData, b: ArrayData, p: Int): Any = {
+    if (p < 0) return null // slice would error; the call sites never pass p < 0
+    val na = math.min(p, a.numElements())
+    val nb = math.min(p, b.numElements())
+    if (na != nb) return null
+    var s = 0L
+    var i = 0
+    while (i < na) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val d = a.getLong(i) - b.getLong(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+}
+
+/** [[SquaredL2]] over the first `p` components only — the fused form of
+  * the Matryoshka prefix-distance
+  * `aggregate(zip_with(slice(a, 1, p), slice(b, 1, p), ...), 0L, ...)`,
+  * avoiding the two slice allocations per pair on top of the HOF cost. */
+case class SquaredL2Prefix(first: Expression, second: Expression, third: Expression)
+  extends TernaryExpression with Serializable {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "squared_l2_prefix"
+
+  private def isLongArray(t: DataType): Boolean = t match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isLongArray(first.dataType) && isLongArray(second.dataType) &&
+        third.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<bigint>, array<bigint>, int), " +
+        s"got (${first.dataType}, ${second.dataType}, ${third.dataType})")
+
+  override def eval(input: InternalRow): Any = {
+    val a = first.eval(input)
+    if (a == null) return null
+    val b = second.eval(input)
+    if (b == null) return null
+    val p = third.eval(input)
+    if (p == null) return null
+    SquaredL2.computePrefix(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], p.asInstanceOf[Int])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, p) => {
+      val i = ctx.freshName("i")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      s"""
+         |int $na = java.lang.Math.min($p, $a.numElements());
+         |int $nb = java.lang.Math.min($p, $b.numElements());
+         |if ($p < 0 || $na != $nb) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $s = 0L;
+         |  for (int $i = 0; $i < $na; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    long $d = $a.getLong($i) - $b.getLong($i);
+         |    $s += $d * $d;
+         |  }
+         |  ${ev.value} = $s;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): SquaredL2Prefix =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}

@@ -44,10 +44,12 @@ object KnnEval {
   private def qvec(c: String): String =
     s"transform($c, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))"
 
-  /** Exact integer squared-L2 between two quantized BIGINT arrays
-    * (optionally truncated to a prefix length expression). */
-  private def d2(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)"
+  // Exact integer squared-L2 between two quantized BIGINT arrays rides
+  // the NATIVE fused-loop expression (graft.functions.SquaredL2 — the
+  // HOF formulation `aggregate(zip_with(a, b, (x,y) -> (x-y)*(x-y)),
+  // 0L, (acc,v) -> acc+v)` pays interpreted lambda dispatch + an
+  // intermediate array per pair, ~corpus x EN times per query; the
+  // expression reproduces that fold bitwise — SquaredL2Spec pins it).
 
   /** Exact HALF_UP 6-dp of num/den for nonnegative integer columns. */
   private def ratio6(num: String, den: String): String =
@@ -70,7 +72,7 @@ object KnnEval {
         col("q").as("eq"))
     val scored = e.join(broadcast(ev), col("e_id") =!= col("vec_id"))
       .select(col("e_id"), col("true_label"), col("vec_id"), col("label"),
-        expr(d2("eq", "q")).as("dist2"))
+        graft.functions.GraftFunctions.squaredL2(col("eq"), col("q")).as("dist2"))
     // 5-NN cut through the bounded-heap TopKPerKey exec, not a full-
     // sort window: rank by (-dist2 DESC, vec_id ASC) == (dist2 ASC,
     // vec_id ASC). dist2 < 1e14 < 2^53, so the double negation is
@@ -105,7 +107,10 @@ object KnnEval {
     val ranked = e.join(broadcast(qs), col("q_id") =!= col("vec_id"))
       .withColumn("p", explode(lit(DIMS.toArray)))
       .select(col("p"), col("q_id"), col("vec_id"),
-        expr(d2("slice(eq, 1, p)", "slice(q, 1, p)")).as("dist2"))
+        // fused prefix-distance: squared_l2 over the first p components,
+        // bitwise the slice+zip_with fold without the two slice allocs
+        graft.functions.GraftFunctions
+          .squaredL2Prefix(col("eq"), col("q"), col("p")).as("dist2"))
       .withColumn("rk", row_number().over(
         Window.partitionBy("p", "q_id").orderBy(col("dist2").asc, col("vec_id").asc)))
       .filter(col("rk") <= K)

@@ -31,8 +31,9 @@ object Outliers {
   private def qvec(c: String): String =
     s"transform($c, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))"
 
-  private def d2(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)"
+  // per-pair distance: the NATIVE SquaredL2 fused loop (the KnnEval
+  // convention — bitwise the aggregate(zip_with(...)) fold, minus the
+  // interpreted lambda dispatch per element; SquaredL2Spec pins it)
 
   def qKnnOutliers(spark: SparkSession, dir: String): DataFrame =
     knnOutliersOf(t(spark, dir, "embeddings"))
@@ -45,7 +46,7 @@ object Outliers {
         col("q").as("eq"))
     val scored = e.join(broadcast(ev), col("e_id") =!= col("vec_id"))
       .select(col("e_id"), col("e_label"), col("vec_id"),
-        expr(d2("eq", "q")).as("dist2"))
+        graft.functions.GraftFunctions.squaredL2(col("eq"), col("q")).as("dist2"))
     val knn = graft.plans.TopKPerKey(
         scored.withColumn("negd", -col("dist2").cast("double")),
         Seq("e_id"), "negd", "vec_id", K)
