@@ -43,6 +43,71 @@ object Tables {
   private val layoutJitter: Option[Int] =
     sys.env.get("SPARK_GRAFT_LAYOUT_JITTER").map(_.toInt)
 
+  /** Footer-only layout probe: (row groups, rows) per parquet path,
+    * memoized — Spark reads the same footers at planning time, so this
+    * adds one ~ms metadata read per (table, JVM), never a data pass. */
+  private val layoutMeta =
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Long)]()
+  private def parquetLayout(spark: SparkSession, path: String): (Int, Long) =
+    layoutMeta.computeIfAbsent(path, { _ =>
+      try {
+        val conf = spark.sessionState.newHadoopConf()
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(conf)
+        val files =
+          if (fs.getFileStatus(p).isDirectory)
+            fs.listStatus(p).toSeq.filter(f =>
+              f.isFile && !f.getPath.getName.startsWith("_"))
+          else Seq(fs.getFileStatus(p))
+        var groups = 0
+        var rows = 0L
+        files.foreach { f =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromStatus(f, conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try { groups += r.getRowGroups.size(); rows += r.getRecordCount }
+          finally r.close()
+        }
+        (groups, rows)
+      } catch { case _: Throwable => (Int.MaxValue, 0L) } // unknown: leave layout alone
+    })
+
+  /** Parquet scans parallelize across row groups, never within one —
+    * a table written as a single row group feeds exactly ONE task no
+    * matter how many cores the session has, so every per-row expression
+    * downstream runs single-threaded while the rest of the machine
+    * idles (measured: the 600 k-row lineitem scan stage of
+    * gka_selection_wheel spent 1.8 s in one task on local[32]).
+    *
+    * The guide's input-skew remedy (§2.5: "one huge unsplittable file …
+    * repartition immediately after the read") does NOT pay as a blanket
+    * policy here: an r18 experiment that spread every table read cost
+    * the 354-query sweep 212 -> 297 s — the extra exchange (plus its
+    * sort-before-repartition and the duplicated evaluation of filter
+    * predicates pushed below it) taxes the ~320 scan-light queries more
+    * than the handful of compute-heavy ones gain. So the spread is
+    * OPT-IN per operator: [[spreadIfNeeded]] is applied by call sites
+    * that cache or checkpoint a frame and then run MANY jobs over it
+    * (iterative clustering loops, the spark.ml fit), where one exchange
+    * amortizes over the whole loop. It is layout-adaptive: a no-op
+    * whenever the backing file's row groups can already feed the
+    * session's cores (always true at production scale), and the target
+    * count is defaultParallelism, not a constant, so the driver's
+    * lower-core bench spreads to ITS core count. */
+  def spreadIfNeeded(spark: SparkSession, dir: String, name: String,
+                     df: DataFrame, hashKey: Option[String] = None): DataFrame = {
+    if (layoutJitter.isDefined) return df // jitter sweep controls layout itself
+    val cores = spark.sparkContext.defaultParallelism
+    val (groups, rows) = parquetLayout(spark, s"$dir/$name.parquet")
+    if (groups < cores && rows >= 16L * cores)
+      // hash-partitioning by a provided (near-)unique key skips the
+      // local sort round-robin repartition pays (SPARK-23207 applies
+      // only to round-robin); the key's hash spread is even when the
+      // key is unique per row
+      hashKey.fold(df.repartition(cores))(k => df.repartition(cores, col(k)))
+    else df
+  }
+
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     val read = spark.read.parquet(s"$dir/$name.parquet")
     val df = layoutJitter.fold(read)(read.repartition)

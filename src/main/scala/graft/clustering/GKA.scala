@@ -92,7 +92,7 @@ object GKA {
     * normalized 1/fitness weight (round 6). gka.java:264-273. */
   def qSelectionWheel(spark: SparkSession, dir: String): DataFrame = {
     val P = 6
-    val pts = Points.lineitem4d(spark, dir).cache()
+    val pts = Points.lineitem4dSpread(spark, dir).cache()
     try {
       // centers for ALL chromosomes in one flat conditional agg, then
       // all P fitnesses in ONE aggregate — 2 near-map-only jobs

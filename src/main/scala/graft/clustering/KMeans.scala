@@ -126,7 +126,7 @@ object KMeans {
   }
 
   def qFull(spark: SparkSession, dir: String): DataFrame =
-    lloyd(Points.lineitem4d(spark, dir), K, ITERS)
+    lloyd(Points.lineitem4dSpread(spark, dir), K, ITERS)
 
   // elbow sweep: few k values, short loops — the oracle unrolls
   // ELBOW_KS.size full Lloyd chains, so both stay deliberately small
@@ -163,7 +163,7 @@ object KMeans {
     })
 
   def qElbow(spark: SparkSession, dir: String): DataFrame = {
-    val pts = Points.lineitem4d(spark, dir).cache()
+    val pts = Points.lineitem4dSpread(spark, dir).cache()
     try {
       val byK = stagedElbowCenters(pts, dir)
       val rows = ELBOW_KS.map { k =>
@@ -188,7 +188,7 @@ object KMeans {
     * ELBOW_KS.size-row result, mirrored term-for-term in the oracle
     * (ln noise across libm/Java <= 1 ulp — invisible at round 6). */
   def qBic(spark: SparkSession, dir: String): DataFrame = {
-    val pts = Points.lineitem4d(spark, dir).cache()
+    val pts = Points.lineitem4dSpread(spark, dir).cache()
     try {
       val d = dims.size
       def r6(x: Double): Double =
@@ -746,7 +746,7 @@ object KMeans {
     * (pid, dims, hash, d2) rather than a re-derivation against the
     * whole candidate history. */
   def qScalableInit(spark: SparkSession, dir: String): DataFrame = {
-    val pts = Points.lineitem4d(spark, dir)
+    val pts = Points.lineitem4dSpread(spark, dir)
     // row hash + d2 vs the deterministic first point, materialized
     var cands: Seq[(Long, Array[Double])] =
       pts.orderBy(col("pid") +: dims.map(col): _*).limit(1)
@@ -917,7 +917,7 @@ object KMeans {
   /** Wall-times are nondeterministic -> rows-only entry. */
   def qMetrics(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    metricsRun(Points.lineitem4d(spark, dir), K, ITERS)
+    metricsRun(Points.lineitem4dSpread(spark, dir), K, ITERS)
       .toDF("iter", "sse", "best_sse", "map_ms", "reduce_ms", "iter_ms")
   }
 
@@ -930,7 +930,7 @@ object KMeans {
   private val RAND_ITERS = 3
 
   def qRandomInit(spark: SparkSession, dir: String): DataFrame =
-    lloydWith(Points.lineitem4d(spark, dir),
+    lloydWith(Points.lineitem4dSpread(spark, dir),
       p => Points.randomCenters(p, K, RAND_SEED), K, RAND_ITERS)
 
   /** Unrolled random-init Lloyd oracle: c0 by the seeded-md5 ranking,
@@ -976,7 +976,7 @@ object KMeans {
   private val RUN_ITERS = 2
 
   def qBestOfRuns(spark: SparkSession, dir: String): DataFrame = {
-    val pts = Points.lineitem4d(spark, dir).cache()
+    val pts = Points.lineitem4dSpread(spark, dir).cache()
     try {
       val seedPool = Points.firstKCenters(pts, RUNS * K)
       val results = (0 until RUNS).map { r =>

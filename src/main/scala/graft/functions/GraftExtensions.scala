@@ -36,6 +36,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         else SquaredL2Prefix(children.head, children(1), children(2))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("unit_micro_quant"),
+      new ExpressionInfo(classOf[UnitMicroQuant].getName, "unit_micro_quant"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "unit_micro_quant(e) takes exactly 1 argument")
+        UnitMicroQuant(children.head)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("intersect_size"),
       new ExpressionInfo(classOf[IntersectSize].getName, "intersect_size"),
       (children: Seq[Expression]) => {
@@ -88,6 +95,11 @@ object GraftFunctions {
   def squaredL2Prefix(a: Column, b: Column, p: Column): Column =
     GraftBridge.column(SquaredL2Prefix(
       GraftBridge.expression(a), GraftBridge.expression(b), GraftBridge.expression(p)))
+
+  /** struct(qs array<bigint>, t bigint) of a unit-normalized,
+    * micro-quantized embedding; NULL when the norm is not > 0. */
+  def unitMicroQuant(e: Column): Column =
+    GraftBridge.column(UnitMicroQuant(GraftBridge.expression(e)))
 
   def intersectSize(a: Column, b: Column): Column =
     GraftBridge.column(IntersectSize(GraftBridge.expression(a), GraftBridge.expression(b)))
