@@ -108,6 +108,20 @@ object Tables {
     else df
   }
 
+  /** [[t]]("documents") hash-spread by doc_id when the backing parquet
+    * cannot feed the session's cores — the documents twin of
+    * Points.lineitem4dSpread, for the text operators whose per-row cost
+    * is a word/gram EXPLODE over the full text (an interpreted HOF pass
+    * of ~0.5 s per derivation at sf0.1 that otherwise runs in the
+    * single scan task; the LM scorers re-derive their bigram frame 3-5x
+    * per query, so all of it serialized on one core). Opt-in per
+    * operator for the same reason the point-set spread is: the one
+    * exchange (the tiny text table, shuffled once) only pays where the
+    * downstream per-doc compute dominates the scan. */
+  def docsSpread(spark: SparkSession, dir: String): DataFrame =
+    spreadIfNeeded(spark, dir, "documents",
+      t(spark, dir, "documents"), Some("doc_id"))
+
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     val read = spark.read.parquet(s"$dir/$name.parquet")
     val df = layoutJitter.fold(read)(read.repartition)

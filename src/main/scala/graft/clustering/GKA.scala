@@ -150,19 +150,24 @@ object GKA {
       val t0 = System.nanoTime()
       // transition: centers per chromosome (one pass), reassign + dist
       val centers = allCenters(state, p, k, ds)
-      var next = state
-      for (i <- 0 until p) {
-        val cs = centers(i)
-        // ONE materialized distance-array column per chromosome; min and
-        // argmin both read it (round 4 — previously the identical array
-        // expression was rebuilt inside array_position, betting on
-        // codegen subexpression elimination across withColumns)
-        next = next
-          .withColumn(s"__da$i", array(cs.map(c => distTo(c, ds)): _*))
-          .withColumn(s"d$i", array_min(col(s"__da$i")))
-          .withColumn(s"s$i", (array_position(col(s"__da$i"), col(s"d$i")) - 1).cast("int"))
-          .drop(s"__da$i")
-      }
+      // ONE materialized distance-array column per chromosome; min and
+      // argmin both read it (round 4 — previously the identical array
+      // expression was rebuilt inside array_position, betting on
+      // codegen subexpression elimination across withColumns). All p
+      // chromosomes' columns land in THREE withColumns calls (r18: the
+      // 3-per-chromosome withColumn chain cost 3p analyzer passes per
+      // generation — pure driver time, ~1/3 of the query's wall; the
+      // expressions and therefore the values are unchanged).
+      import scala.jdk.CollectionConverters._
+      def cols(f: Int => (String, Column)): java.util.Map[String, Column] =
+        (0 until p).map(f).toMap.asJava
+      val next = state
+        .withColumns(cols(i =>
+          s"__da$i" -> array(centers(i).map(c => distTo(c, ds)): _*)))
+        .withColumns(cols(i => s"d$i" -> array_min(col(s"__da$i"))))
+        .withColumns(cols(i =>
+          s"s$i" -> (array_position(col(s"__da$i"), col(s"d$i")) - 1).cast("int")))
+        .drop((0 until p).map(i => s"__da$i"): _*)
       val mid = next.cache()
       state = mid
       // fitness + dmax + n in one distributed agg
@@ -200,10 +205,11 @@ object GKA {
         }: _*)
         val rids = Roulette.pickManyByPrefixInPlace(withW, "rid",
           muts.map { case (i, _, _) => s"mw$i" }, muts.map(_._2))
-        for (((i, _, flip), rid) <- muts.zip(rids)) {
-          mutated = mutated.withColumn(s"s$i",
-            when(col("rid") === lit(rid), lit(flip)).otherwise(col(s"s$i")))
-        }
+        // one fused withColumns (same analyzer-pass argument as the
+        // reassign above; expressions unchanged)
+        mutated = mutated.withColumns(muts.zip(rids).map { case ((i, _, flip), rid) =>
+          s"s$i" -> when(col("rid") === lit(rid), lit(flip)).otherwise(col(s"s$i"))
+        }.toMap.asJava)
       }
       // selection (gka.java:253-304): wheel over 1/fitness, p darts
       val iv = fitness.map(1.0 / _)
@@ -230,6 +236,11 @@ object GKA {
   /** Driver-contract entry: the GA loop with the round-3 literals
     * bound (RNG-bearing -> registered rows-only, SURVEY.md §4). */
   def qFull(spark: SparkSession, dir: String): DataFrame =
+    // NOT spread: unlike the raw single-row-group scan, withRid's own
+    // pid-window exchange already distributes the cached state across
+    // the AQE-coalesced post-shuffle partitions (~24 at sf0.1), so an
+    // explicit rid-hash spread only adds an exchange — measured solo
+    // min-of-5 at sf0.1: 2.56 s plain vs 2.86 s spread. Left alone.
     full(Points.withRid(Points.lineitem4d(spark, dir)))
       .select("iter", "best")
 

@@ -362,7 +362,10 @@ object Dedup {
     * shape as the paragraph report, linear in corpus bytes / stride. */
   def qRepeatedSpans(spark: SparkSession, dir: String,
                      width: Int = 64, stride: Int = 8): DataFrame =
-    repeatedSpansOf(t(spark, dir, "documents"), width, stride)
+    // the window-md5 explode below is derived twice (counts, join-back)
+    // — two ~0.45 s single-task passes over the one-row-group text
+    // scan; the spread parallelizes both (Tables.docsSpread)
+    repeatedSpansOf(graft.Tables.docsSpread(spark, dir), width, stride)
 
   /** The span report over any (doc_id, text) frame. */
   def repeatedSpansOf(docs: DataFrame,
@@ -398,9 +401,14 @@ object Dedup {
   /** Char-n-gram Jaccard over the same banded candidates. */
   def ngramPairs(spark: SparkSession, dir: String, n: Int = 5,
                  threshold: Double = 0.6): DataFrame = {
-    val g =
+    val g0 =
       if (n == 5) stagedGrams5(spark, dir)
       else normDocs(t(spark, dir, "documents")).select(col("doc_id"), grams(n).as("gs"))
+    // the candidate list broadcasts, so the per-pair intersect_size
+    // kernel runs in the STREAMED side's stage — the staged-gram
+    // parquet scan, ONE task (measured 1.1 s of the query's 1.2 s
+    // wall). Pin that seam to the configured shuffle parallelism.
+    val g = graft.Par.cpuBound(g0, col("doc_id"))
     stagedCandidates(spark, dir)
       .join(g.select(col("doc_id").as("ia"), col("gs").as("ga")), "ia")
       .join(g.select(col("doc_id").as("ib"), col("gs").as("gb")), "ib")

@@ -449,7 +449,11 @@ object Multimodal {
     * JDK's real ImageIO codec). */
   def mediaView(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
     import spark.implicits._
-    t(spark, dir, "documents").select("doc_id", "text").as[(Long, String)]
+    // every media consumer pays a per-row codec ENCODE right here (and
+    // usually a decode just above) — the heaviest per-row work in the
+    // repo — so the one-row-group text scan must not serialize it on a
+    // single task; layout-adaptive spread (no-op at production layouts)
+    graft.Tables.docsSpread(spark, dir).select("doc_id", "text").as[(Long, String)]
       .map { case (id, text) =>
         val (w, h, rgb) = mediaPixels(id, text)
         (id % 4).toInt match {

@@ -30,7 +30,13 @@ object DataChecks {
       count(lit(1)).as("n_rows"),
       count(col("l_quantity")).as("n_qty"),
       count(col("l_returnflag")).as("n_rf"),
-      countDistinct(concat_ws(":", col("l_orderkey"), col("l_linenumber"))).as("n_key"),
+      // key-uniqueness via the numeric injection l_orderkey*10 +
+      // l_linenumber (linenumber is 1..7, so the map is injective and
+      // the distinct COUNT is identical to the concat-string key the
+      // oracle mirrors) — the distinct shuffle moves 8-byte longs
+      // instead of ~15-char strings (guide §2.3 "narrower types";
+      // measured: the distinct stage was 0.8 s of this query's 1.0 s)
+      countDistinct(col("l_orderkey") * 10 + col("l_linenumber")).as("n_key"),
       min(col("l_quantity")).as("min_qty"),
       sum(when(col("l_discount") >= 0.0 && col("l_discount") <= 1.0, 1L)
         .otherwise(0L)).as("n_disc_ok"),

@@ -62,7 +62,10 @@ object Splits {
     * side and the join exploded quadratically (measured 36 s at sf0.1;
     * this shape is 0.6 s and is the one that survives 100 TB). */
   def qSplitLeakage(spark: SparkSession, dir: String): DataFrame = {
-    val docs = t(spark, dir, "documents")
+    // the 8-gram explode below is derived TWICE (train side, held-out
+    // side), each a CPU-heavy single-task pass over the one-row-group
+    // text scan — spread the scan so both branches parallelize
+    val docs = graft.Tables.docsSpread(spark, dir)
       .withColumn("bucket", pmod(nibbleHash("cast(doc_id as string)"), lit(100)))
       .withColumn("ws", split(col("text"), " "))
       .filter(size(col("ws")) >= 8)

@@ -234,30 +234,42 @@ object IvfPq {
         (col(e) - element_at(col("qv"), d + 1))
     }.reduce(_ + _)
     val tw = Window.partitionBy("q_id").orderBy(col("d2").asc, col("vec_id").asc)
+    // truth is joined by BOTH variants — cache the (QN*TOPK)-row frame
+    // so the exact-L2 corpus pass runs once, not once per variant
     val truth = pts.crossJoin(qdf).filter(col("pid") =!= col("q_id"))
       .select(col("q_id"), col("pid").as("vec_id"), l2.as("d2"))
       .withColumn("trank", row_number().over(tw))
       .filter(col("trank") <= TOPK)
       .select("q_id", "vec_id", "trank")
-    val qn = qvecs.length.toLong
-    def curve(variant: String, res: DataFrame): DataFrame = {
-      val j = truth.join(
-        res.select(col("q_id"), col("vec_id"), col("rank").as("arank")),
-        Seq("q_id", "vec_id"))
-      // coalesce: sum over an EMPTY join (a variant whose results
-      // share no rows with the truth) is null, and getLong would NPE
+      .cache()
+    try {
+      val qn = qvecs.length.toLong
+      // one tagged union + ONE grouped aggregate instead of a separate
+      // .head() job per variant (halves the action count; the matched
+      // counts are integer sums, bit-identical either way)
+      def joined(variant: String, res: DataFrame): DataFrame =
+        truth.join(
+          res.select(col("q_id"), col("vec_id"), col("rank").as("arank")),
+          Seq("q_id", "vec_id"))
+          .withColumn("variant", lit(variant))
       val aggs = (1 to TOPK).map(k =>
         coalesce(sum(when(col("trank") <= k && col("arank") <= k, 1)
           .otherwise(0)), lit(0)).cast("long").as(s"m_$k"))
-      val row = j.agg(aggs.head, aggs.tail: _*).head()
-      (1 to TOPK).map { k =>
-        val m = row.getLong(k - 1)
-        (variant, k, m, BigDecimal(m.toDouble / (k * qn))
-          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      val byVariant = joined("ivfpq", qIvfPq(spark, dir))
+        .unionByName(joined("ivfpq_residual", qIvfPqResidual(spark, dir)))
+        .groupBy("variant").agg(aggs.head, aggs.tail: _*)
+        .collect().map(r => r.getString(0) -> r).toMap
+      Seq("ivfpq", "ivfpq_residual").flatMap { variant =>
+        // a variant sharing NO rows with the truth has no group at all
+        // (the old per-variant global agg yielded a zero row instead)
+        val row = byVariant.get(variant)
+        (1 to TOPK).map { k =>
+          val m = row.map(_.getLong(k)).getOrElse(0L)
+          (variant, k, m, BigDecimal(m.toDouble / (k * qn))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
       }.toDF("variant", "k", "n_matched", "recall_at_k")
-    }
-    curve("ivfpq", qIvfPq(spark, dir))
-      .unionByName(curve("ivfpq_residual", qIvfPqResidual(spark, dir)))
+    } finally { truth.unpersist(); () }
   }
 
   private def recallCurveOracle: String = {

@@ -227,10 +227,20 @@ object SimSearch {
         .take(nprobe).map { case (cell, _) => (qid, cell) }
     }
 
+  /** The QN query vectors, memoized per (JVM, dir) like stagedCoarse:
+    * a deterministic K-row collect that the IVF/IVFPQ family re-ran as
+    * a fresh scan+collect job on EVERY call (3x inside one
+    * recall-curve invocation alone — pure scheduler latency at ~30 ms
+    * a job). Same staged-input discipline, driver-side instead of
+    * parquet because it is QN rows. */
+  private val qvecsMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, Array[(Long, Array[Double])]]()
   private[search] def queryVecs(spark: SparkSession, dir: String): Array[(Long, Array[Double])] =
-    t(spark, dir, "embeddings").filter(col("vec_id") <= QN)
-      .select(col("vec_id"), col("embedding")).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    qvecsMemo.computeIfAbsent(dir, { _ =>
+      t(spark, dir, "embeddings").filter(col("vec_id") <= QN)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    })
 
   /** IVF ANN: the 100 TB scale path. A coarse quantizer (the SAME
     * generic Lloyd operator, 2 iterations, deterministic init) buckets

@@ -36,7 +36,9 @@ object CorpusStats {
     * scores). No smoothing needed: every word in every document is by
     * construction in the corpus vocabulary. */
   def qUnigramLogprob(spark: SparkSession, dir: String): DataFrame = {
-    val docs = t(spark, dir, "documents")
+    // word explode derived twice (totals+vocab, scoring) — spread the
+    // text scan so the per-doc split work parallelizes (Tables.docsSpread)
+    val docs = graft.Tables.docsSpread(spark, dir)
     // corpus totals as a broadcast 1-row aggregate (no separate job)
     val words = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
     val totals = words.agg(count(lit(1)).cast("double").as("__t"))
@@ -62,7 +64,9 @@ object CorpusStats {
       s"i -> array_join(slice(ws, i, $BP_N), ' '))) ELSE array() END")
 
   private def docGrams(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents")
+    // word-5-gram explode, the boilerplate family's per-doc hot loop —
+    // measured as a 0.6 s single-task stage; spread the text scan
+    graft.Tables.docsSpread(spark, dir)
       .withColumn("ws", split(col("text"), " "))
       .select(col("doc_id"), explode(wordGrams).as("gram"))
 
@@ -134,7 +138,11 @@ object CorpusStats {
     * the bigram / head-word keys — co-partitioned, no broadcast, so it
     * holds when the LM itself is huge. */
   def qBigramLogprob(spark: SparkSession, dir: String): DataFrame = {
-    val bg = t(spark, dir, "documents")
+    // the bigram explode below feeds THREE plan branches (bg counts,
+    // head counts, scoring join), each re-deriving it over the text
+    // scan — spread the scan so each ~0.5 s single-task derivation
+    // parallelizes (measured: 3 single-task stages of the query's wall)
+    val bg = graft.Tables.docsSpread(spark, dir)
       .withColumn("ws", split(col("text"), " "))
       .filter(size(col("ws")) >= 2)
       .select(col("doc_id"), explode(expr(
@@ -158,7 +166,9 @@ object CorpusStats {
     * join shape as the bigram scorer plus one unigram join; the
     * 1-row token total broadcasts. */
   def qInterpLogprob(spark: SparkSession, dir: String): DataFrame = {
-    val docs = t(spark, dir, "documents")
+    // five plan branches re-derive the word/bigram explodes (vocab,
+    // totals, bg counts, head counts, scoring) — spread the scan
+    val docs = graft.Tables.docsSpread(spark, dir)
     val words = docs.select(explode(split(col("text"), " ")).as("word"))
     val vocab = words.groupBy("word").agg(count(lit(1)).as("c2"))
     val tot = words.agg(count(lit(1)).cast("double").as("__t"))
@@ -203,7 +213,10 @@ object CorpusStats {
     * aggregates; only the 1-row type total broadcasts. All divisions
     * mirrored operation-for-operation in the oracle. */
   def qKnLogprob(spark: SparkSession, dir: String): DataFrame =
-    knLogprobOf(t(spark, dir, "documents"))
+    // five plan branches re-derive the bigram explode (counts, heads,
+    // types, continuations, scoring) — JobProfile measured them as five
+    // ~0.5 s SINGLE-task stages; the spread parallelizes each
+    knLogprobOf(graft.Tables.docsSpread(spark, dir))
 
   /** The KN scorer over any (doc_id, text) frame — split out so the
     * spec can pin a hand-computed value on a crafted corpus. */
@@ -324,7 +337,9 @@ object CorpusStats {
     * rows), one gram-keyed partial-agg groupBy + one scalar rollup —
     * the same two-stage shape at any corpus size. */
   def qDupGramMass(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents")
+    // NFC-normalize + 8-gram md5 explode is the heaviest per-doc
+    // projection in the family — spread the scan across the cores
+    graft.Tables.docsSpread(spark, dir)
       .withColumn("ws",
         split(expr(graft.text.TextAnalysis.normalizeUnicodeSparkSql("text")), " "))
       .filter(size(col("ws")) >= 8)
@@ -517,6 +532,9 @@ object CorpusStats {
     * discipline), rounded 6. */
   def qPmiPairs(spark: SparkSession, dir: String,
                 vocab: Int = 50, minDocs: Long = 5): DataFrame = {
+    // NOT spread: the pair self-join (post-shuffle, already parallel)
+    // dominates this query, not the word explode — the docsSpread
+    // variant measured 0.90 s vs 0.75 s plain (solo min-of-5, sf0.1)
     val words = t(spark, dir, "documents")
       .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("word"))
     val top = words.groupBy("word").agg(count(lit(1)).as("c"))
