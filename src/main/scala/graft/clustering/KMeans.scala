@@ -753,9 +753,19 @@ object KMeans {
         .collect().map(r => r.getLong(0) ->
         dims.indices.map(i => r.getDouble(1 + i)).toArray).toSeq
     val d0 = Points.distTo(cands.head._2, dims)
-    var base = pts.select(col("pid") +: dims.map(col) :+
-      md5(col("pid").cast("string")).as("__h") :+ (d0 * d0).as("__d2"): _*)
+    // the per-round draw uniforms, PRE-SLICED from the row's one md5 at
+    // init (bit-identical to slicing __h inside each round — the same
+    // deterministic expression, evaluated once): each round's
+    // localCheckpoint then carries 3 doubles instead of the 32-char hex
+    // string (the widest column of the checkpointed frame), and the
+    // draw filter compares a stored double instead of running 6
+    // instr()+substr() calls per row per round
+    var base = pts.select(col("pid") +: dims.map(col) ++
+        (1 to SCAL_ROUNDS).map(r =>
+          expr(u24SliceSql("md5(cast(pid AS string))", (r - 1) * 6)).as(s"__u$r")) :+
+        (d0 * d0).as("__d2"): _*)
       .localCheckpoint(eager = true)
+    val uCols = (1 to SCAL_ROUNDS).map(r => col(s"__u$r"))
     for (r <- 1 to SCAL_ROUNDS) {
       // phi ROUNDED 6 before it enters the draw threshold: the raw
       // sum is order-dependent, the rounded value is engine-stable
