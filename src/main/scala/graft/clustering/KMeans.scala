@@ -760,7 +760,7 @@ object KMeans {
     // string (the widest column of the checkpointed frame), and the
     // draw filter compares a stored double instead of running 6
     // instr()+substr() calls per row per round
-    var base = pts.select(col("pid") +: dims.map(col) ++
+    var base = pts.select((col("pid") +: dims.map(col)) ++
         (1 to SCAL_ROUNDS).map(r =>
           expr(u24SliceSql("md5(cast(pid AS string))", (r - 1) * 6)).as(s"__u$r")) :+
         (d0 * d0).as("__d2"): _*)
@@ -771,7 +771,7 @@ object KMeans {
       // sum is order-dependent, the rounded value is engine-stable
       val phi = BigDecimal(base.agg(sum("__d2")).head.getDouble(0))
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-      val u = expr(u24SliceSql("__h", (r - 1) * 6))
+      val u = col(s"__u$r")
       // canonicalize per pid (the testdata duplicates rows per pid):
       // identical rows share one draw decision; a pid with several
       // drawn variants contributes its per-dim min — deterministic
@@ -789,7 +789,7 @@ object KMeans {
         val newMin = (col("__d2") +: fresh.toSeq.map { case (_, c) =>
           val dd = Points.distTo(c, dims); dd * dd
         }).reduce((a, b) => least(a, b))
-        base = base.select(col("pid") +: dims.map(col) :+ col("__h") :+
+        base = base.select((col("pid") +: dims.map(col)) ++ uCols :+
           newMin.as("__d2"): _*).localCheckpoint(eager = true)
       }
     }
