@@ -48,29 +48,35 @@ object Tables {
     * adds one ~ms metadata read per (table, JVM), never a data pass. */
   private val layoutMeta =
     new java.util.concurrent.ConcurrentHashMap[String, (Int, Long)]()
-  private def parquetLayout(spark: SparkSession, path: String): (Int, Long) =
-    layoutMeta.computeIfAbsent(path, { _ =>
-      try {
-        val conf = spark.sessionState.newHadoopConf()
-        val p = new org.apache.hadoop.fs.Path(path)
-        val fs = p.getFileSystem(conf)
-        val files =
-          if (fs.getFileStatus(p).isDirectory)
-            fs.listStatus(p).toSeq.filter(f =>
-              f.isFile && !f.getPath.getName.startsWith("_"))
-          else Seq(fs.getFileStatus(p))
-        var groups = 0
-        var rows = 0L
-        files.foreach { f =>
-          val in = org.apache.parquet.hadoop.util.HadoopInputFile
-            .fromStatus(f, conf)
-          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-          try { groups += r.getRowGroups.size(); rows += r.getRecordCount }
-          finally r.close()
-        }
-        (groups, rows)
-      } catch { case _: Throwable => (Int.MaxValue, 0L) } // unknown: leave layout alone
-    })
+  private def parquetLayout(spark: SparkSession, path: String): (Int, Long) = {
+    val cached = layoutMeta.get(path)
+    if (cached != null) return cached
+    try {
+      val conf = spark.sessionState.newHadoopConf()
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(conf)
+      val files =
+        if (fs.getFileStatus(p).isDirectory)
+          fs.listStatus(p).toSeq.filter(f =>
+            f.isFile && !f.getPath.getName.startsWith("_"))
+        else Seq(fs.getFileStatus(p))
+      var groups = 0
+      var rows = 0L
+      files.foreach { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromStatus(f, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try { groups += r.getRowGroups.size(); rows += r.getRecordCount }
+        finally r.close()
+      }
+      val v = (groups, rows)
+      layoutMeta.putIfAbsent(path, v) // only SUCCESSFUL probes are memoized:
+      v                               // a transient footer/FS error must not
+                                      // disable the spread for the JVM's life
+    } catch {
+      case scala.util.control.NonFatal(_) => (Int.MaxValue, 0L) // unknown: leave layout alone, retry next call
+    }
+  }
 
   /** Parquet scans parallelize across row groups, never within one —
     * a table written as a single row group feeds exactly ONE task no

@@ -150,6 +150,7 @@ object KMeans {
     new java.util.concurrent.ConcurrentHashMap[String, Map[Int, Array[Array[Double]]]]()
   private def stagedElbowCenters(pts: DataFrame, dir: String): Map[Int, Array[Array[Double]]] =
     elbowCentersStaged.computeIfAbsent(dir, { _ =>
+      graft.Memo.miss()
       ELBOW_KS.map { k =>
         var centers = Points.firstKCenters(pts, k)
         for (_ <- 1 to ELBOW_ITERS) {
@@ -250,6 +251,7 @@ object KMeans {
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
   private def stagedFinalCenters(pts: DataFrame, dir: String): Array[Array[Double]] =
     finalCentersStaged.computeIfAbsent(dir, { _ =>
+      graft.Memo.miss()
       var centers = Points.firstKCenters(pts, K)
       for (_ <- 1 to ITERS) {
         val byK = update(assign(pts, centers)).collect()

@@ -31,8 +31,11 @@ object DataChecks {
       count(col("l_quantity")).as("n_qty"),
       count(col("l_returnflag")).as("n_rf"),
       // key-uniqueness via the numeric injection l_orderkey*10 +
-      // l_linenumber (linenumber is 1..7, so the map is injective and
-      // the distinct COUNT is identical to the concat-string key the
+      // l_linenumber (linenumber is 1..7 and BOTH columns are NOT NULL
+      // per the TPC-H schema — required: concat_ws skips a NULL
+      // component but arithmetic yields NULL, which countDistinct
+      // drops; with non-null inputs the map is injective and the
+      // distinct COUNT is identical to the concat-string key the
       // oracle mirrors) — the distinct shuffle moves 8-byte longs
       // instead of ~15-char strings (guide §2.3 "narrower types";
       // measured: the distinct stage was 0.8 s of this query's 1.0 s)

@@ -142,7 +142,9 @@ object PQ {
   private val codebooksStaged =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Array[Double]]]]()
   private[search] def stagedCodebooks(pts: DataFrame, dir: String): Array[Array[Array[Double]]] =
-    codebooksStaged.computeIfAbsent(dir, { _ => trainCodebooks(pts) })
+    codebooksStaged.computeIfAbsent(dir, { _ =>
+      graft.Memo.miss(); trainCodebooks(pts)
+    })
 
   def qPq(spark: SparkSession, dir: String): DataFrame = {
     val pts = Points.embeddings64(spark, dir).cache()

@@ -185,6 +185,7 @@ object SimSearch {
   private[search] def stagedCoarse(pts: DataFrame, dir: String,
                                    ed: Seq[String]): Array[Array[Double]] =
     coarseStaged.computeIfAbsent(dir, { _ =>
+      graft.Memo.miss()
       trainCoarse(pts, CELLS, IVF_ITERS, ed)
     })
 
@@ -237,6 +238,7 @@ object SimSearch {
     String, Array[(Long, Array[Double])]]()
   private[search] def queryVecs(spark: SparkSession, dir: String): Array[(Long, Array[Double])] =
     qvecsMemo.computeIfAbsent(dir, { _ =>
+      graft.Memo.miss()
       t(spark, dir, "embeddings").filter(col("vec_id") <= QN)
         .select(col("vec_id"), col("embedding")).collect()
         .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)

@@ -51,6 +51,7 @@ object Spectrum {
   private def stagedSums(spark: SparkSession, dir: String)
       : (Array[BigInt], Array[BigInt], Long) =
     covStaged.computeIfAbsent(dir, { _ =>
+      graft.Memo.miss()
       val parts = t(spark, dir, "embeddings").select("embedding").rdd.mapPartitions { it =>
         val sums = new Array[Long](D)
         val prods = new Array[Long](P)

@@ -155,7 +155,7 @@ object QualityClf {
   private val stagedW =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Double]]()
   private def stagedTrain(key: String)(feats: => DataFrame): Array[Double] =
-    stagedW.computeIfAbsent(key, _ => trainOn(feats))
+    stagedW.computeIfAbsent(key, { _ => graft.Memo.miss(); trainOn(feats) })
 
   def qQualityClf(spark: SparkSession, dir: String): DataFrame = {
     val feats = features(spark, dir)
