@@ -31,25 +31,27 @@ object KMeans {
     * Generic over the dimension column set.
     *
     * High-dim point sets (> 16 dims) switch from unrolled per-dim
-    * expressions to a HOF fold over a packed array: the fold is the
-    * same left-to-right add order (bitwise-identical result, oracle
-    * unchanged) but keeps generated code linear in K instead of K*D —
-    * 8 centers x 64 dims unrolled was a multi-second codegen compile
-    * per stage. */
+    * expressions to a fold over a packed array: same left-to-right add
+    * order (bitwise-identical result, oracle unchanged) but generated
+    * code linear in K instead of K*D — 8 centers x 64 dims unrolled
+    * was a multi-second codegen compile per stage. The fold itself is
+    * the NATIVE fused loop (graft.functions.SquaredL2D): the previous
+    * `aggregate(zip_with(...))` HOF paid interpreted lambda dispatch
+    * plus an intermediate diffs array per (row, center) — K x corpus
+    * evaluations in every Lloyd/IVF-training pass (the SquaredL2
+    * lesson applied to the double kernel; SquaredL2DSpec pins the
+    * bitwise equivalence). */
   def assign(points: DataFrame, centers: Array[Array[Double]],
              ds: Seq[String] = dims): DataFrame = {
     val assigned =
       if (ds.length <= 16) {
         points.withColumn("dist_arr", array(centers.map(c => distTo(c, ds)): _*))
       } else {
-        val hofDist = centers.map { c =>
-          val diffs = zip_with(col("__xs"), typedLit(c), (x, cj) => {
-            val d = x - cj; d * d
-          })
-          sqrt(aggregate(diffs, lit(0.0), (acc, v) => acc + v))
+        val natDist = centers.map { c =>
+          sqrt(graft.functions.GraftFunctions.squaredL2D(col("__xs"), typedLit(c)))
         }
         points.withColumn("__xs", array(ds.map(col): _*))
-          .withColumn("dist_arr", array(hofDist: _*))
+          .withColumn("dist_arr", array(natDist: _*))
           .drop("__xs")
       }
     assigned
@@ -571,8 +573,16 @@ object KMeans {
     * cross-joined (broadcast) so scaling is a pure per-row projection;
     * identical arithmetic on identical min/max makes the oracle match
     * bitwise with no rounding. */
-  def qNormalize(spark: SparkSession, dir: String): DataFrame = {
-    val pts = Points.lineitem4d(spark, dir)
+  def qNormalize(spark: SparkSession, dir: String): DataFrame =
+    normalizeFrom(Points.lineitem4d(spark, dir), spark, dir)
+
+  /** The min-max scaling projection over a caller-chosen point frame —
+    * factored out so the ITERATIVE consumer (qNormalizedKmeans, which
+    * caches the result and runs init + 3 update jobs over it) can feed
+    * the layout-adaptive spread view while the single-pass
+    * dataset_normalize keeps the plain scan (the opt-in spread bar). */
+  private def normalizeFrom(pts: DataFrame, spark: SparkSession,
+                            dir: String): DataFrame = {
     val statsRow = Points.stats(spark, dir)
     pts.crossJoin(broadcast(statsRow))
       .select(col("pid") +: dims.map(d =>
@@ -749,29 +759,34 @@ object KMeans {
     * whole candidate history. */
   def qScalableInit(spark: SparkSession, dir: String): DataFrame = {
     val pts = Points.lineitem4dSpread(spark, dir)
-    // row hash + d2 vs the deterministic first point, materialized
+    // ONE parquet pass: the row's md5 is hashed once into __h and the
+    // per-round draw uniforms sliced from THAT column (bit-identical
+    // to slicing the inline digest — same deterministic expression —
+    // but the projection never re-derives the digest per nibble), and
+    // the checkpointed frame carries 3 doubles instead of the 32-char
+    // hex string. The first candidate is then read off the CHECKPOINT
+    // (the previous shape paid a second full scan+sort of the parquet
+    // just for the limit-1 row — profiled at 0.4 s of the query's 3 s).
+    var base = pts
+      .withColumn("__h", expr("md5(cast(pid AS string))"))
+      .select((col("pid") +: dims.map(col)) ++
+        (1 to SCAL_ROUNDS).map(r =>
+          expr(u24SliceSql("__h", (r - 1) * 6)).as(s"__u$r")): _*)
+      .localCheckpoint(eager = true)
     var cands: Seq[(Long, Array[Double])] =
-      pts.orderBy(col("pid") +: dims.map(col): _*).limit(1)
+      base.orderBy(col("pid") +: dims.map(col): _*).limit(1)
         .collect().map(r => r.getLong(0) ->
         dims.indices.map(i => r.getDouble(1 + i)).toArray).toSeq
     val d0 = Points.distTo(cands.head._2, dims)
-    // the per-round draw uniforms, PRE-SLICED from the row's one md5 at
-    // init (bit-identical to slicing __h inside each round — the same
-    // deterministic expression, evaluated once): each round's
-    // localCheckpoint then carries 3 doubles instead of the 32-char hex
-    // string (the widest column of the checkpointed frame), and the
-    // draw filter compares a stored double instead of running 6
-    // instr()+substr() calls per row per round
-    var base = pts.select((col("pid") +: dims.map(col)) ++
-        (1 to SCAL_ROUNDS).map(r =>
-          expr(u24SliceSql("md5(cast(pid AS string))", (r - 1) * 6)).as(s"__u$r")) :+
-        (d0 * d0).as("__d2"): _*)
-      .localCheckpoint(eager = true)
     val uCols = (1 to SCAL_ROUNDS).map(r => col(s"__u$r"))
+    // the running min-d2: an expression (d0^2, evaluated inside round
+    // 1's two passes) until the first re-checkpoint materializes it —
+    // same per-row doubles, one fewer full-width checkpoint column
+    var d2: org.apache.spark.sql.Column = d0 * d0
     for (r <- 1 to SCAL_ROUNDS) {
       // phi ROUNDED 6 before it enters the draw threshold: the raw
       // sum is order-dependent, the rounded value is engine-stable
-      val phi = BigDecimal(base.agg(sum("__d2")).head.getDouble(0))
+      val phi = BigDecimal(base.agg(sum(d2)).head.getDouble(0))
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
       val u = col(s"__u$r")
       // canonicalize per pid (the testdata duplicates rows per pid):
@@ -779,7 +794,7 @@ object KMeans {
       // drawn variants contributes its per-dim min — deterministic
       // and mirrored verbatim in the oracle's GROUP BY
       val drawn = base
-        .filter(u < lit(SCAL_L) * col("__d2") / lit(phi))
+        .filter(u < lit(SCAL_L) * d2 / lit(phi))
         .groupBy("pid").agg(min(col(dims.head)).as(dims.head),
           dims.tail.map(d => min(col(d)).as(d)): _*)
         .collect()
@@ -788,11 +803,12 @@ object KMeans {
       val fresh = drawn.filterNot(d => known(d._1)).sortBy(_._1)
       cands = cands ++ fresh
       if (r < SCAL_ROUNDS && fresh.nonEmpty) {
-        val newMin = (col("__d2") +: fresh.toSeq.map { case (_, c) =>
+        val newMin = (d2 +: fresh.toSeq.map { case (_, c) =>
           val dd = Points.distTo(c, dims); dd * dd
         }).reduce((a, b) => least(a, b))
         base = base.select((col("pid") +: dims.map(col)) ++ uCols :+
           newMin.as("__d2"): _*).localCheckpoint(eager = true)
+        d2 = col("__d2")
       }
     }
     // weights: points nearest to each candidate (ties -> lowest
@@ -970,7 +986,8 @@ object KMeans {
   private val normDims = dims.map(d => s"n_$d")
 
   def qNormalizedKmeans(spark: SparkSession, dir: String): DataFrame =
-    lloyd(qNormalize(spark, dir), K, 3, normDims)
+    lloyd(normalizeFrom(Points.lineitem4dSpread(spark, dir), spark, dir),
+      K, 3, normDims)
 
   private val normPtsSubquery: String = {
     val stats = dims.map(d => s"min($d) AS min_$d, max($d) AS max_$d").mkString(", ")
@@ -1052,9 +1069,12 @@ object KMeans {
       .select("pid", "k", "dist")
   }
 
-  /** Two Lloyd iterations over the embeddings corpus; final centers. */
+  /** Two Lloyd iterations over the embeddings corpus; final centers.
+    * Spread: lloyd caches the 64-dim view and runs init + 2 update
+    * jobs over it — every one of them was a single task on the
+    * one-row-group embeddings parquet (profiled: all 8 stages 1 task). */
   def qEmbedFull(spark: SparkSession, dir: String): DataFrame =
-    lloyd(Points.embeddings64(spark, dir), K, EMBED_ITERS, Points.embedDims)
+    lloyd(Points.embeddings64Spread(spark, dir), K, EMBED_ITERS, Points.embedDims)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dataset_stats" -> (Points.stats _),

@@ -69,6 +69,16 @@ object Points {
       col("vec_id").as("pid") +:
         (1 to 64).map(i => expr(s"CAST(element_at(embedding, $i) AS DOUBLE)").as(s"e$i")): _*)
 
+  /** [[embeddings64]] hash-spread by pid when the backing parquet
+    * cannot feed the session's cores — the embeddings twin of
+    * [[lineitem4dSpread]], for ITERATIVE consumers that cache the
+    * 64-dim point view and run several assign-shaped jobs over it
+    * (every such job otherwise scans in the single row-group task).
+    * Same opt-in bar: single-pass consumers keep the plain view. */
+  def embeddings64Spread(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.spreadIfNeeded(spark, dir, "embeddings",
+      embeddings64(spark, dir), Some("pid"))
+
   val embedPtsSql: String =
     "SELECT vec_id AS pid, " +
       (1 to 64).map(i => s"CAST(embedding[$i] AS DOUBLE) AS e$i").mkString(", ") +

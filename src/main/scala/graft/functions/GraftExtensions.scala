@@ -36,6 +36,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         else SquaredL2Prefix(children.head, children(1), children(2))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("squared_l2d"),
+      new ExpressionInfo(classOf[SquaredL2D].getName, "squared_l2d"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "squared_l2d(a, b) takes exactly 2 arguments")
+        SquaredL2D(children.head, children(1))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("unit_micro_quant"),
       new ExpressionInfo(classOf[UnitMicroQuant].getName, "unit_micro_quant"),
       (children: Seq[Expression]) => {
@@ -90,6 +97,11 @@ object GraftFunctions {
 
   def squaredL2(a: Column, b: Column): Column =
     GraftBridge.column(SquaredL2(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Squared-L2 over two `array<double>` columns (the 64-dim assign
+    * kernel); bitwise the zip_with + aggregate double fold. */
+  def squaredL2D(a: Column, b: Column): Column =
+    GraftBridge.column(SquaredL2D(GraftBridge.expression(a), GraftBridge.expression(b)))
 
   /** Squared-L2 over the first `p` components (Matryoshka curve). */
   def squaredL2Prefix(a: Column, b: Column, p: Column): Column =

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
 
 /** Native Catalyst expression: exact integer squared-L2 distance of two
   * `array<bigint>` columns (the MicroGrid-quantized embedding vectors).
@@ -118,6 +118,94 @@ object SquaredL2 {
     while (i < na) {
       if (a.isNullAt(i) || b.isNullAt(i)) return null
       val d = a.getLong(i) - b.getLong(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+}
+
+/** [[SquaredL2]] over `array<double>` inputs — the fused form of the
+  * DOUBLE fold
+  *
+  *   aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)),
+  *             0.0D, (acc, v) -> acc + v)
+  *
+  * that the generic k-means `assign` uses for high-dim (> 16 dims)
+  * point sets: the per-(row, center) distance of the 64-dim embedding
+  * Lloyd loops and of every IVF/PQ coarse-quantizer training pass.
+  * Bitwise identical to the HOF: the per-element difference and square
+  * and the LEFT-TO-RIGHT double accumulation starting from 0.0 are the
+  * exact same fp operation sequence (0.0 + v1 == v1; no
+  * reassociation), so oracles over the unrolled per-dim SQL are
+  * unaffected. Null semantics mirror zip_with + aggregate: a length
+  * mismatch (zip_with pads with null), a null element, or a null array
+  * yields NULL. SquaredL2DSpec pins the equivalence. */
+case class SquaredL2D(left: Expression, right: Expression)
+  extends BinaryExpression with Serializable {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "squared_l2d"
+
+  private def isDoubleArray(t: DataType): Boolean = t match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isDoubleArray(left.dataType) && isDoubleArray(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<double> inputs, " +
+        s"got (${left.dataType}, ${right.dataType})")
+
+  override def eval(input: InternalRow): Any = {
+    val l = left.eval(input)
+    if (l == null) return null
+    val r = right.eval(input)
+    if (r == null) return null
+    SquaredL2D.compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    double $d = $a.getDouble($i) - $b.getDouble($i);
+         |    $s += $d * $d;
+         |  }
+         |  ${ev.value} = $s;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SquaredL2D =
+    copy(left = newLeft, right = newRight)
+}
+
+object SquaredL2D {
+  /** Static core shared by eval: null on length mismatch or null
+    * element, else the exact left-to-right double fold. */
+  def compute(a: ArrayData, b: ArrayData): Any = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val d = a.getDouble(i) - b.getDouble(i)
       s += d * d
       i += 1
     }

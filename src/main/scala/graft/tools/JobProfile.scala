@@ -72,11 +72,20 @@ object JobProfile {
           var lastJobs: Seq[Job] = Nil
           var lastStages: Seq[String] = Nil
           var lastWall = 0.0
+          var cgMs = 0L; var cgN = 0L
           (1 to reps).foreach { rep =>
             jobs.clear(); order.clear(); stageLines.clear()
+            // whole-stage-codegen compile attribution: Janino compile
+            // wall + compiled-source count delta across the rep (driver
+            // time invisible to job durations — the "gap" suspect)
+            val cgT = org.apache.spark.metrics.source.CodegenMetrics
+              .METRIC_COMPILATION_TIME
+            val cg0 = (cgT.getCount, cgT.getSnapshot.getValues.sum)
             val t0 = System.nanoTime()
             fn(spark, sfDir).count()
             lastWall = (System.nanoTime() - t0) / 1e9
+            cgN = cgT.getCount - cg0._1
+            cgMs = cgT.getSnapshot.getValues.sum - cg0._2
             org.apache.spark.sql.GraftBridge.flushListenerBus(spark)
             import scala.jdk.CollectionConverters._
             lastJobs = order.asScala.toSeq.flatMap(id => Option(jobs.get(id)))
@@ -96,6 +105,7 @@ object JobProfile {
           lastStages.foreach(println)
           val sum = lastJobs.filter(_.end > 0).map(j => (j.end - j.start) / 1e3).sum
           println(f"  [sum of job durations ${sum}%.3f s; gaps = driver/planning time]")
+          println(f"  [last-rep codegen: $cgN compiles, ~${cgMs}%d ms compile wall]")
       }
     }
     spark.stop()
