@@ -149,14 +149,27 @@ object Graph {
     // exactly, and a degree cascade DEEPER than the unroll (a long
     // pendant chain) fails loudly here rather than letting the
     // operator silently out-converge its own gate (round-8 advice)
-    ks.map(k => kCoreOf(stagedCandidates(spark, dir), k, maxRounds = 9))
-      .reduce(_ unionByName _)
+    {
+      // one shared checkpoint of the edge list: each k's peel loop
+      // re-checkpoints from it (a narrow copy of materialized
+      // partitions, not a re-derivation), so the staged-candidate
+      // parquet is scanned once for the whole census instead of once
+      // per k
+      val e0 = stagedCandidates(spark, dir).select("ia", "ib")
+        .localCheckpoint(eager = true)
+      ks.map(k => kCoreOf(e0, k, maxRounds = 9))
+        .reduce(_ unionByName _)
+    }
 
   /** The k-core census over any canonical (ia < ib, distinct) edge
     * frame. */
   def kCoreOf(e: DataFrame, k: Int, maxRounds: Int = 30): DataFrame = {
     val spark = e.sparkSession
     var edges = e.select("ia", "ib").localCheckpoint(true)
+    // edge count carried across rounds: the previous shape re-counted
+    // the OLD frame every round (`next.count() != edges.count()` — two
+    // count jobs per peel for one comparison)
+    var edgeCount = edges.count()
     var rounds = 0
     var changed = true
     while (changed && rounds < maxRounds) {
@@ -170,8 +183,10 @@ object Graph {
         .join(keep.select(col("s").as("ib")), "ib")
         .select("ia", "ib")
         .localCheckpoint(true)
-      changed = next.count() != edges.count()
+      val nextCount = next.count()
+      changed = nextCount != edgeCount
       edges = next
+      edgeCount = nextCount
     }
     require(!changed, s"$k-core peeling did not converge in $maxRounds rounds")
     val nodes = edges.select(explode(array(col("ia"), col("ib"))).as("s")).distinct()

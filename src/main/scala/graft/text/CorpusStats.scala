@@ -294,17 +294,30 @@ object CorpusStats {
     * computes the three cutoffs, which land as literals, and each
     * doc's bucket is three codegen'd comparisons. */
   def qCurriculum(spark: SparkSession, dir: String): DataFrame = {
-    val scores = qUnigramLogprob(spark, dir).select(col("doc_id"), col("avg_log2p"))
-    val cs = graft.relational.Quantiles.exact(scores, "avg_log2p", Seq(0.25, 0.5, 0.75))
-    scores
-      .withColumn("bucket",
-        (when(col("avg_log2p") >= lit(cs(0.25)), 1).otherwise(0)
-          + when(col("avg_log2p") >= lit(cs(0.5)), 1).otherwise(0)
-          + when(col("avg_log2p") >= lit(cs(0.75)), 1).otherwise(0)).cast("int"))
-      .groupBy("bucket")
-      .agg(count(lit(1)).as("n_docs"),
-        round(min("avg_log2p"), 6).as("min_score"),
-        round(max("avg_log2p"), 6).as("max_score"))
+    // the per-doc scores are consumed by EVERY quantile-refinement
+    // pass plus the final bucketize — uncached, each pass re-derived
+    // the whole unigram-LM chain (explode + vocab join + per-doc agg;
+    // profiled as 3 repeated ~0.5 s job blocks). The cache is a
+    // doc-count-sized 2-column frame, held only inside the query and
+    // released before returning (the recall-curve §5 reuse
+    // discipline); the ≤4-row result leaves as a literal frame so the
+    // cache does not leak through the returned plan.
+    val scores = qUnigramLogprob(spark, dir)
+      .select(col("doc_id"), col("avg_log2p")).cache()
+    try {
+      val cs = graft.relational.Quantiles.exact(scores, "avg_log2p", Seq(0.25, 0.5, 0.75))
+      val out = scores
+        .withColumn("bucket",
+          (when(col("avg_log2p") >= lit(cs(0.25)), 1).otherwise(0)
+            + when(col("avg_log2p") >= lit(cs(0.5)), 1).otherwise(0)
+            + when(col("avg_log2p") >= lit(cs(0.75)), 1).otherwise(0)).cast("int"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          round(min("avg_log2p"), 6).as("min_score"),
+          round(max("avg_log2p"), 6).as("max_score"))
+      val rows = out.collect()
+      spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1), out.schema)
+    } finally { scores.unpersist(); () }
   }
 
   /** One-row dataset card: the headline numbers a corpus release ships
