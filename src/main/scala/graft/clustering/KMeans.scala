@@ -31,28 +31,28 @@ object KMeans {
     * Generic over the dimension column set.
     *
     * High-dim point sets (> 16 dims) switch from unrolled per-dim
-    * expressions to a fold over a packed array: same left-to-right add
-    * order (bitwise-identical result, oracle unchanged) but generated
-    * code linear in K instead of K*D — 8 centers x 64 dims unrolled
-    * was a multi-second codegen compile per stage. The fold itself is
-    * the NATIVE fused loop (graft.functions.SquaredL2D): the previous
-    * `aggregate(zip_with(...))` HOF paid interpreted lambda dispatch
-    * plus an intermediate diffs array per (row, center) — K x corpus
-    * evaluations in every Lloyd/IVF-training pass (the SquaredL2
-    * lesson applied to the double kernel; SquaredL2DSpec pins the
-    * bitwise equivalence). */
+    * expressions to ONE fused multi-center loop over a packed array
+    * (graft.functions.L2DistArr, centers as a flattened reference
+    * object — the pqEncode shape): same left-to-right add order
+    * (bitwise-identical result, oracle unchanged) but generated code
+    * O(1) in both K and D — 8 centers x 64 dims unrolled was a
+    * multi-second codegen compile per stage, and even K separate
+    * sqrt(squared_l2d(xs, lit)) trees overflowed janino's 64 KB method
+    * limit once a HashAggregate inlined them (the IVF batch-assign
+    * stage silently dropped to interpreted execution; PlanAuditSpec
+    * gates it). Versus the original `aggregate(zip_with(...))` HOF
+    * this also drops interpreted lambda dispatch plus an intermediate
+    * diffs array per (row, center) — K x corpus evaluations in every
+    * Lloyd/IVF-training pass (L2DistArrSpec pins the bitwise
+    * equivalence). */
   def assign(points: DataFrame, centers: Array[Array[Double]],
              ds: Seq[String] = dims): DataFrame = {
     val assigned =
       if (ds.length <= 16) {
         points.withColumn("dist_arr", array(centers.map(c => distTo(c, ds)): _*))
       } else {
-        val natDist = centers.map { c =>
-          sqrt(graft.functions.GraftFunctions.squaredL2D(col("__xs"), typedLit(c)))
-        }
-        points.withColumn("__xs", array(ds.map(col): _*))
-          .withColumn("dist_arr", array(natDist: _*))
-          .drop("__xs")
+        points.withColumn("dist_arr",
+          graft.functions.GraftFunctions.l2DistArr(array(ds.map(col): _*), centers))
       }
     assigned
       .withColumn("dist", array_min(col("dist_arr")))

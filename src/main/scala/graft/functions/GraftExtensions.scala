@@ -103,6 +103,14 @@ object GraftFunctions {
   def squaredL2D(a: Column, b: Column): Column =
     GraftBridge.column(SquaredL2D(GraftBridge.expression(a), GraftBridge.expression(b)))
 
+  /** The K sqrt'd L2 distances of a packed array<double> point to K
+    * fixed centers in one fused loop (the multi-center assign kernel);
+    * elementwise bitwise the composed sqrt(squaredL2D(xs, c_j)). The
+    * centers ride as driver-side state, not a child (the pqEncode
+    * shape), so generated code is O(1) in K. */
+  def l2DistArr(xs: Column, centers: Array[Array[Double]]): Column =
+    GraftBridge.column(L2DistArr(GraftBridge.expression(xs), centers))
+
   /** Squared-L2 over the first `p` components (Matryoshka curve). */
   def squaredL2Prefix(a: Column, b: Column, p: Column): Column =
     GraftBridge.column(SquaredL2Prefix(
