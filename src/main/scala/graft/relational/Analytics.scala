@@ -373,9 +373,17 @@ object Analytics {
         // timestamp->double keeps the sub-second micros (unix_timestamp
         // truncates them and would diverge from the oracle's epoch())
         (col("ts").cast("double") - col("prev_ts").cast("double")).as("gap_s"))
-    val qs = Quantiles.grouped(gaps, "event_type", "gap_s", Seq(0.5, 0.9))
-    qs.toSeq.map { case (g, m) => (g, m(0.5), m(0.9)) }
-      .toDF("event_type", "p50_gap_s", "p90_gap_s")
+      // every engine pass (fused histogram + refinements + residual)
+      // re-derived the gaps — re-paying the user shuffle AND the
+      // per-partition sort each time. The engine is fully eager (the
+      // cutoffs come back as driver values), so the cache lives only
+      // inside this call (§5 bounded reuse, the curriculum pattern).
+      .cache()
+    try {
+      val qs = Quantiles.grouped(gaps, "event_type", "gap_s", Seq(0.5, 0.9))
+      qs.toSeq.map { case (g, m) => (g, m(0.5), m(0.9)) }
+        .toDF("event_type", "p50_gap_s", "p90_gap_s")
+    } finally { gaps.unpersist(); () }
   }
 
   /** Embedding-table QC report: vector count, dimensionality check,

@@ -20,8 +20,16 @@ import org.apache.spark.sql.functions._
 object AttributionCompare {
 
   def qAttributionCompare(spark: SparkSession, dir: String): DataFrame = {
-    val lt = Relational.eventsAttribution(spark, dir)
+    // the last-touch reduction is one full events window+groupBy pass;
+    // referencing it lazily from BOTH the share numerator and the total
+    // re-ran that corpus pass twice. The reduction is <=|channels| rows,
+    // so collect it ONCE and continue from the literal frame (the lloyd
+    // / IvfIncremental.report discipline) — every downstream expression
+    // is unchanged, it just reads driver-held rows.
+    val ltq = Relational.eventsAttribution(spark, dir)
       .select(col("touch_type").as("channel"), col("n_conversions"))
+    val lt = spark.createDataFrame(
+      spark.sparkContext.parallelize(ltq.collect().toSeq, 1), ltq.schema)
     val ltTot = lt.agg(sum("n_conversions").as("t"))
     val ltShare = lt.crossJoin(broadcast(ltTot))
       .select(col("channel"), col("n_conversions"),
