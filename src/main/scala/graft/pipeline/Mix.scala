@@ -242,8 +242,8 @@ object Mix {
     * aggregate plus BOTH derived forms; each probe SELECTs its ladder
     * columns from the same `fin` frame. */
   private val lengthBucketsCtes =
-      s"""WITH d AS (SELECT list_sum(list_transform(string_split(text, ' '),
-         |    w -> (len(w) + 3) // 4)) AS len FROM documents),
+      s"""WITH d AS (SELECT CAST(list_sum(list_transform(string_split(text, ' '),
+         |    w -> (len(w) + 3) // 4)) AS BIGINT) AS len FROM documents),
          |per AS (SELECT ${capSql("len")} AS bucket_cap,
          |    count(*) AS n_docs, CAST(sum(len) AS BIGINT) AS sum_tokens,
          |    max(len) AS max_len

@@ -126,13 +126,15 @@ object Growth {
   private val momCtes =
       """WITH m AS (
         |  SELECT strftime(o_orderdate, '%Y-%m') AS month,
-        |    sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS rev_cents
+        |    CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+        |      AS rev_cents
         |  FROM orders GROUP BY 1),
         |g AS (
         |  SELECT month, rev_cents,
         |    lag(rev_cents, 1) OVER (ORDER BY month) AS prev_rev_cents,
-        |    sum(rev_cents) OVER (ORDER BY month
-        |      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS rev_3m_cents
+        |    CAST(sum(rev_cents) OVER (ORDER BY month
+        |      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS rev_3m_cents
         |  FROM m),
         |g2 AS (
         |  SELECT month, rev_cents, prev_rev_cents, rev_3m_cents,
