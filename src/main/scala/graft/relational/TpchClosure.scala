@@ -259,28 +259,47 @@ object TpchClosure {
     val li = lineitemDated(spark, dir)
       .select(col("l_orderkey"), col("l_suppkey"),
         (col("l_receiptdate") > col("l_commitdate")).as("late"))
+      // no-op on TPC-H's NOT NULL keys; stated explicitly so BOTH
+      // consumers of lvl1 see the same inferred scan filters — the
+      // suppkey-join branch otherwise gets an extra isnotnull pushed
+      // down, the two (orderkey, suppkey) exchanges stop being
+      // canonically equal, and ReuseExchange cannot dedupe them
+      .filter(col("l_orderkey").isNotNull && col("l_suppkey").isNotNull)
     // Two-level aggregate instead of a double countDistinct: a pair of
     // DISTINCT aggs makes Spark Expand every input row 2x before the
     // shuffle (measured: the registry's top shuffler at 53 MB/sf0.1).
     // Reducing to (orderkey, suppkey) grain first is a map-side
     // combinable plain agg, and both levels + the later join share the
     // orderkey partitioning.
-    val perOrder = li
+    // BOTH consumers (the per-order supplier census and the late-line
+    // side) now derive from the same (orderkey, suppkey)-grain
+    // aggregate: the identical exchange dedupes under ReuseExchange,
+    // so lineitem is scanned and shuffled ONCE instead of twice. The
+    // line multiplicity rides along as n_late_lines, so the final
+    // numwait = sum(n_late_lines) is the same integer count(*) over
+    // late lines the line-grain join produced.
+    // lvl1 carries ONE aggregate column (late-line count; "supplier
+    // was late" is n_late_lines > 0) so column pruning leaves both
+    // consumers with byte-identical partial aggregates — a second
+    // column used by only one side made the exchanges canonically
+    // different and defeated the reuse.
+    val lvl1 = li
       .groupBy("l_orderkey", "l_suppkey")
-      .agg(max(col("late")).as("supp_late"))
+      .agg(sum(when(col("late"), 1L).otherwise(0L)).as("n_late_lines"))
+    val perOrder = lvl1
       .groupBy("l_orderkey")
       .agg(count(lit(1)).as("n_supp"),
-        sum(when(col("supp_late"), 1L).otherwise(0L)).as("n_late_supp"))
+        sum(when(col("n_late_lines") > 0L, 1L).otherwise(0L)).as("n_late_supp"))
       .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
       .select(col("l_orderkey").as("q_orderkey"))
     val fOrders = t(spark, dir, "orders")
       .filter(col("o_orderstatus") === "F").select("o_orderkey")
-    li.filter(col("late"))
+    lvl1.filter(col("n_late_lines") > 0L)
       .join(perOrder, col("l_orderkey") === col("q_orderkey"))
       .join(fOrders, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(rs), col("l_suppkey") === col("s_suppkey"))
       .groupBy("s_name")
-      .agg(count(lit(1)).as("numwait"))
+      .agg(sum(col("n_late_lines")).as("numwait"))
       .orderBy(col("numwait").desc, col("s_name").asc)
       .limit(100)
   }
