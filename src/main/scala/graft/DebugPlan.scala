@@ -10,7 +10,7 @@ object DebugPlan {
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val df = graft.relational.Analytics.qBasketLift(spark, "/root/testdata/sf0.01")
+    val df = graft.text.CorpusStats.qKnLogprob(spark, "/root/testdata/sf0.1")
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
     println("### ReusedExchange: " + "ReusedExchange".r.findAllIn(plan).length)

@@ -138,21 +138,23 @@ object CorpusStats {
     * the bigram / head-word keys — co-partitioned, no broadcast, so it
     * holds when the LM itself is huge. */
   def qBigramLogprob(spark: SparkSession, dir: String): DataFrame = {
-    // the bigram explode below feeds THREE plan branches (bg counts,
-    // head counts, scoring join), each re-deriving it over the text
-    // scan — spread the scan so each ~0.5 s single-task derivation
-    // parallelizes (measured: 3 single-task stages of the query's wall)
+    // the bigram explode feeds TWO plan branches (type counts, scoring
+    // join) instead of the former three: the head totals c(w1 .) are
+    // sum(cb) over the (vocab^2-bounded) bigram-TYPE table, not a third
+    // re-derivation of the corpus explode — one fewer corpus-sized
+    // split+explode+shuffle, identical BIGINT counts (a head's token
+    // count IS the sum of its types' counts). The scan stays spread so
+    // each remaining derivation parallelizes (r18 finding).
     val bg = graft.Tables.docsSpread(spark, dir)
       .withColumn("ws", split(col("text"), " "))
       .filter(size(col("ws")) >= 2)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(ws) - 1), i -> named_struct(" +
-          "'w1', element_at(ws, i), " +
-          "'bg', concat(element_at(ws, i), ' ', element_at(ws, i + 1))))")).as("e"))
-      .select(col("doc_id"), col("e.w1").as("w1"), col("e.bg").as("bg"))
-    val bgCounts = bg.groupBy("bg").agg(count(lit(1)).as("cb"))
-    val headCounts = bg.groupBy("w1").agg(count(lit(1)).as("cu"))
-    bg.join(bgCounts, "bg").join(headCounts, "w1")
+          "'w1', element_at(ws, i), 'w2', element_at(ws, i + 1)))")).as("e"))
+      .select(col("doc_id"), col("e.w1").as("w1"), col("e.w2").as("w2"))
+    val bgCounts = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val headCounts = bgCounts.groupBy("w1").agg(sum("cb").as("cu"))
+    bg.join(bgCounts, Seq("w1", "w2")).join(headCounts, "w1")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         round(avg(log2(col("cb").cast("double") / col("cu"))), 6).as("avg_log2p"))
@@ -166,23 +168,25 @@ object CorpusStats {
     * join shape as the bigram scorer plus one unigram join; the
     * 1-row token total broadcasts. */
   def qInterpLogprob(spark: SparkSession, dir: String): DataFrame = {
-    // five plan branches re-derive the word/bigram explodes (vocab,
-    // totals, bg counts, head counts, scoring) — spread the scan
+    // three corpus-sized plan branches instead of the former five: the
+    // token total is sum(c2) over the vocab (not a second word explode)
+    // and the head totals c(w1 .) are sum(cb) over the bigram-TYPE
+    // table (not a second bigram explode) — identical BIGINT counts,
+    // two fewer corpus-sized split+explode+shuffles. Scan stays spread.
     val docs = graft.Tables.docsSpread(spark, dir)
     val words = docs.select(explode(split(col("text"), " ")).as("word"))
     val vocab = words.groupBy("word").agg(count(lit(1)).as("c2"))
-    val tot = words.agg(count(lit(1)).cast("double").as("__t"))
+    val tot = vocab.agg(sum("c2").cast("double").as("__t"))
     val bg = docs
       .withColumn("ws", split(col("text"), " "))
       .filter(size(col("ws")) >= 2)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(ws) - 1), i -> named_struct(" +
-          "'w1', element_at(ws, i), 'w2', element_at(ws, i + 1), " +
-          "'bg', concat(element_at(ws, i), ' ', element_at(ws, i + 1))))")).as("e"))
-      .select(col("doc_id"), col("e.w1").as("w1"), col("e.w2").as("w2"), col("e.bg").as("bg"))
-    val bgCounts = bg.groupBy("bg").agg(count(lit(1)).as("cb"))
-    val headCounts = bg.groupBy("w1").agg(count(lit(1)).as("cu"))
-    bg.join(bgCounts, "bg").join(headCounts, "w1")
+          "'w1', element_at(ws, i), 'w2', element_at(ws, i + 1)))")).as("e"))
+      .select(col("doc_id"), col("e.w1").as("w1"), col("e.w2").as("w2"))
+    val bgCounts = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val headCounts = bgCounts.groupBy("w1").agg(sum("cb").as("cu"))
+    bg.join(bgCounts, Seq("w1", "w2")).join(headCounts, "w1")
       .join(vocab.withColumnRenamed("word", "w2"), "w2")
       .crossJoin(broadcast(tot))
       .groupBy("doc_id")
@@ -213,9 +217,12 @@ object CorpusStats {
     * aggregates; only the 1-row type total broadcasts. All divisions
     * mirrored operation-for-operation in the oracle. */
   def qKnLogprob(spark: SparkSession, dir: String): DataFrame =
-    // five plan branches re-derive the bigram explode (counts, heads,
-    // types, continuations, scoring) — JobProfile measured them as five
-    // ~0.5 s SINGLE-task stages; the spread parallelizes each
+    // two corpus-sized plan branches (type counts, scoring join): every
+    // KN statistic — head totals, continuation-type counts, left-context
+    // counts, the type total — is an aggregate OF the bigram-type table,
+    // so deriving them from bgCounts instead of four more corpus
+    // explodes drops four corpus-sized split+explode+shuffles with
+    // identical BIGINT counts. Scan stays spread (r18 finding).
     knLogprobOf(graft.Tables.docsSpread(spark, dir))
 
   /** The KN scorer over any (doc_id, text) frame — split out so the
@@ -228,14 +235,16 @@ object CorpusStats {
         "transform(sequence(1, size(ws) - 1), i -> named_struct(" +
           "'w1', element_at(ws, i), 'w2', element_at(ws, i + 1), " +
           "'bg', concat(element_at(ws, i), ' ', element_at(ws, i + 1))))")).as("e"))
-      .select(col("doc_id"), col("e.w1").as("w1"), col("e.w2").as("w2"), col("e.bg").as("bg"))
-    val bgCounts = bg.groupBy("bg").agg(count(lit(1)).as("cb"))
-    val headCounts = bg.groupBy("w1").agg(count(lit(1)).as("cu"))
-    val types = bg.select("w1", "w2").distinct()
-    val n1p = types.groupBy("w1").agg(count(lit(1)).as("n1"))
-    val cont = types.groupBy("w2").agg(count(lit(1)).as("ct"))
-    val tt = types.agg(count(lit(1)).cast("double").as("__tt"))
-    bg.join(bgCounts, "bg").join(headCounts, "w1").join(n1p, "w1")
+      .select(col("doc_id"), col("e.w1").as("w1"), col("e.w2").as("w2"))
+    val bgCounts = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    // one row of bgCounts per bigram TYPE: head token totals and
+    // distinct-continuation counts are one aggregate of it, left-context
+    // counts another, the type total a third — no corpus re-explode
+    val heads = bgCounts.groupBy("w1")
+      .agg(sum("cb").as("cu"), count(lit(1)).as("n1"))
+    val cont = bgCounts.groupBy("w2").agg(count(lit(1)).as("ct"))
+    val tt = bgCounts.agg(count(lit(1)).cast("double").as("__tt"))
+    bg.join(bgCounts, Seq("w1", "w2")).join(heads, "w1")
       .join(cont, "w2")
       .crossJoin(broadcast(tt))
       .groupBy("doc_id")
